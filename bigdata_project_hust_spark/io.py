@@ -1,0 +1,112 @@
+"""Sources & sinks (SURVEY §2.1).
+
+The reference's storage systems map onto Spark sources:
+
+* Mongo full scans (S1)            → ``spark.read.parquet`` fixture tables
+* HDFS JSON scan w/ schema (S8)    → ``read_json`` with explicit schema
+* Incremental file discovery (S9)  → file stream source (streaming/)
+* Kafka sources/sinks (S2/S4)      → kafka format (streaming/); gated,
+  since no broker exists in the test container
+* Mongo upsert sinks (S6/S7/S10)   → foreachBatch + idempotent merge
+  (streaming/sinks.py); batch results are plain DataFrames
+
+At 100 TB the scan layer is where performance is decided: always pass
+explicit schemas (skips inference), always read parquet where possible
+(column pruning + predicate pushdown + min/max skipping), and never
+reproduce the reference's one-record-per-file layout
+(reference consumer1.py:112-121 — a small-files antipattern).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+from .schemas import DRIVER_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Runtime-settable confs every query needs regardless of who built the
+# SparkSession (the driver builds its own): nanos-parquet reads and a
+# pinned UTC session TZ for oracle-comparable timestamps.
+_RUNTIME_CONF = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_runtime_conf(spark: SparkSession) -> None:
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            spark.conf.set(k, v)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (parquet; schema from the registry).
+
+    Parquet carries its own schema; we do NOT force ours on read (Spark
+    would do a cast-projection), but callers can rely on the registry
+    shape because the driver generates these files deterministically.
+
+    Nanosecond-timestamp columns (events.ts) arrive as long nanos under
+    ``spark.sql.legacy.parquet.nanosAsLong`` and are normalized here to
+    microsecond TimestampType — same truncation DuckDB applies, so the
+    two engines see identical values.
+    """
+    ensure_runtime_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    want = DRIVER_TABLES.get(name)
+    if want is not None:
+        for field in want.fields:
+            if (isinstance(field.dataType, T.TimestampType)
+                    and isinstance(df.schema[field.name].dataType, T.LongType)):
+                from pyspark.sql import functions as F
+                # integer div: ns values exceed double's 53-bit exact range
+                df = df.withColumn(
+                    field.name,
+                    F.timestamp_micros(F.expr(f"`{field.name}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] | None = None) -> dict[str, DataFrame]:
+    """Read several fixture tables at once."""
+    names = names or tuple(DRIVER_TABLES)
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] | None = None) -> None:
+    """Register fixture tables as temp views so spark.sql can see them."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_json(spark: SparkSession, path: str,
+              schema: T.StructType | None = None) -> DataFrame:
+    """JSON scan with optional explicit schema (reference consumer2.py:71-76).
+
+    With a schema this is a single pass; without, Spark runs an extra
+    inference job — the fallback is kept for parity but callers should
+    always pass a schema.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = (),
+                  mode: str = "overwrite") -> None:
+    """Partitioned-parquet sink — replaces the reference's per-record
+    JSON files (consumer1.py:112-121) with a layout that scales: one
+    directory per partition value, large row groups, stats for skipping.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,85 @@
+"""Aggregation operators (SURVEY §2.4).
+
+The reference accumulates into Python dicts on the driver
+(consumer2.py:169-191, 243-274). Here every aggregate is a
+``groupBy().agg()`` — Catalyst plans partial (map-side) + final hash
+aggregation automatically, which is exactly the two-phase plan you want
+at 100 TB: the shuffle carries one row per (partition, key), not per
+input row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.scalar import nz
+
+
+def author_engagement(df: DataFrame, author_col: str,
+                      metric_cols: list[str]) -> DataFrame:
+    """A1: per-author count + sum/max of each engagement metric with
+    null→0 (reference consumer2.py:159-191).
+
+    Note the null trap (SURVEY §7.3): the reference treats null metric
+    values as 0 *inside* the aggregation, so ``sum`` over an all-null
+    group is 0, not null, and ``max`` of an all-null group is 0. Hence
+    nz() *before* aggregating, not after.
+    """
+    aggs: list[Column] = [F.count("*").alias("total_tweets")]
+    for m in metric_cols:
+        aggs.append(F.sum(nz(m)).alias(f"total_{m}"))
+    for m in metric_cols:
+        aggs.append(F.max(nz(m)).alias(f"max_{m}"))
+    return df.groupBy(F.col(author_col).alias("author")).agg(*aggs)
+
+
+def value_counts(df: DataFrame, col: str, out_name: str = "cnt") -> DataFrame:
+    """A3/A4: histogram of non-null values (reference consumer2.py:243-274
+    skips nulls explicitly)."""
+    return (df.where(F.col(col).isNotNull())
+              .groupBy(col)
+              .agg(F.count("*").alias(out_name)))
+
+
+def global_scalars(df: DataFrame, avg_col: str, max_col: str) -> DataFrame:
+    """A5: count / mean / max in one pass (reference show.py:181-183)."""
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.avg(avg_col), 2).alias(f"avg_{avg_col}"),
+        F.max(max_col).alias(f"max_{max_col}"),
+    )
+
+
+def distinct_values(df: DataFrame, col: str) -> DataFrame:
+    """A6: distinct values of one column (reference show.py:147,159).
+    Partial-distinct runs map-side before the shuffle."""
+    return df.select(col).distinct()
+
+
+def merge_aggregate(prev: DataFrame, batch: DataFrame, key: str,
+                    sum_cols: list[str], max_cols: list[str],
+                    count_col: str) -> DataFrame:
+    """A2: incremental merge of batch aggregates into running totals —
+    the reference's $inc/$max Mongo upsert loop (consumer2.py:193-241)
+    as a relational merge: outer-join on key, add sums/counts, take
+    elementwise max. Invariant (property-tested): merging per-batch
+    aggregates == aggregating the concatenation.
+    """
+    p = prev.select(
+        F.col(key),
+        F.col(count_col).alias("__p_cnt"),
+        *[F.col(c).alias(f"__p_s_{c}") for c in sum_cols],
+        *[F.col(c).alias(f"__p_m_{c}") for c in max_cols],
+    )
+    b = batch.select(
+        F.col(key),
+        F.col(count_col).alias("__b_cnt"),
+        *[F.col(c).alias(f"__b_s_{c}") for c in sum_cols],
+        *[F.col(c).alias(f"__b_m_{c}") for c in max_cols],
+    )
+    joined = p.join(b, key, "full_outer")
+    out = [F.col(key), (nz("__p_cnt") + nz("__b_cnt")).alias(count_col)]
+    out += [(nz(f"__p_s_{c}") + nz(f"__b_s_{c}")).alias(c) for c in sum_cols]
+    out += [F.greatest(nz(f"__p_m_{c}"), nz(f"__b_m_{c}")).alias(c)
+            for c in max_cols]
+    return joined.select(*out)

@@ -1,0 +1,218 @@
+"""Deduplication operators (training-data-pipeline extensions).
+
+Four tiers, cheapest first — the standard web-scale dedup ladder:
+
+1. exact       — hash-groupBy on normalized text (one shuffle).
+2. simhash     — 60-bit signature, banded LSH candidates, Hamming verify.
+3. minhash-LSH — shingle → k minhashes → banded buckets → Jaccard verify.
+4. embedding   — cosine near-dup (operators/similarity.py).
+
+Every hash is the cross-engine md5-based ``stable_hash64`` so the
+DuckDB oracle reproduces candidates bit-for-bit (functions/scalar.py).
+
+Scale notes: the only shuffles are groupBy(shingle-hash/band) and the
+candidate-pair join — both key-partitioned; no all-pairs product ever
+materializes (band blocking bounds candidates). Shingle explosion is
+the big intermediate (docs × ~tokens rows) but it is map-side generated
+and immediately partially aggregated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.scalar import stable_hash64
+from .text import tokens
+
+MINHASH_K = 16          # signature length
+MINHASH_BANDS = 4       # 4 bands × 4 rows
+SIMHASH_BITS = 60       # stable_hash64 yields 60 usable bits
+SIMHASH_BAND_BITS = 12  # 5 bands of 12 bits
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by text: per distinct text, keeper id (min), dup
+    count. Group key is the md5 of the text, not the text itself, so
+    the shuffle carries 16-byte keys instead of full documents."""
+    return (df
+            .select(F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"))
+            .groupBy("text_md5")
+            .agg(F.min(id_col).alias("keeper_id"),
+                 F.count("*").alias("n_copies"))
+            .where(F.col("n_copies") > 1))
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (lowercased).
+    Documents shorter than n words contribute their whole text as one
+    shingle. Array-native generation (sequence + transform) — no UDF,
+    no explode-before-shingle blowup."""
+    w = tokens(text_col)
+    k = F.size(w)
+    idx = F.sequence(F.lit(1), k - F.lit(n - 1))  # 1-based start positions
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(n)]))
+    arr = F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", w)))
+    return (df.select(F.col(id_col), F.explode(arr).alias("sh"))
+              .distinct())
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
+                       k: int = MINHASH_K) -> DataFrame:
+    """k minhashes per doc: min over shingles of seed-salted
+    stable_hash64. One partial+final hash-agg; k hashes computed
+    per shingle row map-side."""
+    aggs = [F.min(stable_hash64(F.col("sh"), seed=i)).alias(f"h{i}")
+            for i in range(k)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def _band_hash(cols: list[Column]) -> Column:
+    return F.md5(F.concat_ws(",", *cols))
+
+
+def minhash_bands(sig: DataFrame, id_col: str = "doc_id",
+                  k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> DataFrame:
+    """LSH banding: hash each band of the signature; docs sharing any
+    (band_id, band_hash) become candidates."""
+    rows = k // bands
+    parts = []
+    for b in range(bands):
+        bh = _band_hash([F.col(f"h{i}") for i in range(b * rows, (b + 1) * rows)])
+        parts.append(sig.select(F.col(id_col), F.lit(b).alias("band"),
+                                bh.alias("band_hash")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Self-join band buckets → distinct ordered candidate pairs."""
+    a = bands_df.select(F.col("band"), F.col("band_hash"),
+                        F.col(id_col).alias("doc_a"))
+    b = bands_df.select(F.col("band"), F.col("band_hash"),
+                        F.col(id_col).alias("doc_b"))
+    return (a.join(b, ["band", "band_hash"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b")
+             .distinct())
+
+
+def jaccard_verify(pairs: DataFrame, sh: DataFrame,
+                   id_col: str = "doc_id",
+                   threshold_num: int = 1, threshold_den: int = 2) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs; keeps pairs
+    with jaccard >= threshold_num/threshold_den using integer math only
+    (den*inter >= num*union) — no float comparisons, so the oracle
+    matches bit-for-bit."""
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("sh"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("sh"))
+    inter = (pairs.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
+                  .groupBy("doc_a", "doc_b")
+                  .agg(F.count("*").alias("inter_size")))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (inter.join(na, "doc_a").join(nb, "doc_b")
+                .withColumn("union_size",
+                            F.col("n_a") + F.col("n_b") - F.col("inter_size")))
+    return (out.where(F.col("inter_size") * threshold_den
+                      >= F.col("union_size") * threshold_num)
+               .select("doc_a", "doc_b", "inter_size", "union_size"))
+
+
+def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            threshold_num: int = 1,
+                            threshold_den: int = 2) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle → sign → band →
+    candidates → exact-Jaccard verify."""
+    sh = shingles(df, text_col, id_col)
+    sig = minhash_signatures(sh, id_col)
+    cands = candidate_pairs(minhash_bands(sig, id_col), id_col)
+    return jaccard_verify(cands, sh, id_col, threshold_num, threshold_den)
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold_num: int = 3,
+                        threshold_den: int = 10) -> DataFrame:
+    """n-gram Jaccard similarity via shingle-inverted-index join (no
+    LSH): pairs sharing >= 1 shingle, exact Jaccard filter. More
+    recall than MinHash, more compute — the verify path for audits.
+    The inverted-index join bounds work to pairs that actually share a
+    shingle (never a cross product)."""
+    sh = shingles(df, text_col, id_col, n)
+    pairs = (sh.alias("a").join(sh.alias("b"), "sh")
+               .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+               .select(F.col(f"a.{id_col}").alias("doc_a"),
+                       F.col(f"b.{id_col}").alias("doc_b"))
+               .distinct())
+    return jaccard_verify(pairs, sh, id_col, threshold_num, threshold_den)
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash per doc: per token-hash bit, majority vote of
+    +1/-1 across (distinct) tokens; bit i set iff the vote is positive.
+
+    Explodes (doc, token) × bit — 60 rows per token — then one
+    hash-agg back to (doc, bit) votes and one to the signature. All
+    integer arithmetic, mirrored exactly by the oracle SQL.
+    """
+    tok = (df.select(F.col(id_col),
+                     F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+             .withColumn("th", stable_hash64(F.col("tok"), seed=99)))
+    masks = F.array(*[F.lit(1 << i) for i in range(SIMHASH_BITS)])
+    bits = (tok.select(
+        F.col(id_col), F.col("th"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"))
+        .withColumn("vote",
+                    F.when(F.col("th").bitwiseAND(
+                        F.element_at(masks, F.col("bit") + 1)) != 0,
+                        F.lit(1)).otherwise(F.lit(-1))))
+    votes = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    return (votes
+            .withColumn("contrib",
+                        F.when(F.col("v") > 0,
+                               F.element_at(masks, F.col("bit") + 1))
+                         .otherwise(F.lit(0)))
+            .groupBy(id_col)
+            .agg(F.sum("contrib").alias("simhash")))
+
+
+def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup: banded LSH on the 60-bit signature (5 bands ×
+    12 bits — any identical band → candidate), then exact Hamming
+    verify with bit_count. Bounded candidates, no all-pairs."""
+    sig = simhash_signatures(df, text_col, id_col)
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    parts = []
+    for b in range(n_bands):
+        band_val = F.shiftrightunsigned(
+            F.col("simhash"), b * SIMHASH_BAND_BITS).bitwiseAND(
+            F.lit((1 << SIMHASH_BAND_BITS) - 1))
+        parts.append(sig.select(F.col(id_col), F.col("simhash"),
+                                F.lit(b).alias("band"),
+                                band_val.alias("band_val")))
+    bands_df = parts[0]
+    for p in parts[1:]:
+        bands_df = bands_df.unionByName(p)
+    a = bands_df.select("band", "band_val", F.col(id_col).alias("doc_a"),
+                        F.col("simhash").alias("sig_a"))
+    b_ = bands_df.select("band", "band_val", F.col(id_col).alias("doc_b"),
+                         F.col("simhash").alias("sig_b"))
+    cands = (a.join(b_, ["band", "band_val"])
+              .where(F.col("doc_a") < F.col("doc_b"))
+              .select("doc_a", "doc_b", "sig_a", "sig_b")
+              .distinct())
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cands.withColumn("hamming", ham.cast("long"))
+                 .where(F.col("hamming") <= max_hamming)
+                 .select("doc_a", "doc_b", "hamming"))

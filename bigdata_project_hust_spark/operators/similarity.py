@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (extension).
+
+Brute-force cosine top-k is the correctness baseline; the LSH
+(random-hyperplane) bucketed variant is the scale path — at 100 TB the
+brute force is a full scan per query (fine for few queries, since it is
+embarrassingly parallel and TakeOrderedAndProject keeps only k rows per
+partition), while LSH turns it into a bucket-join.
+
+All arithmetic is double-precision column expressions
+(zip_with + aggregate) — no UDF, no collect. Hyperplanes for LSH are
+derived from the md5-based stable hash so they are deterministic and
+reproducible by the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.scalar import stable_hash64
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, sequential fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_topk(df: DataFrame, query_id: int, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k of one stored vector against the rest.
+
+    Emits sim scaled ×1e6 and floored to a long (cross-engine exact —
+    avoids double-rounding-mode mismatches in the oracle compare);
+    deterministic tiebreak on id.
+    """
+    q = df.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv"))
+    sim = _dot(F.col(vec_col), F.col("__qv")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("__qv")))
+    return (df.where(F.col(id_col) != query_id)
+              .crossJoin(F.broadcast(q))
+              .select(F.col(id_col),
+                      F.floor(sim * 1e6).cast("long").alias("sim_e6"))
+              .orderBy(F.col("sim_e6").desc(), F.col(id_col).asc())
+              .limit(k))
+
+
+def hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes, shared verbatim (as
+    literals) by the Spark plan and the DuckDB oracle SQL.
+
+    Component (p, j) = (md5_60bit(f"plane:{p}:{j}") % 2001 - 1000)/1000
+    ∈ [-1, 1] — reproducible anywhere, no RNG state."""
+    import hashlib
+    planes = []
+    for p in range(n_planes):
+        comps = []
+        for j in range(dim):
+            h = int(hashlib.md5(f"plane:{p}:{j}".encode()).hexdigest()[:15], 16)
+            comps.append((h % 2001 - 1000) / 1000.0)
+        planes.append(comps)
+    return planes
+
+
+def lsh_buckets(df: DataFrame, n_planes: int = 8, dim: int = 64,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector.
+
+    Bucket = sign-bit string of the vector's dot product with each
+    plane. The planes are literal arrays (hyperplanes()) — tiny,
+    constant-folded, shipped with the plan to every task for free.
+    """
+    bucket_bits = [
+        F.when(_dot(F.col(vec_col),
+                    F.array(*[F.lit(c) for c in plane])) >= 0,
+               F.lit("1")).otherwise(F.lit("0"))
+        for plane in hyperplanes(n_planes, dim)
+    ]
+    return df.select(F.col(id_col), F.col(vec_col),
+                     F.concat(*bucket_bits).alias("bucket"))
+
+
+def lsh_cosine_topk(df: DataFrame, query_id: int, k: int = 10,
+                    n_planes: int = 8, dim: int = 64,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN: cosine top-k restricted to the query's LSH bucket.
+
+    Approximate (recall < 1 vs brute force) but the scan drops by
+    ~2^n_planes. Same output shape as cosine_topk.
+    """
+    b = lsh_buckets(df, n_planes, dim, id_col, vec_col)
+    qb = b.where(F.col(id_col) == query_id).select(
+        F.col("bucket").alias("__qb"), F.col(vec_col).alias("__qv"))
+    sim = _dot(F.col(vec_col), F.col("__qv")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("__qv")))
+    return (b.join(F.broadcast(qb), b.bucket == F.col("__qb"))
+             .where(F.col(id_col) != query_id)
+             .select(F.col(id_col),
+                     F.floor(sim * 1e6).cast("long").alias("sim_e6"))
+             .orderBy(F.col("sim_e6").desc(), F.col(id_col).asc())
+             .limit(k))
+
+
+def embedding_near_duplicates(df: DataFrame, min_sim_e6: int = 950000,
+                              n_planes: int = 8, dim: int = 64,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup: LSH-bucket self-join (only within a
+    bucket — no all-pairs), exact cosine verify >= threshold."""
+    b = lsh_buckets(df, n_planes, dim, id_col, vec_col)
+    a = b.select(F.col("bucket"), F.col(id_col).alias("doc_a"),
+                 F.col(vec_col).alias("va"))
+    c = b.select(F.col("bucket"), F.col(id_col).alias("doc_b"),
+                 F.col(vec_col).alias("vb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (a.join(c, "bucket")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b",
+                     F.floor(sim * 1e6).cast("long").alias("sim_e6"))
+             .where(F.col("sim_e6") >= min_sim_e6)
+             .distinct())

@@ -1,0 +1,103 @@
+"""Text-analysis operators (training-data-pipeline extensions).
+
+Language ID, quality scoring, token counting, fingerprinting — all pure
+Catalyst column expressions over the ``documents`` table (no Python in
+the hot path; at 100 TB these run inside whole-stage codegen alongside
+the scan). Ratios are emitted as exact integer pairs or floor-scaled
+ints where an oracle must hash-match (cross-engine double rounding of
+halfway values is not trustworthy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deterministic and mirrored verbatim in the DuckDB oracle SQL.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "es": ("el", "la", "de", "que", "y", "en", "un"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un"),
+}
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased whitespace tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(c), r"\s+")
+
+
+def _hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """Count (with multiplicity) of tokens in a word list."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language ID with a deterministic argmax order
+    (en > es > fr on ties; 'und' when no stopword hits at all)."""
+    t = tokens(text_col)
+    en = _hits(t, LANG_STOPWORDS["en"])
+    es = _hits(t, LANG_STOPWORDS["es"])
+    fr = _hits(t, LANG_STOPWORDS["fr"])
+    pred = (F.when((en == 0) & (es == 0) & (fr == 0), F.lit("und"))
+             .when((en >= es) & (en >= fr), F.lit("en"))
+             .when(es >= fr, F.lit("es"))
+             .otherwise(F.lit("fr")))
+    return df.select(
+        F.col(id_col),
+        en.cast("long").alias("en_hits"),
+        es.cast("long").alias("es_hits"),
+        fr.cast("long").alias("fr_hits"),
+        pred.alias("lang_pred"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features: length, token count, mean token
+    length (floor-scaled ×10000 → exact long), stopword hits, and a
+    0-100 integer score. All-integer outputs → bit-exact vs any oracle.
+    """
+    t = tokens(text_col)
+    n_chars = F.length(text_col)
+    n_tokens = F.size(t)
+    sum_tok_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    mean_tok_len_e4 = F.floor(sum_tok_len * 10000 / n_tokens).cast("long")
+    stop_hits = _hits(t, LANG_STOPWORDS["en"])
+    # score: reward 20..2000 chars, mean token length 3..12, stopwords>0
+    score = (
+        F.when((n_chars >= 20) & (n_chars <= 2000), F.lit(40)).otherwise(F.lit(0))
+        + F.when((mean_tok_len_e4 >= 30000) & (mean_tok_len_e4 <= 120000),
+                 F.lit(40)).otherwise(F.lit(0))
+        + F.when(stop_hits > 0, F.lit(20)).otherwise(F.lit(0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars_obs"),
+        n_tokens.cast("long").alias("n_tokens"),
+        mean_tok_len_e4.alias("mean_tok_len_e4"),
+        stop_hits.cast("long").alias("stop_hits"),
+        score.cast("long").alias("quality"))
+
+
+def token_counts(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + regex word count (BPE-ish pre-token
+    proxy) per document."""
+    c = F.lower(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(c, r"\s+")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), 0)).cast("long")
+         .alias("re_tokens"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Normalized document fingerprint: lowercase → tokenize → sort →
+    md5. Token-order-insensitive, so shuffled near-copies collide —
+    the cheap first pass before MinHash (operators/dedup.py)."""
+    norm = F.concat_ws(" ", F.array_sort(tokens(text_col)))
+    return df.select(F.col(id_col), F.md5(norm).alias("fp"))

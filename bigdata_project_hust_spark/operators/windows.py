@@ -1,0 +1,45 @@
+"""Time-window aggregation (SURVEY §2.9 ST7).
+
+The reference *declares* a per-user time-indexed engagement log
+(readme.md:15, consumed at show.py:103-116) but never produces it. Here
+it is a tumbling-window aggregate. Window starts are emitted as epoch
+seconds (long) — cross-engine-stable (no timestamp/timezone coercion
+between Spark and the DuckDB oracle) and directly usable as the
+reference's string-keyed map keys (show.py:105 sorts keys as ints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def tumbling_window_agg(df: DataFrame, ts_col: str, key_col: str,
+                        window_s: int, aggs: list) -> DataFrame:
+    """Tumbling window of ``window_s`` seconds per key.
+
+    Bucketing by ``floor(epoch/window)*window`` is equivalent to
+    ``F.window(ts, ...)`` for tumbling windows but exposes the start as
+    a plain long. Aggregation is a single hash-agg shuffle on
+    (key, bucket) — the same plan streaming uses, so batch and
+    streaming variants share semantics.
+    """
+    bucket = (F.floor(F.unix_timestamp(F.col(ts_col)) / window_s)
+              * window_s).cast("long").alias("window_start")
+    return df.groupBy(F.col(key_col), bucket).agg(*aggs)
+
+
+def engagement_change_log(df: DataFrame, ts_col: str, key_col: str,
+                          window_s: int, metric_cols: list[str]) -> DataFrame:
+    """ST7 sink shape: per-key map<window_start_str -> [m1, m2, ...]> —
+    the exact engagementChangeLogs layout show.py:103-110 consumes
+    (string unix-ts keys, fixed-position metric arrays)."""
+    windowed = tumbling_window_agg(
+        df, ts_col, key_col, window_s,
+        [F.sum(F.coalesce(F.col(m), F.lit(0))).alias(m) for m in metric_cols])
+    entry = F.struct(
+        F.col("window_start").cast("string").alias("key"),
+        F.array(*[F.col(m) for m in metric_cols]).alias("value"))
+    return (windowed
+            .groupBy(key_col)
+            .agg(F.map_from_entries(
+                F.array_sort(F.collect_list(entry))).alias("engagementChangeLogs")))

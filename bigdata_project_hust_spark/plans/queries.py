@@ -1,0 +1,806 @@
+"""The query registry (SURVEY §2 inventory → runnable queries + oracles).
+
+Each entry is a QuerySpec:
+  * ``fn(spark, sf_dir) -> DataFrame``   — the Spark implementation
+  * ``oracle``                            — equivalent DuckDB ANSI SQL
+    (None for genuinely non-SQL-expressible ops → driver rows-only check)
+  * ``headline``                          — included in bench.py timing
+
+Cross-engine exactness rules used throughout (so the driver's
+order-insensitive value hash matches):
+  * every computed column aliased identically on both sides;
+  * integer results preferred (exact); DuckDB integer sums cast
+    ``::BIGINT`` (DuckDB sums to HUGEINT, Spark to long);
+  * double aggregates rounded to 2 decimals on both sides;
+  * fractional literals written ``x::DOUBLE`` in SQL (DuckDB decimal
+    literals would otherwise run exact-decimal arithmetic and diverge
+    from Spark's double path);
+  * similarity scores floor-scaled to 1e6 longs (FP summation-order
+    noise ~1e-16 « the 1e-6 bucket, so both engines land in the same
+    bucket);
+  * top-k always carries a deterministic tiebreak.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.scalar import influence_score, parse_trailing_ts, rewrite_values
+from ..io import load_table
+from ..operators import aggregations as agg
+from ..operators import dedup, similarity, text
+from ..operators.joins import anti_join, equi_join, keep_last, semi_join
+from ..operators.projections import kol_filter
+from ..operators.topk import top_k, top_k_per_group
+from ..operators.windows import engagement_change_log, tumbling_window_agg
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    headline: bool = False
+    doc: str = ""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Shared fragments
+# ---------------------------------------------------------------------------
+
+# F1 on the customer mapping (FIXTURES.md §C): followers≙c_acctbal,
+# statuses≙c_custkey%100, friends≙c_nationkey.
+def _customer_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+        influence_score(F.col("c_acctbal"), F.col("c_custkey") % 100,
+                        F.col("c_nationkey")).alias("influence_score"))
+
+
+_SCORED_SQL = """
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         (coalesce(c_acctbal, 0) * 0.5::DOUBLE
+          + coalesce(c_custkey % 100, 0)::DOUBLE * 0.3::DOUBLE
+          - coalesce(c_nationkey, 0)::DOUBLE * 0.2::DOUBLE) AS influence_score
+  FROM customer
+"""
+
+# DuckDB twins of the shingle/token fragments in operators/dedup.py.
+_SHINGLES_SQL = r"""
+  words AS (
+    SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(CASE WHEN len(w) >= 3
+                       THEN list_transform(generate_series(1, len(w) - 2),
+                                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       ELSE [array_to_string(w, ' ')] END) AS sh
+    FROM words
+  )
+"""
+
+
+def _h64(expr: str, seed: int) -> str:
+    return f"(('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Parity queries (SURVEY §2)
+# ---------------------------------------------------------------------------
+
+def q_multi_agg_pricing(spark, sf_dir):
+    """A1 (consumer2.py:159-191) as the TPC-H-Q1 shape: per-group count
+    + sums + maxes in one partial+final hash agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n_rows"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (F.lit(1) - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 F.max("l_quantity").alias("max_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc")))
+
+
+ORACLE_MULTI_AGG = """
+  SELECT l_returnflag, l_linestatus,
+         count(*) AS n_rows,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         max(l_quantity) AS max_qty,
+         round(avg(l_discount), 4) AS avg_disc
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_influence_scores(spark, sf_dir):
+    """F1/P1: weighted influence score as a pure column expression."""
+    return _customer_scored(spark, sf_dir).select(
+        "c_custkey", "c_name", "influence_score")
+
+
+ORACLE_INFLUENCE = f"""
+  SELECT c_custkey, c_name, influence_score FROM ({_SCORED_SQL})
+"""
+
+
+def q_kol_threshold(spark, sf_dir):
+    """P2: influence_score >= 50 (note >=, consumer1.py:136)."""
+    return kol_filter(_customer_scored(spark, sf_dir)).select(
+        "c_custkey", "c_name", "influence_score")
+
+
+ORACLE_KOL = f"""
+  SELECT c_custkey, c_name, influence_score FROM ({_SCORED_SQL})
+  WHERE influence_score >= 50
+"""
+
+
+def q_flagship_top_kols_per_region(spark, sf_dir):
+    """Flagship (SURVEY §7.1): F1 score → P2 filter → J1/J2 joins →
+    T1 per-group top-5. Dimension joins are broadcast."""
+    kols = kol_filter(_customer_scored(spark, sf_dir))
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = equi_join(kols, nation,
+                  kols.c_nationkey == nation.n_nationkey,
+                  broadcast_right=True)
+    j = equi_join(j, region, j.n_regionkey == region.r_regionkey,
+                  broadcast_right=True)
+    ranked = top_k_per_group(
+        j.select("r_name", "c_custkey", "c_name", "influence_score"),
+        ["r_name"], "influence_score", 5, tiebreak_col="c_custkey")
+    return ranked.withColumn("rnk", F.col("rnk").cast("long"))
+
+
+ORACLE_FLAGSHIP = f"""
+  WITH kols AS (
+    SELECT * FROM ({_SCORED_SQL}) WHERE influence_score >= 50
+  ),
+  j AS (
+    SELECT r.r_name, k.c_custkey, k.c_name, k.influence_score
+    FROM kols k
+    JOIN nation n ON k.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+  ),
+  ranked AS (
+    SELECT *, row_number() OVER (
+      PARTITION BY r_name ORDER BY influence_score DESC, c_custkey ASC) AS rnk
+    FROM j
+  )
+  SELECT r_name, c_custkey, c_name, influence_score, rnk
+  FROM ranked WHERE rnk <= 5
+"""
+
+
+def q_revenue_per_nation(spark, sf_dir):
+    """J1: fact⋈dim equi-joins + group agg — customer⋈orders⋈nation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = equi_join(o, c, o.o_custkey == c.c_custkey)
+    j = equi_join(j, n, F.col("c_nationkey") == n.n_nationkey,
+                  broadcast_right=True)
+    return (j.groupBy("n_name")
+             .agg(F.count("*").alias("n_orders"),
+                  F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+ORACLE_REVENUE = """
+  SELECT n_name, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+"""
+
+
+def q_keep_last_per_user(spark, sf_dir):
+    """J3: deterministic last-write-wins per user over events."""
+    e = _t(spark, sf_dir, "events")
+    return keep_last(e, ["user_id"], "ts", "event_id").select(
+        "user_id", "event_id", "event_type", "value")
+
+
+ORACLE_KEEP_LAST = """
+  SELECT user_id, event_id, event_type, value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+"""
+
+
+def q_mktsegment_histogram(spark, sf_dir):
+    """A3: value-counts histogram (location stats ≙ c_mktsegment)."""
+    return agg.value_counts(_t(spark, sf_dir, "customer"), "c_mktsegment")
+
+
+ORACLE_MKTSEG = """
+  SELECT c_mktsegment, count(*) AS cnt FROM customer
+  WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment
+"""
+
+
+def q_event_type_histogram(spark, sf_dir):
+    """A4: histogram over events.event_type (blue stats analogue)."""
+    return agg.value_counts(_t(spark, sf_dir, "events"), "event_type")
+
+
+ORACLE_EVENT_TYPE = """
+  SELECT event_type, count(*) AS cnt FROM events
+  WHERE event_type IS NOT NULL GROUP BY event_type
+"""
+
+
+def q_orders_global_scalars(spark, sf_dir):
+    """A5: count / avg / max in one pass (show.py:181-183)."""
+    return agg.global_scalars(_t(spark, sf_dir, "orders"),
+                              "o_totalprice", "o_totalprice")
+
+
+ORACLE_GLOBAL = """
+  SELECT count(*) AS n_rows,
+         round(avg(o_totalprice), 2) AS avg_o_totalprice,
+         max(o_totalprice) AS max_o_totalprice
+  FROM orders
+"""
+
+
+def q_distinct_priorities(spark, sf_dir):
+    """A6: distinct values (show.py:147,159)."""
+    return agg.distinct_values(_t(spark, sf_dir, "orders"), "o_orderpriority")
+
+
+ORACLE_DISTINCT = "SELECT DISTINCT o_orderpriority FROM orders"
+
+
+def q_top5_orders(spark, sf_dir):
+    """T1: global top-k via TakeOrderedAndProject, stable tiebreak."""
+    return top_k(_t(spark, sf_dir, "orders"), "o_totalprice", 5,
+                 tiebreak_col="o_orderkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+
+
+ORACLE_TOP5 = """
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5
+"""
+
+
+def q_props_json_extract(spark, sf_dir):
+    """F3: JSON-string column → typed field → aggregate
+    (the reference's twitter-struct parse, consumer2.py:126)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.select("event_type",
+                     F.get_json_object("props", "$.k").cast("long").alias("k"))
+             .groupBy("event_type")
+             .agg(F.count("*").alias("n_rows"),
+                  F.sum("k").alias("sum_k")))
+
+
+ORACLE_PROPS = """
+  SELECT event_type, count(*) AS n_rows,
+         sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k
+  FROM events GROUP BY event_type
+"""
+
+
+def q_string_rewrite(spark, sf_dir):
+    """F2 (flat): chained value rewrite on documents.text."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = (("twitter", "x"), ("Twitter", "X"), ("spark", "x"))
+    return d.select("doc_id",
+                    rewrite_values("text", pairs).alias("rewritten"))
+
+
+ORACLE_REWRITE = """
+  SELECT doc_id,
+         replace(replace(replace(text, 'twitter', 'x'), 'Twitter', 'X'),
+                 'spark', 'x') AS rewritten
+  FROM documents
+"""
+
+
+def q_filename_ts_parse(spark, sf_dir):
+    """F4: trailing `_<ts>.json` parse (consumer2.py:56-59) round-trip."""
+    e = _t(spark, sf_dir, "events")
+    synth = F.concat(F.lit("events_"), F.col("event_id").cast("string"),
+                     F.lit(".json"))
+    return e.select("event_id",
+                    parse_trailing_ts(synth).alias("parsed_ts"))
+
+
+ORACLE_FNAME = r"""
+  SELECT event_id,
+         CAST(regexp_extract('events_' || event_id || '.json',
+                             '_(\d+)\.json$', 1) AS BIGINT) AS parsed_ts
+  FROM events
+"""
+
+
+def q_engagement_windows(spark, sf_dir):
+    """ST7 (batch twin): per-user 10-minute tumbling windows over
+    events — the engagementChangeLogs capability, long format."""
+    e = _t(spark, sf_dir, "events")
+    return tumbling_window_agg(
+        e, "ts", "user_id", 600,
+        [F.count("*").alias("n_events"),
+         F.round(F.sum("value"), 2).alias("sum_value")])
+
+
+ORACLE_WINDOWS = """
+  SELECT user_id,
+         (floor(epoch(ts) / 600) * 600)::BIGINT AS window_start,
+         count(*) AS n_events,
+         round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 1, 2
+"""
+
+
+def q_customers_with_orders(spark, sf_dir):
+    """Left-semi (EXISTS) — §2.6 extension."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return semi_join(c, o, c.c_custkey == o.o_custkey).select(
+        "c_custkey", "c_name")
+
+
+ORACLE_SEMI = """
+  SELECT c_custkey, c_name FROM customer c
+  WHERE EXISTS (SELECT 1 FROM orders o WHERE c.c_custkey = o.o_custkey)
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Left-anti (NOT EXISTS) — the reference's processed-files
+    exclusion (consumer2.py:322-323) relationally."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return anti_join(c, o, c.c_custkey == o.o_custkey).select(
+        "c_custkey", "c_name")
+
+
+ORACLE_ANTI = """
+  SELECT c_custkey, c_name FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE c.c_custkey = o.o_custkey)
+"""
+
+
+def q_union_names(spark, sf_dir):
+    """Set op: customer ∪ supplier names (distinct union)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_name").alias("name"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_name").alias("name"))
+    return c.unionByName(s).distinct()
+
+
+ORACLE_UNION = """
+  SELECT c_name AS name FROM customer
+  UNION
+  SELECT s_name AS name FROM supplier
+"""
+
+
+def q_merge_aggregate_incremental(spark, sf_dir):
+    """A2: incremental merge-aggregate ≡ recompute. Spark side splits
+    events into two batches by event_id parity, aggregates each, and
+    merges ($inc/$max); the oracle aggregates the whole table in one
+    pass — equality IS the correctness claim (consumer2.py:193-241)."""
+    e = _t(spark, sf_dir, "events")
+
+    def batch_agg(df):
+        return (df.groupBy(F.col("user_id"))
+                  .agg(F.count("*").alias("n_events"),
+                       F.sum(F.coalesce(F.col("value"), F.lit(0.0)))
+                        .alias("sum_value"),
+                       F.max(F.coalesce(F.col("value"), F.lit(0.0)))
+                        .alias("max_value")))
+
+    b0 = batch_agg(e.where(F.col("event_id") % 2 == 0))
+    b1 = batch_agg(e.where(F.col("event_id") % 2 == 1))
+    merged = agg.merge_aggregate(b0, b1, "user_id",
+                                 ["sum_value"], ["max_value"], "n_events")
+    return merged.select("user_id",
+                         F.col("n_events").cast("long").alias("n_events"),
+                         F.round("sum_value", 2).alias("sum_value"),
+                         "max_value")
+
+
+ORACLE_MERGE = """
+  SELECT user_id, count(*) AS n_events,
+         round(sum(coalesce(value, 0)), 2) AS sum_value,
+         max(coalesce(value, 0)) AS max_value
+  FROM events GROUP BY user_id
+"""
+
+
+def q_engagement_change_log(spark, sf_dir):
+    """ST7 sink shape: map<ts_str -> [metrics]> per user — the exact
+    engagementChangeLogs layout (show.py:103-110). Map-typed output is
+    not DuckDB-hashable → rows-only check (long format is checked by
+    engagement_windows)."""
+    e = _t(spark, sf_dir, "events")
+    return engagement_change_log(e, "ts", "user_id", 600, ["value"])
+
+
+# ---------------------------------------------------------------------------
+# Extension queries: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups (hash-groupBy on md5(text))."""
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = """
+  SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
+         count(*) AS n_copies
+  FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def q_dedup_exact_keepers(spark, sf_dir):
+    """Exact-dedup keeper set: one winner per distinct text."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.select(F.md5(F.col("text")).alias("text_md5"), "doc_id")
+             .groupBy("text_md5")
+             .agg(F.min("doc_id").alias("keeper_id")))
+
+
+ORACLE_DEDUP_KEEPERS = """
+  SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id
+  FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16) + LSH(4×4) near-dup with exact-Jaccard verify ≥ 1/2."""
+    return dedup.minhash_near_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_minhash() -> str:
+    k, bands = dedup.MINHASH_K, dedup.MINHASH_BANDS
+    rows = k // bands
+    mins = ",\n           ".join(
+        f"min({_h64('sh', i)}) AS h{i}" for i in range(k))
+    sep = " || ',' || "
+    band_selects = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5({sep.join(f'h{i}' for i in range(b*rows, (b+1)*rows))})"
+        f" AS band_hash FROM sig"
+        for b in range(bands))
+    return f"""
+  WITH {_SHINGLES_SQL},
+  sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM sh GROUP BY doc_id
+  ),
+  bands AS (
+    {band_selects}
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+  ),
+  inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter_size
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+    GROUP BY c.doc_a, c.doc_b
+  ),
+  sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+  SELECT i.doc_a, i.doc_b, i.inter_size,
+         (na.n_sh + nb.n_sh - i.inter_size) AS union_size
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE i.inter_size * 2 >= (na.n_sh + nb.n_sh - i.inter_size)
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard pairs (inverted-index join, no LSH), ≥ 3/10."""
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_NGRAM = f"""
+  WITH {_SHINGLES_SQL},
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  ),
+  inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter_size
+    FROM pairs c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+    GROUP BY c.doc_a, c.doc_b
+  ),
+  sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+  SELECT i.doc_a, i.doc_b, i.inter_size,
+         (na.n_sh + nb.n_sh - i.inter_size) AS union_size
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE i.inter_size * 10 >= (na.n_sh + nb.n_sh - i.inter_size) * 3
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash(60-bit) banded near-dup, Hamming ≤ 3 verify."""
+    return dedup.simhash_near_duplicates(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_SIMHASH = f"""
+  WITH tok AS (
+    SELECT doc_id,
+           unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS tok
+    FROM documents
+  ),
+  th AS (SELECT doc_id, {_h64('tok', 99)} AS th FROM tok),
+  bits AS (
+    SELECT doc_id, th, unnest(generate_series(0, 59)) AS bit FROM th
+  ),
+  votes AS (
+    SELECT doc_id, bit,
+           sum(CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM bits GROUP BY doc_id, bit
+  ),
+  sig AS (
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+             AS simhash
+    FROM votes GROUP BY doc_id
+  ),
+  bv AS (
+    SELECT doc_id, simhash, band,
+           (simhash >> (band * 12)) & 4095 AS band_val
+    FROM sig, (SELECT unnest(generate_series(0, 4)) AS band)
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sa, b.simhash AS sb
+    FROM bv a JOIN bv b
+      ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  )
+  SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+  FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+def q_similarity_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for stored vector 0 (ANN baseline)."""
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"),
+                                  query_id=0, k=10)
+
+
+_DOT_SQL = ("list_sum(list_transform(generate_series(1, len(({a}))), "
+            "i -> (({a})[i])::DOUBLE * (({b})[i])::DOUBLE))")
+
+ORACLE_COSINE = f"""
+  WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+  sims AS (
+    SELECT e.vec_id,
+           {_DOT_SQL.format(a='e.embedding', b='q.qv')} AS dot,
+           sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')}) AS na,
+           sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')}) AS nb
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+  )
+  SELECT vec_id, floor(dot / (na * nb) * 1000000)::BIGINT AS sim_e6
+  FROM sims ORDER BY sim_e6 DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_similarity_lsh_topk(spark, sf_dir):
+    """ANN: random-hyperplane LSH bucket restriction + cosine top-10."""
+    return similarity.lsh_cosine_topk(_t(spark, sf_dir, "embeddings"),
+                                      query_id=0, k=10)
+
+
+def _oracle_lsh_topk() -> str:
+    planes = similarity.hyperplanes(8, 64)
+    bits = " || ".join(
+        "(CASE WHEN " + _DOT_SQL.format(
+            a="embedding",
+            b=f"[{', '.join(repr(c) for c in plane)}]::DOUBLE[]")
+        + " >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes)
+    return f"""
+  WITH b AS (SELECT vec_id, embedding, ({bits}) AS bucket FROM embeddings),
+  q AS (SELECT bucket AS qb, embedding AS qv FROM b WHERE vec_id = 0),
+  sims AS (
+    SELECT e.vec_id,
+           {_DOT_SQL.format(a='e.embedding', b='q.qv')} AS dot,
+           sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')}) AS na,
+           sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')}) AS nb
+    FROM b e JOIN q ON e.bucket = q.qb
+    WHERE e.vec_id <> 0
+  )
+  SELECT vec_id, floor(dot / (na * nb) * 1000000)::BIGINT AS sim_e6
+  FROM sims ORDER BY sim_e6 DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup via LSH bucket self-join (≥ 0.95)."""
+    return similarity.embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"))
+
+
+def q_text_lang_id(spark, sf_dir):
+    """Stopword-hit language ID over documents."""
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _inlist(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+ORACLE_LANG = rf"""
+  WITH t AS (
+    SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
+  ),
+  hits AS (
+    SELECT doc_id,
+      len(list_filter(w, x -> x IN ({_inlist(text.LANG_STOPWORDS['en'])}))) AS en_hits,
+      len(list_filter(w, x -> x IN ({_inlist(text.LANG_STOPWORDS['es'])}))) AS es_hits,
+      len(list_filter(w, x -> x IN ({_inlist(text.LANG_STOPWORDS['fr'])}))) AS fr_hits
+    FROM t
+  )
+  SELECT doc_id, en_hits, es_hits, fr_hits,
+         CASE WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 THEN 'und'
+              WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+              WHEN es_hits >= fr_hits THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM hits
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality features + 0-100 score (all-integer outputs)."""
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_QUALITY = rf"""
+  WITH t AS (
+    SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS w
+    FROM documents
+  ),
+  feat AS (
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars_obs,
+           len(w)::BIGINT AS n_tokens,
+           floor(list_sum(list_transform(w, x -> len(x))) * 10000.0
+                 / len(w))::BIGINT AS mean_tok_len_e4,
+           len(list_filter(w, x -> x IN ({_inlist(text.LANG_STOPWORDS['en'])})))::BIGINT
+             AS stop_hits
+    FROM t
+  )
+  SELECT doc_id, n_chars_obs, n_tokens, mean_tok_len_e4, stop_hits,
+         ((CASE WHEN n_chars_obs BETWEEN 20 AND 2000 THEN 40 ELSE 0 END)
+          + (CASE WHEN mean_tok_len_e4 BETWEEN 30000 AND 120000 THEN 40 ELSE 0 END)
+          + (CASE WHEN stop_hits > 0 THEN 20 ELSE 0 END))::BIGINT AS quality
+  FROM feat
+"""
+
+
+def q_text_token_counts(spark, sf_dir):
+    """Whitespace + regex token counts per document."""
+    return text.token_counts(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_TOKENS = rf"""
+  SELECT doc_id,
+         len(string_split_regex(lower(text), '\s+'))::BIGINT AS ws_tokens,
+         len(regexp_extract_all(lower(text), '{text.TOKEN_RE}'))::BIGINT
+           AS re_tokens
+  FROM documents
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Token-order-insensitive md5 fingerprint per document."""
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_FINGERPRINT = r"""
+  SELECT doc_id,
+         md5(array_to_string(list_sort(string_split_regex(lower(text), '\s+')),
+                             ' ')) AS fp
+  FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QuerySpec] = {
+    # parity (SURVEY §2)
+    "multi_agg_pricing": QuerySpec(q_multi_agg_pricing, ORACLE_MULTI_AGG,
+                                   headline=True, doc="A1"),
+    "influence_scores": QuerySpec(q_influence_scores, ORACLE_INFLUENCE,
+                                  doc="F1/P1"),
+    "kol_threshold": QuerySpec(q_kol_threshold, ORACLE_KOL, doc="P2"),
+    "flagship_top_kols_per_region": QuerySpec(
+        q_flagship_top_kols_per_region, ORACLE_FLAGSHIP, headline=True,
+        doc="F1→P2→J1→T1 (SURVEY §7.1)"),
+    "revenue_per_nation": QuerySpec(q_revenue_per_nation, ORACLE_REVENUE,
+                                    headline=True, doc="J1/A1"),
+    "keep_last_per_user": QuerySpec(q_keep_last_per_user, ORACLE_KEEP_LAST,
+                                    headline=True, doc="J3"),
+    "mktsegment_histogram": QuerySpec(q_mktsegment_histogram, ORACLE_MKTSEG,
+                                      doc="A3"),
+    "event_type_histogram": QuerySpec(q_event_type_histogram,
+                                      ORACLE_EVENT_TYPE, doc="A4"),
+    "orders_global_scalars": QuerySpec(q_orders_global_scalars, ORACLE_GLOBAL,
+                                       doc="A5"),
+    "distinct_priorities": QuerySpec(q_distinct_priorities, ORACLE_DISTINCT,
+                                     doc="A6"),
+    "top5_orders": QuerySpec(q_top5_orders, ORACLE_TOP5, doc="T1/T2"),
+    "props_json_extract": QuerySpec(q_props_json_extract, ORACLE_PROPS,
+                                    doc="F3"),
+    "string_rewrite": QuerySpec(q_string_rewrite, ORACLE_REWRITE, doc="F2"),
+    "filename_ts_parse": QuerySpec(q_filename_ts_parse, ORACLE_FNAME,
+                                   doc="F4"),
+    "engagement_windows": QuerySpec(q_engagement_windows, ORACLE_WINDOWS,
+                                    headline=True, doc="ST7 batch twin"),
+    "customers_with_orders": QuerySpec(q_customers_with_orders, ORACLE_SEMI,
+                                       doc="semi join"),
+    "customers_without_orders": QuerySpec(q_customers_without_orders,
+                                          ORACLE_ANTI, doc="anti join"),
+    "union_names": QuerySpec(q_union_names, ORACLE_UNION, doc="set op"),
+    "merge_aggregate_incremental": QuerySpec(
+        q_merge_aggregate_incremental, ORACLE_MERGE,
+        doc="A2 incremental == recompute"),
+    "engagement_change_log": QuerySpec(
+        q_engagement_change_log, None,
+        doc="ST7 map-shaped sink (rows-only: map type not SQL-hashable)"),
+    # extensions
+    "dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT,
+                             doc="exact dedup groups"),
+    "dedup_exact_keepers": QuerySpec(q_dedup_exact_keepers,
+                                     ORACLE_DEDUP_KEEPERS,
+                                     doc="exact dedup keepers"),
+    "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, _oracle_minhash(),
+                                   headline=True, doc="MinHash+LSH near-dup"),
+    "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, ORACLE_NGRAM,
+                                     doc="n-gram Jaccard pairs"),
+    "dedup_simhash": QuerySpec(q_dedup_simhash, ORACLE_SIMHASH,
+                               headline=True, doc="SimHash banded near-dup"),
+    "similarity_cosine_topk": QuerySpec(q_similarity_cosine_topk,
+                                        ORACLE_COSINE, headline=True,
+                                        doc="brute-force cosine ANN baseline"),
+    "similarity_lsh_topk": QuerySpec(q_similarity_lsh_topk,
+                                     _oracle_lsh_topk(),
+                                     doc="LSH-bucketed cosine ANN"),
+    "embedding_near_dup": QuerySpec(
+        q_embedding_near_dup, None,
+        doc="embedding near-dup (rows-only; LSH self-join)"),
+    "text_lang_id": QuerySpec(q_text_lang_id, ORACLE_LANG, doc="lang ID"),
+    "text_quality": QuerySpec(q_text_quality, ORACLE_QUALITY,
+                              doc="quality scoring"),
+    "text_token_counts": QuerySpec(q_text_token_counts, ORACLE_TOKENS,
+                                   doc="token counting"),
+    "text_fingerprint": QuerySpec(q_text_fingerprint, ORACLE_FINGERPRINT,
+                                  doc="document fingerprint"),
+}

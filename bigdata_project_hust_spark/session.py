@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for the test harness and for scale.
+
+Local testing runs one JVM with N threads; the same config block is what
+we would ship to a 1000-executor cluster, with the local-only knobs
+(driver memory) moved to spark-submit. AQE is on so runtime statistics
+re-plan skewed joins and coalesce small shuffle partitions — this is the
+single most important 100 TB-scale setting.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "bigdata_project_hust_spark",
+              cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all cores).
+    Shuffle partitions match cores locally; on a real cluster AQE
+    coalescing makes the initial number mostly irrelevant as long as it
+    is high enough, so we leave ``spark.sql.adaptive.*`` on.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder
+        .master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet carries TIMESTAMP(NANOS); read as long then
+        # normalize to microsecond timestamps in io.load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,89 @@
+"""Streaming pipelines: sources, dedup, incremental aggregates, windows.
+
+Every transformation here reuses the batch operators — a streaming
+DataFrame goes through the same ``preprocess_*`` / window functions, so
+batch/stream semantic parity is by construction, not by duplicate code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..operators.windows import tumbling_window_agg
+
+
+def json_file_stream(spark: SparkSession, path: str, schema: T.StructType,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """S9/ST4: incremental JSON-file source. Spark's file source tracks
+    seen files in the checkpoint — the reference's filename-timestamp
+    bookkeeping (consumer2.py:49-69) and batch manifest
+    (consumer2.py:300-348) disappear entirely. ``maxFilesPerTrigger``
+    reproduces the reference's BATCH_SIZE=6 knob (consumer2.py:28)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def kafka_stream(spark: SparkSession, brokers: str, topics: str,
+                 schema: T.StructType) -> DataFrame:
+    """S4: multi-topic Kafka source → parsed records
+    (consumer1.py:41-48). Requires the kafka connector jar + a broker —
+    not present in the test container, so this is exercised only when
+    infrastructure exists; the file stream above is the tested path
+    with identical downstream semantics."""
+    raw = (spark.readStream.format("kafka")
+           .option("kafka.bootstrap.servers", brokers)
+           .option("subscribe", topics)
+           .option("startingOffsets", "earliest")
+           .load())
+    return (raw.select(
+        F.col("topic"),
+        F.from_json(F.col("value").cast("string"), schema).alias("rec"))
+        .select("topic", "rec.*"))
+
+
+def dedup_stream(df: DataFrame, key_cols: list[str], ts_col: str,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """ST2: insert-if-absent dedup. The reference dedups against all of
+    Mongo history (consumer1.py:126-131) — unbounded state. We bound it
+    with a watermark: duplicates arriving later than the watermark are
+    NOT dropped (documented semantic delta, SURVEY §7.3)."""
+    return (df.withWatermark(ts_col, watermark)
+              .dropDuplicates(key_cols + [ts_col]))
+
+
+def incremental_author_totals(df: DataFrame, author_col: str,
+                              metric_cols: list[str]) -> DataFrame:
+    """ST6: running per-author totals in update mode — the state store
+    replaces the reference's Mongo read-modify-write ($inc/$max,
+    consumer2.py:202-215). Emit with
+    ``.writeStream.outputMode("update")``."""
+    aggs = [F.count("*").alias("total_tweets")]
+    aggs += [F.sum(F.coalesce(F.col(m), F.lit(0))).alias(f"total_{m}")
+             for m in metric_cols]
+    aggs += [F.max(F.coalesce(F.col(m), F.lit(0))).alias(f"max_{m}")
+             for m in metric_cols]
+    return df.groupBy(F.col(author_col).alias("author")).agg(*aggs)
+
+
+def windowed_engagement(df: DataFrame, ts_col: str, key_col: str,
+                        window_s: int, metric_cols: list[str],
+                        watermark: str = "10 minutes") -> DataFrame:
+    """ST7/ST8: watermarked tumbling-window engagement log — the
+    capability the reference declares but never implements
+    (readme.md:15). Late rows beyond the watermark are dropped.
+
+    Uses ``F.window`` (not the batch epoch-bucket trick) so the
+    watermark stays attached to the grouping column and window state is
+    evicted — the batch variant (operators/windows.py) produces the
+    same buckets; parity is asserted in tests."""
+    agg = (df.withWatermark(ts_col, watermark)
+             .groupBy(F.col(key_col),
+                      F.window(F.col(ts_col), f"{window_s} seconds"))
+             .agg(*[F.sum(F.coalesce(F.col(m), F.lit(0))).alias(f"sum_{m}")
+                    for m in metric_cols]))
+    return agg.select(
+        F.col(key_col),
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        *[F.col(f"sum_{m}") for m in metric_cols])

@@ -1,0 +1,72 @@
+"""Upsert sinks via foreachBatch (S6/S7/S10, A2's $inc/$max merge).
+
+Spark has no built-in key-value upsert sink; the reference used Mongo
+``UpdateOne(upsert=True)`` bulk writes (consumer2.py:143-157,193-241).
+Here the same semantics are a ``foreachBatch`` handler around an
+idempotent merge into a keyed parquet store — the merge itself is the
+relational ``merge_aggregate`` operator, so incremental state ==
+recompute (property-tested).
+
+On a cluster the store would be Delta/Iceberg ``MERGE INTO`` or a real
+Mongo bulk write; the handler shape (epoch_id for exactly-once, merge
+on key) is identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from ..operators.aggregations import merge_aggregate
+from ..operators.joins import anti_join
+
+
+class KeyedParquetStore:
+    """Minimal keyed upsert store over parquet, for foreachBatch sinks.
+
+    Writes are last-write-wins per key (replace semantics, S7) or
+    merge-aggregate ($inc/$max semantics, A2). Reads return the current
+    table. Epoch ids already applied are skipped → exactly-once effect
+    under micro-batch retries.
+    """
+
+    def __init__(self, spark, path: str, key: str):
+        self.spark = spark
+        self.path = path
+        self.key = key
+        self._applied_epochs: set[int] = set()
+
+    def _exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def read(self) -> DataFrame | None:
+        return self.spark.read.parquet(self.path) if self._exists() else None
+
+    def _write(self, df: DataFrame) -> None:
+        tmp = self.path + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(self.path)
+
+    def upsert_replace(self, batch: DataFrame, epoch_id: int = -1) -> None:
+        """S6/S7: replace rows by key (new batch wins)."""
+        if epoch_id in self._applied_epochs:
+            return
+        prev = self.read()
+        out = batch if prev is None else anti_join(
+            prev, batch, self.key).unionByName(batch)
+        self._write(out)
+        self._applied_epochs.add(epoch_id)
+
+    def upsert_merge(self, batch: DataFrame, sum_cols: list[str],
+                     max_cols: list[str], count_col: str,
+                     epoch_id: int = -1) -> None:
+        """A2/ST6: $inc sums & counts, $max maxes, insert new keys."""
+        if epoch_id in self._applied_epochs:
+            return
+        prev = self.read()
+        out = batch if prev is None else merge_aggregate(
+            prev, batch, self.key, sum_cols, max_cols, count_col)
+        self._write(out)
+        self._applied_epochs.add(epoch_id)

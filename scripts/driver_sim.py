@@ -1,0 +1,52 @@
+"""Simulate the driver: vanilla SparkSession (no engine configs),
+import __spark_entry__, smoke entry(), then run every queries() entry
+against oracle_sql() via DuckDB at sf0.01."""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from tests.oracle_harness import compare, duck_connection  # noqa: E402
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+spark = (SparkSession.builder.master("local[8]")
+         .appName("driver-sim").getOrCreate())  # deliberately vanilla
+spark.sparkContext.setLogLevel("ERROR")
+
+t0 = time.time()
+df = E.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows, schema={df.columns}, "
+      f"{time.time()-t0:.1f}s", flush=True)
+assert len(rows) > 0
+
+qs, oracles = E.queries(), E.oracle_sql()
+con = duck_connection(SF)
+fails = []
+for name, fn in qs.items():
+    t0 = time.time()
+    try:
+        d = fn(spark, SF)
+        if name in oracles:
+            res = compare(d, con, oracles[name])
+            ok = res["hash"]
+            detail = "" if ok else f" rows={res['n_spark']}/{res['n_duck']} cols={res['cols']}"
+        else:
+            n = d.count()
+            ok, detail = True, f" rows-only n={n}"
+    except Exception as ex:  # noqa: BLE001
+        ok, detail = False, f" EXC {type(ex).__name__}: {ex}"
+    status = "OK " if ok else "FAIL"
+    print(f"{status} {name:32s} {time.time()-t0:5.1f}s{detail}", flush=True)
+    if not ok:
+        fails.append(name)
+
+print(f"\n{len(qs)-len(fails)}/{len(qs)} pass")
+sys.exit(1 if fails else 0)
