@@ -80,6 +80,9 @@ def merge_aggregate(prev: DataFrame, batch: DataFrame, key: str,
     joined = p.join(b, key, "full_outer")
     out = [F.col(key), (nz("__p_cnt") + nz("__b_cnt")).alias(count_col)]
     out += [(nz(f"__p_s_{c}") + nz(f"__b_s_{c}")).alias(c) for c in sum_cols]
-    out += [F.greatest(nz(f"__p_m_{c}"), nz(f"__b_m_{c}")).alias(c)
+    # greatest() skips nulls (absent side), which is the correct $max
+    # identity — coalescing to 0 first would corrupt negative maxima
+    # (found by the hypothesis incremental==recompute property)
+    out += [F.greatest(f"__p_m_{c}", f"__b_m_{c}").alias(c)
             for c in max_cols]
     return joined.select(*out)

@@ -1,0 +1,81 @@
+"""Property-based tests (SURVEY §5.2): the F2 nested rewrite against an
+independent reference walker, and merge-aggregate ≡ recompute."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import Row, functions as F, types as T
+
+from bigdata_project_hust_spark.functions.scalar import rewrite_values_nested
+from bigdata_project_hust_spark.operators.aggregations import merge_aggregate
+
+# --- F2: value-only rewrite ------------------------------------------------
+
+WORDS = st.sampled_from(
+    ["twitter", "Twitter", "xtwitterx", "plain", "TwitterTwitter", "", "tw"])
+
+
+def ref_rewrite(s: str) -> str:
+    # independent model of the reference semantics (consumer1.py:61-69):
+    # replace substrings in VALUES only; chained lowercase-then-capital
+    return s.replace("twitter", "x").replace("Twitter", "X")
+
+
+SCHEMA = T.StructType([
+    T.StructField("s", T.StringType()),
+    T.StructField("arr", T.ArrayType(T.StringType())),
+    T.StructField("m", T.MapType(T.StringType(), T.StringType())),
+])
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(s=WORDS, arr=st.lists(WORDS, max_size=4),
+       m=st.dictionaries(WORDS.filter(lambda w: w != ""), WORDS, max_size=3))
+def test_rewrite_matches_reference_model(spark, s, arr, m):
+    df = spark.createDataFrame([Row(s=s, arr=arr, m=m)], SCHEMA)
+    out = df.select(*[
+        rewrite_values_nested(F.col(f.name), f.dataType).alias(f.name)
+        for f in SCHEMA.fields]).collect()[0]
+    assert out.s == ref_rewrite(s)
+    assert list(out.arr or []) == [ref_rewrite(x) for x in arr]
+    # map KEYS untouched, values rewritten
+    assert dict(out.m or {}) == {k: ref_rewrite(v) for k, v in m.items()}
+
+
+# --- A2: incremental merge == recompute ------------------------------------
+
+ROWS = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),
+              st.one_of(st.none(),
+                        st.floats(min_value=-100, max_value=100,
+                                  allow_nan=False))),
+    min_size=1, max_size=12)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=ROWS, split=st.integers(min_value=0, max_value=12))
+def test_merge_aggregate_is_recompute(spark, rows, split):
+    split = min(split, len(rows))
+    schema = "k string, v double"
+
+    def agg_of(d):
+        return d.groupBy("k").agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.coalesce("v", F.lit(0.0))).alias("sv"),
+            F.max(F.coalesce("v", F.lit(0.0))).alias("mv"))
+
+    d0 = spark.createDataFrame(rows[:split] or [("_", 0.0)], schema)
+    d1 = spark.createDataFrame(rows[split:] or [("_", 0.0)], schema)
+    full = spark.createDataFrame(
+        (rows[:split] or [("_", 0.0)]) + (rows[split:] or [("_", 0.0)]),
+        schema)
+    merged = {r.k: r for r in merge_aggregate(
+        agg_of(d0), agg_of(d1), "k", ["sv"], ["mv"], "cnt").collect()}
+    want = {r.k: r for r in agg_of(full).collect()}
+    assert set(merged) == set(want)
+    for k in want:
+        assert merged[k].cnt == want[k].cnt
+        assert abs(merged[k].sv - want[k].sv) < 1e-9
+        assert merged[k].mv == want[k].mv

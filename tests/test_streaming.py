@@ -1,0 +1,154 @@
+"""Structured Streaming tests (SURVEY §5.2): file-source micro-batches,
+watermarked dedup, update-mode incremental aggregates, batch/stream
+window parity, checkpoint resume, foreachBatch upsert sinks."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F, types as T
+
+from bigdata_project_hust_spark.operators.windows import tumbling_window_agg
+from bigdata_project_hust_spark.streaming.pipeline import (
+    dedup_stream, incremental_author_totals, json_file_stream,
+    windowed_engagement)
+from bigdata_project_hust_spark.streaming.sinks import KeyedParquetStore
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def _write_events(path: str, name: str, rows: list[tuple]) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for (eid, ts, uid, v) in rows:
+            f.write(json.dumps({"event_id": eid, "ts": ts,
+                                "user_id": uid, "value": v}) + "\n")
+
+
+def _run_to_memory(df, name: str, mode: str, checkpoint: str):
+    q = (df.writeStream.outputMode(mode).format("memory")
+         .queryName(name).option("checkpointLocation", checkpoint).start())
+    q.processAllAvailable()
+    return q
+
+
+def test_stream_dedup_drops_in_watermark_duplicates(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_events(src, "a.json", [
+        (1, "2024-01-01 00:00:01", 7, 1.0),
+        (1, "2024-01-01 00:00:01", 7, 1.0),   # exact duplicate
+        (2, "2024-01-01 00:00:05", 7, 2.0),
+    ])
+    stream = json_file_stream(spark, src, EVENT_SCHEMA)
+    dd = dedup_stream(stream, ["event_id"], "ts")
+    q = _run_to_memory(dd, "dedup_out", "append", str(tmp_path / "ck"))
+    try:
+        got = spark.sql("SELECT event_id FROM dedup_out").collect()
+        assert sorted(r.event_id for r in got) == [1, 2]
+    finally:
+        q.stop()
+
+
+def test_incremental_totals_update_mode_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    rows = [(i, f"2024-01-01 00:00:{i:02d}", i % 3, float(i)) for i in range(12)]
+    _write_events(src, "a.json", rows[:6])
+    _write_events(src, "b.json", rows[6:])
+    stream = json_file_stream(spark, src, EVENT_SCHEMA,
+                              max_files_per_trigger=1)  # force 2 micro-batches
+    agg = incremental_author_totals(stream, "user_id", ["value"])
+    q = _run_to_memory(agg, "totals_out", "update", str(tmp_path / "ck"))
+    try:
+        # memory sink in update mode appends updated rows per batch →
+        # latest row per key is the current state
+        got = spark.sql("""
+          SELECT author, total_tweets, total_value, max_value FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY author ORDER BY total_tweets DESC) AS rn
+            FROM totals_out) WHERE rn = 1
+        """).collect()
+        batch = spark.createDataFrame(
+            [(r[0], r[1], r[2], r[3]) for r in rows],
+            "event_id long, ts string, user_id long, value double")
+        want = {r.author: r for r in incremental_author_totals(
+            batch, "user_id", ["value"]).collect()}
+        assert len(got) == 3
+        for r in got:
+            w = want[r.author]
+            assert (r.total_tweets, r.total_value, r.max_value) == \
+                   (w.total_tweets, w.total_value, w.max_value)
+    finally:
+        q.stop()
+
+
+def test_windowed_engagement_stream_matches_batch_buckets(spark, tmp_path):
+    src = str(tmp_path / "src")
+    rows = [(i, f"2024-01-01 00:{i:02d}:30", 1, 1.0) for i in range(0, 30, 7)]
+    _write_events(src, "a.json", rows)
+    stream = json_file_stream(spark, src, EVENT_SCHEMA)
+    win = windowed_engagement(stream, "ts", "user_id", 600, ["value"])
+    q = _run_to_memory(win, "win_out", "update", str(tmp_path / "ck"))
+    try:
+        got = {(r.user_id, r.window_start): r.sum_value
+               for r in spark.sql("SELECT * FROM win_out").collect()}
+        batch = spark.createDataFrame(rows, "event_id long, ts string, "
+                                            "user_id long, value double")
+        batch = batch.withColumn("ts", F.to_timestamp("ts"))
+        want = {(r.user_id, r.window_start): r.sum_value
+                for r in tumbling_window_agg(
+                    batch, "ts", "user_id", 600,
+                    [F.sum("value").alias("sum_value")]).collect()}
+        assert got == want  # F.window and epoch-bucket produce same buckets
+    finally:
+        q.stop()
+
+
+def test_checkpoint_resume_no_dupes_no_drops(spark, tmp_path):
+    """ST5: kill the query, add data, restart from the same checkpoint —
+    counts must cover every file exactly once."""
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    _write_events(src, "a.json", [(1, "2024-01-01 00:00:01", 1, 1.0)])
+    stream = json_file_stream(spark, src, EVENT_SCHEMA)
+    counts = stream.groupBy("user_id").agg(F.count("*").alias("n"))
+    q = _run_to_memory(counts, "resume_out", "complete", ck)
+    q.stop()
+    _write_events(src, "b.json", [(2, "2024-01-01 00:00:02", 1, 1.0),
+                                  (3, "2024-01-01 00:00:03", 2, 1.0)])
+    stream2 = json_file_stream(spark, src, EVENT_SCHEMA)
+    counts2 = stream2.groupBy("user_id").agg(F.count("*").alias("n"))
+    q2 = _run_to_memory(counts2, "resume_out2", "complete", ck)
+    try:
+        got = {r.user_id: r.n
+               for r in spark.sql("SELECT * FROM resume_out2").collect()}
+        assert got == {1: 2, 2: 1}
+    finally:
+        q2.stop()
+
+
+def test_keyed_store_replace_and_merge(spark, tmp_path):
+    store = KeyedParquetStore(spark, str(tmp_path / "store"), "k")
+    b1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, n int")
+    store.upsert_replace(b1, epoch_id=0)
+    b2 = spark.createDataFrame([("b", 9), ("c", 3)], "k string, n int")
+    store.upsert_replace(b2, epoch_id=1)
+    got = {r.k: r.n for r in store.read().collect()}
+    assert got == {"a": 1, "b": 9, "c": 3}
+    # retried epoch is a no-op (exactly-once effect)
+    store.upsert_replace(b2, epoch_id=1)
+    assert {r.k: r.n for r in store.read().collect()} == got
+
+    mstore = KeyedParquetStore(spark, str(tmp_path / "mstore"), "k")
+    a1 = spark.createDataFrame([("a", 2, 5.0, 5.0)],
+                               "k string, cnt long, sv double, mv double")
+    a2 = spark.createDataFrame([("a", 1, 3.0, 3.0), ("b", 1, 1.0, 1.0)],
+                               "k string, cnt long, sv double, mv double")
+    mstore.upsert_merge(a1, ["sv"], ["mv"], "cnt", epoch_id=0)
+    mstore.upsert_merge(a2, ["sv"], ["mv"], "cnt", epoch_id=1)
+    got = {r.k: (r.cnt, r.sv, r.mv) for r in mstore.read().collect()}
+    assert got == {"a": (3, 8.0, 5.0), "b": (1, 1.0, 1.0)}

@@ -1,0 +1,153 @@
+"""Unit tests for edge cases the oracle can't isolate (SURVEY §5.2):
+null coalescing placement, threshold boundaries, keep-last ties,
+value-only nested rewrite, merge-aggregate identity, multimodal stubs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F, types as T
+
+from bigdata_project_hust_spark.functions.scalar import (
+    influence_score, rewrite_values_nested, stable_hash64)
+from bigdata_project_hust_spark.operators import multimodal
+from bigdata_project_hust_spark.operators.aggregations import (
+    author_engagement, merge_aggregate, value_counts)
+from bigdata_project_hust_spark.operators.joins import keep_last
+from bigdata_project_hust_spark.operators.projections import kol_filter
+from bigdata_project_hust_spark.operators.topk import top_k
+
+
+def test_influence_score_nulls_to_zero(spark):
+    df = spark.createDataFrame(
+        [(None, None, None), (100, 10, 5), (None, 10, None)],
+        "followers int, statuses int, friends int")
+    out = df.select(influence_score("followers", "statuses", "friends")
+                    .alias("s")).collect()
+    assert [r.s for r in out] == [0.0, 100 * 0.5 + 10 * 0.3 - 5 * 0.2, 3.0]
+
+
+def test_kol_threshold_boundary_is_inclusive(spark):
+    # reference consumer1.py:136 uses >= — 50.0 is a KOL, 49.9 is not
+    df = spark.createDataFrame([(1, 49.9), (2, 50.0), (3, 50.1)],
+                               "id int, influence_score double")
+    kept = sorted(r.id for r in kol_filter(df).collect())
+    assert kept == [2, 3]
+
+
+def test_rewrite_nested_values_only(spark):
+    schema = T.StructType([
+        T.StructField("s", T.StringType()),
+        T.StructField("arr", T.ArrayType(T.StringType())),
+        T.StructField("m", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("st", T.StructType([
+            T.StructField("twitter", T.StringType()),  # field NAME untouched
+            T.StructField("n", T.IntegerType()),
+        ])),
+    ])
+    df = spark.createDataFrame([Row(
+        s="join twitter now", arr=["twitter", "ok"],
+        m={"twitter": "Twitter rules"},  # key untouched, value rewritten
+        st=Row(twitter="on twitter", n=7))], schema)
+    out = df.select(*[
+        rewrite_values_nested(F.col(f.name), f.dataType).alias(f.name)
+        for f in schema.fields]).collect()[0]
+    assert out.s == "join x now"
+    assert out.arr == ["x", "ok"]
+    assert out.m == {"twitter": "X rules"}          # key survives verbatim
+    assert out.st.twitter == "on x" and out.st.n == 7
+
+
+def test_keep_last_deterministic_on_ts_ties(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "b"), (1, 9, "c"), (2, 5, "d")],
+        "user_id int, ts int, tag string")
+    df = df.withColumn("event_id",
+                       F.when(F.col("tag") == "a", 100).otherwise(200))
+    out = {r.user_id: r.tag for r in
+           keep_last(df, ["user_id"], "ts", "event_id").collect()}
+    assert out[1] == "b"  # ts tie → higher event_id wins
+    assert out[2] == "d"
+
+
+def test_author_engagement_all_null_group_is_zero(spark):
+    # reference consumer2.py:184-191: `or 0` inside the loop → an
+    # all-null group sums AND maxes to 0 (not null)
+    df = spark.createDataFrame(
+        [("u1", None), ("u1", None), ("u2", 7)], "author string, views int")
+    out = {r.author: r for r in
+           author_engagement(df, "author", ["views"]).collect()}
+    assert out["u1"].total_views == 0 and out["u1"].max_views == 0
+    assert out["u2"].total_views == 7 and out["u2"].max_views == 7
+    assert out["u1"].total_tweets == 2
+
+
+def test_value_counts_skips_nulls(spark):
+    df = spark.createDataFrame([("x",), (None,), ("x",), ("y",)],
+                               "loc string")
+    out = {r.loc: r.cnt for r in value_counts(df, "loc").collect()}
+    assert out == {"x": 2, "y": 1}
+
+
+def test_merge_aggregate_equals_recompute(spark):
+    rows = [("a", 1.0), ("a", 5.0), ("b", 2.0), ("b", None), ("c", 4.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+
+    def agg_of(d):
+        return d.groupBy("k").agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.coalesce("v", F.lit(0.0))).alias("sv"),
+            F.max(F.coalesce("v", F.lit(0.0))).alias("mv"))
+
+    b0, b1 = agg_of(df.limit(2)), agg_of(df.subtract(df.limit(2)))
+    # note: limit/subtract split is fine on this tiny exact-distinct fixture
+    merged = {r.k: r for r in merge_aggregate(
+        b0, b1, "k", ["sv"], ["mv"], "cnt").collect()}
+    full = {r.k: r for r in agg_of(df).collect()}
+    assert set(merged) == set(full)
+    for k in full:
+        assert merged[k].cnt == full[k].cnt
+        assert merged[k].sv == pytest.approx(full[k].sv)
+        assert merged[k].mv == full[k].mv
+
+
+def test_top_k_tiebreak(spark):
+    df = spark.createDataFrame([(1, 10.0), (2, 10.0), (3, 10.0), (4, 9.0)],
+                               "id int, v double")
+    out = [r.id for r in top_k(df, "v", 2, tiebreak_col="id").collect()]
+    assert out == [1, 2]
+
+
+def test_stable_hash64_matches_duckdb(spark):
+    import duckdb
+    df = spark.createDataFrame([("hello world",), ("ключ",)], "s string")
+    got = [r.h for r in df.select(stable_hash64("s", 7).alias("h")).collect()]
+    want = [duckdb.connect().execute(
+        "SELECT ('0x' || substr(md5('7:' || ?), 1, 15))::BIGINT", [s]
+    ).fetchone()[0] for s in ("hello world", "ключ")]
+    assert got == want
+
+
+def test_multimodal_extract_features_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "image", b"\x00\x01payload"), (2, "image", None)],
+        "asset_id long, kind string, payload binary")
+    out = {r.asset_id: r for r in
+           multimodal.extract_features(df, fake=True).collect()}
+    assert out[1].n_bytes == 9 and out[2].n_bytes == 0
+    assert len(out[1].feature) == multimodal.FEATURE_DIM
+    assert all(0.0 <= x < 1.0 for x in out[1].feature)
+    # deterministic across invocations
+    again = multimodal.extract_features(df, fake=True).collect()
+    assert {r.asset_id: r.feature for r in again}[1] == out[1].feature
+
+
+def test_multimodal_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"zz")
+
+
+def test_multimodal_frame_sampling(spark):
+    df = spark.createDataFrame([(1, "video", b"x" * 64)],
+                               "asset_id long, kind string, payload binary")
+    frames = multimodal.sample_frames(df, every_n=2).collect()
+    assert [f.frame_no for f in frames] == [0, 2]
