@@ -45,6 +45,59 @@ def keep_last(df: DataFrame, key_cols: list[str], order_col: str,
               .drop("__rn"))
 
 
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str, right_ts: str,
+              payload: list[str]) -> DataFrame:
+    """As-of join: each left row gets the payload of the latest right
+    row with ``right_ts <= left_ts`` for the same key (left outer).
+
+    Spark has no native as-of join. The scalable idiom: tag and union
+    both sides, then one window pass per key ordered by (time, side) —
+    right rows sort before left rows at equal timestamps so `<=`
+    semantics hold — carrying the last non-null payload forward.
+    Cost: ONE shuffle on the key + an in-partition sort, the same cost
+    class as a sort-merge join; no per-key loops, no broadcast of the
+    big side (contrast pd.merge_asof-per-group, which would bottleneck
+    on the largest key).
+
+    ``right`` must be unique per (on, right_ts) — pre-dedupe with
+    keep_last() for deterministic results.
+    """
+    l_struct = F.struct(*[F.col(c) for c in left.columns])
+    lhs = left.select(
+        F.col(on).alias("__k"), F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"), l_struct.alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
+          for c in payload])
+    rhs = right.select(
+        F.col(on).alias("__k"), F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(lhs.schema["__l"].dataType).alias("__l"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload])
+    w = (Window.partitionBy("__k").orderBy("__t", "__is_left")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = lhs.unionByName(rhs).select(
+        "__is_left", "__l",
+        *[F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__p_{c}")
+          for c in payload])
+    return (filled.where(F.col("__is_left") == 1)
+                  .select(F.col("__l.*"),
+                          *[F.col(f"__p_{c}").alias(c) for c in payload]))
+
+
+def range_join(left: DataFrame, bands: DataFrame, value_col: str,
+               lo_col: str, hi_col: str) -> DataFrame:
+    """Range (interval) join: left rows matched to band rows where
+    ``lo <= value < hi``. The band side is broadcast (bands are small
+    by construction); Catalyst executes a broadcast nested-loop join —
+    the right physical plan for interval predicates with a tiny
+    build side. For band tables too big to broadcast, bucketize the
+    value to an equi-join key first."""
+    cond = ((F.col(value_col) >= F.col(lo_col))
+            & (F.col(value_col) < F.col(hi_col)))
+    return left.join(F.broadcast(bands), cond, "inner")
+
+
 def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """EXISTS — left rows with a match (SURVEY §2.6 extension)."""
     return left.join(right, on, "left_semi")

@@ -10,7 +10,44 @@ reference's string-keyed map keys (show.py:105 sorts keys as ints).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(df: DataFrame, key_col: str, ts_col: str,
+               gap_s: int, tiebreak_col: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to
+    the previous event of the same key exceeds ``gap_s`` seconds.
+
+    Classic lag + conditional-cumsum over one key-partitioned window —
+    a single shuffle; whole-stage-codegen'd window exec. Timestamps are
+    compared at whole-second resolution (unix_timestamp truncation) so
+    the DuckDB oracle (floor(epoch)) agrees exactly.
+
+    Output: one row per (key, session) with event count and session
+    start/end epoch seconds.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col),
+                                            F.col(tiebreak_col))
+    ts_s = F.unix_timestamp(F.col(ts_col))
+    # two projections: window functions can't nest in one expression
+    flagged = df.select(
+        F.col(key_col), F.col(ts_col), F.col(tiebreak_col),
+        ts_s.alias("__ts_s"),
+        F.lag(ts_s).over(w).alias("__prev_s"))
+    new_sess = F.when(
+        F.col("__prev_s").isNull()
+        | ((F.col("__ts_s") - F.col("__prev_s")) > gap_s),
+        F.lit(1)).otherwise(F.lit(0))
+    cum = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col), F.col(tiebreak_col)).rowsBetween(
+        Window.unboundedPreceding, 0)
+    with_sess = flagged.select(
+        F.col(key_col), F.col("__ts_s"),
+        F.sum(new_sess).over(cum).alias("session_id"))
+    return (with_sess.groupBy(key_col, "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("__ts_s").alias("session_start_s"),
+                 F.max("__ts_s").alias("session_end_s")))
 
 
 def tumbling_window_agg(df: DataFrame, ts_col: str, key_col: str,

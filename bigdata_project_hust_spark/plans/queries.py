@@ -731,6 +731,282 @@ ORACLE_FINGERPRINT = r"""
 
 
 # ---------------------------------------------------------------------------
+# Batch 2: analytic windows, grouping sets, pivot, percentiles,
+# sessionization, as-of / range joins, explode, TPC-H shapes
+# (extensions beyond the reference — SURVEY §2.10 scope fence notes
+# these are absent there; a complete engine needs them)
+# ---------------------------------------------------------------------------
+
+def q_window_running_totals(spark, sf_dir):
+    """Analytic functions: running sum + row_number + lag over a
+    per-customer window (one shuffle on the partition key)."""
+    from pyspark.sql import Window
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(cum), 2).alias("running_spend"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.lag("o_totalprice").over(w).alias("prev_price"))
+
+
+ORACLE_RUNNING = """
+  SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_spend,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS order_seq,
+         lag(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS prev_price
+  FROM orders
+"""
+
+
+def q_rollup_orders(spark, sf_dir):
+    """ROLLUP over (status, priority): subtotal + grand-total rows."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+             .agg(F.count("*").alias("n_orders"),
+                  F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+ORACLE_ROLLUP = """
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_cube_lineitem(spark, sf_dir):
+    """CUBE over (returnflag, linestatus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+              .agg(F.count("*").alias("n_rows"),
+                   F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
+ORACLE_CUBE = """
+  SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+         round(sum(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot_priority_status(spark, sf_dir):
+    """Pivot: order counts per priority × status (fixed status list so
+    the output schema is static — required at scale: a dynamic pivot
+    needs an extra distinct pass AND breaks schema stability)."""
+    o = _t(spark, sf_dir, "orders")
+    out = (o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["O", "F", "P"])
+            .agg(F.count(F.lit(1))))
+    return out.na.fill(0, ["O", "F", "P"])
+
+
+ORACLE_PIVOT = """
+  SELECT o_orderpriority,
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+         count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+  FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_percentile_acctbal(spark, sf_dir):
+    """Exact percentiles (median / p90) per market segment. Exact, not
+    approx: approximate sketches (percentile_approx / approx_count_
+    distinct) are implementation-defined and can never hash-match a
+    different engine — they are exposed separately as rows-only."""
+    c = _t(spark, sf_dir, "customer")
+    return (c.groupBy("c_mktsegment")
+             .agg(F.round(F.percentile("c_acctbal", F.lit(0.5)), 4)
+                   .alias("p50_acctbal"),
+                  F.round(F.percentile("c_acctbal", F.lit(0.9)), 4)
+                   .alias("p90_acctbal")))
+
+
+ORACLE_PERCENTILE = """
+  SELECT c_mktsegment,
+         round(quantile_cont(c_acctbal, 0.5), 4) AS p50_acctbal,
+         round(quantile_cont(c_acctbal, 0.9), 4) AS p90_acctbal
+  FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_approx_distinct(spark, sf_dir):
+    """Approximate distinct (HLL++) — sketch outputs are engine-
+    specific, so no oracle; tests assert tolerance vs exact."""
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"))
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) — lag + conditional
+    cumsum; the batch twin of streaming session windows."""
+    from ..operators.windows import sessionize
+    e = _t(spark, sf_dir, "events")
+    return sessionize(e, "user_id", "ts", 1800, "event_id")
+
+
+ORACLE_SESSIONIZE = """
+  WITH flagged AS (
+    SELECT user_id, floor(epoch(ts))::BIGINT AS ts_s,
+           lag(floor(epoch(ts))::BIGINT) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+    FROM events
+  ),
+  sess AS (
+    SELECT user_id, ts_s,
+           sum(CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800
+                    THEN 1 ELSE 0 END) OVER (
+             PARTITION BY user_id ORDER BY ts_s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+    FROM flagged
+  )
+  SELECT user_id, session_id, count(*) AS n_events,
+         min(ts_s) AS session_start_s, max(ts_s) AS session_end_s
+  FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_asof_latest_order_per_event(spark, sf_dir):
+    """As-of join: each event picks the user's latest order at or
+    before the event time (union + window forward-fill; one shuffle).
+    Right side deduped to unique (key, ts) for determinism."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (_t(spark, sf_dir, "orders")
+         .select(F.col("o_custkey").alias("user_id"), "o_orderdate",
+                 "o_orderkey", "o_totalprice"))
+    o = keep_last(o, ["user_id", "o_orderdate"], "o_orderkey")
+    from ..operators.joins import asof_join
+    return asof_join(e, o, "user_id", "ts", "o_orderdate",
+                     ["o_orderkey", "o_totalprice"]).select(
+        "event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+ORACLE_ASOF = """
+  WITH od AS (
+    SELECT user_id, o_orderdate, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                ORDER BY o_orderkey DESC) AS rn
+      FROM orders) t WHERE rn = 1
+  )
+  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+  FROM events e
+  ASOF LEFT JOIN od o
+    ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+"""
+
+
+def q_range_join_price_bands(spark, sf_dir):
+    """Range join: parts bucketed into literal price bands (broadcast
+    nested-loop on the tiny band side)."""
+    from ..operators.joins import range_join
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 930.0), ("mid", 930.0, 960.0),
+         ("high", 960.0, 10000.0)],
+        "band string, lo double, hi double")
+    return (range_join(p, bands, "p_retailprice", "lo", "hi")
+            .groupBy("band")
+            .agg(F.count("*").alias("n_parts"),
+                 F.round(F.avg("p_retailprice"), 2).alias("avg_price")))
+
+
+ORACLE_RANGE_JOIN = """
+  WITH bands(band, lo, hi) AS (
+    VALUES ('low', 0.0::DOUBLE, 930.0::DOUBLE),
+           ('mid', 930.0::DOUBLE, 960.0::DOUBLE),
+           ('high', 960.0::DOUBLE, 10000.0::DOUBLE)
+  )
+  SELECT band, count(*) AS n_parts,
+         round(avg(p_retailprice), 2) AS avg_price
+  FROM part JOIN bands
+    ON p_retailprice >= lo AND p_retailprice < hi
+  GROUP BY band
+"""
+
+
+def q_explode_token_topk(spark, sf_dir):
+    """Explode/unnest + frequency top-20 with deterministic tiebreak —
+    partial aggregation runs map-side before the shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+    return (toks.groupBy("tok").agg(F.count("*").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("tok").asc())
+                .limit(20))
+
+
+ORACLE_EXPLODE_TOPK = r"""
+  SELECT tok, count(*) AS n FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents) t
+  GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20
+"""
+
+
+def q_tpch_q3_shape(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + filter + agg + top-10. Ordering is
+    on the ROUNDED revenue (identical across engines) with an orderkey
+    tiebreak so the top-10 cutoff is deterministic."""
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-01-01"))
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(c, o.o_custkey == c.c_custkey))
+    return (j.groupBy("o_orderkey", "o_orderdate")
+             .agg(F.round(F.sum(F.col("l_extendedprice")
+                                * (F.lit(1) - F.col("l_discount"))), 2)
+                   .alias("revenue"))
+             .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+             .limit(10))
+
+
+ORACLE_TPCH_Q3 = """
+  SELECT o_orderkey, o_orderdate,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+  GROUP BY o_orderkey, o_orderdate
+  ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_json_roundtrip(spark, sf_dir):
+    """to_json(struct(...)) serialization (F6) — schema-stable JSON
+    emission for downstream sinks."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.to_json(F.struct(F.col("event_type"), F.col("value")))
+         .alias("js"))
+
+
+ORACLE_JSON_ROUNDTRIP = """
+  SELECT event_id,
+         '{"event_type":"' || event_type || '","value":' || value || '}'
+           AS js
+  FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -803,4 +1079,34 @@ QUERIES: dict[str, QuerySpec] = {
                                    doc="token counting"),
     "text_fingerprint": QuerySpec(q_text_fingerprint, ORACLE_FINGERPRINT,
                                   doc="document fingerprint"),
+    # batch 2: analytic/OLAP extensions
+    "window_running_totals": QuerySpec(q_window_running_totals,
+                                       ORACLE_RUNNING, headline=True,
+                                       doc="rank/lag/running-sum window"),
+    "rollup_orders": QuerySpec(q_rollup_orders, ORACLE_ROLLUP,
+                               doc="ROLLUP grouping sets"),
+    "cube_lineitem": QuerySpec(q_cube_lineitem, ORACLE_CUBE,
+                               doc="CUBE grouping sets"),
+    "pivot_priority_status": QuerySpec(q_pivot_priority_status, ORACLE_PIVOT,
+                                       doc="pivot (static value list)"),
+    "percentile_acctbal": QuerySpec(q_percentile_acctbal, ORACLE_PERCENTILE,
+                                    doc="exact percentiles per group"),
+    "approx_distinct": QuerySpec(
+        q_approx_distinct, None,
+        doc="HLL approx distinct (rows-only: sketches are engine-specific)"),
+    "sessionize_events": QuerySpec(q_sessionize_events, ORACLE_SESSIONIZE,
+                                   headline=True, doc="gap sessionization"),
+    "asof_latest_order_per_event": QuerySpec(
+        q_asof_latest_order_per_event, ORACLE_ASOF, headline=True,
+        doc="as-of join (union+window fill)"),
+    "range_join_price_bands": QuerySpec(q_range_join_price_bands,
+                                        ORACLE_RANGE_JOIN,
+                                        doc="range/interval join"),
+    "explode_token_topk": QuerySpec(q_explode_token_topk,
+                                    ORACLE_EXPLODE_TOPK,
+                                    doc="explode + frequency top-k"),
+    "tpch_q3_shape": QuerySpec(q_tpch_q3_shape, ORACLE_TPCH_Q3,
+                               headline=True, doc="TPC-H Q3 shape"),
+    "json_roundtrip": QuerySpec(q_json_roundtrip, ORACLE_JSON_ROUNDTRIP,
+                                doc="to_json serialization"),
 }

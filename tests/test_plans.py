@@ -1,0 +1,89 @@
+"""Physical-plan quality gates: these assert the *plan shape* that
+matters at 100 TB — broadcast joins for dimensions, filter/column
+pushdown into the parquet scan, TakeOrderedAndProject for top-k, and
+no stray shuffles — so a regression that silently flips a broadcast to
+a sort-merge join (or un-pushes a filter) fails CI, not production."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_project_hust_spark.plans.queries import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def n_nodes(plan: str, op: str) -> int:
+    """Count physical operators by their detail-section headers
+    ('(5) Exchange') — tree lines would double-count each node."""
+    import re
+    return len(re.findall(rf"^\(\d+\) {op}\b", plan, flags=re.M))
+
+
+def test_flagship_joins_are_broadcast(spark):
+    df = QUERIES["flagship_top_kols_per_region"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert n_nodes(plan, "BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_multi_agg_pushes_filter_and_prunes_columns(spark):
+    df = QUERIES["multi_agg_pricing"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" \
+        in plan, plan
+    # projection pruning: untouched columns must not be read
+    assert "l_partkey" not in plan and "l_suppkey" not in plan, plan
+
+
+def test_top5_uses_take_ordered_not_global_sort(spark):
+    df = QUERIES["top5_orders"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_keep_last_is_single_shuffle_with_group_limit(spark):
+    df = QUERIES["keep_last_per_user"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert n_nodes(plan, "Exchange") == 1, plan
+    # rank-limit pushdown: partial WindowGroupLimit keeps only the top
+    # row per key map-side, so the shuffle carries ~|keys| rows
+    assert n_nodes(plan, "WindowGroupLimit") == 2, plan
+
+
+def test_revenue_join_partial_agg_before_shuffle(spark):
+    df = QUERIES["revenue_per_nation"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    # partial + final hash aggregate pair
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    df = QUERIES["asof_latest_order_per_event"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "Window" in plan, plan
+    # union + one window shuffle + the keep-last dedup shuffle; no join
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_range_join_broadcasts_band_side(spark):
+    df = QUERIES["range_join_price_bands"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_scan_reads_only_projected_columns(spark):
+    df = QUERIES["influence_scores"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "c_mktsegment" not in plan.split("ReadSchema")[1].splitlines()[0], \
+        plan
+
+
+def test_approx_distinct_within_tolerance(spark):
+    row = QUERIES["approx_distinct"].fn(spark, SF_SMOKE).collect()[0]
+    assert abs(row.approx_users - row.exact_users) <= 0.05 * row.exact_users
