@@ -108,6 +108,69 @@ def lsh_cosine_topk(df: DataFrame, query_id: int, k: int = 10,
              .limit(k))
 
 
+def ivf_assign(df: DataFrame, n_centroids: int = 8,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest
+    centroid by cosine. Centroids are the first ``n_centroids`` stored
+    vectors (deterministic "training" both engines reproduce; swapping
+    in real k-means centroids changes nothing downstream).
+
+    The centroid table is tiny → broadcast nested-loop join, then a
+    per-vector argmax via max_by over a deterministic (sim, -cid) key.
+    Shuffle carries only (vec_id → cid): the inverted lists never
+    materialize as a driver structure.
+    """
+    cent = (df.where(F.col(id_col) < n_centroids)
+              .select(F.col(id_col).alias("cid"),
+                      F.col(vec_col).alias("cvec")))
+    sim = _dot(F.col(vec_col), F.col("cvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("cvec")))
+    scored = (df.crossJoin(F.broadcast(cent))
+                .select(F.col(id_col), F.col(vec_col),
+                        F.col("cid"),
+                        F.floor(sim * 1e6).cast("long").alias("csim_e6")))
+    # deterministic argmax: highest sim, then lowest cid
+    return (scored.groupBy(id_col)
+                  .agg(F.max_by(
+                           F.col("cid"),
+                           F.struct(F.col("csim_e6"),
+                                    (-F.col("cid")).alias("neg_cid")))
+                        .alias("cid"),
+                       F.first(vec_col).alias(vec_col)))
+
+
+def ivf_topk(df: DataFrame, query_id: int, k: int = 10,
+             n_centroids: int = 8, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN: probe the query's ``nprobe`` nearest centroids' lists
+    only, exact cosine within them. The scan shrinks by
+    ~n_centroids/nprobe; recall < 1 vs brute force (cosine_topk is the
+    audit baseline). Same output shape as cosine_topk."""
+    assigned = ivf_assign(df, n_centroids, id_col, vec_col)
+    cent = (df.where(F.col(id_col) < n_centroids)
+              .select(F.col(id_col).alias("cid"),
+                      F.col(vec_col).alias("cvec")))
+    q = df.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv"))
+    qsim = _dot(F.col("__qv"), F.col("cvec")) / (
+        _norm(F.col("__qv")) * _norm(F.col("cvec")))
+    probes = (cent.crossJoin(F.broadcast(q))
+                  .select(F.col("cid"),
+                          F.floor(qsim * 1e6).cast("long").alias("qsim_e6"))
+                  .orderBy(F.col("qsim_e6").desc(), F.col("cid").asc())
+                  .limit(nprobe)
+                  .select("cid"))
+    sim = _dot(F.col(vec_col), F.col("__qv")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("__qv")))
+    return (assigned.join(F.broadcast(probes), "cid")
+                    .where(F.col(id_col) != query_id)
+                    .crossJoin(F.broadcast(q))
+                    .select(F.col(id_col),
+                            F.floor(sim * 1e6).cast("long").alias("sim_e6"))
+                    .orderBy(F.col("sim_e6").desc(), F.col(id_col).asc())
+                    .limit(k))
+
+
 def embedding_near_duplicates(df: DataFrame, min_sim_e6: int = 950000,
                               n_planes: int = 8, dim: int = 64,
                               id_col: str = "vec_id",

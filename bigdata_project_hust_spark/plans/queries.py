@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.scalar import influence_score, parse_trailing_ts, rewrite_values
 from ..io import load_table
 from ..operators import aggregations as agg
-from ..operators import dedup, similarity, text
+from ..operators import dedup, multimodal, similarity, text
 from ..operators.joins import anti_join, equi_join, keep_last, semi_join
 from ..operators.projections import kol_filter
 from ..operators.topk import top_k, top_k_per_group
@@ -475,8 +475,9 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 def _oracle_minhash() -> str:
     k, bands = dedup.MINHASH_K, dedup.MINHASH_BANDS
     rows = k // bands
+    salts = dedup.xor_salts(k)
     mins = ",\n           ".join(
-        f"min({_h64('sh', i)}) AS h{i}" for i in range(k))
+        f"min(xor({_h64('sh', 0)}, {salts[i]})) AS h{i}" for i in range(k))
     sep = " || ',' || "
     band_selects = "\n    UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
@@ -549,6 +550,12 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_near_duplicates(_t(spark, sf_dir, "documents"))
 
 
+_SIMHASH_SUMS = ",\n           ".join(
+    f"sum((th >> {i}) & 1) AS s{i}" for i in range(60))
+_SIMHASH_SIG = " + ".join(
+    f"(CASE WHEN s{i} * 2 > n THEN (1::BIGINT << {i}) ELSE 0 END)"
+    for i in range(60))
+
 ORACLE_SIMHASH = f"""
   WITH tok AS (
     SELECT doc_id,
@@ -556,19 +563,14 @@ ORACLE_SIMHASH = f"""
     FROM documents
   ),
   th AS (SELECT doc_id, {_h64('tok', 99)} AS th FROM tok),
-  bits AS (
-    SELECT doc_id, th, unnest(generate_series(0, 59)) AS bit FROM th
-  ),
   votes AS (
-    SELECT doc_id, bit,
-           sum(CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
-    FROM bits GROUP BY doc_id, bit
+    SELECT doc_id, count(*) AS n,
+           {_SIMHASH_SUMS}
+    FROM th GROUP BY doc_id
   ),
   sig AS (
-    SELECT doc_id,
-           sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
-             AS simhash
-    FROM votes GROUP BY doc_id
+    SELECT doc_id, ({_SIMHASH_SIG})::BIGINT AS simhash
+    FROM votes
   ),
   bv AS (
     SELECT doc_id, simhash, band,
@@ -1007,6 +1009,124 @@ ORACLE_JSON_ROUNDTRIP = """
 
 
 # ---------------------------------------------------------------------------
+# Multimodal extension (opaque binary payloads + typed metadata).
+# The media table derives deterministically from documents (payload =
+# UTF-8 bytes of text, kind = doc_id % 3) so DuckDB can oracle-check the
+# mapInPandas plumbing: documents.text is ASCII, hence DuckDB's
+# md5(VARCHAR)/substring-on-VARCHAR coincide byte-for-byte with Spark's
+# md5(BINARY)/byte-slices.
+# ---------------------------------------------------------------------------
+
+_KIND_SQL = "(['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT]"
+
+
+def _media(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"))
+    return d.select(F.col("doc_id").alias("asset_id"),
+                    kind.alias("kind"),
+                    F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+
+def q_multimodal_decode_meta(spark, sf_dir):
+    """Arrow-batched mapInPandas decode over binary media payloads —
+    integrity metadata projection (the stubbed feature vector is
+    dropped here; see multimodal_features for the rows-only variant)."""
+    return multimodal.extract_features(_media(spark, sf_dir), fake=True) \
+        .select("asset_id", "kind", "n_bytes", "payload_md5")
+
+
+ORACLE_MM_META = f"""
+  SELECT doc_id AS asset_id,
+         {_KIND_SQL} AS kind,
+         octet_length(encode(text))::BIGINT AS n_bytes,
+         md5(text) AS payload_md5
+  FROM documents
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Full decode output incl. the deterministic stub feature vector
+    (array<double> — rows-only check; swapping the stub for a real
+    codec changes no Spark-side plumbing)."""
+    return multimodal.extract_features(_media(spark, sf_dir), fake=True)
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling plumbing: 1→N mapInPandas expansion, one
+    row per sampled 16-byte "frame" of each video asset's payload."""
+    video = _media(spark, sf_dir).where(F.col("kind") == "video")
+    return multimodal.sample_frames(video, every_n=2)
+
+
+ORACLE_MM_FRAMES = """
+  WITH video AS (
+    SELECT doc_id AS asset_id, text,
+           greatest(octet_length(encode(text)) // 16, 1) AS n_frames
+    FROM documents WHERE doc_id % 3 = 2
+  ),
+  frames AS (
+    SELECT asset_id, text,
+           unnest(generate_series(0, (n_frames - 1)::BIGINT, 2))::INT
+             AS frame_no
+    FROM video
+  )
+  SELECT asset_id, frame_no,
+         md5(substring(text, frame_no * 16 + 1, 16)) AS frame_md5
+  FROM frames
+"""
+
+
+def q_similarity_ivf_topk(spark, sf_dir):
+    """IVF ANN: coarse-quantize to 8 deterministic centroids, probe the
+    query's 2 nearest lists, exact cosine top-10 within them."""
+    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"),
+                               query_id=0, k=10)
+
+
+def _oracle_ivf_topk(n_centroids: int = 8, nprobe: int = 2,
+                     k: int = 10) -> str:
+    dot = _DOT_SQL
+    return f"""
+  WITH cent AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+    WHERE vec_id < {n_centroids}
+  ),
+  assigned AS (
+    SELECT vec_id, embedding, cid FROM (
+      SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY floor({dot.format(a='e.embedding', b='c.cvec')}
+                 / (sqrt({dot.format(a='e.embedding', b='e.embedding')})
+                    * sqrt({dot.format(a='c.cvec', b='c.cvec')}))
+                 * 1000000)::BIGINT DESC, c.cid ASC) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ) WHERE rn = 1
+  ),
+  q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+  probes AS (
+    SELECT cid FROM cent, q
+    ORDER BY floor({dot.format(a='q.qv', b='cent.cvec')}
+      / (sqrt({dot.format(a='q.qv', b='q.qv')})
+         * sqrt({dot.format(a='cent.cvec', b='cent.cvec')}))
+      * 1000000)::BIGINT DESC, cid ASC
+    LIMIT {nprobe}
+  )
+  SELECT a.vec_id,
+         floor({dot.format(a='a.embedding', b='q.qv')}
+           / (sqrt({dot.format(a='a.embedding', b='a.embedding')})
+              * sqrt({dot.format(a='q.qv', b='q.qv')}))
+           * 1000000)::BIGINT AS sim_e6
+  FROM assigned a JOIN probes p ON a.cid = p.cid, q
+  WHERE a.vec_id <> 0
+  ORDER BY sim_e6 DESC, a.vec_id ASC LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1109,4 +1229,17 @@ QUERIES: dict[str, QuerySpec] = {
                                headline=True, doc="TPC-H Q3 shape"),
     "json_roundtrip": QuerySpec(q_json_roundtrip, ORACLE_JSON_ROUNDTRIP,
                                 doc="to_json serialization"),
+    "multimodal_decode_meta": QuerySpec(
+        q_multimodal_decode_meta, ORACLE_MM_META,
+        doc="binary decode via mapInPandas — integrity metadata"),
+    "multimodal_features": QuerySpec(
+        q_multimodal_features, None,
+        doc="decode + feature extract (stub codec; rows-only: "
+            "array<double> features)"),
+    "multimodal_frame_sample": QuerySpec(
+        q_multimodal_frame_sample, ORACLE_MM_FRAMES,
+        doc="video frame sampling (1→N mapInPandas expansion)"),
+    "similarity_ivf_topk": QuerySpec(
+        q_similarity_ivf_topk, _oracle_ivf_topk(), headline=True,
+        doc="IVF ANN: coarse quantize + nprobe lists + exact cosine"),
 }
