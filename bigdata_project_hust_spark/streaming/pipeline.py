@@ -67,6 +67,43 @@ def incremental_author_totals(df: DataFrame, author_col: str,
     return df.groupBy(F.col(author_col).alias("author")).agg(*aggs)
 
 
+def stateful_threshold_alerts(df: DataFrame, key_col: str = "user_id",
+                              value_col: str = "value",
+                              threshold: float = 50.0) -> DataFrame:
+    """ST3 as a custom stateful operator (``applyInPandasWithState``):
+    per key, keep a running total across micro-batches and emit ONE
+    alert row the first time the total crosses ``threshold``.
+
+    The reference re-upserts the KOL doc on every qualifying record
+    (consumer1.py:135-152); the alert-once variant is the stateful
+    generalization Spark's built-in aggregates can't express (the
+    emit decision depends on prior emission — state beyond the
+    aggregate itself). State per key is two scalars, Arrow-batched per
+    group — at 100 TB the state store shards by key across executors
+    exactly like any streaming aggregation.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        total, alerted = state.get if state.exists else (0.0, False)
+        for pdf in pdfs:
+            total += float(pdf[value_col].fillna(0.0).sum())
+        if not alerted and total >= threshold:
+            state.update((total, True))
+            yield pd.DataFrame({key_col: [key[0]], "total": [total]})
+        else:
+            state.update((total, alerted))
+
+    return (df.groupBy(key_col)
+              .applyInPandasWithState(
+                  fn,
+                  outputStructType=f"{key_col} long, total double",
+                  stateStructType="total double, alerted boolean",
+                  outputMode="append",
+                  timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def windowed_engagement(df: DataFrame, ts_col: str, key_col: str,
                         window_s: int, metric_cols: list[str],
                         watermark: str = "10 minutes") -> DataFrame:

@@ -152,3 +152,31 @@ def test_keyed_store_replace_and_merge(spark, tmp_path):
     mstore.upsert_merge(a2, ["sv"], ["mv"], "cnt", epoch_id=1)
     got = {r.k: (r.cnt, r.sv, r.mv) for r in mstore.read().collect()}
     assert got == {"a": (3, 8.0, 5.0), "b": (1, 1.0, 1.0)}
+
+
+def test_stateful_threshold_alerts_emit_once(spark, tmp_path):
+    """ST3 (applyInPandasWithState): alert exactly once per key, the
+    first micro-batch in which its running total crosses the threshold;
+    later batches never re-alert."""
+    from bigdata_project_hust_spark.streaming.pipeline import (
+        stateful_threshold_alerts)
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    # batch 1: user 1 total 30 (below), user 2 total 60 (crosses)
+    _write_events(src, "a.json", [(1, "2024-01-01 00:00:01", 1, 30.0),
+                                  (2, "2024-01-01 00:00:02", 2, 60.0)])
+    # batch 2: user 1 crosses (30+25=55); user 2 adds more (no re-alert)
+    _write_events(src, "b.json", [(3, "2024-01-01 00:00:03", 1, 25.0),
+                                  (4, "2024-01-01 00:00:04", 2, 10.0)])
+    stream = json_file_stream(spark, src, EVENT_SCHEMA,
+                              max_files_per_trigger=1)
+    alerts = stateful_threshold_alerts(stream, "user_id", "value", 50.0)
+    q = _run_to_memory(alerts, "alerts_out", "append", ck)
+    try:
+        got = {r.user_id: r.total
+               for r in spark.sql("SELECT * FROM alerts_out").collect()}
+        n = spark.sql("SELECT count(*) AS n FROM alerts_out").collect()[0].n
+        assert n == 2                       # one alert per key, ever
+        assert got[2] == 60.0               # crossed in its first batch
+        assert got[1] == 55.0               # crossed on the second batch
+    finally:
+        q.stop()
