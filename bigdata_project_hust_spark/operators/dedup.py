@@ -54,7 +54,12 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     functions are interpreted (outside codegen's subexpression
     elimination), so inlining split() into each element_at would
     re-tokenize the document once per shingle position — a measured
-    ~8× slowdown of the whole pipeline."""
+    ~8× slowdown of the whole pipeline.
+
+    Dedup is per-document, so it happens MAP-SIDE via array_distinct
+    before the explode — a row-level .distinct() here would shuffle the
+    largest intermediate in the whole dedup pipeline (docs × shingles)
+    for nothing."""
     bound = df.select(F.col(id_col), tokens(text_col).alias("__w"))
     w = F.col("__w")
     k = F.size(w)
@@ -63,8 +68,8 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         idx, lambda i: F.concat_ws(
             " ", *[F.element_at(w, i + j) for j in range(n)]))
     arr = F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", w)))
-    return (bound.select(F.col(id_col), F.explode(arr).alias("sh"))
-                 .distinct())
+    return bound.select(F.col(id_col),
+                        F.explode(F.array_distinct(arr)).alias("sh"))
 
 
 def xor_salts(k: int = MINHASH_K) -> list[int]:
