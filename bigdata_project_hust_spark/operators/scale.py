@@ -1,0 +1,70 @@
+"""Scale machinery: skew-salted joins and bucketed co-located joins.
+
+The reference never needed these (its "join" was a driver-side dict,
+reference consumer2.py:129-145). At 100 TB they are the difference
+between a plan that finishes and one that doesn't:
+
+* **Salted join** — a shuffle join's tasks are sized by key frequency;
+  one hot key (a celebrity author, an empty-string URL) serializes the
+  whole stage. Salting splits each hot left key across ``salt`` tasks
+  and replicates the matching right rows to every split. AQE's skew
+  join (on in session.py) handles moderate skew at runtime; explicit
+  salting is the deterministic fallback for pathological keys and the
+  only option when AQE is unavailable (streaming joins).
+
+* **Bucketed join** — two tables bucketed by the join key into the same
+  bucket count join with ZERO shuffle on every future query: each task
+  reads matching buckets from both sides. For a fact table joined on
+  the same key daily, the one-time bucketed write amortizes the shuffle
+  away. (`spark.sql.sources.bucketing.enabled` is on by default.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                salt: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join on ``key`` with an n-way salt on the left (skewed)
+    side; result is identical to ``left.join(right, key, how)``.
+
+    Left rows get a deterministic salt in [0, salt) — crc32-based, so
+    re-runs split identically; right rows are replicated to all salt
+    values via a tiny literal-range explode (narrow op, no shuffle of
+    its own). The shuffle then hash-partitions on (key, salt), so a
+    key carrying p% of all rows spreads over ``salt`` tasks instead of
+    one. Supports 'inner' and 'left' (replication never duplicates:
+    each left row keeps exactly one salt value).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    lsalt = (F.crc32(F.concat_ws("", F.col(key).cast("string")))
+             % F.lit(salt)).cast("int")
+    l_ = left.withColumn("__salt", lsalt)
+    r_ = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = l_.join(r_, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, buckets: int,
+                   sort_by: str | None = None,
+                   mode: str = "overwrite") -> None:
+    """Persist as a bucketed (optionally sorted) managed table. Joins
+    and aggregations keyed on ``key`` between same-bucket-count tables
+    then run shuffle-free (verified in tests by plan inspection)."""
+    writer = (df.write.mode(mode).format("parquet")
+                .bucketBy(buckets, key))
+    if sort_by is not None:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  key: str, how: str = "inner") -> DataFrame:
+    """Join two bucketed tables on their bucket key — Catalyst sees the
+    matching hash-distribution on both sides and plans a sort-merge
+    join with no Exchange."""
+    return (spark.table(left_table)
+                 .join(spark.table(right_table), key, how))

@@ -1079,6 +1079,21 @@ ORACLE_MM_FRAMES = """
 """
 
 
+def q_skew_salted_revenue(spark, sf_dir):
+    """revenue_per_nation computed through the skew-salted join path —
+    same oracle; proves salting is result-transparent while spreading a
+    hot o_custkey over `salt` reduce tasks (operators/scale.py)."""
+    from ..operators.scale import salted_join
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    c = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    n = _t(spark, sf_dir, "nation")
+    j = salted_join(o, c, "custkey", salt=8)
+    j = j.join(F.broadcast(n), j.c_nationkey == n.n_nationkey)
+    return (j.groupBy("n_name")
+             .agg(F.count("*").alias("n_orders"),
+                  F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
 def q_similarity_ivf_topk(spark, sf_dir):
     """IVF ANN: coarse-quantize to 8 deterministic centroids, probe the
     query's 2 nearest lists, exact cosine top-10 within them."""
@@ -1242,4 +1257,7 @@ QUERIES: dict[str, QuerySpec] = {
     "similarity_ivf_topk": QuerySpec(
         q_similarity_ivf_topk, _oracle_ivf_topk(), headline=True,
         doc="IVF ANN: coarse quantize + nprobe lists + exact cosine"),
+    "skew_salted_revenue": QuerySpec(
+        q_skew_salted_revenue, ORACLE_REVENUE,
+        doc="skew-salted join path (result-transparent vs plain join)"),
 }

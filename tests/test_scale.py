@@ -1,0 +1,66 @@
+"""Scale-machinery tests: salted joins are result-transparent; bucketed
+tables join without a shuffle (plan-inspected)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_project_hust_spark.operators.scale import (
+    bucketed_join, salted_join, write_bucketed)
+
+
+def _skewed_frames(spark):
+    # key 1 is pathologically hot on the left; right is a dim table
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 1000), (3, 2000), (9, 1)],
+        "k int, v int")
+    right = spark.createDataFrame(
+        [(1, "hot"), (2, "warm"), (3, "cold"), (4, "unmatched")],
+        "k int, name string")
+    return left, right
+
+
+def test_salted_inner_join_equals_plain(spark):
+    left, right = _skewed_frames(spark)
+    got = salted_join(left, right, "k", salt=4).orderBy("k", "v")
+    want = left.join(right, "k").orderBy("k", "v")
+    assert got.columns == want.columns
+    assert got.collect() == want.collect()
+
+
+def test_salted_left_join_equals_plain(spark):
+    left, right = _skewed_frames(spark)
+    got = salted_join(left, right, "k", salt=4, how="left")
+    want = left.join(right, "k", "left")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    left, right = _skewed_frames(spark)
+    j = salted_join(left, right, "k", salt=4)
+    plan = j._jdf.queryExecution().toString()
+    # the shuffle key must include the salt column, not just k
+    assert "__salt" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+        b = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+        write_bucketed(a, "bkt_a", "k", buckets=4, sort_by="k")
+        write_bucketed(b, "bkt_b", "k", buckets=4, sort_by="k")
+        j = bucketed_join(spark, "bkt_a", "bkt_b", "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() == 1000
+        got = j.where(F.col("k") == 7).collect()[0]
+        assert (got.a, got.b) == (14, 21)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
