@@ -225,7 +225,10 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     """SimHash near-dup: banded LSH on the 60-bit signature (5 bands ×
     12 bits — any identical band → candidate), then exact Hamming
     verify with bit_count. Bounded candidates, no all-pairs."""
-    sig = simhash_signatures(df, text_col, id_col)
+    # the band self-join references the signature subtree twice; the
+    # signature table is tiny (one row per doc) — persist it so the
+    # token-explode + wide-agg pipeline runs once, not per join side
+    sig = simhash_signatures(df, text_col, id_col).persist()
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     # single-pass banding via posexplode (see minhash_bands note)
     band_arr = F.array(*[
