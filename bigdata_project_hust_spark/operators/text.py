@@ -100,6 +100,52 @@ def token_counts(df: DataFrame, text_col: str = "text",
          .alias("re_tokens"))
 
 
+WINNOW_B = 131                 # rolling-hash base
+WINNOW_M = (1 << 31) - 1       # modulus — keeps t*B + t inside BIGINT
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        k: int = 3, w: int = 4) -> DataFrame:
+    """MOSS-style winnowing fingerprints via a polynomial rolling hash:
+    token k-gram hashes g_i = Σ th_{i+j}·B^{k-1-j} mod M, then the min
+    of every w-gram window, deduplicated — the standard
+    plagiarism/near-copy signature guaranteeing any shared run of
+    ≥ w+k-1 tokens yields a shared fingerprint.
+
+    Entirely array-native per document (transform/slice/array_min) —
+    the only rows shuffled downstream are the selected fingerprints
+    (~n/w per doc), never the grams. Docs shorter than k tokens hash
+    whole; gram runs shorter than w winnow to a single min.
+    """
+    if k != 3:
+        raise ValueError("rolling hash is unrolled for k=3")
+    B, M = F.lit(WINNOW_B), F.lit(WINNOW_M)
+    from ..functions.scalar import stable_hash64
+    bound = df.select(
+        F.col(id_col),
+        F.transform(tokens(text_col),
+                    lambda t: stable_hash64(t) % M).alias("__th"))
+    th = F.col("__th")
+    n = F.size(th)
+    poly3 = lambda i: ((F.element_at(th, i) * B + F.element_at(th, i + 1))
+                       % M * B + F.element_at(th, i + 2)) % M
+    whole = F.aggregate(th, F.lit(0).cast("long"),
+                        lambda acc, x: (acc * B + x) % M)
+    grams = F.when(n >= k,
+                   F.transform(F.sequence(F.lit(1), n - (k - 1)), poly3)) \
+             .otherwise(F.array(whole))
+    g = F.col("__g")
+    bound = bound.select(F.col(id_col), grams.alias("__g"))
+    m = F.size(g)
+    wins = F.when(m >= w,
+                  F.transform(F.sequence(F.lit(1), m - (w - 1)),
+                              lambda p: F.array_min(F.slice(g, p, w)))) \
+            .otherwise(F.array(F.array_min(g)))
+    return bound.select(F.col(id_col),
+                        F.explode(F.array_distinct(wins)).alias("fp"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Normalized document fingerprint: lowercase → tokenize → sort →

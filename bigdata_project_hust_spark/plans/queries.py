@@ -1079,6 +1079,70 @@ ORACLE_MM_FRAMES = """
 """
 
 
+def q_text_winnow_fingerprints(spark, sf_dir):
+    """MOSS winnowing fingerprints (polynomial rolling hash, k=3 grams,
+    w=4 windows) — the rolling-hash document signature."""
+    return text.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_WINNOW = f"""
+  WITH words AS (
+    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+    FROM documents
+  ),
+  th AS (
+    SELECT doc_id,
+           list_transform(w, t -> {_h64('t', 0)} % 2147483647) AS th,
+           len(w) AS n
+    FROM words
+  ),
+  grams AS (
+    SELECT doc_id,
+           CASE WHEN n >= 3 THEN
+             list_transform(generate_series(1, n - 2),
+               i -> ((th[i] * 131 + th[i+1]) % 2147483647 * 131 + th[i+2])
+                    % 2147483647)
+           ELSE [list_reduce(th, (acc, x) -> (acc * 131 + x) % 2147483647)]
+           END AS g,
+           greatest(n - 2, 1) AS m
+    FROM th
+  ),
+  wins AS (
+    SELECT doc_id,
+           CASE WHEN m >= 4 THEN
+             list_transform(generate_series(1, m - 3),
+                            p -> list_min(g[p:p+3]))
+           ELSE [list_min(g)] END AS mins
+    FROM grams
+  )
+  SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM wins
+"""
+
+
+def q_grouping_sets_orders(spark, sf_dir):
+    """GROUPING SETS through the SQL text interface (spark.sql) —
+    per-status, per-priority, and grand-total aggregates in one pass."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders_v
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+ORACLE_GROUPING_SETS = """
+  SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders
+  GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 def q_skew_salted_revenue(spark, sf_dir):
     """revenue_per_nation computed through the skew-salted join path —
     same oracle; proves salting is result-transparent while spreading a
@@ -1260,4 +1324,10 @@ QUERIES: dict[str, QuerySpec] = {
     "skew_salted_revenue": QuerySpec(
         q_skew_salted_revenue, ORACLE_REVENUE,
         doc="skew-salted join path (result-transparent vs plain join)"),
+    "text_winnow_fingerprints": QuerySpec(
+        q_text_winnow_fingerprints, ORACLE_WINNOW,
+        doc="rolling-hash winnowing fingerprints (MOSS)"),
+    "grouping_sets_orders": QuerySpec(
+        q_grouping_sets_orders, ORACLE_GROUPING_SETS,
+        doc="GROUPING SETS via the spark.sql text interface"),
 }

@@ -151,3 +151,25 @@ def test_multimodal_frame_sampling(spark):
                                "asset_id long, kind string, payload binary")
     frames = multimodal.sample_frames(df, every_n=2).collect()
     assert [f.frame_no for f in frames] == [0, 2]
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing guarantee: any shared token run of >= w+k-1 (= 6)
+    tokens yields at least one shared fingerprint; docs shorter than k
+    tokens still produce exactly one fingerprint."""
+    from bigdata_project_hust_spark.operators.text import winnow_fingerprints
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, f"one two {shared} three"),
+         (2, f"{shared} four five six seven"),
+         (3, "tiny doc"),
+         (4, "completely different words everywhere all unique tokens")],
+        "doc_id long, text string")
+    fp = winnow_fingerprints(df)
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
+    assert len(by_doc[3]) == 1
+    assert not (by_doc[1] & by_doc[4])
