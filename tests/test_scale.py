@@ -64,3 +64,40 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
                        str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """write_parquet(partition_by=...) + a partition-key predicate →
+    Catalyst prunes non-matching directories at planning time (the scan
+    lists only the selected partition)."""
+    from bigdata_project_hust_spark.io import write_parquet
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(300)],
+        "id long, day string, v double")
+    path = str(tmp_path / "by_day")
+    write_parquet(df, path, partition_by=("day",))
+    got = spark.read.parquet(path).where(F.col("day") == "b")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan
+    # only the b-partition rows are read
+    assert got.count() == 100
+    files = got.select(F.input_file_name()).distinct().collect()
+    assert all("day=b" in r[0] for r in files)
+
+
+def test_salted_join_property(spark):
+    """Property: for random skewed frames, salted_join == plain join
+    (row multiset), any salt factor."""
+    import random
+    rng = random.Random(7)
+    for trial in range(3):
+        salt = rng.choice([2, 5, 16])
+        lrows = [(rng.choice([1, 1, 1, 1, 2, 3, None]), rng.randint(0, 99))
+                 for _ in range(200)]
+        rrows = [(k, f"n{k}") for k in (1, 2, 4)]
+        left = spark.createDataFrame(lrows, "k int, v int")
+        right = spark.createDataFrame(rrows, "k int, name string")
+        got = sorted(map(tuple, salted_join(left, right, "k",
+                                            salt=salt).collect()))
+        want = sorted(map(tuple, left.join(right, "k").collect()))
+        assert got == want, f"trial={trial} salt={salt}"
