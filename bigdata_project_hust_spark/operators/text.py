@@ -10,7 +10,7 @@ halfway values is not trustworthy).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 # Deterministic and mirrored verbatim in the DuckDB oracle SQL.
@@ -98,6 +98,38 @@ def token_counts(df: DataFrame, text_col: str = "text",
         F.size(F.split(c, r"\s+")).cast("long").alias("ws_tokens"),
         F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), 0)).cast("long")
          .alias("re_tokens"))
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Top-k terms per document by tf·idf (idf = ln(N/df), raw tf).
+
+    Two hash-aggs ((doc, term) tf, then term df) + a broadcast of the
+    tiny (term, df) table back onto the tf rows + one per-doc rank
+    window. N comes from a scalar-subquery-style cross join of a 1-row
+    aggregate (broadcast, free). Scores floor-scaled ×1e6 to longs with
+    (score, term) tiebreak — cross-engine deterministic.
+
+    At 100 TB the only wide exchange is the (doc, term) aggregation;
+    term→df is orders of magnitude smaller (vocabulary-sized) and stays
+    broadcast."""
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    docfreq = (toks.groupBy("term")
+                   .agg(F.count_distinct(F.col(id_col)).alias("df_docs")))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(F.broadcast(docfreq), "term")
+                .crossJoin(F.broadcast(n_docs))
+                .select(
+                    F.col(id_col), F.col("term"),
+                    F.floor(F.col("tf")
+                            * F.log(F.col("n_docs") / F.col("df_docs"))
+                            * 1e6).cast("long").alias("tfidf_e6")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf_e6").desc(), F.col("term").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+                  .where(F.col("rnk") <= k))
 
 
 WINNOW_B = 131                 # rolling-hash base

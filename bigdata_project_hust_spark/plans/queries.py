@@ -1119,6 +1119,42 @@ ORACLE_WINNOW = f"""
 """
 
 
+def q_text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 terms per document by tf·idf (idf = ln(N/df))."""
+    return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+ORACLE_TFIDF = """
+  WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '\\s+')) AS term
+    FROM documents
+  ),
+  tf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf
+    FROM toks GROUP BY doc_id, term
+  ),
+  docfreq AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df_docs
+    FROM toks GROUP BY term
+  ),
+  n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+  scored AS (
+    SELECT tf.doc_id, tf.term,
+           floor(tf.tf * ln(n.n_docs::DOUBLE / d.df_docs)
+                 * 1000000)::BIGINT AS tfidf_e6
+    FROM tf JOIN docfreq d ON tf.term = d.term, n
+  )
+  SELECT doc_id, term, tfidf_e6, rnk FROM (
+    SELECT s.*,
+           row_number() OVER (PARTITION BY s.doc_id
+                              ORDER BY s.tfidf_e6 DESC, s.term ASC)::BIGINT
+             AS rnk
+    FROM scored s
+  ) WHERE rnk <= 3
+"""
+
+
 def q_grouping_sets_orders(spark, sf_dir):
     """GROUPING SETS through the SQL text interface (spark.sql) —
     per-status, per-priority, and grand-total aggregates in one pass."""
@@ -1324,6 +1360,9 @@ QUERIES: dict[str, QuerySpec] = {
     "skew_salted_revenue": QuerySpec(
         q_skew_salted_revenue, ORACLE_REVENUE,
         doc="skew-salted join path (result-transparent vs plain join)"),
+    "text_tfidf_top_terms": QuerySpec(
+        q_text_tfidf_top_terms, ORACLE_TFIDF,
+        doc="tf-idf top terms per doc (two-agg + broadcast vocab)"),
     "text_winnow_fingerprints": QuerySpec(
         q_text_winnow_fingerprints, ORACLE_WINNOW,
         doc="rolling-hash winnowing fingerprints (MOSS)"),
