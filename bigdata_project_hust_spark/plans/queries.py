@@ -879,6 +879,49 @@ ORACLE_SESSIONIZE = """
 """
 
 
+def q_session_window_events(spark, sf_dir):
+    """Native session windows (F.session_window, 30-min gap) — the
+    Spark-idiomatic twin of the lag+cumsum sessionize. Semantics note:
+    an event exactly `gap` after the previous one starts a NEW session
+    (window end is exclusive: [start, last+gap)), hence the oracle's
+    `>= gap` split condition vs sessionize's `> gap`. Timestamps are
+    truncated to whole seconds on both sides first."""
+    e = _t(spark, sf_dir, "events")
+    e2 = e.select(
+        "user_id",
+        F.timestamp_seconds(F.unix_timestamp(F.col("ts"))).alias("ts_s"))
+    g = (e2.groupBy("user_id", F.session_window("ts_s", "1800 seconds"))
+           .agg(F.count("*").alias("n_events"),
+                F.unix_timestamp(F.max("ts_s")).alias("session_end_s")))
+    return g.select(
+        "user_id",
+        F.unix_timestamp(F.col("session_window.start"))
+         .alias("session_start_s"),
+        "session_end_s", "n_events")
+
+
+ORACLE_SESSION_WINDOW = """
+  WITH flagged AS (
+    SELECT user_id, floor(epoch(ts))::BIGINT AS ts_s,
+           lag(floor(epoch(ts))::BIGINT) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+    FROM events
+  ),
+  sess AS (
+    SELECT user_id, ts_s,
+           sum(CASE WHEN prev_s IS NULL OR ts_s - prev_s >= 1800
+                    THEN 1 ELSE 0 END) OVER (
+             PARTITION BY user_id ORDER BY ts_s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+    FROM flagged
+  )
+  SELECT user_id, min(ts_s) AS session_start_s,
+         max(ts_s) AS session_end_s, count(*) AS n_events
+  FROM sess GROUP BY user_id, session_id
+"""
+
+
 def q_asof_latest_order_per_event(spark, sf_dir):
     """As-of join: each event picks the user's latest order at or
     before the event time (union + window forward-fill; one shuffle).
@@ -1331,6 +1374,9 @@ QUERIES: dict[str, QuerySpec] = {
         doc="HLL approx distinct (rows-only: sketches are engine-specific)"),
     "sessionize_events": QuerySpec(q_sessionize_events, ORACLE_SESSIONIZE,
                                    headline=True, doc="gap sessionization"),
+    "session_window_events": QuerySpec(
+        q_session_window_events, ORACLE_SESSION_WINDOW,
+        doc="native F.session_window sessions (ST9 extension)"),
     "asof_latest_order_per_event": QuerySpec(
         q_asof_latest_order_per_event, ORACLE_ASOF, headline=True,
         doc="as-of join (union+window fill)"),
