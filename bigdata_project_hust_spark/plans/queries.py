@@ -26,7 +26,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.scalar import influence_score, parse_trailing_ts, rewrite_values
 from ..io import load_table
@@ -1122,6 +1122,46 @@ ORACLE_MM_FRAMES = """
 """
 
 
+def q_above_nation_avg(spark, sf_dir):
+    """Correlated-subquery shape: customers with acctbal above their
+    nation's average. Decorrelated to one window pass (sum/count over
+    the nation partition) — the plan Catalyst itself would rewrite the
+    subquery into; the oracle keeps the correlated form to prove
+    equivalence.
+
+    All-integer arithmetic: balances are exact cents (×100 longs), the
+    comparison is bal·n > Σbal — no double summation-order sensitivity
+    (round(avg,2) of money values lands exactly on .005 boundaries,
+    where the two engines' sum orders can round apart)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    bal_e2 = F.round(F.col("c_acctbal") * 100).cast("long")
+    scored = c.select(
+        "c_custkey", "c_nationkey", bal_e2.alias("bal_e2"),
+        F.sum(bal_e2).over(w).alias("__sum"),
+        F.count("*").over(w).alias("__n"))
+    return (scored
+            .where(F.col("bal_e2") * F.col("__n") > F.col("__sum"))
+            .select("c_custkey", "c_nationkey", "bal_e2",
+                    F.floor(F.col("__sum") / F.col("__n")).cast("long")
+                     .alias("nation_avg_e2")))
+
+
+ORACLE_ABOVE_AVG = """
+  WITH c2 AS (
+    SELECT *, round(c_acctbal * 100)::BIGINT AS bal_e2 FROM customer
+  )
+  SELECT c_custkey, c_nationkey, bal_e2,
+         (SELECT floor(sum(x.bal_e2)::DOUBLE / count(*))::BIGINT
+          FROM c2 x WHERE x.c_nationkey = c.c_nationkey) AS nation_avg_e2
+  FROM c2 c
+  WHERE bal_e2 * (SELECT count(*) FROM c2 x
+                  WHERE x.c_nationkey = c.c_nationkey)
+        > (SELECT sum(x.bal_e2) FROM c2 x
+           WHERE x.c_nationkey = c.c_nationkey)
+"""
+
+
 def q_text_winnow_fingerprints(spark, sf_dir):
     """MOSS winnowing fingerprints (polynomial rolling hash, k=3 grams,
     w=4 windows) — the rolling-hash document signature."""
@@ -1406,6 +1446,9 @@ QUERIES: dict[str, QuerySpec] = {
     "skew_salted_revenue": QuerySpec(
         q_skew_salted_revenue, ORACLE_REVENUE,
         doc="skew-salted join path (result-transparent vs plain join)"),
+    "above_nation_avg": QuerySpec(
+        q_above_nation_avg, ORACLE_ABOVE_AVG,
+        doc="correlated scalar subquery (decorrelated to a window)"),
     "text_tfidf_top_terms": QuerySpec(
         q_text_tfidf_top_terms, ORACLE_TFIDF,
         doc="tf-idf top terms per doc (two-agg + broadcast vocab)"),
