@@ -67,6 +67,36 @@ def incremental_author_totals(df: DataFrame, author_col: str,
     return df.groupBy(F.col(author_col).alias("author")).agg(*aggs)
 
 
+def stream_stream_interval_join(left: DataFrame, right: DataFrame,
+                                key: str, left_ts: str, right_ts: str,
+                                interval_s: int,
+                                watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked stream-stream join: each left event matches right
+    events with the same key whose timestamp falls in
+    ``[left_ts - interval_s, left_ts]``.
+
+    Both sides carry watermarks and the join condition bounds the two
+    event times against each other — the two requirements that let the
+    state store evict rows (an unbounded stream-stream join would
+    buffer both streams forever). State per key is bounded by
+    watermark + interval regardless of stream length — the property
+    that makes this viable on an infinite 100 TB/day stream.
+
+    The reference has no stream-stream join (its speed layer is
+    record-at-a-time); this is the §2.10 extension that completes the
+    streaming surface.
+    """
+    l_ = left.withWatermark(left_ts, watermark).alias("l")
+    r_ = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}")
+           >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {interval_s} SECONDS"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    return l_.join(r_, cond, "inner")
+
+
 def stateful_threshold_alerts(df: DataFrame, key_col: str = "user_id",
                               value_col: str = "value",
                               threshold: float = 50.0) -> DataFrame:

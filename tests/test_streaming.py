@@ -180,3 +180,39 @@ def test_stateful_threshold_alerts_emit_once(spark, tmp_path):
         assert got[1] == 55.0               # crossed on the second batch
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two file streams joined on key within a 60-second interval:
+    only right events in [left_ts - 60s, left_ts] match."""
+    from bigdata_project_hust_spark.streaming.pipeline import (
+        stream_stream_interval_join)
+    clicks_dir, views_dir = str(tmp_path / "clicks"), str(tmp_path / "views")
+    _write_events(clicks_dir, "a.json", [
+        (100, "2024-01-01 00:01:00", 1, 1.0),   # matches view at 00:00:30
+        (101, "2024-01-01 00:05:00", 1, 1.0),   # no view within 60s
+        (102, "2024-01-01 00:01:00", 2, 1.0),   # wrong-user view only
+    ])
+    _write_events(views_dir, "b.json", [
+        (200, "2024-01-01 00:00:30", 1, 9.0),
+        (201, "2024-01-01 00:03:00", 1, 9.0),
+        (202, "2024-01-01 00:00:45", 3, 9.0),
+    ])
+    clicks = json_file_stream(spark, clicks_dir, EVENT_SCHEMA) \
+        .withColumnRenamed("event_id", "click_id") \
+        .withColumnRenamed("ts", "click_ts").drop("value")
+    views = json_file_stream(spark, views_dir, EVENT_SCHEMA) \
+        .withColumnRenamed("event_id", "view_id") \
+        .withColumnRenamed("ts", "view_ts") \
+        .withColumnRenamed("user_id", "v_user_id").drop("value")
+    j = stream_stream_interval_join(
+        clicks, views.withColumnRenamed("v_user_id", "user_id"),
+        "user_id", "click_ts", "view_ts", 60)
+    out = j.select("click_id", "view_id")
+    q = _run_to_memory(out, "ssj_out", "append", str(tmp_path / "ck"))
+    try:
+        got = {(r.click_id, r.view_id)
+               for r in spark.sql("SELECT * FROM ssj_out").collect()}
+        assert got == {(100, 200)}
+    finally:
+        q.stop()
