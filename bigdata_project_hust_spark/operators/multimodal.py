@@ -71,6 +71,40 @@ def extract_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
+RESIZE_THUMB_BYTES = 64
+
+
+def resize_images(df: DataFrame, width: int = 32,
+                  height: int = 32) -> DataFrame:
+    """Resize plumbing: emit a fixed-size "thumbnail" per image asset.
+
+    The real implementation decodes pixels and interpolates (PIL/cv2 —
+    not in this container); the stub keeps the operator contract — a
+    bounded-size binary derivative plus target dims — by truncating the
+    payload to RESIZE_THUMB_BYTES. Batch shape, schema, and
+    partitioning (narrow, Arrow-batched) are exactly what the real
+    codec version uses.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            thumbs = pdf["payload"].map(
+                lambda b: (b or b"")[:RESIZE_THUMB_BYTES])
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "width": width,
+                "height": height,
+                "thumb_md5": thumbs.map(
+                    lambda b: hashlib.md5(b).hexdigest()),
+                "thumb_bytes": thumbs.map(len).astype("int64"),
+            })
+
+    return df.mapInPandas(
+        batches,
+        schema="asset_id long, width int, height int, "
+               "thumb_md5 string, thumb_bytes long")
+
+
 def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-sampling plumbing for video assets: emit one row per
     sampled "frame" (stubbed as byte-slices of the payload). Shows the

@@ -1277,6 +1277,31 @@ def q_skew_salted_revenue(spark, sf_dir):
                   F.round(F.sum("o_totalprice"), 2).alias("revenue")))
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Image-resize plumbing over image assets (stub codec: bounded
+    thumbnail derivative + target dims via mapInPandas)."""
+    images = _media(spark, sf_dir).where(F.col("kind") == "image")
+    return multimodal.resize_images(images)
+
+
+ORACLE_MM_RESIZE = """
+  SELECT doc_id AS asset_id, 32::INT AS width, 32::INT AS height,
+         md5(substring(text, 1, 64)) AS thumb_md5,
+         least(octet_length(encode(text)), 64)::BIGINT AS thumb_bytes
+  FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def q_approx_percentile_acctbal(spark, sf_dir):
+    """Approximate percentile sketch (rows-only: sketch outputs are
+    engine-specific by construction; the exact twin is
+    percentile_acctbal)."""
+    c = _t(spark, sf_dir, "customer")
+    return (c.groupBy("c_mktsegment")
+             .agg(F.percentile_approx("c_acctbal", 0.5, 1000)
+                   .alias("p50_approx")))
+
+
 def q_similarity_ivf_topk(spark, sf_dir):
     """IVF ANN: coarse-quantize to 8 deterministic centroids, probe the
     query's 2 nearest lists, exact cosine top-10 within them."""
@@ -1440,6 +1465,12 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_frame_sample": QuerySpec(
         q_multimodal_frame_sample, ORACLE_MM_FRAMES,
         doc="video frame sampling (1→N mapInPandas expansion)"),
+    "multimodal_resize": QuerySpec(
+        q_multimodal_resize, ORACLE_MM_RESIZE,
+        doc="image resize plumbing (bounded thumbnail derivative)"),
+    "approx_percentile_acctbal": QuerySpec(
+        q_approx_percentile_acctbal, None,
+        doc="approx-percentile sketch (rows-only; exact twin above)"),
     "similarity_ivf_topk": QuerySpec(
         q_similarity_ivf_topk, _oracle_ivf_topk(), headline=True,
         doc="IVF ANN: coarse quantize + nprobe lists + exact cosine"),
