@@ -1122,6 +1122,26 @@ ORACLE_MM_FRAMES = """
 """
 
 
+def q_monthly_revenue(spark, sf_dir):
+    """Calendar bucketing (date_trunc + format): monthly order revenue
+    — the date-arithmetic surface the reference lacks entirely (its
+    only timestamps are raw unix ints, SURVEY §1.2b)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.date_format(
+                F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM")
+                .alias("month"))
+             .agg(F.count("*").alias("n_orders"),
+                  F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+ORACLE_MONTHLY = """
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+"""
+
+
 def q_above_nation_avg(spark, sf_dir):
     """Correlated-subquery shape: customers with acctbal above their
     nation's average. Decorrelated to one window pass (sum/count over
@@ -1477,6 +1497,9 @@ QUERIES: dict[str, QuerySpec] = {
     "skew_salted_revenue": QuerySpec(
         q_skew_salted_revenue, ORACLE_REVENUE,
         doc="skew-salted join path (result-transparent vs plain join)"),
+    "monthly_revenue": QuerySpec(
+        q_monthly_revenue, ORACLE_MONTHLY,
+        doc="calendar date_trunc bucketing (date-arith extension)"),
     "above_nation_avg": QuerySpec(
         q_above_nation_avg, ORACLE_ABOVE_AVG,
         doc="correlated scalar subquery (decorrelated to a window)"),
