@@ -173,3 +173,41 @@ def test_winnow_shared_run_guarantee(spark):
     assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
     assert len(by_doc[3]) == 1
     assert not (by_doc[1] & by_doc[4])
+
+
+def test_asof_join_matches_bruteforce(spark):
+    """Differential test: asof_join (union + window fill) vs a naive
+    per-row 'latest right <= left_ts' computation on seeded-random
+    data, including keys with no right rows, equal timestamps, and
+    multiple right updates between left rows."""
+    import random
+    from bigdata_project_hust_spark.operators.joins import asof_join
+    rng = random.Random(42)
+    lrows = [(i, rng.randint(1, 5), rng.randint(0, 100))
+             for i in range(60)]
+    rrows = [(1000 + i, rng.randint(1, 7), rng.randint(0, 100),
+              float(rng.randint(1, 999)))
+             for i in range(40)]
+    left = spark.createDataFrame(
+        [(eid, k, ts) for eid, k, ts in lrows], "event_id long, k long, ts long")
+    right = spark.createDataFrame(rrows, "oid long, k long, rts long, px double")
+    got = {r.event_id: (r.oid, r.px)
+           for r in asof_join(left, right, "k", "ts", "rts",
+                              ["oid", "px"]).collect()}
+    for eid, k, ts in lrows:
+        cands = [(rts, oid, px) for oid, rk, rts, px in rrows
+                 if rk == k and rts <= ts]
+        want = (None, None)
+        if cands:
+            # asof_join carries the LAST right row at/below ts in
+            # (rts, arrival) order; make expectation deterministic by
+            # max (rts, oid)
+            rts, oid, px = max(cands, key=lambda c: (c[0], c[1]))
+            want = (oid, px)
+        if want == (None, None):
+            assert got[eid] == (None, None), eid
+        else:
+            # equal-rts ties: any of the tied rows is a valid fill;
+            # accept ties on rts
+            tied = {(oid, px) for rts2, oid, px in cands if rts2 == rts}
+            assert got[eid] in tied, eid
