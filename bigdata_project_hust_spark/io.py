@@ -100,6 +100,35 @@ def read_json(spark: SparkSession, path: str,
     return reader.json(path)
 
 
+def compact_files(spark: SparkSession, src: str, dst: str,
+                  target_bytes: int = 128 * 1024 * 1024,
+                  fmt: str = "parquet",
+                  schema: T.StructType | None = None) -> int:
+    """Compact a small-files dataset into ~``target_bytes`` parquet
+    files; returns the output file count.
+
+    The reference writes ONE JSON FILE PER RECORD
+    (consumer1.py:112-121) — at 100 TB that is billions of files and a
+    namenode meltdown before any query runs. Compaction = read +
+    size-based coalesce + rewrite. Output count is computed from the
+    source's on-disk bytes; ``coalesce`` (not ``repartition``) avoids a
+    shuffle — merging files is a narrow operation.
+    """
+    import glob as _glob
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.format(fmt).load(src)
+    total = sum(os.path.getsize(p)
+                for p in _glob.glob(os.path.join(src, "**", "*"),
+                                    recursive=True)
+                if os.path.isfile(p) and not os.path.basename(p).startswith(
+                    (".", "_")))
+    n_out = max(1, -(-total // target_bytes))   # ceil
+    df.coalesce(n_out).write.mode("overwrite").parquet(dst)
+    return n_out
+
+
 def write_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = (),
                   mode: str = "overwrite") -> None:
     """Partitioned-parquet sink — replaces the reference's per-record

@@ -101,3 +101,27 @@ def test_salted_join_property(spark):
                                             salt=salt).collect()))
         want = sorted(map(tuple, left.join(right, "k").collect()))
         assert got == want, f"trial={trial} salt={salt}"
+
+
+def test_compact_small_files(spark, tmp_path):
+    """One-record-per-file JSON (the reference's raw-zone layout) →
+    a handful of right-sized parquet files, all rows preserved."""
+    import json as _json
+    from pyspark.sql import types as T
+    from bigdata_project_hust_spark.io import compact_files
+    src = tmp_path / "raw"
+    src.mkdir()
+    for i in range(200):
+        (src / f"rec_{i}.json").write_text(
+            _json.dumps({"id": i, "v": f"val{i}"}) + "\n")
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    dst = str(tmp_path / "compacted")
+    n_out = compact_files(spark, str(src), dst,
+                          target_bytes=1 << 20, fmt="json", schema=schema)
+    assert n_out == 1                       # 200 tiny files fit one target
+    got = spark.read.parquet(dst)
+    assert got.count() == 200
+    import glob
+    files = [p for p in glob.glob(dst + "/*.parquet")]
+    assert len(files) == 1
