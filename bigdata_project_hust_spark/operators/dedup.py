@@ -190,6 +190,36 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     return jaccard_verify(pairs, sh, id_col, threshold_num, threshold_den)
 
 
+def ngram_jaccard_pairs_capped(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", n: int = 3,
+                               threshold_num: int = 3,
+                               threshold_den: int = 10,
+                               max_df: int = 50) -> DataFrame:
+    """Stop-shingle-capped n-gram Jaccard: candidate generation skips
+    shingles appearing in more than ``max_df`` documents.
+
+    The uncapped inverted-index join is O(Σ df²) over shingle document
+    frequencies — one boilerplate shingle shared by 1M docs creates
+    10¹² candidate probes. Capping df bounds every bucket at max_df²
+    (the web-scale standard; recall loss is bounded to pairs whose
+    ONLY shared shingles are ubiquitous ones, which fail the Jaccard
+    threshold anyway in practice). The exact-Jaccard verify still uses
+    the FULL shingle sets, so surviving pairs carry true scores.
+    """
+    sh = shingles(df, text_col, id_col, n).persist()
+    rare = (sh.groupBy("sh")
+              .agg(F.count("*").alias("__df"))
+              .where(F.col("__df") <= max_df)
+              .select("sh"))
+    sh_rare = sh.join(rare, "sh")
+    pairs = (sh_rare.alias("a").join(sh_rare.alias("b"), "sh")
+                    .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                    .select(F.col(f"a.{id_col}").alias("doc_a"),
+                            F.col(f"b.{id_col}").alias("doc_b"))
+                    .distinct())
+    return jaccard_verify(pairs, sh, id_col, threshold_num, threshold_den)
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash per doc: per token-hash bit, majority vote of

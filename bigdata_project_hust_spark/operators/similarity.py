@@ -40,10 +40,14 @@ def cosine_topk(df: DataFrame, query_id: int, k: int = 10,
     avoids double-rounding-mode mismatches in the oracle compare);
     deterministic tiebreak on id.
     """
+    # query norm computed ONCE in the broadcast row, not per probe row
+    # (the per-row fold over the query vector is pure repeated work —
+    # same double value, so results are bit-identical)
     q = df.where(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("__qv"))
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"))
     sim = _dot(F.col(vec_col), F.col("__qv")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("__qv")))
+        _norm(F.col(vec_col)) * F.col("__qn"))
     return (df.where(F.col(id_col) != query_id)
               .crossJoin(F.broadcast(q))
               .select(F.col(id_col),
@@ -97,9 +101,10 @@ def lsh_cosine_topk(df: DataFrame, query_id: int, k: int = 10,
     """
     b = lsh_buckets(df, n_planes, dim, id_col, vec_col)
     qb = b.where(F.col(id_col) == query_id).select(
-        F.col("bucket").alias("__qb"), F.col(vec_col).alias("__qv"))
+        F.col("bucket").alias("__qb"), F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"))
     sim = _dot(F.col(vec_col), F.col("__qv")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("__qv")))
+        _norm(F.col(vec_col)) * F.col("__qn"))
     return (b.join(F.broadcast(qb), b.bucket == F.col("__qb"))
              .where(F.col(id_col) != query_id)
              .select(F.col(id_col),
@@ -151,9 +156,10 @@ def ivf_topk(df: DataFrame, query_id: int, k: int = 10,
               .select(F.col(id_col).alias("cid"),
                       F.col(vec_col).alias("cvec")))
     q = df.where(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("__qv"))
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"))
     qsim = _dot(F.col("__qv"), F.col("cvec")) / (
-        _norm(F.col("__qv")) * _norm(F.col("cvec")))
+        F.col("__qn") * _norm(F.col("cvec")))
     probes = (cent.crossJoin(F.broadcast(q))
                   .select(F.col("cid"),
                           F.floor(qsim * 1e6).cast("long").alias("qsim_e6"))
@@ -161,7 +167,7 @@ def ivf_topk(df: DataFrame, query_id: int, k: int = 10,
                   .limit(nprobe)
                   .select("cid"))
     sim = _dot(F.col(vec_col), F.col("__qv")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("__qv")))
+        _norm(F.col(vec_col)) * F.col("__qn"))
     return (assigned.join(F.broadcast(probes), "cid")
                     .where(F.col(id_col) != query_id)
                     .crossJoin(F.broadcast(q))

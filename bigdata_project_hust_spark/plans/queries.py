@@ -545,6 +545,39 @@ ORACLE_NGRAM = f"""
 """
 
 
+def q_dedup_ngram_capped(spark, sf_dir):
+    """Stop-shingle-capped n-gram Jaccard (df ≤ 50) — the bounded-cost
+    variant of dedup_ngram_jaccard for skew-heavy corpora."""
+    return dedup.ngram_jaccard_pairs_capped(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_NGRAM_CAPPED = f"""
+  WITH {_SHINGLES_SQL},
+  rare AS (
+    SELECT sh AS rsh FROM sh GROUP BY sh HAVING count(*) <= 50
+  ),
+  shr AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare ON s.sh = rare.rsh),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  ),
+  inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter_size
+    FROM pairs c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+    GROUP BY c.doc_a, c.doc_b
+  ),
+  sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+  SELECT i.doc_a, i.doc_b, i.inter_size,
+         (na.n_sh + nb.n_sh - i.inter_size) AS union_size
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE i.inter_size * 10 >= (na.n_sh + nb.n_sh - i.inter_size) * 3
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash(60-bit) banded near-dup, Hamming ≤ 3 verify."""
     return dedup.simhash_near_duplicates(_t(spark, sf_dir, "documents"))
@@ -1424,6 +1457,9 @@ QUERIES: dict[str, QuerySpec] = {
                                    headline=True, doc="MinHash+LSH near-dup"),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, ORACLE_NGRAM,
                                      doc="n-gram Jaccard pairs"),
+    "dedup_ngram_capped": QuerySpec(
+        q_dedup_ngram_capped, ORACLE_NGRAM_CAPPED,
+        doc="stop-shingle-capped n-gram Jaccard (bounded inverted index)"),
     "dedup_simhash": QuerySpec(q_dedup_simhash, ORACLE_SIMHASH,
                                headline=True, doc="SimHash banded near-dup"),
     "similarity_cosine_topk": QuerySpec(q_similarity_cosine_topk,
