@@ -125,3 +125,34 @@ def test_compact_small_files(spark, tmp_path):
     import glob
     files = [p for p in glob.glob(dst + "/*.parquet")]
     assert len(files) == 1
+
+
+def test_bloom_filter_runtime_pruning(spark):
+    """Runtime Bloom-filter row pruning: with a selective dim-side
+    filter and a shuffle join, Catalyst builds a bloom_filter_agg on
+    the dim keys and pre-filters the fact scan. Default thresholds
+    (10 GB application-side) target real clusters — the test lowers
+    them to demonstrate the rewrite at fixture scale; production
+    sessions keep the defaults and get it automatically at 100 TB."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.range(0, 100000).select(F.col("id").alias("k"))
+        dim = spark.range(0, 100000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp")) \
+            .where(F.col("grp") == 3)
+        j = li.join(dim, "k").agg(F.count("*").alias("n"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert j.collect()[0].n == 100000 // 7 + (1 if 3 < 100000 % 7 else 0)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -216,3 +216,36 @@ def test_stream_stream_interval_join(spark, tmp_path):
         assert got == {(100, 200)}
     finally:
         q.stop()
+
+
+def test_rate_source_replay_shape(spark, tmp_path):
+    """S3: the reference's round-robin replay producer (one record per
+    collection per tick, producer.py:84-99) maps onto the rate source —
+    each tick joined against a broadcast fixture by row index."""
+    fixture = spark.createDataFrame(
+        [(0, "projects"), (1, "tweets"), (2, "users")],
+        "idx long, collection string")
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", "50").load()
+            .withColumn("idx", F.col("value") % 3))
+    replay = rate.join(F.broadcast(fixture), "idx") \
+                 .select("value", "collection")
+    q = (replay.writeStream.outputMode("append").format("memory")
+         .queryName("replay_out")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        import time as _t
+        deadline = _t.time() + 30
+        n = 0
+        while _t.time() < deadline:
+            n = spark.sql("SELECT count(*) AS n FROM replay_out") \
+                     .collect()[0].n
+            if n >= 6:
+                break
+            _t.sleep(1)
+        assert n >= 6
+        got = spark.sql(
+            "SELECT DISTINCT collection FROM replay_out").collect()
+        assert {r.collection for r in got} == {"projects", "tweets", "users"}
+    finally:
+        q.stop()
