@@ -1155,6 +1155,46 @@ ORACLE_MM_FRAMES = """
 """
 
 
+def q_point_lookup_customer(spark, sf_dir):
+    """P3/S11: equality point lookup (reference show.py:55,68,82,96 —
+    find_one by key). At scale this is the case for bucketed/sorted
+    layouts: with bucketBy(c_custkey) the scan prunes to one bucket
+    file (operators/scale.py); on plain parquet, min/max row-group
+    stats skip everything else."""
+    c = _t(spark, sf_dir, "customer")
+    return (c.where(F.col("c_custkey") == 42)
+             .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"))
+
+
+ORACLE_POINT_LOOKUP = """
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey = 42
+"""
+
+
+def q_kol_project_page(spark, sf_dir):
+    """§3.3 serving composite (show.py:141-152): KOLs ⋈ projects on the
+    join key, drop/rename housekeeping (P6), equality page filter (P4)
+    — one selected nation's KOL rows with order context."""
+    kols = kol_filter(_customer_scored(spark, sf_dir))
+    o = _t(spark, sf_dir, "orders")
+    page = (kols.join(o, kols.c_custkey == o.o_custkey)
+                .where(F.col("c_nationkey") == 7)
+                .withColumnRenamed("c_name", "kol_name")
+                .drop("o_custkey", "o_comment", "o_clerk"))
+    return page.select("kol_name", "c_custkey", "influence_score",
+                       "o_orderkey", "o_totalprice")
+
+
+ORACLE_KOL_PAGE = f"""
+  SELECT c_name AS kol_name, c_custkey, influence_score,
+         o_orderkey, o_totalprice
+  FROM ({_SCORED_SQL}) k
+  JOIN orders ON c_custkey = o_custkey
+  WHERE influence_score >= 50 AND c_nationkey = 7
+"""
+
+
 def q_monthly_revenue(spark, sf_dir):
     """Calendar bucketing (date_trunc + format): monthly order revenue
     — the date-arithmetic surface the reference lacks entirely (its
@@ -1533,6 +1573,12 @@ QUERIES: dict[str, QuerySpec] = {
     "skew_salted_revenue": QuerySpec(
         q_skew_salted_revenue, ORACLE_REVENUE,
         doc="skew-salted join path (result-transparent vs plain join)"),
+    "point_lookup_customer": QuerySpec(
+        q_point_lookup_customer, ORACLE_POINT_LOOKUP,
+        doc="P3/S11 equality point lookup (stats-pruned scan)"),
+    "kol_project_page": QuerySpec(
+        q_kol_project_page, ORACLE_KOL_PAGE,
+        doc="§3.3 serving composite: join + drop/rename + page filter"),
     "monthly_revenue": QuerySpec(
         q_monthly_revenue, ORACLE_MONTHLY,
         doc="calendar date_trunc bucketing (date-arith extension)"),
