@@ -437,6 +437,39 @@ def q_engagement_change_log(spark, sf_dir):
     return engagement_change_log(e, "ts", "user_id", 600, ["value"])
 
 
+def q_engagement_log_roundtrip(spark, sf_dir):
+    """F8 (show.py:103-116): explode the map-typed engagement log back
+    to long format — numeric-sorted ts keys, positional metric access.
+    Oracle-checked, which transitively validates the map-producing
+    pipeline rows-only above."""
+    e = _t(spark, sf_dir, "events")
+    log = engagement_change_log(e, "ts", "user_id", 600, ["value"])
+    exploded = log.select(
+        "user_id",
+        F.explode("engagementChangeLogs").alias("ts_str", "arr"))
+    return exploded.select(
+        "user_id",
+        F.col("ts_str").cast("long").alias("window_start"),
+        F.round(F.element_at("arr", 1), 2).alias("sum_value"))
+
+
+ORACLE_ENGAGEMENT_ROUNDTRIP = """
+  SELECT user_id,
+         (floor(epoch(ts) / 600) * 600)::BIGINT AS window_start,
+         round(sum(coalesce(value, 0)), 2) AS sum_value
+  FROM events GROUP BY 1, 2
+"""
+
+
+def q_freq_items_priority(spark, sf_dir):
+    """Frequent-items sketch (Karp-Papadimitriou-Shenker via
+    df.stat.freqItems) — rows-only: sketch contents are
+    implementation-defined; the exact histogram twin is
+    mktsegment_histogram."""
+    o = _t(spark, sf_dir, "orders")
+    return o.stat.freqItems(["o_orderpriority"], 0.2)
+
+
 # ---------------------------------------------------------------------------
 # Extension queries: dedup / similarity / text analysis
 # ---------------------------------------------------------------------------
@@ -1488,6 +1521,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_engagement_change_log, None,
         doc="ST7 map-shaped sink (rows-only: map type not SQL-hashable)"),
     # extensions
+    "engagement_log_roundtrip": QuerySpec(
+        q_engagement_log_roundtrip, ORACLE_ENGAGEMENT_ROUNDTRIP,
+        doc="F8: map explode back to long format (validates ST7 map)"),
+    "freq_items_priority": QuerySpec(
+        q_freq_items_priority, None,
+        doc="frequent-items sketch (rows-only; exact twin: histograms)"),
     "dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT,
                              doc="exact dedup groups"),
     "dedup_exact_keepers": QuerySpec(q_dedup_exact_keepers,
