@@ -177,6 +177,37 @@ def ivf_topk(df: DataFrame, query_id: int, k: int = 10,
                     .limit(k))
 
 
+def lsh_knn_join(df: DataFrame, k: int = 3, n_planes: int = 8,
+                 dim: int = 64, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """kNN self-join: for EVERY vector, its top-k cosine neighbors
+    among same-LSH-bucket vectors (both directions of each pair).
+
+    The all-pairs kNN join is the batch-ANN workhorse (dedup,
+    clustering seeds, retrieval eval). Bucketing bounds the candidate
+    set per row — work is Σ bucket² instead of n²; the per-row top-k is
+    one rank window over the candidate pairs, shuffled once by vec_id.
+    Recall < 1 vs exact kNN (bucket-boundary misses) — n_planes trades
+    recall for cost.
+    """
+    b = lsh_buckets(df, n_planes, dim, id_col, vec_col)
+    a = b.select("bucket", F.col(id_col).alias("vec_id_a"),
+                 F.col(vec_col).alias("va"))
+    c = b.select("bucket", F.col(id_col).alias("vec_id_b"),
+                 F.col(vec_col).alias("vb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb")))
+    pairs = (a.join(c, "bucket")
+              .where(F.col("vec_id_a") != F.col("vec_id_b"))
+              .select("vec_id_a", "vec_id_b",
+                      F.floor(sim * 1e6).cast("long").alias("sim_e6")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("vec_id_a").orderBy(
+        F.col("sim_e6").desc(), F.col("vec_id_b").asc())
+    return (pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+                 .where(F.col("rnk") <= k))
+
+
 def embedding_near_duplicates(df: DataFrame, min_sim_e6: int = 950000,
                               n_planes: int = 8, dim: int = 64,
                               id_col: str = "vec_id",

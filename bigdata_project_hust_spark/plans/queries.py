@@ -708,6 +708,38 @@ def _oracle_lsh_topk() -> str:
 """
 
 
+def q_similarity_knn_join(spark, sf_dir):
+    """LSH-bucketed kNN self-join: top-3 neighbors for every vector."""
+    return similarity.lsh_knn_join(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+def _oracle_knn_join(k: int = 3) -> str:
+    planes = similarity.hyperplanes(8, 64)
+    bits = " || ".join(
+        "(CASE WHEN " + _DOT_SQL.format(
+            a="embedding",
+            b=f"[{', '.join(repr(c) for c in plane)}]::DOUBLE[]")
+        + " >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes)
+    return f"""
+  WITH b AS (SELECT vec_id, embedding, ({bits}) AS bucket FROM embeddings),
+  pairs AS (
+    SELECT a.vec_id AS vec_id_a, c.vec_id AS vec_id_b,
+           floor({_DOT_SQL.format(a='a.embedding', b='c.embedding')}
+             / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                * sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')}))
+             * 1000000)::BIGINT AS sim_e6
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+  )
+  SELECT vec_id_a, vec_id_b, sim_e6, rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id_a
+                                 ORDER BY sim_e6 DESC, vec_id_b ASC)::BIGINT
+               AS rnk
+    FROM pairs
+  ) WHERE rnk <= {k}
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup via LSH bucket self-join (≥ 0.95)."""
     return similarity.embedding_near_duplicates(
@@ -1547,6 +1579,9 @@ QUERIES: dict[str, QuerySpec] = {
     "similarity_lsh_topk": QuerySpec(q_similarity_lsh_topk,
                                      _oracle_lsh_topk(),
                                      doc="LSH-bucketed cosine ANN"),
+    "similarity_knn_join": QuerySpec(
+        q_similarity_knn_join, _oracle_knn_join(), headline=True,
+        doc="LSH kNN self-join: top-k neighbors for every vector"),
     "embedding_near_dup": QuerySpec(
         q_embedding_near_dup, None,
         doc="embedding near-dup (rows-only; LSH self-join)"),
