@@ -837,6 +837,42 @@ ORACLE_FINGERPRINT = r"""
 # these are absent there; a complete engine needs them)
 # ---------------------------------------------------------------------------
 
+def q_training_corpus_curation(spark, sf_dir):
+    """The end-to-end training-data curation pipeline the extension
+    operators exist for: quality gate (score ≥ 60) → language gate
+    (en) → exact-dedup keeper gate → per-doc token budget. One pass
+    composed entirely from the audited operators; the joins on doc_id
+    are co-partitioned (one shuffle key throughout) and the keeper set
+    join is a semi join — no payload duplication."""
+    d = _t(spark, sf_dir, "documents")
+    q = text.quality_score(d).select("doc_id", "quality", "n_tokens")
+    lang = text.lang_id(d).select("doc_id", "lang_pred")
+    keepers = (d.select(F.md5(F.col("text")).alias("text_md5"), "doc_id")
+                .groupBy("text_md5")
+                .agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id"))
+    kept = (q.join(lang, "doc_id")
+             .join(keepers, "doc_id", "left_semi")
+             .where((F.col("quality") >= 60)
+                    & (F.col("lang_pred") == "en"))
+             .select("doc_id", "quality", "n_tokens"))
+    return kept
+
+
+ORACLE_CURATION = f"""
+  WITH q AS ({ORACLE_QUALITY}),
+  l AS ({ORACLE_LANG}),
+  keep AS (
+    SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+  )
+  SELECT q.doc_id, q.quality, q.n_tokens
+  FROM q
+  JOIN l ON q.doc_id = l.doc_id
+  JOIN keep ON q.doc_id = keep.doc_id
+  WHERE q.quality >= 60 AND l.lang_pred = 'en'
+"""
+
+
 def q_window_running_totals(spark, sf_dir):
     """Analytic functions: running sum + row_number + lag over a
     per-customer window (one shuffle on the partition key)."""
@@ -1593,6 +1629,9 @@ QUERIES: dict[str, QuerySpec] = {
     "text_fingerprint": QuerySpec(q_text_fingerprint, ORACLE_FINGERPRINT,
                                   doc="document fingerprint"),
     # batch 2: analytic/OLAP extensions
+    "training_corpus_curation": QuerySpec(
+        q_training_corpus_curation, ORACLE_CURATION, headline=True,
+        doc="end-to-end curation: quality ∧ lang ∧ dedup-keeper gates"),
     "window_running_totals": QuerySpec(q_window_running_totals,
                                        ORACLE_RUNNING, headline=True,
                                        doc="rank/lag/running-sum window"),
