@@ -249,3 +249,49 @@ def test_rate_source_replay_shape(spark, tmp_path):
         assert {r.collection for r in got} == {"projects", "tweets", "users"}
     finally:
         q.stop()
+
+
+def test_speed_layer_end_to_end(spark, tmp_path):
+    """§3.1 lifecycle: streamed twitter_users JSON → preprocess chain
+    (F2 rewrite + P1 projection + F1 score) → P2 KOL filter →
+    foreachBatch upsert store. The same preprocess_users function runs
+    in batch queries — parity by construction."""
+    import json as _json
+    from bigdata_project_hust_spark.operators.projections import (
+        kol_filter, preprocess_users)
+    from bigdata_project_hust_spark.schemas import TWITTER_USERS
+    from bigdata_project_hust_spark.streaming.sinks import KeyedParquetStore
+
+    src = tmp_path / "users"
+    src.mkdir()
+    users = [
+        # score = 200*0.5 + 10*0.3 - 5*0.2 = 102 → KOL; name rewritten
+        {"_id": "u1", "userName": "twitter_fan", "url": "http://x/u1",
+         "followersCount": 200, "statusesCount": 10, "friendsCount": 5,
+         "blue": True, "location": "VN"},
+        # score = 20*0.5 = 10 → not a KOL
+        {"_id": "u2", "userName": "small", "url": "http://x/u2",
+         "followersCount": 20, "statusesCount": None, "friendsCount": None,
+         "blue": None, "location": None},
+        # boundary: exactly 50 → KOL (>= threshold)
+        {"_id": "u3", "userName": "edge", "url": "http://x/u3",
+         "followersCount": 100, "statusesCount": 0, "friendsCount": 0,
+         "blue": False, "location": "US"},
+    ]
+    with open(src / "batch0.json", "w") as f:
+        for u in users:
+            f.write(_json.dumps(u) + "\n")
+
+    store = KeyedParquetStore(spark, str(tmp_path / "kols"), "_id")
+    stream = json_file_stream(spark, str(src), TWITTER_USERS)
+    kols = kol_filter(preprocess_users(stream))
+    q = (kols.writeStream.outputMode("append")
+         .foreachBatch(lambda df, eid: store.upsert_replace(df, eid))
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    got = {r["_id"]: r for r in store.read().collect()}
+    assert set(got) == {"u1", "u3"}
+    assert got["u1"]["userName"] == "x_fan"          # F2 value rewrite
+    assert got["u1"]["influence_score"] == 102.0
+    assert got["u3"]["influence_score"] == 50.0      # inclusive boundary
