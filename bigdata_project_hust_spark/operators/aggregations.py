@@ -66,18 +66,24 @@ def merge_aggregate(prev: DataFrame, batch: DataFrame, key: str,
     aggregates == aggregating the concatenation.
     """
     p = prev.select(
-        F.col(key),
+        F.col(key).alias("__p_k"),
         F.col(count_col).alias("__p_cnt"),
         *[F.col(c).alias(f"__p_s_{c}") for c in sum_cols],
         *[F.col(c).alias(f"__p_m_{c}") for c in max_cols],
     )
     b = batch.select(
-        F.col(key),
+        F.col(key).alias("__b_k"),
         F.col(count_col).alias("__b_cnt"),
         *[F.col(c).alias(f"__b_s_{c}") for c in sum_cols],
         *[F.col(c).alias(f"__b_m_{c}") for c in max_cols],
     )
-    joined = p.join(b, key, "full_outer")
+    # null-safe equality: a null group key (groupBy puts all nulls in
+    # one group) must MERGE across batches — a plain equi-join would
+    # emit two disjoint null-key rows and split the totals forever
+    joined = (p.join(b, F.col("__p_k").eqNullSafe(F.col("__b_k")),
+                     "full_outer")
+               .withColumn(key, F.coalesce(F.col("__p_k"),
+                                           F.col("__b_k"))))
     out = [F.col(key), (nz("__p_cnt") + nz("__b_cnt")).alias(count_col)]
     out += [(nz(f"__p_s_{c}") + nz(f"__b_s_{c}")).alias(c) for c in sum_cols]
     # greatest() skips nulls (absent side), which is the correct $max

@@ -20,7 +20,12 @@ from ..functions.scalar import stable_hash64
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ in double precision, sequential fold (deterministic)."""
+    """Σ aᵢ·bᵢ in double precision, sequential fold (deterministic).
+
+    Caveat: zip_with null-pads the shorter array, so a length mismatch
+    (e.g. a ``dim`` param that disagrees with the stored embedding
+    width) null-poisons the product instead of erroring — callers must
+    pass the true dimension."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v)
@@ -190,13 +195,16 @@ def lsh_knn_join(df: DataFrame, k: int = 3, n_planes: int = 8,
     Recall < 1 vs exact kNN (bucket-boundary misses) — n_planes trades
     recall for cost.
     """
-    b = lsh_buckets(df, n_planes, dim, id_col, vec_col)
+    # each vector's norm computed ONCE here, not once per candidate
+    # pair (a bucket of m vectors has ~m² pairs — per-pair norm folds
+    # triple the dominant cost; same double value, bit-identical sims)
+    b = lsh_buckets(df, n_planes, dim, id_col, vec_col) \
+        .withColumn("__nrm", _norm(F.col(vec_col)))
     a = b.select("bucket", F.col(id_col).alias("vec_id_a"),
-                 F.col(vec_col).alias("va"))
+                 F.col(vec_col).alias("va"), F.col("__nrm").alias("na"))
     c = b.select("bucket", F.col(id_col).alias("vec_id_b"),
-                 F.col(vec_col).alias("vb"))
-    sim = _dot(F.col("va"), F.col("vb")) / (
-        _norm(F.col("va")) * _norm(F.col("vb")))
+                 F.col(vec_col).alias("vb"), F.col("__nrm").alias("nb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     pairs = (a.join(c, "bucket")
               .where(F.col("vec_id_a") != F.col("vec_id_b"))
               .select("vec_id_a", "vec_id_b",
@@ -214,15 +222,18 @@ def embedding_near_duplicates(df: DataFrame, min_sim_e6: int = 950000,
                               vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-dup: LSH-bucket self-join (only within a
     bucket — no all-pairs), exact cosine verify >= threshold."""
-    b = lsh_buckets(df, n_planes, dim, id_col, vec_col)
+    b = lsh_buckets(df, n_planes, dim, id_col, vec_col) \
+        .withColumn("__nrm", _norm(F.col(vec_col)))   # once per vector
     a = b.select(F.col("bucket"), F.col(id_col).alias("doc_a"),
-                 F.col(vec_col).alias("va"))
+                 F.col(vec_col).alias("va"), F.col("__nrm").alias("na"))
     c = b.select(F.col("bucket"), F.col(id_col).alias("doc_b"),
-                 F.col(vec_col).alias("vb"))
-    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+                 F.col(vec_col).alias("vb"), F.col("__nrm").alias("nb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # no .distinct(): each vector has exactly ONE bucket (single
+    # concatenated bit-string), so the self-join cannot duplicate a
+    # pair — unlike the banded MinHash/SimHash joins
     return (a.join(c, "bucket")
              .where(F.col("doc_a") < F.col("doc_b"))
              .select("doc_a", "doc_b",
                      F.floor(sim * 1e6).cast("long").alias("sim_e6"))
-             .where(F.col("sim_e6") >= min_sim_e6)
-             .distinct())
+             .where(F.col("sim_e6") >= min_sim_e6))

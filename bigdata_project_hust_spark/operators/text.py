@@ -113,8 +113,10 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     At 100 TB the only wide exchange is the (doc, term) aggregation;
     term→df is orders of magnitude smaller (vocabulary-sized) and stays
     broadcast."""
+    # toks feeds BOTH aggregations — persist, or the tokenize+explode
+    # of the whole corpus runs twice (same convention as dedup.py)
     toks = df.select(F.col(id_col),
-                     F.explode(tokens(text_col)).alias("term"))
+                     F.explode(tokens(text_col)).alias("term")).persist()
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     docfreq = (toks.groupBy("term")
                    .agg(F.count_distinct(F.col(id_col)).alias("df_docs")))

@@ -993,7 +993,7 @@ def q_sessionize_events(spark, sf_dir):
 
 ORACLE_SESSIONIZE = """
   WITH flagged AS (
-    SELECT user_id, floor(epoch(ts))::BIGINT AS ts_s,
+    SELECT user_id, ts, event_id, floor(epoch(ts))::BIGINT AS ts_s,
            lag(floor(epoch(ts))::BIGINT) OVER (
              PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
     FROM events
@@ -1002,7 +1002,7 @@ ORACLE_SESSIONIZE = """
     SELECT user_id, ts_s,
            sum(CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800
                     THEN 1 ELSE 0 END) OVER (
-             PARTITION BY user_id ORDER BY ts_s
+             PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS session_id
     FROM flagged
@@ -1036,7 +1036,7 @@ def q_session_window_events(spark, sf_dir):
 
 ORACLE_SESSION_WINDOW = """
   WITH flagged AS (
-    SELECT user_id, floor(epoch(ts))::BIGINT AS ts_s,
+    SELECT user_id, ts, event_id, floor(epoch(ts))::BIGINT AS ts_s,
            lag(floor(epoch(ts))::BIGINT) OVER (
              PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
     FROM events
@@ -1045,7 +1045,7 @@ ORACLE_SESSION_WINDOW = """
     SELECT user_id, ts_s,
            sum(CASE WHEN prev_s IS NULL OR ts_s - prev_s >= 1800
                     THEN 1 ELSE 0 END) OVER (
-             PARTITION BY user_id ORDER BY ts_s
+             PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS session_id
     FROM flagged
@@ -1169,19 +1169,29 @@ ORACLE_TPCH_Q3 = """
 
 def q_json_roundtrip(spark, sf_dir):
     """to_json(struct(...)) serialization (F6) — schema-stable JSON
-    emission for downstream sinks."""
+    emission for downstream sinks.
+
+    Cross-engine hardening: nulls are filtered (Spark's to_json OMITS
+    null fields while a SQL '||' chain nulls the whole string) and the
+    double is emitted as integer cents (Java prints large doubles in
+    scientific notation, DuckDB doesn't)."""
     e = _t(spark, sf_dir, "events")
-    return e.select(
-        "event_id",
-        F.to_json(F.struct(F.col("event_type"), F.col("value")))
-         .alias("js"))
+    return (e.where(F.col("event_type").isNotNull()
+                    & F.col("value").isNotNull())
+             .select(
+                 "event_id",
+                 F.to_json(F.struct(
+                     F.col("event_type"),
+                     F.round(F.col("value") * 100).cast("long")
+                      .alias("value_e2"))).alias("js")))
 
 
 ORACLE_JSON_ROUNDTRIP = """
   SELECT event_id,
-         '{"event_type":"' || event_type || '","value":' || value || '}'
-           AS js
+         '{"event_type":"' || event_type || '","value_e2":'
+           || round(value * 100)::BIGINT || '}' AS js
   FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
 """
 
 

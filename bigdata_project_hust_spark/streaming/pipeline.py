@@ -45,12 +45,16 @@ def kafka_stream(spark: SparkSession, brokers: str, topics: str,
 
 def dedup_stream(df: DataFrame, key_cols: list[str], ts_col: str,
                  watermark: str = "10 minutes") -> DataFrame:
-    """ST2: insert-if-absent dedup. The reference dedups against all of
-    Mongo history (consumer1.py:126-131) — unbounded state. We bound it
-    with a watermark: duplicates arriving later than the watermark are
-    NOT dropped (documented semantic delta, SURVEY §7.3)."""
+    """ST2: insert-if-absent dedup BY KEY — a later record with the
+    same key is dropped even if its payload/timestamp differs, exactly
+    the reference's find_one-then-skip (consumer1.py:126-131).
+    (Deduping on key+ts instead would silently pass key re-emissions
+    with refreshed timestamps — a much larger delta than the watermark
+    one.) The reference dedups against all of Mongo history — unbounded
+    state; we bound it with a watermark: duplicates arriving later than
+    the watermark are NOT dropped (documented delta, SURVEY §7.3)."""
     return (df.withWatermark(ts_col, watermark)
-              .dropDuplicates(key_cols + [ts_col]))
+              .dropDuplicates(key_cols))
 
 
 def incremental_author_totals(df: DataFrame, author_col: str,

@@ -49,24 +49,29 @@ class KeyedParquetStore:
         final = self.spark.read.parquet(tmp)
         final.write.mode("overwrite").parquet(self.path)
 
-    def upsert_replace(self, batch: DataFrame, epoch_id: int = -1) -> None:
-        """S6/S7: replace rows by key (new batch wins)."""
-        if epoch_id in self._applied_epochs:
+    def upsert_replace(self, batch: DataFrame,
+                       epoch_id: int | None = None) -> None:
+        """S6/S7: replace rows by key (new batch wins). ``epoch_id``
+        None = no exactly-once tracking (plain batch callers) — a
+        sentinel default would silently drop every second call."""
+        if epoch_id is not None and epoch_id in self._applied_epochs:
             return
         prev = self.read()
         out = batch if prev is None else anti_join(
             prev, batch, self.key).unionByName(batch)
         self._write(out)
-        self._applied_epochs.add(epoch_id)
+        if epoch_id is not None:
+            self._applied_epochs.add(epoch_id)
 
     def upsert_merge(self, batch: DataFrame, sum_cols: list[str],
                      max_cols: list[str], count_col: str,
-                     epoch_id: int = -1) -> None:
+                     epoch_id: int | None = None) -> None:
         """A2/ST6: $inc sums & counts, $max maxes, insert new keys."""
-        if epoch_id in self._applied_epochs:
+        if epoch_id is not None and epoch_id in self._applied_epochs:
             return
         prev = self.read()
         out = batch if prev is None else merge_aggregate(
             prev, batch, self.key, sum_cols, max_cols, count_col)
         self._write(out)
-        self._applied_epochs.add(epoch_id)
+        if epoch_id is not None:
+            self._applied_epochs.add(epoch_id)

@@ -211,3 +211,17 @@ def test_asof_join_matches_bruteforce(spark):
             # accept ties on rts
             tied = {(oid, px) for rts2, oid, px in cands if rts2 == rts}
             assert got[eid] in tied, eid
+
+
+def test_merge_aggregate_null_key_merges(spark):
+    """Null group keys (one group per groupBy batch) must MERGE across
+    batches, not split into disjoint null rows (eqNullSafe join)."""
+    from bigdata_project_hust_spark.operators.aggregations import (
+        merge_aggregate)
+    prev = spark.createDataFrame([(None, 2, 10.0, 7.0), ("a", 1, 1.0, 1.0)],
+                                 "k string, cnt long, sv double, mv double")
+    batch = spark.createDataFrame([(None, 3, 5.0, 9.0)],
+                                  "k string, cnt long, sv double, mv double")
+    out = merge_aggregate(prev, batch, "k", ["sv"], ["mv"], "cnt")
+    rows = {r.k: (r.cnt, r.sv, r.mv) for r in out.collect()}
+    assert rows == {None: (5, 15.0, 9.0), "a": (1, 1.0, 1.0)}
