@@ -1167,6 +1167,90 @@ ORACLE_TPCH_Q3 = """
 """
 
 
+def q_tpch_q5_shape(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join (lineitem ⋈ orders ⋈ customer ⋈
+    supplier ⋈ nation ⋈ region) with the local-supplier constraint
+    (c_nationkey = s_nationkey), region filter, revenue per nation.
+    The fact side joins the orders via shuffle-or-broadcast (AQE
+    decides by size); nation/region stay broadcast at any SF."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01"))
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(c, o.o_custkey == c.c_custkey)
+           .join(s, (li.l_suppkey == s.s_suppkey)
+                 & (c.c_nationkey == s.s_nationkey))
+           .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (j.groupBy("n_name")
+             .agg(F.round(F.sum(F.col("l_extendedprice")
+                                * (F.lit(1) - F.col("l_discount"))), 2)
+                   .alias("revenue"))
+             .orderBy(F.col("revenue").desc(), F.col("n_name").asc()))
+
+
+ORACLE_TPCH_Q5 = """
+  SELECT n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY n_name
+  ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q_intersect_buyer_supplier_nations(spark, sf_dir):
+    """Set op (INTERSECT): nations present on BOTH the customer and
+    supplier sides — map-side partial distinct, one shuffle each."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+ORACLE_INTERSECT = """
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+"""
+
+
+def q_moving_sum_orders(spark, sf_dir):
+    """Bounded window frame: per-customer trailing-3-order spend
+    (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — the frame variant the
+    unbounded running-totals query doesn't cover."""
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+               .orderBy(F.col("o_orderdate").asc(),
+                        F.col("o_orderkey").asc())
+               .rowsBetween(-2, 0))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing3_spend"))
+
+
+ORACLE_MOVING_SUM = """
+  SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+           AS trailing3_spend
+  FROM orders
+"""
+
+
 def q_json_roundtrip(spark, sf_dir):
     """to_json(struct(...)) serialization (F6) — schema-stable JSON
     emission for downstream sinks.
@@ -1672,6 +1756,15 @@ QUERIES: dict[str, QuerySpec] = {
                                     doc="explode + frequency top-k"),
     "tpch_q3_shape": QuerySpec(q_tpch_q3_shape, ORACLE_TPCH_Q3,
                                headline=True, doc="TPC-H Q3 shape"),
+    "tpch_q5_shape": QuerySpec(q_tpch_q5_shape, ORACLE_TPCH_Q5,
+                               headline=True,
+                               doc="TPC-H Q5 shape (6-way join)"),
+    "intersect_buyer_supplier_nations": QuerySpec(
+        q_intersect_buyer_supplier_nations, ORACLE_INTERSECT,
+        doc="INTERSECT set op"),
+    "moving_sum_orders": QuerySpec(
+        q_moving_sum_orders, ORACLE_MOVING_SUM,
+        doc="bounded window frame (trailing-3 sum)"),
     "json_roundtrip": QuerySpec(q_json_roundtrip, ORACLE_JSON_ROUNDTRIP,
                                 doc="to_json serialization"),
     "multimodal_decode_meta": QuerySpec(
