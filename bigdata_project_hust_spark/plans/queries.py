@@ -1226,6 +1226,33 @@ ORACLE_INTERSECT = """
 """
 
 
+def q_customer_analytics(spark, sf_dir):
+    """Analytic-function breadth in one window pass: quartile (ntile),
+    percent_rank scaled to exact e6 ints, and the segment's top
+    customer (first_value) — all over one (segment, balance) ordering,
+    so Catalyst evaluates them in a single Window operator."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_mktsegment", "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.floor(F.percent_rank().over(w) * 1e6).cast("long")
+         .alias("pct_rank_e6"),
+        F.first_value(F.col("c_custkey")).over(w).alias("segment_top"))
+
+
+ORACLE_ANALYTICS = """
+  SELECT c_mktsegment, c_custkey,
+         ntile(4) OVER w AS quartile,
+         floor(percent_rank() OVER w * 1000000)::BIGINT AS pct_rank_e6,
+         first_value(c_custkey) OVER w AS segment_top
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
 def q_moving_sum_orders(spark, sf_dir):
     """Bounded window frame: per-customer trailing-3-order spend
     (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — the frame variant the
@@ -1762,6 +1789,9 @@ QUERIES: dict[str, QuerySpec] = {
     "intersect_buyer_supplier_nations": QuerySpec(
         q_intersect_buyer_supplier_nations, ORACLE_INTERSECT,
         doc="INTERSECT set op"),
+    "customer_analytics": QuerySpec(
+        q_customer_analytics, ORACLE_ANALYTICS,
+        doc="analytic fns: ntile + percent_rank + first_value"),
     "moving_sum_orders": QuerySpec(
         q_moving_sum_orders, ORACLE_MOVING_SUM,
         doc="bounded window frame (trailing-3 sum)"),
