@@ -1226,6 +1226,26 @@ ORACLE_INTERSECT = """
 """
 
 
+def q_unpivot_customer_counters(spark, sf_dir):
+    """Unpivot/melt (inverse of pivot_priority_status): customer
+    numeric columns to (key, metric, value) long format — narrow
+    map-side reshape, no shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    return c.unpivot(
+        "c_custkey",
+        [F.col("c_acctbal").cast("double").alias("acctbal"),
+         F.col("c_nationkey").cast("double").alias("nationkey")],
+        "metric", "value")
+
+
+ORACLE_UNPIVOT = """
+  SELECT c_custkey, 'acctbal' AS metric, c_acctbal::DOUBLE AS value
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'nationkey', c_nationkey::DOUBLE FROM customer
+"""
+
+
 def q_customer_analytics(spark, sf_dir):
     """Analytic-function breadth in one window pass: quartile (ntile),
     percent_rank scaled to exact e6 ints, and the segment's top
@@ -1789,6 +1809,9 @@ QUERIES: dict[str, QuerySpec] = {
     "intersect_buyer_supplier_nations": QuerySpec(
         q_intersect_buyer_supplier_nations, ORACLE_INTERSECT,
         doc="INTERSECT set op"),
+    "unpivot_customer_counters": QuerySpec(
+        q_unpivot_customer_counters, ORACLE_UNPIVOT,
+        doc="unpivot/melt wide→long (no-shuffle reshape)"),
     "customer_analytics": QuerySpec(
         q_customer_analytics, ORACLE_ANALYTICS,
         doc="analytic fns: ntile + percent_rank + first_value"),
