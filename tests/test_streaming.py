@@ -295,3 +295,35 @@ def test_speed_layer_end_to_end(spark, tmp_path):
     assert got["u1"]["userName"] == "x_fan"          # F2 value rewrite
     assert got["u1"]["influence_score"] == 102.0
     assert got["u3"]["influence_score"] == 50.0      # inclusive boundary
+
+
+def test_stateful_alerts_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState state lives in the checkpoint: restart
+    the query, feed more data, and a key that already alerted must NOT
+    re-alert; a key that accumulated below threshold pre-restart must
+    alert once its post-restart total crosses."""
+    from bigdata_project_hust_spark.streaming.pipeline import (
+        stateful_threshold_alerts)
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    _write_events(src, "a.json", [(1, "2024-01-01 00:00:01", 1, 60.0),
+                                  (2, "2024-01-01 00:00:02", 2, 30.0)])
+    out = str(tmp_path / "alerts_out")
+
+    def run_once():
+        stream = json_file_stream(spark, src, EVENT_SCHEMA)
+        alerts = stateful_threshold_alerts(stream, "user_id", "value", 50.0)
+        q = (alerts.writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ck).start())
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()                                   # user 1 alerts (60)
+    _write_events(src, "b.json", [(3, "2024-01-01 00:00:03", 1, 5.0),
+                                  (4, "2024-01-01 00:00:04", 2, 25.0)])
+    run_once()                                   # restart from checkpoint
+    got = {}
+    for r in spark.read.parquet(out).collect():
+        got.setdefault(r.user_id, []).append(r.total)
+    # one alert per key across BOTH runs: user 1 only pre-restart (60),
+    # user 2 only post-restart (30+25=55) — no re-alert after resume
+    assert got == {1: [60.0], 2: [55.0]}

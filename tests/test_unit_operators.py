@@ -225,3 +225,19 @@ def test_merge_aggregate_null_key_merges(spark):
     out = merge_aggregate(prev, batch, "k", ["sv"], ["mv"], "cnt")
     rows = {r.k: (r.cnt, r.sv, r.mv) for r in out.collect()}
     assert rows == {None: (5, 15.0, 9.0), "a": (1, 1.0, 1.0)}
+
+
+def test_multimodal_partition_invariance(spark):
+    """mapInPandas operators must be partitioning-invariant: the same
+    media table processed as 1 vs 8 partitions yields identical rows
+    (the Arrow batch boundaries change, the results must not)."""
+    from pyspark.sql import functions as F
+    from bigdata_project_hust_spark.operators.multimodal import (
+        extract_features, resize_images)
+    rows = [(i, "image", bytes(f"payload-{i}" * (i % 5 + 1), "ascii"))
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "asset_id long, kind string, payload binary")
+    for op in (extract_features, resize_images):
+        one = sorted(map(tuple, op(df.coalesce(1)).collect()))
+        many = sorted(map(tuple, op(df.repartition(8)).collect()))
+        assert one == many and len(one) == 50
