@@ -1226,6 +1226,58 @@ ORACLE_INTERSECT = """
 """
 
 
+def q_nation_name_lists(spark, sf_dir):
+    """Array aggregation: per-nation sorted list of its 5 alphabetically
+    first customer names (collect_list is order-nondeterministic →
+    array_sort + slice makes it canonical and keeps the array small)."""
+    c = _t(spark, sf_dir, "customer")
+    return (c.groupBy("c_nationkey")
+             .agg(F.slice(F.array_sort(F.collect_list("c_name")), 1, 5)
+                   .alias("first_names"),
+                  F.count("*").alias("n_customers")))
+
+
+ORACLE_NAME_LISTS = """
+  SELECT c_nationkey,
+         list_sort(list(c_name))[1:5] AS first_names,
+         count(*) AS n_customers
+  FROM customer GROUP BY c_nationkey
+"""
+
+
+def q_variance_acctbal_exact(spark, sf_dir):
+    """Exact variance via integer moments: balances as cents (longs),
+    emit n, Σx, and the variance numerator n·Σx² − (Σx)² — all BIGINT,
+    bit-exact on any engine (a double stddev can never hash-match
+    across engines; the moments carry the same information and
+    max |x| ≈ 1e6 cents ⇒ Σx² ≈ 3e15 per group, inside int64)."""
+    c = _t(spark, sf_dir, "customer")
+    x = F.round(F.col("c_acctbal") * 100).cast("long")
+    g = (c.select("c_mktsegment", x.alias("x"))
+          .groupBy("c_mktsegment")
+          .agg(F.count("*").alias("n"),
+               F.sum("x").alias("sum_e2"),
+               F.sum(F.col("x") * F.col("x")).alias("sum_sq_e4")))
+    return g.select(
+        "c_mktsegment", "n", "sum_e2",
+        (F.col("n") * F.col("sum_sq_e4")
+         - F.col("sum_e2") * F.col("sum_e2")).alias("var_num_e4"))
+
+
+ORACLE_VARIANCE = """
+  WITH m AS (
+    SELECT c_mktsegment, count(*)::BIGINT AS n,
+           sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS sum_e2,
+           sum(round(c_acctbal * 100)::BIGINT
+               * round(c_acctbal * 100)::BIGINT)::BIGINT AS sum_sq_e4
+    FROM customer GROUP BY c_mktsegment
+  )
+  SELECT c_mktsegment, n, sum_e2,
+         (n * sum_sq_e4 - sum_e2 * sum_e2)::BIGINT AS var_num_e4
+  FROM m
+"""
+
+
 def q_unpivot_customer_counters(spark, sf_dir):
     """Unpivot/melt (inverse of pivot_priority_status): customer
     numeric columns to (key, metric, value) long format — narrow
@@ -1809,6 +1861,12 @@ QUERIES: dict[str, QuerySpec] = {
     "intersect_buyer_supplier_nations": QuerySpec(
         q_intersect_buyer_supplier_nations, ORACLE_INTERSECT,
         doc="INTERSECT set op"),
+    "nation_name_lists": QuerySpec(
+        q_nation_name_lists, ORACLE_NAME_LISTS,
+        doc="array agg: canonical sorted collect_list"),
+    "variance_acctbal_exact": QuerySpec(
+        q_variance_acctbal_exact, ORACLE_VARIANCE,
+        doc="exact variance via integer moments (bit-exact stddev info)"),
     "unpivot_customer_counters": QuerySpec(
         q_unpivot_customer_counters, ORACLE_UNPIVOT,
         doc="unpivot/melt wide→long (no-shuffle reshape)"),
