@@ -1226,6 +1226,51 @@ ORACLE_INTERSECT = """
 """
 
 
+def q_string_features(spark, sf_dir):
+    """String-function breadth: case mapping, padding, slicing, length,
+    edit distance — all JVM-side codegen'd expressions."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.upper(F.col("n_name")).alias("upper_name"),
+        F.lpad(F.col("n_name"), 16, ".").alias("padded"),
+        F.substring(F.col("n_name"), 1, 3).alias("prefix3"),
+        F.length(F.col("n_name")).cast("long").alias("name_len"),
+        F.levenshtein(F.col("n_name"), F.lit("UNITED STATES"))
+         .cast("long").alias("dist_us"))
+
+
+ORACLE_STRING_FEATURES = """
+  SELECT n_nationkey,
+         upper(n_name) AS upper_name,
+         lpad(n_name, 16, '.') AS padded,
+         substring(n_name, 1, 3) AS prefix3,
+         length(n_name)::BIGINT AS name_len,
+         levenshtein(n_name, 'UNITED STATES')::BIGINT AS dist_us
+  FROM nation
+"""
+
+
+def q_ship_latency_histogram(spark, sf_dir):
+    """Date arithmetic: order→ship latency in whole days (exact ints),
+    histogrammed — datediff breadth the reference lacks (§1.2b)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return (j.select(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+                      .cast("long").alias("latency_days"))
+             .groupBy("latency_days")
+             .agg(F.count("*").alias("n_lineitems")))
+
+
+ORACLE_SHIP_LATENCY = """
+  SELECT date_diff('day', o_orderdate, l_shipdate)::BIGINT AS latency_days,
+         count(*) AS n_lineitems
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+"""
+
+
 def q_nation_name_lists(spark, sf_dir):
     """Array aggregation: per-nation sorted list of its 5 alphabetically
     first customer names (collect_list is order-nondeterministic →
@@ -1861,6 +1906,12 @@ QUERIES: dict[str, QuerySpec] = {
     "intersect_buyer_supplier_nations": QuerySpec(
         q_intersect_buyer_supplier_nations, ORACLE_INTERSECT,
         doc="INTERSECT set op"),
+    "string_features": QuerySpec(
+        q_string_features, ORACLE_STRING_FEATURES,
+        doc="string fns: case/pad/slice/length/levenshtein"),
+    "ship_latency_histogram": QuerySpec(
+        q_ship_latency_histogram, ORACLE_SHIP_LATENCY,
+        doc="date arithmetic: datediff histogram"),
     "nation_name_lists": QuerySpec(
         q_nation_name_lists, ORACLE_NAME_LISTS,
         doc="array agg: canonical sorted collect_list"),
