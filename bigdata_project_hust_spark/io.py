@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .schemas import DRIVER_TABLES
 
@@ -127,6 +127,23 @@ def compact_files(spark: SparkSession, src: str, dst: str,
     n_out = max(1, -(-total // target_bytes))   # ceil
     df.coalesce(n_out).write.mode("overwrite").parquet(dst)
     return n_out
+
+
+def write_sorted(df: DataFrame, path: str, sort_col: str,
+                 n_files: int = 8, mode: str = "overwrite") -> None:
+    """Range-partitioned, within-file-sorted parquet layout.
+
+    ``repartitionByRange`` gives each output file a disjoint key range
+    and ``sortWithinPartitions`` orders rows inside it, so every parquet
+    row group carries tight min/max stats on ``sort_col`` — a point or
+    range predicate then skips all but the covering file(s) at scan
+    time (stats pruning), the poor-man's clustered index. This is the
+    layout step a 100 TB table keyed by time or id should get once at
+    ingest.
+    """
+    (df.repartitionByRange(n_files, F.col(sort_col))
+       .sortWithinPartitions(sort_col)
+       .write.mode(mode).parquet(path))
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = (),

@@ -1226,6 +1226,27 @@ ORACLE_INTERSECT = """
 """
 
 
+def q_revenue_decimal_exact(spark, sf_dir):
+    """DecimalType arithmetic (absent from the reference, §2.10): cast
+    money to DECIMAL(18,2) BEFORE summing — exact decimal aggregation
+    on both engines, no floating rounding anywhere. The double-sum
+    twins elsewhere round at the output; this one never leaves exact
+    arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (o.groupBy("o_orderstatus")
+             .agg(F.sum(dec).cast("decimal(18,2)").alias("revenue_dec"),
+                  F.count("*").alias("n_orders")))
+
+
+ORACLE_REVENUE_DECIMAL = """
+  SELECT o_orderstatus,
+         sum(o_totalprice::DECIMAL(18,2))::DECIMAL(18,2) AS revenue_dec,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_orderstatus
+"""
+
+
 def q_string_features(spark, sf_dir):
     """String-function breadth: case mapping, padding, slicing, length,
     edit distance — all JVM-side codegen'd expressions."""
@@ -1906,6 +1927,9 @@ QUERIES: dict[str, QuerySpec] = {
     "intersect_buyer_supplier_nations": QuerySpec(
         q_intersect_buyer_supplier_nations, ORACLE_INTERSECT,
         doc="INTERSECT set op"),
+    "revenue_decimal_exact": QuerySpec(
+        q_revenue_decimal_exact, ORACLE_REVENUE_DECIMAL,
+        doc="DecimalType exact aggregation (no FP rounding)"),
     "string_features": QuerySpec(
         q_string_features, ORACLE_STRING_FEATURES,
         doc="string fns: case/pad/slice/length/levenshtein"),

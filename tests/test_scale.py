@@ -156,3 +156,29 @@ def test_bloom_filter_runtime_pruning(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_write_sorted_gives_disjoint_stats(spark, tmp_path):
+    """write_sorted → every output file covers a disjoint key range
+    with tight row-group min/max stats (the stats-pruning layout)."""
+    import glob
+    import pyarrow.parquet as pq
+    from bigdata_project_hust_spark.io import write_sorted
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v"))
+    path = str(tmp_path / "sorted")
+    write_sorted(df, path, "k", n_files=4)
+    ranges = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.read_metadata(f)
+        stats = [md.row_group(i).column(0).statistics
+                 for i in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in stats),
+                       max(s.max for s in stats)))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "file key ranges must be disjoint"
+    # and the read side prunes: a point predicate touches one file
+    got = spark.read.parquet(path).where(F.col("k") == 4242)
+    assert got.count() == 1

@@ -241,3 +241,48 @@ def test_multimodal_partition_invariance(spark):
         one = sorted(map(tuple, op(df.coalesce(1)).collect()))
         many = sorted(map(tuple, op(df.repartition(8)).collect()))
         assert one == many and len(one) == 50
+
+
+def test_sessionize_matches_bruteforce(spark):
+    """Differential test: sessionize (lag + cumsum windows) vs a naive
+    single-threaded gap walk on seeded-random data with duplicate
+    timestamps (the tie case the oracle tiebreak fix addressed)."""
+    import random
+    from bigdata_project_hust_spark.operators.windows import sessionize
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    for _ in range(150):
+        eid += 1
+        rows.append((eid, rng.randint(1, 4),
+                     rng.choice([0, 1, 2, 5, 10, 10, 40]) * 1000))
+    df = spark.createDataFrame(
+        [(e, k, f"2024-01-01 00:00:00", s) for e, k, s in rows],
+        "event_id long, user_id long, base string, off long"
+    ).select("event_id", "user_id",
+             (F.unix_timestamp("base") + F.col("off")).cast("timestamp")
+             .alias("ts"))
+    got = {(r.user_id, r.session_id): (r.n_events, r.session_start_s,
+                                       r.session_end_s)
+           for r in sessionize(df, "user_id", "ts", 1800,
+                               "event_id").collect()}
+    # brute force: sort by (ts, event_id) per user, walk gaps
+    import collections
+    base = 1704067200  # 2024-01-01 UTC
+    per_user = collections.defaultdict(list)
+    for e, k, s in rows:
+        per_user[k].append((base + s, e))
+    want = {}
+    for k, evs in per_user.items():
+        evs.sort()
+        sid, n, start, prev = 0, 0, None, None
+        for ts, _ in evs:
+            if prev is None or ts - prev > 1800:
+                if sid:
+                    want[(k, sid)] = (n, start, prev)
+                sid += 1
+                n, start = 0, ts
+            n += 1
+            prev = ts
+        want[(k, sid)] = (n, start, prev)
+    assert got == want
