@@ -286,3 +286,28 @@ def test_sessionize_matches_bruteforce(spark):
             prev = ts
         want[(k, sid)] = (n, start, prev)
     assert got == want
+
+
+def test_empty_input_flows_through_operators(spark):
+    """P8 re-expressed: the reference guarded every stage with
+    rdd.isEmpty() (consumer2.py:125,137,167,250 — an extra job per
+    check); here empty frames flow through every operator class and
+    produce empty, correctly-typed results without special-casing."""
+    from pyspark.sql import types as T
+    from bigdata_project_hust_spark.operators import dedup, text
+    from bigdata_project_hust_spark.operators.aggregations import (
+        author_engagement)
+    from bigdata_project_hust_spark.operators.joins import asof_join, keep_last
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.minhash_near_duplicates(docs).count() == 0
+    assert text.tfidf_top_terms(docs).count() == 0
+    assert text.winnow_fingerprints(docs).count() == 0
+    tweets = spark.createDataFrame([], "author string, views long")
+    out = author_engagement(tweets, "author", ["views"])
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields[:2]] == ["author",
+                                                       "total_tweets"]
+    ev = spark.createDataFrame([], "event_id long, k long, ts long")
+    od = spark.createDataFrame([], "oid long, k long, rts long, px double")
+    assert asof_join(ev, od, "k", "ts", "rts", ["oid", "px"]).count() == 0
+    assert keep_last(ev, ["k"], "ts").count() == 0
