@@ -1226,6 +1226,34 @@ ORACLE_INTERSECT = """
 """
 
 
+def q_array_math_features(spark, sf_dir):
+    """Higher-order array functions over the embedding column: size,
+    floor-scaled sum/min/max of elements — all evaluated per row with
+    no explode (the array never becomes rows)."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    elem_sum = F.aggregate(
+        F.transform(v, lambda x: x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return e.select(
+        "vec_id",
+        F.size(v).cast("long").alias("dim"),
+        F.floor(elem_sum * 1e6).cast("long").alias("sum_e6"),
+        F.floor(F.array_min(v) * 1e6).cast("long").alias("min_e6"),
+        F.floor(F.array_max(v) * 1e6).cast("long").alias("max_e6"))
+
+
+ORACLE_ARRAY_MATH = """
+  SELECT vec_id,
+         len(embedding)::BIGINT AS dim,
+         floor(list_sum(list_transform(embedding, x -> x::DOUBLE))
+               * 1000000)::BIGINT AS sum_e6,
+         floor(list_min(embedding)::DOUBLE * 1000000)::BIGINT AS min_e6,
+         floor(list_max(embedding)::DOUBLE * 1000000)::BIGINT AS max_e6
+  FROM embeddings
+"""
+
+
 def q_revenue_decimal_exact(spark, sf_dir):
     """DecimalType arithmetic (absent from the reference, §2.10): cast
     money to DECIMAL(18,2) BEFORE summing — exact decimal aggregation
@@ -1927,6 +1955,9 @@ QUERIES: dict[str, QuerySpec] = {
     "intersect_buyer_supplier_nations": QuerySpec(
         q_intersect_buyer_supplier_nations, ORACLE_INTERSECT,
         doc="INTERSECT set op"),
+    "array_math_features": QuerySpec(
+        q_array_math_features, ORACLE_ARRAY_MATH,
+        doc="higher-order array fns (no-explode per-row math)"),
     "revenue_decimal_exact": QuerySpec(
         q_revenue_decimal_exact, ORACLE_REVENUE_DECIMAL,
         doc="DecimalType exact aggregation (no FP rounding)"),

@@ -327,3 +327,36 @@ def test_stateful_alerts_state_survives_restart(spark, tmp_path):
     # one alert per key across BOTH runs: user 1 only pre-restart (60),
     # user 2 only post-restart (30+25=55) — no re-alert after resume
     assert got == {1: [60.0], 2: [55.0]}
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """ST9 streaming: F.session_window with a watermark in append mode
+    emits finalized sessions identical to the batch session_window
+    aggregation over the same events (a far-future sentinel event
+    advances the watermark so all real sessions close)."""
+    src = str(tmp_path / "src")
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, 1.0),
+        (2, "2024-01-01 00:00:10", 1, 1.0),   # same session (gap 10s < 30s)
+        (3, "2024-01-01 00:01:00", 1, 1.0),   # new session (gap 50s)
+        (4, "2024-01-01 00:00:05", 2, 1.0),
+    ]
+    sentinel = [(99, "2024-01-02 00:00:00", 99, 0.0)]
+    _write_events(src, "a.json", rows)
+    _write_events(src, "b.json", sentinel)
+    stream = json_file_stream(spark, src, EVENT_SCHEMA)
+    agg = (stream.withWatermark("ts", "1 minute")
+           .groupBy("user_id", F.session_window("ts", "30 seconds"))
+           .agg(F.count("*").alias("n_events"))
+           .select("user_id",
+                   F.unix_timestamp("session_window.start")
+                    .alias("start_s"), "n_events"))
+    q = _run_to_memory(agg, "sess_out", "append", str(tmp_path / "ck"))
+    try:
+        got = {(r.user_id, r.start_s): r.n_events
+               for r in spark.sql(
+                   "SELECT * FROM sess_out WHERE user_id != 99").collect()}
+        base = 1704067200  # 2024-01-01 UTC
+        assert got == {(1, base): 2, (1, base + 60): 1, (2, base + 5): 1}
+    finally:
+        q.stop()
