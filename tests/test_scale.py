@@ -182,3 +182,43 @@ def test_write_sorted_gives_disjoint_stats(spark, tmp_path):
     # and the read side prunes: a point predicate touches one file
     got = spark.read.parquet(path).where(F.col("k") == 4242)
     assert got.count() == 1
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join (on in session.py) splits an oversized shuffle
+    partition at runtime: with one key carrying 80% of a sort-merge
+    join's rows, the FINAL adaptive plan marks the join skew=true.
+    Thresholds are lowered to trigger at fixture scale — production
+    defaults fire at real-partition sizes. (The plan must be read from
+    the executed DataFrame itself: AQE finalizes per-execution.)"""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 300000).select(
+            F.when(F.col("id") % 10 < 8, F.lit(7)).otherwise(F.col("id"))
+             .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string"))
+             .alias("pad"))
+        right = spark.range(0, 50000).select(
+            F.col("id").alias("k"), F.lit("r").alias("rv"))
+        j = left.join(right, "k")
+        n = len(j.collect())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert n == 250000                     # correctness unchanged
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan             # hot partition was split
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
