@@ -1226,6 +1226,49 @@ ORACLE_INTERSECT = """
 """
 
 
+def q_customer_order_counts_outer(spark, sf_dir):
+    """Left outer join + null coalesce: every customer with their
+    order count, zero (not null) for customers who never ordered —
+    the outer-join class §2.10 lists as an extension."""
+    c = _t(spark, sf_dir, "customer")
+    oc = (_t(spark, sf_dir, "orders")
+          .groupBy("o_custkey").agg(F.count("*").alias("__n")))
+    return (c.join(oc, c.c_custkey == oc.o_custkey, "left")
+             .select("c_custkey",
+                     F.coalesce(F.col("__n"), F.lit(0)).cast("long")
+                      .alias("n_orders")))
+
+
+ORACLE_OUTER_COUNTS = """
+  SELECT c_custkey, coalesce(n, 0)::BIGINT AS n_orders
+  FROM customer
+  LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders
+             GROUP BY o_custkey) oc
+    ON c_custkey = oc.o_custkey
+"""
+
+
+def q_in_subquery_sql(spark, sf_dir):
+    """IN-subquery through the SQL text interface — Catalyst rewrites
+    it to a left-semi join (same plan as the DataFrame semi_join)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v2")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v2")
+    return spark.sql("""
+      SELECT o_orderkey, o_totalprice
+      FROM orders_v2
+      WHERE o_custkey IN (SELECT c_custkey FROM customer_v2
+                          WHERE c_mktsegment = 'MACHINERY')
+    """)
+
+
+ORACLE_IN_SUBQUERY = """
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM customer
+                      WHERE c_mktsegment = 'MACHINERY')
+"""
+
+
 def q_array_math_features(spark, sf_dir):
     """Higher-order array functions over the embedding column: size,
     floor-scaled sum/min/max of elements — all evaluated per row with
@@ -1955,6 +1998,12 @@ QUERIES: dict[str, QuerySpec] = {
     "intersect_buyer_supplier_nations": QuerySpec(
         q_intersect_buyer_supplier_nations, ORACLE_INTERSECT,
         doc="INTERSECT set op"),
+    "customer_order_counts_outer": QuerySpec(
+        q_customer_order_counts_outer, ORACLE_OUTER_COUNTS,
+        doc="left outer join + null→0 coalesce"),
+    "in_subquery_sql": QuerySpec(
+        q_in_subquery_sql, ORACLE_IN_SUBQUERY,
+        doc="IN-subquery via SQL text (rewritten to semi join)"),
     "array_math_features": QuerySpec(
         q_array_math_features, ORACLE_ARRAY_MATH,
         doc="higher-order array fns (no-explode per-row math)"),
