@@ -49,6 +49,7 @@ def main() -> None:
                 pass
     else:
         spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    spark.catalog.clearCache()
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name].fn
@@ -57,6 +58,9 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # drop persisted intermediates (dedup shingles, tf-idf tokens):
+        # keeps session memory bounded and queries independent
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",

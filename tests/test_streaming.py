@@ -360,3 +360,34 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
         assert got == {(1, base): 2, (1, base + 60): 1, (2, base + 5): 1}
     finally:
         q.stop()
+
+
+def test_windowed_agg_drops_late_data(spark, tmp_path):
+    """ST8: an event arriving after the watermark has passed its
+    window is DROPPED from the append-mode windowed aggregate (the
+    reference has no late-data concept — this is the documented
+    semantic delta)."""
+    src = str(tmp_path / "src")
+    _write_events(src, "a.json", [
+        (1, "2024-01-01 00:00:05", 1, 1.0),     # window [0, 600)
+        (2, "2024-01-01 01:00:00", 1, 1.0),     # advances watermark far
+    ])
+    stream = json_file_stream(spark, src, EVENT_SCHEMA,
+                              max_files_per_trigger=1)
+    agg = windowed_engagement(stream, "ts", "user_id", 600, ["value"],
+                              watermark="10 minutes")
+    q = _run_to_memory(agg, "late_out", "append", str(tmp_path / "ck"))
+    # batch 2: a LATE event for the long-closed [0, 600) window
+    _write_events(src, "b.json", [(3, "2024-01-01 00:00:10", 1, 99.0)])
+    q.processAllAvailable()
+    # flush: advance watermark again so closed windows emit
+    _write_events(src, "c.json", [(4, "2024-01-01 02:00:00", 1, 1.0)])
+    q.processAllAvailable()
+    try:
+        rows = {(r.user_id, r.window_start): r.sum_value
+                for r in spark.sql("SELECT * FROM late_out").collect()}
+        base = 1704067200
+        # the late 99.0 never lands: window [base, base+600) sums 1.0
+        assert rows.get((1, base)) == 1.0
+    finally:
+        q.stop()
