@@ -64,7 +64,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         for field in want.fields:
             if (isinstance(field.dataType, T.TimestampType)
                     and isinstance(df.schema[field.name].dataType, T.LongType)):
-                from pyspark.sql import functions as F
                 # integer div: ns values exceed double's 53-bit exact range
                 df = df.withColumn(
                     field.name,
@@ -110,23 +109,27 @@ def compact_files(spark: SparkSession, src: str, dst: str,
     The reference writes ONE JSON FILE PER RECORD
     (consumer1.py:112-121) — at 100 TB that is billions of files and a
     namenode meltdown before any query runs. Compaction = read +
-    size-based coalesce + rewrite. Output count is computed from the
-    source's on-disk bytes; ``coalesce`` (not ``repartition``) avoids a
-    shuffle — merging files is a narrow operation.
+    size-based coalesce + rewrite. Source bytes come from the Hadoop
+    FileSystem API, so any URI scheme (hdfs://, s3a://, file:) sizes
+    correctly — a local-only glob would see 0 bytes on a remote store
+    and funnel the whole dataset through coalesce(1). ``coalesce``
+    (not ``repartition``) avoids a shuffle — merging files is a narrow
+    operation. Returns the ACTUAL number of files written (coalesce
+    cannot exceed the input partition count, so the size-derived
+    target is an upper bound, not a guarantee).
     """
-    import glob as _glob
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.format(fmt).load(src)
-    total = sum(os.path.getsize(p)
-                for p in _glob.glob(os.path.join(src, "**", "*"),
-                                    recursive=True)
-                if os.path.isfile(p) and not os.path.basename(p).startswith(
-                    (".", "_")))
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(hconf)
+    total = fs.getContentSummary(jpath).getLength()
     n_out = max(1, -(-total // target_bytes))   # ceil
     df.coalesce(n_out).write.mode("overwrite").parquet(dst)
-    return n_out
+    return len(spark.read.parquet(dst).inputFiles())
 
 
 def write_sorted(df: DataFrame, path: str, sort_col: str,

@@ -64,25 +64,31 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     keep_last() for deterministic results.
     """
     l_struct = F.struct(*[F.col(c) for c in left.columns])
+    # the payload travels as ONE struct, filled atomically: per-column
+    # last(ignorenulls) fills would TEAR rows when a payload field is
+    # legitimately null (o_orderkey from row A + o_totalprice from an
+    # older row B — a row that never existed)
+    r_struct = F.struct(*[F.col(c) for c in payload])
     lhs = left.select(
         F.col(on).alias("__k"), F.col(left_ts).alias("__t"),
         F.lit(1).alias("__is_left"), l_struct.alias("__l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
-          for c in payload])
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}"
+                for c in payload) + ">").alias("__p"))
     rhs = right.select(
         F.col(on).alias("__k"), F.col(right_ts).alias("__t"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(lhs.schema["__l"].dataType).alias("__l"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload])
+        r_struct.alias("__p"))
     w = (Window.partitionBy("__k").orderBy("__t", "__is_left")
          .rowsBetween(Window.unboundedPreceding, 0))
     filled = lhs.unionByName(rhs).select(
         "__is_left", "__l",
-        *[F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__p_{c}")
-          for c in payload])
+        F.last("__p", ignorenulls=True).over(w).alias("__p"))
     return (filled.where(F.col("__is_left") == 1)
                   .select(F.col("__l.*"),
-                          *[F.col(f"__p_{c}").alias(c) for c in payload]))
+                          *[F.col(f"__p.{c}").alias(c) for c in payload]))
 
 
 def range_join(left: DataFrame, bands: DataFrame, value_col: str,

@@ -29,18 +29,23 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     """Equi-join on ``key`` with an n-way salt on the left (skewed)
     side; result is identical to ``left.join(right, key, how)``.
 
-    Left rows get a deterministic salt in [0, salt) — crc32-based, so
-    re-runs split identically; right rows are replicated to all salt
-    values via a tiny literal-range explode (narrow op, no shuffle of
-    its own). The shuffle then hash-partitions on (key, salt), so a
-    key carrying p% of all rows spreads over ``salt`` tasks instead of
-    one. Supports 'inner' and 'left' (replication never duplicates:
-    each left row keeps exactly one salt value).
+    Left rows get a per-row salt in [0, salt) (monotonic row id mod
+    salt — uniform within every partition and independent of the key);
+    right rows are replicated to all salt values via a tiny
+    literal-range explode (narrow op, no shuffle of its own). The
+    shuffle then hash-partitions on (key, salt), so a key carrying p%
+    of all rows spreads over ``salt`` tasks instead of one. Supports
+    'inner' and 'left' (replication never duplicates: each left row
+    keeps exactly one salt value).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    lsalt = (F.crc32(F.concat_ws("", F.col(key).cast("string")))
-             % F.lit(salt)).cast("int")
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    # the salt must be (pseudo)unique PER ROW, never a function of the
+    # key — a key-derived salt maps every row of the hot key to the
+    # same value and the skew is not split at all
+    lsalt = F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int")
     l_ = left.withColumn("__salt", lsalt)
     r_ = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))

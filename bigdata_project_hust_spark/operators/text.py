@@ -88,6 +88,48 @@ def quality_score(df: DataFrame, text_col: str = "text",
         score.cast("long").alias("quality"))
 
 
+def doc_features(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Quality score + language ID from ONE tokenize pass — the fused
+    projection for pipelines that gate on both (tokenizing the corpus
+    once instead of once per feature family; see
+    plans/queries.q_training_corpus_curation). Columns are the union
+    of quality_score's and lang_id's outputs, same formulas."""
+    bound = df.select(F.col(id_col), F.col(text_col),
+                      tokens(text_col).alias("__w"))
+    t = F.col("__w")
+    n_chars = F.length(text_col)
+    n_tokens = F.size(t)
+    sum_tok_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    mean_tok_len_e4 = F.floor(sum_tok_len * 10000 / n_tokens).cast("long")
+    en = _hits(t, LANG_STOPWORDS["en"]).cast("long")
+    es = _hits(t, LANG_STOPWORDS["es"]).cast("long")
+    fr = _hits(t, LANG_STOPWORDS["fr"]).cast("long")
+    hits = bound.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars_obs"),
+        n_tokens.cast("long").alias("n_tokens"),
+        mean_tok_len_e4.alias("mean_tok_len_e4"),
+        en.alias("en_hits"), es.alias("es_hits"), fr.alias("fr_hits"))
+    score = (
+        F.when((F.col("n_chars_obs") >= 20)
+               & (F.col("n_chars_obs") <= 2000), F.lit(40)).otherwise(F.lit(0))
+        + F.when((F.col("mean_tok_len_e4") >= 30000)
+                 & (F.col("mean_tok_len_e4") <= 120000),
+                 F.lit(40)).otherwise(F.lit(0))
+        + F.when(F.col("en_hits") > 0, F.lit(20)).otherwise(F.lit(0)))
+    enh, esh, frh = F.col("en_hits"), F.col("es_hits"), F.col("fr_hits")
+    pred = (F.when((enh == 0) & (esh == 0) & (frh == 0), F.lit("und"))
+             .when((enh >= esh) & (enh >= frh), F.lit("en"))
+             .when(esh >= frh, F.lit("es"))
+             .otherwise(F.lit("fr")))
+    return hits.select(
+        F.col(id_col), "n_chars_obs", "n_tokens", "mean_tok_len_e4",
+        F.col("en_hits").alias("stop_hits"),
+        score.cast("long").alias("quality"),
+        pred.alias("lang_pred"))
+
+
 def token_counts(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count + regex word count (BPE-ish pre-token

@@ -28,11 +28,15 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.scalar import influence_score, parse_trailing_ts, rewrite_values
+from ..functions.scalar import (influence_score, parse_trailing_ts,
+                                rewrite_values, stable_hash64_sql)
 from ..io import load_table
 from ..operators import aggregations as agg
 from ..operators import dedup, multimodal, similarity, text
-from ..operators.joins import anti_join, equi_join, keep_last, semi_join
+from ..operators.joins import (anti_join, asof_join, equi_join, keep_last,
+                               range_join, semi_join)
+from ..operators.scale import salted_join
+from ..operators.windows import sessionize
 from ..operators.projections import kol_filter
 from ..operators.topk import top_k, top_k_per_group
 from ..operators.windows import engagement_change_log, tumbling_window_agg
@@ -88,8 +92,9 @@ _SHINGLES_SQL = r"""
 """
 
 
-def _h64(expr: str, seed: int) -> str:
-    return f"(('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT)"
+# DuckDB twin of stable_hash64 — single source of truth in
+# functions/scalar.py so Spark and oracle can never drift
+_h64 = stable_hash64_sql
 
 
 # ---------------------------------------------------------------------------
@@ -840,23 +845,22 @@ ORACLE_FINGERPRINT = r"""
 def q_training_corpus_curation(spark, sf_dir):
     """The end-to-end training-data curation pipeline the extension
     operators exist for: quality gate (score ≥ 60) → language gate
-    (en) → exact-dedup keeper gate → per-doc token budget. One pass
-    composed entirely from the audited operators; the joins on doc_id
-    are co-partitioned (one shuffle key throughout) and the keeper set
-    join is a semi join — no payload duplication."""
+    (en) → exact-dedup keeper gate → per-doc token budget. Quality
+    and language come from text.doc_features — ONE tokenize pass over
+    the corpus (separate quality_score + lang_id calls would tokenize
+    twice); the keeper gate is a semi join on the co-partitioned
+    doc_id key — no payload duplication."""
     d = _t(spark, sf_dir, "documents")
-    q = text.quality_score(d).select("doc_id", "quality", "n_tokens")
-    lang = text.lang_id(d).select("doc_id", "lang_pred")
+    feats = text.doc_features(d).select(
+        "doc_id", "quality", "n_tokens", "lang_pred")
     keepers = (d.select(F.md5(F.col("text")).alias("text_md5"), "doc_id")
                 .groupBy("text_md5")
                 .agg(F.min("doc_id").alias("doc_id"))
                 .select("doc_id"))
-    kept = (q.join(lang, "doc_id")
-             .join(keepers, "doc_id", "left_semi")
-             .where((F.col("quality") >= 60)
-                    & (F.col("lang_pred") == "en"))
-             .select("doc_id", "quality", "n_tokens"))
-    return kept
+    return (feats.join(keepers, "doc_id", "left_semi")
+                 .where((F.col("quality") >= 60)
+                        & (F.col("lang_pred") == "en"))
+                 .select("doc_id", "quality", "n_tokens"))
 
 
 ORACLE_CURATION = f"""
@@ -876,7 +880,6 @@ ORACLE_CURATION = f"""
 def q_window_running_totals(spark, sf_dir):
     """Analytic functions: running sum + row_number + lag over a
     per-customer window (one shuffle on the partition key)."""
-    from pyspark.sql import Window
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -986,7 +989,6 @@ def q_approx_distinct(spark, sf_dir):
 def q_sessionize_events(spark, sf_dir):
     """Gap-based sessionization (30-min gap) — lag + conditional
     cumsum; the batch twin of streaming session windows."""
-    from ..operators.windows import sessionize
     e = _t(spark, sf_dir, "events")
     return sessionize(e, "user_id", "ts", 1800, "event_id")
 
@@ -1065,7 +1067,6 @@ def q_asof_latest_order_per_event(spark, sf_dir):
          .select(F.col("o_custkey").alias("user_id"), "o_orderdate",
                  "o_orderkey", "o_totalprice"))
     o = keep_last(o, ["user_id", "o_orderdate"], "o_orderkey")
-    from ..operators.joins import asof_join
     return asof_join(e, o, "user_id", "ts", "o_orderdate",
                      ["o_orderkey", "o_totalprice"]).select(
         "event_id", "user_id", "o_orderkey", "o_totalprice")
@@ -1089,7 +1090,6 @@ ORACLE_ASOF = """
 def q_range_join_price_bands(spark, sf_dir):
     """Range join: parts bucketed into literal price bands (broadcast
     nested-loop on the tiny band side)."""
-    from ..operators.joins import range_join
     p = _t(spark, sf_dir, "part")
     bands = spark.createDataFrame(
         [("low", 0.0, 930.0), ("mid", 930.0, 960.0),
@@ -1790,7 +1790,6 @@ def q_skew_salted_revenue(spark, sf_dir):
     """revenue_per_nation computed through the skew-salted join path —
     same oracle; proves salting is result-transparent while spreading a
     hot o_custkey over `salt` reduce tasks (operators/scale.py)."""
-    from ..operators.scale import salted_join
     o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
     c = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
     n = _t(spark, sf_dir, "nation")

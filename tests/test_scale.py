@@ -42,6 +42,16 @@ def test_salted_join_spreads_hot_key(spark):
     plan = j._jdf.queryExecution().toString()
     # the shuffle key must include the salt column, not just k
     assert "__salt" in plan
+    # and the salt must actually SPREAD the hot key: replicate the
+    # internal salt expression and check hot-key rows land on several
+    # distinct salt values (a key-derived salt would collapse to one)
+    hot = (left.repartition(4)
+               .withColumn("__salt",
+                           F.pmod(F.monotonically_increasing_id(),
+                                  F.lit(4)).cast("int"))
+               .where(F.col("k") == 1)
+               .select("__salt").distinct().count())
+    assert hot >= 2
 
 
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):

@@ -311,3 +311,19 @@ def test_empty_input_flows_through_operators(spark):
     od = spark.createDataFrame([], "oid long, k long, rts long, px double")
     assert asof_join(ev, od, "k", "ts", "rts", ["oid", "px"]).count() == 0
     assert keep_last(ev, ["k"], "ts").count() == 0
+
+
+def test_asof_join_null_payload_not_torn(spark):
+    """A right row whose payload field is legitimately NULL must be
+    carried ATOMICALLY: the as-of fill may not mix fields from
+    different right rows (per-column ignorenulls fills would)."""
+    from bigdata_project_hust_spark.operators.joins import asof_join
+    left = spark.createDataFrame([(1, 10, 3)], "event_id long, k long, ts long")
+    right = spark.createDataFrame(
+        [(3, 10, 1, 10.0), (5, 10, 2, None)],
+        "oid long, k long, rts long, px double")
+    got = asof_join(left, right, "k", "ts", "rts", ["oid", "px"]).collect()
+    assert len(got) == 1
+    # latest right row at/below ts=3 is (oid=5, px=NULL) — px must NOT
+    # be backfilled from the older row's 10.0
+    assert (got[0].oid, got[0].px) == (5, None)
