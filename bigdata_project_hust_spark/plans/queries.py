@@ -26,6 +26,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.scalar import (influence_score, parse_trailing_ts,
@@ -841,6 +843,72 @@ ORACLE_FINGERPRINT = r"""
 # (extensions beyond the reference — SURVEY §2.10 scope fence notes
 # these are absent there; a complete engine needs them)
 # ---------------------------------------------------------------------------
+
+def q_doc_features_fused(spark, sf_dir):
+    """Fused quality + language features (one tokenize pass) — the
+    projection the curation pipeline consumes, exposed standalone."""
+    return text.doc_features(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DOC_FEATURES = f"""
+  SELECT q.doc_id, q.n_chars_obs, q.n_tokens, q.mean_tok_len_e4,
+         q.stop_hits, q.quality, l.lang_pred
+  FROM ({ORACLE_QUALITY}) q JOIN ({ORACLE_LANG}) l ON q.doc_id = l.doc_id
+"""
+
+
+def q_engagement_active_windows(spark, sf_dir):
+    """Map higher-order functions (map_filter + explode over the
+    map-typed engagement log): per user, the windows whose value sum
+    reached a threshold — consumed straight off the sink-shaped map,
+    no re-aggregation."""
+    e = _t(spark, sf_dir, "events")
+    log = engagement_change_log(e, "ts", "user_id", 600, ["value"])
+    active = log.select(
+        "user_id",
+        F.map_filter("engagementChangeLogs",
+                     lambda k, v: F.element_at(v, 1) >= 50.0)
+         .alias("active"))
+    return (active
+            .select("user_id", F.explode(F.map_keys("active")).alias("w"))
+            .select("user_id", F.col("w").cast("long").alias("window_start")))
+
+
+ORACLE_ACTIVE_WINDOWS = """
+  SELECT user_id,
+         (floor(epoch(ts) / 600) * 600)::BIGINT AS window_start
+  FROM events
+  GROUP BY 1, 2
+  HAVING sum(coalesce(value, 0)) >= 50.0
+"""
+
+
+def q_pandas_udf_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 via a VECTORIZED Arrow scalar UDF
+    (numpy over pandas batches) — the Pandas-UDF path for per-row
+    vector math the built-in higher-order fold also expresses
+    (similarity_cosine_topk is the pure-Catalyst twin; this one trades
+    interpreted fold overhead for Arrow transfer + SIMD numpy)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = np.array(
+        e.where(F.col("vec_id") == 0).select("embedding").head()[0],
+        dtype=np.float64)
+    qn = float(np.sqrt(qv @ qv))
+
+    @pandas_udf("long")
+    def cos_e6(col: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        sims = (m @ qv) / (np.sqrt((m * m).sum(axis=1)) * qn)
+        return pd.Series(np.floor(sims * 1e6).astype("int64"))
+
+    return (e.where(F.col("vec_id") != 0)
+             .select("vec_id", cos_e6(F.col("embedding")).alias("sim_e6"))
+             .orderBy(F.col("sim_e6").desc(), F.col("vec_id").asc())
+             .limit(10))
+
 
 def q_training_corpus_curation(spark, sf_dir):
     """The end-to-end training-data curation pipeline the extension
@@ -1958,6 +2026,15 @@ QUERIES: dict[str, QuerySpec] = {
     "text_fingerprint": QuerySpec(q_text_fingerprint, ORACLE_FINGERPRINT,
                                   doc="document fingerprint"),
     # batch 2: analytic/OLAP extensions
+    "doc_features_fused": QuerySpec(
+        q_doc_features_fused, ORACLE_DOC_FEATURES,
+        doc="fused quality+lang features (one tokenize pass)"),
+    "engagement_active_windows": QuerySpec(
+        q_engagement_active_windows, ORACLE_ACTIVE_WINDOWS,
+        doc="map higher-order fns (map_filter over the ST7 map)"),
+    "pandas_udf_cosine_topk": QuerySpec(
+        q_pandas_udf_cosine_topk, ORACLE_COSINE,
+        doc="vectorized Arrow scalar UDF cosine (numpy batch math)"),
     "training_corpus_curation": QuerySpec(
         q_training_corpus_curation, ORACLE_CURATION, headline=True,
         doc="end-to-end curation: quality ∧ lang ∧ dedup-keeper gates"),
