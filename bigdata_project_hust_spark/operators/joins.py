@@ -45,6 +45,25 @@ def keep_last(df: DataFrame, key_cols: list[str], order_col: str,
               .drop("__rn"))
 
 
+def keep_last_agg(df: DataFrame, key_cols: list[str], order_col: str,
+                  tiebreak_col: str) -> DataFrame:
+    """J3 as an AGGREGATION: max_by(row-struct, (order, tiebreak)) per
+    key. Same result as keep_last()'s window, different physical plan:
+    a hash aggregate with MAP-SIDE partial combine — the shuffle
+    carries one candidate row per (partition, key) instead of every
+    row, and no sort happens at all. At 100 TB with few duplicates
+    per key the window variant is fine; with heavy duplication (every
+    key re-emitted constantly — the reference's upsert stream) this
+    plan shuffles a fraction of the data. Requires a total order, so
+    the tiebreak is mandatory here.
+    """
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    order = F.struct(F.col(order_col), F.col(tiebreak_col))
+    agg = (df.groupBy(*[F.col(k).alias(f"__k_{k}") for k in key_cols])
+             .agg(F.max_by(payload, order).alias("__row")))
+    return agg.select(F.col("__row.*"))
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str, right_ts: str,
               payload: list[str]) -> DataFrame:

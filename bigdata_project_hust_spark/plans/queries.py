@@ -232,6 +232,16 @@ ORACLE_KEEP_LAST = """
 """
 
 
+def q_keep_last_agg_per_user(spark, sf_dir):
+    """J3 via max_by aggregation (map-side combinable) — identical
+    result to keep_last_per_user, shuffle-lighter plan under heavy
+    per-key duplication; same oracle proves the equivalence."""
+    from ..operators.joins import keep_last_agg
+    e = _t(spark, sf_dir, "events")
+    return keep_last_agg(e, ["user_id"], "ts", "event_id").select(
+        "user_id", "event_id", "event_type", "value")
+
+
 def q_mktsegment_histogram(spark, sf_dir):
     """A3: value-counts histogram (location stats ≙ c_mktsegment)."""
     return agg.value_counts(_t(spark, sf_dir, "customer"), "c_mktsegment")
@@ -1958,6 +1968,9 @@ QUERIES: dict[str, QuerySpec] = {
                                     headline=True, doc="J1/A1"),
     "keep_last_per_user": QuerySpec(q_keep_last_per_user, ORACLE_KEEP_LAST,
                                     headline=True, doc="J3"),
+    "keep_last_agg_per_user": QuerySpec(
+        q_keep_last_agg_per_user, ORACLE_KEEP_LAST,
+        doc="J3 via max_by agg (map-side combine, no sort)"),
     "mktsegment_histogram": QuerySpec(q_mktsegment_histogram, ORACLE_MKTSEG,
                                       doc="A3"),
     "event_type_histogram": QuerySpec(q_event_type_histogram,
