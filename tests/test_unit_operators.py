@@ -327,3 +327,28 @@ def test_asof_join_null_payload_not_torn(spark):
     # latest right row at/below ts=3 is (oid=5, px=NULL) — px must NOT
     # be backfilled from the older row's 10.0
     assert (got[0].oid, got[0].px) == (5, None)
+
+
+def test_preprocess_projects_and_tweets_reference_semantics(spark):
+    """P1/F2/F3 per-topic preprocess parity (consumer1.py:71-93,
+    consumer2.py:111-126): value-only twitter→x rewrite, JSON-string →
+    struct parse, nested url extraction; tweets keep engagement nulls
+    (the null→0 coalesce belongs to aggregation, not projection)."""
+    from bigdata_project_hust_spark.operators.projections import (
+        preprocess_projects, preprocess_tweets)
+    projects = spark.createDataFrame(
+        [("ProjTwitter", '{"id": "9", "url": "https://twitter.com/x1"}',
+          "https://twitter.com/site")],
+        "projectId string, twitter string, website string")
+    got = preprocess_projects(projects).collect()[0]
+    assert got.projectId == "ProjX"                # Twitter→X value rewrite
+    assert got.twitter_url == "https://x.com/x1"   # rewrite inside struct
+    assert got.website == "https://x.com/site"
+    tweets = spark.createDataFrame(
+        [("twitter_author", "The Twitter Guy", 10, None, 3, None)],
+        "author string, authorName string, views long, likes long, "
+        "replyCounts long, retweetCounts long")
+    t = preprocess_tweets(tweets).collect()[0]
+    assert t.author == "x_author" and t.authorName == "The X Guy"
+    assert t.likes is None and t.retweetCounts is None   # nulls preserved
+    assert t.views == 10 and t.replyCounts == 3
