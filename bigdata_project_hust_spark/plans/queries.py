@@ -350,6 +350,45 @@ ORACLE_FNAME = r"""
 """
 
 
+def q_event_types_per_user(spark, sf_dir):
+    """collect_set aggregation: the distinct event types each user
+    produced, sorted for canonical (engine-comparable) output."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("user_id")
+             .agg(F.array_sort(F.collect_set("event_type"))
+                   .alias("event_types"),
+                  F.count_distinct("event_type").cast("long")
+                   .alias("n_types")))
+
+
+ORACLE_EVENT_TYPES = """
+  SELECT user_id,
+         list_sort(list(DISTINCT event_type)) AS event_types,
+         count(DISTINCT event_type)::BIGINT AS n_types
+  FROM events GROUP BY user_id
+"""
+
+
+def q_token_positions(spark, sf_dir):
+    """Positional explode (posexplode): the first 3 tokens of each
+    document with their 0-based ordinal — generator with ordinality."""
+    d = _t(spark, sf_dir, "documents")
+    bound = d.select("doc_id", text.tokens("text").alias("__w"))
+    return (bound.select("doc_id",
+                         F.posexplode(F.slice("__w", 1, 3))
+                          .alias("pos", "tok")))
+
+
+ORACLE_TOKEN_POSITIONS = r"""
+  WITH w AS (
+    SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+    FROM documents
+  )
+  SELECT doc_id, (i - 1)::INT AS pos, w[i] AS tok
+  FROM w, unnest(generate_series(1, least(3, len(w)))) AS t(i)
+"""
+
+
 def q_engagement_windows(spark, sf_dir):
     """ST7 (batch twin): per-user 10-minute tumbling windows over
     events — the engagementChangeLogs capability, long format."""
@@ -1985,6 +2024,12 @@ QUERIES: dict[str, QuerySpec] = {
     "string_rewrite": QuerySpec(q_string_rewrite, ORACLE_REWRITE, doc="F2"),
     "filename_ts_parse": QuerySpec(q_filename_ts_parse, ORACLE_FNAME,
                                    doc="F4"),
+    "event_types_per_user": QuerySpec(
+        q_event_types_per_user, ORACLE_EVENT_TYPES,
+        doc="collect_set distinct-set aggregation"),
+    "token_positions": QuerySpec(
+        q_token_positions, ORACLE_TOKEN_POSITIONS,
+        doc="posexplode (generator with ordinality)"),
     "engagement_windows": QuerySpec(q_engagement_windows, ORACLE_WINDOWS,
                                     headline=True, doc="ST7 batch twin"),
     "customers_with_orders": QuerySpec(q_customers_with_orders, ORACLE_SEMI,

@@ -232,3 +232,12 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_rejects_bad_args(spark):
+    import pytest
+    left, right = _skewed_frames(spark)
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", salt=0)
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", how="full")
