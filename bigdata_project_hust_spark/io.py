@@ -99,6 +99,44 @@ def read_json(spark: SparkSession, path: str,
     return reader.json(path)
 
 
+def read_csv(spark: SparkSession, path: str,
+             schema: T.StructType | None = None,
+             header: bool = True, sep: str = ",") -> DataFrame:
+    """CSV scan with explicit schema (always pass one: schema inference
+    over CSV is a full extra pass at 100 TB, and type guessing is
+    wrong exactly when it matters — leading zeros, large ints,
+    timestamps)."""
+    reader = spark.read.option("header", str(header).lower()) \
+                       .option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar format Spark writes natively;
+    same pushdown/pruning/stats story as parquet."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def kafka_sink_frame(df: DataFrame, key_col: str) -> DataFrame:
+    """S2 (producer.py:43-46,60-66): shape a DataFrame for the Kafka
+    sink — ``key``/``value`` binary columns, value = JSON of the whole
+    row. The actual ``.write.format("kafka")`` needs a broker; the
+    frame shape is broker-independent and unit-tested (values parse
+    back losslessly with from_json)."""
+    payload = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    return df.select(
+        F.col(key_col).cast("string").cast("binary").alias("key"),
+        payload.cast("binary").alias("value"))
+
+
 def compact_files(spark: SparkSession, src: str, dst: str,
                   target_bytes: int = 128 * 1024 * 1024,
                   fmt: str = "parquet",
