@@ -350,6 +350,44 @@ ORACLE_FNAME = r"""
 """
 
 
+def q_threshold_first_crossing(spark, sf_dir):
+    """Batch twin of the stateful streaming alerter
+    (streaming.stateful_threshold_alerts): per user, the first event at
+    which the running value total crossed 50 — cumsum window + the
+    prev<50≤cum crossing predicate + rank-1. The streaming operator's
+    alert-once semantics, expressed relationally and oracle-checked."""
+    e = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+               .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+               .rowsBetween(Window.unboundedPreceding, 0))
+    cum = F.round(F.sum(F.coalesce(F.col("value"), F.lit(0))).over(w), 2)
+    scored = e.select("user_id", "event_id", "ts",
+                      cum.alias("running_total"))
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    first = (scored.where(F.col("running_total") >= 50.0)
+                   .withColumn("rn", F.row_number().over(w2))
+                   .where(F.col("rn") == 1))
+    return first.select("user_id", "event_id", "running_total")
+
+
+ORACLE_FIRST_CROSSING = """
+  WITH cum AS (
+    SELECT user_id, event_id, ts,
+           round(sum(coalesce(value, 0)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total
+    FROM events
+  )
+  SELECT user_id, event_id, running_total FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM cum WHERE running_total >= 50.0
+  ) WHERE rn = 1
+"""
+
+
 def q_event_types_per_user(spark, sf_dir):
     """collect_set aggregation: the distinct event types each user
     produced, sorted for canonical (engine-comparable) output."""
@@ -2024,6 +2062,9 @@ QUERIES: dict[str, QuerySpec] = {
     "string_rewrite": QuerySpec(q_string_rewrite, ORACLE_REWRITE, doc="F2"),
     "filename_ts_parse": QuerySpec(q_filename_ts_parse, ORACLE_FNAME,
                                    doc="F4"),
+    "threshold_first_crossing": QuerySpec(
+        q_threshold_first_crossing, ORACLE_FIRST_CROSSING,
+        doc="batch twin of the stateful streaming alerter (ST3)"),
     "event_types_per_user": QuerySpec(
         q_event_types_per_user, ORACLE_EVENT_TYPES,
         doc="collect_set distinct-set aggregation"),
