@@ -164,7 +164,16 @@ def compact_files(spark: SparkSession, src: str, dst: str,
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(src)
     fs = jpath.getFileSystem(hconf)
-    total = fs.getContentSummary(jpath).getLength()
+    if any(ch in src for ch in "*?[{"):
+        # glob source paths: getContentSummary would throw on the
+        # literal pattern — sum the matched statuses instead
+        total = sum(st.getLen() for st in fs.globStatus(jpath) or [])
+    else:
+        total = fs.getContentSummary(jpath).getLength()
+    # source bytes are in the SOURCE format; parquet output is
+    # typically smaller (columnar + snappy), so fewer/larger files
+    # than the naive ratio — callers targeting exact sizes should set
+    # target_bytes to source-format bytes per desired output file
     n_out = max(1, -(-total // target_bytes))   # ceil
     df.coalesce(n_out).write.mode("overwrite").parquet(dst)
     return len(spark.read.parquet(dst).inputFiles())

@@ -10,7 +10,7 @@ fact side never shuffles for the join at all.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def equi_join(left: DataFrame, right: DataFrame, on, how: str = "inner",
@@ -102,9 +102,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         r_struct.alias("__p"))
     w = (Window.partitionBy("__k").orderBy("__t", "__is_left")
          .rowsBetween(Window.unboundedPreceding, 0))
+    # null keys: equi-join semantics say null never matches null, but
+    # the window would happily group all null-__k rows together — so
+    # the fill is voided for null keys (left rows keep null payload)
     filled = lhs.unionByName(rhs).select(
         "__is_left", "__l",
-        F.last("__p", ignorenulls=True).over(w).alias("__p"))
+        F.when(F.col("__k").isNotNull(),
+               F.last("__p", ignorenulls=True).over(w)).alias("__p"))
     return (filled.where(F.col("__is_left") == 1)
                   .select(F.col("__l.*"),
                           *[F.col(f"__p.{c}").alias(c) for c in payload]))

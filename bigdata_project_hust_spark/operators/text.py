@@ -24,9 +24,14 @@ TOKEN_RE = "[a-z0-9]+"
 
 
 def tokens(col: Column | str) -> Column:
-    """Lowercased whitespace tokens."""
+    """Lowercased whitespace tokens, empty strings dropped — split on
+    \\s+ emits a phantom "" for leading/trailing whitespace and for
+    empty text, which would inflate every downstream token count and
+    even rank as a tf-idf term. (token_counts' ws_tokens deliberately
+    keeps the raw split semantics.)"""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.lower(c), r"\s+")
+    return F.filter(F.split(F.lower(c), r"\s+"),
+                    lambda t: t != F.lit(""))
 
 
 def _hits(toks: Column, words: tuple[str, ...]) -> Column:
@@ -70,7 +75,10 @@ def quality_score(df: DataFrame, text_col: str = "text",
     n_chars = F.length(text_col)
     n_tokens = F.size(t)
     sum_tok_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
-    mean_tok_len_e4 = F.floor(sum_tok_len * 10000 / n_tokens).cast("long")
+    # guard: empty text → 0 tokens; ANSI mode errors on x/0
+    mean_tok_len_e4 = F.when(
+        n_tokens > 0,
+        F.floor(sum_tok_len * 10000 / n_tokens)).cast("long")
     stop_hits = _hits(t, LANG_STOPWORDS["en"])
     # score: reward 20..2000 chars, mean token length 3..12, stopwords>0
     score = (
@@ -93,15 +101,19 @@ def doc_features(df: DataFrame, text_col: str = "text",
     """Quality score + language ID from ONE tokenize pass — the fused
     projection for pipelines that gate on both (tokenizing the corpus
     once instead of once per feature family; see
-    plans/queries.q_training_corpus_curation). Columns are the union
-    of quality_score's and lang_id's outputs, same formulas."""
+    plans/queries.q_training_corpus_curation). Same formulas as
+    quality_score + lang_id; output carries all quality columns plus
+    lang_pred (per-language hit counts stay on lang_id)."""
     bound = df.select(F.col(id_col), F.col(text_col),
                       tokens(text_col).alias("__w"))
     t = F.col("__w")
     n_chars = F.length(text_col)
     n_tokens = F.size(t)
     sum_tok_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
-    mean_tok_len_e4 = F.floor(sum_tok_len * 10000 / n_tokens).cast("long")
+    # guard: empty text → 0 tokens; ANSI mode errors on x/0
+    mean_tok_len_e4 = F.when(
+        n_tokens > 0,
+        F.floor(sum_tok_len * 10000 / n_tokens)).cast("long")
     en = _hits(t, LANG_STOPWORDS["en"]).cast("long")
     es = _hits(t, LANG_STOPWORDS["es"]).cast("long")
     fr = _hits(t, LANG_STOPWORDS["fr"]).cast("long")

@@ -81,7 +81,7 @@ _SCORED_SQL = """
 # DuckDB twins of the shingle/token fragments in operators/dedup.py.
 _SHINGLES_SQL = r"""
   words AS (
-    SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w FROM documents
   ),
   sh AS (
     SELECT DISTINCT doc_id,
@@ -419,7 +419,7 @@ def q_token_positions(spark, sf_dir):
 
 ORACLE_TOKEN_POSITIONS = r"""
   WITH w AS (
-    SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
     FROM documents
   )
   SELECT doc_id, (i - 1)::INT AS pos, w[i] AS tok
@@ -719,7 +719,7 @@ _SIMHASH_SIG = " + ".join(
 ORACLE_SIMHASH = f"""
   WITH tok AS (
     SELECT doc_id,
-           unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS tok
+           unnest(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))) AS tok
     FROM documents
   ),
   th AS (SELECT doc_id, {_h64('tok', 99)} AS th FROM tok),
@@ -851,7 +851,7 @@ def _inlist(words) -> str:
 
 ORACLE_LANG = rf"""
   WITH t AS (
-    SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w FROM documents
   ),
   hits AS (
     SELECT doc_id,
@@ -876,15 +876,16 @@ def q_text_quality(spark, sf_dir):
 
 ORACLE_QUALITY = rf"""
   WITH t AS (
-    SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS w
+    SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
     FROM documents
   ),
   feat AS (
     SELECT doc_id,
            length(text)::BIGINT AS n_chars_obs,
            len(w)::BIGINT AS n_tokens,
-           floor(list_sum(list_transform(w, x -> len(x))) * 10000.0
-                 / len(w))::BIGINT AS mean_tok_len_e4,
+           (CASE WHEN len(w) > 0 THEN
+              floor(list_sum(list_transform(w, x -> len(x))) * 10000.0
+                    / len(w)) END)::BIGINT AS mean_tok_len_e4,
            len(list_filter(w, x -> x IN ({_inlist(text.LANG_STOPWORDS['en'])})))::BIGINT
              AS stop_hits
     FROM t
@@ -918,7 +919,7 @@ def q_text_fingerprint(spark, sf_dir):
 
 ORACLE_FINGERPRINT = r"""
   SELECT doc_id,
-         md5(array_to_string(list_sort(string_split_regex(lower(text), '\s+')),
+         md5(array_to_string(list_sort(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')),
                              ' ')) AS fp
   FROM documents
 """
@@ -1849,7 +1850,7 @@ def q_text_winnow_fingerprints(spark, sf_dir):
 
 ORACLE_WINNOW = f"""
   WITH words AS (
-    SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
     FROM documents
   ),
   th AS (
@@ -1889,7 +1890,7 @@ def q_text_tfidf_top_terms(spark, sf_dir):
 ORACLE_TFIDF = """
   WITH toks AS (
     SELECT doc_id,
-           unnest(string_split_regex(lower(text), '\\s+')) AS term
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS term
     FROM documents
   ),
   tf AS (

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from ..operators.windows import tumbling_window_agg
+from ..operators.aggregations import author_engagement
 
 
 def json_file_stream(spark: SparkSession, path: str, schema: T.StructType,
@@ -51,10 +51,15 @@ def dedup_stream(df: DataFrame, key_cols: list[str], ts_col: str,
     (Deduping on key+ts instead would silently pass key re-emissions
     with refreshed timestamps — a much larger delta than the watermark
     one.) The reference dedups against all of Mongo history — unbounded
-    state; we bound it with a watermark: duplicates arriving later than
-    the watermark are NOT dropped (documented delta, SURVEY §7.3)."""
+    state; ``dropDuplicatesWithinWatermark`` bounds it: per-key state
+    is evicted once the watermark passes, so duplicates arriving later
+    than the watermark are NOT dropped (documented delta, SURVEY §7.3).
+    (Plain ``dropDuplicates(key_cols)`` without the event-time column
+    in the subset would keep every key's state forever — the watermark
+    only evicts when it participates in the dedup keys or via this
+    dedicated operator.)"""
     return (df.withWatermark(ts_col, watermark)
-              .dropDuplicates(key_cols))
+              .dropDuplicatesWithinWatermark(key_cols))
 
 
 def incremental_author_totals(df: DataFrame, author_col: str,
@@ -63,12 +68,8 @@ def incremental_author_totals(df: DataFrame, author_col: str,
     replaces the reference's Mongo read-modify-write ($inc/$max,
     consumer2.py:202-215). Emit with
     ``.writeStream.outputMode("update")``."""
-    aggs = [F.count("*").alias("total_tweets")]
-    aggs += [F.sum(F.coalesce(F.col(m), F.lit(0))).alias(f"total_{m}")
-             for m in metric_cols]
-    aggs += [F.max(F.coalesce(F.col(m), F.lit(0))).alias(f"max_{m}")
-             for m in metric_cols]
-    return df.groupBy(F.col(author_col).alias("author")).agg(*aggs)
+    # same code path as batch — parity by construction, not duplication
+    return author_engagement(df, author_col, metric_cols)
 
 
 def stream_stream_interval_join(left: DataFrame, right: DataFrame,
@@ -129,10 +130,13 @@ def stateful_threshold_alerts(df: DataFrame, key_col: str = "user_id",
         else:
             state.update((total, alerted))
 
+    # output key type mirrors the input key column (hardcoding 'long'
+    # would break string-keyed alerting, e.g. the reference's authors)
+    key_type = df.schema[key_col].dataType.simpleString()
     return (df.groupBy(key_col)
               .applyInPandasWithState(
                   fn,
-                  outputStructType=f"{key_col} long, total double",
+                  outputStructType=f"{key_col} {key_type}, total double",
                   stateStructType="total double, alerted boolean",
                   outputMode="append",
                   timeoutConf=GroupStateTimeout.NoTimeout))

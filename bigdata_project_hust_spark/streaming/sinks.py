@@ -35,7 +35,23 @@ class KeyedParquetStore:
         self.spark = spark
         self.path = path
         self.key = key
-        self._applied_epochs: set[int] = set()
+        # applied epochs persist NEXT TO the data: foreachBatch is
+        # at-least-once, and the retry that matters is a query restart
+        # with a FRESH store object — a driver-memory set would forget
+        # everything exactly when the redelivery happens
+        self._epoch_file = path + ".applied_epochs"
+        self._applied_epochs: set[int] = self._load_epochs()
+
+    def _load_epochs(self) -> set[int]:
+        if os.path.exists(self._epoch_file):
+            with open(self._epoch_file) as f:
+                return {int(line) for line in f if line.strip()}
+        return set()
+
+    def _record_epoch(self, epoch_id: int) -> None:
+        self._applied_epochs.add(epoch_id)
+        with open(self._epoch_file, "a") as f:
+            f.write(f"{epoch_id}\n")
 
     def _exists(self) -> bool:
         return os.path.exists(self.path)
@@ -61,7 +77,7 @@ class KeyedParquetStore:
             prev, batch, self.key).unionByName(batch)
         self._write(out)
         if epoch_id is not None:
-            self._applied_epochs.add(epoch_id)
+            self._record_epoch(epoch_id)
 
     def upsert_merge(self, batch: DataFrame, sum_cols: list[str],
                      max_cols: list[str], count_col: str,
@@ -74,4 +90,4 @@ class KeyedParquetStore:
             prev, batch, self.key, sum_cols, max_cols, count_col)
         self._write(out)
         if epoch_id is not None:
-            self._applied_epochs.add(epoch_id)
+            self._record_epoch(epoch_id)
