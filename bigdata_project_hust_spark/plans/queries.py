@@ -1474,6 +1474,27 @@ ORACLE_REVENUE_DECIMAL = """
 """
 
 
+def q_try_divide_safe(spark, sf_dir):
+    """ANSI-safe arithmetic: try_divide returns NULL on /0 instead of
+    erroring (Spark 4 runs ANSI-on by default — plain division by zero
+    kills the job; try_* is the idiomatic guard)."""
+    o = _t(spark, sf_dir, "orders")
+    denom = (F.col("o_custkey") % 5).cast("double")
+    return o.select(
+        "o_orderkey",
+        F.round(F.try_divide(F.col("o_totalprice"), denom), 4)
+         .alias("price_per_bucket"))
+
+
+ORACLE_TRY_DIVIDE = """
+  SELECT o_orderkey,
+         round(CASE WHEN o_custkey % 5 = 0 THEN NULL
+                    ELSE o_totalprice / (o_custkey % 5) END, 4)
+           AS price_per_bucket
+  FROM orders
+"""
+
+
 def q_string_features(spark, sf_dir):
     """String-function breadth: case mapping, padding, slicing, length,
     edit distance — all JVM-side codegen'd expressions."""
@@ -2186,6 +2207,9 @@ QUERIES: dict[str, QuerySpec] = {
     "revenue_decimal_exact": QuerySpec(
         q_revenue_decimal_exact, ORACLE_REVENUE_DECIMAL,
         doc="DecimalType exact aggregation (no FP rounding)"),
+    "try_divide_safe": QuerySpec(
+        q_try_divide_safe, ORACLE_TRY_DIVIDE,
+        doc="ANSI-safe arithmetic (try_divide null-on-zero)"),
     "string_features": QuerySpec(
         q_string_features, ORACLE_STRING_FEATURES,
         doc="string fns: case/pad/slice/length/levenshtein"),

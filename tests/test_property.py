@@ -79,3 +79,17 @@ def test_merge_aggregate_is_recompute(spark, rows, split):
         assert merged[k].cnt == want[k].cnt
         assert abs(merged[k].sv - want[k].sv) < 1e-9
         assert merged[k].mv == want[k].mv
+
+
+@given(st.lists(
+    st.text(alphabet=" \t\nabcxyz0", min_size=0, max_size=12),
+    min_size=0, max_size=6))
+@settings(max_examples=25, deadline=None)
+def test_tokens_matches_python_split(spark, parts):
+    """tokens() ≡ str.lower().split(): whitespace runs collapse and
+    empty tokens never appear (the phantom-""-token fix)."""
+    from bigdata_project_hust_spark.operators.text import tokens
+    s = " ".join(parts)
+    df = spark.createDataFrame([(s,)], "text string")
+    got = df.select(tokens("text").alias("t")).collect()[0].t
+    assert got == s.lower().split()
