@@ -1664,6 +1664,59 @@ ORACLE_MOVING_SUM = """
 """
 
 
+def q_tpch_q6_shape(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter-scan + single scalar aggregate —
+    the pushdown showcase (every predicate reaches the parquet scan;
+    no join, no shuffle beyond the final 1-row agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                     & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                     & (F.col("l_discount") >= 0.02)
+                     & (F.col("l_discount") <= 0.04)
+                     & (F.col("l_quantity") < 24))
+              .agg(F.round(F.sum(F.col("l_extendedprice")
+                                 * F.col("l_discount")), 2)
+                    .alias("revenue"),
+                   F.count("*").alias("n_rows")))
+
+
+ORACLE_TPCH_Q6 = """
+  SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+         count(*) AS n_rows
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    AND l_discount BETWEEN 0.02 AND 0.04
+    AND l_quantity < 24
+"""
+
+
+def q_conditional_agg_priority(spark, sf_dir):
+    """TPC-H Q12 shape (conditional aggregation): per return flag,
+    urgent vs non-urgent order counts as sum(CASE ...) — one pass,
+    no per-branch scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (j.groupBy("l_returnflag")
+             .agg(F.sum(F.when(urgent, 1).otherwise(0)).cast("long")
+                   .alias("high_line_count"),
+                  F.sum(F.when(urgent, 0).otherwise(1)).cast("long")
+                   .alias("low_line_count")))
+
+
+ORACLE_COND_AGG = """
+  SELECT l_returnflag,
+         sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+         sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_returnflag
+"""
+
+
 def q_json_roundtrip(spark, sf_dir):
     """to_json(struct(...)) serialization (F6) — schema-stable JSON
     emission for downstream sinks.
@@ -2192,6 +2245,11 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q5_shape": QuerySpec(q_tpch_q5_shape, ORACLE_TPCH_Q5,
                                headline=True,
                                doc="TPC-H Q5 shape (6-way join)"),
+    "tpch_q6_shape": QuerySpec(q_tpch_q6_shape, ORACLE_TPCH_Q6,
+                               doc="TPC-H Q6 shape (pure pushdown scan)"),
+    "conditional_agg_priority": QuerySpec(
+        q_conditional_agg_priority, ORACLE_COND_AGG,
+        doc="TPC-H Q12 shape (sum(CASE) conditional agg)"),
     "intersect_buyer_supplier_nations": QuerySpec(
         q_intersect_buyer_supplier_nations, ORACLE_INTERSECT,
         doc="INTERSECT set op"),

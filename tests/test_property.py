@@ -93,3 +93,22 @@ def test_tokens_matches_python_split(spark, parts):
     df = spark.createDataFrame([(s,)], "text string")
     got = df.select(tokens("text").alias("t")).collect()[0].t
     assert got == s.lower().split()
+
+
+@given(st.lists(st.tuples(st.integers(0, 4), st.integers(0, 5),
+                          st.integers(0, 100)),
+                min_size=1, max_size=40))
+@settings(max_examples=20, deadline=None)
+def test_keep_last_window_equals_maxby_agg(spark, rows):
+    """The two J3 physical strategies (row_number window vs max_by
+    aggregation) are result-identical on any input, duplicates and
+    order-ties included."""
+    from bigdata_project_hust_spark.operators.joins import (
+        keep_last, keep_last_agg)
+    df = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts, _) in enumerate(rows)],
+        "event_id long, k long, ts long")
+    a = sorted(map(tuple, keep_last(df, ["k"], "ts", "event_id").collect()))
+    b = sorted(map(tuple,
+                   keep_last_agg(df, ["k"], "ts", "event_id").collect()))
+    assert a == b
