@@ -1785,10 +1785,26 @@ ORACLE_MM_META = f"""
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Full decode output incl. the deterministic stub feature vector
-    (array<double> — rows-only check; swapping the stub for a real
-    codec changes no Spark-side plumbing)."""
+    """Full decode output incl. the deterministic stub feature vector.
+    Even the array<double> features oracle-check bit-for-bit: feature i
+    = uint64(md5("i:" || payload)[:8]) / 2^64, and dividing by an exact
+    power of two only rescales the correctly-rounded uint64→double
+    conversion — identical in Python and DuckDB. Swapping the stub for
+    a real codec changes no Spark-side plumbing (and would drop this
+    entry to rows-only)."""
     return multimodal.extract_features(_media(spark, sf_dir), fake=True)
+
+
+ORACLE_MM_FEATURES = f"""
+  SELECT doc_id AS asset_id,
+         {_KIND_SQL} AS kind,
+         octet_length(encode(text))::BIGINT AS n_bytes,
+         md5(text) AS payload_md5,
+         list_transform(generate_series(0, 7), i ->
+           ('0x' || substr(md5(i || ':' || text), 1, 16))::UBIGINT::DOUBLE
+             / 18446744073709551616.0) AS feature
+  FROM documents
+"""
 
 
 def q_multimodal_frame_sample(spark, sf_dir):
@@ -2295,9 +2311,9 @@ QUERIES: dict[str, QuerySpec] = {
         q_multimodal_decode_meta, ORACLE_MM_META,
         doc="binary decode via mapInPandas — integrity metadata"),
     "multimodal_features": QuerySpec(
-        q_multimodal_features, None,
-        doc="decode + feature extract (stub codec; rows-only: "
-            "array<double> features)"),
+        q_multimodal_features, ORACLE_MM_FEATURES,
+        doc="decode + feature extract (stub codec, bit-exact oracle "
+            "incl. the double feature vector)"),
     "multimodal_frame_sample": QuerySpec(
         q_multimodal_frame_sample, ORACLE_MM_FRAMES,
         doc="video frame sampling (1→N mapInPandas expansion)"),
