@@ -835,9 +835,32 @@ def _oracle_knn_join(k: int = 3) -> str:
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup via LSH bucket self-join (≥ 0.95)."""
+    """Embedding-cosine near-dup via LSH bucket self-join (≥ 0.95);
+    fully deterministic (literal hyperplanes + exact cosine verify) so
+    the oracle reproduces it exactly."""
     return similarity.embedding_near_duplicates(
         _t(spark, sf_dir, "embeddings"))
+
+
+def _oracle_embedding_near_dup(min_sim_e6: int = 950000) -> str:
+    planes = similarity.hyperplanes(8, 64)
+    bits = " || ".join(
+        "(CASE WHEN " + _DOT_SQL.format(
+            a="embedding",
+            b=f"[{', '.join(repr(c) for c in plane)}]::DOUBLE[]")
+        + " >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes)
+    return f"""
+  WITH b AS (SELECT vec_id, embedding, ({bits}) AS bucket FROM embeddings)
+  SELECT doc_a, doc_b, sim_e6 FROM (
+    SELECT a.vec_id AS doc_a, c.vec_id AS doc_b,
+           floor({_DOT_SQL.format(a='a.embedding', b='c.embedding')}
+             / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                * sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')}))
+             * 1000000)::BIGINT AS sim_e6
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  ) WHERE sim_e6 >= {min_sim_e6}
+"""
 
 
 def q_text_lang_id(spark, sf_dir):
@@ -2206,8 +2229,8 @@ QUERIES: dict[str, QuerySpec] = {
         q_similarity_knn_join, _oracle_knn_join(), headline=True,
         doc="LSH kNN self-join: top-k neighbors for every vector"),
     "embedding_near_dup": QuerySpec(
-        q_embedding_near_dup, None,
-        doc="embedding near-dup (rows-only; LSH self-join)"),
+        q_embedding_near_dup, _oracle_embedding_near_dup(),
+        doc="embedding near-dup (LSH bucket self-join, exact verify)"),
     "text_lang_id": QuerySpec(q_text_lang_id, ORACLE_LANG, doc="lang ID"),
     "text_quality": QuerySpec(q_text_quality, ORACLE_QUALITY,
                               doc="quality scoring"),
