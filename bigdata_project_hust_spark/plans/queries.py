@@ -1662,6 +1662,32 @@ ORACLE_ANALYTICS = """
 """
 
 
+def q_rolling_distinct_types(spark, sf_dir):
+    """Distinct-count over a bounded window frame: per event, how many
+    distinct event types the user produced in their trailing 5 events.
+    Spark windows reject count_distinct — the idiom is
+    size(collect_set(...) over frame); DuckDB supports the DISTINCT
+    window aggregate directly, proving the rewrite's equivalence."""
+    e = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+               .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+               .rowsBetween(-4, 0))
+    return e.select(
+        "user_id", "event_id",
+        F.size(F.collect_set("event_type").over(w)).cast("long")
+         .alias("distinct_types_5"))
+
+
+ORACLE_ROLLING_DISTINCT = """
+  SELECT user_id, event_id,
+         count(DISTINCT event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)::BIGINT
+           AS distinct_types_5
+  FROM events
+"""
+
+
 def q_moving_sum_orders(spark, sf_dir):
     """Bounded window frame: per-customer trailing-3-order spend
     (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — the frame variant the
@@ -2325,6 +2351,9 @@ QUERIES: dict[str, QuerySpec] = {
     "customer_analytics": QuerySpec(
         q_customer_analytics, ORACLE_ANALYTICS,
         doc="analytic fns: ntile + percent_rank + first_value"),
+    "rolling_distinct_types": QuerySpec(
+        q_rolling_distinct_types, ORACLE_ROLLING_DISTINCT,
+        doc="distinct-count window frame (collect_set rewrite)"),
     "moving_sum_orders": QuerySpec(
         q_moving_sum_orders, ORACLE_MOVING_SUM,
         doc="bounded window frame (trailing-3 sum)"),
