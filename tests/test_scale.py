@@ -241,3 +241,23 @@ def test_salted_join_rejects_bad_args(spark):
         salted_join(left, right, "k", salt=0)
     with pytest.raises(ValueError):
         salted_join(left, right, "k", how="full")
+
+
+def test_analyze_table_feeds_cbo_stats(spark, tmp_path):
+    """ANALYZE TABLE COMPUTE STATISTICS populates the catalog stats the
+    cost-based optimizer (join reordering, build-side choice) reads —
+    the step a production deployment runs after large loads."""
+    try:
+        df = spark.range(0, 5000).selectExpr("id AS k", "id % 7 AS v")
+        df.write.mode("overwrite").format("parquet").saveAsTable("cbo_t")
+        spark.sql("ANALYZE TABLE cbo_t COMPUTE STATISTICS FOR ALL COLUMNS")
+        stats = spark.sql("DESCRIBE TABLE EXTENDED cbo_t").collect()
+        detail = {r.col_name: r.data_type for r in stats}
+        assert "Statistics" in detail
+        assert "5000 rows" in detail["Statistics"]
+        # per-column stats present (distinct-count estimate for v)
+        vstats = {r.info_name: r.info_value for r in
+                  spark.sql("DESCRIBE EXTENDED cbo_t v").collect()}
+        assert vstats.get("distinct_count") == "7"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbo_t")
