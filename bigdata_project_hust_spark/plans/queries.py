@@ -1662,6 +1662,33 @@ ORACLE_ANALYTICS = """
 """
 
 
+def q_topk_via_array_agg(spark, sf_dir):
+    """Per-group first-3 events via ARRAY aggregation (collect_list →
+    array_sort → slice → inline) — the alternative physical strategy to
+    the rank-window top-k: one hash aggregate, no partition sort. Wins
+    when groups are many and small (state is k structs per group);
+    loses when single groups are huge (the window + WindowGroupLimit
+    variant never materializes a group in memory). Both are in the
+    engine; the oracle (row_number form) proves equivalence."""
+    e = _t(spark, sf_dir, "events")
+    ev = F.struct(F.unix_timestamp("ts").alias("ts_s"),
+                  F.col("event_id"), F.col("value"))
+    return (e.groupBy("user_id")
+             .agg(F.slice(F.array_sort(F.collect_list(ev)), 1, 3)
+                   .alias("__top"))
+             .select("user_id", F.inline("__top")))
+
+
+ORACLE_TOPK_ARRAY = """
+  SELECT user_id, floor(epoch(ts))::BIGINT AS ts_s, event_id, value
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY floor(epoch(ts)), event_id) AS rn
+    FROM events
+  ) WHERE rn <= 3
+"""
+
+
 def q_rolling_distinct_types(spark, sf_dir):
     """Distinct-count over a bounded window frame: per event, how many
     distinct event types the user produced in their trailing 5 events.
@@ -2351,6 +2378,9 @@ QUERIES: dict[str, QuerySpec] = {
     "customer_analytics": QuerySpec(
         q_customer_analytics, ORACLE_ANALYTICS,
         doc="analytic fns: ntile + percent_rank + first_value"),
+    "topk_via_array_agg": QuerySpec(
+        q_topk_via_array_agg, ORACLE_TOPK_ARRAY,
+        doc="per-group top-k via array agg (no-sort alternative)"),
     "rolling_distinct_types": QuerySpec(
         q_rolling_distinct_types, ORACLE_ROLLING_DISTINCT,
         doc="distinct-count window frame (collect_set rewrite)"),
