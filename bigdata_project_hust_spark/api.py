@@ -1,0 +1,97 @@
+"""User-facing facade — the one-import surface a reference user
+switches to.
+
+The reference's workflow (readme.md:5-16) is: ingest tweets/users/
+projects → preprocess + score → detect KOLs → aggregate engagement →
+serve top-K/histograms/time-series. ``Engine`` exposes exactly that,
+plus the training-data extensions (dedup / similarity / text / media),
+each method returning a lazy DataFrame the caller composes further.
+
+    from bigdata_project_hust_spark.api import Engine
+    eng = Engine(spark, "/root/testdata/sf0.1")
+    eng.kols().show()                      # scored + thresholded users
+    eng.near_duplicates("minhash").show()  # doc near-dup pairs
+    eng.curated_corpus().show()            # quality ∧ lang ∧ dedup gate
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .io import load_table
+from .operators import dedup, similarity, text
+from .operators.projections import KOL_THRESHOLD, kol_filter
+from .plans.queries import QUERIES
+
+
+class Engine:
+    """Thin, stateless facade over the operator library; every method
+    is lazy (returns a DataFrame) and reads from the engine's fixture
+    directory. For the full named-query catalog use :meth:`query` —
+    one entry per SURVEY §2 operator / extension (COVERAGE.md)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    # -- catalog ----------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        return load_table(self.spark, self.sf_dir, name)
+
+    def query(self, name: str) -> DataFrame:
+        """Run any registered query by name (see COVERAGE.md)."""
+        return QUERIES[name].fn(self.spark, self.sf_dir)
+
+    def query_names(self) -> list[str]:
+        return list(QUERIES)
+
+    # -- reference workflow -----------------------------------------
+    def kols(self, threshold: float = KOL_THRESHOLD) -> DataFrame:
+        """Scored users above the influence threshold (F1 + P2)."""
+        from .plans.queries import _customer_scored
+        return kol_filter(_customer_scored(self.spark, self.sf_dir),
+                          threshold)
+
+    def engagement_log(self, window_s: int = 600) -> DataFrame:
+        """Per-user map<window_ts → [metrics]> (ST7 sink shape)."""
+        from .operators.windows import engagement_change_log
+        return engagement_change_log(self.table("events"), "ts",
+                                     "user_id", window_s, ["value"])
+
+    # -- training-data extensions -----------------------------------
+    def near_duplicates(self, method: str = "minhash") -> DataFrame:
+        """Document near-dup pairs: 'exact', 'minhash', 'simhash',
+        'ngram', or 'embedding'."""
+        d = self.table("documents")
+        if method == "exact":
+            return dedup.exact_duplicates(d)
+        if method == "minhash":
+            return dedup.minhash_near_duplicates(d)
+        if method == "simhash":
+            return dedup.simhash_near_duplicates(d)
+        if method == "ngram":
+            return dedup.ngram_jaccard_pairs_capped(d)
+        if method == "embedding":
+            return similarity.embedding_near_duplicates(
+                self.table("embeddings"))
+        raise ValueError(f"unknown dedup method {method!r}")
+
+    def similar(self, query_id: int, k: int = 10,
+                method: str = "brute") -> DataFrame:
+        """Top-k neighbours of a stored vector: 'brute', 'lsh', 'ivf'."""
+        e = self.table("embeddings")
+        if method == "brute":
+            return similarity.cosine_topk(e, query_id, k)
+        if method == "lsh":
+            return similarity.lsh_cosine_topk(e, query_id, k)
+        if method == "ivf":
+            return similarity.ivf_topk(e, query_id, k)
+        raise ValueError(f"unknown similarity method {method!r}")
+
+    def curated_corpus(self) -> DataFrame:
+        """Quality ∧ language ∧ dedup-keeper gated documents."""
+        return self.query("training_corpus_curation")
+
+    def doc_features(self) -> DataFrame:
+        """Quality + language features, one tokenize pass."""
+        return text.doc_features(self.table("documents"))

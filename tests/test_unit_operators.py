@@ -352,3 +352,20 @@ def test_preprocess_projects_and_tweets_reference_semantics(spark):
     assert t.author == "x_author" and t.authorName == "The X Guy"
     assert t.likes is None and t.retweetCounts is None   # nulls preserved
     assert t.views == 10 and t.replyCounts == 3
+
+
+def test_engine_facade_smoke(spark):
+    """The one-import user surface: every facade method produces a
+    runnable lazy DataFrame over the fixtures."""
+    from bigdata_project_hust_spark.api import Engine
+    eng = Engine(spark, "/root/testdata/sf0.001")
+    assert eng.kols().count() > 0
+    assert eng.near_duplicates("exact").columns == [
+        "text_md5", "keeper_id", "n_copies"]
+    assert eng.similar(0, k=3, method="brute").count() == 3
+    assert eng.curated_corpus().columns == ["doc_id", "quality", "n_tokens"]
+    assert len(eng.query_names()) >= 89
+    assert eng.query("top5_orders").count() == 5
+    import pytest
+    with pytest.raises(ValueError):
+        eng.near_duplicates("nope")
