@@ -369,3 +369,23 @@ def test_engine_facade_smoke(spark):
     import pytest
     with pytest.raises(ValueError):
         eng.near_duplicates("nope")
+
+
+def test_with_ingest_ts_and_view_registration(spark):
+    """F5 ingest timestamp (unix seconds ≈ now) and the spark.sql view
+    registration path over the fixture tables."""
+    import time
+    from bigdata_project_hust_spark.io import load_tables, register_views
+    from bigdata_project_hust_spark.operators.projections import (
+        with_ingest_ts)
+    df = with_ingest_ts(spark.createDataFrame([(1,)], "x long"))
+    ts = df.collect()[0].timestamp
+    assert abs(ts - int(time.time())) < 120
+    register_views(spark, "/root/testdata/sf0.001", ("region", "nation"))
+    n = spark.sql(
+        "SELECT count(*) AS n FROM region JOIN nation "
+        "ON r_regionkey = n_regionkey").collect()[0].n
+    assert n == 25
+    tables = load_tables(spark, "/root/testdata/sf0.001",
+                         ("region", "nation"))
+    assert set(tables) == {"region", "nation"}
