@@ -389,3 +389,20 @@ def test_with_ingest_ts_and_view_registration(spark):
     tables = load_tables(spark, "/root/testdata/sf0.001",
                          ("region", "nation"))
     assert set(tables) == {"region", "nation"}
+
+
+def test_ngram_capped_is_subset_of_uncapped(spark):
+    """Stop-shingle capping may only REMOVE pairs (bounded recall
+    loss), never add or rescore: capped results ⊆ uncapped, with
+    identical Jaccard stats on surviving pairs."""
+    from bigdata_project_hust_spark.io import load_table
+    from bigdata_project_hust_spark.operators.dedup import (
+        ngram_jaccard_pairs, ngram_jaccard_pairs_capped)
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = {(r.doc_a, r.doc_b): (r.inter_size, r.union_size)
+            for r in ngram_jaccard_pairs(d).collect()}
+    capped = {(r.doc_a, r.doc_b): (r.inter_size, r.union_size)
+              for r in ngram_jaccard_pairs_capped(d, max_df=3).collect()}
+    assert set(capped) <= set(full)
+    for pair, stats in capped.items():
+        assert stats == full[pair]
