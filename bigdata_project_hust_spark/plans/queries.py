@@ -1497,6 +1497,50 @@ ORACLE_REVENUE_DECIMAL = """
 """
 
 
+def q_lateral_view_tokens_sql(spark, sf_dir):
+    """LATERAL VIEW explode through the SQL text interface — the HiveQL
+    generator syntax (DataFrame twin: explode_token_topk)."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(r"""
+      SELECT doc_id, count(*) AS n_tokens_raw
+      FROM documents_v
+      LATERAL VIEW explode(split(lower(text), '\\s+')) t AS tok
+      GROUP BY doc_id
+    """)
+
+
+ORACLE_LATERAL_VIEW = r"""
+  SELECT doc_id, len(string_split_regex(lower(text), '\s+'))::BIGINT
+           AS n_tokens_raw
+  FROM documents
+"""
+
+
+def q_row_scalar_functions(spark, sf_dir):
+    """Row-wise scalar breadth: greatest/least across columns, nullif,
+    nvl2-style conditional — null-glue functions the preprocess layer
+    leans on."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.greatest(F.col("l_tax"), F.col("l_discount")).alias("max_rate"),
+        F.least(F.col("l_tax"), F.col("l_discount")).alias("min_rate"),
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag_or_null"),
+        F.when(F.col("l_returnflag").isNotNull(), F.lit("flagged"))
+         .otherwise(F.lit("bare")).alias("nvl2_style"))
+
+
+ORACLE_ROW_SCALARS = """
+  SELECT l_orderkey, l_linenumber,
+         greatest(l_tax, l_discount) AS max_rate,
+         least(l_tax, l_discount) AS min_rate,
+         nullif(l_returnflag, 'N') AS flag_or_null,
+         CASE WHEN l_returnflag IS NOT NULL THEN 'flagged'
+              ELSE 'bare' END AS nvl2_style
+  FROM lineitem
+"""
+
+
 def q_try_divide_safe(spark, sf_dir):
     """ANSI-safe arithmetic: try_divide returns NULL on /0 instead of
     erroring (Spark 4 runs ANSI-on by default — plain division by zero
@@ -2357,6 +2401,12 @@ QUERIES: dict[str, QuerySpec] = {
     "revenue_decimal_exact": QuerySpec(
         q_revenue_decimal_exact, ORACLE_REVENUE_DECIMAL,
         doc="DecimalType exact aggregation (no FP rounding)"),
+    "lateral_view_tokens_sql": QuerySpec(
+        q_lateral_view_tokens_sql, ORACLE_LATERAL_VIEW,
+        doc="LATERAL VIEW explode via SQL text interface"),
+    "row_scalar_functions": QuerySpec(
+        q_row_scalar_functions, ORACLE_ROW_SCALARS,
+        doc="greatest/least/nullif/nvl2-style row scalars"),
     "try_divide_safe": QuerySpec(
         q_try_divide_safe, ORACLE_TRY_DIVIDE,
         doc="ANSI-safe arithmetic (try_divide null-on-zero)"),
