@@ -390,10 +390,12 @@ ORACLE_FIRST_CROSSING = """
 
 def q_event_types_per_user(spark, sf_dir):
     """collect_set aggregation: the distinct event types each user
-    produced, sorted for canonical (engine-comparable) output."""
+    produced, sorted and serialized to one canonical CSV string — the
+    driver's pandas canonicalizer cannot sort array cells, so set
+    outputs must cross the engine boundary as scalars."""
     e = _t(spark, sf_dir, "events")
     return (e.groupBy("user_id")
-             .agg(F.array_sort(F.collect_set("event_type"))
+             .agg(F.concat_ws(",", F.array_sort(F.collect_set("event_type")))
                    .alias("event_types"),
                   F.count_distinct("event_type").cast("long")
                    .alias("n_types")))
@@ -401,7 +403,8 @@ def q_event_types_per_user(spark, sf_dir):
 
 ORACLE_EVENT_TYPES = """
   SELECT user_id,
-         list_sort(list(DISTINCT event_type)) AS event_types,
+         array_to_string(list_sort(list(DISTINCT event_type)), ',')
+           AS event_types,
          count(DISTINCT event_type)::BIGINT AS n_types
   FROM events GROUP BY user_id
 """
@@ -523,12 +526,46 @@ ORACLE_MERGE = """
 
 
 def q_engagement_change_log(spark, sf_dir):
-    """ST7 sink shape: map<ts_str -> [metrics]> per user — the exact
-    engagementChangeLogs layout (show.py:103-110). Map-typed output is
-    not DuckDB-hashable → rows-only check (long format is checked by
-    engagement_windows)."""
+    """ST7 sink shape, driver-hashable: the map<ts_str -> [metrics]>
+    engagementChangeLogs layout (show.py:103-110) is built by the real
+    map operator, then serialized to one canonical string per user
+    ("ts:cents;ts:cents", windows ascending, metric in integer cents via
+    floor(x*100+0.5) — identical on Spark and DuckDB). The map column
+    itself stays available for sinks via the operator; the driver's
+    pandas canonicalizer cannot hash map cells, so the query output is
+    the deterministic serialization — which also upgrades this from a
+    rows-only check to a full value-hash oracle on the map pipeline."""
     e = _t(spark, sf_dir, "events")
-    return engagement_change_log(e, "ts", "user_id", 600, ["value"])
+    log = engagement_change_log(e, "ts", "user_id", 600, ["value"])
+    # map -> sorted entries -> "ts:cents" items -> ";"-joined string.
+    # Entries sorted numerically by window start (cast key to long);
+    # all-Catalyst exprs, exercising the map through map_entries.
+    entries = F.transform(
+        F.map_entries(F.col("engagementChangeLogs")),
+        lambda e_: F.struct(
+            e_["key"].cast("long").alias("ws"),
+            F.floor(F.element_at(e_["value"], 1) * 100 + F.lit(0.5))
+             .cast("long").alias("cents")))
+    items = F.transform(
+        F.array_sort(entries),
+        lambda s: F.concat_ws(":", s["ws"].cast("string"),
+                              s["cents"].cast("string")))
+    return log.select(
+        "user_id", F.concat_ws(";", items).alias("change_log"))
+
+
+ORACLE_CHANGE_LOG = """
+  WITH w AS (
+    SELECT user_id,
+           (floor(epoch(ts) / 600) * 600)::BIGINT AS ws,
+           floor(sum(coalesce(value, 0)) * 100 + 0.5)::BIGINT AS cents
+    FROM events GROUP BY 1, 2
+  )
+  SELECT user_id,
+         string_agg(ws::VARCHAR || ':' || cents::VARCHAR, ';' ORDER BY ws)
+           AS change_log
+  FROM w GROUP BY user_id
+"""
 
 
 def q_engagement_log_roundtrip(spark, sf_dir):
@@ -557,11 +594,43 @@ ORACLE_ENGAGEMENT_ROUNDTRIP = """
 
 def q_freq_items_priority(spark, sf_dir):
     """Frequent-items sketch (Karp-Papadimitriou-Shenker via
-    df.stat.freqItems) — rows-only: sketch contents are
-    implementation-defined; the exact histogram twin is
-    mktsegment_histogram."""
+    df.stat.freqItems) — rows-only (sketch may legally include extra
+    sub-threshold items, so its exact contents are engine-defined; the
+    exact histogram twin is mktsegment_histogram), but value-bearing:
+    the KPS guarantee — every item with frequency > support·n is in the
+    sketch — is asserted in-query via assert_true, so a wrong sketch
+    turns the rows-only check into a hard ERR. Output is serialized to
+    a sorted CSV string (driver's pandas canonicalizer can't hash array
+    cells)."""
     o = _t(spark, sf_dir, "orders")
-    return o.stat.freqItems(["o_orderpriority"], 0.2)
+    sketch = (o.stat.freqItems(["o_orderpriority"], 0.2)
+               .select(F.col("o_orderpriority_freqItems").alias("__items")))
+    # Exact frequent set computed relationally (one hash-agg, then a
+    # 1-row global agg — no driver-side count()).
+    counts = o.groupBy("o_orderpriority").agg(F.count("*").alias("__n"))
+    exact = (counts.agg(
+        F.sum("__n").alias("__total"),
+        F.collect_list(F.struct(F.col("o_orderpriority").alias("v"),
+                                F.col("__n").alias("n"))).alias("__groups"))
+        .select(F.filter(
+            "__groups",
+            lambda g: g["n"] > F.col("__total") * 0.2).alias("__frequent")))
+    joined = sketch.crossJoin(F.broadcast(exact))  # 1 row × 1 row
+    covered = F.forall(
+        F.transform("__frequent", lambda g: g["v"]),
+        lambda v: F.array_contains(F.col("__items"), v))
+    # assert_true(c) is null when c holds and raises otherwise, so
+    # `.isNull()` keeps all rows iff the KPS guarantee holds (and is not
+    # constant-foldable, unlike `cond | lit(True)` shapes).
+    return (joined
+            .where(F.assert_true(
+                covered,
+                F.lit("freq_items sketch missed a frequent item")).isNull())
+            .select(
+                F.concat_ws(",", F.array_sort("__items"))
+                 .alias("freq_items"),
+                F.size("__frequent").alias("n_frequent_exact"),
+                covered.alias("all_frequent_covered")))
 
 
 # ---------------------------------------------------------------------------
@@ -1158,11 +1227,21 @@ ORACLE_PERCENTILE = """
 
 def q_approx_distinct(spark, sf_dir):
     """Approximate distinct (HLL++) — sketch outputs are engine-
-    specific, so no oracle; tests assert tolerance vs exact."""
+    specific, so no oracle; but the rel-error contract is asserted
+    in-query (assert_true at 3× the default 5% rsd), so a broken
+    estimate turns the rows-only check into a hard ERR."""
     e = _t(spark, sf_dir, "events")
-    return e.agg(
+    agg_df = e.agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"))
+    rel_err = (F.abs(F.col("approx_users") - F.col("exact_users"))
+               / F.col("exact_users"))
+    return (agg_df
+            .where(F.assert_true(
+                rel_err <= 0.15,
+                F.lit("HLL estimate outside 15% of exact")).isNull())
+            .select("approx_users", "exact_users",
+                    (rel_err <= 0.15).alias("within_tolerance")))
 
 
 def q_sessionize_events(spark, sf_dir):
@@ -1610,17 +1689,20 @@ ORACLE_SHIP_LATENCY = """
 def q_nation_name_lists(spark, sf_dir):
     """Array aggregation: per-nation sorted list of its 5 alphabetically
     first customer names (collect_list is order-nondeterministic →
-    array_sort + slice makes it canonical and keeps the array small)."""
+    array_sort + slice makes it canonical), serialized to a '|'-joined
+    string so the driver's pandas canonicalizer can sort/hash it."""
     c = _t(spark, sf_dir, "customer")
     return (c.groupBy("c_nationkey")
-             .agg(F.slice(F.array_sort(F.collect_list("c_name")), 1, 5)
+             .agg(F.concat_ws(
+                      "|",
+                      F.slice(F.array_sort(F.collect_list("c_name")), 1, 5))
                    .alias("first_names"),
                   F.count("*").alias("n_customers")))
 
 
 ORACLE_NAME_LISTS = """
   SELECT c_nationkey,
-         list_sort(list(c_name))[1:5] AS first_names,
+         array_to_string(list_sort(list(c_name))[1:5], '|') AS first_names,
          count(*) AS n_customers
   FROM customer GROUP BY c_nationkey
 """
@@ -1906,13 +1988,22 @@ ORACLE_MM_META = f"""
 
 def q_multimodal_features(spark, sf_dir):
     """Full decode output incl. the deterministic stub feature vector.
-    Even the array<double> features oracle-check bit-for-bit: feature i
-    = uint64(md5("i:" || payload)[:8]) / 2^64, and dividing by an exact
-    power of two only rescales the correctly-rounded uint64→double
-    conversion — identical in Python and DuckDB. Swapping the stub for
+    Feature i = uint64(md5("i:" || payload)[:8]) / 2^64 — bit-identical
+    in Python and DuckDB (dividing by an exact power of two only
+    rescales the correctly-rounded uint64→double conversion). The
+    vector is serialized to a CSV of 1e-6 fixed-point longs: the
+    driver's pandas canonicalizer cannot hash array cells, and since
+    the underlying doubles agree bit-for-bit on both engines, the
+    floor(v·1e6) encoding is deterministic too. Swapping the stub for
     a real codec changes no Spark-side plumbing (and would drop this
     entry to rows-only)."""
-    return multimodal.extract_features(_media(spark, sf_dir), fake=True)
+    feat = multimodal.extract_features(_media(spark, sf_dir), fake=True)
+    return feat.select(
+        "asset_id", "kind", "n_bytes", "payload_md5",
+        F.concat_ws(",", F.transform(
+            "feature",
+            lambda v: F.floor(v * 1000000).cast("long").cast("string")))
+         .alias("feature_fp6"))
 
 
 ORACLE_MM_FEATURES = f"""
@@ -1920,9 +2011,11 @@ ORACLE_MM_FEATURES = f"""
          {_KIND_SQL} AS kind,
          octet_length(encode(text))::BIGINT AS n_bytes,
          md5(text) AS payload_md5,
-         list_transform(generate_series(0, 7), i ->
-           ('0x' || substr(md5(i || ':' || text), 1, 16))::UBIGINT::DOUBLE
-             / 18446744073709551616.0) AS feature
+         array_to_string(list_transform(generate_series(0, 7), i ->
+           floor(('0x' || substr(md5(i || ':' || text), 1, 16))
+                   ::UBIGINT::DOUBLE
+                 / 18446744073709551616.0 * 1000000)::BIGINT::VARCHAR),
+           ',') AS feature_fp6
   FROM documents
 """
 
@@ -2075,6 +2168,7 @@ ORACLE_WINNOW = f"""
              list_transform(generate_series(1, n - 2),
                i -> ((th[i] * 131 + th[i+1]) % 2147483647 * 131 + th[i+2])
                     % 2147483647)
+           WHEN len(th) = 0 THEN [0]
            ELSE [list_reduce(th, (acc, x) -> (acc * 131 + x) % 2147483647)]
            END AS g,
            greatest(n - 2, 1) AS m
@@ -2293,8 +2387,8 @@ QUERIES: dict[str, QuerySpec] = {
         q_merge_aggregate_incremental, ORACLE_MERGE,
         doc="A2 incremental == recompute"),
     "engagement_change_log": QuerySpec(
-        q_engagement_change_log, None,
-        doc="ST7 map-shaped sink (rows-only: map type not SQL-hashable)"),
+        q_engagement_change_log, ORACLE_CHANGE_LOG,
+        doc="ST7 map-shaped sink, canonically serialized (full oracle)"),
     # extensions
     "engagement_log_roundtrip": QuerySpec(
         q_engagement_log_roundtrip, ORACLE_ENGAGEMENT_ROUNDTRIP,

@@ -12,7 +12,8 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession  # noqa: E402
 
 import __spark_entry__ as E  # noqa: E402
-from tests.oracle_harness import compare, duck_connection  # noqa: E402
+from tests.oracle_harness import (  # noqa: E402
+    compare, driver_canon, duck_connection)
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -39,8 +40,11 @@ for name, fn in qs.items():
             ok = res["hash"]
             detail = "" if ok else f" rows={res['n_spark']}/{res['n_duck']} cols={res['cols']}"
         else:
-            n = d.count()
-            ok, detail = True, f" rows-only n={n}"
+            # the real driver canonicalizes even rows-only results —
+            # replicate so complex-typed outputs fail here first
+            rows = [tuple(r) for r in d.collect()]
+            driver_canon(d.columns, rows)
+            ok, detail = True, f" rows-only n={len(rows)}"
     except Exception as ex:  # noqa: BLE001
         ok, detail = False, f" EXC {type(ex).__name__}: {ex}"
     status = "OK " if ok else "FAIL"

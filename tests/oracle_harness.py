@@ -8,9 +8,31 @@ import hashlib
 import math
 
 import duckdb
+import pandas as pd
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
+
+
+def driver_canon(cols: list[str], rows: list[tuple]) -> None:
+    """Replicates the real driver's pandas canonicalization pass: build
+    a DataFrame and `sort_values` by every column. The driver does this
+    for EVERY queries() entry (even rows-only ones), and pandas raises
+    `TypeError: unhashable type` on array/map/struct cells — which is
+    exactly how two round-1 queries ERR'd while this harness said OK.
+    We additionally reject non-scalar cells explicitly (stricter than
+    pandas, which happens not to choke on single-row frames) so no
+    complex-typed output can slip through again."""
+    for r in rows:
+        for v in r:
+            if isinstance(v, (list, dict, set, tuple, bytearray)):
+                raise TypeError(
+                    f"non-scalar cell {type(v).__name__} — the driver's "
+                    "pandas canonicalizer cannot hash this; serialize the "
+                    "column to a string in the query and its oracle")
+    df = pd.DataFrame(rows, columns=list(cols))
+    if len(df.columns) and len(df):
+        df.sort_values(by=sorted(df.columns), kind="mergesort")
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -46,12 +68,17 @@ def value_hash(rows: list[tuple], col_order: list[int]) -> str:
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
-    """Returns {'rows': bool, 'cols': bool, 'hash': bool, ...detail}."""
+    """Returns {'rows': bool, 'cols': bool, 'hash': bool, ...detail}.
+
+    Raises (like the real driver) if either side's result contains
+    cells the driver's pandas canonicalizer cannot sort/hash."""
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.execute(sql)
     d_cols = [c[0] for c in rel.description]
     d_rows = rel.fetchall()
+    driver_canon(s_cols, s_rows)
+    driver_canon(d_cols, d_rows)
     s_order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
     d_order = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
     res = {
