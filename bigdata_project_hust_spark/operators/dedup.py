@@ -158,15 +158,32 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
 def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             threshold_num: int = 1,
-                            threshold_den: int = 2) -> DataFrame:
+                            threshold_den: int = 2,
+                            checkpoint_dir: str | None = None) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → sign → band →
     candidates → exact-Jaccard verify.
 
     The shingle set feeds both the signatures and the Jaccard verify
-    (3 downstream references) — persist it, or the tokenize+explode+
-    distinct subtree runs 4×. At cluster scale this would be a
-    MEMORY_AND_DISK persist or a checkpoint to the shuffle service."""
-    sh = shingles(df, text_col, id_col).persist()
+    (3 downstream references) — without materialization the tokenize+
+    explode+distinct subtree runs 4×. Two materialization modes:
+
+    - ``checkpoint_dir=None`` (default, single-node / fits-in-memory):
+      ``persist()`` — executor block-manager caching.
+    - ``checkpoint_dir=<path>`` (cluster scale): the shingle table is
+      written to parquet under the given directory and re-read, which
+      truncates the lineage and survives executor loss — at 100 TB the
+      shingle intermediate (docs × ~tokens rows) exceeds aggregate
+      cluster memory, and a lost cached partition would otherwise
+      recompute the whole tokenize subtree per retry. The path works on
+      any Hadoop-FS URI (hdfs://, s3a://, file:).
+    """
+    sh = shingles(df, text_col, id_col)
+    if checkpoint_dir is not None:
+        path = checkpoint_dir.rstrip("/") + "/minhash_shingles.parquet"
+        sh.write.mode("overwrite").parquet(path)
+        sh = df.sparkSession.read.parquet(path)
+    else:
+        sh = sh.persist()
     sig = minhash_signatures(sh, id_col)
     cands = candidate_pairs(minhash_bands(sig, id_col), id_col)
     return jaccard_verify(cands, sh, id_col, threshold_num, threshold_den)

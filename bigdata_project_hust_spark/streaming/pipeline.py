@@ -25,22 +25,33 @@ def json_file_stream(spark: SparkSession, path: str, schema: T.StructType,
     return reader.json(path)
 
 
+def parse_kafka_frame(raw: DataFrame, schema: T.StructType) -> DataFrame:
+    """The value-parse chain of ``kafka_stream`` (consumer1.py:46's
+    ``json.loads`` as a Catalyst expression), factored out so it runs
+    against ANY frame with Kafka-source shape (``topic`` string,
+    ``value`` binary) — which makes the ST1/S4 parse logic executable
+    in tests with no broker: feed it ``kafka_sink_frame``'s output."""
+    return (raw.select(
+        F.col("topic"),
+        F.from_json(F.col("value").cast("string"), schema).alias("rec"))
+        .select("topic", "rec.*"))
+
+
 def kafka_stream(spark: SparkSession, brokers: str, topics: str,
                  schema: T.StructType) -> DataFrame:
     """S4: multi-topic Kafka source → parsed records
     (consumer1.py:41-48). Requires the kafka connector jar + a broker —
-    not present in the test container, so this is exercised only when
-    infrastructure exists; the file stream above is the tested path
-    with identical downstream semantics."""
+    not present in the test container, so the source itself is
+    exercised only when infrastructure exists; the parse chain is
+    ``parse_kafka_frame`` (tested broker-free), and the file stream
+    above is the tested source path with identical downstream
+    semantics."""
     raw = (spark.readStream.format("kafka")
            .option("kafka.bootstrap.servers", brokers)
            .option("subscribe", topics)
            .option("startingOffsets", "earliest")
            .load())
-    return (raw.select(
-        F.col("topic"),
-        F.from_json(F.col("value").cast("string"), schema).alias("rec"))
-        .select("topic", "rec.*"))
+    return parse_kafka_frame(raw, schema)
 
 
 def dedup_stream(df: DataFrame, key_cols: list[str], ts_col: str,

@@ -53,3 +53,40 @@ def test_kafka_sink_frame_shape_and_losslessness(spark):
     ).select("r.*")
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, df.collect()))
+
+
+def test_kafka_parse_chain_roundtrip_no_broker(spark):
+    """ST1/S4 closure (round-1 verdict item 4): run kafka_stream's
+    EXACT value-parse chain (parse_kafka_frame) over kafka_sink_frame's
+    binary output — producer serialize → consumer parse, end to end,
+    with no broker. Covers multi-topic frames, null fields, unicode,
+    and JSON-special characters in values (consumer1.py:41-48 +
+    producer.py:43-46)."""
+    from bigdata_project_hust_spark.streaming.pipeline import (
+        parse_kafka_frame)
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("blue", T.BooleanType()),
+    ])
+    rows = [(1, 'quote " and \\ backslash', 1.5, True),
+            (2, None, None, False),
+            (3, "unicode ✓ ütf", -0.25, None)]
+    df = spark.createDataFrame(rows, schema)
+    framed = (kafka_sink_frame(df, "id")
+              # kafka source exposes the record's topic — simulate the
+              # multi-topic subscribe by tagging frames per topic
+              .withColumn("topic",
+                          F.when(F.col("key").cast("string") == "1",
+                                 F.lit("tweets_topic"))
+                           .otherwise(F.lit("twitter_users_topic"))))
+    parsed = parse_kafka_frame(framed, schema)
+    assert set(parsed.columns) == {"topic", "id", "name", "score", "blue"}
+    got = {r.id: (r.topic, r.name, r.score, r.blue)
+           for r in parsed.collect()}
+    assert got == {
+        1: ("tweets_topic", 'quote " and \\ backslash', 1.5, True),
+        2: ("twitter_users_topic", None, None, False),
+        3: ("twitter_users_topic", "unicode ✓ ütf", -0.25, None)}

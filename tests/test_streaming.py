@@ -7,6 +7,7 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F, types as T
 
 from bigdata_project_hust_spark.operators.windows import tumbling_window_agg
@@ -152,6 +153,44 @@ def test_keyed_store_replace_and_merge(spark, tmp_path):
     mstore.upsert_merge(a2, ["sv"], ["mv"], "cnt", epoch_id=1)
     got = {r.k: (r.cnt, r.sv, r.mv) for r in mstore.read().collect()}
     assert got == {"a": (3, 8.0, 5.0), "b": (1, 1.0, 1.0)}
+
+
+def test_keyed_store_crash_before_commit_is_replay_safe(spark, tmp_path):
+    """Data and epoch promote atomically: a crash AFTER the new parquet
+    version is written but BEFORE the manifest rename must leave the
+    store on the previous snapshot with the epoch unrecorded, so the
+    foreachBatch retry re-applies the merge exactly once (no double-
+    $inc — the round-1 advisor's non-atomic-commit hazard)."""
+    import os as _os
+
+    store = KeyedParquetStore(spark, str(tmp_path / "cstore"), "k")
+    a1 = spark.createDataFrame([("a", 2, 5.0, 5.0)],
+                               "k string, cnt long, sv double, mv double")
+    a2 = spark.createDataFrame([("a", 1, 3.0, 3.0)],
+                               "k string, cnt long, sv double, mv double")
+    store.upsert_merge(a1, ["sv"], ["mv"], "cnt", epoch_id=0)
+
+    real_replace = _os.replace
+
+    def crash_replace(src, dst):  # dies at the commit point
+        raise OSError("simulated crash before manifest rename")
+
+    _os.replace = crash_replace
+    try:
+        with pytest.raises(OSError, match="simulated crash"):
+            store.upsert_merge(a2, ["sv"], ["mv"], "cnt", epoch_id=1)
+    finally:
+        _os.replace = real_replace
+
+    # pre-crash snapshot still live and readable; epoch 1 unrecorded
+    assert {r.k: (r.cnt, r.sv) for r in store.read().collect()} == {
+        "a": (2, 5.0)}
+    # retry (fresh store object = query restart) applies exactly once
+    store2 = KeyedParquetStore(spark, str(tmp_path / "cstore"), "k")
+    store2.upsert_merge(a2, ["sv"], ["mv"], "cnt", epoch_id=1)
+    store2.upsert_merge(a2, ["sv"], ["mv"], "cnt", epoch_id=1)  # redelivery
+    assert {r.k: (r.cnt, r.sv, r.mv) for r in store2.read().collect()} == {
+        "a": (3, 8.0, 5.0)}
 
 
 def test_stateful_threshold_alerts_emit_once(spark, tmp_path):

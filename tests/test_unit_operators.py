@@ -313,6 +313,32 @@ def test_empty_input_flows_through_operators(spark):
     assert keep_last(ev, ["k"], "ts").count() == 0
 
 
+def test_minhash_checkpoint_dir_matches_persist_path(spark, tmp_path):
+    """minhash_near_duplicates(checkpoint_dir=...) materializes the
+    shingle intermediate to parquet (lineage truncation — the cluster-
+    scale alternative to persist()) and must produce byte-identical
+    results to the default persist path."""
+    from bigdata_project_hust_spark.operators import dedup
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely different text with no overlap whatsoever here"),
+        (4, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = sorted(map(tuple,
+                      dedup.minhash_near_duplicates(docs).collect()))
+    ck = str(tmp_path / "ck")
+    got = sorted(map(tuple, dedup.minhash_near_duplicates(
+        docs, checkpoint_dir=ck).collect()))
+    assert got == base
+    # the exact-duplicate pair is guaranteed (identical signatures →
+    # every band collides; Jaccard 1); near-pairs depend on LSH luck
+    assert [(a, b) for a, b, *_ in base if (a, b) == (1, 4)]
+    import os
+    assert os.path.isdir(ck + "/minhash_shingles.parquet")
+
+
 def test_asof_join_null_payload_not_torn(spark):
     """A right row whose payload field is legitimately NULL must be
     carried ATOMICALLY: the as-of fill may not mix fields from
