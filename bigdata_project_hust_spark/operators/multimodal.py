@@ -50,6 +50,85 @@ def decode_image(payload: bytes, *, fake: bool = False) -> list[float]:
     return _fake_features(payload)
 
 
+def decode_audio_wav(payload: bytes) -> dict:
+    """REAL audio codec (no stub): PCM WAV decode via the stdlib
+    ``wave`` module + numpy — the one media format decodable with
+    what this environment ships. Returns container metadata plus an
+    8-dim feature vector: [rms, zero-crossing rate, mean |x|, peak,
+    4 coarse spectral band energies] over full-scale-normalized
+    samples (normalizing by the format's full scale, not the signal
+    peak, keeps features deterministic and comparable across files).
+
+    Raises ``wave.Error``/``EOFError`` on non-WAV bytes — callers
+    (``extract_audio_features``) catch per-asset so one corrupt file
+    never fails a 100 TB job."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr, ch, sw = w.getframerate(), w.getnchannels(), w.getsampwidth()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(sw)
+    if dtype is None:
+        raise wave.Error(f"unsupported sample width {sw}")
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sw == 1:
+        x -= 128.0  # 8-bit WAV is unsigned, centered at 128
+    x /= float(1 << (8 * sw - 1))  # full-scale normalize
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)  # downmix to mono
+    if x.size == 0:
+        feat = [0.0] * FEATURE_DIM
+    else:
+        rms = float(np.sqrt(np.mean(x * x)))
+        zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) \
+            if x.size > 1 else 0.0
+        spec = np.abs(np.fft.rfft(x)) ** 2
+        total = float(spec.sum()) or 1.0
+        bands = [float(b.sum()) / total
+                 for b in np.array_split(spec, 4)]
+        feat = [rms, zcr, float(np.mean(np.abs(x))),
+                float(np.max(np.abs(x))), *bands]
+    return {"sample_rate": sr, "n_channels": ch, "n_frames": n,
+            "duration_s": (n / sr) if sr else 0.0, "feature": feat}
+
+
+AUDIO_SCHEMA = ("asset_id long, ok boolean, err string, sample_rate int, "
+                "n_channels int, n_frames long, duration_s double, "
+                "feature array<double>")
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Audio feature extraction via mapInPandas with the REAL WAV codec
+    (``decode_audio_wav``). Corrupt/undecodable payloads yield
+    ``ok=false`` rows with the error message and null metadata instead
+    of failing the task — at 100 TB some fraction of a media crawl is
+    always corrupt, and a retry loop over a deterministic decode error
+    would deadlock the job. Narrow op: input partitioning preserved,
+    Arrow-batched, zero driver involvement."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    m = decode_audio_wav(bytes(payload or b""))
+                    rows.append((asset_id, True, None, m["sample_rate"],
+                                 m["n_channels"], m["n_frames"],
+                                 m["duration_s"], m["feature"]))
+                except Exception as ex:  # noqa: BLE001 — per-asset isolation
+                    rows.append((asset_id, False, f"{type(ex).__name__}: {ex}",
+                                 None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "asset_id", "ok", "err", "sample_rate", "n_channels",
+                "n_frames", "duration_s", "feature"])
+
+    return df.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
 def extract_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
     """Batch feature extraction over a media-asset table via
     mapInPandas: bytes in, fixed-dim feature vector + integrity

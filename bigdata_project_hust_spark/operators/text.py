@@ -234,6 +234,58 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                         F.explode(F.array_distinct(wins)).alias("fp"))
 
 
+# PII scrub rules: (name, pattern, replacement), applied in order.
+# Patterns deliberately avoid lookaround/backreferences so Spark (Java
+# regex) and DuckDB (RE2) match identically; replacements contain no
+# '$' / '\' metacharacters for the same reason. The phone class has no
+# '.' so IPv4/decimal strings never half-match as phones.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ()]{6,}\d", "<PHONE>"),
+)
+
+URL_RE = r"https?://[^\s]+"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """PII redaction for training-corpus curation: emails, SSN-shaped
+    ids, IPv4 addresses, and phone-number-shaped digit runs are
+    replaced by typed placeholder tokens; per-category match counts are
+    emitted alongside (counted on the ORIGINAL text, so categories
+    whose patterns overlap — ssn/phone — report independently).
+
+    Pure Catalyst regexp_replace/regexp_extract_all chains — runs
+    inside whole-stage codegen next to the scan; no Python, no UDF.
+    Heuristic by design (a '2024-01-01 00' date-time fragment scrubs as
+    a phone-shaped run): web-scale scrubbers over-redact rather than
+    leak, and every rule is deterministic and oracle-mirrored."""
+    scrubbed = F.col(text_col)
+    for _, pat, rep in PII_RULES:
+        scrubbed = F.regexp_replace(scrubbed, pat, rep)
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+         .cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_RULES]
+    return df.select(F.col(id_col), scrubbed.alias("scrubbed"), *counts)
+
+
+def extract_urls(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """URL extraction (one row per URL occurrence, 0-based ordinal) —
+    the link-harvest step of a crawl-curation pipeline. posexplode of
+    regexp_extract_all: generator-style 1→N expansion, docs with no
+    URLs drop out (matching SQL unnest semantics)."""
+    bound = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)
+         .alias("__u"))
+    return bound.select(
+        F.col(id_col), F.posexplode("__u").alias("url_no", "url"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Normalized document fingerprint: lowercase → tokenize → sort →

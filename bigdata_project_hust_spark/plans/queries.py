@@ -1017,6 +1017,45 @@ ORACLE_FINGERPRINT = r"""
 """
 
 
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction (emails/SSN/IPv4/phone-shaped runs → typed
+    placeholders) + per-category match counts — corpus-curation scrub
+    as pure Catalyst regex; patterns avoid lookaround so Java regex and
+    RE2 agree."""
+    return text.pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_pii() -> str:
+    expr = "text"
+    for _, pat, rep in text.PII_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    counts = ",\n         ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in text.PII_RULES)
+    return f"""
+  SELECT doc_id,
+         {expr} AS scrubbed,
+         {counts}
+  FROM documents
+"""
+
+
+def q_text_url_extract(spark, sf_dir):
+    """URL harvest: one row per URL occurrence with its 0-based ordinal
+    (posexplode of regexp_extract_all)."""
+    return text.extract_urls(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_URL_EXTRACT = rf"""
+  WITH u AS (
+    SELECT doc_id, regexp_extract_all(text, '{text.URL_RE}') AS u
+    FROM documents
+  )
+  SELECT doc_id, (i - 1)::INT AS url_no, u[i] AS url
+  FROM u, unnest(generate_series(1, len(u))) AS t(i)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Batch 2: analytic windows, grouping sets, pivot, percentiles,
 # sessionization, as-of / range joins, explode, TPC-H shapes
@@ -2427,6 +2466,12 @@ QUERIES: dict[str, QuerySpec] = {
                               doc="quality scoring"),
     "text_token_counts": QuerySpec(q_text_token_counts, ORACLE_TOKENS,
                                    doc="token counting"),
+    "text_pii_scrub": QuerySpec(
+        q_text_pii_scrub, _oracle_pii(),
+        doc="PII redaction + category counts (curation scrub)"),
+    "text_url_extract": QuerySpec(
+        q_text_url_extract, ORACLE_URL_EXTRACT,
+        doc="URL harvest (regexp_extract_all + posexplode)"),
     "text_fingerprint": QuerySpec(q_text_fingerprint, ORACLE_FINGERPRINT,
                                   doc="document fingerprint"),
     # batch 2: analytic/OLAP extensions

@@ -7,7 +7,8 @@ batch/stream semantic parity is by construction, not by duplicate code.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import (DataFrame, SparkSession, Window, functions as F,
+                         types as T)
 
 from ..operators.aggregations import author_engagement
 
@@ -52,6 +53,76 @@ def kafka_stream(spark: SparkSession, brokers: str, topics: str,
            .option("startingOffsets", "earliest")
            .load())
     return parse_kafka_frame(raw, schema)
+
+
+def replay_from_ticks(ticks: DataFrame,
+                      tables: dict[str, tuple[DataFrame, str]]) -> DataFrame:
+    """Core of the S3 round-robin replay (producer.py:84-99): tick t
+    emits record ``t mod n_i`` of each static table i, JSON-serialized
+    under its topic name — one record per collection per tick, cursor
+    wrapping on exhaustion exactly like the reference's reset loop
+    (producer.py:93-98). Works on a batch ticks frame (tests) or the
+    streaming rate source (``rate_replay_stream``) unchanged.
+
+    The static sides are indexed with a global row_number — fine for
+    replay fixtures (the reference's Mongo collections are dimension-
+    sized); a 100 TB table is not something one replays one record per
+    tick anyway."""
+    out = None
+    tick = F.col("value")
+    for topic, (df, order_col) in tables.items():
+        n = df.count()  # static side, sized once at plan time
+        if n == 0:
+            continue  # reference would spin on an empty cursor forever
+        w = Window.orderBy(order_col)
+        indexed = df.select(
+            (F.row_number().over(w) - 1).alias("__idx"),
+            F.to_json(F.struct(*df.columns)).alias("payload"))
+        one = (ticks.join(indexed, F.pmod(tick, F.lit(n)) == F.col("__idx"))
+                    .select(tick.alias("tick"),
+                            F.col("timestamp").alias("emit_ts"),
+                            F.lit(topic).alias("topic"),
+                            F.col("payload")))
+        out = one if out is None else out.unionByName(one)
+    if out is None:
+        raise ValueError("no non-empty tables to replay")
+    return out
+
+
+def rate_replay_stream(spark: SparkSession,
+                       tables: dict[str, tuple[DataFrame, str]],
+                       rows_per_second: float = 0.1,
+                       rate_format: str = "rate",
+                       rate_options: dict | None = None) -> DataFrame:
+    """S3: the reference's producer loop as a Spark streaming source —
+    a rate source paces the ticks (``rows_per_second=0.1`` ≙ the 10 s
+    sleep, producer.py:86), and each tick replays one record per
+    collection round-robin via stream-static joins. Feed the result to
+    the Kafka sink frame (io.kafka_sink_frame) or any writeStream.
+    ``rate_format='rate-micro-batch'`` + ``rate_options={'rowsPerBatch':
+    N}`` gives deterministic batch sizes for tests.
+
+    The rate source's ``rowsPerSecond`` is integral, so sub-1 rates
+    (the reference's 0.1) are emulated by running at 1 row/s and
+    keeping every k-th tick (renumbered contiguously so the modulo
+    cursor still visits every record)."""
+    reader = spark.readStream.format(rate_format)
+    thin = 1
+    if rate_options is not None:
+        opts = rate_options
+    elif rows_per_second >= 1:
+        opts = {"rowsPerSecond": str(int(rows_per_second))}
+    else:
+        thin = max(1, round(1 / rows_per_second))
+        opts = {"rowsPerSecond": "1"}
+    for k, v in opts.items():
+        reader = reader.option(k, str(v))
+    ticks = reader.load()
+    if thin > 1:
+        ticks = (ticks.where(F.pmod(F.col("value"), F.lit(thin)) == 0)
+                      .select((F.col("value") / thin).cast("long")
+                              .alias("value"), "timestamp"))
+    return replay_from_ticks(ticks, tables)
 
 
 def dedup_stream(df: DataFrame, key_cols: list[str], ts_col: str,
