@@ -95,3 +95,25 @@ class Engine:
     def doc_features(self) -> DataFrame:
         """Quality + language features, one tokenize pass."""
         return text.doc_features(self.table("documents"))
+
+    def scrubbed_corpus(self) -> DataFrame:
+        """PII-redacted documents + per-category match counts."""
+        return text.pii_scrub(self.table("documents"))
+
+    def urls(self) -> DataFrame:
+        """One row per URL occurrence across the corpus."""
+        return text.extract_urls(self.table("documents"))
+
+    def audio_features(self, assets: DataFrame) -> DataFrame:
+        """Real WAV decode + feature extraction over a media-asset
+        frame (``asset_id``, ``payload`` binary); corrupt payloads
+        come back ok=false instead of failing the job."""
+        from .operators import multimodal
+        return multimodal.extract_audio_features(assets)
+
+    def replay_stream(self, topics: dict[str, tuple[DataFrame, str]],
+                      rows_per_second: float = 0.1) -> DataFrame:
+        """The reference producer's round-robin replay as a streaming
+        source (S3): one record per table per tick, JSON-encoded."""
+        from .streaming.pipeline import rate_replay_stream
+        return rate_replay_stream(self.spark, topics, rows_per_second)

@@ -1506,6 +1506,79 @@ ORACLE_TPCH_Q5 = """
 """
 
 
+def q_tpch_q18_shape(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders): HAVING-filtered fact
+    aggregation joined back to orders ⋈ customer, top-100 by order
+    value. The canonical at-scale pattern where the aggregate side
+    shrinks ~250× below the threshold, so AQE converts the join against
+    orders into a broadcast at runtime — the plan you want at 100 TB
+    (aggregate first, join the survivors; never join raw lineitem to
+    orders just to filter later). Epoch-long date + rounded doubles +
+    (totalprice, orderkey) tiebreak for cross-engine hashing."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.sum("l_quantity").alias("__qty"))
+             .where(F.col("__qty") > 250))
+    j = (big.join(o, big.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey))
+    return (j.select(
+                "c_custkey", "c_name", "o_orderkey",
+                F.unix_timestamp("o_orderdate").alias("order_epoch"),
+                F.round("o_totalprice", 2).alias("total_price"),
+                F.round("__qty", 2).alias("sum_qty"))
+             .orderBy(F.col("total_price").desc(),
+                      F.col("o_orderkey").asc())
+             .limit(100))
+
+
+ORACLE_TPCH_Q18 = """
+  WITH big AS (
+    SELECT l_orderkey, sum(l_quantity) AS qty
+    FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250
+  )
+  SELECT c_custkey, c_name, o_orderkey,
+         epoch(o_orderdate)::BIGINT AS order_epoch,
+         round(o_totalprice, 2) AS total_price,
+         round(qty, 2) AS sum_qty
+  FROM big JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  ORDER BY round(o_totalprice, 2) DESC, o_orderkey ASC
+  LIMIT 100
+"""
+
+
+def q_analytic_functions_breadth(spark, sf_dir):
+    """Analytic-window breadth: ntile, percent_rank (floor-scaled to
+    long), lead, and first_value over one (segment, balance) window —
+    the quartile/rank projections a serving layer derives per cohort.
+    One window spec → one shuffle; percent_rank as e6 long because a
+    raw double rank can't hash across engines."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_mktsegment", "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.floor(F.percent_rank().over(w) * 1e6).cast("long")
+         .alias("pct_rank_e6"),
+        F.lead("c_custkey", 1).over(w).alias("next_custkey"),
+        F.first("c_custkey").over(w).alias("first_custkey"))
+
+
+ORACLE_ANALYTIC_BREADTH = """
+  SELECT c_mktsegment, c_custkey,
+         ntile(4) OVER w AS quartile,
+         floor(percent_rank() OVER w * 1e6)::BIGINT AS pct_rank_e6,
+         lead(c_custkey) OVER w AS next_custkey,
+         first_value(c_custkey) OVER w AS first_custkey
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
 def q_intersect_buyer_supplier_nations(spark, sf_dir):
     """Set op (INTERSECT): nations present on BOTH the customer and
     supplier sides — map-side partial distinct, one shuffle each."""
@@ -2522,6 +2595,12 @@ QUERIES: dict[str, QuerySpec] = {
                                doc="TPC-H Q5 shape (6-way join)"),
     "tpch_q6_shape": QuerySpec(q_tpch_q6_shape, ORACLE_TPCH_Q6,
                                doc="TPC-H Q6 shape (pure pushdown scan)"),
+    "tpch_q18_shape": QuerySpec(
+        q_tpch_q18_shape, ORACLE_TPCH_Q18, headline=True,
+        doc="TPC-H Q18 shape (HAVING-filtered agg → AQE broadcast join)"),
+    "analytic_functions_breadth": QuerySpec(
+        q_analytic_functions_breadth, ORACLE_ANALYTIC_BREADTH,
+        doc="ntile / percent_rank / lead / first_value window breadth"),
     "conditional_agg_priority": QuerySpec(
         q_conditional_agg_priority, ORACLE_COND_AGG,
         doc="TPC-H Q12 shape (sum(CASE) conditional agg)"),
