@@ -96,6 +96,15 @@ class Engine:
         """Quality + language features, one tokenize pass."""
         return text.doc_features(self.table("documents"))
 
+    def duplicate_clusters(self, method: str = "minhash") -> DataFrame:
+        """Near-dup pairs → connected components → one keeper per
+        cluster with its size (the drop-list for curation)."""
+        return dedup.duplicate_cluster_keepers(self.near_duplicates(method))
+
+    def quality_logprob(self) -> DataFrame:
+        """CCNet-style unigram log-prob quality proxy per document."""
+        return text.unigram_logprob(self.table("documents"))
+
     def scrubbed_corpus(self) -> DataFrame:
         """PII-redacted documents + per-category match counts."""
         return text.pii_scrub(self.table("documents"))

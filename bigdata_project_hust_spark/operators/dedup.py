@@ -189,6 +189,68 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     return jaccard_verify(cands, sh, id_col, threshold_num, threshold_den)
 
 
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Duplicate-cluster formation: connected components over the
+    near-dup pair graph via min-label propagation — the step between
+    pair detection (minhash/simhash/ngram) and keeper selection (one
+    representative per cluster). Output: (node, component) where
+    component = the minimum node id reachable from the node.
+
+    Iterative distributed algorithm (the one genuinely non-single-pass
+    op in the engine): each round, every node takes the min of its own
+    label and its neighbors' labels; converges in ≤ diameter rounds
+    (near-dup clusters are dense, so typically 2-4). Each round is one
+    shuffle join + hash-agg; the driver only checks the 1-row "did
+    anything change" flag per round (the same control-flow GraphX's CC
+    uses). ``persist()`` per round bounds recompute; a 100 TB run would
+    additionally checkpoint every few rounds to truncate lineage
+    (cf. minhash_near_duplicates' checkpoint_dir) and use the
+    large-star/small-star variant for O(log n) rounds on high-diameter
+    graphs.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (e.unionByName(e.select(F.col("b").alias("a"),
+                                    F.col("a").alias("b")))
+              .distinct().persist())
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+                   .select("node", F.col("node").alias("component"))
+                   .persist())
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges["b"] == labels["node"])
+                    .groupBy("a")
+                    .agg(F.min("component").alias("nbr_comp")))
+        new_labels = (labels.join(nbr, labels["node"] == nbr["a"], "left")
+                            .select(labels["node"],
+                                    F.least(
+                                        labels["component"],
+                                        F.coalesce(F.col("nbr_comp"),
+                                                   labels["component"]))
+                                     .alias("component"))
+                            .persist())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def duplicate_cluster_keepers(pairs: DataFrame, src: str = "doc_a",
+                              dst: str = "doc_b") -> DataFrame:
+    """One keeper per duplicate cluster (the min id) + cluster size —
+    components → groupBy; everything except the keeper is droppable."""
+    comp = connected_components(pairs, src, dst)
+    return (comp.groupBy("component")
+                .agg(F.min("node").alias("keeper_id"),
+                     F.count("*").alias("cluster_size")))
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold_num: int = 3,

@@ -234,6 +234,39 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                         F.explode(F.array_distinct(wins)).alias("fp"))
 
 
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """LM-perplexity proxy for corpus curation (the CCNet-style quality
+    signal, with the corpus's own unigram distribution standing in for
+    a trained LM): score each document by the mean unigram
+    log-probability of its tokens — gibberish/rare-token documents
+    score far more negative than fluent text. Floor-scaled to e6 longs
+    for cross-engine hashing; token-less documents score (0, 0).
+
+    Two hash-aggs ((doc,term) explode → vocab tf, then per-doc avg) +
+    a broadcast of the vocabulary-sized (term, tf) table — the same
+    100 TB shape as tfidf_top_terms: the only wide exchange carries
+    token rows, the model side stays broadcast."""
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(text_col)).alias("term")).persist()
+    vocab = toks.groupBy("term").agg(F.count("*").alias("__tf"))
+    tot = vocab.agg(F.sum("__tf").alias("__total"))
+    scored = (toks.join(F.broadcast(vocab), "term")
+                  .crossJoin(F.broadcast(tot))
+                  .groupBy(id_col)
+                  .agg(F.count("*").alias("n_tokens"),
+                       F.floor(F.avg(F.log(F.col("__tf")
+                                           / F.col("__total"))) * 1e6)
+                        .cast("long").alias("logprob_e6")))
+    return (df.select(F.col(id_col))
+              .join(scored, id_col, "left")
+              .select(F.col(id_col),
+                      F.coalesce("n_tokens", F.lit(0)).cast("long")
+                       .alias("n_tokens"),
+                      F.coalesce("logprob_e6", F.lit(0)).cast("long")
+                       .alias("logprob_e6")))
+
+
 # PII scrub rules: (name, pattern, replacement), applied in order.
 # Patterns deliberately avoid lookaround/backreferences so Spark (Java
 # regex) and DuckDB (RE2) match identically; replacements contain no

@@ -713,6 +713,52 @@ def _oracle_minhash() -> str:
 """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Duplicate clusters: connected components (iterative min-label
+    propagation) over the MinHash near-dup pair graph. The oracle
+    computes the same reachability-min via a DuckDB recursive CTE —
+    a full value-hash check on an iterative distributed algorithm."""
+    pairs = dedup.minhash_near_duplicates(_t(spark, sf_dir, "documents"))
+    return dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component")
+
+
+def _oracle_components() -> str:
+    return f"""
+  WITH RECURSIVE mh_pairs AS (
+    SELECT doc_a, doc_b FROM ({_oracle_minhash()}) mh
+  ),
+  cc_edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+    UNION
+    SELECT doc_b, doc_a FROM mh_pairs
+  ),
+  cc_nodes AS (SELECT DISTINCT a AS node FROM cc_edges),
+  reach AS (
+    SELECT node, node AS lbl FROM cc_nodes
+    UNION
+    SELECT e.b, r.lbl FROM reach r JOIN cc_edges e ON e.a = r.node
+  )
+  SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node
+"""
+
+
+def q_dedup_cluster_keepers(spark, sf_dir):
+    """One keeper per near-dup cluster + cluster size — the drop-list
+    generator a curation pipeline consumes after pair detection."""
+    pairs = dedup.minhash_near_duplicates(_t(spark, sf_dir, "documents"))
+    return dedup.duplicate_cluster_keepers(pairs)
+
+
+def _oracle_cluster_keepers() -> str:
+    return f"""
+  WITH comp AS ({_oracle_components()})
+  SELECT component, min(doc_id) AS keeper_id,
+         count(*)::BIGINT AS cluster_size
+  FROM comp GROUP BY component
+"""
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard pairs (inverted-index join, no LSH), ≥ 3/10."""
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
@@ -1014,6 +1060,35 @@ ORACLE_FINGERPRINT = r"""
          md5(array_to_string(list_sort(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')),
                              ' ')) AS fp
   FROM documents
+"""
+
+
+def q_text_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM-quality proxy: mean corpus-unigram log-prob per
+    document (floor-scaled e6) — rare-token/gibberish docs rank lowest."""
+    return text.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_UNIGRAM_LOGPROB = r"""
+  WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              t -> t <> '')) AS term
+    FROM documents
+  ),
+  vocab AS (SELECT term, count(*)::BIGINT AS tf FROM toks GROUP BY term),
+  tot AS (SELECT sum(tf)::BIGINT AS total FROM vocab),
+  scored AS (
+    SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+           floor(avg(ln(v.tf::DOUBLE / tot.total)) * 1e6)::BIGINT
+             AS logprob_e6
+    FROM toks t JOIN vocab v USING (term), tot
+    GROUP BY t.doc_id
+  )
+  SELECT d.doc_id,
+         coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+         coalesce(s.logprob_e6, 0)::BIGINT AS logprob_e6
+  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
 
@@ -2515,6 +2590,13 @@ QUERIES: dict[str, QuerySpec] = {
                                      doc="exact dedup keepers"),
     "dedup_minhash_lsh": QuerySpec(q_dedup_minhash_lsh, _oracle_minhash(),
                                    headline=True, doc="MinHash+LSH near-dup"),
+    "dedup_components": QuerySpec(
+        q_dedup_components, _oracle_components(),
+        doc="duplicate clusters: iterative connected components over "
+            "near-dup pairs (recursive-CTE oracle)"),
+    "dedup_cluster_keepers": QuerySpec(
+        q_dedup_cluster_keepers, _oracle_cluster_keepers(),
+        doc="one keeper per near-dup cluster + size (drop-list)"),
     "dedup_ngram_jaccard": QuerySpec(q_dedup_ngram_jaccard, ORACLE_NGRAM,
                                      doc="n-gram Jaccard pairs"),
     "dedup_ngram_capped": QuerySpec(
@@ -2539,6 +2621,9 @@ QUERIES: dict[str, QuerySpec] = {
                               doc="quality scoring"),
     "text_token_counts": QuerySpec(q_text_token_counts, ORACLE_TOKENS,
                                    doc="token counting"),
+    "text_unigram_logprob": QuerySpec(
+        q_text_unigram_logprob, ORACLE_UNIGRAM_LOGPROB,
+        doc="CCNet-style unigram log-prob quality proxy"),
     "text_pii_scrub": QuerySpec(
         q_text_pii_scrub, _oracle_pii(),
         doc="PII redaction + category counts (curation scrub)"),

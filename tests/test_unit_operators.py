@@ -411,6 +411,27 @@ def test_empty_input_flows_through_operators(spark):
     assert keep_last(ev, ["k"], "ts").count() == 0
 
 
+def test_connected_components_multihop_and_keepers(spark):
+    """Min-label propagation must converge across multi-hop chains
+    (label travels one hop per round — a 5-node path needs 4 rounds),
+    handle disjoint clusters, and keeper selection must pick the min
+    id per cluster with the right size."""
+    from bigdata_project_hust_spark.operators import dedup
+    # path 10-11-12-13-14 (diameter 4), triangle 20-21-22, pair 30-31
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14),
+         (20, 21), (21, 22), (20, 22),
+         (30, 31)],
+        "doc_a long, doc_b long")
+    comp = {r.node: r.component
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                    20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+    keep = {r.component: (r.keeper_id, r.cluster_size)
+            for r in dedup.duplicate_cluster_keepers(pairs).collect()}
+    assert keep == {10: (10, 5), 20: (20, 3), 30: (30, 2)}
+
+
 def test_minhash_checkpoint_dir_matches_persist_path(spark, tmp_path):
     """minhash_near_duplicates(checkpoint_dir=...) materializes the
     shingle intermediate to parquet (lineage truncation — the cluster-
