@@ -96,6 +96,20 @@ class Engine:
         """Quality + language features, one tokenize pass."""
         return text.doc_features(self.table("documents"))
 
+    def sample(self, rate_bp: int = 1000, seed: int = 7) -> DataFrame:
+        """Deterministic hash-bucket document sample (rate in basis
+        points) — reproducible across reruns/repartitions/engines."""
+        from .operators import sampling
+        return sampling.deterministic_sample(
+            self.table("documents"), "doc_id", rate_bp, seed)
+
+    def split(self, weights_bp: tuple[tuple[str, int], ...] = (
+            ("train", 8000), ("val", 1000), ("test", 1000))) -> DataFrame:
+        """Stable train/val/test assignment by key hash."""
+        from .operators import sampling
+        return sampling.split_assign(self.table("documents"), "doc_id",
+                                     weights_bp)
+
     def duplicate_clusters(self, method: str = "minhash") -> DataFrame:
         """Near-dup pairs → connected components → one keeper per
         cluster with its size (the drop-list for curation)."""

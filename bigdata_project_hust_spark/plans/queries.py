@@ -34,7 +34,7 @@ from ..functions.scalar import (influence_score, parse_trailing_ts,
                                 rewrite_values, stable_hash64_sql)
 from ..io import load_table
 from ..operators import aggregations as agg
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, multimodal, sampling, similarity, text
 from ..operators.joins import (anti_join, asof_join, equi_join, keep_last,
                                range_join, semi_join)
 from ..operators.scale import salted_join
@@ -1060,6 +1060,63 @@ ORACLE_FINGERPRINT = r"""
          md5(array_to_string(list_sort(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')),
                              ' ')) AS fp
   FROM documents
+"""
+
+
+def q_sample_documents_10pct(spark, sf_dir):
+    """Deterministic 10% corpus sample: membership = pure function of
+    the key hash, bit-identical across engines/repartitions/reruns —
+    the reproducible alternative to seeded df.sample."""
+    d = _t(spark, sf_dir, "documents")
+    return (sampling.deterministic_sample(d, "doc_id", 1000)
+            .select("doc_id", F.md5("text").alias("text_md5")))
+
+
+ORACLE_SAMPLE_10PCT = f"""
+  SELECT doc_id, md5(text) AS text_md5
+  FROM documents
+  WHERE {stable_hash64_sql('doc_id::VARCHAR', 7)} % 10000 < 1000
+"""
+
+
+def q_train_val_test_split(spark, sf_dir):
+    """80/10/10 train/val/test assignment by hash-bucket range — a
+    row's split never changes as the corpus grows."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.split_assign(d, "doc_id").select("doc_id", "split")
+
+
+ORACLE_SPLIT = f"""
+  SELECT doc_id,
+         CASE WHEN {stable_hash64_sql('doc_id::VARCHAR', 13)} % 10000 < 8000
+              THEN 'train'
+              WHEN {stable_hash64_sql('doc_id::VARCHAR', 13)} % 10000 < 9000
+              THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+"""
+
+
+def q_cap_docs_per_lang(spark, sf_dir):
+    """Corpus balancing: at most 50 documents per predicted language,
+    chosen deterministically by key hash (window cap per group)."""
+    d = _t(spark, sf_dir, "documents")
+    lang = text.lang_id(d).select("doc_id", "lang_pred")
+    return (sampling.cap_per_group(lang, "lang_pred", "doc_id", 50)
+            .select("doc_id", "lang_pred"))
+
+
+def _oracle_cap_per_lang() -> str:
+    h = stable_hash64_sql("doc_id::VARCHAR", 21)
+    return f"""
+  WITH lang AS ({ORACLE_LANG}),
+  ranked AS (
+    SELECT doc_id, lang_pred,
+           row_number() OVER (PARTITION BY lang_pred
+                              ORDER BY {h} % 10000 ASC, doc_id ASC) AS rn
+    FROM lang
+  )
+  SELECT doc_id, lang_pred FROM ranked WHERE rn <= 50
 """
 
 
@@ -2621,6 +2678,15 @@ QUERIES: dict[str, QuerySpec] = {
                               doc="quality scoring"),
     "text_token_counts": QuerySpec(q_text_token_counts, ORACLE_TOKENS,
                                    doc="token counting"),
+    "sample_documents_10pct": QuerySpec(
+        q_sample_documents_10pct, ORACLE_SAMPLE_10PCT,
+        doc="deterministic hash-bucket sampling (reproducible)"),
+    "train_val_test_split": QuerySpec(
+        q_train_val_test_split, ORACLE_SPLIT,
+        doc="stable 80/10/10 split assignment by key hash"),
+    "cap_docs_per_lang": QuerySpec(
+        q_cap_docs_per_lang, _oracle_cap_per_lang(),
+        doc="per-group cap (corpus balancing) via hash-ordered window"),
     "text_unigram_logprob": QuerySpec(
         q_text_unigram_logprob, ORACLE_UNIGRAM_LOGPROB,
         doc="CCNet-style unigram log-prob quality proxy"),

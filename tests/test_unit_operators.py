@@ -411,6 +411,47 @@ def test_empty_input_flows_through_operators(spark):
     assert keep_last(ev, ["k"], "ts").count() == 0
 
 
+def test_deterministic_sampling_split_and_cap(spark):
+    """The reproducibility contracts seeded df.sample cannot give:
+    (1) sample membership survives repartitioning; (2) a row's split
+    label is invariant under corpus growth (hash of own key only);
+    (3) splits partition the corpus exactly; (4) per-group cap keeps
+    a deterministic ≤n subset per group."""
+    from bigdata_project_hust_spark.operators import sampling
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+
+    s1 = {r.doc_id for r in
+          sampling.deterministic_sample(df, "doc_id", 1000).collect()}
+    s2 = {r.doc_id for r in sampling.deterministic_sample(
+        df.repartition(7), "doc_id", 1000).collect()}
+    assert s1 == s2 and 40 <= len(s1) <= 250  # ~10% of 1000
+
+    full = {r.doc_id: r.split
+            for r in sampling.split_assign(df, "doc_id").collect()}
+    half = {r.doc_id: r.split
+            for r in sampling.split_assign(
+                df.where(F.col("doc_id") < 500), "doc_id").collect()}
+    assert all(full[k] == v for k, v in half.items())  # growth-stable
+    assert set(full.values()) == {"train", "val", "test"}
+    assert len(full) == 1000  # exact partition, no row dropped
+    n_train = sum(1 for v in full.values() if v == "train")
+    assert 700 <= n_train <= 900
+
+    g = df.withColumn("grp", (F.col("doc_id") % 3).cast("long"))
+    capped = sampling.cap_per_group(g, "grp", "doc_id", 10)
+    rows = capped.collect()
+    from collections import Counter
+    sizes = Counter(r.grp for r in rows)
+    assert all(n == 10 for n in sizes.values()) and len(sizes) == 3
+    again = {(r.grp, r.doc_id) for r in
+             sampling.cap_per_group(g.repartition(5), "grp", "doc_id",
+                                    10).collect()}
+    assert again == {(r.grp, r.doc_id) for r in rows}
+
+    with pytest.raises(ValueError, match="must sum"):
+        sampling.split_assign(df, "doc_id", (("a", 5000), ("b", 4000)))
+
+
 def test_connected_components_multihop_and_keepers(spark):
     """Min-label propagation must converge across multi-hop chains
     (label travels one hop per round — a 5-node path needs 4 rounds),
