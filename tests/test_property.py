@@ -112,3 +112,56 @@ def test_keep_last_window_equals_maxby_agg(spark, rows):
     b = sorted(map(tuple,
                    keep_last_agg(df, ["k"], "ts", "event_id").collect()))
     assert a == b
+
+
+@given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                min_size=1, max_size=25))
+@settings(max_examples=15, deadline=None)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation ≡ an independent union-find model on any
+    random graph (self-loops and parallel edges included): every node
+    labeled with the minimum id of its component."""
+    from bigdata_project_hust_spark.operators.dedup import (
+        connected_components)
+    # independent reference: classic union-find
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node: r.component
+           for r in connected_components(df).collect()}
+    assert got == want
+
+
+@given(st.lists(st.text(
+    alphabet="ab .@-0123456789xyz\n", min_size=0, max_size=40),
+    min_size=1, max_size=4))
+@settings(max_examples=15, deadline=None)
+def test_pii_scrub_idempotent_and_leak_free(spark, texts):
+    """Scrubbing is idempotent (placeholders never re-match any PII
+    pattern) and the scrubbed text never still matches a PII pattern —
+    for arbitrary digit/@/dash-laden input."""
+    from bigdata_project_hust_spark.operators.text import pii_scrub
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    once = pii_scrub(df)
+    twice = pii_scrub(
+        once.select(F.col("doc_id"), F.col("scrubbed").alias("text")))
+    a = {r.doc_id: r.scrubbed for r in once.collect()}
+    b = {r.doc_id: r for r in twice.collect()}
+    for i in a:
+        assert b[i].scrubbed == a[i]                     # idempotent
+        assert (b[i].n_email, b[i].n_ssn, b[i].n_ipv4,
+                b[i].n_phone) == (0, 0, 0, 0)            # leak-free
