@@ -96,6 +96,17 @@ class Engine:
         """Quality + language features, one tokenize pass."""
         return text.doc_features(self.table("documents"))
 
+    def gapfilled_engagement(self, window_s: int = 600) -> DataFrame:
+        """Dense-grid per-user rollup (zero-fill + LOCF + gap flag)."""
+        from .operators.windows import gapfill_tumbling
+        return gapfill_tumbling(self.table("events"), "ts", "user_id",
+                                window_s, "value")
+
+    def quality_report(self) -> DataFrame:
+        """Null/uniqueness/referential-integrity audit of the fact
+        tables as one tall frame."""
+        return self.query("data_quality_audit")
+
     def sample(self, rate_bp: int = 1000, seed: int = 7) -> DataFrame:
         """Deterministic hash-bucket document sample (rate in basis
         points) — reproducible across reruns/repartitions/engines."""

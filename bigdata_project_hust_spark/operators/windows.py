@@ -65,6 +65,42 @@ def tumbling_window_agg(df: DataFrame, ts_col: str, key_col: str,
     return df.groupBy(F.col(key_col), bucket).agg(*aggs)
 
 
+def gapfill_tumbling(df: DataFrame, ts_col: str, key_col: str,
+                     window_s: int, value_col: str) -> DataFrame:
+    """Hypertable-style gap-filled rollup: tumbling-window sums per key
+    on a DENSE time grid — every ``window_s`` bucket between each key's
+    first and last event exists, with both zero-fill and
+    last-observation-carried-forward (LOCF) values plus an ``is_gap``
+    flag. The operation dashboards/feature-pipelines need that a plain
+    groupBy can't give (missing buckets simply don't exist there).
+
+    Plan shape: one hash-agg (the rollup), a per-key span agg feeding
+    ``sequence``+``explode`` to generate the grid map-side (grid rows
+    are generated, never shuffled as input), a left join back to the
+    sparse buckets (same key partitioning), and one LOCF window. Grid
+    size is bounded by span/window_s per key — at 100 TB you bound the
+    span (or partition by day) exactly like any hypertable rollup.
+    """
+    buckets = tumbling_window_agg(
+        df, ts_col, key_col, window_s,
+        [F.round(F.sum(F.coalesce(F.col(value_col), F.lit(0.0))), 2)
+          .alias("__v")])
+    spans = buckets.groupBy(key_col).agg(
+        F.min("window_start").alias("__mn"), F.max("window_start").alias("__mx"))
+    grid = spans.select(
+        F.col(key_col),
+        F.explode(F.sequence("__mn", "__mx", F.lit(window_s)))
+         .alias("window_start"))
+    j = grid.join(buckets, [key_col, "window_start"], "left")
+    w = (Window.partitionBy(key_col).orderBy("window_start")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    return j.select(
+        F.col(key_col), F.col("window_start"),
+        F.coalesce("__v", F.lit(0.0)).alias("value_zero_fill"),
+        F.last("__v", ignorenulls=True).over(w).alias("value_locf"),
+        F.col("__v").isNull().alias("is_gap"))
+
+
 def engagement_change_log(df: DataFrame, ts_col: str, key_col: str,
                           window_s: int, metric_cols: list[str]) -> DataFrame:
     """ST7 sink shape: per-key map<window_start_str -> [m1, m2, ...]> —

@@ -41,7 +41,8 @@ from ..operators.scale import salted_join
 from ..operators.windows import sessionize
 from ..operators.projections import kol_filter
 from ..operators.topk import top_k, top_k_per_group
-from ..operators.windows import engagement_change_log, tumbling_window_agg
+from ..operators.windows import (engagement_change_log, gapfill_tumbling,
+                                 tumbling_window_agg)
 
 
 @dataclass(frozen=True)
@@ -1060,6 +1061,85 @@ ORACLE_FINGERPRINT = r"""
          md5(array_to_string(list_sort(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')),
                              ' ')) AS fp
   FROM documents
+"""
+
+
+def q_data_quality_audit(spark, sf_dir):
+    """Constraint audit over the fact tables: null-rate, uniqueness,
+    and referential integrity as one tall hashable report — a zero-
+    violation result is a regression-testable artifact."""
+    from ..operators.quality import audit
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    rep_o = audit(o, not_null=("o_custkey", "o_orderdate"),
+                  unique=("o_orderkey",),
+                  refs=(("o_custkey", c, "c_custkey"),))
+    rep_li = audit(li, not_null=("l_orderkey",),
+                   refs=(("l_orderkey", o, "o_orderkey"),))
+    return (rep_o.withColumn("tbl", F.lit("orders"))
+            .unionByName(rep_li.withColumn("tbl", F.lit("lineitem")))
+            .select("tbl", "chk", "col_name", "n_violations"))
+
+
+ORACLE_QUALITY_AUDIT = """
+  SELECT 'orders' AS tbl, 'not_null' AS chk, 'o_custkey' AS col_name,
+         count(*) FILTER (o_custkey IS NULL)::BIGINT AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'not_null', 'o_orderdate',
+         count(*) FILTER (o_orderdate IS NULL)::BIGINT FROM orders
+  UNION ALL
+  SELECT 'orders', 'unique', 'o_orderkey',
+         (count(o_orderkey) - count(DISTINCT o_orderkey))::BIGINT
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'ref', 'o_custkey', count(*)::BIGINT
+  FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey)
+  UNION ALL
+  SELECT 'lineitem', 'not_null', 'l_orderkey',
+         count(*) FILTER (l_orderkey IS NULL)::BIGINT FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'ref', 'l_orderkey', count(*)::BIGINT
+  FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey)
+"""
+
+
+def q_time_series_gapfill(spark, sf_dir):
+    """Gap-filled per-user 10-min rollup (dense grid, zero-fill + LOCF
+    + gap flag) — the hypertable rollup over the events stream."""
+    e = _t(spark, sf_dir, "events")
+    return gapfill_tumbling(e, "ts", "user_id", 600, "value")
+
+
+ORACLE_GAPFILL = """
+  WITH b AS (
+    SELECT user_id,
+           (floor(epoch(ts) / 600) * 600)::BIGINT AS window_start,
+           round(sum(coalesce(value, 0)), 2) AS v
+    FROM events GROUP BY 1, 2
+  ),
+  s AS (SELECT user_id, min(window_start) AS mn, max(window_start) AS mx
+        FROM b GROUP BY user_id),
+  grid AS (
+    SELECT user_id, unnest(generate_series(mn, mx, 600)) AS window_start
+    FROM s
+  ),
+  j AS (
+    SELECT g.user_id, g.window_start, b.v
+    FROM grid g LEFT JOIN b USING (user_id, window_start)
+  )
+  SELECT user_id, window_start,
+         coalesce(v, 0) AS value_zero_fill,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY window_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+         (v IS NULL) AS is_gap
+  FROM j
 """
 
 
@@ -2678,6 +2758,14 @@ QUERIES: dict[str, QuerySpec] = {
                               doc="quality scoring"),
     "text_token_counts": QuerySpec(q_text_token_counts, ORACLE_TOKENS,
                                    doc="token counting"),
+    "data_quality_audit": QuerySpec(
+        q_data_quality_audit, ORACLE_QUALITY_AUDIT,
+        doc="constraint audit: null-rate / uniqueness / referential "
+            "integrity as one hashable report"),
+    "time_series_gapfill": QuerySpec(
+        q_time_series_gapfill, ORACLE_GAPFILL,
+        doc="gap-filled dense-grid rollup (zero-fill + LOCF) — "
+            "hypertable-style time series"),
     "sample_documents_10pct": QuerySpec(
         q_sample_documents_10pct, ORACLE_SAMPLE_10PCT,
         doc="deterministic hash-bucket sampling (reproducible)"),

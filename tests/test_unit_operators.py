@@ -411,6 +411,25 @@ def test_empty_input_flows_through_operators(spark):
     assert keep_last(ev, ["k"], "ts").count() == 0
 
 
+def test_data_quality_audit_counts_violations(spark):
+    """The audit must actually count injected violations (the fixtures
+    are clean, so the oracle-parity run only proves the zero case):
+    null FK, duplicate key, and dangling FK (nulls count as dangling —
+    documented; the paired not_null check disambiguates)."""
+    from bigdata_project_hust_spark.operators.quality import audit
+    fact = spark.createDataFrame(
+        [(1, 10), (2, None), (2, 99)], "k long, fk long")
+    dim = spark.createDataFrame([(10,)], "dk long")
+    rep = {(r.chk, r.col_name): r.n_violations
+           for r in audit(fact, not_null=("fk",), unique=("k",),
+                          refs=(("fk", dim, "dk"),)).collect()}
+    assert rep == {("not_null", "fk"): 1,
+                   ("unique", "k"): 1,       # 3 non-null k, 2 distinct
+                   ("ref", "fk"): 2}         # fk=99 dangling + fk=null
+    with pytest.raises(ValueError, match="no constraints"):
+        audit(fact)
+
+
 def test_deterministic_sampling_split_and_cap(spark):
     """The reproducibility contracts seeded df.sample cannot give:
     (1) sample membership survives repartitioning; (2) a row's split
