@@ -87,3 +87,19 @@ def test_scan_reads_only_projected_columns(spark):
 def test_approx_distinct_within_tolerance(spark):
     row = QUERIES["approx_distinct"].fn(spark, SF_SMOKE).collect()[0]
     assert abs(row.approx_users - row.exact_users) <= 0.05 * row.exact_users
+
+
+def test_no_query_plans_cartesian_or_rowwise_python(spark):
+    """Registry-wide plan lint — the two 100 TB anti-patterns no
+    registered query may ever plan: a CartesianProduct (an unbroadcast
+    cross join materializes |A|x|B|) and BatchEvalPython (row-at-a-time
+    Python UDF; Arrow-batched nodes — ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas* — are the sanctioned Python paths)."""
+    bad = {}
+    for name, spec in QUERIES.items():
+        plan = plan_of(spec.fn(spark, SF_SMOKE))
+        hits = [op for op in ("CartesianProduct", "BatchEvalPython")
+                if op in plan]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"anti-pattern plan nodes: {bad}"

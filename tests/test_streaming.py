@@ -156,6 +156,27 @@ def test_keyed_store_replace_and_merge(spark, tmp_path):
     assert got == {"a": (3, 8.0, 5.0), "b": (1, 1.0, 1.0)}
 
 
+def test_streaming_observed_metrics_in_progress(spark, tmp_path):
+    """The observe node surfaces per-micro-batch metrics in streaming
+    progress — the drop-accounting path for continuous curation."""
+    from bigdata_project_hust_spark.observability import observed
+    src = str(tmp_path / "src")
+    _write_events(src, "a.json", [(1, "2024-01-01 00:00:01", 1, 10.0),
+                                  (2, "2024-01-01 00:00:02", 2, 20.0),
+                                  (3, "2024-01-01 00:00:03", 1, 30.0)])
+    stream = json_file_stream(spark, src, EVENT_SCHEMA)
+    instrumented, _ = observed(stream, "ingest",
+                               {"n": F.count(F.lit(1)),
+                                "sum_value": F.sum("value")})
+    q = _run_to_memory(instrumented, "obs_out", "append",
+                       str(tmp_path / "ck"))
+    try:
+        got = q.lastProgress["observedMetrics"]["ingest"]
+        assert got["n"] == 3 and got["sum_value"] == 60.0
+    finally:
+        q.stop()
+
+
 def test_round_robin_replay_semantics(spark):
     """S3 (producer.py:84-99): each tick emits exactly one record per
     collection; cursors wrap independently on exhaustion (the

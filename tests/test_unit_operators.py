@@ -411,6 +411,20 @@ def test_empty_input_flows_through_operators(spark):
     assert keep_last(ev, ["k"], "ts").count() == 0
 
 
+def test_observed_metrics_single_pass(spark):
+    """df.observe accounting: gate-drop counts come out of the ONE real
+    execution (no second count() scan), both mid-plan and post-filter."""
+    from bigdata_project_hust_spark.observability import observed
+    df = spark.range(0, 100).select(F.col("id"))
+    pre, obs_in = observed(df, "in", {"n": F.count(F.lit(1)),
+                                      "sum_id": F.sum("id")})
+    post, obs_out = observed(pre.where(F.col("id") % 2 == 0), "out",
+                             {"n": F.count(F.lit(1))})
+    post.write.format("noop").mode("overwrite").save()  # the one action
+    assert obs_in.get == {"n": 100, "sum_id": 4950}
+    assert obs_out.get == {"n": 50}
+
+
 def test_data_quality_audit_counts_violations(spark):
     """The audit must actually count injected violations (the fixtures
     are clean, so the oracle-parity run only proves the zero case):
