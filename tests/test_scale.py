@@ -95,6 +95,46 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert all("day=b" in r[0] for r in files)
 
 
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """DPP: joining a partition-keyed fact with a FILTERED dimension
+    must inject a runtime dynamicpruning subquery into the fact scan's
+    PartitionFilters — at 100 TB this is the difference between
+    scanning one partition and scanning the table when the selective
+    predicate lives on the dimension, not the fact."""
+    from bigdata_project_hust_spark.io import write_parquet
+    fact = (spark.range(30000)
+            .select(F.col("id"),
+                    F.element_at(F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                                 (F.col("id") % 3 + 1).cast("int"))
+                     .alias("day"),
+                    F.col("id").cast("double").alias("v")))
+    path = str(tmp_path / "fact_by_day")
+    write_parquet(fact, path, partition_by=("day",))
+    dim = spark.createDataFrame(
+        [("a", "keep"), ("b", "drop"), ("c", "drop")],
+        "day string, tag string")
+    # at toy scale the fact itself would broadcast (killing the DPP
+    # shape) and the stats-based benefit estimate has nothing to work
+    # with — broadcast the dim explicitly and use the fallback ratio,
+    # which is how a real fact-vs-dim size gap plans at 100 TB
+    saved = spark.conf.get(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try:
+        got = (spark.read.parquet(path)
+               .join(F.broadcast(dim.where(F.col("tag") == "keep")), "day")
+               .select("id", "v"))
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan
+        assert got.count() == 10000
+        files = got.select(F.input_file_name()).distinct().collect()
+        assert all("day=a" in r[0] for r in files)  # only kept partition
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.useStats", saved)
+
+
 def test_salted_join_property(spark):
     """Property: for random skewed frames, salted_join == plain join
     (row multiset), any salt factor."""
