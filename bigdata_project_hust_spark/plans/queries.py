@@ -2602,11 +2602,23 @@ ORACLE_MM_RESIZE = """
 def q_approx_percentile_acctbal(spark, sf_dir):
     """Approximate percentile sketch (rows-only: sketch outputs are
     engine-specific by construction; the exact twin is
-    percentile_acctbal)."""
+    percentile_acctbal) — value-bearing like the other sketches: an
+    in-query assert_true pins the approximation inside the exact
+    p40..p60 band, so a broken sketch hard-ERRs the rows-only check."""
     c = _t(spark, sf_dir, "customer")
-    return (c.groupBy("c_mktsegment")
-             .agg(F.percentile_approx("c_acctbal", 0.5, 1000)
-                   .alias("p50_approx")))
+    agg_df = (c.groupBy("c_mktsegment")
+               .agg(F.percentile_approx("c_acctbal", 0.5, 1000)
+                     .alias("p50_approx"),
+                    F.percentile("c_acctbal", 0.4).alias("__lo"),
+                    F.percentile("c_acctbal", 0.6).alias("__hi")))
+    in_band = ((F.col("p50_approx") >= F.col("__lo"))
+               & (F.col("p50_approx") <= F.col("__hi")))
+    return (agg_df
+            .where(F.assert_true(
+                in_band,
+                F.lit("approx p50 outside exact p40..p60 band")).isNull())
+            .select("c_mktsegment", "p50_approx",
+                    in_band.alias("within_band")))
 
 
 def q_similarity_ivf_topk(spark, sf_dir):
