@@ -1109,6 +1109,46 @@ ORACLE_QUALITY_AUDIT = """
 """
 
 
+def q_pandas_group_ols_slope(spark, sf_dir):
+    """UDF-surface completion: ``groupBy().applyInPandas`` (group-map
+    Arrow UDF) — per-user OLS slope of value over time (value/hour),
+    numpy per group, floor-scaled e4. The oracle is DuckDB's built-in
+    regr_slope over the same (y, x) pairs — cross-engine parity of a
+    Python-computed regression. Degenerate groups (<2 points or
+    constant x) emit slope 0, matching SQL's NULL→coalesce. Each group
+    is one Arrow batch; state never leaves the executors."""
+    e = _t(spark, sf_dir, "events")
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        x = pdf["ts"].astype("datetime64[ns]").astype("int64") / 1e9 / 3600.0
+        y = pdf["value"].fillna(0.0).astype("float64")
+        n = len(pdf)
+        vx = (x * x).mean() - x.mean() ** 2
+        if n < 2 or vx == 0.0:
+            slope = 0.0
+        else:
+            slope = ((x * y).mean() - x.mean() * y.mean()) / vx
+        import math
+        return pd.DataFrame({
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n_events": [n],
+            "slope_e4": [int(math.floor(slope * 1e4))]})
+
+    return (e.groupBy("user_id")
+             .applyInPandas(fit,
+                            "user_id long, n_events long, slope_e4 long"))
+
+
+ORACLE_OLS_SLOPE = """
+  SELECT user_id, count(*)::BIGINT AS n_events,
+         floor(coalesce(
+             regr_slope(coalesce(value, 0), epoch(ts) / 3600.0),
+             0) * 1e4)::BIGINT AS slope_e4
+  FROM events GROUP BY user_id
+"""
+
+
 def q_time_series_gapfill(spark, sf_dir):
     """Gap-filled per-user 10-min rollup (dense grid, zero-fill + LOCF
     + gap flag) — the hypertable rollup over the events stream."""
@@ -2770,6 +2810,10 @@ QUERIES: dict[str, QuerySpec] = {
                               doc="quality scoring"),
     "text_token_counts": QuerySpec(q_text_token_counts, ORACLE_TOKENS,
                                    doc="token counting"),
+    "pandas_group_ols_slope": QuerySpec(
+        q_pandas_group_ols_slope, ORACLE_OLS_SLOPE,
+        doc="applyInPandas group-map UDF: per-user OLS slope vs "
+            "regr_slope oracle"),
     "data_quality_audit": QuerySpec(
         q_data_quality_audit, ORACLE_QUALITY_AUDIT,
         doc="constraint audit: null-rate / uniqueness / referential "
