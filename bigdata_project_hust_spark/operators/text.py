@@ -234,6 +234,30 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                         F.explode(F.array_distinct(wins)).alias("fp"))
 
 
+def make_sentence_udtf():
+    """Python UDTF (Spark 4, Arrow-optimized): split text into trimmed
+    sentences with post-filter ordinals — the one generator shape the
+    built-in explode family can't express when the row logic is Python
+    (§2.8 UDTF surface). Plans as ArrowEvalPythonUDTF (batched), not a
+    row-at-a-time BatchEvalPython node. Built lazily (a decorator at
+    import time would need an active Spark context)."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_no int, sentence string", useArrow=True)
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            parts = (p.strip(" \t\n\r")
+                     for p in re.split(r"[.!?]+", text))
+            for i, p in enumerate(p for p in parts if p):
+                yield i, p
+
+    return SplitSentences
+
+
 def unigram_logprob(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """LM-perplexity proxy for corpus curation (the CCNet-style quality

@@ -1109,6 +1109,35 @@ ORACLE_QUALITY_AUDIT = """
 """
 
 
+def q_udtf_sentences(spark, sf_dir):
+    """§2.8 UDTF surface: a Python UDTF (Arrow-optimized) lateral-joined
+    against documents — sentence segmentation with post-filter
+    ordinals. The DuckDB oracle reproduces the exact split/trim/filter
+    semantics relationally."""
+    spark.udtf.register("split_sentences", text.make_sentence_udtf())
+    _t(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__docs_for_udtf")
+    return spark.sql("""
+      SELECT d.doc_id, s.sent_no, s.sentence
+      FROM __docs_for_udtf d, LATERAL split_sentences(d.text) s
+    """)
+
+
+ORACLE_UDTF_SENTENCES = """
+  WITH p AS (
+    SELECT doc_id,
+           list_filter(
+             list_transform(regexp_split_to_array(text, '[.!?]+'),
+                            s -> trim(s, ' ' || chr(9) || chr(10)
+                                         || chr(13))),
+             s -> s <> '') AS parts
+    FROM documents
+  )
+  SELECT doc_id, (i - 1)::INT AS sent_no, parts[i] AS sentence
+  FROM p, unnest(generate_series(1, len(parts))) AS t(i)
+"""
+
+
 def q_pandas_group_ols_slope(spark, sf_dir):
     """UDF-surface completion: ``groupBy().applyInPandas`` (group-map
     Arrow UDF) — per-user OLS slope of value over time (value/hour),
@@ -2810,6 +2839,9 @@ QUERIES: dict[str, QuerySpec] = {
                               doc="quality scoring"),
     "text_token_counts": QuerySpec(q_text_token_counts, ORACLE_TOKENS,
                                    doc="token counting"),
+    "udtf_sentences": QuerySpec(
+        q_udtf_sentences, ORACLE_UDTF_SENTENCES,
+        doc="Python UDTF (Arrow) lateral join: sentence segmentation"),
     "pandas_group_ols_slope": QuerySpec(
         q_pandas_group_ols_slope, ORACLE_OLS_SLOPE,
         doc="applyInPandas group-map UDF: per-user OLS slope vs "
