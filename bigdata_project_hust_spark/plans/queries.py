@@ -23,16 +23,12 @@ order-insensitive value hash matches):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Callable
-
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.scalar import (influence_score, parse_trailing_ts,
                                 rewrite_values, stable_hash64_sql)
-from ..io import load_table
 from ..operators import aggregations as agg
 from ..operators import dedup, multimodal, sampling, similarity, text
 from ..operators.joins import (anti_join, asof_join, equi_join, keep_last,
@@ -43,18 +39,7 @@ from ..operators.projections import kol_filter
 from ..operators.topk import top_k, top_k_per_group
 from ..operators.windows import (engagement_change_log, gapfill_tumbling,
                                  tumbling_window_agg)
-
-
-@dataclass(frozen=True)
-class QuerySpec:
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
-    headline: bool = False
-    doc: str = ""
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+from .spec import QuerySpec, _t
 
 
 # ---------------------------------------------------------------------------
@@ -3028,3 +3013,9 @@ QUERIES: dict[str, QuerySpec] = {
         q_grouping_sets_orders, ORACLE_GROUPING_SETS,
         doc="GROUPING SETS via the spark.sql text interface"),
 }
+
+# Extension query modules (kept separate so queries.py stays the SURVEY
+# §2 parity surface; imported last to extend the registry in place).
+from .tpch_more import QUERIES_TPCH_MORE  # noqa: E402
+
+QUERIES.update(QUERIES_TPCH_MORE)

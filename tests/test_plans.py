@@ -103,3 +103,45 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
         if hits:
             bad[name] = hits
     assert not bad, f"anti-pattern plan nodes: {bad}"
+
+
+def test_q7_nation_dims_broadcast_no_cartesian(spark):
+    """Q7's dual-role nation joins (and the 100-row supplier) must all
+    broadcast; the OR-pair predicate must not degrade the join tree to
+    a nested-loop."""
+    df = QUERIES["tpch_q7_shape"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert n_nodes(plan, "BroadcastHashJoin") >= 3, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q17_decorrelation_scans_lineitem_once(spark):
+    """The correlated per-part avg must decorrelate to ONE window over
+    ONE fact scan — the naive plan scans lineitem twice (once per
+    aggregation) and joins them back."""
+    df = QUERIES["tpch_q17_shape"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    import re
+    li_scans = len(re.findall(r"^Location: .*lineitem\.parquet",
+                              plan, flags=re.M))
+    assert li_scans == 1, plan
+
+
+def test_q19_disjunction_keeps_single_join(spark):
+    """The OR-of-ANDs predicate shares one equi-key, so Catalyst must
+    keep ONE broadcast hash join (not a union of three joins) and push
+    the IsNotNull/key filters to the scans."""
+    df = QUERIES["tpch_q19_shape"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert n_nodes(plan, "BroadcastHashJoin") == 1, plan
+    assert n_nodes(plan, "SortMergeJoin") == 0, plan
+
+
+def test_q10_topk_before_attribute_join(spark):
+    """Q10 aggregates and TakeOrdered-cuts on (custkey, revenue) pairs
+    BEFORE joining customer attributes — the 20 survivors then
+    broadcast-join, so the wide customer row never rides the shuffle."""
+    df = QUERIES["tpch_q10_shape"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
