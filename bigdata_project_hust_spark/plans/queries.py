@@ -3016,6 +3016,8 @@ QUERIES: dict[str, QuerySpec] = {
 
 # Extension query modules (kept separate so queries.py stays the SURVEY
 # §2 parity surface; imported last to extend the registry in place).
+from .pipeline_more import QUERIES_PIPELINE_MORE  # noqa: E402
 from .tpch_more import QUERIES_TPCH_MORE  # noqa: E402
 
 QUERIES.update(QUERIES_TPCH_MORE)
+QUERIES.update(QUERIES_PIPELINE_MORE)
