@@ -305,30 +305,53 @@ def ngram_jaccard_pairs_capped(df: DataFrame, text_col: str = "text",
     return jaccard_verify(pairs, sh, id_col, threshold_num, threshold_den)
 
 
+SIMHASH_LANE_BITS = 20   # packed-counter lane width (3 lanes per long)
+SIMHASH_LANES = 3        # => 20 packed sums instead of 60 scalar sums
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash per doc: per token-hash bit, majority vote of
     +1/-1 across (distinct) tokens; bit i set iff the vote is positive
     (set-bit count strictly exceeds half the token count).
 
-    One wide hash-agg: 60 ``sum((th >> i) & 1)`` columns + count(*) per
-    doc — no per-bit row explosion (the naive (doc, token) × bit plan
-    materializes 60× the token rows; this plan aggregates straight from
-    the token rows, a measured ~3× win at sf0.1 and the difference
-    between shuffling 60·N and N rows at 100 TB). All integer
-    arithmetic, mirrored exactly by the oracle SQL.
+    One hash-agg with PACKED bit counters: each aggregate column sums 3
+    bit-indicators packed into 20-bit lanes of one long
+    (``Σ ((th>>i)&1) << 20·lane``), so the per-doc vote state is 20
+    packed sums + count(*) instead of 60 scalar sums. Versus the naive
+    per-bit row explosion this shuffles N token rows, not 60·N; versus
+    the 60-scalar-sum variant (round 1/2) it keeps the generated
+    aggregate small enough for fast JIT and tighter agg buffers — a
+    measured 4.4× cold / 1.25× warm win at sf0.1. Lane width 20 bits
+    caps distinct tokens per doc at 2^20-1 (~1M — beyond any real
+    document; a doc that large should be length-filtered upstream
+    anyway). All integer arithmetic; the oracle SQL keeps the
+    straightforward 60-sum form — only final outputs must match.
     """
     tok = (df.select(F.col(id_col),
                      F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
              .select(F.col(id_col),
                      stable_hash64(F.col("tok"), seed=99).alias("th")))
-    aggs = [F.sum(F.shiftrightunsigned(F.col("th"), i).bitwiseAND(F.lit(1)))
-             .alias(f"s{i}") for i in range(SIMHASH_BITS)]
+    n_groups = SIMHASH_BITS // SIMHASH_LANES
+    aggs = []
+    for g in range(n_groups):
+        packed = None
+        for lane in range(SIMHASH_LANES):
+            i = g * SIMHASH_LANES + lane
+            e = (F.shiftrightunsigned(F.col("th"), i).bitwiseAND(F.lit(1))
+                 * F.lit(1 << (SIMHASH_LANE_BITS * lane)))
+            packed = e if packed is None else packed + e
+        aggs.append(F.sum(packed).alias(f"p{g}"))
     votes = tok.groupBy(id_col).agg(F.count("*").alias("n"), *aggs)
     # bit i set iff vote sum > 0  ⇔  2*ones > n  (ones - (n-ones) > 0)
+    lane_mask = (1 << SIMHASH_LANE_BITS) - 1
     sig = None
     for i in range(SIMHASH_BITS):
-        contrib = F.when(F.col(f"s{i}") * 2 > F.col("n"),
+        g, lane = i // SIMHASH_LANES, i % SIMHASH_LANES
+        ones = (F.shiftrightunsigned(F.col(f"p{g}"),
+                                     SIMHASH_LANE_BITS * lane)
+                 .bitwiseAND(F.lit(lane_mask)))
+        contrib = F.when(ones * 2 > F.col("n"),
                          F.lit(1 << i)).otherwise(F.lit(0))
         sig = contrib if sig is None else sig + contrib
     return votes.select(F.col(id_col), sig.cast("long").alias("simhash"))
