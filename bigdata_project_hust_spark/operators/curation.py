@@ -1,0 +1,203 @@
+"""Corpus-curation operators, round 3 (training-data-pipeline
+extensions): benchmark decontamination, sequence packing, document
+chunking, and DSIR-style importance weighting.
+
+All four are the standard pretraining-corpus steps between raw text and
+a training batch (cf. Gao et al. "The Pile", Xie et al. 2023 DSIR,
+arXiv:2302.03169):
+
+* decontamination  — drop training docs that share n-grams with an
+  evaluation benchmark (the train/test-leak guard every released model
+  documents);
+* sequence packing — concatenate the corpus in a deterministic order
+  and split into fixed-length token sequences (what the training loader
+  actually feeds the model);
+* chunking         — overlapping token windows per document (RAG-style
+  and long-doc-splitting preprocessing);
+* DSIR weighting   — per-document importance = mean log-ratio of
+  target-domain vs raw unigram probabilities, used to resample a raw
+  corpus toward a target distribution.
+
+Scale shapes: the benchmark / vocabulary sides are orders of magnitude
+smaller than the corpus and stay BROADCAST; the only wide exchanges
+carry per-document rows (decon per-doc agg, packing's bucketed cumsum)
+or token rows (DSIR's tokens→vocab join). Chunking is a pure map-side
+projection — zero shuffles at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.scalar import stable_hash64
+from .dedup import shingles
+from .text import tokens
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def benchmark_overlap(train: DataFrame, bench: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n: int = 3) -> DataFrame:
+    """Per training document: distinct n-gram shingle count, how many of
+    those shingles appear anywhere in the benchmark set, how many
+    distinct benchmark docs are hit, and the contamination ratio
+    (floor-scaled e6). ``contaminated`` = shares ≥ 1 shingle.
+
+    100 TB shape: the benchmark side (eval sets are 10³-10⁶ docs) is
+    aggregated to (shingle-hash, bench-doc) pairs and BROADCAST; the
+    train side streams its shingles through the broadcast join map-side,
+    so the only wide exchange is the per-train-doc aggregation of match
+    rows. Shingle join keys are 60-bit ``stable_hash64`` values — the
+    shuffle/broadcast carries 8-byte keys, not n-gram strings.
+    """
+    tr = (shingles(train, text_col, id_col, n)
+          .select(F.col(id_col), stable_hash64(F.col("sh")).alias("sh_h")))
+    bn = (shingles(bench, text_col, id_col, n)
+          .select(stable_hash64(F.col("sh")).alias("sh_h"),
+                  F.col(id_col).alias("bench_doc")))
+    joined = tr.join(F.broadcast(bn), "sh_h", "left")
+    overlap_sh = F.when(F.col("bench_doc").isNotNull(), F.col("sh_h"))
+    out = (joined.groupBy(id_col)
+           .agg(F.count_distinct("sh_h").alias("n_shingles"),
+                F.count_distinct(overlap_sh).alias("n_overlap"),
+                F.count_distinct("bench_doc").alias("n_bench_docs")))
+    return out.select(
+        F.col(id_col), "n_shingles", "n_overlap", "n_bench_docs",
+        F.floor(F.col("n_overlap") * F.lit(1_000_000) / F.col("n_shingles"))
+         .cast("long").alias("contamination_e6"),
+        (F.col("n_overlap") > 0).cast("long").alias("contaminated"))
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-split)
+# ---------------------------------------------------------------------------
+
+def sequence_pack(df: DataFrame, id_col: str = "doc_id",
+                  ntok_col: str = "n_tokens", seq_len: int = 64,
+                  bucket: int = 1024) -> DataFrame:
+    """Concat-and-split sequence packing: documents are laid end-to-end
+    in ``id_col`` order; each doc gets its global token offset, the
+    training-sequence id its first token lands in
+    (``pack_id = offset // seq_len``), and how many sequences it spans.
+
+    The global running offset is the one op here that is NOT a plain
+    window: ``Window.orderBy(id)`` funnels the whole corpus through ONE
+    task. Instead the cumsum is two-phase — docs are bucketed by
+    ``id // bucket`` (deterministic, range-ordered, independent of row
+    density), the within-bucket prefix sum runs as a parallel
+    per-bucket window, and the bucket base offsets come from a
+    bucket-totals table that is ~corpus/bucket rows (tiny — ITS global
+    window is safe) and joins back via broadcast. Identical semantics
+    to the single global window, verified by the oracle which uses the
+    naive form.
+    """
+    b = F.floor(F.col(id_col) / F.lit(bucket)).alias("__b")
+    inner_w = (Window.partitionBy("__b").orderBy(id_col)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    inner = (df.select(F.col(id_col), F.col(ntok_col), b)
+               .withColumn("__off_in",
+                           F.coalesce(F.sum(ntok_col).over(inner_w),
+                                      F.lit(0))))
+    btot = inner.groupBy("__b").agg(F.sum(ntok_col).alias("__bt"))
+    base_w = (Window.orderBy("__b")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    base = btot.withColumn(
+        "__boff", F.coalesce(F.sum("__bt").over(base_w), F.lit(0))) \
+        .select("__b", "__boff")
+    out = inner.join(F.broadcast(base), "__b")
+    offset = (F.col("__boff") + F.col("__off_in")).alias("offset")
+    pack_id = F.floor((F.col("__boff") + F.col("__off_in")) / seq_len)
+    last_tok = F.col("__boff") + F.col("__off_in") + F.col(ntok_col) - 1
+    end_pack = F.when(F.col(ntok_col) > 0, F.floor(last_tok / seq_len)) \
+                .otherwise(pack_id)
+    return out.select(
+        F.col(id_col), F.col(ntok_col).cast("long").alias("n_tokens"),
+        offset.cast("long"),
+        pack_id.cast("long").alias("pack_id"),
+        (end_pack - pack_id + 1).cast("long").alias("n_packs_spanned"))
+
+
+# ---------------------------------------------------------------------------
+# Document chunking
+# ---------------------------------------------------------------------------
+
+def chunk_tokens(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", chunk_size: int = 32,
+                 stride: int = 24) -> DataFrame:
+    """Overlapping token-window chunks per document: windows start at
+    token 1, 1+stride, 1+2·stride, … ≤ n_tokens; each takes up to
+    ``chunk_size`` tokens (the tail window may be shorter). Token-less
+    documents drop out (unnest semantics, mirrored by the oracle).
+
+    Pure map-side array program (tokens → sequence of starts →
+    transform/slice → posexplode): ZERO shuffles at any corpus size;
+    the output is ~n/stride rows per doc and goes straight to the sink
+    or the next operator.
+    """
+    bound = df.select(F.col(id_col), tokens(text_col).alias("__w"))
+    w, n = F.col("__w"), F.size(F.col("__w"))
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride))) \
+              .otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(starts, lambda s: F.slice(w, s, chunk_size))
+    ex = bound.select(F.col(id_col),
+                      F.posexplode(chunks).alias("chunk_no", "__c"))
+    return ex.select(
+        F.col(id_col), F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.concat_ws(" ", F.col("__c")).alias("chunk_text"),
+        F.size("__c").cast("long").alias("n_chunk_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting
+# ---------------------------------------------------------------------------
+
+def dsir_logratio(df: DataFrame, target_cond, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169), unigram instantiation: score every document by
+    the mean log-ratio of target-domain vs raw-corpus token
+    probabilities — documents that look like the target domain score
+    high and are kept/up-sampled when the raw corpus is resampled.
+
+    ``target_cond`` is a boolean Column marking the target-domain rows
+    inside ``df`` (in production a separate curated corpus; the math is
+    identical). Probabilities are add-one smoothed over the SHARED
+    vocabulary so raw-only tokens stay finite:
+    ``p_t(w) = (tf_t(w)+1) / (T+V)``, ``p_r(w) = (tf_r(w)+1) / (R+V)``.
+
+    One tokenize pass feeds a single vocabulary aggregate computing both
+    tf columns (the target side is a conditional sum, not a second
+    scan); the vocabulary and its 1-row totals stay BROADCAST — the only
+    wide exchanges carry token rows and per-doc rows, the 100 TB shape
+    shared with tfidf_top_terms / unigram_logprob.
+    """
+    marked = df.select(F.col(id_col), F.col(text_col),
+                       target_cond.cast("long").alias("__is_t"))
+    toks = marked.select(F.col(id_col), F.col("__is_t"),
+                         F.explode(tokens(text_col)).alias("term")).persist()
+    vocab = (toks.groupBy("term")
+                 .agg(F.count("*").alias("__tf_r"),
+                      F.sum("__is_t").alias("__tf_t")))
+    tot = vocab.agg(F.sum("__tf_r").alias("__R"),
+                    F.sum("__tf_t").alias("__T"),
+                    F.count("*").alias("__V"))
+    lr = F.log((F.col("__tf_t") + 1) / (F.col("__T") + F.col("__V"))) \
+        - F.log((F.col("__tf_r") + 1) / (F.col("__R") + F.col("__V")))
+    scored = (toks.join(F.broadcast(vocab), "term")
+                  .crossJoin(F.broadcast(tot))
+                  .groupBy(id_col)
+                  .agg(F.count("*").alias("n_tokens"),
+                       F.floor(F.avg(lr) * 1e6).cast("long")
+                        .alias("dsir_logratio_e6"),
+                       F.max("__is_t").alias("is_target")))
+    return (marked.select(F.col(id_col), F.col("__is_t"))
+            .join(scored, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                     .alias("n_tokens"),
+                    F.coalesce("dsir_logratio_e6", F.lit(0)).cast("long")
+                     .alias("dsir_logratio_e6"),
+                    F.col("__is_t").cast("long").alias("is_target")))

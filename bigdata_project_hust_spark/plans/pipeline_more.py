@@ -1,17 +1,20 @@
-"""Round-2 training-data-pipeline extension queries.
+"""Round-2/3 training-data-pipeline extension queries.
 
 Curation capabilities beyond the round-1 set: Gopher-style repetition
-signals, benchmark-decontamination overlap, and DSIR-style importance
-weighting.  Same cross-engine exactness rules as ``queries.py``
-(floor-scaled e6 ratios, NULL mirrored on both engines, deterministic
-tiebreaks).
+signals, benchmark-decontamination overlap, sequence packing, document
+chunking, and DSIR-style importance weighting.  Same cross-engine
+exactness rules as ``queries.py`` (floor-scaled e6 ratios, NULL
+mirrored on both engines, deterministic tiebreaks).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.text import repetition_signals
+from ..functions.scalar import stable_hash64_sql
+from ..operators.curation import (benchmark_overlap, chunk_tokens,
+                                  dsir_logratio, sequence_pack)
+from ..operators.text import repetition_signals, tokens
 from .spec import QuerySpec, _t
 
 
@@ -62,8 +65,186 @@ ORACLE_REPETITION = r"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Round 3: decontamination / packing / chunking / DSIR
+# ---------------------------------------------------------------------------
+
+# Shared DuckDB shingle fragment over ALL documents (same tokenization
+# as operators/dedup.shingles, n=3).
+_SH3 = r"""
+  words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(CASE WHEN len(w) >= 3
+                       THEN list_transform(generate_series(1, len(w) - 2),
+                                           i -> w[i] || ' ' || w[i+1]
+                                                || ' ' || w[i+2])
+                       ELSE [array_to_string(w, ' ')] END) AS sh
+    FROM words
+  )
+"""
+
+_WORDS = r"""
+  words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+  )
+"""
+
+
+def q_benchmark_decontamination(spark, sf_dir):
+    """Decontamination vs a held-out benchmark slice (doc_id % 10 == 7
+    plays the eval set): per training doc, shingle-overlap counts and a
+    contamination flag. Benchmark shingles broadcast; see
+    operators/curation.benchmark_overlap."""
+    docs = _t(spark, sf_dir, "documents")
+    return benchmark_overlap(
+        docs.where(F.col("doc_id") % 10 != 7),
+        docs.where(F.col("doc_id") % 10 == 7))
+
+
+ORACLE_DECONTAMINATION = f"""
+  WITH {_SH3},
+  hashed AS (
+    SELECT doc_id, {stable_hash64_sql('sh', 0)} AS sh_h FROM sh
+  ),
+  tr AS (SELECT doc_id, sh_h FROM hashed WHERE doc_id % 10 <> 7),
+  bn AS (SELECT sh_h, doc_id AS bench_doc FROM hashed
+         WHERE doc_id % 10 = 7)
+  SELECT tr.doc_id AS doc_id,
+         count(DISTINCT tr.sh_h)::BIGINT AS n_shingles,
+         count(DISTINCT CASE WHEN bn.bench_doc IS NOT NULL
+                             THEN tr.sh_h END)::BIGINT AS n_overlap,
+         count(DISTINCT bn.bench_doc)::BIGINT AS n_bench_docs,
+         floor(count(DISTINCT CASE WHEN bn.bench_doc IS NOT NULL
+                                   THEN tr.sh_h END) * 1000000
+               / count(DISTINCT tr.sh_h))::BIGINT AS contamination_e6,
+         (count(DISTINCT bn.bench_doc) > 0)::BIGINT AS contaminated
+  FROM tr LEFT JOIN bn ON tr.sh_h = bn.sh_h
+  GROUP BY tr.doc_id
+"""
+
+
+def q_sequence_packing(spark, sf_dir):
+    """Concat-and-split sequence packing at seq_len=64: per doc, global
+    token offset, pack id, spans. The Spark side runs the two-phase
+    bucketed cumsum (no single-task global window); the oracle is the
+    naive global window — identical semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    nt = docs.select(F.col("doc_id"),
+                     F.size(tokens("text")).cast("long").alias("n_tokens"))
+    return sequence_pack(nt, seq_len=64, bucket=256)
+
+
+ORACLE_SEQUENCE_PACKING = f"""
+  WITH {_WORDS},
+  nt AS (SELECT doc_id, len(w)::BIGINT AS n_tokens FROM words),
+  off AS (
+    SELECT doc_id, n_tokens,
+           coalesce(sum(n_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0)::BIGINT AS "offset"
+    FROM nt
+  )
+  SELECT doc_id, n_tokens, "offset",
+         ("offset" // 64)::BIGINT AS pack_id,
+         (CASE WHEN n_tokens > 0
+               THEN ("offset" + n_tokens - 1) // 64
+               ELSE "offset" // 64 END
+          - "offset" // 64 + 1)::BIGINT AS n_packs_spanned
+  FROM off
+"""
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunks (size 32, stride 24) — zero-
+    shuffle map-side projection; see operators/curation.chunk_tokens."""
+    return chunk_tokens(_t(spark, sf_dir, "documents"),
+                        chunk_size=32, stride=24)
+
+
+ORACLE_CHUNKS = f"""
+  WITH {_WORDS},
+  st AS (
+    SELECT doc_id, w, len(w) AS n,
+           unnest(generate_series(1, len(w), 24)) AS s
+    FROM words WHERE len(w) > 0
+  )
+  SELECT doc_id,
+         ((s - 1) // 24)::BIGINT AS chunk_no,
+         array_to_string(list_slice(w, s, least(s + 31, n)), ' ')
+           AS chunk_text,
+         (least(s + 31, n) - s + 1)::BIGINT AS n_chunk_tokens
+  FROM st
+"""
+
+
+def q_dsir_importance(spark, sf_dir):
+    """DSIR unigram importance weights with docs where doc_id % 5 == 1
+    standing in for the target domain; see
+    operators/curation.dsir_logratio."""
+    return dsir_logratio(_t(spark, sf_dir, "documents"),
+                         F.col("doc_id") % 5 == 1)
+
+
+ORACLE_DSIR = r"""
+  WITH marked AS (
+    SELECT doc_id, text,
+           CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS is_t
+    FROM documents
+  ),
+  words AS (
+    SELECT doc_id, is_t,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       t -> t <> '') AS w
+    FROM marked
+  ),
+  toks AS (SELECT doc_id, is_t, unnest(w) AS term FROM words),
+  vocab AS (
+    SELECT term, count(*)::BIGINT AS tf_r, sum(is_t)::BIGINT AS tf_t
+    FROM toks GROUP BY term
+  ),
+  tot AS (
+    SELECT sum(tf_r)::BIGINT AS r_tot, sum(tf_t)::BIGINT AS t_tot,
+           count(*)::BIGINT AS v FROM vocab
+  ),
+  scored AS (
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           floor(avg(ln((tf_t + 1) / (t_tot + v))
+                     - ln((tf_r + 1) / (r_tot + v))) * 1e6)::BIGINT AS lr
+    FROM toks JOIN vocab USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+  )
+  SELECT m.doc_id AS doc_id,
+         coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+         coalesce(s.lr, 0)::BIGINT AS dsir_logratio_e6,
+         m.is_t::BIGINT AS is_target
+  FROM marked m LEFT JOIN scored s USING (doc_id)
+"""
+
+
 QUERIES_PIPELINE_MORE: dict[str, QuerySpec] = {
     "text_repetition_signals": QuerySpec(
         q_text_repetition_signals, ORACLE_REPETITION,
         doc="Gopher repetition filters (zero-shuffle projection)"),
+    "benchmark_decontamination": QuerySpec(
+        q_benchmark_decontamination, ORACLE_DECONTAMINATION, headline=True,
+        doc="benchmark n-gram decontamination (broadcast eval shingles)"),
+    "sequence_packing": QuerySpec(
+        q_sequence_packing, ORACLE_SEQUENCE_PACKING,
+        doc="concat-and-split sequence packing (two-phase bucketed cumsum)"),
+    "chunk_documents": QuerySpec(
+        q_chunk_documents, ORACLE_CHUNKS,
+        doc="overlapping token-window chunking (zero-shuffle)"),
+    "dsir_importance": QuerySpec(
+        q_dsir_importance, ORACLE_DSIR,
+        doc="DSIR unigram importance weighting (broadcast vocabulary)"),
 }

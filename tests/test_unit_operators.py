@@ -625,3 +625,96 @@ def test_ngram_capped_is_subset_of_uncapped(spark):
     assert set(capped) <= set(full)
     for pair, stats in capped.items():
         assert stats == full[pair]
+
+
+# ---------------------------------------------------------------------------
+# Round-3 curation operators
+# ---------------------------------------------------------------------------
+
+def test_benchmark_overlap_counts(spark):
+    """Hand-built contamination: doc 1 shares its only shingle with two
+    bench docs; doc 2 shares nothing; doc 3 shares one of two."""
+    from bigdata_project_hust_spark.operators.curation import benchmark_overlap
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma"),
+         (2, "totally unrelated words here"),
+         (3, "alpha beta gamma delta")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(107, "alpha beta gamma"), (117, "prefix alpha beta gamma")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in benchmark_overlap(train, bench).collect()}
+    assert out[1].n_shingles == 1 and out[1].n_overlap == 1
+    assert out[1].n_bench_docs == 2 and out[1].contaminated == 1
+    assert out[1].contamination_e6 == 1_000_000
+    assert out[2].n_overlap == 0 and out[2].contaminated == 0
+    # doc 3: shingles {alpha beta gamma, beta gamma delta} — 1 of 2 hit
+    assert out[3].n_shingles == 2 and out[3].n_overlap == 1
+    assert out[3].contamination_e6 == 500_000
+
+
+def test_sequence_pack_matches_naive_global_window(spark):
+    """Two-phase bucketed cumsum ≡ the naive single global window, on
+    sparse/dense ids crossing bucket boundaries; offsets contiguous."""
+    from bigdata_project_hust_spark.operators.curation import sequence_pack
+    rows = [(i * 7 % 97 + (1000 if i % 3 == 0 else 0), None)
+            for i in range(60)]
+    ids = sorted({r[0] for r in rows})
+    data = [(i, (i * 13) % 9) for i in ids]   # some zero-token docs
+    df = spark.createDataFrame(data, "doc_id long, n_tokens long")
+    out = {r.doc_id: r for r in
+           sequence_pack(df, seq_len=10, bucket=8).collect()}
+    run = 0
+    for i in ids:
+        r = out[i]
+        assert r.offset == run, (i, r.offset, run)
+        assert r.pack_id == run // 10
+        if r.n_tokens > 0:
+            assert r.n_packs_spanned == (run + r.n_tokens - 1) // 10 \
+                - run // 10 + 1
+        else:
+            assert r.n_packs_spanned == 1
+        run += r.n_tokens
+
+
+def test_chunk_tokens_cover_and_overlap(spark):
+    """Chunks start every `stride` tokens, each `chunk_size` long (tail
+    shorter); concatenating each chunk's first `stride` tokens
+    reconstructs the document; 0-token docs drop out."""
+    from bigdata_project_hust_spark.operators.curation import chunk_tokens
+    text = " ".join(f"t{i}" for i in range(50))
+    df = spark.createDataFrame([(1, text), (2, "x"), (3, "   ")],
+                               "doc_id long, text string")
+    out = chunk_tokens(df, chunk_size=16, stride=12).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc                       # whitespace-only drops
+    assert [r.n_chunk_tokens for r in by_doc[2]] == [1]
+    ch = sorted(by_doc[1], key=lambda r: r.chunk_no)
+    assert [r.chunk_no for r in ch] == list(range(len(ch)))
+    toks = text.split()
+    recon = []
+    for r in ch:
+        got = r.chunk_text.split()
+        start = r.chunk_no * 12
+        assert got == toks[start:start + 16]
+        recon.extend(got[:12])
+    assert recon[:50] == toks
+
+
+def test_dsir_separates_target_like_docs(spark):
+    """A doc written in target-domain vocabulary must outscore a doc of
+    raw-only vocabulary; scores are finite with smoothing."""
+    from bigdata_project_hust_spark.operators.curation import dsir_logratio
+    rows = [(1, "aa bb aa bb aa"), (6, "aa bb aa"),        # targets (id%5==1)
+            (2, "zz yy zz yy"), (3, "zz yy xx"),
+            (4, "aa bb zz yy"), (5, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dsir_logratio(df, F.col("doc_id") % 5 == 1).collect()}
+    assert out[1].is_target == 1 and out[2].is_target == 0
+    assert out[1].dsir_logratio_e6 > 0 > out[2].dsir_logratio_e6
+    assert out[1].dsir_logratio_e6 > out[4].dsir_logratio_e6 \
+        > out[2].dsir_logratio_e6
+    assert out[5].n_tokens == 0 and out[5].dsir_logratio_e6 == 0
