@@ -3018,6 +3018,8 @@ QUERIES: dict[str, QuerySpec] = {
 # §2 parity surface; imported last to extend the registry in place).
 from .pipeline_more import QUERIES_PIPELINE_MORE  # noqa: E402
 from .tpch_more import QUERIES_TPCH_MORE  # noqa: E402
+from .tpch_rest import QUERIES_TPCH_REST  # noqa: E402
 
 QUERIES.update(QUERIES_TPCH_MORE)
+QUERIES.update(QUERIES_TPCH_REST)
 QUERIES.update(QUERIES_PIPELINE_MORE)
