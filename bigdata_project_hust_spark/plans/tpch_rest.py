@@ -35,18 +35,23 @@ from .spec import QuerySpec, _t
 # Derived partsupp
 # ---------------------------------------------------------------------------
 
-def _partsupp(spark, sf_dir):
+def _partsupp(li):
     """Deterministic partsupp stand-in: one row per observed
-    (l_partkey, l_suppkey) pair.  Availqty is the summed integral
-    quantity; supplycost is the minimum per-unit price in whole cents
-    (exact: 2-decimal prices → ``round(price*100)`` is an integer, and
-    both engines floor the same IEEE double quotient).
+    (l_partkey, l_suppkey) pair of the given lineitem slice.  Availqty
+    is the summed integral quantity; supplycost is the minimum per-unit
+    price in whole cents (exact: 2-decimal prices → ``round(price*100)``
+    is an integer, and both engines floor the same IEEE double
+    quotient).
 
     100 TB shape: one partial+final hash aggregate over the fact table
     keyed by the (part, supp) pair — |ps| « |lineitem|, and every
     consumer below joins it on the same key, so the aggregate's shuffle
-    partitioning is reused by AQE where the join key matches."""
-    li = _t(spark, sf_dir, "lineitem")
+    partitioning is reused by AQE where the join key matches.  Callers
+    whose part/supplier predicate has pair granularity (a filter on
+    partkey or suppkey keeps or drops WHOLE pairs) pass a pre-pruned
+    ``li`` — the filter commutes with the pair-keyed aggregate, so the
+    min/sum are unchanged and the aggregate shuffles only the surviving
+    fraction of the fact table."""
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     unit = F.floor(cents / F.col("l_quantity")).cast("long")
     return (li.select(F.col("l_partkey").alias("ps_partkey"),
@@ -80,12 +85,17 @@ def q_tpch_q2_shape(spark, sf_dir):
 
     Scale design: region→nation→supplier prunes to one region's
     suppliers (broadcast at any SF — suppliers are the small fact);
-    the filtered part side broadcasts; the correlated min is a window
-    over ps_partkey on the already-joined slice, not a second scan +
+    the filtered part side broadcasts, and the SAME broadcast prunes
+    the fact scan BELOW the ps aggregate (partkey granularity commutes
+    with the pair-keyed agg); the correlated min is a window over
+    ps_partkey on the already-joined slice, not a second scan +
     self-join.  Deterministic total order under the LIMIT."""
-    ps = _partsupp(spark, sf_dir)
     p = _t(spark, sf_dir, "part").where(
         (F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    ps = _partsupp(li)
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
@@ -177,12 +187,16 @@ def q_tpch_q9_shape(spark, sf_dir):
 
     Scale design: the ps join is the one genuinely wide join (fact ⋈
     fact-derived, both shuffled on (partkey, suppkey)); the name-
-    filtered part side broadcasts and prunes before the wide join;
-    supplier/nation broadcast; orders joins on the orderkey the fact
-    is already partitioned by after the first shuffle."""
-    li = _t(spark, sf_dir, "lineitem")
-    ps = _partsupp(spark, sf_dir)
+    filtered part side broadcasts, pruning BOTH the fact scan and the
+    ps-building scan below the aggregate (partkey granularity commutes
+    with the pair-keyed agg); supplier/nation broadcast; orders joins
+    on the orderkey the fact is already partitioned by after the first
+    shuffle."""
     p = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    li = _t(spark, sf_dir, "lineitem")
+    ps = _partsupp(li.join(F.broadcast(p.select("p_partkey")),
+                           F.col("l_partkey") == F.col("p_partkey"),
+                           "left_semi"))
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     o = _t(spark, sf_dir, "orders")
@@ -232,17 +246,21 @@ def q_tpch_q11_shape(spark, sf_dir):
     (``part_value·10000 > total_value``) — no double threshold, no
     boundary flips between engines.
 
-    Scale design: nation filter broadcasts into the supplier join
-    before ps shuffles; the scalar total is a 1-row broadcast into the
-    HAVING filter (Spark: crossJoin(broadcast(tot))); per-part agg
-    shuffles on partkey only."""
-    ps = _partsupp(spark, sf_dir)
+    Scale design: the nation's supplier keys (suppkey granularity —
+    commutes with the pair-keyed agg) broadcast-semi-prune the fact
+    scan BELOW the ps aggregate; the scalar total is a 1-row broadcast
+    into the HAVING filter (Spark: crossJoin(broadcast(tot)));
+    per-part agg shuffles on partkey only."""
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    nat_supp = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+                 .select("s_suppkey"))
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(nat_supp),
+        F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+    ps = _partsupp(li)
     val = F.col("ps_supplycost_cents") * F.col("ps_availqty")
-    nat = (ps.join(s, ps.ps_suppkey == s.s_suppkey)
-             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-             .select("ps_partkey", val.alias("__v")))
+    nat = ps.select("ps_partkey", val.alias("__v"))
     per_part = nat.groupBy("ps_partkey").agg(
         F.sum("__v").alias("value_cents"))
     tot = nat.agg(F.sum("__v").alias("__tot"))
@@ -324,14 +342,17 @@ def q_tpch_q16_shape(spark, sf_dir):
     The NOT IN becomes a LEFT ANTI join.
 
     Scale design: the excluded-supplier list is tiny and broadcast-
-    anti-joined map-side; the part filter broadcasts; the only wide
-    exchange is the count-distinct agg on the 3 part attributes
-    (2-level partial agg: Spark expands distinct into a two-phase
-    hash agg keyed by attrs+suppkey first)."""
-    ps = _partsupp(spark, sf_dir)
+    anti-joined map-side; the part filter broadcasts and semi-prunes
+    the fact scan BELOW the ps aggregate (partkey granularity); the
+    only wide exchange is the count-distinct agg on the 3 part
+    attributes (2-level partial agg: Spark expands distinct into a
+    two-phase hash agg keyed by attrs+suppkey first)."""
     p = _t(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#5")
         & F.col("p_size").isin(1, 9, 15, 23, 36))
+    ps = _partsupp(_t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"), "left_semi"))
     bad = _t(spark, sf_dir, "supplier").where(
         F.col("s_name").like("%7")).select(
         F.col("s_suppkey").alias("bad_key"))
@@ -367,23 +388,25 @@ def q_tpch_q20_shape(spark, sf_dir):
     cross-multiplied BIGINT, no 0.5 double).  Two nested IN subqueries
     become broadcast semi-joins.
 
-    Scale design: the 1997 per-(part,supp) shipped-qty agg reuses the
-    fact's (partkey, suppkey) shuffle partitioning from ps; the part-
-    name filter broadcasts into a semi-join; the final supplier list
+    Scale design: the part-name filter broadcast-semi-prunes BOTH
+    fact scans below their (partkey, suppkey) aggregates (partkey
+    granularity commutes with the pair key); the 1997 shipped-qty agg
+    then shares ps's shuffle partitioning; the final supplier list
     anti-duplicates via the semi-join itself (no distinct needed)."""
-    ps = _partsupp(spark, sf_dir)
-    li97 = (_t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        F.col("p_name").like("small%")).select("p_partkey")
+    li_small = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi")
+    ps = _partsupp(li_small)
+    li97 = (li_small
             .where((F.col("l_shipdate") >= F.lit("1997-01-01"))
                    & (F.col("l_shipdate") < F.lit("1998-01-01")))
             .groupBy(F.col("l_partkey").alias("q_partkey"),
                      F.col("l_suppkey").alias("q_suppkey"))
             .agg(F.sum(F.col("l_quantity").cast("long"))
                   .alias("__shipped")))
-    p = _t(spark, sf_dir, "part").where(
-        F.col("p_name").like("small%")).select("p_partkey")
-    excess = (ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey,
-                      "left_semi")
-                .join(li97, (ps.ps_partkey == li97.q_partkey)
+    excess = (ps.join(li97, (ps.ps_partkey == li97.q_partkey)
                       & (ps.ps_suppkey == li97.q_suppkey))
                 .where(F.col("ps_availqty") * 2 > F.col("__shipped"))
                 .select(F.col("ps_suppkey").alias("x_suppkey")))
