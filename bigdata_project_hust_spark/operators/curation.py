@@ -201,3 +201,40 @@ def dsir_logratio(df: DataFrame, target_cond, text_col: str = "text",
                     F.coalesce("dsir_logratio_e6", F.lit(0)).cast("long")
                      .alias("dsir_logratio_e6"),
                     F.col("__is_t").cast("long").alias("is_target")))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global corpus shuffle
+# ---------------------------------------------------------------------------
+
+def corpus_shuffle(df: DataFrame, id_col: str = "doc_id",
+                   seed: int = 7, shift: int = 50) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets
+    a dense position 0..n-1 in ``(stable_hash64(id), id)`` order — the
+    reproducible random permutation a training loader reads the corpus
+    in (same seed → same order on any cluster, any partitioning).
+
+    A naive ``row_number() OVER (ORDER BY hash)`` funnels the corpus
+    through ONE task.  Instead the 60-bit hash's top bits
+    (``hash >> shift``, 1024 range-ordered buckets at the default) form
+    the range partition: within-bucket ranks run as parallel windows,
+    bucket base offsets come from the tiny bucket-counts table (its own
+    global window is over ≤2^(60-shift) rows), and positions are
+    ``base + intra`` — bit-identical to the naive form because the
+    bucket id is a PREFIX of the sort key."""
+    h = stable_hash64(F.col(id_col).cast("string"), seed)
+    marked = df.select(F.col(id_col), h.alias("__h"),
+                       F.shiftright(h, shift).alias("__b"))
+    intra_w = Window.partitionBy("__b").orderBy("__h", id_col)
+    intra = marked.withColumn(
+        "__r", F.row_number().over(intra_w).cast("long") - 1)
+    counts = marked.groupBy("__b").agg(F.count("*").alias("__n"))
+    base_w = (Window.orderBy("__b")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    base = counts.withColumn(
+        "__base", F.coalesce(F.sum("__n").over(base_w), F.lit(0))) \
+        .select("__b", "__base")
+    return (intra.join(F.broadcast(base), "__b")
+            .select(F.col(id_col),
+                    (F.col("__base") + F.col("__r")).cast("long")
+                    .alias("shuffle_pos")))

@@ -235,3 +235,36 @@ def embedding_near_duplicates(df: DataFrame, min_sim_e6: int = 950000,
              .select("doc_a", "doc_b",
                      F.floor(sim * 1e6).cast("long").alias("sim_e6"))
              .where(F.col("sim_e6") >= min_sim_e6))
+
+
+def quantize_int8(df: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|v|/127``,
+    ``qᵢ = floor(vᵢ·127/max|v| + 0.5)`` (round-half-up — identical
+    IEEE ops on both engines), plus the max reconstruction error — the
+    embedding-compression step before an ANN index ships to serving
+    (4× smaller than float32, 8× than float64).
+
+    Pure map-side array program (transform / array_max / aggregate) —
+    ZERO shuffles at any corpus size.  All-zero vectors quantize to
+    all-zero with scale 0 (guarded division).  Outputs are driver-
+    hashable scalars: the int8 vector serializes as a CSV string and
+    scale / max-error floor-quantize at 1e-9."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    q = F.when(maxabs > 0.0,
+               F.transform(v, lambda x: F.floor(x * 127 / maxabs + 0.5)
+                           .cast("long"))
+               ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
+    scale = F.when(maxabs > 0.0, maxabs / 127).otherwise(F.lit(0.0))
+    err = F.when(
+        maxabs > 0.0,
+        F.array_max(F.zip_with(
+            v, q, lambda x, qi: F.abs(x - qi.cast("double") * scale)))
+        ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.floor(scale * 1e9).cast("long").alias("scale_e9"),
+        F.concat_ws(",", F.transform(q, lambda x: x.cast("string")))
+         .alias("q_csv"),
+        F.floor(err * 1e9).cast("long").alias("max_err_e9"))

@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 
 from ..functions.scalar import stable_hash64_sql
 from ..operators.curation import (benchmark_overlap, chunk_tokens,
-                                  dsir_logratio, sequence_pack)
+                                  corpus_shuffle, dsir_logratio,
+                                  sequence_pack)
+from ..operators.similarity import quantize_int8
 from ..operators.text import repetition_signals, tokens
 from .spec import QuerySpec, _t
 
@@ -231,6 +233,57 @@ ORACLE_DSIR = r"""
 """
 
 
+def q_embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization of the embeddings table — the
+    compression step before an ANN index ships; zero-shuffle map-side;
+    see operators/similarity.quantize_int8."""
+    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_QUANTIZE = """
+  WITH base AS (
+    SELECT vec_id,
+           list_transform(embedding, e -> e::DOUBLE) AS v,
+           list_max(list_transform(embedding, e -> abs(e::DOUBLE))) AS m
+    FROM embeddings
+  ),
+  qz AS (
+    SELECT vec_id, v, m,
+           CASE WHEN m > 0 THEN m / 127 ELSE 0.0::DOUBLE END AS s,
+           CASE WHEN m > 0
+                THEN list_transform(v, e -> floor(e * 127 / m + 0.5)::BIGINT)
+                ELSE list_transform(v, e -> 0::BIGINT) END AS q
+    FROM base
+  )
+  SELECT vec_id,
+         floor(s * 1e9)::BIGINT AS scale_e9,
+         array_to_string(list_transform(q, x -> x::VARCHAR), ',') AS q_csv,
+         floor(CASE WHEN m > 0
+                    THEN list_max(list_transform(
+                           generate_series(1, len(v)),
+                           i -> abs(v[i] - q[i] * s)))
+                    ELSE 0.0::DOUBLE END * 1e9)::BIGINT AS max_err_e9
+  FROM qz
+"""
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle of the documents
+    table (two-phase hash-prefix ranks, no single-task global window);
+    see operators/curation.corpus_shuffle."""
+    return corpus_shuffle(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_CORPUS_SHUFFLE = f"""
+  SELECT doc_id,
+         (row_number() OVER (ORDER BY h, doc_id) - 1)::BIGINT
+           AS shuffle_pos
+  FROM (SELECT doc_id,
+               {stable_hash64_sql('doc_id::VARCHAR', 7)} AS h
+        FROM documents)
+"""
+
+
 QUERIES_PIPELINE_MORE: dict[str, QuerySpec] = {
     "text_repetition_signals": QuerySpec(
         q_text_repetition_signals, ORACLE_REPETITION,
@@ -247,4 +300,10 @@ QUERIES_PIPELINE_MORE: dict[str, QuerySpec] = {
     "dsir_importance": QuerySpec(
         q_dsir_importance, ORACLE_DSIR,
         doc="DSIR unigram importance weighting (broadcast vocabulary)"),
+    "embedding_quantize_int8": QuerySpec(
+        q_embedding_quantize_int8, ORACLE_QUANTIZE,
+        doc="symmetric int8 embedding quantization (zero-shuffle)"),
+    "corpus_shuffle_positions": QuerySpec(
+        q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE,
+        doc="deterministic global corpus shuffle (two-phase ranks)"),
 }

@@ -36,6 +36,15 @@ def get_spark(app_name: str = "bigdata_project_hust_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Runtime bloom-filter row pruning: for fact⋈fact joins whose
+        # build side is selectively filtered but too big to broadcast,
+        # the optimizer injects a bloom_filter_agg on the build keys and
+        # a might_contain filter into the probe-side scan — at 100 TB
+        # this prunes shuffle input by the build side's selectivity.
+        # Explicit (though default-on in Spark 4) because the engine
+        # RELIES on it for the non-broadcastable selective-join path;
+        # see tests/test_plans.py::test_bloom_filter_prunes_probe_side.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # events.parquet carries TIMESTAMP(NANOS); read as long then
         # normalize to microsecond timestamps in io.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

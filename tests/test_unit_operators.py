@@ -718,3 +718,55 @@ def test_dsir_separates_target_like_docs(spark):
     assert out[1].dsir_logratio_e6 > out[4].dsir_logratio_e6 \
         > out[2].dsir_logratio_e6
     assert out[5].n_tokens == 0 and out[5].dsir_logratio_e6 == 0
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    """Quantized values stay in [-127, 127]; reconstruction error is
+    ≤ scale/2 (round-half-up); the all-zero vector yields scale 0 and
+    an all-zero int8 vector."""
+    from bigdata_project_hust_spark.operators.similarity import quantize_int8
+    rows = [(1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [-2.5, 2.5, 1.25, -1.25])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_int8(df).collect()}
+    for vid, vec in [(1, rows[0][1]), (3, rows[2][1])]:
+        r = out[vid]
+        q = [int(x) for x in r.q_csv.split(",")]
+        assert all(-127 <= x <= 127 for x in q)
+        assert 127 in q or -127 in q          # maxabs element saturates
+        scale = r.scale_e9 / 1e9
+        # floor-quantized scale adds ≤1e-9; half-step bound + slack
+        assert r.max_err_e9 <= (scale + 1e-9) / 2 * 1e9 + 1
+    assert out[2].scale_e9 == 0 and out[2].max_err_e9 == 0
+    assert set(out[2].q_csv.split(",")) == {"0"}
+
+
+def test_corpus_shuffle_is_dense_permutation(spark):
+    """Positions are exactly 0..n-1, reproducible across invocations,
+    and NOT the identity order (the hash actually shuffles)."""
+    from bigdata_project_hust_spark.operators.curation import corpus_shuffle
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.shuffle_pos for r in corpus_shuffle(df).collect()}
+    b = {r.doc_id: r.shuffle_pos for r in corpus_shuffle(df).collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(500))
+    ident = sum(1 for k, v in a.items() if k == v)
+    assert ident < 50      # a real permutation, not sorted order
+
+
+def test_corpus_shuffle_matches_naive_window(spark):
+    """Two-phase bucketed ranks ≡ naive global row_number over
+    (hash, id) — verified at a bucket shift small enough that many
+    buckets are actually populated."""
+    from bigdata_project_hust_spark.operators.curation import corpus_shuffle
+    from bigdata_project_hust_spark.functions.scalar import stable_hash64
+    from pyspark.sql import Window
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    got = {r.doc_id: r.shuffle_pos
+           for r in corpus_shuffle(df, shift=55).collect()}
+    h = stable_hash64(F.col("doc_id").cast("string"), 7)
+    naive = {r.doc_id: r.pos - 1 for r in df.select(
+        "doc_id", F.row_number().over(
+            Window.orderBy(h, "doc_id")).alias("pos")).collect()}
+    assert got == naive
