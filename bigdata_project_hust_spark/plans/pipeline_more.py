@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from ..functions.scalar import stable_hash64_sql
 from ..operators.curation import (benchmark_overlap, chunk_tokens,
                                   corpus_shuffle, dsir_logratio,
-                                  sequence_pack)
+                                  line_dedup, sequence_pack)
 from ..operators.similarity import quantize_int8
 from ..operators.text import repetition_signals, tokens
 from .spec import QuerySpec, _t
@@ -233,6 +233,42 @@ ORACLE_DSIR = r"""
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4-style corpus-wide line dedup (8-token segments, keep first
+    occurrence); see operators/curation.line_dedup."""
+    return line_dedup(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_LINE_DEDUP = r"""
+  WITH words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+  ),
+  lines AS (
+    SELECT doc_id, ((s - 1) // 8)::BIGINT AS line_no,
+           array_to_string(list_slice(w, s, least(s + 7, len(w))), ' ')
+             AS line_text
+    FROM (SELECT doc_id, w,
+                 unnest(generate_series(1, len(w), 8)) AS s
+          FROM words WHERE len(w) > 0)
+  ),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY line_text
+                                 ORDER BY doc_id, line_no) AS rn
+    FROM lines
+  )
+  SELECT doc_id,
+         count(*)::BIGINT AS n_lines,
+         sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+         coalesce(string_agg(CASE WHEN rn = 1 THEN line_text END,
+                             ' ' ORDER BY line_no), '') AS clean_text
+  FROM ranked
+  GROUP BY doc_id
+"""
+
+
 def q_embedding_quantize_int8(spark, sf_dir):
     """Symmetric int8 quantization of the embeddings table — the
     compression step before an ANN index ships; zero-shuffle map-side;
@@ -306,4 +342,7 @@ QUERIES_PIPELINE_MORE: dict[str, QuerySpec] = {
     "corpus_shuffle_positions": QuerySpec(
         q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE,
         doc="deterministic global corpus shuffle (two-phase ranks)"),
+    "line_dedup_clean": QuerySpec(
+        q_line_dedup, ORACLE_LINE_DEDUP,
+        doc="C4-style corpus-wide line dedup + doc reassembly"),
 }

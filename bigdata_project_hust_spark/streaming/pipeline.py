@@ -184,6 +184,33 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame,
     return l_.join(r_, cond, "inner")
 
 
+def stream_stream_interval_join_outer(left: DataFrame, right: DataFrame,
+                                      key: str, left_ts: str,
+                                      right_ts: str, interval_s: int,
+                                      watermark: str = "10 minutes"
+                                      ) -> DataFrame:
+    """LEFT OUTER variant of :func:`stream_stream_interval_join`:
+    unmatched left events are EMITTED (right columns null) — but only
+    once the watermark passes their join window, because until then a
+    matching right event could still arrive.  This is the funnel-
+    analysis shape ("clicks with no view before them") that an inner
+    join cannot express on a stream.
+
+    Same state-eviction bound as the inner join; the outer row is the
+    state store's eviction output, so emission latency equals the
+    watermark delay — a correctness/latency trade the caller picks via
+    ``watermark``."""
+    l_ = left.withWatermark(left_ts, watermark).alias("l")
+    r_ = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}")
+           >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {interval_s} SECONDS"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    return l_.join(r_, cond, "leftOuter")
+
+
 def stateful_threshold_alerts(df: DataFrame, key_col: str = "user_id",
                               value_col: str = "value",
                               threshold: float = 50.0) -> DataFrame:

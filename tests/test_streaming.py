@@ -508,3 +508,57 @@ def test_windowed_agg_drops_late_data(spark, tmp_path):
         assert rows.get((1, base)) == 1.0
     finally:
         q.stop()
+
+
+def test_stream_stream_outer_join_emits_unmatched_after_watermark(
+        spark, tmp_path):
+    """LEFT OUTER interval join: matched pairs emit immediately;
+    unmatched left events emit with NULL right columns only after the
+    watermark (advanced by a later second batch) passes their join
+    window — never before, never twice."""
+    from bigdata_project_hust_spark.streaming.pipeline import (
+        stream_stream_interval_join_outer)
+    clicks_dir, views_dir = str(tmp_path / "c"), str(tmp_path / "v")
+    _write_events(clicks_dir, "a.json", [
+        (100, "2024-01-01 00:01:00", 1, 1.0),   # matches view 200
+        (101, "2024-01-01 00:05:00", 1, 1.0),   # no view in window
+    ])
+    _write_events(views_dir, "a.json", [
+        (200, "2024-01-01 00:00:30", 1, 9.0),
+    ])
+    clicks = json_file_stream(spark, clicks_dir, EVENT_SCHEMA) \
+        .withColumnRenamed("event_id", "click_id") \
+        .withColumnRenamed("ts", "click_ts").drop("value")
+    views = json_file_stream(spark, views_dir, EVENT_SCHEMA) \
+        .withColumnRenamed("event_id", "view_id") \
+        .withColumnRenamed("ts", "view_ts") \
+        .withColumnRenamed("user_id", "vu").drop("value")
+    j = stream_stream_interval_join_outer(
+        clicks, views.withColumnRenamed("vu", "user_id"),
+        "user_id", "click_ts", "view_ts", 60, watermark="1 minutes")
+    out = j.select("click_id", "view_id")
+    q = _run_to_memory(out, "ssj_outer", "append", str(tmp_path / "ck"))
+    try:
+        first = {(r.click_id, r.view_id)
+                 for r in spark.sql("SELECT * FROM ssj_outer").collect()}
+        assert (100, 200) in first
+        assert (101, None) not in first      # watermark hasn't passed yet
+        # batch 2: far-future events on BOTH sides push both watermarks
+        # past click 101's window → its outer row must flush
+        _write_events(clicks_dir, "b.json",
+                      [(110, "2024-01-01 01:00:00", 9, 1.0)])
+        _write_events(views_dir, "b.json",
+                      [(210, "2024-01-01 01:00:00", 9, 9.0)])
+        q.processAllAvailable()
+        # one more micro-batch so the eviction output itself commits
+        _write_events(clicks_dir, "c.json",
+                      [(111, "2024-01-01 02:00:00", 9, 1.0)])
+        _write_events(views_dir, "c.json",
+                      [(211, "2024-01-01 02:00:00", 9, 9.0)])
+        q.processAllAvailable()
+        got = [ (r.click_id, r.view_id)
+                for r in spark.sql("SELECT * FROM ssj_outer").collect()]
+        assert got.count((101, None)) == 1
+        assert got.count((100, 200)) == 1
+    finally:
+        q.stop()

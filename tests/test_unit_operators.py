@@ -770,3 +770,23 @@ def test_corpus_shuffle_matches_naive_window(spark):
         "doc_id", F.row_number().over(
             Window.orderBy(h, "doc_id")).alias("pos")).collect()}
     assert got == naive
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    """Hand-built corpus: a shared 2-token line survives only in the
+    lexicographically-first (doc_id, line_no) slot; within-doc repeats
+    also dedup; reassembly preserves original line order."""
+    from bigdata_project_hust_spark.operators.curation import line_dedup
+    rows = [(1, "aa bb cc dd"),            # lines: "aa bb", "cc dd"
+            (2, "cc dd aa bb"),            # both dup of doc 1
+            (3, "ee ff ee ff gg"),         # within-doc repeat + tail
+            (4, "")]                       # token-less drops out
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup(df, line_tokens=2).collect()}
+    assert out[1].n_lines == 2 and out[1].n_removed == 0
+    assert out[1].clean_text == "aa bb cc dd"
+    assert out[2].n_lines == 2 and out[2].n_removed == 2
+    assert out[2].clean_text == ""
+    assert out[3].n_lines == 3 and out[3].n_removed == 1
+    assert out[3].clean_text == "ee ff gg"
+    assert 4 not in out
