@@ -320,6 +320,148 @@ ORACLE_CORPUS_SHUFFLE = f"""
 """
 
 
+def q_training_manifest(spark, sf_dir):
+    """End-to-end round-3 curation chain, raw documents → training
+    manifest: (1) corpus-wide line dedup, keep docs retaining ≥ half
+    their lines; (2) benchmark decontamination (doc_id%10==7 plays the
+    eval set), drop contaminated docs; (3) DSIR importance gate
+    (doc_id%5==1 plays the target domain), keep non-negative weights;
+    (4) concat-and-split sequence packing of the survivors.  Every
+    stage is the already-oracled operator — this query is the
+    composition a real pretraining pipeline runs nightly.
+
+    Scale: stages chain without materialization (one lazy plan); the
+    wide exchanges are the line-hash argmin, the per-doc decon agg,
+    the token→vocab join, and the bucketed pack cumsum — all keyed
+    shuffles, no broadcast of anything corpus-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    ld = line_dedup(docs)
+    kept = (ld.where(F.col("n_removed") < F.col("n_lines"))
+              .select("doc_id", F.col("clean_text").alias("text")))
+    # the cleaned train slice feeds BOTH the decon aggregate and the
+    # DSIR stage; persist so the line-dedup subtree runs once (at
+    # cluster scale: checkpoint to a shuffle-service-backed path, the
+    # same trade documented for the MinHash shingle subtree)
+    train = kept.where(F.col("doc_id") % 10 != 7).persist()
+    bench = docs.where(F.col("doc_id") % 10 == 7)
+    # 13-gram overlap — the published decontamination standard (GPT-3
+    # appendix C); short shingles over-flag on a small vocabulary
+    ok = (benchmark_overlap(train, bench, n=13)
+          .where(F.col("contaminated") == 0).select("doc_id"))
+    surv = train.join(ok, "doc_id", "left_semi")
+    ds = dsir_logratio(surv, F.col("doc_id") % 5 == 1)
+    sel = ds.where(F.col("dsir_logratio_e6") >= -3000)
+    packed = sequence_pack(
+        sel.select("doc_id", "n_tokens"), seq_len=64, bucket=256)
+    return (packed.join(sel.select("doc_id", "dsir_logratio_e6"),
+                        "doc_id")
+            .select("doc_id", "n_tokens", "dsir_logratio_e6",
+                    "offset", "pack_id", "n_packs_spanned"))
+
+
+ORACLE_TRAINING_MANIFEST = r"""
+  WITH words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+  ),
+  lines AS (
+    SELECT doc_id, ((s - 1) // 8)::BIGINT AS line_no,
+           array_to_string(list_slice(w, s, least(s + 7, len(w))), ' ')
+             AS line_text
+    FROM (SELECT doc_id, w,
+                 unnest(generate_series(1, len(w), 8)) AS s
+          FROM words WHERE len(w) > 0)
+  ),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY line_text
+                                 ORDER BY doc_id, line_no) AS rn
+    FROM lines
+  ),
+  ld AS (
+    SELECT doc_id, count(*)::BIGINT AS n_lines,
+           sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN line_text END,
+                               ' ' ORDER BY line_no), '') AS clean_text
+    FROM ranked GROUP BY doc_id
+  ),
+  kept AS (
+    SELECT doc_id, clean_text AS text FROM ld
+    WHERE n_removed < n_lines
+  ),
+  tr AS (SELECT * FROM kept WHERE doc_id % 10 <> 7),
+  trw AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       t -> t <> '') AS w
+    FROM tr
+  ),
+  trsh AS (
+    SELECT DISTINCT doc_id,
+           unnest(CASE WHEN len(w) >= 13
+                       THEN list_transform(
+                              generate_series(1, len(w) - 12),
+                              i -> array_to_string(
+                                     list_slice(w, i, i + 12), ' '))
+                       ELSE [array_to_string(w, ' ')] END) AS sh
+    FROM trw
+  ),
+  bnsh AS (
+    SELECT DISTINCT
+           unnest(CASE WHEN len(w) >= 13
+                       THEN list_transform(
+                              generate_series(1, len(w) - 12),
+                              i -> array_to_string(
+                                     list_slice(w, i, i + 12), ' '))
+                       ELSE [array_to_string(w, ' ')] END) AS sh
+    FROM words WHERE doc_id % 10 = 7
+  ),
+  surv AS (
+    SELECT tr.* FROM tr
+    WHERE NOT EXISTS (
+      SELECT 1 FROM trsh JOIN bnsh USING (sh)
+      WHERE trsh.doc_id = tr.doc_id)
+  ),
+  swords AS (
+    SELECT doc_id, CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS is_t,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       t -> t <> '') AS w
+    FROM surv
+  ),
+  toks AS (SELECT doc_id, is_t, unnest(w) AS term FROM swords),
+  vocab AS (
+    SELECT term, count(*)::BIGINT AS tf_r, sum(is_t)::BIGINT AS tf_t
+    FROM toks GROUP BY term
+  ),
+  tot AS (
+    SELECT sum(tf_r)::BIGINT AS r_tot, sum(tf_t)::BIGINT AS t_tot,
+           count(*)::BIGINT AS v FROM vocab
+  ),
+  scored AS (
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           floor(avg(ln((tf_t + 1) / (t_tot + v))
+                     - ln((tf_r + 1) / (r_tot + v))) * 1e6)::BIGINT AS lr
+    FROM toks JOIN vocab USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+  ),
+  sel AS (SELECT * FROM scored WHERE lr >= -3000),
+  off AS (
+    SELECT doc_id, n_tokens, lr,
+           coalesce(sum(n_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0)::BIGINT AS "offset"
+    FROM sel
+  )
+  SELECT doc_id, n_tokens, lr AS dsir_logratio_e6, "offset",
+         ("offset" // 64)::BIGINT AS pack_id,
+         (("offset" + n_tokens - 1) // 64
+          - "offset" // 64 + 1)::BIGINT AS n_packs_spanned
+  FROM off
+"""
+
+
 QUERIES_PIPELINE_MORE: dict[str, QuerySpec] = {
     "text_repetition_signals": QuerySpec(
         q_text_repetition_signals, ORACLE_REPETITION,
@@ -345,4 +487,8 @@ QUERIES_PIPELINE_MORE: dict[str, QuerySpec] = {
     "line_dedup_clean": QuerySpec(
         q_line_dedup, ORACLE_LINE_DEDUP,
         doc="C4-style corpus-wide line dedup + doc reassembly"),
+    "training_manifest": QuerySpec(
+        q_training_manifest, ORACLE_TRAINING_MANIFEST,
+        doc="full curation chain: line dedup → 13-gram decontamination "
+            "→ DSIR gate → sequence packing"),
 }
