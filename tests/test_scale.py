@@ -301,3 +301,66 @@ def test_analyze_table_feeds_cbo_stats(spark, tmp_path):
         assert vstats.get("distinct_count") == "7"
     finally:
         spark.sql("DROP TABLE IF EXISTS cbo_t")
+
+
+def test_morton2_matches_python_reference(spark):
+    """Column-expression Morton code ≡ the bit-by-bit Python reference
+    on a grid sample + edge values."""
+    from bigdata_project_hust_spark.operators.scale import morton2
+
+    def py_morton(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(x, y) for x in [0, 1, 2, 3, 255, 65535]
+           for y in [0, 1, 7, 1024, 65535]]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r.x, r.y): r.z for r in
+           df.select("x", "y", morton2("x", "y").alias("z")).collect()}
+    for (x, y), z in got.items():
+        assert z == py_morton(x, y), (x, y, z)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Footer-stats pruning comparison on a 64k-point uniform grid:
+    a linear sort on x prunes x-range scans perfectly but y-range
+    scans not at all (every file spans all of y); the z-order layout
+    must prune BOTH dimensions — a narrow band query on x or on y
+    overlaps only a minority of files."""
+    import pyarrow.parquet as pq
+    import glob
+    from bigdata_project_hust_spark.operators.scale import write_zordered
+
+    df = (spark.range(0, 1 << 16)
+          .selectExpr("id % 256 AS x", "CAST(id / 256 AS LONG) AS y"))
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zordered(df, zdir, "x", "y", n_files=16, bits=8)
+    (df.repartitionByRange(16, "x").sortWithinPartitions("x")
+       .write.mode("overwrite").parquet(ldir))
+
+    def overlap_frac(d, col, lo, hi):
+        tot = hit = 0
+        for f in glob.glob(d + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i
+                     for i in range(md.num_columns)}
+            mn = min(md.row_group(g).column(names[col]).statistics.min
+                     for g in range(md.num_row_groups))
+            mx = max(md.row_group(g).column(names[col]).statistics.max
+                     for g in range(md.num_row_groups))
+            tot += 1
+            if mn <= hi and mx >= lo:
+                hit += 1
+        return hit / tot
+
+    # narrow band on each dimension (1/16 of the domain); thresholds
+    # leave slack for ragged file boundaries (repartitionByRange
+    # SAMPLES to pick split points, so per-run boundaries wobble)
+    assert overlap_frac(ldir, "x", 100, 115) <= 0.3125    # sorted: prunes x
+    assert overlap_frac(ldir, "y", 100, 115) == 1.0       # ...but never y
+    zx, zy = overlap_frac(zdir, "x", 100, 115), \
+        overlap_frac(zdir, "y", 100, 115)
+    assert zx <= 0.75 and zy <= 0.625, (zx, zy)           # z: prunes BOTH
