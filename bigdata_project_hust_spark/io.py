@@ -206,3 +206,26 @@ def write_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = (),
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def footer_stats_scan(spark: SparkSession, path: str) -> DataFrame:
+    """Open a parquet path through the V2 datasource so MIN/MAX/COUNT
+    aggregates with no filter are answered from FOOTER STATISTICS
+    (``PushedAggregation`` in the scan) — zero row groups read.  At
+    100 TB, table-level min/max/count probes (freshness checks, split
+    planning, monotonic-watermark discovery) become metadata-only.
+
+    Spark routes parquet through the V1 path by default
+    (``spark.sql.sources.useV1SourceList``), which cannot push
+    aggregates; the V2 toggle is plan-time state, so it is flipped only
+    while the relation is being resolved and restored immediately —
+    other readers in the session are unaffected."""
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    old_agg = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        return spark.read.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", old_agg)

@@ -184,3 +184,21 @@ def test_q21_reuses_orderkey_exchange(spark):
     df = QUERIES["tpch_q21_shape"].fn(spark, SF_SMOKE)
     plan = plan_of(df)
     assert "ReusedExchange" in plan or n_nodes(plan, "Exchange") <= 6, plan
+
+
+def test_footer_stats_scan_pushes_aggregates(spark):
+    """min/max/count over a footer_stats_scan must compile to a
+    PushedAggregation batch scan (answered from parquet footers, zero
+    row groups read) and agree with the row-reading V1 path."""
+    from bigdata_project_hust_spark.io import footer_stats_scan
+    df = footer_stats_scan(spark, f"{SF_SMOKE}/orders.parquet")
+    agg = df.agg(F.min("o_totalprice").alias("mn"),
+                 F.max("o_totalprice").alias("mx"),
+                 F.count("*").alias("n"))
+    phys = agg._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation" in phys, phys[:1500]
+    got = agg.collect()[0]
+    ref = (spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+           .agg(F.min("o_totalprice"), F.max("o_totalprice"),
+                F.count("*")).collect()[0])
+    assert (got.mn, got.mx, got.n) == tuple(ref)
