@@ -271,3 +271,56 @@ def windowed_engagement(df: DataFrame, ts_col: str, key_col: str,
         F.col(key_col),
         F.unix_timestamp(F.col("window.start")).alias("window_start"),
         *[F.col(f"sum_{m}") for m in metric_cols])
+
+
+def stateful_threshold_alerts_tws(df: DataFrame, key_col: str = "user_id",
+                                  value_col: str = "value",
+                                  threshold: float = 50.0) -> DataFrame:
+    """The :func:`stateful_threshold_alerts` semantics on Spark 4's
+    ``transformWithStateInPandas`` API (SPARK-49046): typed per-key
+    ``ValueState`` in a ``StatefulProcessor`` class instead of the
+    positional state tuple of ``applyInPandasWithState``.
+
+    Same contract as the legacy twin (one alert row per key, first
+    time the running total crosses ``threshold``) so the harness
+    asserts both implementations produce identical output on the same
+    input — the migration path a user on the old API would follow.
+    State layout and sharding are unchanged at scale: two scalars per
+    key in the RocksDB state store (TWS requires the RocksDB
+    provider), hash-sharded by key.
+
+    Container gate: TWS's Python↔state-server protocol needs
+    ``google.protobuf``, which this container does not ship — the
+    parity test (tests/test_streaming.py) importorskips on it, the
+    same gate class as the Kafka transport and image codecs."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    key_type = df.schema[key_col].dataType.simpleString()
+
+    class Alerter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "total double, alerted boolean")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total, alerted = (self._state.get() if self._state.exists()
+                              else (0.0, False))
+            for pdf in rows:
+                total += float(pdf[value_col].fillna(0.0).sum())
+            if not alerted and total >= threshold:
+                self._state.update((total, True))
+                yield pd.DataFrame({key_col: [key[0]], "total": [total]})
+            else:
+                self._state.update((total, alerted))
+
+        def close(self) -> None:
+            pass
+
+    return (df.groupBy(key_col)
+              .transformWithStateInPandas(
+                  Alerter(),
+                  outputStructType=f"{key_col} {key_type}, total double",
+                  outputMode="append",
+                  timeMode="none"))

@@ -562,3 +562,55 @@ def test_stream_stream_outer_join_emits_unmatched_after_watermark(
         assert got.count((100, 200)) == 1
     finally:
         q.stop()
+
+
+def test_transform_with_state_matches_legacy_alerter(spark, tmp_path):
+    """The transformWithStateInPandas alerter (Spark 4 API) and the
+    applyInPandasWithState one must emit IDENTICAL alerts on the same
+    two-micro-batch input: one alert per key on first crossing, keys
+    that never cross stay silent, crossings spanning batches fire in
+    the later batch.
+
+    transformWithState talks to its state server over protobuf, which
+    this container does not ship — the test runs wherever
+    ``google.protobuf`` exists (same gate class as Kafka/PIL: the code
+    is complete, the infrastructure is absent)."""
+    pytest.importorskip("google.protobuf")
+    from bigdata_project_hust_spark.streaming.pipeline import (
+        stateful_threshold_alerts, stateful_threshold_alerts_tws)
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")   # TWS requires RocksDB
+    outs = {}
+    for label, op in [("legacy", stateful_threshold_alerts),
+                      ("tws", stateful_threshold_alerts_tws)]:
+        d = str(tmp_path / label)
+        _write_events(d, "a.json", [
+            (1, "2024-01-01 00:00:00", 1, 30.0),   # u1: 30 — below
+            (2, "2024-01-01 00:00:01", 2, 60.0),   # u2: 60 — crosses now
+            (3, "2024-01-01 00:00:02", 3, 10.0),   # u3: never crosses
+        ])
+        stream = json_file_stream(spark, d, EVENT_SCHEMA)
+        q = _run_to_memory(op(stream, "user_id", "value", 50.0),
+                           f"alerts_{label}", "append",
+                           str(tmp_path / f"ck_{label}"))
+        try:
+            _write_events(d, "b.json", [
+                (4, "2024-01-01 00:01:00", 1, 25.0),  # u1: 55 — crosses
+                (5, "2024-01-01 00:01:01", 2, 10.0),  # u2: already alerted
+            ])
+            q.processAllAvailable()
+            outs[label] = {(r.user_id, round(r.total, 6)) for r in
+                           spark.sql(f"SELECT * FROM alerts_{label}")
+                           .collect()}
+        finally:
+            q.stop()
+    if old_provider:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", old_provider)
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert outs["legacy"] == outs["tws"] == {(1, 55.0), (2, 60.0)}
