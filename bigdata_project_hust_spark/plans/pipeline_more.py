@@ -15,6 +15,7 @@ from ..functions.scalar import stable_hash64_sql
 from ..operators.curation import (benchmark_overlap, chunk_tokens,
                                   corpus_shuffle, dsir_logratio,
                                   line_dedup, sequence_pack)
+from ..operators.scale import morton2
 from ..operators.similarity import quantize_int8
 from ..operators.text import repetition_signals, tokens
 from .spec import QuerySpec, _t
@@ -320,6 +321,34 @@ ORACLE_CORPUS_SHUFFLE = f"""
 """
 
 
+def q_zorder_codes(spark, sf_dir):
+    """Morton z-codes of (custkey low 16 bits, nationkey) — the exact
+    bit-interleave the z-order layout sorts by, verified bit-for-bit
+    against DuckDB's bitwise operators; see operators/scale.morton2."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        morton2(F.col("c_custkey"), F.col("c_nationkey").cast("long"))
+        .alias("zvalue"))
+
+
+def _spread_sql(col: str) -> str:
+    e = f"({col} & 65535)"
+    for sh, m in ((16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+                  (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+                  (1, 0x5555555555555555)):
+        e = f"(({e} | ({e} << {sh})) & {m})"
+    return e
+
+
+ORACLE_ZORDER = f"""
+  SELECT c_custkey,
+         ({_spread_sql('c_custkey::BIGINT')}
+          | ({_spread_sql('c_nationkey::BIGINT')} << 1))::BIGINT AS zvalue
+  FROM customer
+"""
+
+
 def q_training_manifest(spark, sf_dir):
     """End-to-end round-3 curation chain, raw documents → training
     manifest: (1) corpus-wide line dedup, keep docs retaining ≥ half
@@ -491,4 +520,7 @@ QUERIES_PIPELINE_MORE: dict[str, QuerySpec] = {
         q_training_manifest, ORACLE_TRAINING_MANIFEST,
         doc="full curation chain: line dedup → 13-gram decontamination "
             "→ DSIR gate → sequence packing"),
+    "zorder_codes": QuerySpec(
+        q_zorder_codes, ORACLE_ZORDER,
+        doc="Morton z-codes (bit-interleave) for z-order clustering"),
 }

@@ -165,3 +165,67 @@ def test_pii_scrub_idempotent_and_leak_free(spark, texts):
         assert b[i].scrubbed == a[i]                     # idempotent
         assert (b[i].n_email, b[i].n_ssn, b[i].n_ipv4,
                 b[i].n_phone) == (0, 0, 0, 0)            # leak-free
+
+
+@given(st.lists(st.tuples(st.integers(0, 500), st.integers(0, 9)),
+                min_size=1, max_size=40, unique_by=lambda t: t[0]))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sequence_pack_invariants(spark, rows):
+    """For arbitrary sparse ids and token counts (incl. zeros): offsets
+    are the exact prefix sums in id order and every pack span matches
+    the arithmetic model."""
+    from bigdata_project_hust_spark.operators.curation import sequence_pack
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {r.doc_id: r for r in
+           sequence_pack(df, seq_len=7, bucket=16).collect()}
+    run = 0
+    for i, n in sorted(rows):
+        r = out[i]
+        assert r.offset == run
+        assert r.pack_id == run // 7
+        want = ((run + n - 1) // 7 - run // 7 + 1) if n > 0 else 1
+        assert r.n_packs_spanned == want
+        run += n
+
+
+@given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=60,
+                unique=True))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_corpus_shuffle_permutation_property(spark, ids):
+    """Any unique id set (including negatives) maps to exactly the
+    positions 0..n-1 with a deterministic order."""
+    from bigdata_project_hust_spark.operators.curation import corpus_shuffle
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.shuffle_pos for r in corpus_shuffle(df).collect()}
+    assert sorted(got.values()) == list(range(len(ids)))
+    assert set(got) == set(ids)
+
+
+@given(st.lists(st.lists(st.sampled_from("abcd"), min_size=0, max_size=9)
+                .map(" ".join), min_size=1, max_size=12))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_line_dedup_model_parity(spark, texts):
+    """line_dedup ≡ a direct Python model (first-occurrence keep over
+    (doc_id, line_no) order) on arbitrary tiny corpora with heavy
+    collisions."""
+    from bigdata_project_hust_spark.operators.curation import line_dedup
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_lines, r.n_removed, r.clean_text)
+           for r in line_dedup(df, line_tokens=2).collect()}
+    seen, want = set(), {}
+    for i, t in rows:
+        toks = t.split()
+        if not toks:
+            continue
+        lines = [" ".join(toks[s:s + 2]) for s in range(0, len(toks), 2)]
+        kept = []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        want[i] = (len(lines), len(lines) - len(kept), " ".join(kept))
+    assert got == want
