@@ -151,3 +151,53 @@ class Engine:
         source (S3): one record per table per tick, JSON-encoded."""
         from .streaming.pipeline import rate_replay_stream
         return rate_replay_stream(self.spark, topics, rows_per_second)
+
+    # -- round-3 curation / layout ----------------------------------
+    def decontaminate(self, bench: DataFrame, n: int = 13) -> DataFrame:
+        """Per-document n-gram overlap vs a benchmark set (broadcast);
+        filter ``contaminated == 0`` to get the clean slice."""
+        from .operators.curation import benchmark_overlap
+        return benchmark_overlap(self.table("documents"), bench, n=n)
+
+    def pack_sequences(self, seq_len: int = 2048) -> DataFrame:
+        """Concat-and-split packing manifest (doc → offset / pack id),
+        two-phase cumsum — no single-task global window."""
+        from pyspark.sql import functions as F
+        from .operators.curation import sequence_pack
+        from .operators.text import tokens
+        nt = self.table("documents").select(
+            F.col("doc_id"),
+            F.size(tokens("text")).cast("long").alias("n_tokens"))
+        return sequence_pack(nt, seq_len=seq_len)
+
+    def chunks(self, chunk_size: int = 512, stride: int = 384) -> DataFrame:
+        """Overlapping token-window chunks (RAG-style), zero-shuffle."""
+        from .operators.curation import chunk_tokens
+        return chunk_tokens(self.table("documents"), chunk_size=chunk_size,
+                            stride=stride)
+
+    def dsir_weights(self, target_cond) -> DataFrame:
+        """DSIR unigram importance weights toward the target-domain
+        rows selected by ``target_cond`` (a boolean Column)."""
+        from .operators.curation import dsir_logratio
+        return dsir_logratio(self.table("documents"), target_cond)
+
+    def deduped_lines(self, line_tokens: int = 8) -> DataFrame:
+        """C4-style corpus-wide line dedup with doc reassembly."""
+        from .operators.curation import line_dedup
+        return line_dedup(self.table("documents"), line_tokens=line_tokens)
+
+    def shuffled_order(self, seed: int = 7) -> DataFrame:
+        """Reproducible global training-order permutation."""
+        from .operators.curation import corpus_shuffle
+        return corpus_shuffle(self.table("documents"), seed=seed)
+
+    def quantized_embeddings(self) -> DataFrame:
+        """Symmetric int8 embedding quantization + max error."""
+        from .operators.similarity import quantize_int8
+        return quantize_int8(self.table("embeddings"))
+
+    def training_manifest(self) -> DataFrame:
+        """Full curation chain: line dedup → 13-gram decontamination →
+        DSIR gate → sequence packing (see plans/pipeline_more.py)."""
+        return self.query("training_manifest")

@@ -585,6 +585,19 @@ def test_engine_facade_smoke(spark):
     assert eng.curated_corpus().columns == ["doc_id", "quality", "n_tokens"]
     assert len(eng.query_names()) >= 89
     assert eng.query("top5_orders").count() == 5
+    # round-3 curation/layout surface
+    assert eng.pack_sequences(64).columns == [
+        "doc_id", "n_tokens", "offset", "pack_id", "n_packs_spanned"]
+    assert eng.deduped_lines().columns == [
+        "doc_id", "n_lines", "n_removed", "clean_text"]
+    assert eng.shuffled_order().count() == eng.table("documents").count()
+    assert eng.quantized_embeddings().columns == [
+        "vec_id", "scale_e9", "q_csv", "max_err_e9"]
+    bench = eng.table("documents").where(F.col("doc_id") % 10 == 7)
+    assert "contaminated" in eng.decontaminate(bench).columns
+    assert eng.chunks(32, 24).count() > 0
+    assert "dsir_logratio_e6" in eng.dsir_weights(
+        F.col("doc_id") % 5 == 1).columns
     import pytest
     with pytest.raises(ValueError):
         eng.near_duplicates("nope")
