@@ -290,3 +290,37 @@ def line_dedup(df: DataFrame, text_col: str = "text",
                  F.concat_ws(" ", F.transform(
                      F.array_sort(F.collect_list(kept_struct)),
                      lambda s: s.line_text)).alias("clean_text")))
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (deterministic)
+# ---------------------------------------------------------------------------
+
+def dsir_resample(df: DataFrame, target_cond, text_col: str = "text",
+                  id_col: str = "doc_id", seed: int = 11) -> DataFrame:
+    """Deterministic importance RESAMPLING on top of
+    :func:`dsir_logratio`: each document's acceptance probability is a
+    linear squash of its log-ratio weight —
+    ``p_e6 = clamp(500000 + floor(lr_e6/4), 0, 1e6)`` — and the accept
+    decision is ``hash(id) mod 1e6 < p_e6``.  Target-like documents
+    (positive weight) keep >50% acceptance, raw-like documents decay
+    toward 0 — the resample-toward-target step of DSIR, made
+    reproducible: same seed → same corpus on any cluster, any
+    partitioning, any engine (the paper's Gumbel top-k draw needs a
+    random source; the hash IS the random source here, exactly like
+    the deterministic sampler in operators/sampling).
+
+    All integer math after the weight (floor-div, clamp, mod) — the
+    oracle reproduces the accept set bit-for-bit.  Zero extra shuffles
+    beyond dsir_logratio's own: the squash/accept is map-side."""
+    ds = dsir_logratio(df, target_cond, text_col, id_col)
+    p = F.greatest(
+        F.lit(0),
+        F.least(F.lit(1_000_000),
+                F.lit(500_000)
+                + F.floor(F.col("dsir_logratio_e6") / 4))).cast("long")
+    h = stable_hash64(F.col(id_col).cast("string"), seed)
+    return (ds.withColumn("p_accept_e6", p)
+              .where(F.pmod(h, F.lit(1_000_000)) < F.col("p_accept_e6"))
+              .select(F.col(id_col), "n_tokens", "dsir_logratio_e6",
+                      "p_accept_e6", "is_target"))

@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 from ..functions.scalar import stable_hash64_sql
 from ..operators.curation import (benchmark_overlap, chunk_tokens,
                                   corpus_shuffle, dsir_logratio,
-                                  line_dedup, sequence_pack)
+                                  dsir_resample, line_dedup,
+                                  sequence_pack)
 from ..operators.scale import morton2
 from ..operators.similarity import quantize_int8
 from ..operators.text import repetition_signals, tokens
@@ -321,6 +322,59 @@ ORACLE_CORPUS_SHUFFLE = f"""
 """
 
 
+def q_dsir_resample(spark, sf_dir):
+    """Deterministic DSIR importance resampling (hash-accept against a
+    linear squash of the weight); see operators/curation.dsir_resample."""
+    return dsir_resample(_t(spark, sf_dir, "documents"),
+                         F.col("doc_id") % 5 == 1)
+
+
+ORACLE_DSIR_RESAMPLE = f"""
+  WITH marked AS (
+    SELECT doc_id, text,
+           CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS is_t
+    FROM documents
+  ),
+  words AS (
+    SELECT doc_id, is_t,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '') AS w
+    FROM marked
+  ),
+  toks AS (SELECT doc_id, is_t, unnest(w) AS term FROM words),
+  vocab AS (
+    SELECT term, count(*)::BIGINT AS tf_r, sum(is_t)::BIGINT AS tf_t
+    FROM toks GROUP BY term
+  ),
+  tot AS (
+    SELECT sum(tf_r)::BIGINT AS r_tot, sum(tf_t)::BIGINT AS t_tot,
+           count(*)::BIGINT AS v FROM vocab
+  ),
+  scored AS (
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           floor(avg(ln((tf_t + 1) / (t_tot + v))
+                     - ln((tf_r + 1) / (r_tot + v))) * 1e6)::BIGINT AS lr
+    FROM toks JOIN vocab USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+  ),
+  ds AS (
+    SELECT m.doc_id AS doc_id,
+           coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(s.lr, 0)::BIGINT AS lr,
+           m.is_t::BIGINT AS is_target
+    FROM marked m LEFT JOIN scored s ON m.doc_id = s.doc_id
+  )
+  SELECT doc_id, n_tokens, lr AS dsir_logratio_e6,
+         greatest(0, least(1000000,
+                           500000 + floor(lr / 4)))::BIGINT
+           AS p_accept_e6,
+         is_target
+  FROM ds
+  WHERE {stable_hash64_sql('doc_id::VARCHAR', 11)} % 1000000
+        < greatest(0, least(1000000, 500000 + floor(lr / 4)))
+"""
+
+
 def q_zorder_codes(spark, sf_dir):
     """Morton z-codes of (custkey low 16 bits, nationkey) — the exact
     bit-interleave the z-order layout sorts by, verified bit-for-bit
@@ -520,6 +574,9 @@ QUERIES_PIPELINE_MORE: dict[str, QuerySpec] = {
         q_training_manifest, ORACLE_TRAINING_MANIFEST,
         doc="full curation chain: line dedup → 13-gram decontamination "
             "→ DSIR gate → sequence packing"),
+    "dsir_resampled_corpus": QuerySpec(
+        q_dsir_resample, ORACLE_DSIR_RESAMPLE,
+        doc="deterministic DSIR importance resampling (hash-accept)"),
     "zorder_codes": QuerySpec(
         q_zorder_codes, ORACLE_ZORDER,
         doc="Morton z-codes (bit-interleave) for z-order clustering"),

@@ -803,3 +803,30 @@ def test_line_dedup_keeps_first_occurrence(spark):
     assert out[3].n_lines == 3 and out[3].n_removed == 1
     assert out[3].clean_text == "ee ff gg"
     assert 4 not in out
+
+
+def test_dsir_resample_biases_toward_target(spark):
+    """On a corpus of many target-vocabulary and raw-vocabulary docs,
+    the resample keeps a higher fraction of target-like docs, is
+    deterministic, and p_accept_e6 is the exact squash of the
+    weight."""
+    from bigdata_project_hust_spark.operators.curation import dsir_resample
+    rows = []
+    for i in range(200):
+        if i % 5 == 1:
+            rows.append((i, "aa bb cc aa bb"))
+        else:
+            rows.append((i, "zz yy xx ww vv"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dsir_resample(df, F.col("doc_id") % 5 == 1).collect()
+    out2 = dsir_resample(df, F.col("doc_id") % 5 == 1).collect()
+    assert {r.doc_id for r in out} == {r.doc_id for r in out2}
+    n_t = sum(1 for r in out if r.is_target == 1)
+    n_r = len(out) - n_t
+    tot_t = sum(1 for i, _ in rows if i % 5 == 1)
+    tot_r = len(rows) - tot_t
+    assert n_t / tot_t > n_r / tot_r          # bias toward target
+    for r in out:
+        # Python // floors toward -inf exactly like F.floor(x/4)
+        want = max(0, min(1_000_000, 500_000 + r.dsir_logratio_e6 // 4))
+        assert r.p_accept_e6 == want
