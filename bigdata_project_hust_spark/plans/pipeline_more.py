@@ -375,6 +375,47 @@ ORACLE_DSIR_RESAMPLE = f"""
 """
 
 
+def q_recursive_nation_tree(spark, sf_dir):
+    """WITH RECURSIVE (new in Spark 4) through the spark.sql text
+    interface: walk the synthetic nation hierarchy parent(k) = k div 2
+    from the root, emitting depth and the full path — the org-chart /
+    BOM-closure query shape.  Iterations are driver-coordinated but
+    each step is a distributed join; depth is O(log n) here.  The
+    iterative connected-components operator (operators/dedup) remains
+    the scale path for unbounded-depth graphs."""
+    from ..io import load_table
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "nation_v")
+    return spark.sql("""
+      WITH RECURSIVE tree AS (
+        SELECT n_nationkey AS key, n_name AS name,
+               0 AS depth, n_name AS path
+        FROM nation_v WHERE n_nationkey = 0
+        UNION ALL
+        SELECT n.n_nationkey, n.n_name, t.depth + 1,
+               concat(t.path, '>', n.n_name)
+        FROM nation_v n JOIN tree t
+          ON n.n_nationkey DIV 2 = t.key AND n.n_nationkey > 0
+      )
+      SELECT key, name, CAST(depth AS BIGINT) AS depth, path FROM tree
+    """)
+
+
+ORACLE_RECURSIVE_TREE = """
+  WITH RECURSIVE tree AS (
+    SELECT n_nationkey AS key, n_name AS name,
+           0 AS depth, n_name AS path
+    FROM nation WHERE n_nationkey = 0
+    UNION ALL
+    SELECT n.n_nationkey, n.n_name, t.depth + 1,
+           t.path || '>' || n.n_name
+    FROM nation n JOIN tree t
+      ON n.n_nationkey // 2 = t.key AND n.n_nationkey > 0
+  )
+  SELECT key, name, depth::BIGINT AS depth, path FROM tree
+"""
+
+
 def q_zorder_codes(spark, sf_dir):
     """Morton z-codes of (custkey low 16 bits, nationkey) — the exact
     bit-interleave the z-order layout sorts by, verified bit-for-bit
@@ -580,4 +621,7 @@ QUERIES_PIPELINE_MORE: dict[str, QuerySpec] = {
     "zorder_codes": QuerySpec(
         q_zorder_codes, ORACLE_ZORDER,
         doc="Morton z-codes (bit-interleave) for z-order clustering"),
+    "recursive_nation_tree": QuerySpec(
+        q_recursive_nation_tree, ORACLE_RECURSIVE_TREE,
+        doc="WITH RECURSIVE hierarchy walk (Spark 4 recursive CTE)"),
 }
