@@ -614,3 +614,30 @@ def test_transform_with_state_matches_legacy_alerter(spark, tmp_path):
     else:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     assert outs["legacy"] == outs["tws"] == {(1, 55.0), (2, 60.0)}
+
+
+def test_available_now_incremental_batch_runs(spark, tmp_path):
+    """Trigger.AvailableNow — the production incremental-batch pattern:
+    each invocation drains everything new since the checkpoint and
+    TERMINATES. Run 1 processes the initial files and stops; run 2
+    with the same checkpoint processes ONLY the files added in
+    between; a no-new-data run appends nothing."""
+    src, ck, out = (str(tmp_path / d) for d in ("src", "ck", "out"))
+    _write_events(src, "a.json", [
+        (1, "2024-01-01 00:00:00", 1, 1.0),
+        (2, "2024-01-01 00:00:01", 2, 2.0)])
+
+    def run_once():
+        stream = json_file_stream(spark, src, EVENT_SCHEMA)
+        q = (stream.select("event_id", "user_id", "value")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert not q.isActive          # run-and-terminate, not continuous
+        return {r.event_id for r in spark.read.parquet(out).collect()}
+
+    assert run_once() == {1, 2}
+    _write_events(src, "b.json", [(3, "2024-01-01 00:01:00", 3, 3.0)])
+    assert run_once() == {1, 2, 3}     # only the delta was reprocessed
+    assert run_once() == {1, 2, 3}     # idempotent on no new data
