@@ -202,3 +202,24 @@ def test_footer_stats_scan_pushes_aggregates(spark):
            .agg(F.min("o_totalprice"), F.max("o_totalprice"),
                 F.count("*")).collect()[0])
     assert (got.mn, got.mx, got.n) == tuple(ref)
+
+
+def test_q9_prunes_fact_below_derived_ps(spark):
+    """Q9's part filter must semi-prune the lineitem scan BELOW the
+    derived-partsupp aggregate (the pair-granularity commute), all
+    dimension joins must broadcast, and nothing may degrade to a
+    sort-merge join at this scale."""
+    df = QUERIES["tpch_q9_shape"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan, plan          # the below-agg prune
+    assert n_nodes(plan, "SortMergeJoin") == 0, plan
+    assert n_nodes(plan, "BroadcastHashJoin") >= 4, plan
+
+
+def test_q2_min_window_is_per_part_not_global(spark):
+    """Q2's decorrelated min must be a window PARTITIONED BY
+    ps_partkey — a global (unpartitioned) window would funnel the
+    joined slice through one task."""
+    df = QUERIES["tpch_q2_shape"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "windowspecdefinition(ps_partkey" in plan, plan
