@@ -375,6 +375,38 @@ ORACLE_DSIR_RESAMPLE = f"""
 """
 
 
+def q_variant_props_rollup(spark, sf_dir):
+    """Spark 4 VARIANT path for semi-structured data: ``parse_json``
+    the events.props payload once into a variant, ``variant_get``
+    typed fields out, aggregate per event type.  Versus from_json with
+    a fixed schema (the F3 path, props_json_extract), variant defers
+    the schema to read time — the open-schema ingestion pattern; the
+    binary variant encoding stays columnar through the shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "long").alias("k"))
+    return (v.groupBy("event_type")
+             .agg(F.count("*").alias("n"),
+                  F.sum("k").alias("sum_k"),
+                  F.max("k").alias("max_k"),
+                  F.count_distinct("k").alias("n_distinct_k"))
+             .orderBy("event_type"))
+
+
+ORACLE_VARIANT = """
+  SELECT event_type,
+         count(*)::BIGINT AS n,
+         sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+         max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k,
+         count(DISTINCT json_extract(props, '$.k')::BIGINT)::BIGINT
+           AS n_distinct_k
+  FROM events
+  GROUP BY event_type
+  ORDER BY event_type
+"""
+
+
 def q_recursive_nation_tree(spark, sf_dir):
     """WITH RECURSIVE (new in Spark 4) through the spark.sql text
     interface: walk the synthetic nation hierarchy parent(k) = k div 2
@@ -624,4 +656,7 @@ QUERIES_PIPELINE_MORE: dict[str, QuerySpec] = {
     "recursive_nation_tree": QuerySpec(
         q_recursive_nation_tree, ORACLE_RECURSIVE_TREE,
         doc="WITH RECURSIVE hierarchy walk (Spark 4 recursive CTE)"),
+    "variant_props_rollup": QuerySpec(
+        q_variant_props_rollup, ORACLE_VARIANT,
+        doc="VARIANT semi-structured path (parse_json/variant_get)"),
 }
