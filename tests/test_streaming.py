@@ -641,3 +641,47 @@ def test_available_now_incremental_batch_runs(spark, tmp_path):
     _write_events(src, "b.json", [(3, "2024-01-01 00:01:00", 3, 3.0)])
     assert run_once() == {1, 2, 3}     # only the delta was reprocessed
     assert run_once() == {1, 2, 3}     # idempotent on no new data
+
+
+def test_rocksdb_state_store_incremental_totals(spark, tmp_path):
+    """The production state backend: the same update-mode incremental
+    aggregation runs on the RocksDB state store provider (bounded
+    executor heap, changelog-checkpointed at scale) and produces the
+    same totals the default provider does across two micro-batches."""
+    from bigdata_project_hust_spark.streaming.pipeline import (
+        incremental_author_totals)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key,
+                   "org.apache.spark.sql.execution.streaming.state."
+                   "RocksDBStateStoreProvider")
+    try:
+        d = str(tmp_path / "in")
+        _write_events(d, "a.json", [
+            (1, "2024-01-01 00:00:00", 1, 10.0),
+            (2, "2024-01-01 00:00:01", 1, 5.0),
+            (3, "2024-01-01 00:00:02", 2, 7.0)])
+        stream = json_file_stream(spark, d, EVENT_SCHEMA) \
+            .withColumnRenamed("user_id", "author")
+        q = _run_to_memory(
+            incremental_author_totals(stream, "author", ["value"]),
+            "rocks_totals", "update", str(tmp_path / "ck"))
+        try:
+            _write_events(d, "b.json",
+                          [(4, "2024-01-01 00:01:00", 1, 2.0)])
+            q.processAllAvailable()
+            # update mode re-emits a key per batch; keep the latest row
+            rows = spark.sql("SELECT * FROM rocks_totals").collect()
+            latest = {}
+            for r in rows:
+                latest[r.author] = r
+            assert latest[1].total_value == 17.0
+            assert latest[1].total_tweets == 3
+            assert latest[2].total_value == 7.0
+        finally:
+            q.stop()
+    finally:
+        if old:
+            spark.conf.set(provider_key, old)
+        else:
+            spark.conf.unset(provider_key)
