@@ -204,3 +204,151 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
 
     return df.mapInPandas(batches,
                           schema="asset_id long, frame_no int, frame_md5 string")
+
+
+# ---------------------------------------------------------------------------
+# REAL raster image codec (PPM P6 / uncompressed 24-bit BMP)
+# ---------------------------------------------------------------------------
+
+IMAGE_FEATURE_DIM = 8
+
+
+def decode_image_raster(payload: bytes) -> dict:
+    """REAL image codec for the two raster formats decodable with what
+    this environment ships (stdlib + numpy): binary PPM (P6) and
+    uncompressed 24-bit BMP. Returns container metadata plus an 8-dim
+    feature vector over [0,1]-normalized pixels:
+    [mean R, mean G, mean B, std gray, min gray, max gray,
+    mean |horizontal gradient|, mean |vertical gradient|].
+
+    Raises ``ValueError`` on anything else — callers
+    (``extract_image_features``) catch per-asset, so one corrupt file
+    never fails a 100 TB job. PNG/JPEG stay behind the ``decode_image``
+    stub until a compression codec library exists here."""
+    import numpy as np
+
+    if payload[:2] == b"P6":
+        # header: P6 <w> <h> <maxval>, '#' comments allowed
+        pos, fields = 2, []
+        while len(fields) < 3:
+            if pos >= len(payload):
+                raise ValueError("truncated PPM header")
+            c = payload[pos:pos + 1]
+            if c == b"#":
+                pos = payload.index(b"\n", pos) + 1
+            elif c.isspace():
+                pos += 1
+            else:
+                end = pos
+                while end < len(payload) \
+                        and not payload[end:end + 1].isspace():
+                    end += 1
+                fields.append(int(payload[pos:end]))
+                pos = end
+        w, h, maxval = fields
+        pos += 1  # single whitespace after maxval
+        if maxval != 255:
+            raise ValueError(f"unsupported PPM maxval {maxval}")
+        need = w * h * 3
+        raw = payload[pos:pos + need]
+        if len(raw) != need:
+            raise ValueError("truncated PPM pixel data")
+        px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    elif payload[:2] == b"BM":
+        import struct
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        off = struct.unpack_from("<I", payload, 10)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or comp != 0 or planes != 1:
+            raise ValueError(
+                f"unsupported BMP (bpp={bpp}, compression={comp})")
+        flip = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3       # rows pad to 4 bytes
+        need = stride * h
+        raw = payload[off:off + need]
+        if len(raw) != need:
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+        px = rows[:, :w * 3].reshape(h, w, 3)[..., ::-1]  # BGR → RGB
+        if flip:
+            px = px[::-1]               # bottom-up storage
+    else:
+        raise ValueError("not a PPM/BMP payload")
+
+    x = px.astype(np.float64) / 255.0
+    gray = x.mean(axis=2)
+    dx = np.abs(np.diff(gray, axis=1)).mean() if gray.shape[1] > 1 else 0.0
+    dy = np.abs(np.diff(gray, axis=0)).mean() if gray.shape[0] > 1 else 0.0
+    feature = [float(x[..., 0].mean()), float(x[..., 1].mean()),
+               float(x[..., 2].mean()), float(gray.std()),
+               float(gray.min()), float(gray.max()), float(dx), float(dy)]
+    return {"width": int(px.shape[1]), "height": int(px.shape[0]),
+            "n_channels": 3, "feature": feature, "pixels": px}
+
+
+IMAGE_SCHEMA = ("asset_id long, ok boolean, err string, width int, "
+                "height int, n_channels int, feature array<double>")
+
+
+def extract_image_features(df: DataFrame) -> DataFrame:
+    """Image feature extraction via mapInPandas with the REAL raster
+    codec (``decode_image_raster``) — the image twin of
+    ``extract_audio_features``, with identical per-asset corruption
+    isolation (ok=false rows) and narrow Arrow-batched execution."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    m = decode_image_raster(bytes(payload or b""))
+                    rows.append((asset_id, True, None, m["width"],
+                                 m["height"], m["n_channels"],
+                                 m["feature"]))
+                except Exception as ex:  # noqa: BLE001 — per-asset isolation
+                    rows.append((asset_id, False,
+                                 f"{type(ex).__name__}: {ex}",
+                                 None, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "asset_id", "ok", "err", "width", "height",
+                "n_channels", "feature"])
+
+    return df.mapInPandas(batches, schema=IMAGE_SCHEMA)
+
+
+def resize_rasters(df: DataFrame, width: int = 32,
+                   height: int = 32) -> DataFrame:
+    """REAL resize for PPM/BMP payloads: decode → nearest-neighbor
+    sample to (width, height) → re-encode as PPM P6 bytes.
+    Undecodable payloads produce ok=false rows (the stub
+    ``resize_images`` remains for formats without a codec here)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    m = decode_image_raster(bytes(payload or b""))
+                    px = m["pixels"]
+                    yi = (np.arange(height) * m["height"]) // height
+                    xi = (np.arange(width) * m["width"]) // width
+                    thumb = px[yi][:, xi]
+                    out = (b"P6\n%d %d\n255\n" % (width, height)
+                           + thumb.tobytes())
+                    rows.append((asset_id, True, None, width, height, out))
+                except Exception as ex:  # noqa: BLE001
+                    rows.append((asset_id, False,
+                                 f"{type(ex).__name__}: {ex}",
+                                 None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "asset_id", "ok", "err", "width", "height", "thumb"])
+
+    return df.mapInPandas(
+        batches,
+        schema="asset_id long, ok boolean, err string, width int, "
+               "height int, thumb binary")

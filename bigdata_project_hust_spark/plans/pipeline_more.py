@@ -375,6 +375,30 @@ ORACLE_DSIR_RESAMPLE = f"""
 """
 
 
+def q_multimodal_image_raster(spark, sf_dir):
+    """REAL image decode path (PPM P6 via stdlib+numpy — no stub):
+    each document's text bytes become a 4×4 PPM payload; the raster
+    codec decodes, extracts the 8-dim pixel-statistics vector, and
+    isolates undecodable payloads (empty docs) as ok=false rows.
+    Rows-only driver check (no ANSI-SQL twin for the decoder; the
+    bit-level batch twin lives in tests/test_unit_operators.py)."""
+    from ..operators.multimodal import extract_image_features
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit(b"P6\n4 4\n255\n"),
+        F.substring(F.encode(F.repeat(F.col("text"), 3), "utf-8"), 1, 48))
+    assets = docs.select(F.col("doc_id").alias("asset_id"),
+                         payload.alias("payload"))
+    out = extract_image_features(assets)
+    fcsv = F.concat_ws(",", F.transform(
+        "feature", lambda x: F.floor(x * 1e6).cast("long").cast("string")))
+    return out.select(
+        "asset_id", F.col("ok").cast("long").alias("ok"),
+        F.coalesce("width", F.lit(-1)).cast("long").alias("width"),
+        F.coalesce("height", F.lit(-1)).cast("long").alias("height"),
+        F.when(F.col("ok"), fcsv).otherwise(F.lit("")).alias("feature_e6"))
+
+
 def q_variant_props_rollup(spark, sf_dir):
     """Spark 4 VARIANT path for semi-structured data: ``parse_json``
     the events.props payload once into a variant, ``variant_get``
@@ -659,4 +683,8 @@ QUERIES_PIPELINE_MORE: dict[str, QuerySpec] = {
     "variant_props_rollup": QuerySpec(
         q_variant_props_rollup, ORACLE_VARIANT,
         doc="VARIANT semi-structured path (parse_json/variant_get)"),
+    "multimodal_image_raster": QuerySpec(
+        q_multimodal_image_raster, None,
+        doc="REAL raster image codec (PPM decode + pixel features; "
+            "rows-only)"),
 }

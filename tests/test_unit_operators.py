@@ -830,3 +830,76 @@ def test_dsir_resample_biases_toward_target(spark):
         # Python // floors toward -inf exactly like F.floor(x/4)
         want = max(0, min(1_000_000, 500_000 + r.dsir_logratio_e6 // 4))
         assert r.p_accept_e6 == want
+
+
+def _ppm_bytes(w, h, rgb):
+    """P6 PPM with constant or per-pixel rgb (list of rows of (r,g,b))."""
+    if isinstance(rgb, tuple):
+        rows = [[rgb] * w for _ in range(h)]
+    else:
+        rows = rgb
+    body = bytes(c for row in rows for px in row for c in px)
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + body
+
+
+def _bmp_bytes(w, h, rows_rgb):
+    """Uncompressed 24-bit bottom-up BMP from rows of (r,g,b)."""
+    import struct
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for row in reversed(rows_rgb):               # bottom-up
+        line = bytes(c for (r, g, b) in row for c in (b, g, r))
+        body += line + b"\x00" * (stride - len(line))
+    off = 54
+    header = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+              + struct.pack("<iiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    return header + body
+
+
+def test_image_raster_codec_real(spark):
+    """Real PPM + BMP decode: exact dims, exact mean-channel features
+    on known pixels, identical features for the same image in both
+    containers, corrupt payloads isolated as ok=false."""
+    from bigdata_project_hust_spark.operators.multimodal import (
+        extract_image_features)
+    pix = [[(255, 0, 0), (0, 255, 0)],
+           [(0, 0, 255), (255, 255, 255)]]
+    rows = [(1, _ppm_bytes(2, 2, pix)),
+            (2, _bmp_bytes(2, 2, pix)),
+            (3, _ppm_bytes(4, 3, (128, 128, 128))),
+            (4, b"not an image"), (5, None)]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = {r.asset_id: r for r in extract_image_features(df).collect()}
+    assert out[1].ok and out[1].width == 2 and out[1].height == 2
+    # mean R over [255,0,0,255]/255 = 0.5; same for G and B
+    for i in range(3):
+        assert abs(out[1].feature[i] - 0.5) < 1e-12
+    # BMP of the same pixels must decode to the same features
+    assert out[2].ok and out[2].feature == out[1].feature
+    assert out[3].ok and out[3].width == 4 and out[3].height == 3
+    assert abs(out[3].feature[0] - 128 / 255) < 1e-12
+    assert out[3].feature[6] == 0.0 and out[3].feature[7] == 0.0  # flat
+    assert not out[4].ok and "ValueError" in out[4].err
+    assert not out[5].ok
+
+
+def test_resize_rasters_real_nearest_neighbor(spark):
+    """Real resize: a 4×4 quadrant image downsampled to 2×2 keeps one
+    pixel per quadrant; output is a decodable PPM thumb; corrupt rows
+    isolate."""
+    from bigdata_project_hust_spark.operators.multimodal import (
+        decode_image_raster, resize_rasters)
+    q = [[(255, 0, 0)] * 2 + [(0, 255, 0)] * 2] * 2 \
+        + [[(0, 0, 255)] * 2 + [(255, 255, 0)] * 2] * 2
+    df = spark.createDataFrame(
+        [(1, _ppm_bytes(4, 4, q)), (2, b"junk")],
+        "asset_id long, payload binary")
+    out = {r.asset_id: r for r in resize_rasters(df, 2, 2).collect()}
+    assert out[1].ok
+    m = decode_image_raster(bytes(out[1].thumb))
+    assert (m["width"], m["height"]) == (2, 2)
+    px = m["pixels"]
+    assert tuple(px[0, 0]) == (255, 0, 0) and tuple(px[0, 1]) == (0, 255, 0)
+    assert tuple(px[1, 0]) == (0, 0, 255) and tuple(px[1, 1]) == (255, 255, 0)
+    assert not out[2].ok
