@@ -201,3 +201,17 @@ class Engine:
         """Full curation chain: line dedup → 13-gram decontamination →
         DSIR gate → sequence packing (see plans/pipeline_more.py)."""
         return self.query("training_manifest")
+
+    def image_features(self, assets: DataFrame) -> DataFrame:
+        """REAL raster decode (PPM/BMP) + pixel-statistics features
+        over a media-asset frame (``asset_id``, ``payload`` binary);
+        undecodable payloads come back ok=false."""
+        from .operators import multimodal
+        return multimodal.extract_image_features(assets)
+
+    def thumbnails(self, assets: DataFrame, width: int = 32,
+                   height: int = 32) -> DataFrame:
+        """Real nearest-neighbor thumbnails (PPM-encoded) for raster
+        payloads; ok=false rows for anything undecodable."""
+        from .operators import multimodal
+        return multimodal.resize_rasters(assets, width, height)
