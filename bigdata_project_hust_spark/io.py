@@ -229,3 +229,22 @@ def footer_stats_scan(spark: SparkSession, path: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
         spark.conf.set("spark.sql.parquet.aggregatePushdown", old_agg)
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row",
+             schema: T.StructType | None = None) -> DataFrame:
+    """XML scan (built into Spark since 4.0 — no external package).
+    Always pass a schema at scale: XML inference is a full extra pass,
+    like CSV/JSON."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row",
+              root_tag: str = "rows", mode: str = "overwrite") -> None:
+    """XML sink — the interchange format legacy feeds still speak;
+    same partitioned-files layout as every other Spark sink."""
+    (df.write.format("xml").option("rowTag", row_tag)
+       .option("rootTag", root_tag).mode(mode).save(path))

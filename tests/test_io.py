@@ -90,3 +90,21 @@ def test_kafka_parse_chain_roundtrip_no_broker(spark):
         1: ("tweets_topic", 'quote " and \\ backslash', 1.5, True),
         2: ("twitter_users_topic", None, None, False),
         3: ("twitter_users_topic", "unicode ✓ ütf", -0.25, None)}
+
+
+def test_xml_roundtrip_with_schema(spark, tmp_path):
+    """Spark-4 built-in XML source: schema'd write → read roundtrip
+    preserves values and types (nulls included)."""
+    from pyspark.sql import types as T
+    from bigdata_project_hust_spark.io import read_xml, write_xml
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType())])
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "<b&c>", None), (3, None, -0.25)], schema)
+    p = str(tmp_path / "xmlout")
+    write_xml(df, p)
+    back = read_xml(spark, p, schema=schema)
+    got = sorted(((r.id, r.name, r.score) for r in back.collect()))
+    assert got == [(1, "a", 1.5), (2, "<b&c>", None), (3, None, -0.25)]
