@@ -137,17 +137,28 @@ def chunk_tokens(df: DataFrame, text_col: str = "text",
     the output is ~n/stride rows per doc and goes straight to the sink
     or the next operator.
     """
+    ex = _token_windows(df, text_col, id_col, chunk_size, stride)
+    return ex.select(
+        F.col(id_col), F.col("__pos").cast("long").alias("chunk_no"),
+        F.concat_ws(" ", F.col("__seg")).alias("chunk_text"),
+        F.size("__seg").cast("long").alias("n_chunk_tokens"))
+
+
+def _token_windows(df: DataFrame, text_col: str, id_col: str,
+                   size: int, stride: int) -> DataFrame:
+    """Shared token-window segmentation (tokens → sequence of starts →
+    transform/slice → posexplode): one row per window with position
+    ``__pos`` and token-array ``__seg``.  Token-less documents drop
+    out (unnest semantics).  The split expression lives HERE only —
+    chunk_tokens and line_dedup both consume it, so a change to the
+    segmentation (e.g. real newline-based lines) happens once."""
     bound = df.select(F.col(id_col), tokens(text_col).alias("__w"))
     w, n = F.col("__w"), F.size(F.col("__w"))
     starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride))) \
               .otherwise(F.array().cast("array<int>"))
-    chunks = F.transform(starts, lambda s: F.slice(w, s, chunk_size))
-    ex = bound.select(F.col(id_col),
-                      F.posexplode(chunks).alias("chunk_no", "__c"))
-    return ex.select(
-        F.col(id_col), F.col("chunk_no").cast("long").alias("chunk_no"),
-        F.concat_ws(" ", F.col("__c")).alias("chunk_text"),
-        F.size("__c").cast("long").alias("n_chunk_tokens"))
+    segs = F.transform(starts, lambda s: F.slice(w, s, size))
+    return bound.select(F.col(id_col),
+                        F.posexplode(segs).alias("__pos", "__seg"))
 
 
 # ---------------------------------------------------------------------------
@@ -173,6 +184,16 @@ def dsir_logratio(df: DataFrame, target_cond, text_col: str = "text",
     scan); the vocabulary and its 1-row totals stay BROADCAST — the only
     wide exchanges carry token rows and per-doc rows, the 100 TB shape
     shared with tfidf_top_terms / unigram_logprob.
+
+    Determinism: the per-token log-ratio is floor-quantized to 1e-9
+    fixed point BEFORE the per-document sum, so the sum is exact
+    BIGINT — order-insensitive across partitionings and engines.  A
+    raw ``avg(double)`` here would float with the partial-aggregate
+    merge order, and a doc on a floor(avg·1e6) boundary could flip its
+    resampling decision between runs.  (The remaining cross-engine
+    surface is ln() itself at an exact 1e-9 boundary — ~10⁻⁹ per
+    token, versus the accumulated-rounding boundary the quantized sum
+    removes.)
     """
     marked = df.select(F.col(id_col), F.col(text_col),
                        target_cond.cast("long").alias("__is_t"))
@@ -186,13 +207,17 @@ def dsir_logratio(df: DataFrame, target_cond, text_col: str = "text",
                     F.count("*").alias("__V"))
     lr = F.log((F.col("__tf_t") + 1) / (F.col("__T") + F.col("__V"))) \
         - F.log((F.col("__tf_r") + 1) / (F.col("__R") + F.col("__V")))
+    lr_e9 = F.floor(lr * 1e9).cast("long")
     scored = (toks.join(F.broadcast(vocab), "term")
                   .crossJoin(F.broadcast(tot))
                   .groupBy(id_col)
                   .agg(F.count("*").alias("n_tokens"),
-                       F.floor(F.avg(lr) * 1e6).cast("long")
-                        .alias("dsir_logratio_e6"),
-                       F.max("__is_t").alias("is_target")))
+                       F.sum(lr_e9).alias("__sum_e9"),
+                       F.max("__is_t").alias("is_target"))
+                  .withColumn(
+                      "dsir_logratio_e6",
+                      F.floor(F.col("__sum_e9")
+                              / (F.col("n_tokens") * 1000)).cast("long")))
     return (marked.select(F.col(id_col), F.col("__is_t"))
             .join(scored, id_col, "left")
             .select(F.col(id_col),
@@ -263,16 +288,11 @@ def line_dedup(df: DataFrame, text_col: str = "text",
     back on the same key (exchange reuse), and reassembly shuffles
     per-document rows keyed by id.  No broadcast of anything
     corpus-sized, no all-pairs anywhere."""
-    bound = df.select(F.col(id_col), tokens(text_col).alias("__w"))
-    w, n = F.col("__w"), F.size(F.col("__w"))
-    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(line_tokens))) \
-              .otherwise(F.array().cast("array<int>"))
-    segs = F.transform(starts, lambda s: F.slice(w, s, line_tokens))
-    lines = (bound.select(F.col(id_col),
-                          F.posexplode(segs).alias("line_no", "__seg"))
-                  .select(F.col(id_col), "line_no",
-                          F.concat_ws(" ", F.col("__seg"))
-                           .alias("line_text")))
+    lines = (_token_windows(df, text_col, id_col,
+                            line_tokens, line_tokens)
+             .select(F.col(id_col), F.col("__pos").alias("line_no"),
+                     F.concat_ws(" ", F.col("__seg"))
+                      .alias("line_text")))
     lines = lines.withColumn("__h", stable_hash64(F.col("line_text")))
     keeper = (lines.groupBy("__h")
                    .agg(F.min(F.struct(F.col(id_col).alias("d"),

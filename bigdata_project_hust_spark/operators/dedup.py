@@ -324,12 +324,19 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     aggregate small enough for fast JIT and tighter agg buffers — a
     measured 4.4× cold / 1.25× warm win at sf0.1. Lane width 20 bits
     caps distinct tokens per doc at 2^20-1 (~1M — beyond any real
-    document; a doc that large should be length-filtered upstream
-    anyway). All integer arithmetic; the oracle SQL keeps the
-    straightforward 60-sum form — only final outputs must match.
+    document), and the cap is ENFORCED: the distinct-token array is
+    sliced to 2^20-1 elements before the vote, so a pathological doc
+    (log dump, base64 blob) is scored on a deterministic prefix of its
+    distinct tokens instead of silently carrying a lane sum into the
+    neighboring counter and corrupting every bit above it. All integer
+    arithmetic; the oracle SQL keeps the straightforward 60-sum form —
+    only final outputs must match (fixture docs sit far below the
+    cap, so the slice is a no-op there).
     """
+    lane_cap = (1 << SIMHASH_LANE_BITS) - 1
     tok = (df.select(F.col(id_col),
-                     F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+                     F.explode(F.slice(F.array_distinct(tokens(text_col)),
+                                       1, lane_cap)).alias("tok"))
              .select(F.col(id_col),
                      stable_hash64(F.col("tok"), seed=99).alias("th")))
     n_groups = SIMHASH_BITS // SIMHASH_LANES

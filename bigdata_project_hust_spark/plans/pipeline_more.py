@@ -102,6 +102,32 @@ _WORDS = r"""
   )
 """
 
+# Shared DSIR scoring chain: expects a CTE ``dwords(doc_id, is_t, w)``
+# upstream.  The per-token log-ratio floor-quantizes to 1e-9 fixed
+# point BEFORE the per-doc sum (exact BIGINT, order-insensitive) —
+# mirroring operators/curation.dsir_logratio; one copy interpolated
+# into every DSIR oracle so the smoothing math cannot drift.
+_DSIR_CHAIN = r"""
+  toks AS (SELECT doc_id, is_t, unnest(w) AS term FROM dwords),
+  vocab AS (
+    SELECT term, count(*)::BIGINT AS tf_r, sum(is_t)::BIGINT AS tf_t
+    FROM toks GROUP BY term
+  ),
+  tot AS (
+    SELECT sum(tf_r)::BIGINT AS r_tot, sum(tf_t)::BIGINT AS t_tot,
+           count(*)::BIGINT AS v FROM vocab
+  ),
+  scored AS (
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           floor(sum(floor((ln((tf_t + 1) / (t_tot + v))
+                            - ln((tf_r + 1) / (r_tot + v)))
+                           * 1e9)::BIGINT)::BIGINT
+                 / (count(*) * 1000))::BIGINT AS lr
+    FROM toks JOIN vocab USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+  )
+"""
+
 
 def q_benchmark_decontamination(spark, sf_dir):
     """Decontamination vs a held-out benchmark slice (doc_id % 10 == 7
@@ -199,39 +225,24 @@ def q_dsir_importance(spark, sf_dir):
                          F.col("doc_id") % 5 == 1)
 
 
-ORACLE_DSIR = r"""
+ORACLE_DSIR = rf"""
   WITH marked AS (
     SELECT doc_id, text,
            CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS is_t
     FROM documents
   ),
-  words AS (
+  dwords AS (
     SELECT doc_id, is_t,
            list_filter(string_split_regex(lower(text), '\s+'),
                        t -> t <> '') AS w
     FROM marked
   ),
-  toks AS (SELECT doc_id, is_t, unnest(w) AS term FROM words),
-  vocab AS (
-    SELECT term, count(*)::BIGINT AS tf_r, sum(is_t)::BIGINT AS tf_t
-    FROM toks GROUP BY term
-  ),
-  tot AS (
-    SELECT sum(tf_r)::BIGINT AS r_tot, sum(tf_t)::BIGINT AS t_tot,
-           count(*)::BIGINT AS v FROM vocab
-  ),
-  scored AS (
-    SELECT doc_id, count(*)::BIGINT AS n_tokens,
-           floor(avg(ln((tf_t + 1) / (t_tot + v))
-                     - ln((tf_r + 1) / (r_tot + v))) * 1e6)::BIGINT AS lr
-    FROM toks JOIN vocab USING (term) CROSS JOIN tot
-    GROUP BY doc_id
-  )
+{_DSIR_CHAIN}
   SELECT m.doc_id AS doc_id,
          coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
          coalesce(s.lr, 0)::BIGINT AS dsir_logratio_e6,
          m.is_t::BIGINT AS is_target
-  FROM marked m LEFT JOIN scored s USING (doc_id)
+  FROM marked m LEFT JOIN scored s ON m.doc_id = s.doc_id
 """
 
 
@@ -335,28 +346,13 @@ ORACLE_DSIR_RESAMPLE = f"""
            CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS is_t
     FROM documents
   ),
-  words AS (
+  dwords AS (
     SELECT doc_id, is_t,
            list_filter(string_split_regex(lower(text), '\\s+'),
                        t -> t <> '') AS w
     FROM marked
   ),
-  toks AS (SELECT doc_id, is_t, unnest(w) AS term FROM words),
-  vocab AS (
-    SELECT term, count(*)::BIGINT AS tf_r, sum(is_t)::BIGINT AS tf_t
-    FROM toks GROUP BY term
-  ),
-  tot AS (
-    SELECT sum(tf_r)::BIGINT AS r_tot, sum(tf_t)::BIGINT AS t_tot,
-           count(*)::BIGINT AS v FROM vocab
-  ),
-  scored AS (
-    SELECT doc_id, count(*)::BIGINT AS n_tokens,
-           floor(avg(ln((tf_t + 1) / (t_tot + v))
-                     - ln((tf_r + 1) / (r_tot + v))) * 1e6)::BIGINT AS lr
-    FROM toks JOIN vocab USING (term) CROSS JOIN tot
-    GROUP BY doc_id
-  ),
+{_DSIR_CHAIN},
   ds AS (
     SELECT m.doc_id AS doc_id,
            coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
@@ -539,7 +535,7 @@ def q_training_manifest(spark, sf_dir):
                     "offset", "pack_id", "n_packs_spanned"))
 
 
-ORACLE_TRAINING_MANIFEST = r"""
+ORACLE_TRAINING_MANIFEST = rf"""
   WITH words AS (
     SELECT doc_id,
            list_filter(string_split_regex(lower(text), '\s+'),
@@ -603,28 +599,13 @@ ORACLE_TRAINING_MANIFEST = r"""
       SELECT 1 FROM trsh JOIN bnsh USING (sh)
       WHERE trsh.doc_id = tr.doc_id)
   ),
-  swords AS (
+  dwords AS (
     SELECT doc_id, CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS is_t,
            list_filter(string_split_regex(lower(text), '\s+'),
                        t -> t <> '') AS w
     FROM surv
   ),
-  toks AS (SELECT doc_id, is_t, unnest(w) AS term FROM swords),
-  vocab AS (
-    SELECT term, count(*)::BIGINT AS tf_r, sum(is_t)::BIGINT AS tf_t
-    FROM toks GROUP BY term
-  ),
-  tot AS (
-    SELECT sum(tf_r)::BIGINT AS r_tot, sum(tf_t)::BIGINT AS t_tot,
-           count(*)::BIGINT AS v FROM vocab
-  ),
-  scored AS (
-    SELECT doc_id, count(*)::BIGINT AS n_tokens,
-           floor(avg(ln((tf_t + 1) / (t_tot + v))
-                     - ln((tf_r + 1) / (r_tot + v))) * 1e6)::BIGINT AS lr
-    FROM toks JOIN vocab USING (term) CROSS JOIN tot
-    GROUP BY doc_id
-  ),
+{_DSIR_CHAIN},
   sel AS (SELECT * FROM scored WHERE lr >= -3000),
   off AS (
     SELECT doc_id, n_tokens, lr,

@@ -173,6 +173,16 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame,
     record-at-a-time); this is the §2.10 extension that completes the
     streaming surface.
     """
+    return _interval_join(left, right, key, left_ts, right_ts,
+                          interval_s, watermark, "inner")
+
+
+def _interval_join(left, right, key, left_ts, right_ts, interval_s,
+                   watermark, how):
+    """Shared watermark + interval-condition wiring for the inner and
+    left-outer stream-stream joins — ONE copy of the three-clause
+    bound, so a change to the interval semantics cannot make the two
+    variants silently diverge."""
     l_ = left.withWatermark(left_ts, watermark).alias("l")
     r_ = right.withWatermark(right_ts, watermark).alias("r")
     cond = (
@@ -181,7 +191,7 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame,
            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {interval_s} SECONDS"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
     )
-    return l_.join(r_, cond, "inner")
+    return l_.join(r_, cond, how)
 
 
 def stream_stream_interval_join_outer(left: DataFrame, right: DataFrame,
@@ -200,15 +210,8 @@ def stream_stream_interval_join_outer(left: DataFrame, right: DataFrame,
     state store's eviction output, so emission latency equals the
     watermark delay — a correctness/latency trade the caller picks via
     ``watermark``."""
-    l_ = left.withWatermark(left_ts, watermark).alias("l")
-    r_ = right.withWatermark(right_ts, watermark).alias("r")
-    cond = (
-        (F.col(f"l.{key}") == F.col(f"r.{key}"))
-        & (F.col(f"r.{right_ts}")
-           >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {interval_s} SECONDS"))
-        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
-    )
-    return l_.join(r_, cond, "leftOuter")
+    return _interval_join(left, right, key, left_ts, right_ts,
+                          interval_s, watermark, "leftOuter")
 
 
 def stateful_threshold_alerts(df: DataFrame, key_col: str = "user_id",

@@ -585,8 +585,25 @@ def test_transform_with_state_matches_legacy_alerter(spark, tmp_path):
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider")   # TWS requires RocksDB
     outs = {}
-    for label, op in [("legacy", stateful_threshold_alerts),
-                      ("tws", stateful_threshold_alerts_tws)]:
+    try:
+        _run_both_alerters(spark, tmp_path, outs,
+                           stateful_threshold_alerts,
+                           stateful_threshold_alerts_tws)
+    finally:
+        # restore on ANY failure — this fixture session is shared by
+        # every later streaming test
+        if old_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                old_provider)
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass")
+    assert outs["legacy"] == outs["tws"] == {(1, 55.0), (2, 60.0)}
+
+
+def _run_both_alerters(spark, tmp_path, outs, legacy_op, tws_op):
+    for label, op in [("legacy", legacy_op), ("tws", tws_op)]:
         d = str(tmp_path / label)
         _write_events(d, "a.json", [
             (1, "2024-01-01 00:00:00", 1, 30.0),   # u1: 30 — below
@@ -608,12 +625,6 @@ def test_transform_with_state_matches_legacy_alerter(spark, tmp_path):
                            .collect()}
         finally:
             q.stop()
-    if old_provider:
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass", old_provider)
-    else:
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    assert outs["legacy"] == outs["tws"] == {(1, 55.0), (2, 60.0)}
 
 
 def test_available_now_incremental_batch_runs(spark, tmp_path):
