@@ -191,7 +191,8 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         checkpoint_every: int = 5) -> DataFrame:
     """Duplicate-cluster formation: connected components over the
     near-dup pair graph via min-label propagation — the step between
     pair detection (minhash/simhash/ngram) and keeper selection (one
@@ -209,9 +210,17 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
 
     Per round there is exactly ONE job: the convergence flag
     (sum of changed-bits) rides the persist-materializing count as an
-    ``observe`` metric instead of a separate join-and-count pass. A
-    100 TB run would checkpoint labels every few rounds to truncate
-    lineage (cf. minhash_near_duplicates' checkpoint_dir).
+    ``observe`` metric instead of a separate join-and-count pass.
+
+    Lineage is TRUNCATED every ``checkpoint_every`` rounds via an
+    eager ``localCheckpoint`` (reads from the already-persisted cache
+    — cheap): persist alone caches DATA but keeps the full logical
+    plan, and a long-diameter graph (a path) nests one join+agg per
+    round until optimizer/tree-string passes overflow the driver heap
+    around ~15 rounds. Dup graphs converge in 2-3 rounds, so the
+    common path never checkpoints; a reliability-grade (HDFS)
+    checkpoint would replace localCheckpoint on a real cluster where
+    executor loss must be survivable.
     """
     from pyspark.sql import Observation
 
@@ -241,6 +250,10 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         new_labels.count()  # materializes the round AND the metric
         labels.unpersist()
         labels = new_labels
+        if (i + 1) % checkpoint_every == 0:
+            # truncate lineage from the cached data, then drop the cache
+            labels = new_labels.localCheckpoint(eager=True)
+            new_labels.unpersist()
         if (obs.get["n_changed"] or 0) == 0:
             break
     edges.unpersist()
