@@ -215,3 +215,9 @@ class Engine:
         payloads; ok=false rows for anything undecodable."""
         from .operators import multimodal
         return multimodal.resize_rasters(assets, width, height)
+
+    def resampled_corpus(self, target_cond) -> DataFrame:
+        """Deterministic DSIR importance resample toward the target
+        rows selected by ``target_cond`` (hash-accept, reproducible)."""
+        from .operators.curation import dsir_resample
+        return dsir_resample(self.table("documents"), target_cond)
