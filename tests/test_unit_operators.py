@@ -903,3 +903,17 @@ def test_resize_rasters_real_nearest_neighbor(spark):
     assert tuple(px[0, 0]) == (255, 0, 0) and tuple(px[0, 1]) == (0, 255, 0)
     assert tuple(px[1, 0]) == (0, 0, 255) and tuple(px[1, 1]) == (255, 255, 0)
     assert not out[2].ok
+
+
+def test_connected_components_long_path_bounded_memory(spark):
+    """Worst-diameter regression guard: a 25-node path needs ~24
+    min-label rounds; without periodic lineage truncation the nested
+    per-round plans overflow the driver heap (hypothesis originally
+    found this). Must converge to one component in bounded memory."""
+    from bigdata_project_hust_spark.operators.dedup import (
+        connected_components)
+    df = spark.createDataFrame([(i, i + 1) for i in range(24)],
+                               "doc_a long, doc_b long")
+    out = {r.node: r.component
+           for r in connected_components(df, max_iter=30).collect()}
+    assert set(out.values()) == {0} and len(out) == 25
