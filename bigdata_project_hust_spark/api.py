@@ -221,3 +221,45 @@ class Engine:
         rows selected by ``target_cond`` (hash-accept, reproducible)."""
         from .operators.curation import dsir_resample
         return dsir_resample(self.table("documents"), target_cond)
+
+    def search(self, terms: list[str], k: int = 10) -> DataFrame:
+        """BM25 top-k document retrieval for a bag of query terms."""
+        return text.bm25_topk(self.table("documents"), terms, k=k)
+
+    def duplicated_spans(self, n: int = 20) -> DataFrame:
+        """Substring-level exact-dedup stats: duplicated n-token spans
+        per document with covered-token interval union (EXACTSUBSTR,
+        Lee et al. 2021)."""
+        return dedup.span_duplicates(self.table("documents"), n=n)
+
+    def clusters(self, k: int = 8, iters: int = 2) -> DataFrame:
+        """Lloyd's k-means over the embedding table on the exact
+        integer grid (deterministic seeds and assignments)."""
+        return similarity.kmeans_assign(self.table("embeddings"),
+                                        k=k, iters=iters)
+
+    def history(self, key_col: str = "user_id",
+                attr_col: str = "event_type") -> DataFrame:
+        """SCD2 validity intervals for an attribute over the event
+        stream (valid_from / valid_to / is_current)."""
+        from .operators.windows import scd2_history
+        return scd2_history(self.table("events"), key_col, attr_col,
+                            "ts", "event_id")
+
+    def histogram(self, col: str = "value", lo: float = 0.0,
+                  hi: float = 500.0, nbins: int = 10) -> DataFrame:
+        """Equi-width histogram of an events column with explicit
+        under/overflow bins."""
+        from .operators.aggregations import value_histogram
+        return value_histogram(self.table("events"), col, lo, hi, nbins)
+
+    def replay_source(self, table: str = "events",
+                      batch_rows: int = 1000, loop: bool = False):
+        """The reference's round-robin replay producer as a custom
+        Spark 4 Python Data Source streaming DataFrame."""
+        from .sources import register_fixture_replay
+        register_fixture_replay(self.spark)
+        return (self.spark.readStream.format("fixture_replay")
+                .option("path", f"{self.sf_dir}/{table}.parquet")
+                .option("batch_rows", str(batch_rows))
+                .option("loop", "true" if loop else "false").load())

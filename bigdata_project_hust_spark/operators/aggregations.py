@@ -92,3 +92,28 @@ def merge_aggregate(prev: DataFrame, batch: DataFrame, key: str,
     out += [F.greatest(f"__p_m_{c}", f"__b_m_{c}").alias(c)
             for c in max_cols]
     return joined.select(*out)
+
+
+def value_histogram(df: DataFrame, col: str, lo: float, hi: float,
+                    nbins: int) -> DataFrame:
+    """Equi-width histogram with explicit under/overflow bins: bin -1
+    holds values < lo, bin ``nbins`` holds values ≥ hi, bins 0..nbins-1
+    are [lo + i·w, lo + (i+1)·w). Emits per-bin count and exact min/max
+    (doubles pass through untouched — no FP summing, so the result is
+    bit-identical across engines). One partial+final hash-agg over at
+    most nbins+2 groups — the map-side combine collapses everything
+    before the (tiny) shuffle. The binning expression is plain
+    ``floor((x−lo)/w)`` arithmetic rather than engine ``width_bucket``
+    built-ins, whose edge conventions differ between engines."""
+    w = (hi - lo) / nbins
+    x = F.col(col)
+    bin_ = (F.when(x < lo, F.lit(-1))
+             .when(x >= hi, F.lit(nbins))
+             .otherwise(F.floor((x - F.lit(lo)) / F.lit(w))))
+    return (df.select(bin_.cast("long").alias("bin"), x.alias("__v"))
+              .groupBy("bin")
+              .agg(F.count("*").alias("n"),
+                   F.min("__v").alias("bin_min"),
+                   F.max("__v").alias("bin_max"))
+              .select("bin", F.col("n").cast("long"),
+                      "bin_min", "bin_max"))

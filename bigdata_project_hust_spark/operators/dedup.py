@@ -19,7 +19,7 @@ and immediately partially aggregated.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.scalar import stable_hash64
 from .text import tokens
@@ -408,3 +408,94 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     return (cands.withColumn("hamming", ham.cast("long"))
                  .where(F.col("hamming") <= max_hamming)
                  .select("doc_a", "doc_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span detection (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+def positional_spans(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 20) -> DataFrame:
+    """One row per (doc, 1-based start position, n-token span hash).
+
+    Unlike :func:`shingles` this keeps POSITIONS and within-doc
+    repeats — substring dedup needs to know *where* a duplicated run
+    sits, not just that the doc contains it. Documents shorter than
+    ``n`` tokens contribute their whole text as the single span at
+    position 1 (span_len < n), mirroring shingles' short-doc rule.
+    Emits ``k`` (doc token count) and ``span_len`` alongside so
+    downstream never re-tokenizes.
+    """
+    bound = df.select(F.col(id_col), tokens(text_col).alias("__w"))
+    w = F.col("__w")
+    k = F.size(w)
+    idx = F.sequence(F.lit(1), k - F.lit(n - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(n)]))
+    arr = F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", w)))
+    span_len = F.when(k >= n, F.lit(n)).otherwise(k)
+    return (bound
+            .select(F.col(id_col), k.alias("k"), span_len.alias("span_len"),
+                    F.posexplode(arr).alias("pos0", "span"))
+            .select(F.col(id_col), "k", "span_len",
+                    (F.col("pos0") + 1).alias("pos"),
+                    stable_hash64(F.col("span"), seed=7).alias("span_h")))
+
+
+def span_duplicates(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 20) -> DataFrame:
+    """Substring-level exact dedup stats (Lee et al. 2021,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    Better" — EXACTSUBSTR): a span is *duplicated* when its n-token
+    hash occurs ≥ 2 times corpus-wide (across docs or repeated within
+    one). Per document: total spans, duplicated spans, the highest
+    corpus frequency any of its spans reaches, the number of TOKENS
+    covered by at least one duplicated span (exact fixed-length
+    interval union), and that coverage as a floor-scaled e6 fraction
+    of the doc's tokens.
+
+    Scale shape: one shuffle keyed on the 60-bit span hash (8-byte
+    keys) for the corpus-wide frequency, one shuffle back on doc id
+    for the per-doc rollup. The interval union is NOT computed by
+    exploding covered token indexes (an n× row blowup on exactly the
+    duplicated-heavy partitions that are already the hot spot) — for
+    fixed span length L the union is a lag sweep:
+    ``covered = Σ min(L, pos_i − pos_{i−1})`` over duplicated spans in
+    position order, window-partitioned by doc.
+    """
+    sp = positional_spans(df, text_col, id_col, n)
+    freq = sp.groupBy("span_h").agg(F.count("*").alias("span_freq"))
+    j = sp.join(freq, "span_h")
+    dup = F.col("span_freq") >= 2
+    # previous duplicated span's position = last non-null dup pos among
+    # strictly-preceding rows. Windowed on doc_id ALONE (not
+    # (doc_id, dup)) so the window's hash partitioning is exactly what
+    # the final groupBy(doc_id) needs — one Exchange serves both.
+    prev_dup_pos = F.last(F.when(dup, F.col("pos")), ignorenulls=True).over(
+        Window.partitionBy(id_col).orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    covered_inc = F.when(
+        ~dup, F.lit(0)
+    ).when(prev_dup_pos.isNull(), F.col("span_len")).otherwise(
+        F.least(F.col("span_len"), F.col("pos") - prev_dup_pos))
+    scored = j.select(
+        F.col(id_col), F.col("k"), dup.cast("long").alias("is_dup"),
+        F.col("span_freq"), covered_inc.alias("cov_inc"))
+    out = (scored.groupBy(id_col)
+           .agg(F.max("k").alias("n_tokens"),
+                F.count("*").alias("n_spans"),
+                F.sum("is_dup").alias("n_dup_spans"),
+                F.max("span_freq").alias("max_span_freq"),
+                F.sum("cov_inc").alias("dup_tokens")))
+    frac = F.when(F.col("n_tokens") > 0,
+                  F.floor(F.col("dup_tokens") * F.lit(1_000_000)
+                          / F.col("n_tokens"))).otherwise(F.lit(0))
+    return out.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long"),
+        F.col("n_spans").cast("long"),
+        F.col("n_dup_spans").cast("long"),
+        F.col("max_span_freq").cast("long"),
+        F.col("dup_tokens").cast("long"),
+        frac.cast("long").alias("dup_frac_e6"))

@@ -268,3 +268,87 @@ def quantize_int8(df: DataFrame, id_col: str = "vec_id",
         F.concat_ws(",", F.transform(q, lambda x: x.cast("string")))
          .alias("q_csv"),
         F.floor(err * 1e9).cast("long").alias("max_err_e9"))
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd's algorithm), exact-integer cross-engine variant
+# ---------------------------------------------------------------------------
+
+KMEANS_SCALE = 1 << 20  # component quantization grid (≈1e-6 precision)
+
+
+def quantized_vectors(df: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """float32 components → exact BIGINT grid points
+    (``floor(x · 2^20)``). Everything downstream of this projection is
+    integer math, so cluster assignments and centroid updates are
+    bit-identical across engines and partitionings — the FP
+    sum-order trap that makes naive distributed k-means
+    nondeterministic never appears."""
+    return df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col),
+                    lambda x: F.floor(x.cast("double")
+                                      * F.lit(float(KMEANS_SCALE)))
+                     .cast("long")).alias("vq"))
+
+
+def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means, ``iters`` full update rounds from a
+    deterministic seed (the ``k`` lowest-id vectors), returning each
+    vector's final cluster and exact squared distance on the quantized
+    grid.
+
+    Distributed shape per iteration (all DataFrame-native, no
+    ``collect``): the centroid table is k rows → BROADCAST to the
+    assignment join; squared distance is a fold over ``zip_with``
+    (sequential array order — deterministic); argmin is
+    ``min(struct(dist, cluster_id))`` (total order, id tie-break); the
+    centroid update shuffles (cluster, dim) partial sums — k·dim
+    groups, collapsed map-side before the exchange. Component means
+    floor-quantize back to the grid (``floor(sum/n)``), keeping every
+    iteration's state integral.
+
+    Overflow budget: |component| ≤ 2 ⇒ |vq| < 2^21, squared diff
+    < 2^44, ×64 dims < 2^50 per distance; centroid partial sums stay
+    < 2^21·n — exact in BIGINT up to ~4·10^17 member vectors per
+    cluster. ``iters`` is small and fixed (plan depth grows linearly);
+    for long runs, localCheckpoint the assignment every few rounds as
+    in ``dedup.connected_components``.
+    """
+    vq = quantized_vectors(df, id_col, vec_col)
+    cent = (vq.where(F.col(id_col) < k)
+              .select(F.col(id_col).cast("long").alias("cluster_id"),
+                      F.col("vq").alias("cq")))
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        j = vq.crossJoin(F.broadcast(cent_df))
+        dist = F.aggregate(
+            F.zip_with("vq", "cq", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        scored = j.select(F.col(id_col), "vq", "cluster_id",
+                          dist.alias("dist"))
+        best = (scored.groupBy(id_col)
+                .agg(F.min(F.struct("dist", "cluster_id")).alias("b"),
+                     F.first("vq").alias("vq")))
+        return best.select(F.col(id_col), "vq",
+                           F.col("b.cluster_id").alias("cluster_id"),
+                           F.col("b.dist").alias("dist"))
+
+    a = assign(cent)
+    for _ in range(iters):
+        dims = a.select(F.col(id_col), "cluster_id",
+                        F.posexplode("vq").alias("pos", "v"))
+        upd = (dims.groupBy("cluster_id", "pos")
+               .agg(F.floor(F.sum("v").cast("double") / F.count("*"))
+                     .cast("long").alias("c")))
+        cent = (upd.groupBy("cluster_id")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s.getField("c")).alias("cq")))
+        a = assign(cent)
+    return (a.select(F.col(id_col), F.col("cluster_id"),
+                     F.col("dist").alias("dist_q"))
+             .orderBy(id_col))

@@ -418,3 +418,64 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
             .alias("top_bigram_e6"),
         frac_e6(n_tg - F.size(F.array_distinct("__tg")), n_tg)
             .alias("dup_trigram_e6"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id",
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 top-k retrieval for a fixed bag of query terms (Robertson &
+    Zaragoza 2009; the Lucene variant with the +1-smoothed idf
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))``, always ≥ 0).
+
+    Spark shape: per-term tf is ``size(filter(tokens, = t))`` — a pure
+    map-side projection, NO token explode and NO (doc, term) shuffle.
+    Corpus statistics (N, total dl, one df per query term) collapse to
+    a SINGLE 1-row conditional aggregate that is broadcast back, so
+    the whole query is: one tiny stats agg + one map-side score
+    projection + TakeOrdered(k). The per-term score sum is written as
+    a FIXED-ORDER column chain (score_t0 + score_t1 + …), not an
+    aggregate over term rows — double addition is order-sensitive and
+    an agg's merge order is partition-dependent; the chain is
+    bit-identical on every engine.
+
+    At 100 TB: stats agg is one shuffle of |terms|+2 longs per
+    partition; scoring touches each doc once map-side; top-k is
+    TakeOrderedAndProject (no global sort materialization).
+    """
+    toks = tokens(text_col)
+    bound = df.select(F.col(id_col), toks.alias("__w"))
+    dl = F.size("__w")
+    def _tf(term: str) -> Column:
+        # NB: F.filter treats a 2-arg lambda as (element, index) — a
+        # default-arg closure here would bind the index, not the term
+        return F.size(F.filter(F.col("__w"), lambda t: t == F.lit(term)))
+
+    per_term_tf = [_tf(term).alias(f"tf_{i}")
+                   for i, term in enumerate(query_terms)]
+    scored0 = bound.select(F.col(id_col), dl.alias("dl"), *per_term_tf)
+    stats = scored0.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(query_terms))])
+    j = scored0.crossJoin(F.broadcast(stats))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    norm = F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / avgdl)
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col(f"df_{i}")
+                                  + F.lit(0.5))
+                    / (F.col(f"df_{i}") + F.lit(0.5)))
+        tf = F.col(f"tf_{i}").cast("double")
+        score = score + idf * tf * F.lit(k1 + 1.0) / (tf + norm)
+    out = j.select(
+        F.col(id_col),
+        (F.col("dl")).cast("long").alias("dl"),
+        F.floor(score * F.lit(1_000_000)).cast("long").alias("score_e6"))
+    return (out.where(F.col("score_e6") > 0)
+               .orderBy(F.desc("score_e6"), F.col(id_col))
+               .limit(k))

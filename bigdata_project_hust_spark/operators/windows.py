@@ -116,3 +116,44 @@ def engagement_change_log(df: DataFrame, ts_col: str, key_col: str,
             .groupBy(key_col)
             .agg(F.map_from_entries(
                 F.array_sort(F.collect_list(entry))).alias("engagementChangeLogs")))
+
+
+def scd2_history(df: DataFrame, key_col: str, attr_col: str,
+                 ts_col: str, tiebreak_col: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: collapse an event stream
+    into per-key attribute-version intervals — one row per run of
+    consecutive equal ``attr_col`` values, with ``valid_from`` /
+    ``valid_to`` (next version's start; NULL while current),
+    ``version`` (1-based per key), event count, and ``is_current``.
+
+    The classic warehouse merge the reference's upsert sinks
+    (consumer2.py keep-last semantics) approximate with destructive
+    overwrites — SCD2 keeps the full history queryable. Spark shape:
+    ONE shuffle on ``key_col``; change detection (lag), run numbering
+    (conditional running sum), interval rollup (groupBy run), and
+    valid_to stitching (lead) all reuse that same partitioning, so
+    Exchange appears once in the plan. ``tiebreak_col`` makes the
+    within-timestamp order total — without it, equal-``ts`` events
+    would make version boundaries nondeterministic across runs.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changed = (
+        F.lag(attr_col).over(w).isNull()
+        | (F.col(attr_col) != F.lag(attr_col).over(w))
+    ).cast("long")
+    runs = df.select(
+        key_col, attr_col, ts_col, tiebreak_col,
+        F.sum(changed).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("version"))
+    spans = (runs.groupBy(key_col, "version")
+             .agg(F.min(attr_col).alias(attr_col),  # constant within run
+                  F.min(ts_col).alias("valid_from"),
+                  F.count("*").alias("n_events")))
+    lead_w = Window.partitionBy(key_col).orderBy("version")
+    return (spans
+            .withColumn("valid_to", F.lead("valid_from").over(lead_w))
+            .select(F.col(key_col), F.col("version").cast("long"),
+                    F.col(attr_col), "valid_from", "valid_to",
+                    F.col("n_events").cast("long"),
+                    F.col("valid_to").isNull().cast("long")
+                     .alias("is_current")))

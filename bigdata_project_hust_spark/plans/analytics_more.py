@@ -1,0 +1,359 @@
+"""Round-3b analytics/curation extension queries: substring-level
+exact dedup (Lee et al. 2021), BM25 retrieval, k-means clustering,
+SCD2 dimension history, and an equi-width value histogram.
+
+Same cross-engine exactness rules as ``queries.py``: floor-scaled e6
+fixed-point for anything that touches a double, fixed-order double
+addition chains (never FP sums across an aggregate's merge order),
+BIGINT integer math wherever possible, and deterministic tiebreaks on
+ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.scalar import stable_hash64_sql
+from ..operators.aggregations import value_histogram
+from ..operators.dedup import span_duplicates
+from ..operators.similarity import KMEANS_SCALE, kmeans_assign
+from ..operators.text import bm25_topk
+from ..operators.windows import scd2_history
+from .spec import QuerySpec, _t
+
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup (duplicated n-token spans)
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 3  # fixture docs are ~40-170 tokens of a small vocabulary;
+             # 3-token spans give real cross-doc duplication signal
+
+
+def q_span_dedup_stats(spark, sf_dir):
+    """Per-doc duplicated-span stats (EXACTSUBSTR-style substring
+    dedup): spans whose n-token hash occurs ≥2 times corpus-wide,
+    with exact covered-token interval union via a lag sweep."""
+    return span_duplicates(_t(spark, sf_dir, "documents"), n=_SPAN_N)
+
+
+def _gram_sql(n: int) -> str:
+    return " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+
+
+ORACLE_SPAN_DEDUP = rf"""
+  WITH words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+  ),
+  sp AS (
+    SELECT doc_id, len(w) AS k,
+           CASE WHEN len(w) >= {_SPAN_N} THEN {_SPAN_N}
+                ELSE len(w) END AS span_len,
+           CASE WHEN len(w) >= {_SPAN_N} THEN
+             list_transform(generate_series(1, len(w) - {_SPAN_N - 1}),
+                            i -> {_gram_sql(_SPAN_N)})
+           ELSE [array_to_string(w, ' ')] END AS spans
+    FROM words
+  ),
+  pos0 AS (  -- zipped unnests: (ordinal, span) pairs, length-bounded
+    SELECT doc_id, k, span_len,
+           unnest(generate_series(1, len(spans))) AS pos,
+           unnest(spans) AS span
+    FROM sp
+  ),
+  pos AS (
+    SELECT doc_id, k, span_len, pos,
+           {stable_hash64_sql('span', seed=7)} AS span_h
+    FROM pos0
+  ),
+  freq AS (SELECT span_h, count(*) AS f FROM pos GROUP BY span_h),
+  dupd AS (
+    SELECT p.doc_id, p.k, p.span_len, p.pos, f.f, (f.f >= 2) AS dup,
+           lag(p.pos) OVER (PARTITION BY p.doc_id, (f.f >= 2)
+                            ORDER BY p.pos) AS pp
+    FROM pos p JOIN freq f USING (span_h)
+  ),
+  inc AS (
+    SELECT doc_id, k, f, dup,
+           CASE WHEN NOT dup THEN 0
+                WHEN pp IS NULL THEN span_len
+                ELSE least(span_len, pos - pp) END AS cov
+    FROM dupd
+  ),
+  agg AS (
+    SELECT doc_id, max(k) AS n_tokens, count(*) AS n_spans,
+           sum(CASE WHEN dup THEN 1 ELSE 0 END) AS n_dup_spans,
+           max(f) AS max_span_freq, sum(cov) AS dup_tokens
+    FROM inc GROUP BY doc_id
+  )
+  SELECT doc_id, n_tokens::BIGINT AS n_tokens, n_spans::BIGINT AS n_spans,
+         n_dup_spans::BIGINT AS n_dup_spans,
+         max_span_freq::BIGINT AS max_span_freq,
+         dup_tokens::BIGINT AS dup_tokens,
+         (CASE WHEN n_tokens > 0
+               THEN floor(dup_tokens * 1000000 / n_tokens)
+               ELSE 0 END)::BIGINT AS dup_frac_e6
+  FROM agg
+"""
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "vector", "merge"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_search_topk(spark, sf_dir):
+    """BM25 top-10 for a fixed query bag — zero-explode map-side tf,
+    one 1-row broadcast stats agg, fixed-order score chain."""
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10,
+                     k1=_BM25_K1, b=_BM25_B)
+
+
+def _bm25_oracle() -> str:
+    tfs = ",\n           ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS))
+    dfs = ",\n           ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{i}"
+        for i in range(len(_BM25_TERMS)))
+    # mirror the Spark expression tree exactly: parenthesization and
+    # literal values match text.bm25_topk's column chain
+    avgdl = "(total_dl::DOUBLE / n_docs)"
+    norm = f"({_BM25_K1!r} * ({1 - _BM25_B!r} + (({_BM25_B!r} * dl) / {avgdl})))"
+    score = "0.0"
+    for i in range(len(_BM25_TERMS)):
+        idf = (f"ln(1.0 + ((((n_docs - df_{i}) + 0.5)) / (df_{i} + 0.5)))")
+        score = (f"({score} + (((({idf} * tf_{i}::DOUBLE)) * "
+                 f"{_BM25_K1 + 1.0!r}) / (tf_{i}::DOUBLE + {norm})))")
+    return rf"""
+  WITH d AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+  ),
+  t AS (
+    SELECT doc_id, len(w) AS dl,
+           {tfs}
+    FROM d
+  ),
+  s AS (
+    SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_dl,
+           {dfs}
+    FROM t
+  ),
+  scored AS (
+    SELECT doc_id, dl::BIGINT AS dl,
+           floor({score} * 1000000)::BIGINT AS score_e6
+    FROM t, s
+  )
+  SELECT doc_id, dl, score_e6 FROM scored
+  WHERE score_e6 > 0
+  ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd's), exact integer grid
+# ---------------------------------------------------------------------------
+
+_KM_K, _KM_ITERS, _KM_DIM = 8, 2, 64
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Lloyd's k-means (k=8, 2 update rounds, deterministic lowest-id
+    seeds) on the 2^20 quantized grid — assignments and distances are
+    exact BIGINTs, bit-identical across engines and partitionings."""
+    return kmeans_assign(_t(spark, sf_dir, "embeddings"),
+                         k=_KM_K, iters=_KM_ITERS)
+
+
+def _kmeans_oracle() -> str:
+    dist = ("list_sum(list_transform(generate_series(1, {dim}), i -> "
+            "(v.vq[i] - c.cq[i]) * (v.vq[i] - c.cq[i])))"
+            .format(dim=_KM_DIM))
+
+    def assign(name: str, cent: str) -> str:
+        return f"""
+  {name} AS (
+    SELECT vec_id, cluster_id, dist FROM (
+      SELECT v.vec_id, c.cluster_id, {dist} AS dist,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY {dist} ASC, c.cluster_id ASC)
+               AS rn
+      FROM vq v, {cent} c) WHERE rn = 1
+  )"""
+
+    def update(name: str, prev_assign: str) -> str:
+        return f"""
+  {name}_u AS (
+    SELECT cluster_id, pos,
+           floor(sum(v)::DOUBLE / count(*))::BIGINT AS c
+    FROM (
+      SELECT a.cluster_id, p.pos, vv.vq[p.pos] AS v
+      FROM {prev_assign} a JOIN vq vv USING (vec_id),
+           (SELECT unnest(generate_series(1, {_KM_DIM})) AS pos) p)
+    GROUP BY cluster_id, pos
+  ),
+  {name} AS (
+    SELECT cluster_id, list(c ORDER BY pos) AS cq
+    FROM {name}_u GROUP BY cluster_id
+  )"""
+
+    parts = [f"""
+  vq AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> floor(x::DOUBLE * {float(KMEANS_SCALE)!r})
+                               ::BIGINT) AS vq
+    FROM embeddings
+  ),
+  c0 AS (
+    SELECT vec_id::BIGINT AS cluster_id, vq AS cq
+    FROM vq WHERE vec_id < {_KM_K}
+  )""", assign("a0", "c0")]
+    for t in range(1, _KM_ITERS + 1):
+        parts.append(update(f"c{t}", f"a{t - 1}"))
+        parts.append(assign(f"a{t}", f"c{t}"))
+    ctes = ",".join(parts)
+    return f"""
+  WITH {ctes}
+  SELECT vec_id, cluster_id::BIGINT AS cluster_id, dist::BIGINT AS dist_q
+  FROM a{_KM_ITERS}
+"""
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_event_type_history(spark, sf_dir):
+    """Type-2 SCD build over the event stream: one validity interval
+    per run of consecutive equal event_type values per user — the
+    queryable-history counterpart of the reference's destructive
+    keep-last upsert (consumer2.py)."""
+    return scd2_history(_t(spark, sf_dir, "events"),
+                        key_col="user_id", attr_col="event_type",
+                        ts_col="ts", tiebreak_col="event_id")
+
+
+ORACLE_SCD2 = """
+  WITH ch AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                  OR event_type <> lag(event_type) OVER w
+                THEN 1 ELSE 0 END AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ),
+  runs AS (
+    SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS version
+    FROM ch
+  ),
+  spans AS (
+    SELECT user_id, version, min(event_type) AS event_type,
+           min(ts) AS valid_from, count(*) AS n_events
+    FROM runs GROUP BY user_id, version
+  )
+  SELECT user_id, version::BIGINT AS version, event_type, valid_from,
+         lead(valid_from) OVER w2 AS valid_to,
+         n_events::BIGINT AS n_events,
+         (CASE WHEN lead(valid_from) OVER w2 IS NULL
+               THEN 1 ELSE 0 END)::BIGINT AS is_current
+  FROM spans
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+"""
+
+# ---------------------------------------------------------------------------
+# Equi-width value histogram
+# ---------------------------------------------------------------------------
+
+_H_LO, _H_HI, _H_BINS = 0.0, 500.0, 10
+
+
+def q_events_value_histogram(spark, sf_dir):
+    """Equi-width histogram of events.value with explicit
+    under/overflow bins; min/max pass through untouched (no FP sums)."""
+    return value_histogram(_t(spark, sf_dir, "events"), "value",
+                           _H_LO, _H_HI, _H_BINS)
+
+
+ORACLE_VALUE_HISTOGRAM = f"""
+  WITH b AS (
+    SELECT CASE WHEN value < {_H_LO!r} THEN -1
+                WHEN value >= {_H_HI!r} THEN {_H_BINS}
+                ELSE floor((value - {_H_LO!r})
+                           / {(_H_HI - _H_LO) / _H_BINS!r})
+           END::BIGINT AS bin,
+           value
+    FROM events
+  )
+  SELECT bin, count(*)::BIGINT AS n,
+         min(value) AS bin_min, max(value) AS bin_max
+  FROM b GROUP BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Custom Python Data Source scan (Spark 4 connector API)
+# ---------------------------------------------------------------------------
+
+
+def q_pyds_customer_scan(spark, sf_dir):
+    """Read customer through the custom ``fixture_replay`` Python data
+    source (one task per parquet row group, Arrow batches) and roll up
+    per market segment — value parity with the plain parquet view
+    proves the connector round-trips the table exactly. Account
+    balances are summed as exact cents (BIGINT), not FP doubles."""
+    from ..sources import register_fixture_replay
+    register_fixture_replay(spark)
+    df = (spark.read.format("fixture_replay")
+          .option("path", f"{sf_dir}/customer.parquet").load())
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (df.select("c_mktsegment", cents.alias("__c"))
+              .groupBy("c_mktsegment")
+              .agg(F.count("*").alias("n_customers"),
+                   F.sum("__c").alias("acctbal_cents"))
+              .select("c_mktsegment",
+                      F.col("n_customers").cast("long"),
+                      F.col("acctbal_cents").cast("long")))
+
+
+ORACLE_PYDS_SCAN = """
+  SELECT c_mktsegment,
+         count(*)::BIGINT AS n_customers,
+         sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS acctbal_cents
+  FROM customer GROUP BY c_mktsegment
+"""
+
+
+QUERIES_ANALYTICS_MORE: dict[str, QuerySpec] = {
+    "pyds_customer_scan": QuerySpec(
+        q_pyds_customer_scan, ORACLE_PYDS_SCAN,
+        doc="custom Python Data Source connector scan (Spark 4 API, "
+            "row-group partitions, Arrow batches)"),
+    "span_dedup_stats": QuerySpec(
+        q_span_dedup_stats, ORACLE_SPAN_DEDUP,
+        doc="substring-level exact dedup: duplicated n-token spans + "
+            "covered-token interval union (Lee et al. 2021)"),
+    "bm25_search_topk": QuerySpec(
+        q_bm25_search_topk, _bm25_oracle(),
+        doc="BM25 top-k retrieval (zero-explode tf, broadcast stats, "
+            "fixed-order score chain)"),
+    "kmeans_clusters": QuerySpec(
+        q_kmeans_clusters, _kmeans_oracle(),
+        doc="Lloyd's k-means on the exact 2^20 integer grid "
+            "(broadcast centroids, deterministic seeds)"),
+    "scd2_event_type_history": QuerySpec(
+        q_scd2_event_type_history, ORACLE_SCD2,
+        doc="SCD2 dimension history build (single key shuffle, "
+            "run-collapse windows)"),
+    "events_value_histogram": QuerySpec(
+        q_events_value_histogram, ORACLE_VALUE_HISTOGRAM,
+        doc="equi-width histogram with under/overflow bins "
+            "(map-side combine, tiny shuffle)"),
+}

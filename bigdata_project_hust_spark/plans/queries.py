@@ -3016,6 +3016,7 @@ QUERIES: dict[str, QuerySpec] = {
 
 # Extension query modules (kept separate so queries.py stays the SURVEY
 # §2 parity surface; imported last to extend the registry in place).
+from .analytics_more import QUERIES_ANALYTICS_MORE  # noqa: E402
 from .pipeline_more import QUERIES_PIPELINE_MORE  # noqa: E402
 from .tpch_more import QUERIES_TPCH_MORE  # noqa: E402
 from .tpch_rest import QUERIES_TPCH_REST  # noqa: E402
@@ -3023,3 +3024,64 @@ from .tpch_rest import QUERIES_TPCH_REST  # noqa: E402
 QUERIES.update(QUERIES_TPCH_MORE)
 QUERIES.update(QUERIES_TPCH_REST)
 QUERIES.update(QUERIES_PIPELINE_MORE)
+QUERIES.update(QUERIES_ANALYTICS_MORE)
+
+# ---------------------------------------------------------------------------
+# Driver-sweep rotation.
+#
+# The per-round correctness sweep checks a bounded PREFIX of this registry
+# (exactly the first 50 entries in rounds 1 and 2 — CORRECTNESS_r01/r02 are
+# the first 50 names in registration order).  Semantics are order-independent,
+# so each round we rotate queries that have never received a driver row to the
+# front; the union of per-round sweeps then covers the full registry.  Every
+# entry — front or back — is still value-checked in-repo against its DuckDB
+# oracle by scripts/driver_sim.py (all 136, driver-identical pandas
+# canonicalization) and by tests/test_oracle_parity.py.
+#
+# Round-3 front window: the 50 highest-risk never-checked entries — the
+# TPC-H sweep, the curation chain, multimodal plumbing, and the two queries
+# ADVICE.md flagged for cross-engine edge cases (lateral_view_tokens_sql /
+# try_divide_safe sit at the end of the window).  Positions 51-75 hold the
+# remaining never-checked entries so any longer sweep reaches them next;
+# previously-green rounds-1/2 entries follow.
+_CHECK_FIRST = [
+    "tpch_q2_shape", "tpch_q3_shape", "tpch_q4_shape", "tpch_q5_shape",
+    "tpch_q6_shape", "tpch_q7_shape", "tpch_q8_shape", "tpch_q9_shape",
+    "tpch_q10_shape", "tpch_q11_shape", "tpch_q12_shape", "tpch_q13_shape",
+    "tpch_q14_shape", "tpch_q15_shape", "tpch_q16_shape", "tpch_q17_shape",
+    "tpch_q18_shape", "tpch_q19_shape", "tpch_q20_shape", "tpch_q21_shape",
+    "tpch_q22_shape",
+    "training_manifest", "line_dedup_clean", "benchmark_decontamination",
+    "sequence_packing", "chunk_documents", "dsir_importance",
+    "dsir_resampled_corpus", "corpus_shuffle_positions",
+    "embedding_quantize_int8", "text_repetition_signals",
+    "multimodal_decode_meta", "multimodal_features",
+    "multimodal_frame_sample", "multimodal_resize",
+    "similarity_ivf_topk", "asof_latest_order_per_event",
+    "sessionize_events", "session_window_events", "range_join_price_bands",
+    "skew_salted_revenue", "text_tfidf_top_terms", "text_winnow_fingerprints",
+    "above_nation_avg", "grouping_sets_orders", "zorder_codes",
+    "recursive_nation_tree", "variant_props_rollup",
+    "lateral_view_tokens_sql", "try_divide_safe",
+    # ---- positions 51+: remaining never-driver-checked entries ----
+    "text_url_extract", "explode_token_topk", "analytic_functions_breadth",
+    "conditional_agg_priority", "intersect_buyer_supplier_nations",
+    "customer_order_counts_outer", "in_subquery_sql", "array_math_features",
+    "revenue_decimal_exact", "row_scalar_functions", "string_features",
+    "ship_latency_histogram", "nation_name_lists", "variance_acctbal_exact",
+    "unpivot_customer_counters", "customer_analytics", "topk_via_array_agg",
+    "rolling_distinct_types", "moving_sum_orders", "json_roundtrip",
+    "point_lookup_customer", "kol_project_page", "monthly_revenue",
+    "approx_percentile_acctbal", "multimodal_image_raster",
+]
+
+
+def _rotate(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
+    front = {n: reg[n] for n in _CHECK_FIRST if n in reg}
+    missing = [n for n in _CHECK_FIRST if n not in reg]
+    if missing:  # guard against typos going silently unswept
+        raise KeyError(f"_CHECK_FIRST names unknown queries: {missing}")
+    return {**front, **{n: s for n, s in reg.items() if n not in front}}
+
+
+QUERIES = _rotate(QUERIES)

@@ -1,0 +1,154 @@
+"""Custom connector via the Spark 4 Python Data Source API.
+
+The reference ingests by replaying stored fixture collections into the
+pipeline: ``producer.py:84-99`` loops over per-topic JSON fixtures and
+re-emits records on a fixed cadence (S3 "round-robin replay source"),
+and ``consumer1.py:41-48`` consumes them as an unbounded stream. Rounds
+1-2 re-expressed that with Spark's built-in file-stream source; this
+module closes the remaining gap — the reference's *custom connector*
+role itself — with a first-class Spark data source implemented against
+``pyspark.sql.datasource``:
+
+* **Batch** (``FixtureReplayReader``): a partition-parallel scan of one
+  parquet fixture, one ``InputPartition`` per parquet ROW GROUP. Each
+  task reads only its row group through pyarrow and yields Arrow
+  record batches — the same shard-by-storage-chunk layout a real
+  connector (e.g. Mongo's chunk ranges) exposes, and zero
+  driver-side row materialization.
+* **Streaming** (``FixtureReplayStreamReader``): replays the fixture in
+  ``batch_rows``-sized micro-batches with real offset bookkeeping —
+  ``initialOffset`` / ``latestOffset`` / ``partitions(start, end)`` /
+  ``commit`` — i.e. the producer's paced replay as a Structured
+  Streaming source with exactly-once row ranges instead of a sleep
+  loop. A single pass by default (the stream catches up and idles,
+  so ``processAllAvailable`` terminates in tests); ``loop=true``
+  re-arms the replay like the reference's endless producer.
+
+Scale note: offsets are plain row ranges over an immutable file, so
+recovery after restart is pure arithmetic (no scan); each micro-batch
+plans ≤ ceil(batch_rows / rows-per-split) tasks, and the batch reader's
+row-group partitioning inherits parquet's own sizing (one task per
+~128 MB row group at warehouse-standard layout).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamReader, InputPartition)
+from pyspark.sql.types import StructType
+
+_DEFAULT_BATCH_ROWS = 1000
+
+
+class _RowGroupPartition(InputPartition):
+    def __init__(self, path: str, index: int):
+        self.path = path
+        self.index = index
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, path: str, start: int, end: int):
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+def _arrow_schema_of(path: str):
+    import pyarrow.parquet as pq
+    return pq.read_schema(path)
+
+
+class FixtureReplayReader(DataSourceReader):
+    def __init__(self, path: str):
+        self.path = path
+
+    def partitions(self) -> list[InputPartition]:
+        import pyarrow.parquet as pq
+        n = pq.read_metadata(self.path).num_row_groups
+        return [_RowGroupPartition(self.path, i) for i in range(max(n, 1))]
+
+    def read(self, partition: _RowGroupPartition) -> Iterator:
+        import pyarrow.parquet as pq
+        f = pq.ParquetFile(partition.path)
+        if f.metadata.num_row_groups == 0:
+            return
+        # Arrow record batches pass to the JVM without per-row Python
+        for batch in f.iter_batches(row_groups=[partition.index]):
+            yield batch
+
+
+class FixtureReplayStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, batch_rows: int, loop: bool):
+        import pyarrow.parquet as pq
+        self.path = path
+        self.batch_rows = batch_rows
+        self.loop = loop
+        self.total = pq.read_metadata(path).num_rows
+        self._hwm = 0  # rows released to the stream so far
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        # release one paced micro-batch per trigger; cap at one full
+        # pass unless loop — then the high-water mark keeps climbing
+        # and read() wraps modulo the fixture (round-robin replay)
+        if self.loop or self._hwm < self.total:
+            self._hwm += self.batch_rows
+            if not self.loop:
+                self._hwm = min(self._hwm, self.total)
+        return {"pos": self._hwm}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        lo, hi = start["pos"], end["pos"]
+        if hi <= lo:
+            return []
+        step = max(1, self.batch_rows)
+        return [_RangePartition(self.path, p, min(p + step, hi))
+                for p in range(lo, hi, step)]
+
+    def read(self, partition: _RangePartition) -> Iterator:
+        import pyarrow.parquet as pq
+        table = pq.read_table(partition.path)
+        n = table.num_rows
+        lo, hi = partition.start, partition.end
+        while lo < hi:
+            base = lo % n if n else 0
+            take = min(hi - lo, n - base)
+            for batch in table.slice(base, take).to_batches():
+                yield batch
+            lo += take
+
+    def commit(self, end: dict) -> None:  # offsets are derivable; no-op
+        pass
+
+
+class FixtureReplaySource(DataSource):
+    """``spark.read.format("fixture_replay").option("path", p)`` and the
+    ``readStream`` twin. Options: ``path`` (parquet file, required),
+    ``batch_rows`` (stream pacing), ``loop`` (endless round-robin)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fixture_replay"
+
+    def schema(self):
+        from pyspark.sql.pandas.types import from_arrow_schema
+        return from_arrow_schema(_arrow_schema_of(self.options["path"]))
+
+    def reader(self, schema: StructType) -> FixtureReplayReader:
+        return FixtureReplayReader(self.options["path"])
+
+    def streamReader(self, schema: StructType) -> FixtureReplayStreamReader:
+        return FixtureReplayStreamReader(
+            self.options["path"],
+            int(self.options.get("batch_rows", _DEFAULT_BATCH_ROWS)),
+            json.loads(self.options.get("loop", "false")))
+
+
+def register_fixture_replay(spark) -> None:
+    """Idempotent registration (latest registration wins in Spark)."""
+    spark.dataSource.register(FixtureReplaySource)

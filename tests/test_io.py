@@ -108,3 +108,66 @@ def test_xml_roundtrip_with_schema(spark, tmp_path):
     back = read_xml(spark, p, schema=schema)
     got = sorted(((r.id, r.name, r.score) for r in back.collect()))
     assert got == [(1, "a", 1.5), (2, "<b&c>", None), (3, None, -0.25)]
+
+
+# ---------------------------------------------------------------------------
+# Python Data Source API connector (sources/pyds.py)
+# ---------------------------------------------------------------------------
+
+def test_pyds_batch_scan_matches_parquet(spark):
+    from bigdata_project_hust_spark.sources import register_fixture_replay
+    register_fixture_replay(spark)
+    path = "/root/testdata/sf0.001/customer.parquet"
+    via_pyds = (spark.read.format("fixture_replay").option("path", path)
+                .load())
+    plain = spark.read.parquet(path)
+    assert via_pyds.schema == plain.schema
+    a = sorted(tuple(r) for r in via_pyds.collect())
+    b = sorted(tuple(r) for r in plain.collect())
+    assert a == b
+
+
+def test_pyds_stream_replays_fixture_once(spark, tmp_path):
+    from bigdata_project_hust_spark.sources import register_fixture_replay
+    register_fixture_replay(spark)
+    path = "/root/testdata/sf0.001/customer.parquet"
+    st = (spark.readStream.format("fixture_replay")
+          .option("path", path).option("batch_rows", 40).load())
+    q = (st.writeStream.format("memory").queryName("pyds_once")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "select count(*) c, count(distinct c_custkey) d "
+            "from pyds_once").first()
+        # single pass: every row exactly once, then the source idles
+        assert (got.c, got.d) == (150, 150)
+        n_batches = len(q.recentProgress)
+        assert n_batches >= 4  # 150 rows / 40-row pacing
+    finally:
+        q.stop()
+
+
+def test_pyds_stream_loop_wraps_round_robin(spark, tmp_path):
+    from bigdata_project_hust_spark.sources import register_fixture_replay
+    register_fixture_replay(spark)
+    path = "/root/testdata/sf0.001/region.parquet"  # 5 rows
+    st = (spark.readStream.format("fixture_replay")
+          .option("path", path).option("batch_rows", 7)
+          .option("loop", "true").load())
+    q = (st.writeStream.format("memory").queryName("pyds_loop")
+         .option("checkpointLocation", str(tmp_path / "ckpt2")).start())
+    try:
+        import time
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.sql("select count(*) c from pyds_loop").first().c
+            if n >= 12:  # > 2 full passes of the 5-row fixture
+                break
+            time.sleep(0.5)
+        rows = spark.sql(
+            "select r_regionkey, count(*) c from pyds_loop "
+            "group by r_regionkey").collect()
+        assert len(rows) == 5 and all(r.c >= 2 for r in rows)
+    finally:
+        q.stop()

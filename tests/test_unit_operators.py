@@ -917,3 +917,118 @@ def test_connected_components_long_path_bounded_memory(spark):
     out = {r.node: r.component
            for r in connected_components(df, max_iter=30).collect()}
     assert set(out.values()) == {0} and len(out) == 25
+
+
+# ---------------------------------------------------------------------------
+# Round-3b operators: span dedup, BM25, k-means, SCD2, histogram
+# ---------------------------------------------------------------------------
+
+def test_span_duplicates_interval_union(spark):
+    """Overlapping duplicated spans must count covered tokens as an
+    interval UNION, not a sum: "a b c a b c a b" with n=3 has every
+    span duplicated, covering all 8 tokens exactly once each."""
+    from bigdata_project_hust_spark.operators.dedup import span_duplicates
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b"), (2, "x y z w v u")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in span_duplicates(df, n=3).collect()}
+    r1 = out[1]
+    assert r1.n_spans == 6 and r1.n_dup_spans == 6
+    assert r1.dup_tokens == 8 and r1.dup_frac_e6 == 1_000_000
+    r2 = out[2]
+    assert r2.n_dup_spans == 0 and r2.dup_tokens == 0
+
+
+def test_span_duplicates_cross_doc_and_short_doc(spark):
+    from bigdata_project_hust_spark.operators.dedup import span_duplicates
+    df = spark.createDataFrame(
+        [(1, "p q r s"), (2, "p q r t"), (3, "p q")],  # "p q r" shared
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in span_duplicates(df, n=3).collect()}
+    assert out[1].n_dup_spans == 1 and out[1].dup_tokens == 3
+    assert out[1].max_span_freq == 2
+    # doc 3 is shorter than n: single whole-text span, unique
+    assert out[3].n_spans == 1 and out[3].n_dup_spans == 0
+
+
+def test_bm25_scores_match_reference_formula(spark):
+    import math
+    from bigdata_project_hust_spark.operators.text import bm25_topk
+    docs = [(1, "apple banana apple"), (2, "banana cherry"),
+            (3, "cherry cherry cherry"), (4, "durian")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r.score_e6
+           for r in bm25_topk(df, ["apple", "cherry"], k=10).collect()}
+    # reference scorer (plain python floats, same fixed order)
+    n, k1, b = 4, 1.2, 0.75
+    dls = {1: 3, 2: 2, 3: 3, 4: 1}
+    avgdl = 9 / 4
+    dfs = {"apple": 1, "cherry": 2}
+    tfs = {1: {"apple": 2}, 2: {"cherry": 1}, 3: {"cherry": 3}}
+    for doc, terms in tfs.items():
+        score = 0.0
+        for t in ["apple", "cherry"]:
+            tf = terms.get(t, 0)
+            idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            score = score + idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1 - b + b * dls[doc] / avgdl))
+        assert out[doc] == math.floor(score * 1_000_000), doc
+    assert 4 not in out  # zero-score docs filtered
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from bigdata_project_hust_spark.operators.similarity import (
+        kmeans_assign)
+    rows = [(i, [0.1 + 0.001 * i, 0.1]) for i in range(5)] + \
+           [(i, [0.9, 0.9 - 0.001 * i]) for i in range(5, 10)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    out = kmeans_assign(df, k=2, iters=2).collect()
+    clusters = {r.vec_id: r.cluster_id for r in out}
+    assert len({clusters[i] for i in range(5)}) == 1
+    assert len({clusters[i] for i in range(5, 10)}) == 1
+    assert clusters[0] != clusters[9]
+    # determinism: identical second run
+    again = {r.vec_id: (r.cluster_id, r.dist_q)
+             for r in kmeans_assign(df, k=2, iters=2).collect()}
+    assert again == {r.vec_id: (r.cluster_id, r.dist_q) for r in out}
+
+
+def test_scd2_history_runs_and_stitching(spark):
+    import datetime as dt
+    from bigdata_project_hust_spark.operators.windows import scd2_history
+    t0 = dt.datetime(2024, 1, 1)
+    ev = [(1, t0, 10, "A"), (1, t0 + dt.timedelta(1), 11, "A"),
+          (1, t0 + dt.timedelta(2), 12, "B"),
+          (1, t0 + dt.timedelta(3), 13, "A"),
+          (2, t0, 20, "C")]
+    df = spark.createDataFrame(
+        ev, "user_id long, ts timestamp, event_id long, event_type string")
+    out = sorted(scd2_history(df, "user_id", "event_type", "ts",
+                              "event_id").collect(),
+                 key=lambda r: (r.user_id, r.version))
+    u1 = [r for r in out if r.user_id == 1]
+    assert [r.event_type for r in u1] == ["A", "B", "A"]
+    assert [r.n_events for r in u1] == [2, 1, 1]
+    # valid_to of version i == valid_from of version i+1; last open
+    assert u1[0].valid_to == u1[1].valid_from
+    assert u1[1].valid_to == u1[2].valid_from
+    assert u1[2].valid_to is None and u1[2].is_current == 1
+    assert [r.is_current for r in u1] == [0, 0, 1]
+    u2 = [r for r in out if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].is_current == 1
+
+
+def test_value_histogram_edges_and_overflow(spark):
+    from bigdata_project_hust_spark.operators.aggregations import (
+        value_histogram)
+    df = spark.createDataFrame(
+        [(v,) for v in [-1.0, 0.0, 4.9, 5.0, 9.99, 10.0, 55.5]],
+        "v double")
+    out = {r.bin: r for r in value_histogram(df, "v", 0.0, 10.0, 2)
+           .collect()}
+    assert out[-1].n == 1          # underflow
+    assert out[0].n == 2 and out[0].bin_min == 0.0   # [0,5)
+    assert out[1].n == 2 and out[1].bin_max == 9.99  # [5,10)
+    assert out[2].n == 2           # overflow: 10.0 and 55.5
