@@ -263,3 +263,10 @@ class Engine:
                 .option("path", f"{self.sf_dir}/{table}.parquet")
                 .option("batch_rows", str(batch_rows))
                 .option("loop", "true" if loop else "false").load())
+
+    def trade_pagerank(self, iters: int = 3) -> DataFrame:
+        """PageRank over the supplier↔customer trade graph (exact
+        integer damping — deterministic ranks)."""
+        from .operators.graph import pagerank, supplier_customer_edges
+        return pagerank(supplier_customer_edges(
+            self.table("lineitem"), self.table("orders")), iters=iters)

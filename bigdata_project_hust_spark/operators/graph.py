@@ -1,0 +1,92 @@
+"""Iterative graph analytics on DataFrames.
+
+Second iterative-algorithm family after ``dedup.connected_components``:
+PageRank over a transaction graph, with EXACT integer arithmetic so
+ranks are bit-identical across engines, partitionings, and merge
+orders (the FP-sum nondeterminism that plagues naive distributed
+PageRank never appears).
+
+Exactness design: ranks live on a 1e9 fixed-point grid as BIGINTs; the
+damping factor is the rational 17/20 (= 0.85), applied as
+``(x * 17) div 20``; per-edge contributions are ``rank div outdeg``.
+Every operation is integer multiply/divide/sum — associative and
+commutative, so Spark's partial aggregation cannot change the result.
+
+Scale shape per iteration: one shuffle keyed on ``dst`` (the
+contribution sum), one join of the (node, rank) table with the edge
+list on ``src``. The rank table is |V| rows (small next to |E|); the
+edge join partitions on src — at 100 TB you'd pre-partition edges by
+src once and reuse that layout every iteration (noted, as with the
+MinHash persist). Plan depth grows linearly in ``iters``; for long
+runs localCheckpoint the rank table every few rounds exactly as
+``connected_components`` does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PR_SCALE = 1_000_000_000  # 1e9 fixed-point rank grid
+_D_NUM, _D_DEN = 17, 20   # damping 0.85 as an exact rational
+
+
+def pagerank(edges: DataFrame, iters: int = 3,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """PageRank (un-normalized r₀=1 convention: ranks sum to ~|V|) on
+    a directed edge list, ``iters`` exact-integer iterations:
+
+        r'(v) = (3·SCALE) div 20  +  (17 · Σ_{u→v} (r(u) div deg(u))) div 20
+
+    Nodes are every id appearing as src or dst; dangling nodes (no
+    out-edges) contribute nothing but still receive the base mass —
+    the standard simplification when ranks are used for *ordering*
+    (mass conservation is not required for that).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct())
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    base = F.lit((3 * PR_SCALE) // _D_DEN).cast("long")
+    ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
+    for _ in range(iters):
+        # every frame here descends from `e`, so joins are self-joins
+        # by lineage — explicit aliases keep the analyzer unambiguous
+        contrib = (ranks.alias("rk")
+                   .join(outdeg.alias("og"),
+                         F.col("rk.node") == F.col("og.src"))
+                   .select(F.col("og.src").alias("u"),
+                           F.expr("r div deg").alias("c")))
+        inflow = (e.alias("ed")
+                  .join(contrib.alias("cb"),
+                        F.col("ed.src") == F.col("cb.u"))
+                  .groupBy(F.col("ed.dst").alias("dst"))
+                  .agg(F.sum("c").alias("s")))
+        ranks = (nodes.alias("nd")
+                 .join(inflow.alias("infl"),
+                       F.col("nd.node") == F.col("infl.dst"), "left")
+                 .select(F.col("nd.node").alias("node"),
+                         (base + F.expr(
+                             f"(coalesce(s, 0L) * {_D_NUM}) div {_D_DEN}"))
+                         .cast("long").alias("r")))
+    return ranks.select(F.col("node"), F.col("r").alias("rank_e9"))
+
+
+def supplier_customer_edges(lineitem: DataFrame,
+                            orders: DataFrame) -> DataFrame:
+    """Bipartite transaction graph: each distinct (supplier, customer)
+    trading pair becomes one edge in each direction, so every node has
+    out-degree ≥ 1 (no dangling leakage). Node ids are role-tagged
+    collision-free at any key scale: customer → 2·key,
+    supplier → 2·key + 1."""
+    pairs = (lineitem.select("l_orderkey", "l_suppkey")
+             .join(orders.select("o_orderkey", "o_custkey"),
+                   lineitem.l_orderkey == orders.o_orderkey)
+             .select((F.col("o_custkey") * 2).alias("cust_node"),
+                     (F.col("l_suppkey") * 2 + 1).alias("supp_node"))
+             .distinct())
+    fwd = pairs.select(F.col("supp_node").alias("src"),
+                       F.col("cust_node").alias("dst"))
+    rev = pairs.select(F.col("cust_node").alias("src"),
+                       F.col("supp_node").alias("dst"))
+    return fwd.union(rev)

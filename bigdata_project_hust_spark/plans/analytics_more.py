@@ -299,6 +299,63 @@ ORACLE_VALUE_HISTOGRAM = f"""
 
 
 # ---------------------------------------------------------------------------
+# PageRank (exact-integer damping), supplier↔customer trade graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+
+
+def q_pagerank_trade_graph(spark, sf_dir):
+    """PageRank over the bipartite supplier↔customer trade graph,
+    3 exact-integer iterations (damping 17/20 on a 1e9 BIGINT grid) —
+    deterministic across engines and partial-agg merge orders."""
+    from ..operators.graph import pagerank, supplier_customer_edges
+    edges = supplier_customer_edges(_t(spark, sf_dir, "lineitem"),
+                                    _t(spark, sf_dir, "orders"))
+    return pagerank(edges, iters=_PR_ITERS)
+
+
+def _pagerank_oracle() -> str:
+    from ..operators.graph import PR_SCALE, _D_DEN, _D_NUM
+    base = (3 * PR_SCALE) // _D_DEN
+    parts = [f"""
+  pairs AS (
+    SELECT DISTINCT o.o_custkey * 2 AS cust_node,
+           l.l_suppkey * 2 + 1 AS supp_node
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  ),
+  e AS (
+    SELECT supp_node AS src, cust_node AS dst FROM pairs
+    UNION ALL
+    SELECT cust_node AS src, supp_node AS dst FROM pairs
+  ),
+  nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+  outdeg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+  r0 AS (SELECT node, {PR_SCALE}::BIGINT AS r FROM nodes)"""]
+    for t in range(_PR_ITERS):
+        parts.append(f"""
+  c{t} AS (
+    SELECT o.src AS u, (r.r // o.deg)::BIGINT AS c
+    FROM r{t} r JOIN outdeg o ON r.node = o.src
+  ),
+  i{t} AS (
+    SELECT e.dst AS dst, sum(c.c)::BIGINT AS s
+    FROM e JOIN c{t} c ON e.src = c.u GROUP BY e.dst
+  ),
+  r{t + 1} AS (
+    SELECT n.node,
+           ({base} + (coalesce(i.s, 0) * {_D_NUM}) // {_D_DEN})::BIGINT
+             AS r
+    FROM nodes n LEFT JOIN i{t} i ON n.node = i.dst
+  )""")
+    ctes = ",".join(parts)
+    return f"""
+  WITH {ctes}
+  SELECT node, r AS rank_e9 FROM r{_PR_ITERS}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Custom Python Data Source scan (Spark 4 connector API)
 # ---------------------------------------------------------------------------
 
@@ -332,20 +389,24 @@ ORACLE_PYDS_SCAN = """
 
 
 QUERIES_ANALYTICS_MORE: dict[str, QuerySpec] = {
+    "pagerank_trade_graph": QuerySpec(
+        q_pagerank_trade_graph, _pagerank_oracle(), headline=True,
+        doc="PageRank on the supplier↔customer trade graph "
+            "(exact 17/20 damping on a 1e9 BIGINT grid)"),
     "pyds_customer_scan": QuerySpec(
         q_pyds_customer_scan, ORACLE_PYDS_SCAN,
         doc="custom Python Data Source connector scan (Spark 4 API, "
             "row-group partitions, Arrow batches)"),
     "span_dedup_stats": QuerySpec(
-        q_span_dedup_stats, ORACLE_SPAN_DEDUP,
+        q_span_dedup_stats, ORACLE_SPAN_DEDUP, headline=True,
         doc="substring-level exact dedup: duplicated n-token spans + "
             "covered-token interval union (Lee et al. 2021)"),
     "bm25_search_topk": QuerySpec(
-        q_bm25_search_topk, _bm25_oracle(),
+        q_bm25_search_topk, _bm25_oracle(), headline=True,
         doc="BM25 top-k retrieval (zero-explode tf, broadcast stats, "
             "fixed-order score chain)"),
     "kmeans_clusters": QuerySpec(
-        q_kmeans_clusters, _kmeans_oracle(),
+        q_kmeans_clusters, _kmeans_oracle(), headline=True,
         doc="Lloyd's k-means on the exact 2^20 integer grid "
             "(broadcast centroids, deterministic seeds)"),
     "scd2_event_type_history": QuerySpec(

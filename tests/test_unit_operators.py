@@ -1032,3 +1032,27 @@ def test_value_histogram_edges_and_overflow(spark):
     assert out[0].n == 2 and out[0].bin_min == 0.0   # [0,5)
     assert out[1].n == 2 and out[1].bin_max == 9.99  # [5,10)
     assert out[2].n == 2           # overflow: 10.0 and 55.5
+
+
+def test_pagerank_matches_integer_reference(spark):
+    from bigdata_project_hust_spark.operators.graph import (
+        PR_SCALE, pagerank)
+    edges = [(1, 2), (3, 2), (2, 1), (2, 3), (4, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_e9 for r in pagerank(df, iters=3).collect()}
+
+    # reference: the same exact-integer recurrence in plain python
+    nodes = {n for e in edges for n in e}
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {n: PR_SCALE for n in nodes}
+    base = (3 * PR_SCALE) // 20
+    for _ in range(3):
+        inflow = {n: 0 for n in nodes}
+        for s, d in edges:
+            inflow[d] += r[s] // outdeg[s]
+        r = {n: base + (inflow[n] * 17) // 20 for n in nodes}
+    assert got == r
+    # hub 2 out-ranks the leaves
+    assert got[2] == max(got.values())
