@@ -270,3 +270,11 @@ class Engine:
         from .operators.graph import pagerank, supplier_customer_edges
         return pagerank(supplier_customer_edges(
             self.table("lineitem"), self.table("orders")), iters=iters)
+
+    def similar_documents(self, min_sim_e6: int = 850_000,
+                          max_df: int | None = None) -> DataFrame:
+        """Sparse TF-IDF cosine pairs over the documents table
+        (inverted-index generation, df-cap scale guard)."""
+        return text.tfidf_sparse_pairs(self.table("documents"),
+                                       min_sim_e6=min_sim_e6,
+                                       max_df=max_df)

@@ -479,3 +479,67 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
     return (out.where(F.col("score_e6") > 0)
                .orderBy(F.desc("score_e6"), F.col(id_col))
                .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine similarity (inverted-index pair generation)
+# ---------------------------------------------------------------------------
+
+def tfidf_sparse_pairs(df: DataFrame, min_sim_e6: int = 700_000,
+                       max_df: int | None = None,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """All-pairs sparse TF-IDF cosine similarity ≥ threshold — the
+    classic inverted-index band of the similarity ladder (dense ANN:
+    operators/similarity.py; set-based: dedup.py n-gram Jaccard).
+
+    Exactness: idf is floor-quantized to e3 BIGINT; per-(doc, term)
+    weight = tf · idf_e3 (exact BIGINT, |w| < 2^21 at idf ≤ ~15e3 and
+    web-scale tf); dots and squared norms are BIGINT sums of products
+    (< 2^45 per term pair, exact far beyond any real corpus), so the
+    only FP ops are one sqrt and one division per surviving pair —
+    identical IEEE ops on identical integers in every engine.
+
+    Scale: the pair space is generated from the inverted index (join
+    on term hash), which is O(Σ_t df_t²) — the same hot-shingle
+    quadratic as n-gram Jaccard, bounded the same way: ``max_df``
+    drops terms more frequent than the cap (stop-term pruning; norms
+    are computed post-cap so cosine stays ≤ 1 and self-consistent).
+    Term join keys are 60-bit hashes (8-byte shuffle keys, not
+    strings).
+    """
+    from ..functions.scalar import stable_hash64
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(text_col)).alias("term"))
+    tf = (toks.select(F.col(id_col),
+                      stable_hash64(F.col("term"), seed=11).alias("t"))
+          .groupBy(id_col, "t").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("df") <= max_df)
+    n = df.agg(F.count("*").alias("n_docs"))
+    idf_e3 = F.floor(
+        F.log(F.col("n_docs").cast("double") / F.col("df"))
+        * F.lit(1000)).cast("long")
+    weighted = (tf.join(dfreq, "t").crossJoin(F.broadcast(n))
+                .select(F.col(id_col), "t",
+                        (F.col("tf") * idf_e3).alias("w")))
+    norms = weighted.groupBy(id_col).agg(
+        F.sum(F.col("w") * F.col("w")).alias("sq"))
+    a = weighted.select(F.col(id_col).alias("doc_a"), "t",
+                        F.col("w").alias("wa"))
+    b = weighted.select(F.col(id_col).alias("doc_b"), "t",
+                        F.col("w").alias("wb"))
+    dots = (a.join(b, "t")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
+    na = norms.select(F.col(id_col).alias("doc_a"), F.col("sq").alias("sa"))
+    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("sq").alias("sb"))
+    sim = F.floor(F.col("dot").cast("double")
+                  / (F.sqrt(F.col("sa").cast("double"))
+                     * F.sqrt(F.col("sb").cast("double")))
+                  * F.lit(1_000_000)).cast("long")
+    return (dots.join(na, "doc_a").join(nb, "doc_b")
+            .select("doc_a", "doc_b", sim.alias("sim_e6"))
+            .where(F.col("sim_e6") >= min_sim_e6))

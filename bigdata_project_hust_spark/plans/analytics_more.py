@@ -299,6 +299,56 @@ ORACLE_VALUE_HISTOGRAM = f"""
 
 
 # ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine pairs
+# ---------------------------------------------------------------------------
+
+_SPARSE_MIN_SIM = 850_000
+
+
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse TF-IDF cosine all-pairs ≥ 0.85 via the inverted index —
+    BIGINT dots/norms, one sqrt+division per surviving pair."""
+    from ..operators.text import tfidf_sparse_pairs
+    return tfidf_sparse_pairs(_t(spark, sf_dir, "documents"),
+                              min_sim_e6=_SPARSE_MIN_SIM)
+
+
+ORACLE_TFIDF_COSINE = rf"""
+  WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              t -> t <> '')) AS term
+    FROM documents
+  ),
+  tf AS (SELECT doc_id, term, count(*) AS tf
+         FROM toks GROUP BY doc_id, term),
+  dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+  n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+  w AS (
+    SELECT doc_id, term,
+           (tf * floor(ln(n_docs::DOUBLE / df) * 1000)::BIGINT) AS w
+    FROM tf JOIN dfq USING (term), n
+  ),
+  norms AS (SELECT doc_id, sum(w * w)::BIGINT AS sq FROM w GROUP BY doc_id),
+  dots AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           sum(a.w * b.w)::BIGINT AS dot
+    FROM w a JOIN w b USING (term)
+    WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+  )
+  SELECT doc_a, doc_b,
+         floor(dot::DOUBLE
+               / (sqrt(na.sq::DOUBLE) * sqrt(nb.sq::DOUBLE))
+               * 1000000)::BIGINT AS sim_e6
+  FROM dots JOIN norms na ON na.doc_id = doc_a
+            JOIN norms nb ON nb.doc_id = doc_b
+  WHERE floor(dot::DOUBLE
+              / (sqrt(na.sq::DOUBLE) * sqrt(nb.sq::DOUBLE))
+              * 1000000) >= {_SPARSE_MIN_SIM}
+"""
+
+
+# ---------------------------------------------------------------------------
 # PageRank (exact-integer damping), supplier↔customer trade graph
 # ---------------------------------------------------------------------------
 
@@ -389,6 +439,10 @@ ORACLE_PYDS_SCAN = """
 
 
 QUERIES_ANALYTICS_MORE: dict[str, QuerySpec] = {
+    "tfidf_cosine_pairs": QuerySpec(
+        q_tfidf_cosine_pairs, ORACLE_TFIDF_COSINE,
+        doc="sparse TF-IDF cosine all-pairs via inverted index "
+            "(BIGINT dots/norms, df-cap scale guard)"),
     "pagerank_trade_graph": QuerySpec(
         q_pagerank_trade_graph, _pagerank_oracle(), headline=True,
         doc="PageRank on the supplier↔customer trade graph "

@@ -696,3 +696,39 @@ def test_rocksdb_state_store_incremental_totals(spark, tmp_path):
             spark.conf.set(provider_key, old)
         else:
             spark.conf.unset(provider_key)
+
+
+def test_full_reference_pipeline_with_custom_source(spark, tmp_path):
+    """The reference's whole pipeline — replay producer (producer.py
+    round-robin) → projection with ingest timestamp (consumer1.py) →
+    insert-if-absent dedup (consumer1.py find_one-then-skip) → keyed
+    upsert store (consumer2.py) → serving read — end to end on the
+    custom Python Data Source stream instead of Kafka."""
+    from pyspark.sql import functions as F
+    from bigdata_project_hust_spark.sources import register_fixture_replay
+    from bigdata_project_hust_spark.streaming.pipeline import dedup_stream
+    from bigdata_project_hust_spark.streaming.sinks import KeyedParquetStore
+
+    register_fixture_replay(spark)
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    raw = (spark.readStream.format("fixture_replay")
+           .option("path", path).option("batch_rows", 2500).load())
+    projected = (raw.select("l_orderkey", "l_extendedprice")
+                 .withColumn("ingest_ts", F.current_timestamp()))
+    deduped = dedup_stream(projected, ["l_orderkey"], "ingest_ts")
+    store = KeyedParquetStore(spark, str(tmp_path / "store"), "l_orderkey")
+    q = (deduped.writeStream
+         .foreachBatch(lambda b, e: store.upsert_replace(b, e))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    served = store.read()
+    n_keys = (spark.read.parquet(path)
+              .select("l_orderkey").distinct().count())
+    assert served.count() == n_keys
+    assert served.select("l_orderkey").distinct().count() == n_keys
+    assert set(served.columns) >= {"l_orderkey", "l_extendedprice",
+                                   "ingest_ts"}

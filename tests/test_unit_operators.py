@@ -1056,3 +1056,21 @@ def test_pagerank_matches_integer_reference(spark):
     assert got == r
     # hub 2 out-ranks the leaves
     assert got[2] == max(got.values())
+
+
+def test_tfidf_sparse_pairs_dfcap_and_identity(spark):
+    from bigdata_project_hust_spark.operators.text import (
+        tfidf_sparse_pairs)
+    # docs 1 and 2 identical → cosine 1.0; "common" appears everywhere
+    df = spark.createDataFrame(
+        [(1, "alpha beta common"), (2, "alpha beta common"),
+         (3, "gamma delta common"), (4, "zzz common")],
+        "doc_id long, text string")
+    out = {(r.doc_a, r.doc_b): r.sim_e6
+           for r in tfidf_sparse_pairs(df, min_sim_e6=0).collect()}
+    # identical docs: sim_e6 == floor(1.0 * 1e6) (common has idf 0,
+    # so only alpha/beta carry weight)
+    assert out[(1, 2)] == 1_000_000
+    # df-cap at 1 drops every term shared by ≥2 docs → no pairs at all
+    capped = tfidf_sparse_pairs(df, min_sim_e6=0, max_df=1).collect()
+    assert capped == []
