@@ -278,3 +278,7 @@ class Engine:
         return text.tfidf_sparse_pairs(self.table("documents"),
                                        min_sim_e6=min_sim_e6,
                                        max_df=max_df)
+
+    def entropy(self) -> DataFrame:
+        """Per-document token-distribution Shannon entropy (bits e6)."""
+        return text.token_entropy(self.table("documents"))

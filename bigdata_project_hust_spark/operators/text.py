@@ -543,3 +543,50 @@ def tfidf_sparse_pairs(df: DataFrame, min_sim_e6: int = 700_000,
     return (dots.join(na, "doc_a").join(nb, "doc_b")
             .select("doc_a", "doc_b", sim.alias("sim_e6"))
             .where(F.col("sim_e6") >= min_sim_e6))
+
+
+def token_entropy(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Shannon entropy of each document's token distribution (bits,
+    floor-scaled e6) — the information-density quality signal (low
+    entropy ⇒ repetitive/templated text; pairs with the Gopher
+    repetition filters).
+
+    Zero-shuffle: term counts come from array ops on the sorted token
+    array (run-length via sorted positions), not a (doc, term)
+    explode+agg. The entropy sum folds over DISTINCT TERMS IN SORTED
+    ORDER via ``F.aggregate`` — a sequential fold, so the double
+    accumulation order is fixed and engine-independent (an agg-based
+    Σ p·log p would be partial-merge-order dependent and
+    nondeterministic under repartitioning).
+    """
+    bound = df.select(F.col(id_col), F.array_sort(tokens(text_col))
+                      .alias("__s"))
+    s, n = F.col("__s"), F.size("__s")
+    # counts per distinct token: distance between successive first-
+    # occurrence positions in the sorted array
+    # F.get is 0-based and NULL (not an ANSI error) out of bounds, so
+    # the i=1 position compares against NULL and the null-safe <=>
+    # marks it a first occurrence. NB sequence(1, 0) DESCENDS, so the
+    # empty-doc case must short-circuit before element_at ever runs.
+    firsts = F.when(n > 0, F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: ~F.element_at(s, i).eqNullSafe(F.get(s, i - 2)))
+    ).otherwise(F.array().cast("array<int>"))
+    counts = F.when(n > 0, F.zip_with(
+        firsts,
+        F.concat(F.slice(firsts, 2, F.greatest(F.size(firsts) - 1,
+                                               F.lit(0))),
+                 F.array(n + 1)),
+        lambda a, b: b - a)).otherwise(F.array().cast("array<int>"))
+    nd = n.cast("double")
+    ent = F.aggregate(
+        counts, F.lit(0.0),
+        lambda acc, c: acc - (c.cast("double") / nd)
+        * F.log2(c.cast("double") / nd))
+    out = F.when(n > 0, F.floor(ent * F.lit(1_000_000))).otherwise(
+        F.lit(0)).cast("long")
+    return bound.select(
+        F.col(id_col), n.cast("long").alias("n_tokens"),
+        F.size(firsts).cast("long").alias("n_distinct"),
+        out.alias("entropy_e6"))

@@ -299,6 +299,48 @@ ORACLE_VALUE_HISTOGRAM = f"""
 
 
 # ---------------------------------------------------------------------------
+# Token entropy (information-density quality signal)
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_entropy(spark, sf_dir):
+    """Shannon entropy of each doc's token distribution — zero-shuffle
+    array math; the Σ p·log2 p folds over sorted distinct terms
+    SEQUENTIALLY, so the double accumulation order is fixed and the
+    oracle (list_reduce over the same sorted order) matches bit-exact."""
+    from ..operators.text import token_entropy
+    return token_entropy(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_TOKEN_ENTROPY = r"""
+  WITH words AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+  ),
+  tc AS (
+    SELECT doc_id, term, count(*)::BIGINT AS c
+    FROM (SELECT doc_id, unnest(w) AS term FROM words)
+    GROUP BY doc_id, term
+  ),
+  lists AS (
+    SELECT doc_id, list(c ORDER BY term) AS cs FROM tc GROUP BY doc_id
+  )
+  SELECT w.doc_id,
+         len(w.w)::BIGINT AS n_tokens,
+         coalesce(len(l.cs), 0)::BIGINT AS n_distinct,
+         (CASE WHEN len(w.w) > 0 THEN
+            floor(list_reduce(
+              list_transform(l.cs, c ->
+                -((c::DOUBLE / len(w.w)) * log2(c::DOUBLE / len(w.w)))),
+              (a, b) -> a + b) * 1000000)
+          ELSE 0 END)::BIGINT AS entropy_e6
+  FROM words w LEFT JOIN lists l ON w.doc_id = l.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sparse TF-IDF cosine pairs
 # ---------------------------------------------------------------------------
 
@@ -439,6 +481,10 @@ ORACLE_PYDS_SCAN = """
 
 
 QUERIES_ANALYTICS_MORE: dict[str, QuerySpec] = {
+    "text_token_entropy": QuerySpec(
+        q_text_token_entropy, ORACLE_TOKEN_ENTROPY,
+        doc="token-distribution Shannon entropy (zero-shuffle, "
+            "sequential sorted fold — deterministic doubles)"),
     "tfidf_cosine_pairs": QuerySpec(
         q_tfidf_cosine_pairs, ORACLE_TFIDF_COSINE,
         doc="sparse TF-IDF cosine all-pairs via inverted index "

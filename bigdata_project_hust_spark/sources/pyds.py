@@ -102,8 +102,20 @@ class FixtureReplayStreamReader(DataSourceStreamReader):
                 self._hwm = min(self._hwm, self.total)
         return {"pos": self._hwm}
 
+    def _observe(self, pos: int) -> None:
+        # Restart safety: a fresh reader instance starts at _hwm=0,
+        # but the checkpoint may already be far ahead. Every offset
+        # Spark hands back (WAL replay via partitions(), resume-time
+        # commit()) ratchets the high-water mark so latestOffset can
+        # never go backwards — an offset below the committed one
+        # would make the engine plan empty batches and then re-emit
+        # old rows (duplicates) as the mark re-climbed.
+        if pos > self._hwm:
+            self._hwm = pos
+
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         lo, hi = start["pos"], end["pos"]
+        self._observe(hi)
         if hi <= lo:
             return []
         step = max(1, self.batch_rows)
@@ -122,8 +134,8 @@ class FixtureReplayStreamReader(DataSourceStreamReader):
                 yield batch
             lo += take
 
-    def commit(self, end: dict) -> None:  # offsets are derivable; no-op
-        pass
+    def commit(self, end: dict) -> None:
+        self._observe(end["pos"])  # see _observe: restart ratchet
 
 
 class FixtureReplaySource(DataSource):

@@ -171,3 +171,46 @@ def test_pyds_stream_loop_wraps_round_robin(spark, tmp_path):
         assert len(rows) == 5 and all(r.c >= 2 for r in rows)
     finally:
         q.stop()
+
+
+def test_pyds_stream_restart_exactly_once(spark, tmp_path):
+    """Kill the replay stream mid-pass, restart from the same
+    checkpoint: every row must arrive exactly once (the reader's
+    high-water mark must ratchet forward from checkpointed offsets,
+    never backwards — a regressing latestOffset re-emits old rows)."""
+    from bigdata_project_hust_spark.sources import register_fixture_replay
+    register_fixture_replay(spark)
+    path = "/root/testdata/sf0.001/customer.parquet"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        st = (spark.readStream.format("fixture_replay")
+              .option("path", path).option("batch_rows", 30).load())
+        return (st.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt).start())
+
+    import time
+    q = start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out_dir).count() >= 30:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.3)
+    finally:
+        q.stop()  # mid-pass kill
+    n_partial = spark.read.parquet(out_dir).count()
+    assert 30 <= n_partial < 150
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 150, "rows lost or duplicated across restart"
+    assert got.select("c_custkey").distinct().count() == 150

@@ -1074,3 +1074,16 @@ def test_tfidf_sparse_pairs_dfcap_and_identity(spark):
     # df-cap at 1 drops every term shared by ≥2 docs → no pairs at all
     capped = tfidf_sparse_pairs(df, min_sim_e6=0, max_df=1).collect()
     assert capped == []
+
+
+def test_token_entropy_known_values(spark):
+    from bigdata_project_hust_spark.operators.text import token_entropy
+    df = spark.createDataFrame(
+        [(1, "a a b b"), (2, "x x x x"), (3, ""), (4, "q w e r")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in token_entropy(df).collect()}
+    assert out[1].entropy_e6 == 1_000_000       # two 50/50 terms: 1 bit
+    assert out[2].entropy_e6 == 0               # single term: 0 bits
+    assert out[3] .n_tokens == 0 and out[3].entropy_e6 == 0
+    assert out[4].entropy_e6 == 2_000_000       # uniform 4: 2 bits
+    assert out[4].n_distinct == 4
