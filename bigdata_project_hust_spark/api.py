@@ -282,3 +282,9 @@ class Engine:
     def entropy(self) -> DataFrame:
         """Per-document token-distribution Shannon entropy (bits e6)."""
         return text.token_entropy(self.table("documents"))
+
+    def part_triangles(self) -> DataFrame:
+        """Per-part triangle counts on the co-purchase graph
+        (degree-ordered node-iterator)."""
+        from .operators.graph import copurchase_edges, triangle_count
+        return triangle_count(copurchase_edges(self.table("lineitem")))

@@ -99,3 +99,59 @@ def supplier_customer_edges(lineitem: DataFrame,
     rev = pairs.select(F.col("cust_node").alias("src"),
                        F.col("supp_node").alias("dst"))
     return fwd.union(rev)
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected co-purchase graph: parts appearing in the same order
+    are connected (distinct pairs, low id < high id)."""
+    a = lineitem.select(F.col("l_orderkey").alias("ok"),
+                        F.col("l_partkey").alias("pa"))
+    b = lineitem.select(F.col("l_orderkey").alias("ok"),
+                        F.col("l_partkey").alias("pb"))
+    return (a.join(b, "ok")
+            .where(F.col("pa") < F.col("pb"))
+            .select("pa", "pb")
+            .distinct())
+
+
+def triangle_count(edges: DataFrame, a: str = "pa",
+                   b: str = "pb") -> DataFrame:
+    """Exact triangle count per node (and the graph total is
+    sum/3 · 3 = sum over nodes / 3): the DEGREE-ORDERED node-iterator
+    algorithm — edges are oriented from the lower-(degree, id) endpoint
+    to the higher, so every wedge is generated exactly once at its
+    lowest-ranked vertex and the join fan-out per node is bounded by
+    O(d_max-oriented) = O(√|E|) instead of d_max (the difference
+    between hours and minutes on power-law graphs — the naive
+    wedge-join explodes at the hub vertices).
+
+    Output: node, n_triangles (BIGINT, exact — nodes in no triangle
+    omitted). Shuffles: degree agg, two wedge/closure joins keyed on
+    node ids.
+    """
+    e = edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    deg = (e.select(F.col("x").alias("n"))
+           .unionAll(e.select(F.col("y").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("d")))
+    dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
+    ranked = e.join(dx, "x").join(dy, "y")
+    lower_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    oriented = ranked.select(
+        F.when(lower_first, F.col("x")).otherwise(F.col("y")).alias("lo"),
+        F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("hi"))
+    w1 = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("u"))
+    w2 = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("v"))
+    wedges = (w1.join(w2, "c").where(F.col("u") < F.col("v")))
+    # closure: the (u, v) leg must be an edge in EITHER orientation —
+    # normalize oriented edges back to (min, max) for the probe
+    undirected = oriented.select(
+        F.least("lo", "hi").alias("u"), F.greatest("lo", "hi").alias("v"))
+    tris = wedges.join(undirected, ["u", "v"])
+    per_node = (tris.select(F.col("c").alias("node"))
+                .unionAll(tris.select(F.col("u").alias("node")))
+                .unionAll(tris.select(F.col("v").alias("node")))
+                .groupBy("node").agg(F.count("*").alias("n_triangles")))
+    return per_node.select("node",
+                           F.col("n_triangles").cast("long"))

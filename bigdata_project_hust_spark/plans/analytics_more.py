@@ -448,6 +448,50 @@ def _pagerank_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered node-iterator)
+# ---------------------------------------------------------------------------
+
+
+def q_triangle_count_copurchase(spark, sf_dir):
+    """Per-node exact triangle counts on the part co-purchase graph
+    (parts sharing an order) — degree-ordered orientation bounds the
+    wedge fan-out at O(√|E|) per vertex."""
+    from ..operators.graph import copurchase_edges, triangle_count
+    return triangle_count(copurchase_edges(_t(spark, sf_dir, "lineitem")))
+
+
+ORACLE_TRIANGLES = """
+  WITH e0 AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  ),
+  deg AS (
+    SELECT n, count(*)::BIGINT AS d FROM (
+      SELECT pa AS n FROM e0 UNION ALL SELECT pb FROM e0)
+    GROUP BY n
+  ),
+  o AS (
+    SELECT CASE WHEN (dx.d < dy.d) OR (dx.d = dy.d AND pa < pb)
+                THEN pa ELSE pb END AS lo,
+           CASE WHEN (dx.d < dy.d) OR (dx.d = dy.d AND pa < pb)
+                THEN pb ELSE pa END AS hi
+    FROM e0 JOIN deg dx ON dx.n = pa JOIN deg dy ON dy.n = pb
+  ),
+  w AS (
+    SELECT w1.lo AS c, w1.hi AS u, w2.hi AS v
+    FROM o w1 JOIN o w2 ON w1.lo = w2.lo AND w1.hi < w2.hi
+  ),
+  t AS (SELECT c, u, v FROM w JOIN e0 ON e0.pa = u AND e0.pb = v)
+  SELECT node, count(*)::BIGINT AS n_triangles FROM (
+    SELECT c AS node FROM t
+    UNION ALL SELECT u FROM t
+    UNION ALL SELECT v FROM t)
+  GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
 # Custom Python Data Source scan (Spark 4 connector API)
 # ---------------------------------------------------------------------------
 
@@ -489,6 +533,10 @@ QUERIES_ANALYTICS_MORE: dict[str, QuerySpec] = {
         q_tfidf_cosine_pairs, ORACLE_TFIDF_COSINE,
         doc="sparse TF-IDF cosine all-pairs via inverted index "
             "(BIGINT dots/norms, df-cap scale guard)"),
+    "triangle_count_copurchase": QuerySpec(
+        q_triangle_count_copurchase, ORACLE_TRIANGLES,
+        doc="per-node triangle counts, degree-ordered orientation "
+            "(bounded wedge fan-out)"),
     "pagerank_trade_graph": QuerySpec(
         q_pagerank_trade_graph, _pagerank_oracle(), headline=True,
         doc="PageRank on the supplier↔customer trade graph "

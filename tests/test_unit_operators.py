@@ -1087,3 +1087,14 @@ def test_token_entropy_known_values(spark):
     assert out[3] .n_tokens == 0 and out[3].entropy_e6 == 0
     assert out[4].entropy_e6 == 2_000_000       # uniform 4: 2 bits
     assert out[4].n_distinct == 4
+
+
+def test_triangle_count_k4_and_square(spark):
+    from bigdata_project_hust_spark.operators.graph import triangle_count
+    # K4 on 1..4 (every node in 3 triangles) + a disjoint 4-cycle on
+    # 10..13 (zero triangles → absent from output)
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    square = [(10, 11), (11, 12), (12, 13), (10, 13)]
+    df = spark.createDataFrame(k4 + square, "pa long, pb long")
+    out = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
