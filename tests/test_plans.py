@@ -223,3 +223,57 @@ def test_q2_min_window_is_per_part_not_global(spark):
     df = QUERIES["tpch_q2_shape"].fn(spark, SF_SMOKE)
     plan = plan_of(df)
     assert "windowspecdefinition(ps_partkey" in plan, plan
+
+
+def test_bm25_no_explode_single_stats_broadcast(spark):
+    """BM25's tf must be map-side array math (no Generate/explode) and
+    the corpus stats must come back as a broadcast, ending in
+    TakeOrderedAndProject — the whole query is scan + one 1-row agg."""
+    df = QUERIES["bm25_search_topk"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert n_nodes(plan, "Generate") == 0, plan
+    assert "BroadcastNestedLoopJoin" in plan or \
+        "BroadcastExchange" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_span_dedup_doc_exchange_serves_window_and_rollup(spark):
+    """The sweep window (doc_id) and the final rollup (doc_id) must
+    share ONE hash exchange; the span-frequency side rides the span_h
+    exchange. More than 3 exchanges means a partitioning was wasted."""
+    df = QUERIES["span_dedup_stats"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert n_nodes(plan, "Exchange") <= 3, plan
+
+
+def test_kmeans_centroids_broadcast_every_iteration(spark):
+    """Every assignment step joins the k-row centroid table — all of
+    them must be broadcast (a sort-merge join against 8 rows would
+    shuffle the full vector table per iteration)."""
+    df = QUERIES["kmeans_clusters"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan, plan
+    # iters=2 → 3 assignment joins, all broadcast
+    assert n_nodes(plan, "BroadcastHashJoin") \
+        + n_nodes(plan, "BroadcastNestedLoopJoin") >= 3, plan
+
+
+def test_pagerank_reuses_invariant_exchanges(spark):
+    """The loop-invariant edge/degree subplans must dedup via
+    ReusedExchange instead of re-shuffling per iteration. Reuse is an
+    AQE runtime decision, so the gate inspects the FINAL adaptive plan
+    (after execution), not the static one."""
+    df = QUERIES["pagerank_trade_graph"].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan, plan
+    assert plan.count("ReusedExchange") >= 2, plan
+
+
+def test_pyds_scan_plans_batch_source(spark):
+    """The custom connector must appear as a v2 BatchScan feeding a
+    partial/final agg pair — not a collect-and-parallelize."""
+    df = QUERIES["pyds_customer_scan"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BatchScan" in plan, plan
+    assert n_nodes(plan, "HashAggregate") == 2, plan
