@@ -214,17 +214,19 @@ IMAGE_FEATURE_DIM = 8
 
 
 def decode_image_raster(payload: bytes) -> dict:
-    """REAL image codec for the two raster formats decodable with what
-    this environment ships (stdlib + numpy): binary PPM (P6) and
-    uncompressed 24-bit BMP. Returns container metadata plus an 8-dim
-    feature vector over [0,1]-normalized pixels:
+    """REAL image codec for the raster formats decodable with what
+    this environment ships (stdlib + numpy): binary PPM (P6),
+    uncompressed 24-bit BMP, and non-interlaced 8-bit RGB/RGBA PNG
+    (stdlib zlib inflate + full §9 scanline unfilter — None/Sub/Up/
+    Average/Paeth). Returns container metadata plus an 8-dim feature
+    vector over [0,1]-normalized pixels:
     [mean R, mean G, mean B, std gray, min gray, max gray,
     mean |horizontal gradient|, mean |vertical gradient|].
 
     Raises ``ValueError`` on anything else — callers
     (``extract_image_features``) catch per-asset, so one corrupt file
-    never fails a 100 TB job. PNG/JPEG stay behind the ``decode_image``
-    stub until a compression codec library exists here."""
+    never fails a 100 TB job. JPEG (DCT) stays behind the
+    ``decode_image`` stub until a codec library exists here."""
     import numpy as np
 
     if payload[:2] == b"P6":
@@ -276,8 +278,73 @@ def decode_image_raster(payload: bytes) -> dict:
         px = rows[:, :w * 3].reshape(h, w, 3)[..., ::-1]  # BGR → RGB
         if flip:
             px = px[::-1]               # bottom-up storage
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+        import struct
+        import zlib
+        pos, w, h, bd, ct, idat = 8, None, None, None, None, b""
+        while pos + 8 <= len(payload):
+            ln, typ = struct.unpack_from(">I4s", payload, pos)
+            data = payload[pos + 8:pos + 8 + ln]
+            pos += 12 + ln  # chunk header + data + CRC
+            if typ == b"IHDR":
+                w, h, bd, ct, _comp, _filt, interlace = \
+                    struct.unpack(">IIBBBBB", data)
+                if bd != 8 or ct not in (2, 6) or interlace != 0:
+                    raise ValueError(
+                        f"unsupported PNG (depth={bd}, color={ct}, "
+                        f"interlace={interlace})")
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+        if w is None or not idat:
+            raise ValueError("truncated PNG")
+        nch = 3 if ct == 2 else 4
+        raw = zlib.decompress(idat)
+        stride = w * nch
+        if len(raw) != (stride + 1) * h:
+            raise ValueError("truncated PNG pixel data")
+        # per-scanline unfilter (PNG §9): None/Sub/Up/Average/Paeth.
+        # Sub/Average/Paeth recursions are inherently sequential along
+        # the row, so this is a python loop — acceptable because it
+        # runs INSIDE the Arrow-batched UDF on the executors (per-asset
+        # work, embarrassingly parallel across the corpus).
+        out = []
+        prev = bytearray(stride)
+        for y in range(h):
+            base = y * (stride + 1)
+            ftype = raw[base]
+            cur = bytearray(raw[base + 1:base + 1 + stride])
+            if ftype == 0:
+                pass
+            elif ftype == 1:    # Sub
+                for i in range(nch, stride):
+                    cur[i] = (cur[i] + cur[i - nch]) & 255
+            elif ftype == 2:    # Up
+                for i in range(stride):
+                    cur[i] = (cur[i] + prev[i]) & 255
+            elif ftype == 3:    # Average
+                for i in range(stride):
+                    a = cur[i - nch] if i >= nch else 0
+                    cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 255
+            elif ftype == 4:    # Paeth
+                for i in range(stride):
+                    a = cur[i - nch] if i >= nch else 0
+                    b = prev[i]
+                    c = prev[i - nch] if i >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                    cur[i] = (cur[i] + pr) & 255
+            else:
+                raise ValueError(f"bad PNG filter {ftype}")
+            out.append(cur)
+            prev = cur
+        px = np.frombuffer(b"".join(out), dtype=np.uint8) \
+               .reshape(h, w, nch)[..., :3]  # drop alpha for features
     else:
-        raise ValueError("not a PPM/BMP payload")
+        raise ValueError("not a PPM/BMP/PNG payload")
 
     x = px.astype(np.float64) / 255.0
     gray = x.mean(axis=2)

@@ -1098,3 +1098,85 @@ def test_triangle_count_k4_and_square(spark):
     df = spark.createDataFrame(k4 + square, "pa long, pb long")
     out = {r.node: r.n_triangles for r in triangle_count(df).collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def _png_encode(px, filters, alpha=False):
+    """Minimal PNG encoder for tests: per-row FORWARD filtering with a
+    chosen filter type per scanline (exercises every decoder branch)."""
+    import struct
+    import zlib
+    h = len(px)
+    w = len(px[0])
+    nch = 4 if alpha else 3
+    ct = 6 if alpha else 2
+
+    def chunk(typ, data):
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    stride = w * nch
+    prev = [0] * stride
+    raw = b""
+    for y in range(h):
+        cur = [v for pxl in px[y] for v in pxl]
+        f = filters[y % len(filters)]
+        line = []
+        for i in range(stride):
+            a = cur[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if f == 0:
+                line.append(cur[i])
+            elif f == 1:
+                line.append((cur[i] - a) & 255)
+            elif f == 2:
+                line.append((cur[i] - b) & 255)
+            elif f == 3:
+                line.append((cur[i] - ((a + b) >> 1)) & 255)
+            else:
+                line.append((cur[i] - paeth(a, b, c)) & 255)
+        raw += bytes([f]) + bytes(line)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decode_all_filter_types():
+    from bigdata_project_hust_spark.operators.multimodal import (
+        decode_image_raster)
+    import random
+    rng = random.Random(7)
+    px = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+           for _ in range(6)] for _ in range(5)]
+    # one row per filter type 0..4
+    payload = _png_encode(px, filters=[0, 1, 2, 3, 4])
+    m = decode_image_raster(payload)
+    assert (m["width"], m["height"], m["n_channels"]) == (6, 5, 3)
+    got = [[tuple(int(v) for v in m["pixels"][y, x]) for x in range(6)]
+           for y in range(5)]
+    assert got == px
+
+
+def test_png_decode_rgba_drops_alpha_and_corrupt_isolated(spark):
+    from bigdata_project_hust_spark.operators.multimodal import (
+        decode_image_raster, extract_image_features)
+    px = [[(10, 20, 30, 255), (40, 50, 60, 128)],
+          [(70, 80, 90, 0), (1, 2, 3, 9)]]
+    payload = _png_encode(px, filters=[4], alpha=True)
+    m = decode_image_raster(payload)
+    assert m["n_channels"] == 3
+    assert tuple(int(v) for v in m["pixels"][0, 1]) == (40, 50, 60)
+    # through the Arrow UDF path, with a corrupt sibling asset
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"\x89PNGxxxx"))],
+        "asset_id long, payload binary")
+    out = {r.asset_id: r for r in extract_image_features(df).collect()}
+    assert out[1].ok and out[1].width == 2
+    assert not out[2].ok
