@@ -107,9 +107,14 @@ def value_histogram(df: DataFrame, col: str, lo: float, hi: float,
     built-ins, whose edge conventions differ between engines."""
     w = (hi - lo) / nbins
     x = F.col(col)
+    # least(..., nbins-1): when w rounds DOWN in FP, a value just
+    # under hi can compute floor((x-lo)/w) == nbins even though the
+    # x >= hi guard rejected it — clamp so the overflow bin holds
+    # exactly the documented x >= hi set (oracle mirrors the clamp)
     bin_ = (F.when(x < lo, F.lit(-1))
              .when(x >= hi, F.lit(nbins))
-             .otherwise(F.floor((x - F.lit(lo)) / F.lit(w))))
+             .otherwise(F.least(F.floor((x - F.lit(lo)) / F.lit(w)),
+                                F.lit(nbins - 1))))
     return (df.select(bin_.cast("long").alias("bin"), x.alias("__v"))
               .groupBy("bin")
               .agg(F.count("*").alias("n"),

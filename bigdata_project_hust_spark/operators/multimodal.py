@@ -287,8 +287,10 @@ def decode_image_raster(payload: bytes) -> dict:
             data = payload[pos + 8:pos + 8 + ln]
             pos += 12 + ln  # chunk header + data + CRC
             if typ == b"IHDR":
+                if len(data) < 13:
+                    raise ValueError("truncated PNG IHDR")
                 w, h, bd, ct, _comp, _filt, interlace = \
-                    struct.unpack(">IIBBBBB", data)
+                    struct.unpack(">IIBBBBB", data[:13])
                 if bd != 8 or ct not in (2, 6) or interlace != 0:
                     raise ValueError(
                         f"unsupported PNG (depth={bd}, color={ct}, "
@@ -300,7 +302,10 @@ def decode_image_raster(payload: bytes) -> dict:
         if w is None or not idat:
             raise ValueError("truncated PNG")
         nch = 3 if ct == 2 else 4
-        raw = zlib.decompress(idat)
+        try:
+            raw = zlib.decompress(idat)
+        except zlib.error as ex:  # keep the ValueError-only contract
+            raise ValueError(f"corrupt PNG deflate stream: {ex}") from ex
         stride = w * nch
         if len(raw) != (stride + 1) * h:
             raise ValueError("truncated PNG pixel data")

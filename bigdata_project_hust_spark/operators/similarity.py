@@ -319,7 +319,10 @@ def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
     in ``dedup.connected_components``.
     """
     vq = quantized_vectors(df, id_col, vec_col)
-    cent = (vq.where(F.col(id_col) < k)
+    # seeds: the k LOWEST ids (not `id < k`, which silently yields
+    # fewer — or zero — centroids when ids are 1-based/offset/hashed);
+    # cluster_id stays the seed's own id
+    cent = (vq.orderBy(id_col).limit(k)
               .select(F.col(id_col).cast("long").alias("cluster_id"),
                       F.col("vq").alias("cq")))
 

@@ -213,7 +213,7 @@ def _kmeans_oracle() -> str:
   ),
   c0 AS (
     SELECT vec_id::BIGINT AS cluster_id, vq AS cq
-    FROM vq WHERE vec_id < {_KM_K}
+    FROM vq ORDER BY vec_id LIMIT {_KM_K}
   )""", assign("a0", "c0")]
     for t in range(1, _KM_ITERS + 1):
         parts.append(update(f"c{t}", f"a{t - 1}"))
@@ -286,8 +286,9 @@ ORACLE_VALUE_HISTOGRAM = f"""
   WITH b AS (
     SELECT CASE WHEN value < {_H_LO!r} THEN -1
                 WHEN value >= {_H_HI!r} THEN {_H_BINS}
-                ELSE floor((value - {_H_LO!r})
-                           / {(_H_HI - _H_LO) / _H_BINS!r})
+                ELSE least(floor((value - {_H_LO!r})
+                                 / {(_H_HI - _H_LO) / _H_BINS!r}),
+                           {_H_BINS - 1})
            END::BIGINT AS bin,
            value
     FROM events

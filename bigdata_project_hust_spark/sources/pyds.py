@@ -123,15 +123,32 @@ class FixtureReplayStreamReader(DataSourceStreamReader):
                 for p in range(lo, hi, step)]
 
     def read(self, partition: _RangePartition) -> Iterator:
+        # Row-group-targeted range read: only the groups overlapping
+        # [base, base+take) are decoded — a whole-file read here would
+        # cost O(N²/B) over a full pass (every micro-batch re-reading
+        # all N rows to emit B).
         import pyarrow.parquet as pq
-        table = pq.read_table(partition.path)
-        n = table.num_rows
+        f = pq.ParquetFile(partition.path)
+        n = f.metadata.num_rows
+        if n == 0:
+            return  # empty fixture: nothing to replay, even looped
         lo, hi = partition.start, partition.end
         while lo < hi:
-            base = lo % n if n else 0
+            base = lo % n
             take = min(hi - lo, n - base)
-            for batch in table.slice(base, take).to_batches():
-                yield batch
+            cum = 0
+            for g in range(f.metadata.num_row_groups):
+                nr = f.metadata.row_group(g).num_rows
+                g_lo = max(base, cum)
+                g_hi = min(base + take, cum + nr)
+                if g_lo < g_hi:
+                    tbl = f.read_row_group(g)
+                    for batch in tbl.slice(g_lo - cum,
+                                           g_hi - g_lo).to_batches():
+                        yield batch
+                cum += nr
+                if cum >= base + take:
+                    break
             lo += take
 
     def commit(self, end: dict) -> None:

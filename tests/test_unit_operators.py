@@ -1180,3 +1180,101 @@ def test_png_decode_rgba_drops_alpha_and_corrupt_isolated(spark):
     out = {r.asset_id: r for r in extract_image_features(df).collect()}
     assert out[1].ok and out[1].width == 2
     assert not out[2].ok
+
+
+# ---------------------------------------------------------------------------
+# Review-pass regression guards (round 3b)
+# ---------------------------------------------------------------------------
+
+def test_png_corrupt_deflate_raises_valueerror():
+    """Error contract: every undecodable payload surfaces as
+    ValueError (zlib.error must not escape the codec)."""
+    import pytest
+    import struct
+    import zlib
+    from bigdata_project_hust_spark.operators.multimodal import (
+        decode_image_raster)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", b"this is not deflate")
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_image_raster(bad)
+    with pytest.raises(ValueError):  # truncated IHDR
+        decode_image_raster(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", b"\x00"))
+
+
+def test_kmeans_seeds_are_lowest_ids_not_id_lt_k(spark):
+    """Offset (non-0-based) ids must still produce k seed centroids —
+    `id < k` seeding would silently yield an empty result."""
+    from bigdata_project_hust_spark.operators.similarity import (
+        kmeans_assign)
+    # the two lowest ids carry DISTINCT vectors (identical seeds would
+    # legitimately collapse to one cluster)
+    rows = [(1000, [0.1, 0.1]), (1001, [0.9, 0.9])] + \
+           [(1002 + i, [0.1, 0.1]) for i in range(3)] + \
+           [(2000 + i, [0.9, 0.9]) for i in range(3)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    out = kmeans_assign(df, k=2, iters=1).collect()
+    assert len(out) == 8
+    clusters = {r.vec_id: r.cluster_id for r in out}
+    low = {1000, 1002, 1003, 1004}
+    high = {1001, 2000, 2001, 2002}
+    assert len({clusters[i] for i in low}) == 1
+    assert len({clusters[i] for i in high}) == 1
+    assert clusters[1000] != clusters[1001]
+
+
+def test_value_histogram_fp_edge_clamps_to_last_bin(spark):
+    """w=(hi-lo)/nbins can round down so floor((x-lo)/w)==nbins for an
+    x strictly below hi — the clamp keeps the overflow bin exactly the
+    documented x >= hi set."""
+    from bigdata_project_hust_spark.operators.aggregations import (
+        value_histogram)
+    x = 0.09999999999999999  # < 0.1, but floor(x / (0.1/3)) == 3
+    df = spark.createDataFrame([(x,), (0.1,)], "v double")
+    out = {r.bin: r.n for r in
+           value_histogram(df, "v", 0.0, 0.1, 3).collect()}
+    assert out == {2: 1, 3: 1}
+
+
+def test_pyds_stream_read_empty_fixture_terminates(spark, tmp_path):
+    """A zero-row fixture with loop=true must not hang the range
+    reader (modulo arithmetic on n=0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from bigdata_project_hust_spark.sources.pyds import (
+        FixtureReplayStreamReader, _RangePartition)
+    p = str(tmp_path / "empty.parquet")
+    pq.write_table(pa.table({"a": pa.array([], type=pa.int64())}), p)
+    r = FixtureReplayStreamReader(p, batch_rows=10, loop=True)
+    got = list(r.read(_RangePartition(p, 0, 10)))
+    assert got == []
+
+
+def test_pyds_stream_read_is_row_group_targeted(tmp_path):
+    """The range reader must decode only row groups overlapping the
+    requested range, and return exactly those rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from bigdata_project_hust_spark.sources.pyds import (
+        FixtureReplayStreamReader, _RangePartition)
+    p = str(tmp_path / "rg.parquet")
+    pq.write_table(pa.table({"a": pa.array(range(100))}), p,
+                   row_group_size=10)
+    r = FixtureReplayStreamReader(p, batch_rows=7, loop=False)
+    vals = [v for b in r.read(_RangePartition(p, 23, 41))
+            for v in b.column(0).to_pylist()]
+    assert vals == list(range(23, 41))
+    # loop wrap: range past EOF comes back around
+    r2 = FixtureReplayStreamReader(p, batch_rows=7, loop=True)
+    vals2 = [v for b in r2.read(_RangePartition(p, 95, 105))
+             for v in b.column(0).to_pylist()]
+    assert vals2 == list(range(95, 100)) + list(range(0, 5))
