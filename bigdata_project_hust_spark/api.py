@@ -288,3 +288,8 @@ class Engine:
         (degree-ordered node-iterator)."""
         from .operators.graph import copurchase_edges, triangle_count
         return triangle_count(copurchase_edges(self.table("lineitem")))
+
+    def label_purity(self, k: int = 5) -> DataFrame:
+        """kNN majority-vote label eval over the embedding table —
+        neighbor label purity as an embedding-quality signal."""
+        return similarity.knn_label_vote(self.table("embeddings"), k=k)

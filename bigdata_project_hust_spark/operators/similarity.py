@@ -355,3 +355,46 @@ def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
     return (a.select(F.col(id_col), F.col("cluster_id"),
                      F.col("dist").alias("dist_q"))
              .orderBy(id_col))
+
+
+def knn_label_vote(df: DataFrame, k: int = 5, n_planes: int = 8,
+                   dim: int = 64, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """kNN classification by majority vote over the LSH kNN self-join:
+    each vector's predicted label is the most frequent label among its
+    top-k bucket neighbors (tie → smallest label — deterministic), with
+    the true label and a correctness flag for in-plan eval.
+
+    Composition, not new machinery: the candidate structure is
+    ``lsh_knn_join`` (Σ bucket² work bound); on top sit one broadcast
+    label join (the label table is id+label — tiny next to vectors),
+    one (vec, label) count agg, and one rank window. This is the
+    standard distributed eval for embedding quality ("does neighbor
+    label purity hold?") run before training on a curated corpus.
+    """
+    from pyspark.sql import Window
+    nn = lsh_knn_join(df, k=k, n_planes=n_planes, dim=dim,
+                      id_col=id_col, vec_col=vec_col)
+    labels = df.select(F.col(id_col), F.col(label_col))
+    nbr = labels.select(F.col(id_col).alias("vec_id_b"),
+                        F.col(label_col).alias("nbr_label"))
+    votes = (nn.join(F.broadcast(nbr), "vec_id_b")
+             .groupBy("vec_id_a", "nbr_label")
+             .agg(F.count("*").alias("n_votes")))
+    w = Window.partitionBy("vec_id_a").orderBy(
+        F.col("n_votes").desc(), F.col("nbr_label").asc())
+    best = (votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("vec_id_a").alias(id_col),
+                    F.col("nbr_label").alias("pred_label"),
+                    F.col("n_votes")))
+    truth = labels.select(F.col(id_col),
+                          F.col(label_col).alias("true_label"))
+    return (best.join(truth, id_col)
+            .select(F.col(id_col),
+                    F.col("pred_label").cast("long"),
+                    F.col("n_votes").cast("long"),
+                    F.col("true_label").cast("long"),
+                    (F.col("pred_label") == F.col("true_label"))
+                    .cast("long").alias("correct")))

@@ -226,6 +226,86 @@ def _kmeans_oracle() -> str:
 """
 
 # ---------------------------------------------------------------------------
+# kNN label vote (embedding-quality eval) + k-means inertia
+# ---------------------------------------------------------------------------
+
+_KNN_VOTE_K = 5
+
+
+def q_knn_label_vote(spark, sf_dir):
+    """kNN majority-vote classification over the LSH kNN self-join —
+    the neighbor-label-purity eval for embedding quality."""
+    from ..operators.similarity import knn_label_vote
+    return knn_label_vote(_t(spark, sf_dir, "embeddings"), k=_KNN_VOTE_K)
+
+
+def _oracle_knn_vote() -> str:
+    from ..operators.similarity import hyperplanes
+    from .queries import _DOT_SQL
+    planes = hyperplanes(8, 64)
+    bits = " || ".join(
+        "(CASE WHEN " + _DOT_SQL.format(
+            a="embedding",
+            b=f"[{', '.join(repr(c) for c in plane)}]::DOUBLE[]")
+        + " >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes)
+    return f"""
+  WITH b AS (SELECT vec_id, label, embedding, ({bits}) AS bucket
+             FROM embeddings),
+  pairs AS (
+    SELECT a.vec_id AS vec_id_a, c.vec_id AS vec_id_b, c.label AS nbr_label,
+           floor({_DOT_SQL.format(a='a.embedding', b='c.embedding')}
+             / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                * sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')}))
+             * 1000000)::BIGINT AS sim_e6
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+  ),
+  nn AS (
+    SELECT vec_id_a, nbr_label FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id_a
+                                   ORDER BY sim_e6 DESC, vec_id_b ASC)
+                 AS rnk
+      FROM pairs) WHERE rnk <= {_KNN_VOTE_K}
+  ),
+  votes AS (
+    SELECT vec_id_a, nbr_label, count(*)::BIGINT AS n_votes
+    FROM nn GROUP BY vec_id_a, nbr_label
+  ),
+  best AS (
+    SELECT vec_id_a, nbr_label AS pred_label, n_votes FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id_a
+                                   ORDER BY n_votes DESC, nbr_label ASC)
+                 AS rn
+      FROM votes) WHERE rn = 1
+  )
+  SELECT b.vec_id, best.pred_label::BIGINT AS pred_label,
+         best.n_votes, b.label::BIGINT AS true_label,
+         (CASE WHEN best.pred_label = b.label THEN 1 ELSE 0 END)::BIGINT
+           AS correct
+  FROM best JOIN b ON b.vec_id = best.vec_id_a
+"""
+
+
+def q_kmeans_inertia(spark, sf_dir):
+    """Per-cluster quality rollup of the k-means assignment: member
+    count and total squared distance (inertia) — exact BIGINTs, a pure
+    reuse of the kmeans_clusters plan plus one tiny agg."""
+    a = q_kmeans_clusters(spark, sf_dir)
+    return (a.groupBy("cluster_id")
+            .agg(F.count("*").cast("long").alias("n_members"),
+                 F.sum("dist_q").cast("long").alias("inertia_q")))
+
+
+def _oracle_kmeans_inertia() -> str:
+    inner = _kmeans_oracle()
+    return f"""
+  SELECT cluster_id, count(*)::BIGINT AS n_members,
+         sum(dist_q)::BIGINT AS inertia_q
+  FROM ({inner}) GROUP BY cluster_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # SCD2 dimension history
 # ---------------------------------------------------------------------------
 
@@ -558,6 +638,13 @@ QUERIES_ANALYTICS_MORE: dict[str, QuerySpec] = {
         q_kmeans_clusters, _kmeans_oracle(), headline=True,
         doc="Lloyd's k-means on the exact 2^20 integer grid "
             "(broadcast centroids, deterministic seeds)"),
+    "knn_label_vote": QuerySpec(
+        q_knn_label_vote, _oracle_knn_vote(),
+        doc="kNN majority-vote label eval over the LSH kNN join "
+            "(neighbor label purity)"),
+    "kmeans_inertia": QuerySpec(
+        q_kmeans_inertia, _oracle_kmeans_inertia(),
+        doc="per-cluster k-means inertia rollup (exact BIGINT)"),
     "scd2_event_type_history": QuerySpec(
         q_scd2_event_type_history, ORACLE_SCD2,
         doc="SCD2 dimension history build (single key shuffle, "

@@ -1278,3 +1278,19 @@ def test_pyds_stream_read_is_row_group_targeted(tmp_path):
     vals2 = [v for b in r2.read(_RangePartition(p, 95, 105))
              for v in b.column(0).to_pylist()]
     assert vals2 == list(range(95, 100)) + list(range(0, 5))
+
+
+def test_knn_label_vote_majority_and_tiebreak(spark):
+    """Two tight clusters with distinct labels: every vector's
+    neighbors share its label → vote purity 100%."""
+    from bigdata_project_hust_spark.operators.similarity import (
+        knn_label_vote)
+    rows = [(i, [1.0 + i * 0.001, 0.0], 7) for i in range(4)] + \
+           [(10 + i, [-1.0 - i * 0.001, -0.2], 9) for i in range(4)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int")
+    out = knn_label_vote(df, k=3, dim=2).collect()
+    assert len(out) == 8
+    assert all(r.correct == 1 for r in out)
+    assert {r.pred_label for r in out} == {7, 9}
