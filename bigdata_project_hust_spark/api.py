@@ -293,3 +293,10 @@ class Engine:
         """kNN majority-vote label eval over the embedding table —
         neighbor label purity as an embedding-quality signal."""
         return similarity.knn_label_vote(self.table("embeddings"), k=k)
+
+    def outliers(self, sigmas: int = 3) -> DataFrame:
+        """Per-user 3-sigma value outliers (exact cross-multiplied
+        integer z-score — no FP moments)."""
+        from .operators.aggregations import value_outliers
+        return value_outliers(self.table("events"), "user_id", "value",
+                              "event_id", sigmas=sigmas)

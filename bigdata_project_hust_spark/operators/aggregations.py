@@ -122,3 +122,40 @@ def value_histogram(df: DataFrame, col: str, lo: float, hi: float,
                    F.max("__v").alias("bin_max"))
               .select("bin", F.col("n").cast("long"),
                       "bin_min", "bin_max"))
+
+
+def value_outliers(df: DataFrame, key_col: str, val_col: str,
+                   id_col: str, sigmas: int = 3,
+                   scale: int = 100) -> DataFrame:
+    """Per-group z-score outliers with EXACT integer arithmetic: flag
+    rows where (x − μ)² > sigmas²·σ². Values are quantized to a fixed
+    grid (``floor(x·scale)``), and the comparison is cross-multiplied
+    so no division, sqrt, or FP mean ever happens:
+
+        (n·x − Σ)²  >  sigmas² · (n·Σx² − Σ²)
+
+    (both sides exact BIGINTs) — group moments are plain associative
+    integer sums, so the flags are bit-identical across engines and
+    partial-agg merge orders. Classic two-pass shape: one groupBy for
+    (n, Σ, Σx²), joined back to the rows on the group key — at scale
+    the join reuses the groupBy's hash partitioning.
+
+    Overflow budget: |q| ≤ scale·|x|; (n·q)² must stay < 2^63 — with
+    cents (scale=100) and |x| ≤ 10^6 that allows n ≈ 3·10^7 rows per
+    group; larger groups want a smaller scale or decimal(38).
+    """
+    q = F.floor(F.col(val_col) * F.lit(scale)).cast("long")
+    rows = df.select(F.col(id_col), F.col(key_col), q.alias("q"))
+    mom = (rows.groupBy(key_col)
+           .agg(F.count("*").alias("n"),
+                F.sum("q").alias("s"),
+                F.sum(F.col("q") * F.col("q")).alias("s2")))
+    j = rows.join(mom, key_col)
+    lhs = (F.col("n") * F.col("q") - F.col("s"))
+    rhs = F.lit(sigmas * sigmas) * (
+        F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
+    return (j.select(F.col(id_col), F.col(key_col),
+                     F.col("q").alias("val_q"),
+                     F.col("n").cast("long").alias("n_group"),
+                     (lhs * lhs > rhs).cast("long").alias("is_outlier"))
+            .where(F.col("is_outlier") == 1))

@@ -349,6 +349,38 @@ ORACLE_SCD2 = """
 """
 
 # ---------------------------------------------------------------------------
+# Exact-integer anomaly detection
+# ---------------------------------------------------------------------------
+
+
+def q_value_outliers_per_user(spark, sf_dir):
+    """3σ outliers of events.value per user — the cross-multiplied
+    integer z-score test (no division/sqrt/FP mean anywhere)."""
+    from ..operators.aggregations import value_outliers
+    return value_outliers(_t(spark, sf_dir, "events"),
+                          key_col="user_id", val_col="value",
+                          id_col="event_id")
+
+
+ORACLE_VALUE_OUTLIERS = """
+  WITH rows AS (
+    SELECT event_id, user_id, floor(value * 100)::BIGINT AS q
+    FROM events
+  ),
+  mom AS (
+    SELECT user_id, count(*)::BIGINT AS n, sum(q)::BIGINT AS s,
+           sum(q * q)::BIGINT AS s2
+    FROM rows GROUP BY user_id
+  )
+  SELECT r.event_id, r.user_id, r.q AS val_q, m.n AS n_group,
+         1::BIGINT AS is_outlier
+  FROM rows r JOIN mom m USING (user_id)
+  WHERE (m.n * r.q - m.s) * (m.n * r.q - m.s)
+        > 9 * (m.n * m.s2 - m.s * m.s)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Equi-width value histogram
 # ---------------------------------------------------------------------------
 
@@ -649,6 +681,10 @@ QUERIES_ANALYTICS_MORE: dict[str, QuerySpec] = {
         q_scd2_event_type_history, ORACLE_SCD2,
         doc="SCD2 dimension history build (single key shuffle, "
             "run-collapse windows)"),
+    "value_outliers_per_user": QuerySpec(
+        q_value_outliers_per_user, ORACLE_VALUE_OUTLIERS,
+        doc="per-group 3-sigma outliers via cross-multiplied integer "
+            "z-score (no FP moments)"),
     "events_value_histogram": QuerySpec(
         q_events_value_histogram, ORACLE_VALUE_HISTOGRAM,
         doc="equi-width histogram with under/overflow bins "

@@ -1294,3 +1294,20 @@ def test_knn_label_vote_majority_and_tiebreak(spark):
     assert len(out) == 8
     assert all(r.correct == 1 for r in out)
     assert {r.pred_label for r in out} == {7, 9}
+
+
+def test_value_outliers_exact_integer_zscore(spark):
+    from bigdata_project_hust_spark.operators.aggregations import (
+        value_outliers)
+    # group A: tight cluster around 10 plus one wild point; group B: no
+    # outliers (uniform spread)
+    rows = [(i, "A", 10.0 + 0.01 * i) for i in range(10)] + \
+           [(99, "A", 500.0)] + \
+           [(200 + i, "B", float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "event_id long, k string, v double")
+    out = value_outliers(df, "k", "v", "event_id").collect()
+    assert [(r.event_id, r.k) for r in out] == [(99, "A")]
+    # python cross-check of the inequality for the flagged row
+    qs = [1000 + i for i in range(10)] + [50000]
+    n, s, s2 = len(qs), sum(qs), sum(q * q for q in qs)
+    assert (n * 50000 - s) ** 2 > 9 * (n * s2 - s * s)
