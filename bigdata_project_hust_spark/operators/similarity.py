@@ -398,3 +398,52 @@ def knn_label_vote(df: DataFrame, k: int = 5, n_planes: int = 8,
                     F.col("true_label").cast("long"),
                     (F.col("pred_label") == F.col("true_label"))
                     .cast("long").alias("correct")))
+
+
+def semantic_dedup(df: DataFrame, k: int = 8, iters: int = 2,
+                   min_sim_e6: int = 950_000,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, then drop near-identical vectors WITHIN each
+    cluster — the all-pairs cosine matrix is only ever formed per
+    cluster, never globally.
+
+    A vector is pruned when a LOWER-id member of its own cluster is
+    cosine-similar above the threshold (greedy lowest-id keeper — the
+    same keeper rule as the MinHash/SimHash families, so curation
+    chains can mix them). Returns every vector with its cluster and an
+    ``is_kept`` flag (0/1 BIGINT) — callers filter or audit.
+
+    100 TB shape: the cluster assignment is the exact-integer
+    ``kmeans_assign`` (broadcast centroids, deterministic); the pair
+    join is a self-join keyed on ``cluster_id``, so the quadratic term
+    is Σ|cluster|² — bounded by choosing k proportional to corpus size
+    (SemDeDup's own scaling argument), exactly like the LSH-bucket and
+    banded-MinHash guards elsewhere in this package. Cosine is
+    verified exactly once per surviving pair and floor-quantized at
+    1e6 for cross-engine hashing; norms are computed once per vector
+    before the join.
+    """
+    a = kmeans_assign(df, k=k, iters=iters, id_col=id_col,
+                      vec_col=vec_col).select(id_col, "cluster_id")
+    v = df.select(F.col(id_col), F.col(vec_col),
+                  _norm(F.col(vec_col)).alias("__nrm"))
+    m = a.join(v, id_col)
+    lo = m.select(F.col("cluster_id"),
+                  F.col(id_col).alias("__ida"),
+                  F.col(vec_col).alias("__va"), F.col("__nrm").alias("__na"))
+    hi = m.select(F.col("cluster_id"),
+                  F.col(id_col).alias("__idb"),
+                  F.col(vec_col).alias("__vb"), F.col("__nrm").alias("__nb"))
+    sim_e6 = F.floor(_dot(F.col("__va"), F.col("__vb"))
+                     / (F.col("__na") * F.col("__nb")) * 1e6).cast("long")
+    losers = (lo.join(hi, "cluster_id")
+                .where(F.col("__ida") < F.col("__idb"))
+                .where(sim_e6 >= F.lit(min_sim_e6))
+                .select(F.col("__idb").alias(id_col))
+                .distinct())
+    return (m.join(losers.withColumn("__lost", F.lit(1)), id_col, "left")
+             .select(F.col(id_col), F.col("cluster_id"),
+                     F.when(F.col("__lost").isNull(), F.lit(1))
+                      .otherwise(F.lit(0)).cast("long").alias("is_kept")))

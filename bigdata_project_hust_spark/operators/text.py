@@ -590,3 +590,63 @@ def token_entropy(df: DataFrame, text_col: str = "text",
         F.col(id_col), n.cast("long").alias("n_tokens"),
         F.size(firsts).cast("long").alias("n_distinct"),
         out.alias("entropy_e6"))
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, arXiv:2112.11446
+# table A1, adapted to the fixture corpus's scale). Each ratio rule is
+# cross-multiplied into integer form so no FP division ever happens —
+# the flags are bit-identical on any engine and any partitioning.
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL_X10 = 30    # mean word length >= 3.0
+GOPHER_MAX_MWL_X10 = 100   # mean word length <= 10.0
+GOPHER_MIN_ALPHA_PCT = 80  # >= 80% of words contain an alphabetic char
+GOPHER_MIN_STOP_HITS = 2   # >= 2 English stopword occurrences
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document quality rules (the composite rule filter
+    every web-scale curation pipeline runs before model-based scoring;
+    reference analytics serve per-entity quality gates the same way —
+    show/page.py KOL threshold filters).
+
+    Emits the raw counters plus one 0/1 flag per rule and the overall
+    ``passes`` conjunction, so downstream can either hard-filter or
+    audit rule attrition. Every rule is an integer comparison:
+
+    - word count in [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS]
+    - mean word length in [3.0, 10.0]  -> 10*chars vs bound*words
+    - alpha-word fraction >= 80%       -> 100*n_alpha >= 80*n_words
+    - English stopword hits >= 2
+
+    Zero shuffles: one projection over the scan, fully inside
+    whole-stage codegen (tokens bound once to a real column — the
+    interpreted-HOF re-tokenization trap documented in doc_features).
+    """
+    bound = df.select(F.col(id_col), tokens(text_col).alias("__w"))
+    t = F.col("__w")
+    n_words = F.size(t)
+    tot_chars = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
+    stop_hits = _hits(t, LANG_STOPWORDS["en"])
+    counted = bound.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        tot_chars.cast("long").alias("tot_chars"),
+        n_alpha.cast("long").alias("n_alpha"),
+        stop_hits.cast("long").alias("stop_hits"))
+    w, c, a, s = (F.col("n_words"), F.col("tot_chars"),
+                  F.col("n_alpha"), F.col("stop_hits"))
+    r_words = ((w >= GOPHER_MIN_WORDS) & (w <= GOPHER_MAX_WORDS))
+    r_mwl = ((c * 10 >= GOPHER_MIN_MWL_X10 * w)
+             & (c * 10 <= GOPHER_MAX_MWL_X10 * w) & (w > 0))
+    r_alpha = (a * 100 >= GOPHER_MIN_ALPHA_PCT * w) & (w > 0)
+    r_stop = s >= GOPHER_MIN_STOP_HITS
+    return counted.select(
+        id_col, "n_words", "tot_chars", "n_alpha", "stop_hits",
+        r_words.cast("long").alias("r_word_count"),
+        r_mwl.cast("long").alias("r_mean_word_len"),
+        r_alpha.cast("long").alias("r_alpha_frac"),
+        r_stop.cast("long").alias("r_stopwords"),
+        (r_words & r_mwl & r_alpha & r_stop).cast("long").alias("passes"))

@@ -1,0 +1,186 @@
+"""Round-3c curation extension queries: Gopher rule filter, SemDeDup
+semantic deduplication, and CCNet-style perplexity bucketing.
+
+Same cross-engine exactness rules as ``queries.py``: integer
+cross-multiplied ratio comparisons, floor-scaled e6 fixed-point for
+anything that touches a double, and deterministic lowest-id keeper /
+tie-break rules shared with the other dedup families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import text
+from ..operators.similarity import semantic_dedup
+from ..operators.text import (
+    GOPHER_MAX_MWL_X10, GOPHER_MAX_WORDS, GOPHER_MIN_ALPHA_PCT,
+    GOPHER_MIN_MWL_X10, GOPHER_MIN_STOP_HITS, GOPHER_MIN_WORDS,
+    LANG_STOPWORDS, gopher_rules)
+from .spec import QuerySpec, _t
+
+# ---------------------------------------------------------------------------
+# Gopher document-quality rules (Rae et al. 2021)
+# ---------------------------------------------------------------------------
+
+
+def q_gopher_quality_filter(spark, sf_dir):
+    """Composite Gopher rule filter over the documents table — raw
+    counters, one 0/1 flag per rule, and the overall conjunction."""
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_gopher() -> str:
+    stop = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return rf"""
+  WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+  ),
+  c AS (
+    SELECT doc_id, len(w)::BIGINT AS n_words,
+           coalesce(list_sum(list_transform(w, t -> length(t))), 0)::BIGINT
+             AS tot_chars,
+           len(list_filter(w, t -> regexp_matches(t, '[a-z]')))::BIGINT
+             AS n_alpha,
+           len(list_filter(w, t -> t IN ({stop})))::BIGINT AS stop_hits
+    FROM w
+  )
+  SELECT doc_id, n_words, tot_chars, n_alpha, stop_hits,
+         (CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                AND n_words <= {GOPHER_MAX_WORDS}
+               THEN 1 ELSE 0 END)::BIGINT AS r_word_count,
+         (CASE WHEN tot_chars * 10 >= {GOPHER_MIN_MWL_X10} * n_words
+                AND tot_chars * 10 <= {GOPHER_MAX_MWL_X10} * n_words
+                AND n_words > 0
+               THEN 1 ELSE 0 END)::BIGINT AS r_mean_word_len,
+         (CASE WHEN n_alpha * 100 >= {GOPHER_MIN_ALPHA_PCT} * n_words
+                AND n_words > 0
+               THEN 1 ELSE 0 END)::BIGINT AS r_alpha_frac,
+         (CASE WHEN stop_hits >= {GOPHER_MIN_STOP_HITS}
+               THEN 1 ELSE 0 END)::BIGINT AS r_stopwords,
+         (CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                AND n_words <= {GOPHER_MAX_WORDS}
+                AND tot_chars * 10 >= {GOPHER_MIN_MWL_X10} * n_words
+                AND tot_chars * 10 <= {GOPHER_MAX_MWL_X10} * n_words
+                AND n_alpha * 100 >= {GOPHER_MIN_ALPHA_PCT} * n_words
+                AND n_words > 0
+                AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+               THEN 1 ELSE 0 END)::BIGINT AS passes
+  FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: k-means clusters + within-cluster cosine pruning
+# ---------------------------------------------------------------------------
+
+# Fixture embeddings are synthetic (max pairwise cosine ~0.51), so the
+# fixture threshold sits where it actually prunes; production SemDeDup
+# runs 0.95+ on web-corpus embeddings — the operator parameter.
+_SEMDEDUP_SIM_E6 = 300_000
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embeddings table: k-means (k=8, 2 rounds,
+    exact integer grid) then greedy lowest-id keeper within each
+    cluster at cosine >= 0.30 (fixture-tuned threshold)."""
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"),
+                          k=8, iters=2, min_sim_e6=_SEMDEDUP_SIM_E6)
+
+
+def _oracle_semdedup() -> str:
+    from .analytics_more import _kmeans_oracle
+    from .queries import _DOT_SQL
+    dot_ab = _DOT_SQL.format(a="a.embedding", b="b.embedding")
+    dot_aa = _DOT_SQL.format(a="a.embedding", b="a.embedding")
+    dot_bb = _DOT_SQL.format(a="b.embedding", b="b.embedding")
+    return f"""
+  WITH m AS (
+    SELECT km.vec_id, km.cluster_id, e.embedding
+    FROM ({_kmeans_oracle()}) km JOIN embeddings e USING (vec_id)
+  ),
+  losers AS (
+    SELECT DISTINCT b.vec_id
+    FROM m a JOIN m b
+      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    WHERE floor({dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb}))
+                * 1000000)::BIGINT >= {_SEMDEDUP_SIM_E6}
+  )
+  SELECT m.vec_id, m.cluster_id,
+         (CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_kept
+  FROM m LEFT JOIN losers l ON m.vec_id = l.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+
+def q_ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet-style corpus partition by LM quality (Wenzek et al. 2019):
+    bucket each document into head/middle/tail by its unigram
+    log-probability quartiles (head = top quarter = most fluent).
+
+    Exactness: the cutoffs are ``floor(percentile(logprob_e6, p))``
+    with p in {0.25, 0.75} — exact binary fractions over BIGINT
+    inputs, so the (n-1)*p index and the a + g*(b-a) interpolation are
+    both exact in IEEE double on every engine; the floor lands on the
+    same BIGINT everywhere.
+
+    Scale shape: NO global sort — the cutoffs are one 1-row aggregate
+    broadcast back over the corpus (at 100 TB swap the exact
+    percentile for approx_percentile; the bucket join is unchanged).
+    Token-less documents get their own 'empty' bucket rather than
+    polluting 'tail'.
+    """
+    lp = text.unigram_logprob(_t(spark, sf_dir, "documents"))
+    cut = (lp.where(F.col("n_tokens") > 0)
+             .agg(F.floor(F.percentile("logprob_e6", F.lit(0.25)))
+                   .cast("long").alias("c25"),
+                  F.floor(F.percentile("logprob_e6", F.lit(0.75)))
+                   .cast("long").alias("c75")))
+    bucket = (F.when(F.col("n_tokens") == 0, F.lit("empty"))
+               .when(F.col("logprob_e6") >= F.col("c75"), F.lit("head"))
+               .when(F.col("logprob_e6") < F.col("c25"), F.lit("tail"))
+               .otherwise(F.lit("middle")))
+    return (lp.crossJoin(F.broadcast(cut))
+              .select("doc_id", "n_tokens", "logprob_e6",
+                      bucket.alias("ppl_bucket")))
+
+
+def _oracle_ccnet() -> str:
+    from .queries import ORACLE_UNIGRAM_LOGPROB
+    return f"""
+  WITH lp AS ({ORACLE_UNIGRAM_LOGPROB}),
+  cut AS (
+    SELECT floor(quantile_cont(logprob_e6, 0.25))::BIGINT AS c25,
+           floor(quantile_cont(logprob_e6, 0.75))::BIGINT AS c75
+    FROM lp WHERE n_tokens > 0
+  )
+  SELECT doc_id, n_tokens, logprob_e6,
+         (CASE WHEN n_tokens = 0 THEN 'empty'
+               WHEN logprob_e6 >= c75 THEN 'head'
+               WHEN logprob_e6 < c25 THEN 'tail'
+               ELSE 'middle' END) AS ppl_bucket
+  FROM lp, cut
+"""
+
+
+QUERIES_CURATION3: dict[str, QuerySpec] = {
+    "gopher_quality_filter": QuerySpec(
+        q_gopher_quality_filter, _oracle_gopher(),
+        doc="Gopher composite quality rules (integer cross-multiplied "
+            "ratios, zero shuffles)"),
+    "semantic_dedup": QuerySpec(
+        q_semantic_dedup, _oracle_semdedup(),
+        doc="SemDeDup: k-means clusters + within-cluster cosine "
+            "lowest-id keeper (arXiv:2303.09540)"),
+    "ccnet_perplexity_buckets": QuerySpec(
+        q_ccnet_perplexity_buckets, _oracle_ccnet(),
+        doc="CCNet head/middle/tail corpus partition by unigram "
+            "log-prob quartiles (broadcast cutoffs, no global sort)"),
+}

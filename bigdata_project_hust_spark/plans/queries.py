@@ -3026,6 +3026,10 @@ QUERIES.update(QUERIES_TPCH_REST)
 QUERIES.update(QUERIES_PIPELINE_MORE)
 QUERIES.update(QUERIES_ANALYTICS_MORE)
 
+from .curation3 import QUERIES_CURATION3  # noqa: E402  (needs _DOT_SQL above)
+
+QUERIES.update(QUERIES_CURATION3)
+
 # ---------------------------------------------------------------------------
 # Driver-sweep rotation.
 #

@@ -277,3 +277,33 @@ def test_pyds_scan_plans_batch_source(spark):
     plan = plan_of(df)
     assert "BatchScan" in plan, plan
     assert n_nodes(plan, "HashAggregate") == 2, plan
+
+
+def test_gopher_rules_zero_shuffle(spark):
+    """The Gopher rule filter is a pure projection — any Exchange in
+    its plan means a rule accidentally became an aggregate."""
+    df = QUERIES["gopher_quality_filter"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert n_nodes(plan, "Exchange") == 0, plan
+    assert n_nodes(plan, "Generate") == 0, plan
+
+
+def test_semantic_dedup_pair_join_not_cartesian(spark):
+    """SemDeDup's pair generation must join on cluster_id (bounded
+    Σ|cluster|²), never a cartesian; the centroid joins stay
+    broadcast exactly as in kmeans_clusters."""
+    df = QUERIES["semantic_dedup"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ccnet_cutoffs_broadcast_no_global_sort(spark):
+    """The quartile cutoffs are a 1-row aggregate broadcast over the
+    corpus — a global Sort (or a single-partition window Exchange)
+    would be the 100 TB anti-pattern this query exists to avoid."""
+    df = QUERIES["ccnet_perplexity_buckets"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert n_nodes(plan, "Sort") == 0, plan
+    assert "SinglePartition" not in plan.split("AdaptiveSparkPlan")[0] \
+        or "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan

@@ -1311,3 +1311,75 @@ def test_value_outliers_exact_integer_zscore(spark):
     qs = [1000 + i for i in range(10)] + [50000]
     n, s, s2 = len(qs), sum(qs), sum(q * q for q in qs)
     assert (n * 50000 - s) ** 2 > 9 * (n * s2 - s * s)
+
+
+def test_gopher_rules_boundaries(spark):
+    """Rule boundaries: word count at exactly MIN passes / MIN-1
+    fails; mean word length exactly 3.0 passes (cross-multiplied
+    equality); 1 stopword hit fails, 2 pass; empty text fails every
+    w>0-guarded rule."""
+    from bigdata_project_hust_spark.operators.text import gopher_rules
+    mk = lambda n, word: " ".join([word] * n)  # noqa: E731
+    df = spark.createDataFrame(
+        [(1, mk(30, "the")),          # 30 words, mwl=3.0, stop=30
+         (2, mk(29, "the")),          # word count one short
+         (3, mk(30, "ab")),           # mwl 2.0 < 3.0
+         (4, "the " + mk(29, "word")),  # 1 stopword only
+         (5, "")],                    # empty
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert out[1]["passes"] == 1
+    assert out[2]["r_word_count"] == 0 and out[2]["passes"] == 0
+    assert out[1]["r_mean_word_len"] == 1  # tot=90, 90*10 == 30*30
+    assert out[3]["r_mean_word_len"] == 0
+    assert out[4]["r_stopwords"] == 0 and out[1]["r_stopwords"] == 1
+    assert out[5]["n_words"] == 0 and out[5]["passes"] == 0
+    assert out[5]["r_mean_word_len"] == 0 and out[5]["r_alpha_frac"] == 0
+
+
+def test_semantic_dedup_prunes_higher_id_within_cluster(spark):
+    """Two identical vectors land in one cluster: the higher id is
+    pruned, the lower kept; a far-away vector survives untouched."""
+    from bigdata_project_hust_spark.operators.similarity import semantic_dedup
+    v_near = [1.0] + [0.0] * 63
+    v_far = [0.0] * 63 + [1.0]
+    df = spark.createDataFrame(
+        [(0, v_near), (1, v_near), (2, v_far)],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["is_kept"]
+           for r in semantic_dedup(df, k=2, iters=1,
+                                   min_sim_e6=950_000).collect()}
+    assert out == {0: 1, 1: 0, 2: 1}
+
+
+def test_ccnet_buckets_partition_and_empty_doc(spark):
+    """Buckets partition the corpus (head+middle+tail = docs with
+    tokens); a whitespace-only document gets the 'empty' bucket."""
+    from bigdata_project_hust_spark.plans.curation3 import (
+        q_ccnet_perplexity_buckets)
+    from bigdata_project_hust_spark.operators import text as T
+    from pyspark.sql import functions as F
+    docs = ["common common common "
+            + " ".join(f"rare{i}x{j}" for j in range(i))
+            for i in range(8)]  # doc i: 3 common + i singleton tokens
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)] + [(99, "   ")],
+        "doc_id long, text string")
+    lp = T.unigram_logprob(df)
+    cut = (lp.where(F.col("n_tokens") > 0)
+             .agg(F.floor(F.percentile("logprob_e6", F.lit(0.25)))
+                   .cast("long").alias("c25"),
+                  F.floor(F.percentile("logprob_e6", F.lit(0.75)))
+                   .cast("long").alias("c75")))
+    bucket = (F.when(F.col("n_tokens") == 0, F.lit("empty"))
+               .when(F.col("logprob_e6") >= F.col("c75"), F.lit("head"))
+               .when(F.col("logprob_e6") < F.col("c25"), F.lit("tail"))
+               .otherwise(F.lit("middle")))
+    out = (lp.crossJoin(F.broadcast(cut))
+             .select("doc_id", bucket.alias("b")).collect())
+    bs = {r["doc_id"]: r["b"] for r in out}
+    assert bs[99] == "empty"
+    from collections import Counter
+    c = Counter(b for d, b in bs.items() if d != 99)
+    assert c["head"] >= 1 and c["tail"] >= 1
+    assert sum(c.values()) == 8
