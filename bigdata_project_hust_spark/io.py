@@ -248,3 +248,46 @@ def write_xml(df: DataFrame, path: str, row_tag: str = "row",
     same partitioned-files layout as every other Spark sink."""
     (df.write.format("xml").option("rowTag", row_tag)
        .option("rootTag", root_tag).mode(mode).save(path))
+
+
+def read_binary_assets(spark: SparkSession, path: str,
+                       glob: str | None = None,
+                       recursive: bool = True) -> DataFrame:
+    """Raw-asset ingest via Spark's built-in ``binaryFile`` source —
+    the 100 TB entry point for the multimodal pipeline: images/audio
+    land as opaque ``content`` bytes plus (path, modificationTime,
+    length) metadata, partitioned by file across executors with zero
+    driver involvement. Feed the result straight into
+    ``operators.multimodal.extract_image_features`` /
+    ``extract_audio_features`` after renaming to (asset_id, payload).
+
+    ``glob`` maps to ``pathGlobFilter`` (e.g. ``*.png``) so non-asset
+    files in the same tree are pruned at listing time, not scanned.
+
+    Scale note: binaryFile caps single files at
+    ``spark.sql.sources.binaryFile.maxLength`` (Int.MaxValue); shard
+    larger media server-side. Listing parallelizes via the usual
+    in-memory file index; for object stores prefer fewer, larger
+    directories over millions of tiny ones.
+    """
+    reader = (spark.read.format("binaryFile")
+              .option("recursiveFileLookup", "true" if recursive
+                      else "false"))
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def binary_assets_with_ids(spark: SparkSession, path: str,
+                           glob: str | None = None) -> DataFrame:
+    """``read_binary_assets`` normalized to the multimodal operator
+    contract: ``asset_id`` (stable 63-bit hash of the file path — the
+    same cross-engine ``stable_hash64`` used by the dedup family),
+    ``payload`` bytes, and the listing metadata."""
+    from .functions.scalar import stable_hash64
+    df = read_binary_assets(spark, path, glob)
+    return df.select(
+        stable_hash64(F.col("path")).alias("asset_id"),
+        F.col("path"),
+        F.col("length"),
+        F.col("content").alias("payload"))
