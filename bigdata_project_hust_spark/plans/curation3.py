@@ -184,3 +184,127 @@ QUERIES_CURATION3: dict[str, QuerySpec] = {
         doc="CCNet head/middle/tail corpus partition by unigram "
             "log-prob quartiles (broadcast cutoffs, no global sort)"),
 }
+
+
+# ---------------------------------------------------------------------------
+# BPE merge round 1: most frequent adjacent character pairs
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 20
+
+
+def q_bpe_top_merges(spark, sf_dir):
+    """The first merge round of BPE tokenizer training (Sennrich et
+    al. 2016): count adjacent character pairs across the corpus,
+    weighted by word frequency, and return the top-20 merge
+    candidates.
+
+    Scale shape: the wide token explode collapses into the VOCABULARY
+    first (one hash agg — vocab is tiny next to the corpus), so the
+    per-word pair explode runs over |vocab| rows, not |corpus| rows;
+    the final top-k is TakeOrderedAndProject, never a global sort.
+    This per-word-frequency factoring is exactly how production BPE
+    trainers make merge counting tractable.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (docs.select(F.explode(text.tokens("text")).alias("term"))
+                 .groupBy("term").agg(F.count("*").alias("tf")))
+    # substring with a dynamic start position needs the expr form
+    # (F.substring takes a literal pos only)
+    pairs = (vocab.where(F.length("term") >= 2)
+                  .select("tf", F.explode(F.expr(
+                      "transform(sequence(1, length(term) - 1), "
+                      "i -> substring(term, i, 2))")).alias("pair")))
+    return (pairs.groupBy("pair")
+                 .agg(F.sum("tf").cast("long").alias("n_merges"))
+                 .orderBy(F.desc("n_merges"), F.asc("pair"))
+                 .limit(_BPE_TOPK))
+
+
+ORACLE_BPE = rf"""
+  WITH vocab AS (
+    SELECT term, count(*)::BIGINT AS tf FROM (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '')) AS term
+      FROM documents)
+    GROUP BY term
+  ),
+  pairs AS (
+    SELECT tf, unnest(list_transform(generate_series(1, length(term) - 1),
+                                     i -> substring(term, i, 2))) AS pair
+    FROM vocab WHERE length(term) >= 2
+  )
+  SELECT pair, sum(tf)::BIGINT AS n_merges
+  FROM pairs GROUP BY pair
+  ORDER BY n_merges DESC, pair ASC LIMIT {_BPE_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tukey-fence price outliers (exact quartile arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def q_tukey_outlier_events(spark, sf_dir):
+    """Classical Tukey-fence outlier detection over event values:
+    flag events outside [Q1 - 1.5·IQR, Q3 + 1.5·IQR] (the events
+    stream carries a heavy tail; order totals are near-uniform and
+    produce none — verified against the fixtures).
+
+    Exactness: prices quantize to integer cents first, then the
+    quartiles interpolate with g in {0, .25, .5, .75} over BIGINTs —
+    exact IEEE doubles on every engine (same argument as the CCNet
+    cutoffs); the 1.5·IQR fence multiplies an exact double by 1.5
+    (exact) so the comparison is deterministic. Returns only the
+    outlier rows plus their distance above/below the fence, ordered
+    output not required (the driver hash is order-insensitive).
+
+    Scale shape: one 1-row quartile aggregate broadcast back over the
+    scan — no global sort, no window.
+    """
+    events = _t(spark, sf_dir, "events")
+    cents = (events.where(F.col("value").isNotNull())
+                   .select("event_id",
+                           F.floor(F.col("value") * 100).cast("long")
+                            .alias("price_c")))
+    cut = cents.agg(
+        F.percentile("price_c", F.lit(0.25)).alias("q1"),
+        F.percentile("price_c", F.lit(0.75)).alias("q3"))
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (cents.crossJoin(F.broadcast(cut))
+                 .where((F.col("price_c") < lo) | (F.col("price_c") > hi))
+                 .select("event_id", "price_c",
+                         F.floor(lo).cast("long").alias("lo_fence_c"),
+                         F.floor(hi).cast("long").alias("hi_fence_c")))
+
+
+ORACLE_TUKEY = """
+  WITH cents AS (
+    SELECT event_id, floor(value * 100)::BIGINT AS price_c
+    FROM events WHERE value IS NOT NULL
+  ),
+  cut AS (
+    SELECT quantile_cont(price_c, 0.25) AS q1,
+           quantile_cont(price_c, 0.75) AS q3
+    FROM cents
+  )
+  SELECT event_id, price_c,
+         floor(q1 - 1.5 * (q3 - q1))::BIGINT AS lo_fence_c,
+         floor(q3 + 1.5 * (q3 - q1))::BIGINT AS hi_fence_c
+  FROM cents, cut
+  WHERE price_c < q1 - 1.5 * (q3 - q1)
+     OR price_c > q3 + 1.5 * (q3 - q1)
+"""
+
+
+QUERIES_CURATION3.update({
+    "bpe_top_merges": QuerySpec(
+        q_bpe_top_merges, ORACLE_BPE,
+        doc="BPE merge round 1: top adjacent char pairs, "
+            "vocabulary-factored counting (Sennrich et al. 2016)"),
+    "tukey_outlier_events": QuerySpec(
+        q_tukey_outlier_events, ORACLE_TUKEY,
+        doc="Tukey-fence event-value outliers (exact quartile cents, "
+            "broadcast cutoffs)"),
+})

@@ -307,3 +307,21 @@ def test_ccnet_cutoffs_broadcast_no_global_sort(spark):
     assert "SinglePartition" not in plan.split("AdaptiveSparkPlan")[0] \
         or "BroadcastNestedLoopJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_bpe_counts_over_vocab_not_corpus(spark):
+    """BPE pair counting must factor through the vocabulary: exactly
+    two hash aggregates (corpus→vocab, pairs→counts) and a final
+    TakeOrderedAndProject — a third agg or a global Sort means the
+    pair explode ran over corpus rows."""
+    df = QUERIES["bpe_top_merges"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert n_nodes(plan, "Exchange") <= 2, plan
+
+
+def test_tukey_cutoffs_broadcast_no_sort(spark):
+    df = QUERIES["tukey_outlier_events"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert n_nodes(plan, "Sort") == 0, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan

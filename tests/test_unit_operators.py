@@ -1383,3 +1383,39 @@ def test_ccnet_buckets_partition_and_empty_doc(spark):
     c = Counter(b for d, b in bs.items() if d != 99)
     assert c["head"] >= 1 and c["tail"] >= 1
     assert sum(c.values()) == 8
+
+
+def test_bpe_top_merges_known_counts(spark, tmp_path):
+    """Hand-checked merge counts: corpus 'aaab aaab cd' →
+    'aa' appears 2 per 'aaab' occurrence (×2 docs... tf-weighted),
+    'ab' 1 per occurrence, 'cd' once; single-char tokens contribute
+    nothing."""
+    from bigdata_project_hust_spark.plans.curation3 import q_bpe_top_merges
+    df = spark.createDataFrame(
+        [(0, "aaab aaab cd"), (1, "aaab x")],
+        "doc_id long, text string")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["pair"]: r["n_merges"]
+           for r in q_bpe_top_merges(spark, str(tmp_path)).collect()}
+    # vocab: aaab tf=3, cd tf=1, x tf=1 → aa: 2*3=6, ab: 1*3=3, cd: 1
+    assert out == {"aa": 6, "ab": 3, "cd": 1}
+
+
+def test_tukey_outliers_hand_values(spark, tmp_path):
+    """n=5 values [1..4, 100]: quartiles interpolate on cents exactly;
+    only the 100 crosses the upper fence."""
+    import datetime
+
+    from bigdata_project_hust_spark.plans.curation3 import (
+        q_tukey_outlier_events)
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [(i, ts, 1, "t", float(v), None)
+            for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 100.0])]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = q_tukey_outlier_events(spark, str(tmp_path)).collect()
+    # cents [100..400, 10000]: q1=200, q3=400, iqr=200 → hi fence 700
+    assert [(r["event_id"], r["price_c"], r["hi_fence_c"])
+            for r in out] == [(4, 10000, 700)]
