@@ -176,7 +176,7 @@ QUERIES_CURATION3: dict[str, QuerySpec] = {
         doc="Gopher composite quality rules (integer cross-multiplied "
             "ratios, zero shuffles)"),
     "semantic_dedup": QuerySpec(
-        q_semantic_dedup, _oracle_semdedup(),
+        q_semantic_dedup, _oracle_semdedup(), headline=True,
         doc="SemDeDup: k-means clusters + within-cluster cosine "
             "lowest-id keeper (arXiv:2303.09540)"),
     "ccnet_perplexity_buckets": QuerySpec(
@@ -307,4 +307,84 @@ QUERIES_CURATION3.update({
         q_tukey_outlier_events, ORACLE_TUKEY,
         doc="Tukey-fence event-value outliers (exact quartile cents, "
             "broadcast cutoffs)"),
+})
+
+
+# ---------------------------------------------------------------------------
+# Event-flow analytics: funnel + retention (operators/eventflow.py)
+# ---------------------------------------------------------------------------
+
+
+def q_event_funnel(spark, sf_dir):
+    """Time-boxed view→click→purchase conversion funnel (1-day
+    windows) — one user_id exchange serves the whole stage chain."""
+    from ..operators.eventflow import event_funnel
+    return event_funnel(_t(spark, sf_dir, "events"))
+
+
+ORACLE_FUNNEL = """
+  WITH e AS (
+    SELECT user_id AS u, event_type AS et,
+           floor(epoch(ts))::BIGINT AS ts_s
+    FROM events
+  ),
+  s1 AS (SELECT u, min(CASE WHEN et = 'view' THEN ts_s END) AS t0
+         FROM e GROUP BY u),
+  s2 AS (SELECT e.u,
+                min(CASE WHEN et = 'click' AND ts_s >= t0
+                          AND ts_s <= t0 + 86400 THEN ts_s END) AS t1
+         FROM e JOIN s1 USING (u) GROUP BY e.u),
+  s3 AS (SELECT e.u,
+                min(CASE WHEN et = 'purchase' AND ts_s >= t1
+                          AND ts_s <= t1 + 86400 THEN ts_s END) AS t2
+         FROM e JOIN s2 USING (u) GROUP BY e.u),
+  staged AS (
+    SELECT (CASE WHEN t2 IS NOT NULL THEN 3
+                 WHEN t1 IS NOT NULL THEN 2
+                 WHEN t0 IS NOT NULL THEN 1
+                 ELSE 0 END)::BIGINT AS funnel_stage
+    FROM s1 JOIN s2 USING (u) JOIN s3 USING (u)
+  ),
+  counts AS (
+    SELECT funnel_stage, count(*)::BIGINT AS n_users
+    FROM staged GROUP BY funnel_stage
+  )
+  SELECT funnel_stage, n_users,
+         floor(n_users * 1000000
+               / (SELECT sum(n_users) FROM counts))::BIGINT AS share_e6
+  FROM counts
+"""
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Daily retention triangle: (first-event-day cohort, day offset,
+    distinct active users) — pure BIGINT day arithmetic."""
+    from ..operators.eventflow import retention_cohorts
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+ORACLE_RETENTION = """
+  WITH e AS (
+    SELECT user_id AS u, floor(epoch(ts) / 86400)::BIGINT AS day
+    FROM events
+  ),
+  cohorts AS (
+    SELECT u, day, min(day) OVER (PARTITION BY u) AS cohort_day FROM e
+  )
+  SELECT cohort_day, day - cohort_day AS day_offset,
+         count(*)::BIGINT AS n_active_users
+  FROM (SELECT DISTINCT u, cohort_day, day FROM cohorts)
+  GROUP BY cohort_day, day_offset
+"""
+
+
+QUERIES_CURATION3.update({
+    "event_funnel": QuerySpec(
+        q_event_funnel, ORACLE_FUNNEL,
+        doc="time-boxed ordered conversion funnel (single user "
+            "exchange, windowed stage chain)"),
+    "retention_cohorts": QuerySpec(
+        q_retention_cohorts, ORACLE_RETENTION,
+        doc="daily retention cohort triangle (BIGINT day arithmetic, "
+            "map-side user-day dedup)"),
 })

@@ -325,3 +325,23 @@ def test_tukey_cutoffs_broadcast_no_sort(spark):
     plan = plan_of(df)
     assert n_nodes(plan, "Sort") == 0, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_event_funnel_single_wide_exchange(spark):
+    """The funnel's only data-sized shuffle is the user aggregation:
+    the two downstream exchanges move <= |stages|+1 rows. No Window
+    chain (5-shuffle formulation), no plan-duplicating self-join."""
+    df = QUERIES["event_funnel"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert n_nodes(plan, "Exchange") <= 3, plan
+    assert n_nodes(plan, "Window") <= 1, plan  # the tiny share window
+
+
+def test_retention_two_exchanges_no_window(spark):
+    """Retention = groupBy(user) then groupBy(cohort, offset): exactly
+    two exchanges, the de-dup folded into collect_set — no Window, no
+    separate distinct pass."""
+    df = QUERIES["retention_cohorts"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert n_nodes(plan, "Exchange") == 2, plan
+    assert n_nodes(plan, "Window") == 0, plan

@@ -1419,3 +1419,47 @@ def test_tukey_outliers_hand_values(spark, tmp_path):
     # cents [100..400, 10000]: q1=200, q3=400, iqr=200 → hi fence 700
     assert [(r["event_id"], r["price_c"], r["hi_fence_c"])
             for r in out] == [(4, 10000, 700)]
+
+
+def _mk_events(spark, rows):
+    import datetime
+    base = datetime.datetime(2024, 1, 1)
+    data = [(i, base + datetime.timedelta(seconds=s), u, t, 1.0, None)
+            for i, (u, t, s) in enumerate(rows)]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+
+def test_event_funnel_stage_semantics(spark):
+    """u1 full chain in-window; u2 clicks BEFORE viewing (stage 1
+    only); u3 clicks a day+1s after viewing (window missed); u4 never
+    views (stage 0); purchase at the same second as click counts."""
+    from bigdata_project_hust_spark.operators.eventflow import event_funnel
+    rows = [
+        (1, "view", 0), (1, "click", 100), (1, "purchase", 100),
+        (2, "click", 0), (2, "view", 50), (2, "purchase", 60),
+        # u2: click before the first view never re-fires; the purchase
+        # needs a click at-or-after the view → stage 1
+        (3, "view", 0), (3, "click", 86401),
+        (4, "signup", 0),
+    ]
+    out = {r["funnel_stage"]: r["n_users"]
+           for r in event_funnel(_mk_events(spark, rows)).collect()}
+    assert out == {3: 1, 1: 2, 0: 1}
+
+
+def test_retention_cohorts_triangle(spark):
+    """u1 active days 0 and 2 (offsets 0, 2); u2 joins day 1, active
+    days 1 and 2 (offsets 0, 1); duplicate events in one day count
+    once."""
+    from bigdata_project_hust_spark.operators.eventflow import (
+        retention_cohorts)
+    day = 86400
+    rows = [
+        (1, "view", 0), (1, "view", 10), (1, "click", 2 * day),
+        (2, "view", 1 * day), (2, "view", 2 * day + 5),
+    ]
+    out = {(r["cohort_day"] - 19723, r["day_offset"]): r["n_active_users"]
+           for r in retention_cohorts(_mk_events(spark, rows)).collect()}
+    assert out == {(0, 0): 1, (0, 2): 1, (1, 0): 1, (1, 1): 1}
