@@ -388,3 +388,29 @@ QUERIES_CURATION3.update({
         doc="daily retention cohort triangle (BIGINT day arithmetic, "
             "map-side user-day dedup)"),
 })
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HLL sketch (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def q_hll_orderkeys(spark, sf_dir):
+    """Deterministic HyperLogLog over lineitem.l_orderkey: unlike the
+    engine-native approx_count_distinct (rows-only check), every
+    register of this sketch is value-hash verified cross-engine."""
+    from ..operators.sketches import hll_sketch
+    return hll_sketch(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
+def _oracle_hll() -> str:
+    from ..operators.sketches import hll_sketch_oracle
+    return hll_sketch_oracle("lineitem", "l_orderkey")
+
+
+QUERIES_CURATION3.update({
+    "hll_distinct_orderkeys": QuerySpec(
+        q_hll_orderkeys, _oracle_hll(),
+        doc="deterministic HLL (m=256, shared stable_hash64): "
+            "register-exact cross-engine, estimate asserted vs exact"),
+})

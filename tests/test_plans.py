@@ -345,3 +345,12 @@ def test_retention_two_exchanges_no_window(spark):
     plan = plan_of(df)
     assert n_nodes(plan, "Exchange") == 2, plan
     assert n_nodes(plan, "Window") == 0, plan
+
+
+def test_hll_register_agg_combines_map_side(spark):
+    """The register max must partial-aggregate before its exchange
+    (the shuffle carries <= 256 rows per task, not the corpus)."""
+    df = QUERIES["hll_distinct_orderkeys"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "partial_max" in plan, plan
+    assert "CartesianProduct" not in plan, plan

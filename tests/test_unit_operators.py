@@ -1463,3 +1463,27 @@ def test_retention_cohorts_triangle(spark):
     out = {(r["cohort_day"] - 19723, r["day_offset"]): r["n_active_users"]
            for r in retention_cohorts(_mk_events(spark, rows)).collect()}
     assert out == {(0, 0): 1, (0, 2): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_hll_rho_and_determinism(spark):
+    """rho: explicit bit positions via crafted longs; the sketch is a
+    pure function of the value SET — shuffling rows/partitions or
+    duplicating values cannot change any output column."""
+    from pyspark.sql import functions as F
+
+    from bigdata_project_hust_spark.operators.sketches import (
+        _rho, hll_sketch)
+    rows = [(1 << 51, 1), ((1 << 51) - 1, 2), (1, 52), (0, 53),
+            ((1 << 52) - 1, 1)]
+    df = spark.createDataFrame(rows, "w long, want int")
+    got = df.select(_rho(F.col("w")).alias("rho"), "want").collect()
+    assert all(r["rho"] == r["want"] for r in got), got
+
+    vals = [(i,) for i in range(1000)]
+    a = hll_sketch(spark.createDataFrame(vals, "v long"), "v").collect()
+    b = hll_sketch(
+        spark.createDataFrame(vals * 3, "v long").repartition(13),
+        "v").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    est, exact = a[0]["hll_estimate"], a[0]["n_exact"]
+    assert exact == 1000 and abs(est - exact) / exact <= 0.20
