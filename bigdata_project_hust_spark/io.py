@@ -62,6 +62,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     want = DRIVER_TABLES.get(name)
     if want is not None:
         for field in want.fields:
+            if field.name not in df.columns:
+                continue  # partial fixtures (tests) project a subset
             if (isinstance(field.dataType, T.TimestampType)
                     and isinstance(df.schema[field.name].dataType, T.LongType)):
                 # integer div: ns values exceed double's 53-bit exact range

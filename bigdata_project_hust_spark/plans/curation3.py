@@ -414,3 +414,87 @@ QUERIES_CURATION3.update({
         doc="deterministic HLL (m=256, shared stable_hash64): "
             "register-exact cross-engine, estimate asserted vs exact"),
 })
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation via exact integer moments
+# ---------------------------------------------------------------------------
+
+
+def q_pearson_qty_price(spark, sf_dir):
+    """Per-returnflag Pearson correlation of quantity vs extended
+    price, the moment way: the five sums accumulate EXACTLY (integer
+    inputs summed as decimal(38,0) / HUGEINT — no FP merge-order
+    nondeterminism in any aggregate), and only the final closed-form
+    combination runs in double — identical IEEE ops on identical
+    exact inputs on every engine, floored at e6.
+
+    Built-in ``corr()`` is the anti-pattern here: its streaming
+    co-moment updates are FP all the way down, so partial-merge order
+    changes the low bits run to run. One scan, one tiny exchange
+    (|groups| rows after map-side partial sums).
+
+    Headroom: quantity <= 50 (6 bits), price cents < 2^34; at 10^12
+    rows the largest moment (n·Σy²) needs ~10^38 — the decimal(38)
+    cap. Beyond that, pre-center on a broadcast first-pass mean.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_returnflag",
+        F.floor("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("y"))
+    dec = "decimal(38,0)"
+    agg = d.groupBy("l_returnflag").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"))
+    n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    sxx, syy, sxy = [F.col(c).cast("double") for c in ("sxx", "syy", "sxy")]
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.when(den > 0.0, F.floor(num / den * 1e6))
+         .otherwise(F.lit(0)).cast("long").alias("corr_e6"))
+
+
+ORACLE_PEARSON = """
+  WITH d AS (
+    SELECT l_returnflag,
+           floor(l_quantity)::BIGINT AS x,
+           floor(l_extendedprice * 100)::BIGINT AS y
+    FROM lineitem
+  ),
+  agg AS (
+    SELECT l_returnflag,
+           count(*)::HUGEINT AS n,
+           sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+           sum(x * x)::HUGEINT AS sxx, sum(y * y)::HUGEINT AS syy,
+           sum(x * y)::HUGEINT AS sxy
+    FROM d GROUP BY l_returnflag
+  )
+  SELECT l_returnflag, n::BIGINT AS n_rows,
+         (CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+                    > 0.0
+               THEN floor((n::DOUBLE * sxy::DOUBLE
+                           - sx::DOUBLE * sy::DOUBLE)
+                          / sqrt((n::DOUBLE * sxx::DOUBLE
+                                  - sx::DOUBLE * sx::DOUBLE)
+                                 * (n::DOUBLE * syy::DOUBLE
+                                    - sy::DOUBLE * sy::DOUBLE)) * 1e6)
+               ELSE 0 END)::BIGINT AS corr_e6
+  FROM agg
+"""
+
+
+QUERIES_CURATION3.update({
+    "pearson_qty_price": QuerySpec(
+        q_pearson_qty_price, ORACLE_PEARSON,
+        doc="Pearson correlation from exact integer moments (no FP "
+            "aggregate merge-order nondeterminism)"),
+})

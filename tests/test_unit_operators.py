@@ -1487,3 +1487,23 @@ def test_hll_rho_and_determinism(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     est, exact = a[0]["hll_estimate"], a[0]["n_exact"]
     assert exact == 1000 and abs(est - exact) / exact <= 0.20
+
+
+def test_pearson_exact_moments_known_values(spark, tmp_path):
+    """y = 2x gives corr exactly 1e6; y = -3x gives -1e6; a constant
+    column (zero variance) yields the 0 guard, not a divide error.
+    Partitioning must not change any output (exact moments)."""
+    from bigdata_project_hust_spark.plans.curation3 import (
+        q_pearson_qty_price)
+    rows = ([("A", float(x), float(2 * x)) for x in range(1, 20)]
+            + [("N", float(x), float(90 - 3 * x)) for x in range(1, 20)]
+            + [("R", float(x), 5.0) for x in range(1, 20)])
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, "
+              "l_extendedprice double")
+    df.repartition(7).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r["l_returnflag"]: r["corr_e6"]
+           for r in q_pearson_qty_price(spark, str(tmp_path)).collect()}
+    assert out["A"] == 1_000_000
+    assert out["N"] == -1_000_000
+    assert out["R"] == 0
