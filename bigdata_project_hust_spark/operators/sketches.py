@@ -137,3 +137,133 @@ def hll_sketch_oracle(table: str, col: str) -> str:
          reg_checksum
   FROM folded, exact
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005), deterministic
+# ---------------------------------------------------------------------------
+
+CMS_D = 4      # hash rows
+CMS_W = 256    # counters per row
+
+
+def cms_counts(df: DataFrame, col: str) -> DataFrame:
+    """Count-min frequency estimates for every distinct value of
+    ``col``, next to the exact count: one (row, counter) grid
+    aggregate over the corpus (d·w = 1024 cells regardless of data
+    size, collapsed map-side), then each distinct value reads its d
+    cells back via a broadcast of the tiny grid and takes the min.
+
+    CMS guarantees estimate >= exact (asserted in-query per value) and
+    overshoot <= 2n/w with prob 1 - 2^-d (not asserted — it is
+    probabilistic); every cell is an integer sum of integer
+    increments, so the whole sketch is value-hash verifiable.
+    """
+    cells = [(stable_hash64(F.col(col).cast("string"), seed=100 + r)
+              % CMS_W).alias(f"c{r}") for r in range(CMS_D)]
+    hashed = df.select(F.col(col).alias("v"), *cells)
+    grid = (hashed
+            .select(F.explode(F.array(*[
+                F.struct(F.lit(r).alias("row"), F.col(f"c{r}").alias("cw"))
+                for r in range(CMS_D)])).alias("cell"))
+            .groupBy("cell.row", "cell.cw")
+            .agg(F.count("*").cast("long").alias("cnt")))
+    exact = hashed.groupBy("v").agg(
+        F.count("*").cast("long").alias("n_exact"),
+        *[F.first(f"c{r}").alias(f"c{r}") for r in range(CMS_D)])
+    est = exact
+    for r in range(CMS_D):
+        g = grid.where(F.col("row") == r) \
+                .select(F.col("cw").alias(f"c{r}"),
+                        F.col("cnt").alias(f"e{r}"))
+        est = est.join(F.broadcast(g), f"c{r}")
+    estimate = F.least(*[F.col(f"e{r}") for r in range(CMS_D)])
+    out = est.select(
+        F.col("v"), F.col("n_exact"), estimate.alias("cms_estimate"))
+    return out.where(F.assert_true(
+        F.col("cms_estimate") >= F.col("n_exact"),
+        F.lit("CMS underestimated — sketch is broken")).isNull())
+
+
+def cms_counts_oracle(table: str, col: str) -> str:
+    hs = [f"({stable_hash64_sql(f'{col}::VARCHAR', seed=100 + r)}"
+          f" % {CMS_W})" for r in range(CMS_D)]
+    grid_rows = " UNION ALL ".join(
+        f"SELECT {r} AS row, {hs[r]} AS cw FROM {table}"
+        for r in range(CMS_D))
+    joins = " ".join(
+        f"JOIN grid g{r} ON g{r}.row = {r} AND g{r}.cw = e.c{r}"
+        for r in range(CMS_D))
+    least = ", ".join(f"g{r}.cnt" for r in range(CMS_D))
+    cdefs = ", ".join(f"{hs[r]} AS c{r}" for r in range(CMS_D))
+    return f"""
+  WITH grid AS (
+    SELECT row, cw, count(*)::BIGINT AS cnt
+    FROM ({grid_rows}) GROUP BY row, cw
+  ),
+  e AS (
+    SELECT {col} AS v, count(*)::BIGINT AS n_exact, {cdefs}
+    FROM {table} GROUP BY {col}
+  )
+  SELECT e.v, e.n_exact, least({least})::BIGINT AS cms_estimate
+  FROM e {joins}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter, deterministic (bit_or word aggregate)
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 5          # hash functions
+BLOOM_LOG2_M = 17    # 2^17 bits
+BLOOM_WORD_BITS = 62  # bits packed per BIGINT word: offsets 0..61 only,
+                      # so neither engine ever shifts into (or past) the
+                      # sign bit — DuckDB's checked << errors on 1<<63
+
+
+def bloom_build(df: DataFrame, col: str) -> DataFrame:
+    """Deterministic Bloom filter over ``col``: k=5 stable hashes set
+    bits in an m=2^17 array stored as 64-bit words; the build is one
+    (word index → bit_or) aggregate — at most k·2048 groups survive
+    map-side combine per task, whatever the corpus size. Returns the
+    word table (word_idx, word)."""
+    m_mask = (1 << BLOOM_LOG2_M) - 1
+    bits = F.array(*[
+        (stable_hash64(F.col(col).cast("string"), seed=200 + i)
+         .bitwiseAND(F.lit(m_mask))) for i in range(BLOOM_K)])
+    # shiftleft takes a literal count in the python API; the
+    # variable-distance shift goes through expr
+    words = (df.select(F.explode(bits).alias("bit"))
+               .select(F.floor(F.col("bit") / BLOOM_WORD_BITS).cast("long")
+                        .alias("word_idx"),
+                       F.expr(f"shiftleft(1L, cast(bit % {BLOOM_WORD_BITS}"
+                              " AS int))").alias("w")))
+    return (words.groupBy("word_idx")
+                 .agg(F.expr("bit_or(w)").cast("long").alias("word")))
+
+
+def bloom_probe(words: DataFrame, probes: DataFrame,
+                col: str) -> DataFrame:
+    """Membership test: a key is 'present' iff all k bit words have
+    its bit set. The 2048-word filter broadcasts; the probe side
+    streams map-side — the serving-path shape for 100 TB build /
+    point-lookup probe."""
+    m_mask = (1 << BLOOM_LOG2_M) - 1
+    p = probes.select(F.col(col).alias("key"), *[
+        (stable_hash64(F.col(col).cast("string"), seed=200 + i)
+         .bitwiseAND(F.lit(m_mask))).alias(f"b{i}")
+        for i in range(BLOOM_K)])
+    for i in range(BLOOM_K):
+        w = words.select(F.col("word_idx").alias(f"wi{i}"),
+                         F.col("word").alias(f"wd{i}"))
+        p = (p.join(F.broadcast(w),
+                    F.floor(F.col(f"b{i}") / BLOOM_WORD_BITS).cast("long")
+                    == F.col(f"wi{i}"), "left"))
+    hit = None
+    for i in range(BLOOM_K):
+        this = (F.coalesce(F.col(f"wd{i}"), F.lit(0))
+                .bitwiseAND(F.expr(
+                    f"shiftleft(1L, cast(b{i} % {BLOOM_WORD_BITS}"
+                    " AS int))")) != 0)
+        hit = this if hit is None else (hit & this)
+    return p.select("key", hit.cast("long").alias("maybe_present"))

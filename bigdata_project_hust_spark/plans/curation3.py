@@ -498,3 +498,82 @@ QUERIES_CURATION3.update({
         doc="Pearson correlation from exact integer moments (no FP "
             "aggregate merge-order nondeterminism)"),
 })
+
+
+# ---------------------------------------------------------------------------
+# Deterministic count-min + Bloom (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def q_cms_event_types(spark, sf_dir):
+    """Count-min estimates vs exact counts for every event type —
+    the d*w=1024-cell grid aggregates map-side; estimate >= exact is
+    asserted per value in-query."""
+    from ..operators.sketches import cms_counts
+    return cms_counts(
+        _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull()),
+        "event_type")
+
+
+def _oracle_cms() -> str:
+    from ..operators.sketches import cms_counts_oracle
+    return cms_counts_oracle(
+        "(SELECT * FROM events WHERE event_type IS NOT NULL)",
+        "event_type")
+
+
+def q_bloom_customer_orders(spark, sf_dir):
+    """Deterministic Bloom filter built over orders.o_custkey, probed
+    with every customer key: buyers are guaranteed maybe_present=1
+    (no false negatives); non-buyers read 0 or a reproducible false
+    positive. Build = one bit_or word aggregate; probe = broadcast of
+    the 2048-word filter — the 100 TB serving shape."""
+    from ..operators.sketches import bloom_build, bloom_probe
+    words = bloom_build(_t(spark, sf_dir, "orders"), "o_custkey")
+    return bloom_probe(words, _t(spark, sf_dir, "customer"), "c_custkey")
+
+
+def _oracle_bloom() -> str:
+    from ..operators.sketches import BLOOM_K, BLOOM_LOG2_M, BLOOM_WORD_BITS
+    from ..functions.scalar import stable_hash64_sql
+    m_mask = (1 << BLOOM_LOG2_M) - 1
+    build_bits = ", ".join(
+        f"({stable_hash64_sql('o_custkey::VARCHAR', seed=200 + i)}"
+        f" & {m_mask})" for i in range(BLOOM_K))
+    probe_bits = ", ".join(
+        f"({stable_hash64_sql('c_custkey::VARCHAR', seed=200 + i)}"
+        f" & {m_mask}) AS b{i}" for i in range(BLOOM_K))
+    wb = BLOOM_WORD_BITS
+    joins = " ".join(
+        f"LEFT JOIN words w{i} ON floor(p.b{i} / {wb}) = w{i}.word_idx"
+        for i in range(BLOOM_K))
+    hit = " AND ".join(
+        f"(coalesce(w{i}.word, 0) & (1::BIGINT << (p.b{i} % {wb})::INT))"
+        " <> 0"
+        for i in range(BLOOM_K))
+    return f"""
+  WITH bits AS (
+    SELECT unnest([{build_bits}]) AS bit FROM orders
+  ),
+  words AS (
+    SELECT floor(bit / {wb})::BIGINT AS word_idx,
+           bit_or(1::BIGINT << (bit % {wb})::INT)::BIGINT AS word
+    FROM bits GROUP BY 1
+  ),
+  p AS (SELECT c_custkey AS key, {probe_bits} FROM customer)
+  SELECT p.key, (CASE WHEN {hit} THEN 1 ELSE 0 END)::BIGINT
+           AS maybe_present
+  FROM p {joins}
+"""
+
+
+QUERIES_CURATION3.update({
+    "cms_event_type_counts": QuerySpec(
+        q_cms_event_types, _oracle_cms(),
+        doc="deterministic count-min sketch: per-value estimate vs "
+            "exact, overestimate contract asserted in-query"),
+    "bloom_customer_orders": QuerySpec(
+        q_bloom_customer_orders, _oracle_bloom(),
+        doc="deterministic Bloom filter build (bit_or words) + "
+            "broadcast membership probe, no false negatives"),
+})

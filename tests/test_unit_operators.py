@@ -1507,3 +1507,37 @@ def test_pearson_exact_moments_known_values(spark, tmp_path):
     assert out["A"] == 1_000_000
     assert out["N"] == -1_000_000
     assert out["R"] == 0
+
+
+def test_cms_overestimate_contract_and_determinism(spark):
+    """CMS never underestimates; with few distinct values estimates
+    are invariant to partitioning and duplication order."""
+    from bigdata_project_hust_spark.operators.sketches import cms_counts
+    rows = [(f"k{i % 7}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "v string")
+    a = sorted(tuple(r) for r in cms_counts(df, "v").collect())
+    b = sorted(tuple(r)
+               for r in cms_counts(df.repartition(11), "v").collect())
+    assert a == b
+    assert all(est >= exact for _, exact, est in a)
+
+
+def test_bloom_no_false_negatives_bounded_fp(spark):
+    """Every built key probes maybe_present=1; absent keys false-
+    positive at the analytic rate (~1.5% at this fill), asserted
+    under 6%."""
+    from pyspark.sql import functions as F
+
+    from bigdata_project_hust_spark.operators.sketches import (
+        bloom_build, bloom_probe)
+    present = spark.range(0, 2000).select(
+        F.col("id").alias("o_custkey"))
+    words = bloom_build(present, "o_custkey")
+    hit = bloom_probe(
+        words, present.select(F.col("o_custkey").alias("k")), "k")
+    assert hit.where(F.col("maybe_present") == 0).count() == 0
+    absent = spark.range(1_000_000, 1_002_000).select(
+        F.col("id").alias("k"))
+    fp = (bloom_probe(words, absent, "k")
+          .where(F.col("maybe_present") == 1).count())
+    assert fp / 2000 < 0.06, fp
