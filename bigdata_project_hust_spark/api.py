@@ -300,3 +300,82 @@ class Engine:
         from .operators.aggregations import value_outliers
         return value_outliers(self.table("events"), "user_id", "value",
                               "event_id", sigmas=sigmas)
+
+    # ---- round-3c surface: quality rules, semantic dedup, sketches ----
+
+    def gopher_report(self) -> DataFrame:
+        """Gopher composite quality rules: per-document counters, one
+        flag per rule, and the overall ``passes`` conjunction."""
+        return text.gopher_rules(self.table("documents"))
+
+    def semantic_duplicates(self, k: int = 8, iters: int = 2,
+                            min_sim_e6: int = 300_000) -> DataFrame:
+        """SemDeDup: k-means clusters + within-cluster cosine pruning
+        (greedy lowest-id keeper); returns (vec_id, cluster_id,
+        is_kept)."""
+        return similarity.semantic_dedup(
+            self.table("embeddings"), k=k, iters=iters,
+            min_sim_e6=min_sim_e6)
+
+    def perplexity_buckets(self) -> DataFrame:
+        """CCNet-style head/middle/tail corpus partition by unigram
+        log-prob quartiles (broadcast cutoffs, no global sort)."""
+        from .plans.curation3 import q_ccnet_perplexity_buckets
+        return q_ccnet_perplexity_buckets(self.spark, self.sf_dir)
+
+    def bpe_merges(self) -> DataFrame:
+        """Top BPE merge candidates (round 1): adjacent char-pair
+        counts factored through the vocabulary."""
+        from .plans.curation3 import q_bpe_top_merges
+        return q_bpe_top_merges(self.spark, self.sf_dir)
+
+    def funnel(self, stages: tuple[str, ...] = ("view", "click",
+                                                "purchase"),
+               within_s: int = 86400) -> DataFrame:
+        """Time-boxed ordered conversion funnel over the events table."""
+        from .operators.eventflow import event_funnel
+        return event_funnel(self.table("events"), stages=stages,
+                            within_s=within_s)
+
+    def retention(self) -> DataFrame:
+        """Daily retention cohort triangle over the events table."""
+        from .operators.eventflow import retention_cohorts
+        return retention_cohorts(self.table("events"))
+
+    def distinct_sketch(self, table: str, col: str) -> DataFrame:
+        """Deterministic HLL distinct-count sketch (register-exact on
+        any engine), estimate asserted against the exact count."""
+        from .operators.sketches import hll_sketch
+        return hll_sketch(self.table(table), col)
+
+    def frequency_sketch(self, table: str, col: str) -> DataFrame:
+        """Deterministic count-min per-value frequency estimates with
+        the overestimate contract asserted in-query."""
+        from .operators.sketches import cms_counts
+        return cms_counts(self.table(table), col)
+
+    def membership_filter(self, build_table: str, build_col: str,
+                          probe_table: str, probe_col: str) -> DataFrame:
+        """Deterministic Bloom filter: build word table over one
+        column, broadcast-probe another (no false negatives)."""
+        from .operators.sketches import bloom_build, bloom_probe
+        return bloom_probe(
+            bloom_build(self.table(build_table), build_col),
+            self.table(probe_table), probe_col)
+
+    def ingest_assets(self, path: str, glob: str | None = None) -> DataFrame:
+        """Raw multimodal assets via the binaryFile source, normalized
+        to (asset_id, payload) for the codec operators."""
+        from .io import binary_assets_with_ids
+        return binary_assets_with_ids(self.spark, path, glob)
+
+    def correlation(self) -> DataFrame:
+        """Per-returnflag Pearson correlation from exact integer
+        moments (deterministic at any partitioning)."""
+        from .plans.curation3 import q_pearson_qty_price
+        return q_pearson_qty_price(self.spark, self.sf_dir)
+
+    def price_outliers(self) -> DataFrame:
+        """Tukey-fence event-value outliers (exact quartile cents)."""
+        from .plans.curation3 import q_tukey_outlier_events
+        return q_tukey_outlier_events(self.spark, self.sf_dir)

@@ -62,11 +62,33 @@ def _pow2neg(r: Column) -> Column:
     return expr
 
 
+import math
+
+# linear-counting estimates m*ln(m/V) for V = 1..m-1, computed ONCE
+# here and embedded as literals in both engines — the correction needs
+# ln(), whose 1-ulp licence differs between libm implementations, but
+# there are only m-1 possible inputs so the table sidesteps it
+_LC_TABLE = {v: HLL_M * math.log(HLL_M / v) for v in range(1, HLL_M)}
+
+
+def _lc_estimate(v_zero: Column) -> Column:
+    expr = F.lit(0.0)
+    for v, e in _LC_TABLE.items():
+        expr = F.when(v_zero == F.lit(v), F.lit(e)).otherwise(expr)
+    return expr
+
+
+def _lc_estimate_sql(v_zero: str) -> str:
+    branches = "".join(f" WHEN {v} THEN {e!r}"
+                       for v, e in _LC_TABLE.items())
+    return f"(CASE {v_zero}{branches} ELSE 0.0 END)"
+
+
 def hll_sketch(df: DataFrame, col: str) -> DataFrame:
-    """One-row HLL summary of ``count(distinct col)``: the raw
-    estimate (no small/large-range corrections — those need ln(),
-    which is exactly the cross-engine trap this sketch avoids; with
-    n >> m the raw estimate is the operative branch anyway), the
+    """One-row HLL summary of ``count(distinct col)``: the estimate
+    (with the standard small-range linear-counting branch — its ln()
+    comes from a Python-side literal table over the 255 possible
+    zero-register counts, so no engine libm is ever consulted), the
     exact count for reference, the empty-register count, and an
     order-pinned register checksum so a single flipped register fails
     the value hash.
@@ -94,14 +116,16 @@ def hll_sketch(df: DataFrame, col: str) -> DataFrame:
         F.count("*").alias("n_present"),
         F.sum(F.col("reg") * (F.col("idx") + 1)).cast("long")
          .alias("reg_checksum"))
+    # absent registers hold 0 => contribute 2^0 = 1 each
+    raw = (F.lit(HLL_ALPHA_M2)
+           / (F.col("s_present") + (F.lit(HLL_M) - F.col("n_present"))))
+    v_zero = F.lit(HLL_M) - F.col("n_present")
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0),
+                 _lc_estimate(v_zero)).otherwise(raw)
     out = folded.crossJoin(F.broadcast(exact)).select(
         F.col("n_exact").cast("long").alias("n_exact"),
-        # absent registers hold 0 => contribute 2^0 = 1 each
-        F.floor(F.lit(HLL_ALPHA_M2)
-                / (F.col("s_present") + (F.lit(HLL_M) - F.col("n_present"))))
-         .cast("long").alias("hll_estimate"),
-        (F.lit(HLL_M) - F.col("n_present")).cast("long")
-         .alias("n_zero_registers"),
+        F.floor(est).cast("long").alias("hll_estimate"),
+        v_zero.cast("long").alias("n_zero_registers"),
         F.col("reg_checksum"))
     rel_err = (F.abs(F.col("hll_estimate") - F.col("n_exact"))
                / F.col("n_exact"))
@@ -128,14 +152,20 @@ def hll_sketch_oracle(table: str, col: str) -> str:
            sum(reg * (idx + 1))::BIGINT AS reg_checksum
     FROM regs
   ),
-  exact AS (SELECT count(DISTINCT {col})::BIGINT AS n_exact FROM {table})
+  exact AS (SELECT count(DISTINCT {col})::BIGINT AS n_exact FROM {table}),
+  est AS (
+    SELECT *,
+           {HLL_ALPHA_M2!r} / (s_present + ({HLL_M} - n_present)) AS raw,
+           ({HLL_M} - n_present) AS v_zero
+    FROM folded
+  )
   SELECT n_exact,
-         floor({HLL_ALPHA_M2!r}
-               / (s_present + ({HLL_M} - n_present)))::BIGINT
-           AS hll_estimate,
-         ({HLL_M} - n_present)::BIGINT AS n_zero_registers,
+         floor(CASE WHEN raw <= {2.5 * HLL_M!r} AND v_zero > 0
+                    THEN {_lc_estimate_sql("v_zero")}
+                    ELSE raw END)::BIGINT AS hll_estimate,
+         v_zero::BIGINT AS n_zero_registers,
          reg_checksum
-  FROM folded, exact
+  FROM est, exact
 """
 
 

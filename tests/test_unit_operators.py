@@ -1541,3 +1541,26 @@ def test_bloom_no_false_negatives_bounded_fp(spark):
     fp = (bloom_probe(words, absent, "k")
           .where(F.col("maybe_present") == 1).count())
     assert fp / 2000 < 0.06, fp
+
+
+def test_engine_facade_round3c_surface(spark):
+    """Facade smoke for the round-3c additions: quality rules,
+    semantic dedup, sketches, event flow, exact correlation."""
+    from bigdata_project_hust_spark.api import Engine
+    eng = Engine(spark, "/root/testdata/sf0.001")
+    assert "passes" in eng.gopher_report().columns
+    assert eng.semantic_duplicates(k=4, iters=1).columns == [
+        "vec_id", "cluster_id", "is_kept"]
+    assert "ppl_bucket" in eng.perplexity_buckets().columns
+    assert eng.bpe_merges().count() > 0
+    assert "funnel_stage" in eng.funnel().columns
+    assert "day_offset" in eng.retention().columns
+    sk = eng.distinct_sketch("orders", "o_custkey").collect()[0]
+    assert sk["n_exact"] > 0 and sk["hll_estimate"] > 0
+    cm = eng.frequency_sketch("events", "event_type")
+    assert "cms_estimate" in cm.columns
+    bl = eng.membership_filter("orders", "o_custkey",
+                               "customer", "c_custkey")
+    assert set(bl.columns) == {"key", "maybe_present"}
+    assert "corr_e6" in eng.correlation().columns
+    assert "hi_fence_c" in eng.price_outliers().columns
