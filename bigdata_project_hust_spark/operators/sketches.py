@@ -18,6 +18,8 @@ is the only data-sized work at any corpus size.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.scalar import stable_hash64, stable_hash64_sql
@@ -62,8 +64,6 @@ def _pow2neg(r: Column) -> Column:
     return expr
 
 
-import math
-
 # linear-counting estimates m*ln(m/V) for V = 1..m-1, computed ONCE
 # here and embedded as literals in both engines — the correction needs
 # ln(), whose 1-ulp licence differs between libm implementations, but
@@ -84,6 +84,26 @@ def _lc_estimate_sql(v_zero: str) -> str:
     return f"(CASE {v_zero}{branches} ELSE 0.0 END)"
 
 
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """The (idx, reg) register table of ``col``'s HLL sketch — the
+    mergeable representation: sketches of disjoint shards (or
+    different columns) union by register-wise max, which is exactly
+    how a 1000-executor job combines per-partition sketches."""
+    h = stable_hash64(F.col(col).cast("string"))
+    return (df.select((h % HLL_M).alias("idx"),
+                      _rho(F.shiftrightunsigned(h, 8)).alias("rho"))
+              .groupBy("idx").agg(F.max("rho").alias("reg")))
+
+
+def hll_merge(*reg_tables: DataFrame) -> DataFrame:
+    """Union HLL register tables by register-wise max — the sketch
+    merge operation (associative, commutative, idempotent)."""
+    out = reg_tables[0]
+    for t in reg_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("idx").agg(F.max("reg").alias("reg"))
+
+
 def hll_sketch(df: DataFrame, col: str) -> DataFrame:
     """One-row HLL summary of ``count(distinct col)``: the estimate
     (with the standard small-range linear-counting branch — its ln()
@@ -97,12 +117,7 @@ def hll_sketch(df: DataFrame, col: str) -> DataFrame:
     by index — powers of two are exact doubles and the addition order
     is pinned, so S (and the estimate) is bit-identical everywhere.
     """
-    h = stable_hash64(F.col(col).cast("string"))
-    hashed = df.select(h.alias("h"), F.col(col).alias("v"))
-    regs = (hashed
-            .select((F.col("h") % HLL_M).alias("idx"),
-                    _rho(F.shiftrightunsigned("h", 8)).alias("rho"))
-            .groupBy("idx").agg(F.max("rho").alias("reg")))
+    regs = hll_registers(df, col)
     # exact count rides the same scan for the error contract
     exact = df.select(F.count_distinct(col).alias("n_exact"))
     folded = regs.agg(
@@ -297,3 +312,86 @@ def bloom_probe(words: DataFrame, probes: DataFrame,
                     " AS int))")) != 0)
         hit = this if hit is None else (hit & this)
     return p.select("key", hit.cast("long").alias("maybe_present"))
+
+
+def hll_union_estimate(a: DataFrame, col_a: str,
+                       b: DataFrame, col_b: str) -> DataFrame:
+    """Distinct count of the UNION of two key sets, estimated by
+    merging their HLL sketches register-wise — no row-level union or
+    re-scan of either input's values; the exact union count rides
+    along for the error contract. This is the property that makes
+    sketches worth having at 100 TB: per-shard sketches combine in
+    O(m), not O(data)."""
+    merged = hll_merge(hll_registers(a, col_a), hll_registers(b, col_b))
+    exact = (a.select(F.col(col_a).cast("string").alias("k"))
+              .unionByName(b.select(F.col(col_b).cast("string").alias("k")))
+              .agg(F.count_distinct("k").alias("n_exact")))
+    folded = merged.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "reg"))),
+                lambda s: s.getField("reg")),
+            F.lit(0.0),
+            lambda acc, r: acc + _pow2neg(r))
+         .alias("s_present"),
+        F.count("*").alias("n_present"),
+        F.sum(F.col("reg") * (F.col("idx") + 1)).cast("long")
+         .alias("reg_checksum"))
+    raw = (F.lit(HLL_ALPHA_M2)
+           / (F.col("s_present") + (F.lit(HLL_M) - F.col("n_present"))))
+    v_zero = F.lit(HLL_M) - F.col("n_present")
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0),
+                 _lc_estimate(v_zero)).otherwise(raw)
+    out = folded.crossJoin(F.broadcast(exact)).select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.floor(est).cast("long").alias("hll_estimate"),
+        v_zero.cast("long").alias("n_zero_registers"),
+        F.col("reg_checksum"))
+    rel_err = (F.abs(F.col("hll_estimate") - F.col("n_exact"))
+               / F.col("n_exact"))
+    return out.where(F.assert_true(
+        rel_err <= 0.20,
+        F.lit("merged HLL estimate outside 20% of exact")).isNull())
+
+
+def hll_union_oracle(table_a: str, col_a: str,
+                     table_b: str, col_b: str) -> str:
+    ha = stable_hash64_sql(f"{col_a}::VARCHAR")
+    hb = stable_hash64_sql(f"{col_b}::VARCHAR")
+    rho = _rho_sql("(h >> 8)")
+    return f"""
+  WITH hashed AS (
+    SELECT {ha} AS h FROM {table_a}
+    UNION ALL
+    SELECT {hb} AS h FROM {table_b}
+  ),
+  regs AS (
+    SELECT h % {HLL_M} AS idx, max({rho}) AS reg
+    FROM hashed GROUP BY idx
+  ),
+  folded AS (
+    SELECT list_sum(list_transform(list(reg ORDER BY idx),
+                                   r -> 1.0 / (1::BIGINT << r))) AS s_present,
+           count(*) AS n_present,
+           sum(reg * (idx + 1))::BIGINT AS reg_checksum
+    FROM regs
+  ),
+  exact AS (
+    SELECT count(DISTINCT k)::BIGINT AS n_exact FROM (
+      SELECT {col_a}::VARCHAR AS k FROM {table_a}
+      UNION ALL SELECT {col_b}::VARCHAR FROM {table_b})
+  ),
+  est AS (
+    SELECT *,
+           {HLL_ALPHA_M2!r} / (s_present + ({HLL_M} - n_present)) AS raw,
+           ({HLL_M} - n_present) AS v_zero
+    FROM folded
+  )
+  SELECT n_exact,
+         floor(CASE WHEN raw <= {2.5 * HLL_M!r} AND v_zero > 0
+                    THEN {_lc_estimate_sql("v_zero")}
+                    ELSE raw END)::BIGINT AS hll_estimate,
+         v_zero::BIGINT AS n_zero_registers,
+         reg_checksum
+  FROM est, exact
+"""

@@ -577,3 +577,28 @@ QUERIES_CURATION3.update({
         doc="deterministic Bloom filter build (bit_or words) + "
             "broadcast membership probe, no false negatives"),
 })
+
+
+def q_hll_union(spark, sf_dir):
+    """Register-wise HLL merge: buyers (orders.o_custkey) union all
+    customers (customer.c_custkey) — the O(m) sketch-combine path a
+    1000-executor job uses, value-hash verified against the exact
+    union count."""
+    from ..operators.sketches import hll_union_estimate
+    return hll_union_estimate(
+        _t(spark, sf_dir, "orders"), "o_custkey",
+        _t(spark, sf_dir, "customer"), "c_custkey")
+
+
+def _oracle_hll_union() -> str:
+    from ..operators.sketches import hll_union_oracle
+    return hll_union_oracle("orders", "o_custkey",
+                            "customer", "c_custkey")
+
+
+QUERIES_CURATION3.update({
+    "hll_union_custkeys": QuerySpec(
+        q_hll_union, _oracle_hll_union(),
+        doc="HLL register-wise merge (sketch union in O(m), not "
+            "O(data)) with exact-union error contract"),
+})

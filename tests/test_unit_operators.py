@@ -1564,3 +1564,24 @@ def test_engine_facade_round3c_surface(spark):
     assert set(bl.columns) == {"key", "maybe_present"}
     assert "corr_e6" in eng.correlation().columns
     assert "hi_fence_c" in eng.price_outliers().columns
+
+
+def test_hll_merge_equals_sketch_of_union_and_idempotent(spark):
+    """The sketch-algebra contract: merge(regs(A), regs(B)) must equal
+    regs(A UNION ALL B) register-for-register, and merging a sketch
+    with itself is a no-op."""
+    from pyspark.sql import functions as F
+
+    from bigdata_project_hust_spark.operators.sketches import (
+        hll_merge, hll_registers)
+    a = spark.range(0, 400).select(F.col("id").alias("k"))
+    b = spark.range(300, 900).select(F.col("id").alias("k"))
+    merged = sorted(tuple(r) for r in hll_merge(
+        hll_registers(a, "k"), hll_registers(b, "k")).collect())
+    direct = sorted(tuple(r) for r in hll_registers(
+        a.unionByName(b), "k").collect())
+    assert merged == direct
+    self_merged = sorted(tuple(r) for r in hll_merge(
+        hll_registers(a, "k"), hll_registers(a, "k")).collect())
+    only = sorted(tuple(r) for r in hll_registers(a, "k").collect())
+    assert self_merged == only
