@@ -192,6 +192,26 @@ CMS_D = 4      # hash rows
 CMS_W = 256    # counters per row
 
 
+def _cms_cells(col: str) -> list[Column]:
+    return [(stable_hash64(F.col(col).cast("string"), seed=100 + r)
+             % CMS_W).alias(f"c{r}") for r in range(CMS_D)]
+
+
+def cms_grid(df: DataFrame, col: str) -> DataFrame:
+    """The (row, cw) -> count cell grid — a plain groupBy-count, so it
+    runs unchanged over a STREAMING DataFrame (outputMode update/
+    complete): the sketch state is the aggregation state, bounded at
+    d*w cells forever. Works as the incremental build path; the batch
+    grid over the same rows is bit-identical."""
+    hashed = df.select(*_cms_cells(col))
+    return (hashed
+            .select(F.explode(F.array(*[
+                F.struct(F.lit(r).alias("row"), F.col(f"c{r}").alias("cw"))
+                for r in range(CMS_D)])).alias("cell"))
+            .groupBy("cell.row", "cell.cw")
+            .agg(F.count("*").cast("long").alias("cnt")))
+
+
 def cms_counts(df: DataFrame, col: str) -> DataFrame:
     """Count-min frequency estimates for every distinct value of
     ``col``, next to the exact count: one (row, counter) grid
@@ -204,15 +224,8 @@ def cms_counts(df: DataFrame, col: str) -> DataFrame:
     probabilistic); every cell is an integer sum of integer
     increments, so the whole sketch is value-hash verifiable.
     """
-    cells = [(stable_hash64(F.col(col).cast("string"), seed=100 + r)
-              % CMS_W).alias(f"c{r}") for r in range(CMS_D)]
-    hashed = df.select(F.col(col).alias("v"), *cells)
-    grid = (hashed
-            .select(F.explode(F.array(*[
-                F.struct(F.lit(r).alias("row"), F.col(f"c{r}").alias("cw"))
-                for r in range(CMS_D)])).alias("cell"))
-            .groupBy("cell.row", "cell.cw")
-            .agg(F.count("*").cast("long").alias("cnt")))
+    hashed = df.select(F.col(col).alias("v"), *_cms_cells(col))
+    grid = cms_grid(df, col)
     exact = hashed.groupBy("v").agg(
         F.count("*").cast("long").alias("n_exact"),
         *[F.first(f"c{r}").alias(f"c{r}") for r in range(CMS_D)])

@@ -732,3 +732,37 @@ def test_full_reference_pipeline_with_custom_source(spark, tmp_path):
     assert served.select("l_orderkey").distinct().count() == n_keys
     assert set(served.columns) >= {"l_orderkey", "l_extendedprice",
                                    "ingest_ts"}
+
+
+def test_cms_grid_builds_incrementally_over_stream(spark, tmp_path):
+    """The count-min grid is a plain groupBy-count, so the SAME
+    operator runs over a file stream with outputMode=complete and
+    converges to the batch grid bit-for-bit once both micro-batches
+    are absorbed — sketch state bounded at d*w cells forever."""
+    from pyspark.sql import functions as F
+
+    from bigdata_project_hust_spark.operators.sketches import cms_grid
+
+    rows1 = [(f"k{i % 5}",) for i in range(200)]
+    rows2 = [(f"k{i % 3}",) for i in range(100)]
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows1, "v string").coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    spark.createDataFrame(rows2, "v string").coalesce(1) \
+        .write.mode("append").parquet(str(src))
+
+    stream = (spark.readStream.schema("v string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (cms_grid(stream, "v").writeStream
+         .format("memory").queryName("cms_stream")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in
+                 spark.sql("SELECT * FROM cms_stream").collect())
+    want_df = spark.createDataFrame(rows1 + rows2, "v string")
+    want = sorted(tuple(r) for r in cms_grid(want_df, "v").collect())
+    assert got == want and len(got) > 0
