@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.scalar import stable_hash64, stable_hash64_sql
 from ..operators import text
 from ..operators.similarity import semantic_dedup
 from ..operators.text import (
@@ -601,4 +602,106 @@ QUERIES_CURATION3.update({
         q_hll_union, _oracle_hll_union(),
         doc="HLL register-wise merge (sketch union in O(m), not "
             "O(data)) with exact-union error contract"),
+})
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (CBO statistics shape) + table fingerprint
+# ---------------------------------------------------------------------------
+
+
+def q_equidepth_octiles(spark, sf_dir):
+    """Equi-depth 8-bucket histogram of order totals — the statistic a
+    cost-based optimizer keeps per column. Cutoffs are exact octile
+    percentiles over integer cents: p = k/8 are exact binary
+    fractions, so (n-1)*p and the a + g*(b-a) interpolation are exact
+    IEEE doubles on every engine (g has 3 fractional bits; the
+    products stay under 2^53). One 1-row aggregate broadcasts the 7
+    cutoffs back over the scan; per-bucket counts confirm the depths.
+    No global sort anywhere.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"))
+    cut = cents.agg(*[
+        F.floor(F.percentile("c", F.lit(k / 8.0))).cast("long")
+         .alias(f"p{k}") for k in range(1, 8)])
+    bucket = F.lit(0)
+    for k in range(1, 8):
+        bucket = F.when(F.col("c") >= F.col(f"p{k}"), F.lit(k)) \
+                  .otherwise(bucket)
+    return (cents.crossJoin(F.broadcast(cut))
+                 .groupBy(bucket.alias("bucket"))
+                 .agg(F.count("*").cast("long").alias("n_rows"),
+                      F.min("c").alias("lo_c"), F.max("c").alias("hi_c")))
+
+
+ORACLE_EQUIDEPTH = """
+  WITH cents AS (
+    SELECT floor(o_totalprice * 100)::BIGINT AS c FROM orders
+  ),
+  cut AS (
+    SELECT """ + ", ".join(
+    f"floor(quantile_cont(c, {k}/8.0))::BIGINT AS p{k}"
+    for k in range(1, 8)) + """
+    FROM cents
+  )
+  SELECT (CASE """ + " ".join(
+    f"WHEN c >= p{k} THEN {k}" for k in range(7, 0, -1)) + """
+          ELSE 0 END)::BIGINT AS bucket,
+         count(*)::BIGINT AS n_rows,
+         min(c)::BIGINT AS lo_c, max(c)::BIGINT AS hi_c
+  FROM cents, cut
+  GROUP BY 1
+"""
+
+
+def q_table_fingerprint(spark, sf_dir):
+    """Order-independent whole-table fingerprint of orders: each row
+    canonicalizes to one string, hashes through stable_hash64, and the
+    fingerprint is the SUM of row hashes (mod-2^64 by natural long
+    overflow is avoided by summing into decimal) plus the row count —
+    the cheap cross-cluster equality check you run after replicating
+    100 TB: any changed/missing/duplicated row moves the sum.
+
+    Commutative-monoid aggregation = partial sums map-side, one tiny
+    exchange; no sort, no collect.
+    """
+    o = _t(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|", F.col("o_orderkey"), F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100).cast("long"),
+        F.col("o_orderpriority"))
+    return o.select(stable_hash64(canon).alias("h")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("h").cast("decimal(38,0)")).cast("decimal(38,0)")
+         .cast("string").alias("hash_sum"),
+        F.max("h").alias("hash_max"))
+
+
+ORACLE_FINGERPRINT_ORDERS = f"""
+  WITH h AS (
+    SELECT {stable_hash64_sql(
+        "(o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' || "
+        "o_orderstatus || '|' || floor(o_totalprice * 100)::BIGINT"
+        "::VARCHAR || '|' || o_orderpriority)")} AS h
+    FROM orders
+  )
+  SELECT count(*)::BIGINT AS n_rows,
+         sum(h)::HUGEINT::VARCHAR AS hash_sum,
+         max(h)::BIGINT AS hash_max
+  FROM h
+"""
+
+
+QUERIES_CURATION3.update({
+    "equidepth_octiles": QuerySpec(
+        q_equidepth_octiles, ORACLE_EQUIDEPTH,
+        doc="equi-depth 8-bucket histogram (CBO column statistic): "
+            "exact octile cutoffs, broadcast, no global sort"),
+    "table_fingerprint_orders": QuerySpec(
+        q_table_fingerprint, ORACLE_FINGERPRINT_ORDERS,
+        doc="order-independent table fingerprint (commutative hash "
+            "sum) — the cross-cluster replication equality check"),
 })

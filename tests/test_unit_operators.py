@@ -1585,3 +1585,45 @@ def test_hll_merge_equals_sketch_of_union_and_idempotent(spark):
         hll_registers(a, "k"), hll_registers(a, "k")).collect())
     only = sorted(tuple(r) for r in hll_registers(a, "k").collect())
     assert self_merged == only
+
+
+def test_equidepth_octiles_depths_roughly_equal(spark):
+    """Eight buckets over sf0.001 orders: depths within 2x of n/8
+    (exact octiles guarantee near-equal depth up to ties), buckets
+    contiguous and ordered by their [lo, hi] ranges."""
+    from bigdata_project_hust_spark.plans.curation3 import (
+        q_equidepth_octiles)
+    rows = sorted((r["bucket"], r["n_rows"], r["lo_c"], r["hi_c"])
+                  for r in q_equidepth_octiles(
+                      spark, "/root/testdata/sf0.001").collect())
+    assert [b for b, *_ in rows] == list(range(8))
+    n = sum(r[1] for r in rows)
+    assert all(r[1] <= 2 * (n // 8) + 1 for r in rows), rows
+    for (b1, _, _, hi), (b2, _, lo, _) in zip(rows, rows[1:]):
+        assert hi <= lo, rows  # contiguous, non-overlapping ranges
+
+
+def test_table_fingerprint_detects_any_row_change(spark, tmp_path):
+    """The fingerprint is order-independent but value-sensitive:
+    permuting rows keeps it; changing one value, dropping a row, or
+    duplicating a row each move hash_sum."""
+    from bigdata_project_hust_spark.plans.curation3 import (
+        q_table_fingerprint)
+
+    base = [(i, i % 7, "O", 100.0 + i, "1-URGENT") for i in range(50)]
+    cols = ("o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderpriority string")
+
+    def fp(rows, name):
+        d = tmp_path / name
+        spark.createDataFrame(rows, cols).repartition(5) \
+            .write.parquet(str(d / "orders.parquet"))
+        return tuple(q_table_fingerprint(spark, str(d)).collect()[0])
+
+    a = fp(base, "a")
+    b = fp(list(reversed(base)), "b")            # permuted
+    c = fp(base[:-1] + [(49, 0, "F", 149.0, "1-URGENT")], "c")
+    d2 = fp(base[:-1], "d")                      # dropped row
+    e = fp(base + [base[0]], "e")                # duplicated row
+    assert a == b
+    assert a != c and a != d2 and a != e
