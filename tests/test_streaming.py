@@ -766,3 +766,37 @@ def test_cms_grid_builds_incrementally_over_stream(spark, tmp_path):
     want_df = spark.createDataFrame(rows1 + rows2, "v string")
     want = sorted(tuple(r) for r in cms_grid(want_df, "v").collect())
     assert got == want and len(got) > 0
+
+
+def test_hll_registers_build_incrementally_over_stream(spark, tmp_path):
+    """HLL registers are a groupBy-max — the same operator runs over a
+    stream (outputMode complete) and converges to the batch register
+    table exactly, so the distinct sketch can be maintained
+    incrementally with state bounded at m rows."""
+    from pyspark.sql import functions as F
+
+    from bigdata_project_hust_spark.operators.sketches import (
+        hll_registers)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.range(0, 500).select(F.col("id").cast("string").alias("v")) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    spark.range(400, 800).select(F.col("id").cast("string").alias("v")) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (spark.readStream.schema("v string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (hll_registers(stream, "v").writeStream
+         .format("memory").queryName("hll_stream")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in
+                 spark.sql("SELECT * FROM hll_stream").collect())
+    want_df = spark.range(0, 800).select(
+        F.col("id").cast("string").alias("v"))
+    want = sorted(tuple(r) for r in hll_registers(want_df, "v").collect())
+    assert got == want and len(got) > 0
