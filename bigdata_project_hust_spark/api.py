@@ -309,10 +309,11 @@ class Engine:
         return text.gopher_rules(self.table("documents"))
 
     def semantic_duplicates(self, k: int = 8, iters: int = 2,
-                            min_sim_e6: int = 300_000) -> DataFrame:
+                            min_sim_e6: int = 950_000) -> DataFrame:
         """SemDeDup: k-means clusters + within-cluster cosine pruning
         (greedy lowest-id keeper); returns (vec_id, cluster_id,
-        is_kept)."""
+        is_kept). Default threshold 0.95 per the paper — the registry
+        query passes the fixture-tuned 0.30 explicitly."""
         return similarity.semantic_dedup(
             self.table("embeddings"), k=k, iters=iters,
             min_sim_e6=min_sim_e6)

@@ -440,6 +440,10 @@ def semantic_dedup(df: DataFrame, k: int = 8, iters: int = 2,
                      / (F.col("__na") * F.col("__nb")) * 1e6).cast("long")
     losers = (lo.join(hi, "cluster_id")
                 .where(F.col("__ida") < F.col("__idb"))
+                # zero-norm vectors (failed/padding embeddings) define
+                # no cosine: treat as dissimilar instead of letting
+                # 0/0 kill the job under ANSI mode
+                .where((F.col("__na") > 0) & (F.col("__nb") > 0))
                 .where(sim_e6 >= F.lit(min_sim_e6))
                 .select(F.col("__idb").alias(id_col))
                 .distinct())

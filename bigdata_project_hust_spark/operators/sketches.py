@@ -104,6 +104,50 @@ def hll_merge(*reg_tables: DataFrame) -> DataFrame:
     return out.groupBy("idx").agg(F.max("reg").alias("reg"))
 
 
+def _estimate_from_registers(regs: DataFrame,
+                             exact: DataFrame) -> DataFrame:
+    """Shared registers -> one-row summary: order-pinned 2^-reg fold,
+    raw estimate, linear-counting branch, and the rel-error assert.
+
+    The empty set is handled explicitly: v_zero == m short-circuits to
+    estimate 0 (the LC table only covers V in 1..m-1), and the
+    rel-error contract becomes "estimate must be 0" instead of a 0/0
+    division that would kill the job under ANSI mode."""
+    folded = regs.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "reg"))),
+                lambda s: s.getField("reg")),
+            F.lit(0.0),
+            lambda acc, r: acc + _pow2neg(r))
+         .alias("s_present"),
+        F.count("*").alias("n_present"),
+        F.coalesce(F.sum(F.col("reg") * (F.col("idx") + 1)), F.lit(0))
+         .cast("long").alias("reg_checksum"))
+    raw = (F.lit(HLL_ALPHA_M2)
+           / (F.col("s_present") + (F.lit(HLL_M) - F.col("n_present"))))
+    v_zero = F.lit(HLL_M) - F.col("n_present")
+    est = F.when(v_zero == F.lit(HLL_M), F.lit(0.0)) \
+           .when((raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0),
+                 _lc_estimate(v_zero)) \
+           .otherwise(raw)
+    out = folded.crossJoin(F.broadcast(exact)).select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.floor(est).cast("long").alias("hll_estimate"),
+        v_zero.cast("long").alias("n_zero_registers"),
+        F.col("reg_checksum"))
+    # m=256 -> rsd ~ 1.04/sqrt(256) = 6.5%; assert at ~3 sigma.
+    # n_exact=0 divides nowhere: the empty sketch must estimate 0.
+    rel_err = F.when(F.col("n_exact") == 0,
+                     F.when(F.col("hll_estimate") == 0, F.lit(0.0))
+                      .otherwise(F.lit(1.0))) \
+               .otherwise(F.abs(F.col("hll_estimate") - F.col("n_exact"))
+                          / F.col("n_exact"))
+    return out.where(F.assert_true(
+        rel_err <= 0.20,
+        F.lit("deterministic HLL estimate outside 20% of exact")).isNull())
+
+
 def hll_sketch(df: DataFrame, col: str) -> DataFrame:
     """One-row HLL summary of ``count(distinct col)``: the estimate
     (with the standard small-range linear-counting branch — its ln()
@@ -120,34 +164,7 @@ def hll_sketch(df: DataFrame, col: str) -> DataFrame:
     regs = hll_registers(df, col)
     # exact count rides the same scan for the error contract
     exact = df.select(F.count_distinct(col).alias("n_exact"))
-    folded = regs.agg(
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "reg"))),
-                lambda s: s.getField("reg")),
-            F.lit(0.0),
-            lambda acc, r: acc + _pow2neg(r))
-         .alias("s_present"),
-        F.count("*").alias("n_present"),
-        F.sum(F.col("reg") * (F.col("idx") + 1)).cast("long")
-         .alias("reg_checksum"))
-    # absent registers hold 0 => contribute 2^0 = 1 each
-    raw = (F.lit(HLL_ALPHA_M2)
-           / (F.col("s_present") + (F.lit(HLL_M) - F.col("n_present"))))
-    v_zero = F.lit(HLL_M) - F.col("n_present")
-    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0),
-                 _lc_estimate(v_zero)).otherwise(raw)
-    out = folded.crossJoin(F.broadcast(exact)).select(
-        F.col("n_exact").cast("long").alias("n_exact"),
-        F.floor(est).cast("long").alias("hll_estimate"),
-        v_zero.cast("long").alias("n_zero_registers"),
-        F.col("reg_checksum"))
-    rel_err = (F.abs(F.col("hll_estimate") - F.col("n_exact"))
-               / F.col("n_exact"))
-    # m=256 -> rsd ~ 1.04/sqrt(256) = 6.5%; assert at ~3 sigma
-    return out.where(F.assert_true(
-        rel_err <= 0.20,
-        F.lit("deterministic HLL estimate outside 20% of exact")).isNull())
+    return _estimate_from_registers(regs, exact)
 
 
 def hll_sketch_oracle(table: str, col: str) -> str:
@@ -224,8 +241,9 @@ def cms_counts(df: DataFrame, col: str) -> DataFrame:
     probabilistic); every cell is an integer sum of integer
     increments, so the whole sketch is value-hash verifiable.
     """
-    hashed = df.select(F.col(col).alias("v"), *_cms_cells(col))
-    grid = cms_grid(df, col)
+    nn = df.where(F.col(col).isNotNull())
+    hashed = nn.select(F.col(col).alias("v"), *_cms_cells(col))
+    grid = cms_grid(nn, col)
     exact = hashed.groupBy("v").agg(
         F.count("*").cast("long").alias("n_exact"),
         *[F.first(f"c{r}").alias(f"c{r}") for r in range(CMS_D)])
@@ -339,32 +357,7 @@ def hll_union_estimate(a: DataFrame, col_a: str,
     exact = (a.select(F.col(col_a).cast("string").alias("k"))
               .unionByName(b.select(F.col(col_b).cast("string").alias("k")))
               .agg(F.count_distinct("k").alias("n_exact")))
-    folded = merged.agg(
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "reg"))),
-                lambda s: s.getField("reg")),
-            F.lit(0.0),
-            lambda acc, r: acc + _pow2neg(r))
-         .alias("s_present"),
-        F.count("*").alias("n_present"),
-        F.sum(F.col("reg") * (F.col("idx") + 1)).cast("long")
-         .alias("reg_checksum"))
-    raw = (F.lit(HLL_ALPHA_M2)
-           / (F.col("s_present") + (F.lit(HLL_M) - F.col("n_present"))))
-    v_zero = F.lit(HLL_M) - F.col("n_present")
-    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0),
-                 _lc_estimate(v_zero)).otherwise(raw)
-    out = folded.crossJoin(F.broadcast(exact)).select(
-        F.col("n_exact").cast("long").alias("n_exact"),
-        F.floor(est).cast("long").alias("hll_estimate"),
-        v_zero.cast("long").alias("n_zero_registers"),
-        F.col("reg_checksum"))
-    rel_err = (F.abs(F.col("hll_estimate") - F.col("n_exact"))
-               / F.col("n_exact"))
-    return out.where(F.assert_true(
-        rel_err <= 0.20,
-        F.lit("merged HLL estimate outside 20% of exact")).isNull())
+    return _estimate_from_registers(merged, exact)
 
 
 def hll_union_oracle(table_a: str, col_a: str,

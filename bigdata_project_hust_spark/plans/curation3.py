@@ -107,7 +107,8 @@ def _oracle_semdedup() -> str:
     SELECT DISTINCT b.vec_id
     FROM m a JOIN m b
       ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-    WHERE floor({dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb}))
+    WHERE sqrt({dot_aa}) * sqrt({dot_bb}) > 0
+      AND floor({dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb}))
                 * 1000000)::BIGINT >= {_SEMDEDUP_SIM_E6}
   )
   SELECT m.vec_id, m.cluster_id,
@@ -449,9 +450,14 @@ def q_pearson_qty_price(spark, sf_dir):
         F.count("*").cast(dec).alias("n"),
         F.sum(F.col("x").cast(dec)).alias("sx"),
         F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"))
+        # cast operands BEFORE the multiply: y*y in LONG overflows at
+        # cents >= 2^31.5, far below the documented 2^34 headroom
+        F.sum(F.col("x").cast("decimal(19,0)")
+              * F.col("x").cast("decimal(19,0)")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,0)")
+              * F.col("y").cast("decimal(19,0)")).alias("syy"),
+        F.sum(F.col("x").cast("decimal(19,0)")
+              * F.col("y").cast("decimal(19,0)")).alias("sxy"))
     n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
     sxx, syy, sxy = [F.col(c).cast("double") for c in ("sxx", "syy", "sxy")]
     num = n * sxy - sx * sy
@@ -474,8 +480,9 @@ ORACLE_PEARSON = """
     SELECT l_returnflag,
            count(*)::HUGEINT AS n,
            sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
-           sum(x * x)::HUGEINT AS sxx, sum(y * y)::HUGEINT AS syy,
-           sum(x * y)::HUGEINT AS sxy
+           sum(x::HUGEINT * x::HUGEINT) AS sxx,
+           sum(y::HUGEINT * y::HUGEINT) AS syy,
+           sum(x::HUGEINT * y::HUGEINT) AS sxy
     FROM d GROUP BY l_returnflag
   )
   SELECT l_returnflag, n::BIGINT AS n_rows,
@@ -668,11 +675,16 @@ def q_table_fingerprint(spark, sf_dir):
     exchange; no sort, no collect.
     """
     o = _t(spark, sf_dir, "orders")
+    # concat_ws SKIPS nulls (two rows differing only in which column
+    # is null would collide); coalesce every column to a sentinel so
+    # the canonical string is injective over null patterns
+    def _c(c):
+        return F.coalesce(c.cast("string"), F.lit("<null>"))
     canon = F.concat_ws(
-        "|", F.col("o_orderkey"), F.col("o_custkey"),
-        F.col("o_orderstatus"),
-        F.floor(F.col("o_totalprice") * 100).cast("long"),
-        F.col("o_orderpriority"))
+        "|", _c(F.col("o_orderkey")), _c(F.col("o_custkey")),
+        _c(F.col("o_orderstatus")),
+        _c(F.floor(F.col("o_totalprice") * 100).cast("long")),
+        _c(F.col("o_orderpriority")))
     return o.select(stable_hash64(canon).alias("h")).agg(
         F.count("*").cast("long").alias("n_rows"),
         F.sum(F.col("h").cast("decimal(38,0)")).cast("decimal(38,0)")
@@ -683,9 +695,11 @@ def q_table_fingerprint(spark, sf_dir):
 ORACLE_FINGERPRINT_ORDERS = f"""
   WITH h AS (
     SELECT {stable_hash64_sql(
-        "(o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' || "
-        "o_orderstatus || '|' || floor(o_totalprice * 100)::BIGINT"
-        "::VARCHAR || '|' || o_orderpriority)")} AS h
+        "(coalesce(o_orderkey::VARCHAR, '<null>') || '|' || "
+        "coalesce(o_custkey::VARCHAR, '<null>') || '|' || "
+        "coalesce(o_orderstatus, '<null>') || '|' || "
+        "coalesce(floor(o_totalprice * 100)::BIGINT::VARCHAR, '<null>')"
+        " || '|' || coalesce(o_orderpriority, '<null>'))")} AS h
     FROM orders
   )
   SELECT count(*)::BIGINT AS n_rows,

@@ -1352,32 +1352,22 @@ def test_semantic_dedup_prunes_higher_id_within_cluster(spark):
     assert out == {0: 1, 1: 0, 2: 1}
 
 
-def test_ccnet_buckets_partition_and_empty_doc(spark):
+def test_ccnet_buckets_partition_and_empty_doc(spark, tmp_path):
     """Buckets partition the corpus (head+middle+tail = docs with
-    tokens); a whitespace-only document gets the 'empty' bucket."""
+    tokens); a whitespace-only document gets the 'empty' bucket.
+    Exercises the REAL registry query over a fixture dir (an inline
+    re-implementation could not catch a regression in it)."""
     from bigdata_project_hust_spark.plans.curation3 import (
         q_ccnet_perplexity_buckets)
-    from bigdata_project_hust_spark.operators import text as T
-    from pyspark.sql import functions as F
     docs = ["common common common "
             + " ".join(f"rare{i}x{j}" for j in range(i))
             for i in range(8)]  # doc i: 3 common + i singleton tokens
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(docs)] + [(99, "   ")],
         "doc_id long, text string")
-    lp = T.unigram_logprob(df)
-    cut = (lp.where(F.col("n_tokens") > 0)
-             .agg(F.floor(F.percentile("logprob_e6", F.lit(0.25)))
-                   .cast("long").alias("c25"),
-                  F.floor(F.percentile("logprob_e6", F.lit(0.75)))
-                   .cast("long").alias("c75")))
-    bucket = (F.when(F.col("n_tokens") == 0, F.lit("empty"))
-               .when(F.col("logprob_e6") >= F.col("c75"), F.lit("head"))
-               .when(F.col("logprob_e6") < F.col("c25"), F.lit("tail"))
-               .otherwise(F.lit("middle")))
-    out = (lp.crossJoin(F.broadcast(cut))
-             .select("doc_id", bucket.alias("b")).collect())
-    bs = {r["doc_id"]: r["b"] for r in out}
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = q_ccnet_perplexity_buckets(spark, str(tmp_path)).collect()
+    bs = {r["doc_id"]: r["ppl_bucket"] for r in out}
     assert bs[99] == "empty"
     from collections import Counter
     c = Counter(b for d, b in bs.items() if d != 99)
@@ -1627,3 +1617,59 @@ def test_table_fingerprint_detects_any_row_change(spark, tmp_path):
     e = fp(base + [base[0]], "e")                # duplicated row
     assert a == b
     assert a != c and a != d2 and a != e
+
+
+def test_review_fixes_round3c_regressions(spark, tmp_path):
+    """Regression pins for the session's review findings: zero-norm
+    embeddings don't crash SemDeDup (ANSI 0/0); the empty-set HLL
+    returns the exact (0, 0) sketch; CMS drops NULL keys by contract
+    instead of silently losing the group post-join; pearson survives
+    cents > 2^31.5 (pre-cast multiply overflowed LONG); fingerprint
+    distinguishes rows that differ only in WHICH column is null."""
+    from pyspark.sql import functions as F
+
+    from bigdata_project_hust_spark.operators.similarity import (
+        semantic_dedup)
+    from bigdata_project_hust_spark.operators.sketches import (
+        cms_counts, hll_sketch)
+    from bigdata_project_hust_spark.plans.curation3 import (
+        q_pearson_qty_price, q_table_fingerprint)
+
+    zn = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 63), (1, [0.0] * 64), (2, [0.0] * 64)],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["is_kept"]
+           for r in semantic_dedup(zn, k=2, iters=1).collect()}
+    assert set(out.values()) <= {0, 1} and out[0] == 1
+
+    empty = spark.createDataFrame([], "v long")
+    sk = hll_sketch(empty, "v").collect()[0]
+    assert (sk["n_exact"], sk["hll_estimate"],
+            sk["n_zero_registers"]) == (0, 0, 256)
+
+    withnull = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",)], "v string")
+    cm = {r["v"]: (r["n_exact"], r["cms_estimate"])
+          for r in cms_counts(withnull, "v").collect()}
+    assert None not in cm and cm["a"][0] == 2
+
+    big = [("A", 1.0, 5.0e7), ("A", 2.0, 9.9e7), ("A", 3.0, 7.0e7)]
+    spark.createDataFrame(
+        big, "l_returnflag string, l_quantity double, "
+             "l_extendedprice double"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    r = q_pearson_qty_price(spark, str(tmp_path)).collect()
+    assert len(r) == 1 and abs(r[0]["corr_e6"]) <= 1_000_000
+
+    cols = ("o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderpriority string")
+
+    def fp(rows, name):
+        d = tmp_path / name
+        spark.createDataFrame(rows, cols).write.parquet(
+            str(d / "orders.parquet"))
+        return tuple(q_table_fingerprint(spark, str(d)).collect()[0])
+
+    a = fp([(1, None, "X", 1.0, "p")], "na")
+    b = fp([(1, 7, None, 1.0, "p")], "nb")   # null moved one column
+    assert a != b
