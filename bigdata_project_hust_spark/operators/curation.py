@@ -344,3 +344,41 @@ def dsir_resample(df: DataFrame, target_cond, text_col: str = "text",
               .where(F.pmod(h, F.lit(1_000_000)) < F.col("p_accept_e6"))
               .select(F.col(id_col), "n_tokens", "dsir_logratio_e6",
                       "p_accept_e6", "is_target"))
+
+
+def priority_sample(df: DataFrame, n: int = 100,
+                    weight_col: str = "n_chars",
+                    id_col: str = "doc_id", seed: int = 7) -> DataFrame:
+    """Weighted sampling without replacement via PRIORITY SAMPLING
+    (Duffield, Lund, Thorup 2007): each row gets priority ``w / u``
+    with ``u`` uniform in (0, 1]; the n highest priorities are the
+    sample. Higher-weight rows are proportionally likelier to be
+    kept — the weighted counterpart of the 10pct hash sample, used to
+    oversample long/high-quality documents in a curation mix.
+
+    Determinism and cross-engine exactness: ``u`` is derived from
+    ``stable_hash64`` — ``u = ((h mod 2^53) + 1) / 2^53`` is ONE exact
+    IEEE division (numerator ≤ 2^53 is exactly representable), and the
+    priority ``w / u`` is one more — two IEEE ops, bit-identical in
+    any engine, no RNG state. The emitted columns stay integral
+    (rank, id, weight, u's integer numerator) so the driver hash never
+    touches a double.
+
+    Scale shape: ZERO shuffles beyond the global top-n —
+    ``orderBy().limit(n)`` plans as TakeOrderedAndProject (each
+    partition keeps n rows, the driver merges n·partitions), the same
+    bound as any top-k at 100 TB."""
+    h = stable_hash64(F.col(id_col).cast("string"), seed)
+    u_num = F.pmod(h, F.lit(2 ** 53)) + 1
+    u = u_num.cast("double") / F.lit(float(2 ** 53))
+    priority = F.col(weight_col).cast("double") / u
+    ranked = (df.select(F.col(id_col),
+                        F.col(weight_col).cast("long").alias("weight"),
+                        u_num.cast("long").alias("u_num"),
+                        priority.alias("__p"))
+                .orderBy(F.col("__p").desc(), F.col(id_col).asc())
+                .limit(n))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("__p").desc(), F.col(id_col).asc())
+    return (ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+                  .select("rank", id_col, "weight", "u_num"))

@@ -155,3 +155,40 @@ def triangle_count(edges: DataFrame, a: str = "pa",
                 .groupBy("node").agg(F.count("*").alias("n_triangles")))
     return per_node.select("node",
                            F.col("n_triangles").cast("long"))
+
+
+def bfs_hops(edges: DataFrame, max_hops: int = 4,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """Minimum-hop distances from the lowest-id node, bounded at
+    ``max_hops`` rounds — BFS as iterative relational relaxation, the
+    third iterative-graph family next to connected components and
+    PageRank.
+
+    Each round is one join (frontier candidates through the edge list)
+    plus one min-agg — the distance table never exceeds |V| rows no
+    matter how many paths exist (the path-explosion trap of naive
+    transitive closure never appears, because min() collapses the
+    frontier every round). The source is chosen RELATIONALLY (lowest
+    node id via a 1-row limit), so no collect() and both engines pick
+    the same root.
+
+    Scale shape per round: distance table |V| rows (node, hops) — tiny
+    next to |E|; the edge join shuffles on src. At 100 TB pre-partition
+    edges by src once and every round reuses the layout; for deep
+    searches localCheckpoint the distance table every few rounds (the
+    ``connected_components`` lineage-bound pattern). Unreached nodes
+    are omitted (standard BFS contract).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct())
+    dist = (nodes.orderBy("node").limit(1)
+            .select("node", F.lit(0).cast("long").alias("hops")))
+    for _ in range(max_hops):
+        step = (dist.join(e, dist.node == e.src)
+                .select(F.col("dst").alias("node"),
+                        (F.col("hops") + 1).alias("hops")))
+        dist = (dist.union(step)
+                .groupBy("node").agg(F.min("hops").alias("hops")))
+    return dist.select("node", F.col("hops").cast("long"))

@@ -357,6 +357,167 @@ def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
              .orderBy(id_col))
 
 
+def pq_codebooks(df: DataFrame, m_sub: int = 8, sub_dim: int = 8,
+                 ks: int = 16, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the vector space is
+    split into ``m_sub`` orthogonal subspaces of ``sub_dim`` dims; each
+    subspace gets a ``ks``-entry codebook.
+
+    Training is deterministic — codeword ``c`` of subspace ``m`` is the
+    corresponding slice of the ``c``-th lowest-id vector, quantized to
+    the exact 2^20 integer grid (the ``KMEANS_SCALE`` grid shared with
+    k-means / SemDeDup), so both engines derive identical codebooks
+    with no RNG. Swapping in per-subspace k-means centroids
+    (``kmeans_assign`` on the slices) changes nothing downstream.
+
+    Output: (m, code, cv) — m_sub·ks rows, broadcast-sized at ANY
+    corpus size (the whole point of PQ: the model is tiny, the codes
+    are 1 byte per subspace per vector)."""
+    from pyspark.sql import Window
+    vq = quantized_vectors(df, id_col, vec_col)
+    train = (vq.orderBy(id_col).limit(ks)
+               .withColumn("code",
+                           F.row_number().over(Window.orderBy(id_col))
+                           .cast("long") - 1))
+    subs = F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m")
+    return (train.select("code", subs, "vq")
+                 .select(F.col("m").cast("long").alias("m"), "code",
+                         F.slice("vq", F.col("m") * sub_dim + 1,
+                                 sub_dim).alias("cv")))
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 between two grid arrays (sequential
+    fold — deterministic). |component| ≤ 2 ⇒ |grid| < 2^21, diff² <
+    2^44, ×64 dims < 2^50 — BIGINT-safe with headroom."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def pq_encode(df: DataFrame, m_sub: int = 8, sub_dim: int = 8,
+              ks: int = 16, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """PQ encode: each vector → one code per subspace (nearest codeword
+    by exact integer squared-L2; tie → lowest code).
+
+    Scale shape: the subspace explode is m_sub× the vector count but
+    each row carries only a sub_dim slice (same bytes as the input);
+    the codebook join is BROADCAST (m_sub·ks rows); the argmin is a
+    min(struct) map-side-combinable agg keyed on (vec, m). No shuffle
+    carries a full vector — the compressed index build streams.
+
+    Output: (vec_id, m, code) long rows — the inverted representation
+    ADC scans; ``pq_codes_csv`` in plans/ packs them to one row per
+    vector for hashing."""
+    cb = pq_codebooks(df, m_sub, sub_dim, ks, id_col, vec_col)
+    vq = quantized_vectors(df, id_col, vec_col)
+    subs = F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m")
+    rows = (vq.select(F.col(id_col), subs, "vq")
+              .select(F.col(id_col), F.col("m").cast("long").alias("m"),
+                      F.slice("vq", F.col("m") * sub_dim + 1,
+                              sub_dim).alias("sv")))
+    scored = rows.join(F.broadcast(cb), "m").select(
+        F.col(id_col), "m",
+        F.struct(_sq_l2(F.col("sv"), F.col("cv")).alias("d"),
+                 F.col("code")).alias("dc"))
+    return (scored.groupBy(id_col, "m")
+                  .agg(F.min("dc").alias("b"))
+                  .select(F.col(id_col), "m", F.col("b.code").alias("code"),
+                          F.col("b.d").alias("dist_q")))
+
+
+def pq_adc_topk(df: DataFrame, query_id: int, k: int = 10,
+                m_sub: int = 8, sub_dim: int = 8, ks: int = 16,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: the query stays EXACT (grid
+    ints); each database vector is its PQ code; distance = Σ_m
+    dtable[m][code_m] where dtable is the query's squared-L2 to every
+    codeword — computed ONCE (m_sub·ks rows), broadcast, then the scan
+    is a join + sum over the 1-byte-per-subspace codes. This is the
+    memory-bounded ANN scan: at 100 TB the float vectors never leave
+    the index build; serving touches only codes + the broadcast table.
+
+    Exact integer arithmetic end-to-end → the approximation error is
+    purely the PQ quantization (by construction), never FP noise.
+    Output (vec_id, adc_dist) ascending, id tie-break."""
+    cb = pq_codebooks(df, m_sub, sub_dim, ks, id_col, vec_col)
+    vq = quantized_vectors(df, id_col, vec_col)
+    subs = F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m")
+    qrows = (vq.where(F.col(id_col) == query_id)
+               .select(subs, "vq")
+               .select(F.col("m").cast("long").alias("m"),
+                       F.slice("vq", F.col("m") * sub_dim + 1,
+                               sub_dim).alias("qv")))
+    dtable = (qrows.join(F.broadcast(cb), "m")
+                   .select("m", "code",
+                           _sq_l2(F.col("qv"), F.col("cv")).alias("d")))
+    codes = pq_encode(df, m_sub, sub_dim, ks, id_col, vec_col)
+    return (codes.where(F.col(id_col) != query_id)
+                 .join(F.broadcast(dtable), ["m", "code"])
+                 .groupBy(id_col)
+                 .agg(F.sum("d").alias("adc_dist"))
+                 .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+                 .limit(k))
+
+
+def ann_recall(df: DataFrame, k: int = 3, sample_mod: int = 5,
+               n_planes: int = 8, dim: int = 64,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Recall@k of the LSH kNN join against exact brute-force kNN, on
+    a deterministic 1/``sample_mod`` hash-sample of query vectors — the
+    standard ANN quality gate run before an index ships.
+
+    The exact side is the expensive one; sampling the QUERY side bounds
+    it at (n/sample_mod)·n candidate pairs instead of n² — the query
+    rows broadcast, the corpus streams, and TakeOrderedAndProject-style
+    rank windows keep k rows per query. The approx side reuses
+    ``lsh_knn_join`` unchanged (same bucket structure being audited).
+
+    Output: ONE row (k, n_queries, n_exact, n_hits, recall_e6) — all
+    BIGINTs, recall floor-scaled e6. Ground truth ties share sim_e6 on
+    the same integer grid both engines compute, so the exact set is
+    well-defined cross-engine (rank ties broken by id)."""
+    from pyspark.sql import Window
+    q = (df.where(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
+           .select(F.col(id_col).alias("qid"),
+                   F.col(vec_col).alias("qv"))
+           .withColumn("qn", _norm(F.col("qv"))))
+    base = df.select(F.col(id_col).alias("nid"),
+                     F.col(vec_col).alias("nv"),
+                     _norm(F.col(vec_col)).alias("nn"))
+    sim = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+    pairs = (base.crossJoin(F.broadcast(q))
+                 .where(F.col("qid") != F.col("nid"))
+                 .select("qid", "nid",
+                         F.floor(sim * 1e6).cast("long").alias("sim_e6")))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim_e6").desc(), F.col("nid").asc())
+    exact = (pairs.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") <= k)
+                  .select("qid", "nid"))
+    approx = (lsh_knn_join(df, k=k, n_planes=n_planes, dim=dim,
+                           id_col=id_col, vec_col=vec_col)
+              .where(F.pmod(F.col("vec_id_a"), F.lit(sample_mod)) == 0)
+              .select(F.col("vec_id_a").alias("qid"),
+                      F.col("vec_id_b").alias("nid")))
+    hits = exact.join(approx, ["qid", "nid"])
+    return (exact.agg(F.count("*").alias("n_exact"),
+                      F.countDistinct("qid").alias("n_queries"))
+                 .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+                 .select(F.lit(k).cast("long").alias("k"),
+                         F.col("n_queries").cast("long"),
+                         F.col("n_exact").cast("long"),
+                         F.col("n_hits").cast("long"),
+                         F.floor(F.col("n_hits") * 1e6
+                                 / F.col("n_exact")).cast("long")
+                          .alias("recall_e6")))
+
+
 def knn_label_vote(df: DataFrame, k: int = 5, n_planes: int = 8,
                    dim: int = 64, id_col: str = "vec_id",
                    vec_col: str = "embedding",

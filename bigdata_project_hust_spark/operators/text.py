@@ -650,3 +650,64 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
         r_alpha.cast("long").alias("r_alpha_frac"),
         r_stop.cast("long").alias("r_stopwords"),
         (r_words & r_mwl & r_alpha & r_stop).cast("long").alias("passes"))
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Interpolated bigram LM document score — the next-order LM
+    quality signal above :func:`unigram_logprob` (the CCNet-style
+    proxy, with the corpus's own counts standing in for a trained LM):
+    mean over adjacent token pairs of
+    ``ln(0.7·c2(w1,w2)/c1(w1) + 0.3·c1(w2)/N)``.
+
+    Determinism: the per-pair probability is a fixed-shape expression
+    (two products, two divisions, one add — both engines evaluate the
+    identical IEEE op sequence); the per-doc mean folds the pair
+    log-probs IN POSITION ORDER via a sequential ``F.aggregate`` (the
+    token_entropy pattern) — an agg-side sum would be
+    partial-merge-order dependent.
+
+    Scale shape: the bigram count table is corpus-derived and can be
+    vocabulary² in the worst case, so the pair↔count join is an
+    ordinary shuffle join (NOT broadcast — the one model table that
+    can outgrow memory); the unigram table and total stay broadcast,
+    as in tfidf/unigram. Docs with < 2 tokens score (0, 0)."""
+    t = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    n = F.size("__t")
+    m = F.greatest(n - 1, F.lit(0))
+    prs = F.zip_with(F.slice("__t", 1, m), F.slice("__t", 2, m),
+                     lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    pairs = (t.select(F.col(id_col), F.posexplode(prs).alias("pos", "pr"))
+              .select(F.col(id_col), "pos",
+                      F.col("pr.w1").alias("w1"),
+                      F.col("pr.w2").alias("w2")))
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    toks = t.select(F.explode("__t").alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").alias("c1"))
+    tot = uni.agg(F.sum("c1").alias("nn"))
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c1").alias("c1a"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c1").alias("c1b"))
+    lp = F.log(
+        (F.lit(0.7) * F.col("c2").cast("double")) / F.col("c1a")
+        + (F.lit(0.3) * F.col("c1b").cast("double")) / F.col("nn"))
+    scored = (pairs.join(big, ["w1", "w2"])
+                   .join(F.broadcast(u1), "w1")
+                   .join(F.broadcast(u2), "w2")
+                   .crossJoin(F.broadcast(tot))
+                   .select(F.col(id_col), "pos", lp.alias("lp")))
+    folded = (scored.groupBy(id_col)
+              .agg(F.array_sort(
+                  F.collect_list(F.struct("pos", "lp"))).alias("ps")))
+    out = folded.select(
+        F.col(id_col),
+        F.size("ps").cast("long").alias("n_bigrams"),
+        F.floor(F.aggregate("ps", F.lit(0.0),
+                            lambda acc, s: acc + s.getField("lp"))
+                / F.size("ps") * 1e6).cast("long").alias("logprob_e6"))
+    return (df.select(F.col(id_col))
+              .join(out, id_col, "left")
+              .select(F.col(id_col),
+                      F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                       .alias("n_bigrams"),
+                      F.coalesce("logprob_e6", F.lit(0)).cast("long")
+                       .alias("logprob_e6")))

@@ -3030,6 +3030,10 @@ from .curation3 import QUERIES_CURATION3  # noqa: E402  (needs _DOT_SQL above)
 
 QUERIES.update(QUERIES_CURATION3)
 
+from .round4 import QUERIES_ROUND4  # noqa: E402  (needs _DOT_SQL above)
+
+QUERIES.update(QUERIES_ROUND4)
+
 # ---------------------------------------------------------------------------
 # Driver-sweep rotation.
 #

@@ -1,0 +1,329 @@
+"""Round-4 extension queries: product-quantization ANN, ANN recall
+eval, BFS graph distances, weighted priority sampling, and the
+interpolated bigram LM score.
+
+Same cross-engine exactness rules as ``queries.py``: integer grids for
+anything geometric (the PQ family is BIGINT end-to-end), floor-scaled
+e6 fixed-point where a double is unavoidable, deterministic id
+tie-breaks everywhere, and hash-derived (not RNG) randomness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.scalar import stable_hash64_sql
+from ..operators import curation, graph, similarity, text
+from ..operators.similarity import KMEANS_SCALE
+from .spec import QuerySpec, _t
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): encode + ADC top-k
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_D, _PQ_KS = 8, 8, 16     # 8 subspaces × 8 dims, 16 codewords
+_PQ_QID, _PQ_K = 0, 10              # ADC query vector / top-k
+
+
+def q_pq_codes(spark, sf_dir):
+    """PQ-encode every embedding (codes packed to a CSV string per
+    vector + total quantization distortion) — the compressed-index
+    build: 8 bytes of codes replace 256 bytes of float32."""
+    enc = similarity.pq_encode(_t(spark, sf_dir, "embeddings"),
+                               m_sub=_PQ_M, sub_dim=_PQ_D, ks=_PQ_KS)
+    packed = (enc.groupBy("vec_id")
+              .agg(F.array_sort(
+                       F.collect_list(F.struct("m", "code"))).alias("mc"),
+                   F.sum("dist_q").alias("distortion_q")))
+    return packed.select(
+        F.col("vec_id"),
+        F.concat_ws(",", F.transform(
+            F.col("mc"), lambda s: s.getField("code").cast("string")))
+         .alias("codes_csv"),
+        F.col("distortion_q").cast("long"))
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-10 for stored vector 0: the scan
+    touches only 1-byte codes + a broadcast 128-row distance table."""
+    return similarity.pq_adc_topk(_t(spark, sf_dir, "embeddings"),
+                                  query_id=_PQ_QID, k=_PQ_K,
+                                  m_sub=_PQ_M, sub_dim=_PQ_D, ks=_PQ_KS)
+
+
+def _pq_ctes() -> str:
+    """Shared oracle CTEs: grid quantization, deterministic codebooks
+    (slices of the ks lowest-id vectors), per-subspace encode."""
+    return f"""
+  vq AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> floor(x::DOUBLE * {float(KMEANS_SCALE)!r})
+                               ::BIGINT) AS vq
+    FROM embeddings
+  ),
+  tr AS (
+    SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS code, vq
+    FROM (SELECT vec_id, vq FROM vq ORDER BY vec_id LIMIT {_PQ_KS})
+  ),
+  ms AS (SELECT unnest(generate_series(0, {_PQ_M - 1}))::BIGINT AS m),
+  cb AS (
+    SELECT m, code,
+           list_slice(vq, (m * {_PQ_D} + 1)::INT,
+                      (m * {_PQ_D} + {_PQ_D})::INT) AS cv
+    FROM tr, ms
+  ),
+  sv AS (
+    SELECT vec_id, m,
+           list_slice(vq, (m * {_PQ_D} + 1)::INT,
+                      (m * {_PQ_D} + {_PQ_D})::INT) AS sv
+    FROM vq, ms
+  ),
+  dists AS (
+    SELECT s.vec_id, s.m, c.code,
+           list_sum(list_transform(generate_series(1, {_PQ_D}),
+                    i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))
+             ::BIGINT AS d
+    FROM sv s JOIN cb c USING (m)
+  ),
+  enc AS (
+    SELECT vec_id, m, code, d FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                   ORDER BY d ASC, code ASC) AS rn
+      FROM dists) WHERE rn = 1
+  )"""
+
+
+ORACLE_PQ_CODES = f"""
+  WITH {_pq_ctes()}
+  SELECT vec_id,
+         string_agg(code::VARCHAR, ',' ORDER BY m) AS codes_csv,
+         sum(d)::BIGINT AS distortion_q
+  FROM enc GROUP BY vec_id
+"""
+
+ORACLE_PQ_ADC = f"""
+  WITH {_pq_ctes()},
+  dt AS (
+    SELECT c.m, c.code,
+           list_sum(list_transform(generate_series(1, {_PQ_D}),
+                    i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i])))
+             ::BIGINT AS d
+    FROM (SELECT m, sv FROM sv WHERE vec_id = {_PQ_QID}) q
+    JOIN cb c USING (m)
+  )
+  SELECT e.vec_id, sum(dt.d)::BIGINT AS adc_dist
+  FROM enc e JOIN dt ON e.m = dt.m AND e.code = dt.code
+  WHERE e.vec_id <> {_PQ_QID}
+  GROUP BY e.vec_id
+  ORDER BY adc_dist ASC, vec_id ASC LIMIT {_PQ_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN recall eval: LSH kNN join vs exact brute force on sampled queries
+# ---------------------------------------------------------------------------
+
+_RECALL_K, _RECALL_MOD = 3, 5
+
+
+def q_ann_recall_lsh(spark, sf_dir):
+    """Recall@3 of the LSH kNN join vs exact kNN on a deterministic
+    1/5 sample of query vectors — the index-quality gate."""
+    return similarity.ann_recall(_t(spark, sf_dir, "embeddings"),
+                                 k=_RECALL_K, sample_mod=_RECALL_MOD)
+
+
+def _oracle_ann_recall() -> str:
+    from .queries import _DOT_SQL
+    planes = similarity.hyperplanes(8, 64)
+    bits = " || ".join(
+        "(CASE WHEN " + _DOT_SQL.format(
+            a="embedding",
+            b=f"[{', '.join(repr(c) for c in plane)}]::DOUBLE[]")
+        + " >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes)
+    cos = (f"floor({_DOT_SQL.format(a='a.embedding', b='c.embedding')}"
+           f" / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})"
+           f" * sqrt({_DOT_SQL.format(a='c.embedding', b='c.embedding')}))"
+           " * 1000000)::BIGINT")
+    return f"""
+  WITH ex AS (
+    SELECT qid, nid FROM (
+      SELECT a.vec_id AS qid, c.vec_id AS nid,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {cos} DESC, c.vec_id ASC) AS rn
+      FROM embeddings a JOIN embeddings c ON a.vec_id <> c.vec_id
+      WHERE a.vec_id % {_RECALL_MOD} = 0
+    ) WHERE rn <= {_RECALL_K}
+  ),
+  b AS (SELECT vec_id, embedding, ({bits}) AS bucket FROM embeddings),
+  ap AS (
+    SELECT qid, nid FROM (
+      SELECT a.vec_id AS qid, c.vec_id AS nid,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {cos} DESC, c.vec_id ASC) AS rn
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    ) WHERE rn <= {_RECALL_K} AND qid % {_RECALL_MOD} = 0
+  ),
+  h AS (SELECT count(*)::BIGINT AS n_hits FROM ex JOIN ap USING (qid, nid)),
+  t AS (SELECT count(*)::BIGINT AS n_exact,
+               count(DISTINCT qid)::BIGINT AS n_queries FROM ex)
+  SELECT {_RECALL_K}::BIGINT AS k, t.n_queries, t.n_exact, h.n_hits,
+         floor(h.n_hits * 1e6 / t.n_exact)::BIGINT AS recall_e6
+  FROM t, h
+"""
+
+
+# ---------------------------------------------------------------------------
+# BFS minimum-hop distances over the trade graph
+# ---------------------------------------------------------------------------
+
+_BFS_HOPS = 4
+
+
+def q_bfs_hops_trade(spark, sf_dir):
+    """BFS hop distances from the lowest-id node of the supplier ↔
+    customer trade graph, 4 relaxation rounds — iterative relational
+    BFS with a |V|-bounded frontier (no path explosion)."""
+    edges = graph.supplier_customer_edges(_t(spark, sf_dir, "lineitem"),
+                                          _t(spark, sf_dir, "orders"))
+    return graph.bfs_hops(edges, max_hops=_BFS_HOPS)
+
+
+ORACLE_BFS = f"""
+  WITH RECURSIVE
+  pairs AS (
+    SELECT DISTINCT o.o_custkey * 2 AS cust_node,
+           l.l_suppkey * 2 + 1 AS supp_node
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  ),
+  e AS (
+    SELECT supp_node AS src, cust_node AS dst FROM pairs
+    UNION ALL
+    SELECT cust_node AS src, supp_node AS dst FROM pairs
+  ),
+  root AS (
+    SELECT min(node) AS node FROM (
+      SELECT src AS node FROM e UNION SELECT dst FROM e)
+  ),
+  walk(node, hops) AS (
+    SELECT node, 0::BIGINT FROM root
+    UNION
+    SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
+    WHERE w.hops < {_BFS_HOPS}
+  )
+  SELECT node, min(hops)::BIGINT AS hops FROM walk GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted priority sampling (Duffield, Lund, Thorup 2007)
+# ---------------------------------------------------------------------------
+
+_PS_N, _PS_SEED = 50, 7
+
+
+def q_weighted_doc_sample(spark, sf_dir):
+    """Top-50 priority sample of documents weighted by n_chars —
+    deterministic weighted sampling without replacement (hash-derived
+    uniforms, two IEEE ops, integral output columns)."""
+    return curation.priority_sample(_t(spark, sf_dir, "documents"),
+                                    n=_PS_N, seed=_PS_SEED)
+
+
+def _oracle_priority_sample() -> str:
+    h = stable_hash64_sql("doc_id::VARCHAR", _PS_SEED)
+    u_num = f"({h} % 9007199254740992 + 1)"
+    p = f"(n_chars::DOUBLE / ({u_num}::DOUBLE / 9007199254740992.0))"
+    return f"""
+  WITH pr AS (
+    SELECT doc_id, n_chars::BIGINT AS weight,
+           {u_num}::BIGINT AS u_num, {p} AS p
+    FROM documents
+  )
+  SELECT row_number() OVER (ORDER BY p DESC, doc_id ASC)::BIGINT AS rank,
+         doc_id, weight, u_num
+  FROM pr ORDER BY p DESC, doc_id ASC LIMIT {_PS_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM score
+# ---------------------------------------------------------------------------
+
+
+def q_text_bigram_logprob(spark, sf_dir):
+    """Mean interpolated bigram log-probability per document (0.7·P_bi
+    + 0.3·P_uni over the corpus's own counts) — the second-order LM
+    quality signal; position-ordered sequential fold keeps the double
+    sum deterministic."""
+    return text.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_BIGRAM = r"""
+  WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '') AS tk
+    FROM documents
+  ),
+  toks AS (SELECT doc_id, unnest(tk) AS term FROM t),
+  uni AS (SELECT term, count(*)::BIGINT AS c1 FROM toks GROUP BY term),
+  tot AS (SELECT sum(c1)::BIGINT AS nn FROM uni),
+  pr AS (
+    SELECT doc_id, unnest(generate_series(1, len(tk) - 1)) AS pos, tk
+    FROM t WHERE len(tk) >= 2
+  ),
+  p2 AS (SELECT doc_id, pos, tk[pos] AS w1, tk[pos + 1] AS w2 FROM pr),
+  big AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM p2
+          GROUP BY w1, w2),
+  sc AS (
+    SELECT p.doc_id, p.pos,
+           ln((0.7 * b.c2::DOUBLE) / u1.c1::DOUBLE
+              + (0.3 * u2.c1::DOUBLE) / tot.nn::DOUBLE) AS lp
+    FROM p2 p
+    JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+    JOIN uni u1 ON p.w1 = u1.term
+    JOIN uni u2 ON p.w2 = u2.term, tot
+  ),
+  folded AS (
+    SELECT doc_id, len(lps)::BIGINT AS n_bigrams,
+           floor(list_reduce(list_prepend(0.0, lps), (a, b) -> a + b)
+                 / len(lps) * 1e6)::BIGINT AS logprob_e6
+    FROM (SELECT doc_id, list(lp ORDER BY pos) AS lps FROM sc
+          GROUP BY doc_id)
+  )
+  SELECT d.doc_id,
+         coalesce(f.n_bigrams, 0)::BIGINT AS n_bigrams,
+         coalesce(f.logprob_e6, 0)::BIGINT AS logprob_e6
+  FROM documents d LEFT JOIN folded f ON d.doc_id = f.doc_id
+"""
+
+
+QUERIES_ROUND4: dict[str, QuerySpec] = {
+    "pq_codes": QuerySpec(
+        q_pq_codes, ORACLE_PQ_CODES,
+        doc="product-quantization encode (deterministic codebooks on "
+            "the 2^20 grid; 8 codes replace 256 bytes per vector)"),
+    "pq_adc_topk": QuerySpec(
+        q_pq_adc_topk, ORACLE_PQ_ADC,
+        doc="PQ asymmetric-distance top-k ANN (code scan + broadcast "
+            "distance table, BIGINT-exact end-to-end)"),
+    "ann_recall_lsh": QuerySpec(
+        q_ann_recall_lsh, _oracle_ann_recall(),
+        doc="recall@3 of LSH kNN vs exact kNN on a hash-sampled "
+            "query set (ANN index-quality gate)"),
+    "bfs_hops_trade": QuerySpec(
+        q_bfs_hops_trade, ORACLE_BFS,
+        doc="BFS min-hop distances (iterative relaxation, |V|-bounded "
+            "frontier; recursive-CTE oracle)"),
+    "weighted_doc_sample": QuerySpec(
+        q_weighted_doc_sample, _oracle_priority_sample(),
+        doc="weighted sampling without replacement via priority "
+            "sampling (hash-uniforms, two IEEE ops, integral output)"),
+    "text_bigram_logprob": QuerySpec(
+        q_text_bigram_logprob, ORACLE_BIGRAM,
+        doc="interpolated bigram LM mean log-prob (position-ordered "
+            "sequential fold — deterministic doubles)"),
+}

@@ -1673,3 +1673,109 @@ def test_review_fixes_round3c_regressions(spark, tmp_path):
     a = fp([(1, None, "X", 1.0, "p")], "na")
     b = fp([(1, 7, None, 1.0, "p")], "nb")   # null moved one column
     assert a != b
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: PQ ANN, ANN recall, BFS, priority sample, bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_pq_training_vectors_encode_to_themselves(spark):
+    """A codebook training vector (one of the ks lowest ids) must
+    encode with ZERO distortion — its slices ARE codewords; and a
+    vector equal to training vector 2 gets vector 2's codes."""
+    from bigdata_project_hust_spark.operators.similarity import pq_encode
+    import random
+    rng = random.Random(11)
+    vecs = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(4)]
+    rows = [(i, v) for i, v in enumerate(vecs)] + [(9, vecs[2])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    enc = pq_encode(df, m_sub=4, sub_dim=4, ks=4)
+    got = {(r["vec_id"], r["m"]): (r["code"], r["dist_q"])
+           for r in enc.collect()}
+    for i in range(4):          # training vectors: own code, zero dist
+        for m in range(4):
+            assert got[(i, m)] == (i, 0)
+    for m in range(4):          # copy of vec 2 → code 2, zero dist
+        assert got[(9, m)] == (2, 0)
+
+
+def test_pq_adc_exact_on_codebook_members(spark):
+    """ADC distance to a vector that IS a codeword combination equals
+    the exact grid distance: query = train vec 0, so its nearest ADC
+    neighbor must be the duplicate of vec 0 at distance 0."""
+    from bigdata_project_hust_spark.operators.similarity import pq_adc_topk
+    import random
+    rng = random.Random(13)
+    vecs = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(4)]
+    rows = [(i, v) for i, v in enumerate(vecs)] + [(7, vecs[0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = pq_adc_topk(df, query_id=0, k=2, m_sub=4, sub_dim=4, ks=4).collect()
+    assert top[0]["vec_id"] == 7 and top[0]["adc_dist"] == 0
+
+
+def test_bfs_hops_path_graph_and_bound(spark):
+    """On the path 1-2-3-4-5 (undirected), hops from node 1 are
+    0,1,2,3,4; with max_hops=2 nodes beyond 2 hops are omitted."""
+    from bigdata_project_hust_spark.operators.graph import bfs_hops
+    und = [(a, b) for a, b in [(1, 2), (2, 3), (3, 4), (4, 5)]]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long")
+    full = {r["node"]: r["hops"] for r in bfs_hops(edges, 4).collect()}
+    assert full == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    capped = {r["node"]: r["hops"] for r in bfs_hops(edges, 2).collect()}
+    assert capped == {1: 0, 2: 1, 3: 2}
+
+
+def test_priority_sample_prefers_heavy_rows_and_is_exhaustive(spark):
+    """n >= rows returns every row ranked 1..n; a row with weight far
+    above the rest lands at (or near) the top — here overwhelming
+    weight beats any hash draw since u in (0, 1] bounds priority
+    >= weight."""
+    from bigdata_project_hust_spark.operators.curation import priority_sample
+    rows = [(i, 10) for i in range(20)] + [(99, 10_000_000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = priority_sample(df, n=30)
+    got = out.collect()
+    assert len(got) == 21
+    assert sorted(r["rank"] for r in got) == list(range(1, 22))
+    # priority(heavy) >= 1e7 (u <= 1); priority(light) = 10/u — beats
+    # the heavy row only if u < 1e-6, impossible-by-construction here?
+    # No: possible but astronomically unlikely AND deterministic —
+    # assert the actual fixed outcome.
+    assert got[0]["doc_id"] == 99 and got[0]["rank"] == 1
+
+
+def test_bigram_logprob_hand_value_and_short_docs(spark):
+    """Corpus 'a b' + 'a': one bigram (a,b); c2=1, c1(a)=2, c1(b)=1,
+    N=3 → p = 0.7·(1/2) + 0.3·(1/3) = 0.45; score = floor(ln(0.45)·1e6).
+    The 1-token and empty docs score (0, 0)."""
+    import math
+    from bigdata_project_hust_spark.operators.text import bigram_logprob
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a"), (3, "   ")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["logprob_e6"])
+           for r in bigram_logprob(df).collect()}
+    expect = math.floor(math.log(0.7 * (1 / 2) + 0.3 * (1 / 3)) * 1e6)
+    assert got[1] == (1, expect)
+    assert got[2] == (0, 0) and got[3] == (0, 0)
+
+
+def test_ann_recall_contract(spark):
+    """hits <= exact, recall_e6 <= 1e6; with identical duplicate
+    clusters the LSH buckets capture true neighbors (recall = 1 on a
+    trivially separable set)."""
+    from bigdata_project_hust_spark.operators.similarity import ann_recall
+    base = [0.0] * 64
+    def v(i, x):
+        a = base[:]; a[i] = 1.0; a[(i + 1) % 64] = x; return a
+    rows = []
+    for g in range(3):                       # 3 tight clusters of 4
+        for j in range(4):
+            rows.append((g * 10 + j, v(g * 7, 0.01 * j)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ann_recall(df, k=3, sample_mod=10).collect()[0]
+    assert out["n_hits"] <= out["n_exact"]
+    assert out["recall_e6"] <= 1_000_000
+    assert out["n_queries"] == 3             # ids 0, 10, 20
+    assert out["recall_e6"] == 1_000_000     # clusters >> buckets apart
