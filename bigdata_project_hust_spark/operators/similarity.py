@@ -464,6 +464,62 @@ def pq_adc_topk(df: DataFrame, query_id: int, k: int = 10,
                  .limit(k))
 
 
+def ivf_pq_topk(df: DataFrame, query_id: int, k: int = 10,
+                n_centroids: int = 8, nprobe: int = 2,
+                m_sub: int = 8, sub_dim: int = 8, ks: int = 16,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ (the FAISS ``IVFx,PQy`` layout, no-residual variant):
+    coarse-quantize into inverted lists, then scan only the query's
+    ``nprobe`` lists using PQ asymmetric distances — the composition
+    that serves billion-vector ANN: the scan cost drops by
+    ~n_centroids/nprobe AND each scanned vector costs one code lookup
+    instead of a full float dot product.
+
+    Pure composition of the audited parts: ``ivf_assign`` (broadcast
+    centroids, deterministic argmax), ``pq_encode`` (broadcast
+    codebooks), one broadcast 128-row ADC table. Both pruning
+    structures stay exact-integer/e6-grid, so results are bit-stable
+    cross-engine. Recall < 1 vs brute force twice over (list misses +
+    PQ distortion) — ``ann_recall``-style eval applies."""
+    assigned = ivf_assign(df, n_centroids, id_col, vec_col)
+    cent = (df.where(F.col(id_col) < n_centroids)
+              .select(F.col(id_col).alias("cid"),
+                      F.col(vec_col).alias("cvec")))
+    q = df.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"))
+    qsim = _dot(F.col("__qv"), F.col("cvec")) / (
+        F.col("__qn") * _norm(F.col("cvec")))
+    probes = (cent.crossJoin(F.broadcast(q))
+                  .select(F.col("cid"),
+                          F.floor(qsim * 1e6).cast("long").alias("qsim_e6"))
+                  .orderBy(F.col("qsim_e6").desc(), F.col("cid").asc())
+                  .limit(nprobe)
+                  .select("cid"))
+    cand = (assigned.join(F.broadcast(probes), "cid")
+                    .select(F.col(id_col)))
+    cb = pq_codebooks(df, m_sub, sub_dim, ks, id_col, vec_col)
+    vq = quantized_vectors(df, id_col, vec_col)
+    subs = F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m")
+    qrows = (vq.where(F.col(id_col) == query_id)
+               .select(subs, "vq")
+               .select(F.col("m").cast("long").alias("m"),
+                       F.slice("vq", F.col("m") * sub_dim + 1,
+                               sub_dim).alias("qv")))
+    dtable = (qrows.join(F.broadcast(cb), "m")
+                   .select("m", "code",
+                           _sq_l2(F.col("qv"), F.col("cv")).alias("d")))
+    codes = pq_encode(df, m_sub, sub_dim, ks, id_col, vec_col)
+    return (codes.join(cand, id_col, "semi")
+                 .where(F.col(id_col) != query_id)
+                 .join(F.broadcast(dtable), ["m", "code"])
+                 .groupBy(id_col)
+                 .agg(F.sum("d").alias("adc_dist"))
+                 .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+                 .limit(k))
+
+
 def ann_recall(df: DataFrame, k: int = 3, sample_mod: int = 5,
                n_planes: int = 8, dim: int = 64,
                id_col: str = "vec_id",

@@ -711,3 +711,61 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
                        .alias("n_bigrams"),
                       F.coalesce("logprob_e6", F.lit(0)).cast("long")
                        .alias("logprob_e6")))
+
+
+# Greedy longest-match subword vocabulary: common English trigram and
+# bigram pieces; single characters are the implicit fallback (an
+# out-of-vocab "byte" level, so segmentation never fails). A literal
+# constant shared verbatim with the oracle — swapping in a trained
+# merge table (bpe_top_merges output) changes nothing structural.
+SUBWORD_V3: tuple[str, ...] = (
+    "the", "ing", "ion", "ent", "ati", "ter", "and", "her",
+    "for", "tha", "ere", "con", "res", "ver", "all")
+SUBWORD_V2: tuple[str, ...] = (
+    "th", "he", "in", "er", "an", "re", "on", "at", "en",
+    "nd", "ti", "es", "or", "te", "of", "ed", "is", "it",
+    "al", "ar", "st", "to", "nt", "ng", "se", "ha")
+
+_SW_SHIFT = 1 << 32  # fold state: position · 2^32 + piece count
+
+
+def subword_piece_counts(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Tokenizer-apply cost model: per document, the number of subword
+    pieces a greedy longest-match segmentation produces under a fixed
+    vocabulary (3-char pieces, then 2-char, then single chars) — the
+    sequence-length signal that drives packing/budgeting decisions in
+    a training pipeline (WordPiece-style greedy matching, Wu et al.
+    2016; vocab here is a fixed literal).
+
+    Greedy matching is inherently sequential PER WORD, which is
+    exactly what a sequential fold expresses: the accumulator packs
+    (cursor·2^32 + count) into ONE BIGINT so the fold element type
+    matches the accumulator type on both engines (DuckDB's
+    list_reduce has no separate init type). Word length bounds the
+    state below 2^38, so even the double-division path is exact.
+    Zero shuffles — nested higher-order functions over the token
+    array, inside whole-stage codegen next to the scan."""
+    def pieces(wd: Column) -> Column:
+        def step(acc: Column, i: Column) -> Column:
+            c = F.pmod(acc, F.lit(_SW_SHIFT))
+            p = ((acc - c) / F.lit(_SW_SHIFT)).cast("long")
+            s3 = F.substring(wd, p.cast("int"), F.lit(3))
+            s2 = F.substring(wd, p.cast("int"), F.lit(2))
+            adv = (F.when(s3.isin(*SUBWORD_V3), F.lit(3))
+                    .when(s2.isin(*SUBWORD_V2), F.lit(2))
+                    .otherwise(F.lit(1))).cast("long")
+            nxt = (p + adv) * F.lit(_SW_SHIFT) + c + 1
+            return F.when(i.cast("long") != p, acc).otherwise(nxt)
+        folded = F.aggregate(
+            F.sequence(F.lit(1), F.length(wd)),
+            F.lit(_SW_SHIFT).cast("long"), step)
+        return F.pmod(folded, F.lit(_SW_SHIFT))
+
+    t = df.select(F.col(id_col), tokens(text_col).alias("__w"))
+    return t.select(
+        F.col(id_col),
+        F.size("__w").cast("long").alias("n_words"),
+        F.aggregate(F.transform(F.col("__w"), pieces),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v).alias("n_pieces"))

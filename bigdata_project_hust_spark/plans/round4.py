@@ -301,6 +301,154 @@ ORACLE_BIGRAM = r"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom semi-join reduction: prefilter the fact side before the shuffle
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_pruned_revenue(spark, sf_dir):
+    """Revenue of lineitems belonging to URGENT orders, with the fact
+    side Bloom-PRUNED before the exact join — the runtime-filter /
+    semi-join-reduction pattern made explicit: the 2048-word filter
+    broadcasts into the scan stage and the join shuffle carries only
+    probable matches. No false negatives ⇒ results identical to the
+    plain join (the oracle IS the plain join); false positives are
+    removed by the exact join. Revenue accumulates as exact BIGINT
+    cents (no FP merge-order nondeterminism)."""
+    from ..operators.sketches import bloom_build, bloom_prune
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    urgent = (orders.where(F.col("o_orderpriority") == "1-URGENT")
+                    .select("o_orderkey"))
+    words = bloom_build(urgent, "o_orderkey")
+    pruned = bloom_prune(words, lineitem, "l_orderkey")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    return (pruned.join(urgent,
+                        pruned.l_orderkey == urgent.o_orderkey)
+                  .groupBy("l_returnflag")
+                  .agg(F.count("*").alias("n_items"),
+                       F.sum(cents).alias("revenue_cents")))
+
+
+ORACLE_BLOOM_PRUNED = """
+  SELECT l_returnflag, count(*)::BIGINT AS n_items,
+         sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT
+           AS revenue_cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority = '1-URGENT'
+  GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: inverted lists + PQ asymmetric distance (FAISS IVFx,PQy shape)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NC, _IVFPQ_NPROBE = 8, 2
+
+
+def q_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ top-10 for stored vector 0: probe 2 of 8 inverted lists,
+    rank by PQ asymmetric distance — the billion-vector serving
+    layout (both pruning structures broadcast-sized)."""
+    return similarity.ivf_pq_topk(_t(spark, sf_dir, "embeddings"),
+                                  query_id=_PQ_QID, k=_PQ_K,
+                                  n_centroids=_IVFPQ_NC,
+                                  nprobe=_IVFPQ_NPROBE,
+                                  m_sub=_PQ_M, sub_dim=_PQ_D, ks=_PQ_KS)
+
+
+def _oracle_ivf_pq() -> str:
+    from .queries import _DOT_SQL
+    dot = _DOT_SQL
+    cos = (f"floor({dot.format(a='e.embedding', b='c.cvec')}"
+           f" / (sqrt({dot.format(a='e.embedding', b='e.embedding')})"
+           f" * sqrt({dot.format(a='c.cvec', b='c.cvec')}))"
+           " * 1000000)::BIGINT")
+    qcos = (f"floor({dot.format(a='q.qv', b='cent.cvec')}"
+            f" / (sqrt({dot.format(a='q.qv', b='q.qv')})"
+            f" * sqrt({dot.format(a='cent.cvec', b='cent.cvec')}))"
+            " * 1000000)::BIGINT")
+    return f"""
+  WITH {_pq_ctes()},
+  cent AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+    WHERE vec_id < {_IVFPQ_NC}
+  ),
+  assigned AS (
+    SELECT vec_id, cid FROM (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cos} DESC, c.cid ASC) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ) WHERE rn = 1
+  ),
+  q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_PQ_QID}),
+  probes AS (
+    SELECT cid FROM cent, q
+    ORDER BY {qcos} DESC, cid ASC
+    LIMIT {_IVFPQ_NPROBE}
+  ),
+  dt AS (
+    SELECT c.m, c.code,
+           list_sum(list_transform(generate_series(1, {_PQ_D}),
+                    i -> (qs.sv[i] - c.cv[i]) * (qs.sv[i] - c.cv[i])))
+             ::BIGINT AS d
+    FROM (SELECT m, sv FROM sv WHERE vec_id = {_PQ_QID}) qs
+    JOIN cb c USING (m)
+  )
+  SELECT e.vec_id, sum(dt.d)::BIGINT AS adc_dist
+  FROM enc e
+  JOIN dt ON e.m = dt.m AND e.code = dt.code
+  WHERE e.vec_id <> {_PQ_QID}
+    AND e.vec_id IN (SELECT a.vec_id FROM assigned a
+                     JOIN probes p ON a.cid = p.cid)
+  GROUP BY e.vec_id
+  ORDER BY adc_dist ASC, vec_id ASC LIMIT {_PQ_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Greedy subword segmentation piece counts (tokenizer-apply cost model)
+# ---------------------------------------------------------------------------
+
+
+def q_subword_piece_counts(spark, sf_dir):
+    """Greedy longest-match subword piece counts per document under
+    the fixed literal vocabulary — the sequence-length cost model for
+    packing/budgeting (zero-shuffle nested HOF fold)."""
+    return text.subword_piece_counts(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_subword() -> str:
+    v3 = ", ".join(f"'{p}'" for p in text.SUBWORD_V3)
+    v2 = ", ".join(f"'{p}'" for p in text.SUBWORD_V2)
+    shift = 1 << 32
+    return rf"""
+  WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '') AS w
+    FROM documents
+  )
+  SELECT doc_id, len(w)::BIGINT AS n_words,
+         coalesce(list_sum(list_transform(w, wd ->
+           list_reduce(
+             list_prepend({shift}::BIGINT,
+                          list_transform(generate_series(1, length(wd)),
+                                         x -> x::BIGINT)),
+             (acc, i) -> CASE WHEN i <> acc // {shift} THEN acc ELSE
+               ((acc // {shift}) +
+                (CASE WHEN substr(wd, (acc // {shift})::INT, 3)
+                           IN ({v3}) THEN 3
+                      WHEN substr(wd, (acc // {shift})::INT, 2)
+                           IN ({v2}) THEN 2
+                      ELSE 1 END)) * {shift} + (acc % {shift}) + 1 END
+           ) % {shift})), 0)::BIGINT AS n_pieces
+  FROM t
+"""
+
+
 QUERIES_ROUND4: dict[str, QuerySpec] = {
     "pq_codes": QuerySpec(
         q_pq_codes, ORACLE_PQ_CODES,
@@ -326,4 +474,17 @@ QUERIES_ROUND4: dict[str, QuerySpec] = {
         q_text_bigram_logprob, ORACLE_BIGRAM,
         doc="interpolated bigram LM mean log-prob (position-ordered "
             "sequential fold — deterministic doubles)"),
+    "bloom_pruned_revenue": QuerySpec(
+        q_bloom_pruned_revenue, ORACLE_BLOOM_PRUNED,
+        doc="Bloom semi-join reduction: broadcast-filter the fact "
+            "scan before the exact join (runtime filter, no false "
+            "negatives — oracle is the plain join)"),
+    "ivf_pq_topk": QuerySpec(
+        q_ivf_pq_topk, _oracle_ivf_pq(),
+        doc="IVF-PQ ANN: probe nprobe inverted lists, rank by PQ "
+            "asymmetric distance (FAISS IVFx,PQy layout)"),
+    "subword_piece_counts": QuerySpec(
+        q_subword_piece_counts, _oracle_subword(),
+        doc="greedy longest-match subword piece counts (tokenizer "
+            "cost model; zero-shuffle nested HOF fold)"),
 }

@@ -1779,3 +1779,51 @@ def test_ann_recall_contract(spark):
     assert out["recall_e6"] <= 1_000_000
     assert out["n_queries"] == 3             # ids 0, 10, 20
     assert out["recall_e6"] == 1_000_000     # clusters >> buckets apart
+
+
+def test_bloom_prune_keeps_all_true_matches(spark):
+    """Composing bloom_prune before an exact join returns EXACTLY the
+    plain join result (no false negatives, FPs removed by the join);
+    the pruned row set is a superset of true matches and drops most
+    non-members."""
+    from bigdata_project_hust_spark.operators.sketches import (
+        bloom_build, bloom_prune)
+    keys = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    facts = spark.createDataFrame(
+        [(i, i % 400) for i in range(4000)], "row_id long, fk long")
+    words = bloom_build(keys, "k")
+    pruned = bloom_prune(words, facts, "fk")
+    true_rows = facts.join(keys, facts.fk == keys.k).count()
+    pruned_then_join = pruned.join(keys, pruned.fk == keys.k).count()
+    assert pruned_then_join == true_rows == 500   # 50 of 400 fks × 10
+    n_pruned = pruned.count()
+    assert n_pruned >= 500            # superset of matches
+    assert n_pruned < 4000            # actually prunes
+
+
+def test_ivf_pq_finds_exact_duplicate_in_probed_list(spark):
+    """A duplicate of the query vector lives in the query's own
+    coarse list and shares its PQ codes → ADC distance 0, rank 1."""
+    from bigdata_project_hust_spark.operators.similarity import ivf_pq_topk
+    import random
+    rng = random.Random(17)
+    vecs = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(6)]
+    rows = [(i, v) for i, v in enumerate(vecs)] + [(11, vecs[0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = ivf_pq_topk(df, query_id=0, k=3, n_centroids=4, nprobe=2,
+                      m_sub=4, sub_dim=4, ks=4).collect()
+    assert top[0]["vec_id"] == 11 and top[0]["adc_dist"] == 0
+
+
+def test_subword_piece_counts_hand_segmentation(spark):
+    """'theater' → the|at|er (3), 'a' → 1, 'thingin' → th|ing|in
+    (3), 'zzz' → 3 singles; empty doc → (0, 0)."""
+    from bigdata_project_hust_spark.operators.text import (
+        subword_piece_counts)
+    df = spark.createDataFrame(
+        [(1, "theater a thingin zzz"), (2, "  ")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_pieces"])
+           for r in subword_piece_counts(df).collect()}
+    assert got[1] == (4, 3 + 1 + 3 + 3)
+    assert got[2] == (0, 0)
