@@ -380,3 +380,60 @@ class Engine:
         """Tukey-fence event-value outliers (exact quartile cents)."""
         from .plans.curation3 import q_tukey_outlier_events
         return q_tukey_outlier_events(self.spark, self.sf_dir)
+
+    # -- round-4 surface --------------------------------------------
+    def pq_index(self, m_sub: int = 8, sub_dim: int = 8,
+                 ks: int = 16) -> DataFrame:
+        """PQ-encode the embedding table (vec_id, m, code) — the
+        compressed ANN index build (Jégou et al. 2011)."""
+        return similarity.pq_encode(self.table("embeddings"),
+                                    m_sub=m_sub, sub_dim=sub_dim, ks=ks)
+
+    def pq_search(self, query_id: int, k: int = 10) -> DataFrame:
+        """PQ asymmetric-distance top-k over the encoded index."""
+        return similarity.pq_adc_topk(self.table("embeddings"),
+                                      query_id=query_id, k=k)
+
+    def ivfpq_search(self, query_id: int, k: int = 10,
+                     nprobe: int = 2) -> DataFrame:
+        """IVF-PQ top-k: probe nprobe inverted lists, rank by ADC."""
+        return similarity.ivf_pq_topk(self.table("embeddings"),
+                                      query_id=query_id, k=k,
+                                      nprobe=nprobe)
+
+    def ann_quality(self, k: int = 3, sample_mod: int = 5) -> DataFrame:
+        """Recall@k of the LSH kNN join vs exact kNN (sampled)."""
+        return similarity.ann_recall(self.table("embeddings"),
+                                     k=k, sample_mod=sample_mod)
+
+    def hops_from_lowest(self, max_hops: int = 4) -> DataFrame:
+        """BFS hop distances over the trade graph."""
+        from .operators.graph import bfs_hops, supplier_customer_edges
+        return bfs_hops(supplier_customer_edges(self.table("lineitem"),
+                                                self.table("orders")),
+                        max_hops=max_hops)
+
+    def weighted_sample(self, n: int = 100,
+                        weight_col: str = "n_chars") -> DataFrame:
+        """Priority sample of documents (weighted, deterministic)."""
+        from .operators.curation import priority_sample
+        return priority_sample(self.table("documents"), n=n,
+                               weight_col=weight_col)
+
+    def lm_scores(self, order: int = 2) -> DataFrame:
+        """Corpus-LM mean log-prob per doc (order 1 or 2)."""
+        fn = (text.bigram_logprob if order == 2
+              else text.unigram_logprob)
+        return fn(self.table("documents"))
+
+    def subword_counts(self) -> DataFrame:
+        """Greedy subword piece counts (tokenizer cost model)."""
+        return text.subword_piece_counts(self.table("documents"))
+
+    def prune_by_membership(self, build_table: str, build_col: str,
+                            df: DataFrame, col: str) -> DataFrame:
+        """Bloom semi-join reduction: drop df rows whose col cannot
+        be in build_table.build_col (no false negatives)."""
+        from .operators.sketches import bloom_build, bloom_prune
+        return bloom_prune(bloom_build(self.table(build_table),
+                                       build_col), df, col)

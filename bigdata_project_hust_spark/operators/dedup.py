@@ -499,3 +499,50 @@ def span_duplicates(df: DataFrame, text_col: str = "text",
         F.col("max_span_freq").cast("long"),
         F.col("dup_tokens").cast("long"),
         frac.cast("long").alias("dup_frac_e6"))
+
+
+def ngram_jaccard_prefix(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 3,
+                         threshold_num: int = 3,
+                         threshold_den: int = 10) -> DataFrame:
+    """Prefix-filtered set-similarity join (Bayardo et al. 2007
+    "Scaling Up All Pairs Similarity Search"; Xiao et al. 2008
+    PPJoin): EXACTLY the ``ngram_jaccard_pairs`` output, but candidate
+    generation indexes only each document's PREFIX shingles.
+
+    Prefix-filtering principle: order every document's shingles by a
+    global total order (ascending document frequency — rarest first —
+    then shingle value); a pair with Jaccard ≥ t = num/den must share
+    at least one shingle among each side's first
+    ``m − ⌈t·m⌉ + 1`` shingles. Indexing only prefixes is therefore
+    LOSSLESS — unlike the df-cap variant there is no recall loss, yet
+    the inverted index shrinks by ~t·Σm and, because prefixes are the
+    RAREST shingles, the quadratic per-bucket term collapses exactly
+    where it hurts (the ubiquitous-shingle buckets never enter the
+    index). The exact-Jaccard verify runs on full shingle sets.
+
+    Cost shape: one df agg (shuffle on shingle), one per-doc rank
+    window (shuffle on doc), the prefix self-join (shuffle on
+    shingle, buckets ≤ min(df, prefix-membership)), then the verify
+    joins — each keyed, none cartesian."""
+    from pyspark.sql import Window
+    sh = shingles(df, text_col, id_col, n).persist()
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy(id_col).orderBy(F.col("__df").asc(),
+                                           F.col("sh").asc())
+    ranked = (sh.join(dfreq, "sh")
+                .withColumn("__rk", F.row_number().over(w)))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__m"))
+    # prefix length m − ⌈t·m⌉ + 1, integer ceil: (m·num + den − 1) div den
+    plen = (F.col("__m")
+            - F.expr(f"(__m * {threshold_num} + {threshold_den - 1}) "
+                     f"div {threshold_den}") + 1)
+    pref = (ranked.join(sizes, id_col)
+                  .where(F.col("__rk") <= plen)
+                  .select(F.col(id_col), "sh"))
+    pairs = (pref.alias("a").join(pref.alias("b"), "sh")
+                 .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                 .select(F.col(f"a.{id_col}").alias("doc_a"),
+                         F.col(f"b.{id_col}").alias("doc_b"))
+                 .distinct())
+    return jaccard_verify(pairs, sh, id_col, threshold_num, threshold_den)

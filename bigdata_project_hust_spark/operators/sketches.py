@@ -403,6 +403,41 @@ def hll_union_oracle(table_a: str, col_a: str,
 """
 
 
+def bloom_pack(words: DataFrame) -> DataFrame:
+    """Pack the :func:`bloom_build` word table into ONE row holding a
+    ``map<word_idx, word>`` — ≤2048 entries, ~16 KB. Joining k times
+    against the word table re-aggregates (and re-broadcasts) it k
+    times in the static plan; the packed form is built by a single agg
+    and every probe becomes a pure ``element_at`` expression inside
+    whole-stage codegen."""
+    return words.agg(F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct("word_idx", "word"))))
+        .alias("__bloom"))
+
+
+def _bloom_hit(col_expr: Column, wm: Column) -> Column:
+    """All-k-bits-set membership predicate against the packed map.
+    The python-API shiftleft takes only literal distances, so the
+    variable-distance bit mask is an element_at over a 62-entry
+    power-of-two literal array (constant-folded, codegen-friendly)."""
+    m_mask = (1 << BLOOM_LOG2_M) - 1
+    pow2 = F.array(*[F.lit(1 << j).cast("long")
+                     for j in range(BLOOM_WORD_BITS)])
+    hit = None
+    for i in range(BLOOM_K):
+        b = (stable_hash64(col_expr.cast("string"), seed=200 + i)
+             .bitwiseAND(F.lit(m_mask)))
+        word = F.coalesce(
+            F.element_at(wm, F.floor(b / BLOOM_WORD_BITS).cast("long")),
+            F.lit(0))
+        mask = F.element_at(pow2,
+                            (F.pmod(b, F.lit(BLOOM_WORD_BITS)) + 1)
+                            .cast("int"))
+        this = word.bitwiseAND(mask) != 0
+        hit = this if hit is None else (hit & this)
+    return hit
+
+
 def bloom_prune(words: DataFrame, df: DataFrame, col: str) -> DataFrame:
     """Row-preserving Bloom pre-filter: keep only rows of ``df`` whose
     ``col`` MIGHT be in the key set behind ``words`` (the
@@ -411,29 +446,12 @@ def bloom_prune(words: DataFrame, df: DataFrame, col: str) -> DataFrame:
     shrinks the rows that reach the shuffle: the semi-join-reduction
     pattern (a runtime filter made explicit and deterministic).
 
-    The 2048-word filter broadcasts; the probe is map-side arithmetic
-    per row — at 100 TB this runs inside the scan stage and the
-    shuffle then carries only probable matches (dim-selectivity ×
-    fact rows + the ~1.5% FP tail) instead of every fact row."""
-    m_mask = (1 << BLOOM_LOG2_M) - 1
-    p = df
-    for i in range(BLOOM_K):
-        p = p.withColumn(
-            f"__b{i}",
-            stable_hash64(F.col(col).cast("string"), seed=200 + i)
-            .bitwiseAND(F.lit(m_mask)))
-        w = words.select(F.col("word_idx").alias(f"__wi{i}"),
-                         F.col("word").alias(f"__wd{i}"))
-        p = p.join(F.broadcast(w),
-                   F.floor(F.col(f"__b{i}") / BLOOM_WORD_BITS).cast("long")
-                   == F.col(f"__wi{i}"), "left")
-    hit = None
-    for i in range(BLOOM_K):
-        this = (F.coalesce(F.col(f"__wd{i}"), F.lit(0))
-                .bitwiseAND(F.expr(
-                    f"shiftleft(1L, cast(__b{i} % {BLOOM_WORD_BITS}"
-                    " AS int))")) != 0)
-        hit = this if hit is None else (hit & this)
-    drop = [c for i in range(BLOOM_K)
-            for c in (f"__b{i}", f"__wi{i}", f"__wd{i}")]
-    return p.where(hit).drop(*drop)
+    The packed 2048-word map broadcasts as ONE row; the probe is pure
+    map-side arithmetic per input row — at 100 TB this runs inside the
+    scan stage and the join shuffle then carries only probable matches
+    (dim-selectivity × fact rows + the ~1.5% FP tail) instead of
+    every fact row."""
+    packed = bloom_pack(words)
+    return (df.crossJoin(F.broadcast(packed))
+              .where(_bloom_hit(F.col(col), F.col("__bloom")))
+              .drop("__bloom"))

@@ -769,3 +769,48 @@ def subword_piece_counts(df: DataFrame, text_col: str = "text",
         F.aggregate(F.transform(F.col("__w"), pieces),
                     F.lit(0).cast("long"),
                     lambda acc, v: acc + v).alias("n_pieces"))
+
+
+HASH_EMB_DIM = 16  # feature-hashing embedding width
+
+
+def hash_embedding(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   dim: int = HASH_EMB_DIM) -> DataFrame:
+    """Feature-hashing document embedding (the hashing trick,
+    Weinberger et al. 2009): component j accumulates ±1 for every
+    token whose stable hash lands in bucket j, sign drawn from a
+    disjoint hash bit. INTEGER vectors — exact at any scale, no model
+    weights to ship — the deterministic text→vector step that lets
+    the ANN/PQ/LSH stack run on raw documents when no trained encoder
+    is available (and the plumbing twin for when one is).
+
+    Zero-shuffle: ``dim`` sequential folds over the token-hash array
+    (dim is small; work is dim·n_tokens per doc, map-side, in
+    whole-stage codegen). The token-hash array is bound ONCE — the
+    md5 per token is the dominant cost and must not be re-evaluated
+    per component."""
+    from ..functions.scalar import stable_hash64
+    if dim & (dim - 1):
+        raise ValueError("dim must be a power of two (bit-exact ops)")
+    shift = dim.bit_length() - 1
+    toks = tokens(text_col)
+    # one md5 per token, computed once: h = stable_hash64(token).
+    # Bucket/sign come from BIT ops (h & (dim−1), bit `shift`) — h is
+    # 60-bit, so any double-division path would round above 2^53 and
+    # silently diverge from the oracle's integer division.
+    th = F.transform(toks, lambda t: stable_hash64(t))
+    bound = df.select(F.col(id_col), th.alias("__th"))
+    # closure factory, NOT a `j=j` default arg: Spark reads a lambda's
+    # arity from its signature, and the default would make this look
+    # like a 3-argument HOF lambda (the F.filter index trap again)
+    def _comp(j: int):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(dim - 1)) == j,
+            F.when(F.shiftright(h, shift).bitwiseAND(F.lit(1)) == 0,
+                   F.lit(1)).otherwise(F.lit(-1))
+        ).otherwise(F.lit(0))
+
+    comp = [F.aggregate(F.col("__th"), F.lit(0).cast("long"), _comp(j))
+            for j in range(dim)]
+    return bound.select(F.col(id_col), F.array(*comp).alias("emb"))

@@ -475,16 +475,161 @@ QUERIES_ROUND4: dict[str, QuerySpec] = {
         doc="interpolated bigram LM mean log-prob (position-ordered "
             "sequential fold — deterministic doubles)"),
     "bloom_pruned_revenue": QuerySpec(
-        q_bloom_pruned_revenue, ORACLE_BLOOM_PRUNED,
+        q_bloom_pruned_revenue, ORACLE_BLOOM_PRUNED, headline=True,
         doc="Bloom semi-join reduction: broadcast-filter the fact "
             "scan before the exact join (runtime filter, no false "
             "negatives — oracle is the plain join)"),
     "ivf_pq_topk": QuerySpec(
-        q_ivf_pq_topk, _oracle_ivf_pq(),
+        q_ivf_pq_topk, _oracle_ivf_pq(), headline=True,
         doc="IVF-PQ ANN: probe nprobe inverted lists, rank by PQ "
             "asymmetric distance (FAISS IVFx,PQy layout)"),
     "subword_piece_counts": QuerySpec(
-        q_subword_piece_counts, _oracle_subword(),
+        q_subword_piece_counts, _oracle_subword(), headline=True,
         doc="greedy longest-match subword piece counts (tokenizer "
             "cost model; zero-shuffle nested HOF fold)"),
 }
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (lossless PPJoin-style pruning)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_ngram_prefix(spark, sf_dir):
+    """Prefix-filtered n-gram Jaccard pairs — IDENTICAL output to
+    dedup_ngram_jaccard (prefix filtering is lossless), so the oracle
+    is the plain inverted-index SQL; only the Spark plan changes: the
+    candidate index holds each doc's rarest-shingle prefix."""
+    from ..operators import dedup
+    return dedup.ngram_jaccard_prefix(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing embedding (text → integer vector, zero-shuffle)
+# ---------------------------------------------------------------------------
+
+
+def q_text_hash_embedding(spark, sf_dir):
+    """Feature-hash each document into a 16-dim integer vector (±1
+    per token by hash bucket/sign) — the deterministic text→vector
+    step; CSV + exact squared norm for driver hashing."""
+    emb = text.hash_embedding(_t(spark, sf_dir, "documents"))
+    return emb.select(
+        F.col("doc_id"),
+        F.concat_ws(",", F.transform("emb", lambda x: x.cast("string")))
+         .alias("emb_csv"),
+        F.aggregate("emb", F.lit(0).cast("long"),
+                    lambda acc, v: acc + v * v).alias("norm_sq"))
+
+
+def _oracle_hash_embedding() -> str:
+    from ..operators.text import HASH_EMB_DIM
+    h = stable_hash64_sql("t")
+    shift = HASH_EMB_DIM.bit_length() - 1
+    comps = ", ".join(
+        f"""coalesce(list_sum(list_transform(th, h ->
+            CASE WHEN (h & {HASH_EMB_DIM - 1}) = {j}
+                 THEN (CASE WHEN ((h >> {shift}) & 1) = 0
+                            THEN 1 ELSE -1 END)
+                 ELSE 0 END)), 0)::BIGINT AS c{j}"""
+        for j in range(HASH_EMB_DIM))
+    csv = " || ',' || ".join(f"c{j}::VARCHAR"
+                             for j in range(HASH_EMB_DIM))
+    norm = " + ".join(f"c{j} * c{j}" for j in range(HASH_EMB_DIM))
+    return rf"""
+  WITH t AS (
+    SELECT doc_id,
+           list_transform(
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> ''),
+             t -> {h}) AS th
+    FROM documents
+  ),
+  c AS (SELECT doc_id, {comps} FROM t)
+  SELECT doc_id, ({csv}) AS emb_csv, ({norm})::BIGINT AS norm_sq
+  FROM c
+"""
+
+
+QUERIES_ROUND4.update({
+    "dedup_ngram_prefix": QuerySpec(
+        q_dedup_ngram_prefix, None,  # oracle assigned below (reuse)
+        doc="prefix-filtered Jaccard join (PPJoin-style lossless "
+            "candidate pruning: index only rarest-shingle prefixes)"),
+    "text_hash_embedding": QuerySpec(
+        q_text_hash_embedding, _oracle_hash_embedding(),
+        doc="feature-hashing trick text→integer-vector embedding "
+            "(zero-shuffle folds, bit-exact)"),
+})
+
+
+def _attach_prefix_oracle() -> None:
+    """dedup_ngram_prefix shares the NAIVE inverted-index oracle
+    verbatim — the point of the query: same answer, cheaper plan."""
+    from . import queries as _q
+    spec = QUERIES_ROUND4["dedup_ngram_prefix"]
+    QUERIES_ROUND4["dedup_ngram_prefix"] = QuerySpec(
+        spec.fn, _q.ORACLE_NGRAM, spec.headline, spec.doc)
+
+
+_attach_prefix_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Retrieval end-to-end: text → hash embedding → cosine top-k
+# ---------------------------------------------------------------------------
+
+
+def q_retrieval_hash_topk(spark, sf_dir):
+    """End-to-end retrieval baseline with NO trained model: feature-
+    hash documents to integer vectors, then brute cosine top-10 for
+    document 0 — the full text→vector→ANN chain in one plan (swap the
+    embed step for a real encoder and nothing downstream changes)."""
+    from ..operators import similarity
+    emb = text.hash_embedding(_t(spark, sf_dir, "documents"))
+    return similarity.cosine_topk(emb, query_id=0, k=10,
+                                  id_col="doc_id", vec_col="emb")
+
+
+def _oracle_retrieval_hash_topk() -> str:
+    from ..operators.text import HASH_EMB_DIM
+    from .queries import _DOT_SQL
+    h = stable_hash64_sql("t")
+    shift = HASH_EMB_DIM.bit_length() - 1
+    comps = ", ".join(
+        f"""coalesce(list_sum(list_transform(th, h ->
+            CASE WHEN (h & {HASH_EMB_DIM - 1}) = {j}
+                 THEN (CASE WHEN ((h >> {shift}) & 1) = 0
+                            THEN 1 ELSE -1 END)
+                 ELSE 0 END)), 0)::BIGINT"""
+        for j in range(HASH_EMB_DIM))
+    return rf"""
+  WITH t AS (
+    SELECT doc_id,
+           list_transform(
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> ''),
+             t -> {h}) AS th
+    FROM documents
+  ),
+  emb AS (SELECT doc_id, [{comps}] AS e FROM t),
+  q AS (SELECT e AS qv FROM emb WHERE doc_id = 0),
+  sims AS (
+    SELECT m.doc_id,
+           {_DOT_SQL.format(a='m.e', b='q.qv')} AS dot,
+           sqrt({_DOT_SQL.format(a='m.e', b='m.e')}) AS na,
+           sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')}) AS nb
+    FROM emb m, q
+    WHERE m.doc_id <> 0
+  )
+  SELECT doc_id, floor(dot / (na * nb) * 1000000)::BIGINT AS sim_e6
+  FROM sims ORDER BY sim_e6 DESC, doc_id ASC LIMIT 10
+"""
+
+
+QUERIES_ROUND4.update({
+    "retrieval_hash_topk": QuerySpec(
+        q_retrieval_hash_topk, _oracle_retrieval_hash_topk(),
+        doc="end-to-end retrieval: feature-hash embed → brute cosine "
+            "top-k (text→vector→ANN in one plan)"),
+})

@@ -354,3 +354,47 @@ def test_hll_register_agg_combines_map_side(spark):
     plan = plan_of(df)
     assert "partial_max" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_subword_piece_counts_zero_shuffle(spark):
+    """The greedy subword fold is a pure nested-HOF projection — an
+    Exchange or Generate means the per-word loop became an
+    explode/agg."""
+    df = QUERIES["subword_piece_counts"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert n_nodes(plan, "Exchange") == 0, plan
+    assert n_nodes(plan, "Generate") == 0, plan
+
+
+def test_pq_adc_scan_broadcasts_model_tables(spark):
+    """PQ ADC: codebook + distance-table joins must be broadcast (the
+    model side is m_sub·ks rows) and the top-k must be
+    TakeOrderedAndProject, not a global Sort."""
+    df = QUERIES["pq_adc_topk"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bloom_prune_is_map_side_before_join(spark):
+    """The Bloom prune must reach the fact scan via broadcast word
+    joins — every join with the 2048-word table broadcasts; no
+    shuffle carries unpruned fact rows to the word table."""
+    df = QUERIES["bloom_pruned_revenue"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    # the packed filter rides a 1-row broadcast nested-loop join; the
+    # urgent-key join broadcasts; exactly 3 exchanges remain (bloom
+    # word agg, the 1-row pack agg, final groupBy) — a 4th would mean
+    # the k probe joins re-aggregate the word table per hash again
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert n_nodes(plan, "Exchange") <= 3, plan
+
+
+def test_priority_sample_is_take_ordered(spark):
+    """Priority sampling's global top-n must plan as
+    TakeOrderedAndProject (per-partition n + driver merge), never a
+    full Sort of the corpus."""
+    df = QUERIES["weighted_doc_sample"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan

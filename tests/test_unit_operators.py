@@ -1827,3 +1827,79 @@ def test_subword_piece_counts_hand_segmentation(spark):
            for r in subword_piece_counts(df).collect()}
     assert got[1] == (4, 3 + 1 + 3 + 3)
     assert got[2] == (0, 0)
+
+
+def test_engine_facade_round4_surface(spark):
+    """Facade smoke for the round-4 additions: PQ/IVF-PQ ANN, recall
+    gate, BFS, weighted sampling, LM scores, subword counts, Bloom
+    pruning."""
+    from bigdata_project_hust_spark.api import Engine
+    eng = Engine(spark, "/root/testdata/sf0.001")
+    assert set(eng.pq_index().columns) == {"vec_id", "m", "code",
+                                           "dist_q"}
+    assert eng.pq_search(query_id=0, k=3).count() == 3
+    assert eng.ivfpq_search(query_id=0, k=3).count() <= 3
+    rc = eng.ann_quality(k=3, sample_mod=50).collect()[0]
+    assert rc["n_hits"] <= rc["n_exact"]
+    assert eng.hops_from_lowest(max_hops=2).count() > 0
+    ws = eng.weighted_sample(n=5)
+    assert [r["rank"] for r in ws.collect()] == [1, 2, 3, 4, 5]
+    assert "logprob_e6" in eng.lm_scores(order=2).columns
+    assert "n_pieces" in eng.subword_counts().columns
+    pruned = eng.prune_by_membership(
+        "orders", "o_orderkey", eng.table("lineitem"), "l_orderkey")
+    assert pruned.count() == eng.table("lineitem").count()  # all match
+
+
+def test_prefix_join_equals_naive_join(spark):
+    """Prefix filtering is LOSSLESS: on a corpus with a ubiquitous
+    shared shingle plus one genuinely near-duplicate pair, the
+    prefix-indexed join returns exactly the naive inverted-index
+    result (same pairs, same exact Jaccard counts)."""
+    from bigdata_project_hust_spark.operators.dedup import (
+        ngram_jaccard_pairs, ngram_jaccard_prefix)
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, f"{common} filler{i} wing{i} item{i}") for i in range(8)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta"),
+             (101, "alpha beta gamma delta epsilon zeta theta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    naive = {tuple(r) for r in ngram_jaccard_pairs(df).collect()}
+    pref = {tuple(r) for r in ngram_jaccard_prefix(df).collect()}
+    assert pref == naive and len(naive) > 0
+
+
+def test_hash_embedding_mass_and_determinism(spark):
+    """Every token contributes exactly one ±1: Σ|components| ≤
+    n_tokens with equality iff no bucket cancellation; a 1-token doc
+    has exactly one nonzero component (±1); empty doc → zero vector;
+    two runs are identical."""
+    from bigdata_project_hust_spark.operators.text import hash_embedding
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "  "), (3, "a b c d e")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["emb"] for r in hash_embedding(df).collect()}
+    assert sum(abs(c) for c in got[1]) == 1
+    assert all(c == 0 for c in got[2])
+    assert sum(abs(c) for c in got[3]) <= 5
+    assert sum(c % 2 for c in got[3]) % 2 == (5 % 2)  # parity preserved
+    again = {r["doc_id"]: r["emb"] for r in hash_embedding(df).collect()}
+    assert again == got
+
+
+def test_retrieval_hash_topk_finds_exact_duplicate(spark):
+    """A verbatim copy of the query document embeds identically →
+    cosine 1.0 (sim_e6 = 1e6) at rank 1 through the full
+    text→vector→ANN chain."""
+    from bigdata_project_hust_spark.operators.similarity import cosine_topk
+    from bigdata_project_hust_spark.operators.text import hash_embedding
+    rows = [(0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),
+            (2, "completely different words here entirely"),
+            (3, "more unrelated text tokens again")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = hash_embedding(df)
+    top = cosine_topk(emb, query_id=0, k=2,
+                      id_col="doc_id", vec_col="emb").collect()
+    # identical vectors: cosine 1.0 up to one FP ulp in
+    # sqrt(d)·sqrt(d), which the e6 floor can expose as 999999
+    assert top[0]["doc_id"] == 1 and top[0]["sim_e6"] >= 999_999
