@@ -136,3 +136,23 @@ def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """NOT EXISTS — the reference's ``not in processed_files`` batch
     eligibility check (consumer2.py:322-323) expressed relationally."""
     return left.join(right, on, "left_anti")
+
+
+def incremental_join_view(view: DataFrame, delta: DataFrame,
+                          dim: DataFrame, key_left: str,
+                          key_right: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (the join counterpart of the
+    A2 merge-aggregate): for insert-only fact deltas,
+    Δ(fact ⋈ dim) = Δfact ⋈ dim, so the refreshed view is the old
+    materialization UNION the delta join — the delta (a micro-batch)
+    joins broadcast-style against the dimension without touching the
+    existing view's data at all.
+
+    100 TB shape: the stored view is append-only parquet; each refresh
+    appends |Δfact ⋈ dim| rows — no rescan of the base fact. (Updates/
+    deletes need keyed upserts — that path is the KeyedParquetStore
+    sinks; this operator is the insert-only fast path.) The
+    incremental == full-recompute property is the oracle contract."""
+    dv = (delta.join(dim, delta[key_left] == dim[key_right])
+               .select(*[F.col(c) for c in view.columns]))
+    return view.unionByName(dv)

@@ -321,28 +321,16 @@ def bloom_build(df: DataFrame, col: str) -> DataFrame:
 def bloom_probe(words: DataFrame, probes: DataFrame,
                 col: str) -> DataFrame:
     """Membership test: a key is 'present' iff all k bit words have
-    its bit set. The 2048-word filter broadcasts; the probe side
-    streams map-side — the serving-path shape for 100 TB build /
-    point-lookup probe."""
-    m_mask = (1 << BLOOM_LOG2_M) - 1
-    p = probes.select(F.col(col).alias("key"), *[
-        (stable_hash64(F.col(col).cast("string"), seed=200 + i)
-         .bitwiseAND(F.lit(m_mask))).alias(f"b{i}")
-        for i in range(BLOOM_K)])
-    for i in range(BLOOM_K):
-        w = words.select(F.col("word_idx").alias(f"wi{i}"),
-                         F.col("word").alias(f"wd{i}"))
-        p = (p.join(F.broadcast(w),
-                    F.floor(F.col(f"b{i}") / BLOOM_WORD_BITS).cast("long")
-                    == F.col(f"wi{i}"), "left"))
-    hit = None
-    for i in range(BLOOM_K):
-        this = (F.coalesce(F.col(f"wd{i}"), F.lit(0))
-                .bitwiseAND(F.expr(
-                    f"shiftleft(1L, cast(b{i} % {BLOOM_WORD_BITS}"
-                    " AS int))")) != 0)
-        hit = this if hit is None else (hit & this)
-    return p.select("key", hit.cast("long").alias("maybe_present"))
+    its bit set. The packed 2048-word map broadcasts as ONE row (one
+    build agg — joining the word table per hash would re-aggregate it
+    k times); the probe is pure map-side arithmetic — the serving-path
+    shape for 100 TB build / point-lookup probe."""
+    packed = bloom_pack(words)
+    return (probes.select(F.col(col).alias("key"))
+                  .crossJoin(F.broadcast(packed))
+                  .select("key",
+                          _bloom_hit(F.col("key"), F.col("__bloom"))
+                          .cast("long").alias("maybe_present")))
 
 
 def hll_union_estimate(a: DataFrame, col_a: str,
@@ -455,3 +443,19 @@ def bloom_prune(words: DataFrame, df: DataFrame, col: str) -> DataFrame:
     return (df.crossJoin(F.broadcast(packed))
               .where(_bloom_hit(F.col(col), F.col("__bloom")))
               .drop("__bloom"))
+
+
+def hll_registers_by(df: DataFrame, col: str,
+                     group_col: str) -> DataFrame:
+    """Per-group HLL register tables — the sketch-cube building block:
+    one (group, idx, reg) table supports per-group estimates AND any
+    rollup (register-wise max across groups == the sketch of the
+    union, asserted by the hll_group_rollup query). At 100 TB this is
+    how distinct-count cubes are maintained: group-level sketches are
+    m=256 longs each, mergeable up every hierarchy level in O(m)."""
+    h = stable_hash64(F.col(col).cast("string"))
+    return (df.select(F.col(group_col),
+                      (h % HLL_M).alias("idx"),
+                      _rho(F.shiftrightunsigned(h, 8)).alias("rho"))
+              .groupBy(group_col, "idx")
+              .agg(F.max("rho").alias("reg")))

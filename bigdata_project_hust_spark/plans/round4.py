@@ -633,3 +633,165 @@ QUERIES_ROUND4.update({
         doc="end-to-end retrieval: feature-hash embed → brute cosine "
             "top-k (text→vector→ANN in one plan)"),
 })
+
+
+# ---------------------------------------------------------------------------
+# Sketch cube: per-group HLL registers + lossless rollup property
+# ---------------------------------------------------------------------------
+
+
+def q_hll_group_rollup(spark, sf_dir):
+    """Per-priority HLL sketches of distinct customers with the
+    rollup contract IN the result: merging the per-group register
+    tables (register-wise max) must reproduce the direct global
+    sketch register-for-register — the property that makes
+    distinct-count cubes maintainable in O(m) per level. Emits one
+    row per group: exact distinct, register checksum, and the
+    merge==direct flag (1 on every row)."""
+    from ..operators.sketches import hll_registers, hll_registers_by
+    orders = _t(spark, sf_dir, "orders")
+    by = hll_registers_by(orders, "o_custkey", "o_orderpriority")
+    chk = F.sum(F.col("reg") * (F.col("idx") + 1)).cast("long")
+    per = (by.groupBy("o_orderpriority")
+             .agg(chk.alias("reg_checksum")))
+    exact = (orders.groupBy("o_orderpriority")
+                   .agg(F.count_distinct("o_custkey").cast("long")
+                        .alias("n_exact")))
+    rolled = (by.groupBy("idx").agg(F.max("reg").alias("reg"))
+                .agg(chk.alias("mc")))
+    direct = (hll_registers(orders, "o_custkey")
+              .agg(chk.alias("dc")))
+    return (per.join(exact, "o_orderpriority")
+               .crossJoin(F.broadcast(rolled))
+               .crossJoin(F.broadcast(direct))
+               .select("o_orderpriority", "n_exact", "reg_checksum",
+                       (F.col("mc") == F.col("dc")).cast("long")
+                       .alias("rollup_matches_direct")))
+
+
+def _oracle_hll_group_rollup() -> str:
+    from ..operators.sketches import HLL_M, _rho_sql
+    h = stable_hash64_sql("o_custkey::VARCHAR")
+    rho = _rho_sql("(h >> 8)")
+    return f"""
+  WITH hashed AS (
+    SELECT o_orderpriority, {h} AS h FROM orders
+  ),
+  by_g AS (
+    SELECT o_orderpriority, h % {HLL_M} AS idx, max({rho}) AS reg
+    FROM hashed GROUP BY o_orderpriority, idx
+  ),
+  per AS (
+    SELECT o_orderpriority,
+           sum(reg * (idx + 1))::BIGINT AS reg_checksum
+    FROM by_g GROUP BY o_orderpriority
+  ),
+  exact AS (
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey)::BIGINT AS n_exact
+    FROM orders GROUP BY o_orderpriority
+  ),
+  rolled AS (
+    SELECT sum(reg * (idx + 1))::BIGINT AS mc FROM (
+      SELECT idx, max(reg) AS reg FROM by_g GROUP BY idx)
+  ),
+  direct AS (
+    SELECT sum(reg * (idx + 1))::BIGINT AS dc FROM (
+      SELECT h % {HLL_M} AS idx, max({rho}) AS reg
+      FROM hashed GROUP BY idx)
+  )
+  SELECT p.o_orderpriority, e.n_exact, p.reg_checksum,
+         (CASE WHEN r.mc = d.dc THEN 1 ELSE 0 END)::BIGINT
+           AS rollup_matches_direct
+  FROM per p JOIN exact e USING (o_orderpriority), rolled r, direct d
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental join-view maintenance (insert-only deltas)
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_join_view(spark, sf_dir):
+    """Join-view IVM: orders with orderkey % 10 == 0 arrive as the
+    delta batch; the refreshed view (old materialization ∪ delta ⋈
+    dim) must equal the full recompute — which IS the oracle."""
+    from ..operators.joins import incremental_join_view
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    base = orders.where(F.pmod(F.col("o_orderkey"), F.lit(10)) != 0)
+    delta = orders.where(F.pmod(F.col("o_orderkey"), F.lit(10)) == 0)
+    view = (base.join(cust, base.o_custkey == cust.c_custkey)
+                .select("o_orderkey", "c_custkey", "c_name",
+                        "o_totalprice"))
+    return incremental_join_view(view, delta, cust,
+                                 "o_custkey", "c_custkey")
+
+
+ORACLE_IVM_JOIN = """
+  SELECT o_orderkey, c_custkey, c_name, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped-agg Pandas UDF: per-group geometric mean (deterministic)
+# ---------------------------------------------------------------------------
+
+
+def q_pandas_gmean_prices(spark, sf_dir):
+    """Per-returnflag geometric mean of extended price via a
+    GROUPED_AGG Pandas UDF (the §2.8 aggregate-UDF surface, Arrow
+    path): exp(mean(ln x)). The log sum runs as a Python loop over
+    ASCENDING values — a pinned sequential order both engines can
+    reproduce (numpy's pairwise sum and Spark's partial-agg merges
+    could not be) — and the result floor-quantizes at e2."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: this module runs under `from __future__
+    # import annotations`, which stringifies type hints and defeats
+    # pandas_udf's signature inference
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def gmean_e2(v):
+        import math
+        xs = sorted(float(x) for x in v.dropna())
+        s = 0.0
+        for x in xs:
+            s += math.log(x)
+        return int(math.floor(math.exp(s / len(xs)) * 100)) if xs else 0
+
+    li = _t(spark, sf_dir, "lineitem")
+    # a GROUPED_AGG pandas UDF cannot share an agg with built-in
+    # aggregates — the count rides a separate agg joined back
+    g = (li.groupBy("l_returnflag")
+           .agg(gmean_e2("l_extendedprice").alias("gmean_e2")))
+    c = (li.groupBy("l_returnflag")
+           .agg(F.count("*").cast("long").alias("n_items")))
+    return g.join(c, "l_returnflag")
+
+
+ORACLE_GMEAN = """
+  SELECT l_returnflag,
+         floor(exp(list_reduce(list_prepend(
+                 0.0, list(ln(l_extendedprice::DOUBLE)
+                           ORDER BY l_extendedprice)),
+                 (a, b) -> a + b) / count(*)) * 100)::BIGINT AS gmean_e2,
+         count(*)::BIGINT AS n_items
+  FROM lineitem GROUP BY l_returnflag
+"""
+
+
+QUERIES_ROUND4.update({
+    "hll_group_rollup": QuerySpec(
+        q_hll_group_rollup, _oracle_hll_group_rollup(),
+        doc="per-group HLL register sketches + lossless O(m) rollup "
+            "contract (sketch cube maintenance)"),
+    "incremental_join_view": QuerySpec(
+        q_incremental_join_view, ORACLE_IVM_JOIN,
+        doc="insert-only join-view IVM: view ∪ (Δfact ⋈ dim) == full "
+            "recompute (the oracle is the recompute)"),
+    "pandas_gmean_prices": QuerySpec(
+        q_pandas_gmean_prices, ORACLE_GMEAN,
+        doc="GROUPED_AGG Pandas UDF geometric mean (Arrow aggregate "
+            "UDF surface, pinned-order log fold)"),
+})

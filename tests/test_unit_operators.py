@@ -1903,3 +1903,54 @@ def test_retrieval_hash_topk_finds_exact_duplicate(spark):
     # identical vectors: cosine 1.0 up to one FP ulp in
     # sqrt(d)·sqrt(d), which the e6 floor can expose as 999999
     assert top[0]["doc_id"] == 1 and top[0]["sim_e6"] >= 999_999
+
+
+def test_hll_group_rollup_property_holds(spark):
+    """The merged per-group registers must equal the direct global
+    sketch (flag = 1 on every row) and per-group exacts must sum to
+    >= the global distinct (overlap across groups allowed)."""
+    from bigdata_project_hust_spark.plans.queries import QUERIES
+    rows = QUERIES["hll_group_rollup"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    assert all(r["rollup_matches_direct"] == 1 for r in rows)
+    assert all(r["n_exact"] > 0 for r in rows)
+
+
+def test_incremental_join_view_equals_recompute(spark):
+    """view ∪ (Δfact ⋈ dim) == (fact ∪ Δfact) ⋈ dim on constructed
+    data with unmatched delta keys (dropped by the inner join, not
+    nulled in)."""
+    from bigdata_project_hust_spark.operators.joins import (
+        incremental_join_view)
+    dim = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, name string")
+    base = spark.createDataFrame([(10, 1), (11, 2)], "id long, fk long")
+    delta = spark.createDataFrame(
+        [(12, 1), (13, 99)], "id long, fk long")  # 99 unmatched
+    view = (base.join(dim, base.fk == dim.k)
+                .select("id", "k", "name"))
+    inc = incremental_join_view(view, delta, dim, "fk", "k")
+    full = (base.union(delta).join(dim, F.col("fk") == dim.k)
+                .select("id", "k", "name"))
+    assert sorted(map(tuple, inc.collect())) == \
+        sorted(map(tuple, full.collect()))
+    assert inc.count() == 3  # id 13 dropped
+
+
+def test_pandas_gmean_hand_value(spark):
+    """gmean of {e^1, e^3} = e^2: floor(e2·100) = 738; the UDF is
+    the GROUPED_AGG (whole-group) flavor."""
+    import math
+    from bigdata_project_hust_spark.plans.round4 import (
+        q_pandas_gmean_prices)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [("A", math.e), ("A", math.e ** 3), ("B", 1.0)],
+            "l_returnflag string, l_extendedprice double") \
+            .write.parquet(os.path.join(d, "lineitem.parquet"))
+        got = {r["l_returnflag"]: (r["gmean_e2"], r["n_items"])
+               for r in q_pandas_gmean_prices(spark, d).collect()}
+    assert got["A"] == (math.floor(math.e ** 2 * 100), 2)
+    assert got["B"] == (100, 1)
