@@ -118,3 +118,42 @@ def retention_cohorts(df: DataFrame, user_col: str = "user_id",
             .groupBy("cohort_day",
                      (F.col("day") - F.col("cohort_day")).alias("day_offset"))
             .agg(F.count("*").cast("long").alias("n_active_users")))
+
+
+PATTERN_VIEW_TO_PURCHASE = "v[ce]*p"  # view, then clicks/errors, then buy
+
+
+def event_pattern_matches(df: DataFrame,
+                          pattern: str = PATTERN_VIEW_TO_PURCHASE,
+                          ts_col: str = "ts", user_col: str = "user_id",
+                          type_col: str = "event_type",
+                          id_col: str = "event_id") -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence detection: per user, events are
+    ordered by (ts, id), each type encoded as its first letter
+    (distinct across the event vocabulary), and the journey string is
+    scanned for non-overlapping regex matches — complex-event
+    patterns ("a view converts to a purchase through clicks/errors
+    only") as ONE exchange + string ops.
+
+    The pattern grammar is deliberately lookaround-free and built so
+    each match start admits a unique match ([ce]* cannot contain the
+    terminator), making Java-regex (backtracking) and RE2
+    (leftmost-longest) agree — the PII_RULES portability rule.
+
+    Scale: one groupBy(user) exchange carrying (ts, id, 1 char); the
+    sort is per-group map-side array_sort; journeys are ~events/user
+    chars. Same shape as event_funnel, but the pattern is free-form
+    instead of a fixed stage list."""
+    ev = (df.groupBy(F.col(user_col))
+            .agg(F.array_sort(F.collect_list(F.struct(
+                F.col(ts_col), F.col(id_col),
+                F.substring(F.col(type_col), 1, 1).alias("c"))))
+                 .alias("__ev")))
+    journey = F.concat_ws(
+        "", F.transform("__ev", lambda s: s.getField("c")))
+    return ev.select(
+        F.col(user_col),
+        F.size("__ev").cast("long").alias("n_events"),
+        journey.alias("journey"),
+        F.size(F.regexp_extract_all(journey, F.lit(pattern), F.lit(0)))
+         .cast("long").alias("n_matches"))

@@ -520,6 +520,96 @@ def ivf_pq_topk(df: DataFrame, query_id: int, k: int = 10,
                  .limit(k))
 
 
+def ivfadc_topk(df: DataFrame, query_id: int, k: int = 10,
+                n_centroids: int = 8, nprobe: int = 2,
+                m_sub: int = 8, sub_dim: int = 8, ks: int = 16,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """True IVFADC (Jégou et al. 2011 §III): PQ over RESIDUALS
+    (vector − its coarse centroid) instead of raw vectors — residuals
+    concentrate near the origin, so the same codebook budget buys a
+    much finer quantization than :func:`ivf_pq_topk`'s no-residual
+    variant. Everything stays on the exact integer grid: residual =
+    vq − cq component-wise (BIGINT), codebooks are residuals of the
+    ks lowest-id vectors, and the query builds ONE ADC table PER
+    PROBED LIST (its residual differs per centroid) — nprobe·m_sub·ks
+    rows, still broadcast-sized.
+
+    Scale shape: identical to ivf_pq_topk (broadcast centroids +
+    codebooks + distance tables; codes shuffle once for the argmin;
+    the scan touches only candidates in probed lists). Lists are
+    chosen by the coarse cosine (the ivf_assign metric); in-list
+    ranking is exact-integer squared L2 on residual codes.
+    """
+    assigned = ivf_assign(df, n_centroids, id_col, vec_col)
+    vq = quantized_vectors(df, id_col, vec_col)
+    centq = (vq.where(F.col(id_col) < n_centroids)
+               .select(F.col(id_col).alias("cid"),
+                       F.col("vq").alias("cq")))
+    # exact integer residual per vector w.r.t. its own centroid
+    rq = (assigned.select(id_col, "cid")
+          .join(vq, id_col)
+          .join(F.broadcast(centq), "cid")
+          .select(F.col(id_col), "cid",
+                  F.zip_with("vq", "cq", lambda a, b: a - b).alias("rq")))
+    from pyspark.sql import Window
+    train = (rq.orderBy(id_col).limit(ks)
+               .withColumn("code",
+                           F.row_number().over(Window.orderBy(id_col))
+                           .cast("long") - 1))
+    subs = F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m")
+    cb = (train.select("code", subs, "rq")
+               .select(F.col("m").cast("long").alias("m"), "code",
+                       F.slice("rq", F.col("m") * sub_dim + 1,
+                               sub_dim).alias("cv")))
+    rows = (rq.select(F.col(id_col), "cid", subs, "rq")
+              .select(F.col(id_col), "cid",
+                      F.col("m").cast("long").alias("m"),
+                      F.slice("rq", F.col("m") * sub_dim + 1,
+                              sub_dim).alias("sv")))
+    scored = rows.join(F.broadcast(cb), "m").select(
+        F.col(id_col), "cid", "m",
+        F.struct(_sq_l2(F.col("sv"), F.col("cv")).alias("d"),
+                 F.col("code")).alias("dc"))
+    enc = (scored.groupBy(id_col, "cid", "m")
+                 .agg(F.min("dc").alias("b"))
+                 .select(F.col(id_col), "cid", "m",
+                         F.col("b.code").alias("code")))
+    # probed lists by coarse cosine (same rule as ivf_topk)
+    cent = (df.where(F.col(id_col) < n_centroids)
+              .select(F.col(id_col).alias("cid"),
+                      F.col(vec_col).alias("cvec")))
+    q = df.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv"), _norm(F.col(vec_col)).alias("__qn"))
+    qsim = _dot(F.col("__qv"), F.col("cvec")) / (
+        F.col("__qn") * _norm(F.col("cvec")))
+    probes = (cent.crossJoin(F.broadcast(q))
+                  .select("cid",
+                          F.floor(qsim * 1e6).cast("long").alias("s"))
+                  .orderBy(F.col("s").desc(), F.col("cid").asc())
+                  .limit(nprobe).select("cid"))
+    # per-probed-list query residual → per-list ADC tables
+    qvq = vq.where(F.col(id_col) == query_id).select("vq")
+    qres = (probes.join(F.broadcast(centq), "cid")
+                  .crossJoin(F.broadcast(qvq))
+                  .select("cid",
+                          F.zip_with("vq", "cq",
+                                     lambda a, b: a - b).alias("qr")))
+    qrows = (qres.select("cid", subs, "qr")
+                 .select("cid", F.col("m").cast("long").alias("m"),
+                         F.slice("qr", F.col("m") * sub_dim + 1,
+                                 sub_dim).alias("qv")))
+    dtable = (qrows.join(F.broadcast(cb), "m")
+                   .select("cid", "m", "code",
+                           _sq_l2(F.col("qv"), F.col("cv")).alias("d")))
+    return (enc.where(F.col(id_col) != query_id)
+               .join(F.broadcast(dtable), ["cid", "m", "code"])
+               .groupBy(id_col)
+               .agg(F.sum("d").alias("adc_dist"))
+               .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+               .limit(k))
+
+
 def ann_recall(df: DataFrame, k: int = 3, sample_mod: int = 5,
                n_planes: int = 8, dim: int = 64,
                id_col: str = "vec_id",

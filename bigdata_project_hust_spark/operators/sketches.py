@@ -297,16 +297,55 @@ BLOOM_WORD_BITS = 62  # bits packed per BIGINT word: offsets 0..61 only,
                       # sign bit — DuckDB's checked << errors on 1<<63
 
 
-def bloom_build(df: DataFrame, col: str) -> DataFrame:
-    """Deterministic Bloom filter over ``col``: k=5 stable hashes set
-    bits in an m=2^17 array stored as 64-bit words; the build is one
-    (word index → bit_or) aggregate — at most k·2048 groups survive
-    map-side combine per task, whatever the corpus size. Returns the
-    word table (word_idx, word)."""
+def _bloom_bit_cols(col_expr: Column,
+                    hash_fn: str = "stable") -> list[Column]:
+    """The k bit positions of a key via Kirsch–Mitzenmacher double
+    hashing ("Less Hashing, Same Performance", 2006): ONE hash per
+    key, split into h1 (low index bits) and h2 (next index bits,
+    forced odd), then bit_i = (h1 + i·h2) mod m. The naive
+    k-independent-hashes layout costs k hashes per probed row — the
+    dominant term of the whole semi-join prune at sf0.1 (measured
+    2.6 s of md5 alone vs 0.3 s for everything else); KM keeps the
+    FP asymptotics and cuts hashing 5×.
+
+    ``hash_fn``: 'stable' = the md5-based cross-engine hash — needed
+    when the BITS themselves are the verified output (the
+    bloom_customer_orders sketch contract). 'native' = xxhash64
+    (codegen JVM, ~10× cheaper) — correct for RUNTIME-FILTER use
+    (bloom_prune before an exact join), where bit layout is invisible
+    to results and only probe throughput matters."""
     m_mask = (1 << BLOOM_LOG2_M) - 1
-    bits = F.array(*[
-        (stable_hash64(F.col(col).cast("string"), seed=200 + i)
-         .bitwiseAND(F.lit(m_mask))) for i in range(BLOOM_K)])
+    if hash_fn == "native":
+        h = F.abs(F.xxhash64(col_expr, F.lit(200)))
+    else:
+        h = stable_hash64(col_expr.cast("string"), seed=200)
+    h1 = h.bitwiseAND(F.lit(m_mask))
+    h2 = (F.shiftright(h, BLOOM_LOG2_M).bitwiseAND(F.lit(m_mask))
+          .bitwiseOR(F.lit(1)))
+    return [(h1 + F.lit(i) * h2).bitwiseAND(F.lit(m_mask))
+            for i in range(BLOOM_K)]
+
+
+def bloom_bits_sql(expr: str) -> str:
+    """DuckDB twin of :func:`_bloom_bit_cols` — returns a SQL list
+    literal of the k bit positions (oracle helper)."""
+    m_mask = (1 << BLOOM_LOG2_M) - 1
+    h = stable_hash64_sql(expr, seed=200)
+    h1 = f"({h} & {m_mask})"
+    h2 = f"((({h} >> {BLOOM_LOG2_M}) & {m_mask}) | 1)"
+    items = ", ".join(f"(({h1} + {i} * {h2}) & {m_mask})"
+                      for i in range(BLOOM_K))
+    return f"[{items}]"
+
+
+def bloom_build(df: DataFrame, col: str,
+                hash_fn: str = "stable") -> DataFrame:
+    """Deterministic Bloom filter over ``col``: k=5 double-hashed bit
+    positions (one md5 per key) set bits in an m=2^17 array stored as
+    64-bit words; the build is one (word index → bit_or) aggregate —
+    at most k·2048 groups survive map-side combine per task, whatever
+    the corpus size. Returns the word table (word_idx, word)."""
+    bits = F.array(*_bloom_bit_cols(F.col(col), hash_fn))
     # shiftleft takes a literal count in the python API; the
     # variable-distance shift goes through expr
     words = (df.select(F.explode(bits).alias("bit"))
@@ -326,11 +365,15 @@ def bloom_probe(words: DataFrame, probes: DataFrame,
     k times); the probe is pure map-side arithmetic — the serving-path
     shape for 100 TB build / point-lookup probe."""
     packed = bloom_pack(words)
-    return (probes.select(F.col(col).alias("key"))
-                  .crossJoin(F.broadcast(packed))
-                  .select("key",
-                          _bloom_hit(F.col("key"), F.col("__bloom"))
-                          .cast("long").alias("maybe_present")))
+    bit_cols = [f"__bb{i}" for i in range(BLOOM_K)]
+    p = probes.select(
+        F.col(col).alias("key"),
+        *[b.alias(n) for b, n in zip(_bloom_bit_cols(F.col(col)),
+                                     bit_cols)])
+    return (p.crossJoin(F.broadcast(packed))
+             .select("key",
+                     _bloom_hit_from_bits(F.col("__bloom"), bit_cols)
+                     .cast("long").alias("maybe_present")))
 
 
 def hll_union_estimate(a: DataFrame, col_a: str,
@@ -393,31 +436,39 @@ def hll_union_oracle(table_a: str, col_a: str,
 
 def bloom_pack(words: DataFrame) -> DataFrame:
     """Pack the :func:`bloom_build` word table into ONE row holding a
-    ``map<word_idx, word>`` — ≤2048 entries, ~16 KB. Joining k times
-    against the word table re-aggregates (and re-broadcasts) it k
-    times in the static plan; the packed form is built by a single agg
-    and every probe becomes a pure ``element_at`` expression inside
-    whole-stage codegen."""
-    return words.agg(F.map_from_entries(
+    DENSE ``array<long>`` over every word slot (missing → 0) — ~17 KB.
+    Joining k times against the word table re-aggregates (and
+    re-broadcasts) it k times in the static plan; the packed form is
+    built by a single agg and every probe is an O(1) array
+    ``element_at`` inside whole-stage codegen. (A map<idx, word> pack
+    probes in O(n) — Spark's MapData lookup is a linear scan, which
+    measured 7.7 s vs sub-second on the sf0.1 fact prune.)"""
+    n_words = ((1 << BLOOM_LOG2_M) + BLOOM_WORD_BITS - 1) \
+        // BLOOM_WORD_BITS
+    m = F.map_from_entries(
         F.array_sort(F.collect_list(F.struct("word_idx", "word"))))
-        .alias("__bloom"))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda j: F.coalesce(F.element_at(m, j.cast("long")), F.lit(0)))
+    return words.agg(dense.alias("__bloom"))
 
 
-def _bloom_hit(col_expr: Column, wm: Column) -> Column:
-    """All-k-bits-set membership predicate against the packed map.
-    The python-API shiftleft takes only literal distances, so the
-    variable-distance bit mask is an element_at over a 62-entry
-    power-of-two literal array (constant-folded, codegen-friendly)."""
-    m_mask = (1 << BLOOM_LOG2_M) - 1
+def _bloom_hit_from_bits(wm: Column, bit_cols: list[str]) -> Column:
+    """All-k-bits-set membership predicate against the packed dense
+    array, reading bit positions from ALREADY-PROJECTED columns (the
+    md5 evaluates once in the projection; inlining it here would
+    re-evaluate it per use — filter-side subexpression sharing is not
+    guaranteed). The python-API shiftleft takes only literal
+    distances, so the variable-distance bit mask is an element_at
+    over a 62-entry power-of-two literal array (constant-folded)."""
     pow2 = F.array(*[F.lit(1 << j).cast("long")
                      for j in range(BLOOM_WORD_BITS)])
     hit = None
-    for i in range(BLOOM_K):
-        b = (stable_hash64(col_expr.cast("string"), seed=200 + i)
-             .bitwiseAND(F.lit(m_mask)))
-        word = F.coalesce(
-            F.element_at(wm, F.floor(b / BLOOM_WORD_BITS).cast("long")),
-            F.lit(0))
+    for c in bit_cols:
+        b = F.col(c)
+        # dense-array pack: word slot j lives at 1-based position j+1
+        word = F.element_at(
+            wm, (F.floor(b / BLOOM_WORD_BITS) + 1).cast("int"))
         mask = F.element_at(pow2,
                             (F.pmod(b, F.lit(BLOOM_WORD_BITS)) + 1)
                             .cast("int"))
@@ -426,7 +477,8 @@ def _bloom_hit(col_expr: Column, wm: Column) -> Column:
     return hit
 
 
-def bloom_prune(words: DataFrame, df: DataFrame, col: str) -> DataFrame:
+def bloom_prune(words: DataFrame, df: DataFrame, col: str,
+                hash_fn: str = "stable") -> DataFrame:
     """Row-preserving Bloom pre-filter: keep only rows of ``df`` whose
     ``col`` MIGHT be in the key set behind ``words`` (the
     :func:`bloom_build` word table). No false negatives — composing
@@ -439,10 +491,35 @@ def bloom_prune(words: DataFrame, df: DataFrame, col: str) -> DataFrame:
     scan stage and the join shuffle then carries only probable matches
     (dim-selectivity × fact rows + the ~1.5% FP tail) instead of
     every fact row."""
-    packed = bloom_pack(words)
-    return (df.crossJoin(F.broadcast(packed))
-              .where(_bloom_hit(F.col(col), F.col("__bloom")))
-              .drop("__bloom"))
+    # k broadcast EQUI-joins on word_idx, NOT a crossJoin with a
+    # packed row: the where() on a cross join is pushed into the
+    # BroadcastNestedLoopJoin condition, which evaluates INTERPRETED
+    # per row (measured 3.4 s of pure filter at sf0.1); equi-joins
+    # stay BroadcastHashJoin inside whole-stage codegen, and AQE
+    # reuses the single word-table build across the k probes.
+    bit_cols = [f"__bb{i}" for i in range(BLOOM_K)]
+    p = df.select(
+        "*", *[b.alias(n)
+               for b, n in zip(_bloom_bit_cols(F.col(col), hash_fn),
+                               bit_cols)])
+    pow2 = F.array(*[F.lit(1 << j).cast("long")
+                     for j in range(BLOOM_WORD_BITS)])
+    hit = None
+    for i, c in enumerate(bit_cols):
+        w = words.select(F.col("word_idx").alias(f"__wi{i}"),
+                         F.col("word").alias(f"__wd{i}"))
+        p = p.join(F.broadcast(w),
+                   F.floor(F.col(c) / BLOOM_WORD_BITS).cast("long")
+                   == F.col(f"__wi{i}"), "left")
+        mask = F.element_at(
+            pow2, (F.pmod(F.col(c), F.lit(BLOOM_WORD_BITS)) + 1)
+            .cast("int"))
+        this = F.coalesce(F.col(f"__wd{i}"), F.lit(0)) \
+                .bitwiseAND(mask) != 0
+        hit = this if hit is None else (hit & this)
+    drop = bit_cols + [n for i in range(BLOOM_K)
+                       for n in (f"__wi{i}", f"__wd{i}")]
+    return p.where(hit).drop(*drop)
 
 
 def hll_registers_by(df: DataFrame, col: str,

@@ -157,3 +157,27 @@ def scd2_history(df: DataFrame, key_col: str, attr_col: str,
                     F.col("n_events").cast("long"),
                     F.col("valid_to").isNull().cast("long")
                      .alias("is_current")))
+
+
+def ohlc_resample(df: DataFrame, ts_col: str, key_col: str,
+                  value_col: str, window_s: int,
+                  tiebreak_col: str) -> DataFrame:
+    """OHLC downsampling (the hypertable/candlestick resample): per
+    (key, tumbling bucket), the Open (value at the earliest event),
+    High, Low, Close (value at the latest event), and count.
+
+    Open/Close are ``min_by``/``max_by`` over a (ts, tiebreak)
+    struct — ONE hash-agg with full map-side combine (no sort, no
+    window function), so the shuffle carries one row per (key,
+    bucket) per map task regardless of raw event volume — the shape
+    that makes continuous OHLC rollups cheap at 100 TB. The tiebreak
+    column pins equal-timestamp events deterministically."""
+    bucket = (F.floor(F.unix_timestamp(F.col(ts_col))
+                      / F.lit(window_s)) * window_s).cast("long")
+    ordkey = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    return (df.groupBy(F.col(key_col), bucket.alias("bucket_start"))
+              .agg(F.min_by(F.col(value_col), ordkey).alias("open"),
+                   F.max(F.col(value_col)).alias("high"),
+                   F.min(F.col(value_col)).alias("low"),
+                   F.max_by(F.col(value_col), ordkey).alias("close"),
+                   F.count("*").cast("long").alias("n_events")))

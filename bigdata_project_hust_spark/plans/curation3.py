@@ -542,15 +542,12 @@ def q_bloom_customer_orders(spark, sf_dir):
 
 
 def _oracle_bloom() -> str:
-    from ..operators.sketches import BLOOM_K, BLOOM_LOG2_M, BLOOM_WORD_BITS
-    from ..functions.scalar import stable_hash64_sql
-    m_mask = (1 << BLOOM_LOG2_M) - 1
-    build_bits = ", ".join(
-        f"({stable_hash64_sql('o_custkey::VARCHAR', seed=200 + i)}"
-        f" & {m_mask})" for i in range(BLOOM_K))
+    from ..operators.sketches import (BLOOM_K, BLOOM_WORD_BITS,
+                                      bloom_bits_sql)
+    build_bits = f"unnest({bloom_bits_sql('o_custkey::VARCHAR')})"
     probe_bits = ", ".join(
-        f"({stable_hash64_sql('c_custkey::VARCHAR', seed=200 + i)}"
-        f" & {m_mask}) AS b{i}" for i in range(BLOOM_K))
+        f"({bloom_bits_sql('c_custkey::VARCHAR')})[{i + 1}] AS b{i}"
+        for i in range(BLOOM_K))
     wb = BLOOM_WORD_BITS
     joins = " ".join(
         f"LEFT JOIN words w{i} ON floor(p.b{i} / {wb}) = w{i}.word_idx"
@@ -561,7 +558,7 @@ def _oracle_bloom() -> str:
         for i in range(BLOOM_K))
     return f"""
   WITH bits AS (
-    SELECT unnest([{build_bits}]) AS bit FROM orders
+    SELECT {build_bits} AS bit FROM orders
   ),
   words AS (
     SELECT floor(bit / {wb})::BIGINT AS word_idx,

@@ -320,8 +320,14 @@ def q_bloom_pruned_revenue(spark, sf_dir):
     lineitem = _t(spark, sf_dir, "lineitem")
     urgent = (orders.where(F.col("o_orderpriority") == "1-URGENT")
                     .select("o_orderkey"))
-    words = bloom_build(urgent, "o_orderkey")
-    pruned = bloom_prune(words, lineitem, "l_orderkey")
+    # native xxhash64 bits: the filter is a pure plan optimization
+    # here (the exact join removes FPs and the oracle is the plain
+    # join), so the ~10× cheaper JVM hash is the right probe; the
+    # md5 'stable' mode is for bloom_customer_orders, whose BITS are
+    # the verified output
+    words = bloom_build(urgent, "o_orderkey", hash_fn="native")
+    pruned = bloom_prune(words, lineitem, "l_orderkey",
+                         hash_fn="native")
     cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     return (pruned.join(urgent,
                         pruned.l_orderkey == urgent.o_orderkey)
@@ -794,4 +800,215 @@ QUERIES_ROUND4.update({
         q_pandas_gmean_prices, ORACLE_GMEAN,
         doc="GROUPED_AGG Pandas UDF geometric mean (Arrow aggregate "
             "UDF surface, pinned-order log fold)"),
+})
+
+
+# ---------------------------------------------------------------------------
+# Complex-event pattern matching (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+
+def q_event_pattern_matches(spark, sf_dir):
+    """Per-user view→purchase conversion patterns (clicks/errors
+    allowed between) counted by regex over the time-ordered journey
+    string — free-form CEP next to the fixed-stage funnel."""
+    from ..operators.eventflow import event_pattern_matches
+    return event_pattern_matches(_t(spark, sf_dir, "events"))
+
+
+ORACLE_EVENT_PATTERN = """
+  WITH g AS (
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           string_agg(substr(event_type, 1, 1), ''
+                      ORDER BY ts, event_id) AS journey
+    FROM events GROUP BY user_id
+  )
+  SELECT user_id, n_events, journey,
+         len(regexp_extract_all(journey, 'v[ce]*p'))::BIGINT
+           AS n_matches
+  FROM g
+"""
+
+
+QUERIES_ROUND4.update({
+    "event_pattern_matches": QuerySpec(
+        q_event_pattern_matches, ORACLE_EVENT_PATTERN,
+        doc="CEP-lite: regex sequence patterns over per-user ordered "
+            "journey strings (one exchange, portable regex grammar)"),
+})
+
+
+# ---------------------------------------------------------------------------
+# True IVFADC: PQ over residuals (vector − coarse centroid)
+# ---------------------------------------------------------------------------
+
+
+def q_ivfadc_topk(spark, sf_dir):
+    """IVFADC top-10 for stored vector 0: residual-PQ codes ranked by
+    per-probed-list ADC tables — the full billion-scale FAISS layout,
+    BIGINT-exact end-to-end."""
+    return similarity.ivfadc_topk(_t(spark, sf_dir, "embeddings"),
+                                  query_id=_PQ_QID, k=_PQ_K,
+                                  n_centroids=_IVFPQ_NC,
+                                  nprobe=_IVFPQ_NPROBE,
+                                  m_sub=_PQ_M, sub_dim=_PQ_D, ks=_PQ_KS)
+
+
+def _oracle_ivfadc() -> str:
+    from .queries import _DOT_SQL
+    dot = _DOT_SQL
+    cos = (f"floor({dot.format(a='e.embedding', b='c.cvec')}"
+           f" / (sqrt({dot.format(a='e.embedding', b='e.embedding')})"
+           f" * sqrt({dot.format(a='c.cvec', b='c.cvec')}))"
+           " * 1000000)::BIGINT")
+    qcos = (f"floor({dot.format(a='q.qv', b='cent.cvec')}"
+            f" / (sqrt({dot.format(a='q.qv', b='q.qv')})"
+            f" * sqrt({dot.format(a='cent.cvec', b='cent.cvec')}))"
+            " * 1000000)::BIGINT")
+    sq = ("list_sum(list_transform(generate_series(1, {d}), "
+          "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))::BIGINT")
+    return f"""
+  WITH vq AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> floor(x::DOUBLE * {float(KMEANS_SCALE)!r})
+                               ::BIGINT) AS vq
+    FROM embeddings
+  ),
+  cent AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+    WHERE vec_id < {_IVFPQ_NC}
+  ),
+  centq AS (SELECT vec_id AS cid, vq AS cq FROM vq
+            WHERE vec_id < {_IVFPQ_NC}),
+  assigned AS (
+    SELECT vec_id, cid FROM (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cos} DESC, c.cid ASC) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ) WHERE rn = 1
+  ),
+  rq AS (
+    SELECT a.vec_id, a.cid,
+           list_transform(generate_series(1, len(v.vq)),
+                          i -> v.vq[i] - cq.cq[i]) AS rq
+    FROM assigned a
+    JOIN vq v ON v.vec_id = a.vec_id
+    JOIN centq cq ON cq.cid = a.cid
+  ),
+  tr AS (
+    SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS code, rq
+    FROM (SELECT vec_id, rq FROM rq ORDER BY vec_id LIMIT {_PQ_KS})
+  ),
+  ms AS (SELECT unnest(generate_series(0, {_PQ_M - 1}))::BIGINT AS m),
+  cb AS (
+    SELECT m, code,
+           list_slice(rq, (m * {_PQ_D} + 1)::INT,
+                      (m * {_PQ_D} + {_PQ_D})::INT) AS cv
+    FROM tr, ms
+  ),
+  sv AS (
+    SELECT vec_id, cid, m,
+           list_slice(rq, (m * {_PQ_D} + 1)::INT,
+                      (m * {_PQ_D} + {_PQ_D})::INT) AS sv
+    FROM rq, ms
+  ),
+  enc AS (
+    SELECT vec_id, cid, m, code FROM (
+      SELECT s.vec_id, s.cid, s.m, c.code,
+             row_number() OVER (PARTITION BY s.vec_id, s.m
+                                ORDER BY {sq.format(a='s.sv', b='c.cv',
+                                                    d=_PQ_D)} ASC,
+                                         c.code ASC) AS rn
+      FROM sv s JOIN cb c USING (m)) WHERE rn = 1
+  ),
+  q AS (SELECT embedding AS qv FROM embeddings
+        WHERE vec_id = {_PQ_QID}),
+  probes AS (
+    SELECT cid FROM cent, q
+    ORDER BY {qcos} DESC, cid ASC LIMIT {_IVFPQ_NPROBE}
+  ),
+  qres AS (
+    SELECT p.cid,
+           list_transform(generate_series(1, len(v.vq)),
+                          i -> v.vq[i] - cq.cq[i]) AS qr
+    FROM probes p
+    JOIN centq cq ON cq.cid = p.cid,
+    (SELECT vq FROM vq WHERE vec_id = {_PQ_QID}) v
+  ),
+  qrows AS (
+    SELECT cid, m,
+           list_slice(qr, (m * {_PQ_D} + 1)::INT,
+                      (m * {_PQ_D} + {_PQ_D})::INT) AS qv
+    FROM qres, ms
+  ),
+  dt AS (
+    SELECT r.cid, r.m, c.code,
+           {sq.format(a='r.qv', b='c.cv', d=_PQ_D)} AS d
+    FROM qrows r JOIN cb c USING (m)
+  )
+  SELECT e.vec_id, sum(dt.d)::BIGINT AS adc_dist
+  FROM enc e
+  JOIN dt ON e.cid = dt.cid AND e.m = dt.m AND e.code = dt.code
+  WHERE e.vec_id <> {_PQ_QID}
+  GROUP BY e.vec_id
+  ORDER BY adc_dist ASC, vec_id ASC LIMIT {_PQ_K}
+"""
+
+
+QUERIES_ROUND4.update({
+    "ivfadc_topk": QuerySpec(
+        q_ivfadc_topk, _oracle_ivfadc(),
+        doc="true IVFADC: PQ over residuals with per-probed-list ADC "
+            "tables (the full FAISS billion-scale layout)"),
+})
+
+
+# ---------------------------------------------------------------------------
+# OHLC resample (hypertable-style downsampling)
+# ---------------------------------------------------------------------------
+
+
+def q_ohlc_events(spark, sf_dir):
+    """Per-user 1-hour OHLC bars over event values — open/close via
+    min_by/max_by on (ts, event_id), one map-side-combined hash agg
+    (values floor-scaled to cents for driver hashing)."""
+    from ..operators.windows import ohlc_resample
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_c", F.floor(F.col("value") * 100 + 0.5).cast("long"))
+    return ohlc_resample(ev, "ts", "user_id", "value_c", 3600,
+                         "event_id")
+
+
+ORACLE_OHLC = """
+  WITH v AS (
+    SELECT user_id,
+           (floor(epoch(ts) / 3600) * 3600)::BIGINT AS bucket_start,
+           floor(value * 100 + 0.5)::BIGINT AS value_c, ts, event_id
+    FROM events
+  ),
+  r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY user_id, bucket_start
+                              ORDER BY ts ASC, event_id ASC) AS rn_a,
+           row_number() OVER (PARTITION BY user_id, bucket_start
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM v
+  )
+  SELECT user_id, bucket_start,
+         max(CASE WHEN rn_a = 1 THEN value_c END)::BIGINT AS open,
+         max(value_c)::BIGINT AS high,
+         min(value_c)::BIGINT AS low,
+         max(CASE WHEN rn_d = 1 THEN value_c END)::BIGINT AS close,
+         count(*)::BIGINT AS n_events
+  FROM r GROUP BY user_id, bucket_start
+"""
+
+
+QUERIES_ROUND4.update({
+    "ohlc_events": QuerySpec(
+        q_ohlc_events, ORACLE_OHLC,
+        doc="OHLC time-series resample (min_by/max_by single hash "
+            "agg, no sort/window — continuous-rollup shape)"),
 })

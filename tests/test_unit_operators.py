@@ -1954,3 +1954,42 @@ def test_pandas_gmean_hand_value(spark):
                for r in q_pandas_gmean_prices(spark, d).collect()}
     assert got["A"] == (math.floor(math.e ** 2 * 100), 2)
     assert got["B"] == (100, 1)
+
+
+def test_event_pattern_matches_hand_journey(spark):
+    """Journey 'vcpvep' (ordered by ts) contains two v[ce]*p matches;
+    'vvce' (no purchase) contains zero; ties on ts break by
+    event_id."""
+    from datetime import datetime
+    from bigdata_project_hust_spark.operators.eventflow import (
+        event_pattern_matches)
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i, et in enumerate(["view", "click", "purchase",
+                            "view", "error", "purchase"]):
+        rows.append((1, i, datetime(2024, 1, 1, 0, i), et))
+    # user 2: same ts for all rows — order must come from event_id
+    for i, et in enumerate(["view", "view", "click", "error"]):
+        rows.append((2, 100 + i, t0, et))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, "
+              "event_type string")
+    got = {r["user_id"]: (r["journey"], r["n_matches"])
+           for r in event_pattern_matches(df).collect()}
+    assert got[1] == ("vcpvep", 2)
+    assert got[2] == ("vvce", 0)
+
+
+def test_ivfadc_duplicate_has_zero_residual_distance(spark):
+    """A duplicate of the query vector shares its centroid AND its
+    residual codes → ADC distance 0 at rank 1; residual encoding also
+    gives a codebook member zero self-distortion."""
+    from bigdata_project_hust_spark.operators.similarity import ivfadc_topk
+    import random
+    rng = random.Random(23)
+    vecs = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(6)]
+    rows = [(i, v) for i, v in enumerate(vecs)] + [(11, vecs[0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = ivfadc_topk(df, query_id=0, k=3, n_centroids=4, nprobe=2,
+                      m_sub=4, sub_dim=4, ks=4).collect()
+    assert top[0]["vec_id"] == 11 and top[0]["adc_dist"] == 0
