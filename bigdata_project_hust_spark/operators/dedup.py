@@ -546,3 +546,41 @@ def ngram_jaccard_prefix(df: DataFrame, text_col: str = "text",
                          F.col(f"b.{id_col}").alias("doc_b"))
                  .distinct())
     return jaccard_verify(pairs, sh, id_col, threshold_num, threshold_den)
+
+
+def fuzzy_join_ed1(df: DataFrame, text_col: str,
+                   id_col: str) -> DataFrame:
+    """Edit-distance ≤ 1 self-join via DELETION-NEIGHBORHOOD blocking
+    (the FastSS / SymSpell technique): two strings within edit
+    distance 1 share a member of their deletion neighborhoods (the
+    string itself plus every single-character deletion), so the
+    candidate join runs on |s|+1 short variants per row instead of
+    all pairs — O(Σ|s|) index entries vs O(n²) comparisons. The exact
+    Levenshtein verify runs once per surviving candidate pair.
+
+    Scale shape: variant generation is a zero-shuffle array program
+    (transform over positions + array_distinct); the self-join is
+    keyed on the variant string (bucket sizes = near-duplicate
+    cluster sizes, not corpus size); `levenshtein()` runs JVM-side in
+    codegen. Deterministic output: (id_a < id_b, distance) distinct
+    pairs."""
+    s = F.col(text_col)
+    n = F.length(s)
+    variants = F.array_distinct(F.concat(
+        F.array(s),
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(F.substring(s, F.lit(1), (i - 1).cast("int")),
+                               s.substr(i + 1, n)))))
+    v = (df.select(F.col(id_col), s.alias("__s"),
+                   F.explode(variants).alias("__v")))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("__s").alias("sa"),
+                 F.col("__v"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("__s").alias("sb"),
+                 F.col("__v"))
+    return (a.join(b, "__v")
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.levenshtein("sa", "sb").cast("long").alias("dist"))
+             .where(F.col("dist") <= 1)
+             .distinct())

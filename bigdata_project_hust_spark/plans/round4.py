@@ -1012,3 +1012,90 @@ QUERIES_ROUND4.update({
         doc="OHLC time-series resample (min_by/max_by single hash "
             "agg, no sort/window — continuous-rollup shape)"),
 })
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy join (deletion-neighborhood blocking)
+# ---------------------------------------------------------------------------
+
+
+def q_fuzzy_customer_names(spark, sf_dir):
+    """Customer-name pairs within edit distance 1 via FastSS/SymSpell
+    deletion-neighborhood blocking — candidates from shared deletion
+    variants (O(Σ|s|) index entries), exact Levenshtein verify. The
+    oracle is the naive all-pairs scan: the blocking is LOSSLESS for
+    ed ≤ 1."""
+    from ..operators.dedup import fuzzy_join_ed1
+    return fuzzy_join_ed1(_t(spark, sf_dir, "customer"),
+                          "c_name", "c_custkey")
+
+
+ORACLE_FUZZY_ED1 = """
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+QUERIES_ROUND4.update({
+    "fuzzy_customer_names": QuerySpec(
+        q_fuzzy_customer_names, ORACLE_FUZZY_ED1,
+        doc="edit-distance-1 fuzzy self-join (deletion-neighborhood "
+            "blocking, lossless; naive all-pairs oracle)"),
+})
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: fuzzy pairs → connected components → canonical ids
+# ---------------------------------------------------------------------------
+
+
+def q_entity_resolution_customers(spark, sf_dir):
+    """End-to-end entity resolution over customer names: ed≤1 fuzzy
+    pairs (deletion-neighborhood blocking) → min-label connected
+    components → every customer with its canonical entity id (the
+    cluster minimum; singletons resolve to themselves). The standard
+    dedupe-the-CRM pipeline as one declarative plan."""
+    from ..operators.dedup import connected_components, fuzzy_join_ed1
+    cust = _t(spark, sf_dir, "customer")
+    pairs = fuzzy_join_ed1(cust, "c_name", "c_custkey")
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (cust.select("c_custkey")
+                .join(comp.withColumnRenamed("node", "c_custkey"),
+                      "c_custkey", "left")
+                .select(F.col("c_custkey"),
+                        F.coalesce("component", F.col("c_custkey"))
+                         .cast("long").alias("entity_id")))
+
+
+ORACLE_ENTITY_RESOLUTION = """
+  WITH RECURSIVE fp AS (
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+  ),
+  e AS (
+    SELECT id_a AS a, id_b AS b FROM fp
+    UNION
+    SELECT id_b, id_a FROM fp
+  ),
+  n AS (SELECT DISTINCT a AS node FROM e),
+  reach AS (
+    SELECT node, node AS lbl FROM n
+    UNION
+    SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.node
+  ),
+  comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+  SELECT c.c_custkey,
+         coalesce(comp.component, c.c_custkey)::BIGINT AS entity_id
+  FROM customer c LEFT JOIN comp ON comp.node = c.c_custkey
+"""
+
+
+QUERIES_ROUND4.update({
+    "entity_resolution_customers": QuerySpec(
+        q_entity_resolution_customers, ORACLE_ENTITY_RESOLUTION,
+        doc="entity resolution: ed≤1 fuzzy pairs → connected "
+            "components → canonical entity ids (CRM dedupe pipeline)"),
+})

@@ -1993,3 +1993,40 @@ def test_ivfadc_duplicate_has_zero_residual_distance(spark):
     top = ivfadc_topk(df, query_id=0, k=3, n_centroids=4, nprobe=2,
                       m_sub=4, sub_dim=4, ks=4).collect()
     assert top[0]["vec_id"] == 11 and top[0]["adc_dist"] == 0
+
+
+def test_fuzzy_join_ed1_blocking_is_lossless(spark):
+    """Deletion-neighborhood candidates find every ed≤1 pair:
+    substitution, deletion, and exact-duplicate cases all surface;
+    an ed=2 pair does not."""
+    from bigdata_project_hust_spark.operators.dedup import fuzzy_join_ed1
+    rows = [(1, "kitten"), (2, "mitten"), (3, "kitte"),
+            (4, "kitten"), (5, "sitting")]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in fuzzy_join_ed1(df, "s", "id").collect()}
+    assert got == {(1, 2): 1,   # substitution k→m
+                   (1, 3): 1,   # deletion of final n
+                   (1, 4): 0,   # exact duplicate
+                   (2, 4): 1, (3, 4): 1}
+    # (x, 5) absent: sitting is ed>=2 from everything else
+
+
+def test_entity_resolution_transitive_closure(spark):
+    """a~b and b~c (but a!~c) must land in ONE entity; unrelated
+    rows keep themselves as entity id."""
+    from bigdata_project_hust_spark.operators.dedup import (
+        connected_components, fuzzy_join_ed1)
+    from pyspark.sql import functions as F
+    rows = [(10, "abcd"), (11, "abce"), (12, "abee"), (30, "zzzz")]
+    df = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    pairs = fuzzy_join_ed1(df, "c_name", "c_custkey")
+    comp = connected_components(pairs, "id_a", "id_b")
+    out = (df.select("c_custkey")
+             .join(comp.withColumnRenamed("node", "c_custkey"),
+                   "c_custkey", "left")
+             .select("c_custkey",
+                     F.coalesce("component", F.col("c_custkey"))
+                      .alias("entity_id")))
+    got = {r["c_custkey"]: r["entity_id"] for r in out.collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 30: 30}
