@@ -156,3 +156,48 @@ def incremental_join_view(view: DataFrame, delta: DataFrame,
     dv = (delta.join(dim, delta[key_left] == dim[key_right])
                .select(*[F.col(c) for c in view.columns]))
     return view.unionByName(dv)
+
+
+def grid_radius_join(df: DataFrame, id_col: str, x_col: str,
+                     y_col: str, radius: int) -> DataFrame:
+    """Planar radius self-join via GRID BUCKETING (the geohash /
+    uniform-grid spatial-join pattern): points land in cells of side
+    ``radius``; a pair within ``radius`` must sit in the same or an
+    adjacent cell, so each point probes its 3×3 neighborhood and the
+    exact distance check runs only inside those buckets — O(Σ cell²)
+    instead of O(n²), the standard spatial pruning that also serves
+    embedding spaces and time-bucket joins.
+
+    Coordinates are INTEGERS (fixed-point, e.g. micro-degrees) and
+    the verify is squared Euclidean ``dx² + dy² <= radius²`` — all
+    BIGINT, no trig, so results hash identically cross-engine.
+    Each point is REPLICATED into its 9 neighbor cells on the build
+    side only once (explode), the probe side keeps one cell — the
+    half-replication trick that avoids emitting each pair twice.
+
+    Overflow: |coord| < 2^30 ⇒ dx² + dy² < 2^61. Output: (id_a <
+    id_b, dist2)."""
+    cell_x = F.floor(F.col(x_col) / radius).cast("long")
+    cell_y = F.floor(F.col(y_col) / radius).cast("long")
+    base = df.select(F.col(id_col), F.col(x_col).alias("__x"),
+                     F.col(y_col).alias("__y"),
+                     cell_x.alias("__cx"), cell_y.alias("__cy"))
+    neigh = F.explode(F.array(*[
+        F.struct((F.col("__cx") + dx).alias("nx"),
+                 (F.col("__cy") + dy).alias("ny"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("n")
+    a = (base.select(F.col(id_col).alias("id_a"),
+                     F.col("__x").alias("xa"), F.col("__y").alias("ya"),
+                     neigh)
+             .select("id_a", "xa", "ya",
+                     F.col("n.nx").alias("cx"), F.col("n.ny").alias("cy")))
+    b = base.select(F.col(id_col).alias("id_b"),
+                    F.col("__x").alias("xb"), F.col("__y").alias("yb"),
+                    F.col("__cx").alias("cx"), F.col("__cy").alias("cy"))
+    d2 = ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+          + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+    return (a.join(b, ["cx", "cy"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", d2.alias("dist2"))
+             .where(F.col("dist2") <= radius * radius)
+             .distinct())

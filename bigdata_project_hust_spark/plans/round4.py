@@ -1099,3 +1099,54 @@ QUERIES_ROUND4.update({
         doc="entity resolution: ed≤1 fuzzy pairs → connected "
             "components → canonical entity ids (CRM dedupe pipeline)"),
 })
+
+
+# ---------------------------------------------------------------------------
+# Grid-bucketed radius join (spatial-join pattern, integer-exact)
+# ---------------------------------------------------------------------------
+
+_GRID_R = 40_000  # fixed-point radius (~0.04 in e6 coordinate units)
+
+
+def q_customer_radius_pairs(spark, sf_dir):
+    """Radius self-join over synthetic customer coordinates (derived
+    deterministically from the key hash — the fixtures carry no geo
+    columns, the JOIN SHAPE is the point): grid-bucket 3×3 candidate
+    probe + exact integer distance verify. Oracle is the naive
+    all-pairs scan — grid blocking is lossless."""
+    from ..functions.scalar import stable_hash64
+    from ..operators.joins import grid_radius_join
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    pts = cust.select(
+        "c_custkey",
+        F.pmod(stable_hash64(F.col("c_custkey").cast("string"), 31),
+               F.lit(1_000_000)).alias("x"),
+        F.pmod(stable_hash64(F.col("c_custkey").cast("string"), 32),
+               F.lit(1_000_000)).alias("y"))
+    return grid_radius_join(pts, "c_custkey", "x", "y", _GRID_R)
+
+
+def _oracle_radius() -> str:
+    hx = stable_hash64_sql("c_custkey::VARCHAR", 31)
+    hy = stable_hash64_sql("c_custkey::VARCHAR", 32)
+    return f"""
+  WITH p AS (
+    SELECT c_custkey, ({hx} % 1000000)::BIGINT AS x,
+           ({hy} % 1000000)::BIGINT AS y
+    FROM customer
+  )
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         ((a.x - b.x) * (a.x - b.x)
+          + (a.y - b.y) * (a.y - b.y))::BIGINT AS dist2
+  FROM p a JOIN p b ON a.c_custkey < b.c_custkey
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= {_GRID_R} * {_GRID_R}
+"""
+
+
+QUERIES_ROUND4.update({
+    "customer_radius_pairs": QuerySpec(
+        q_customer_radius_pairs, _oracle_radius(),
+        doc="grid-bucketed radius self-join (3×3 cell probe, exact "
+            "integer verify; lossless vs naive all-pairs oracle)"),
+})

@@ -229,3 +229,69 @@ def test_line_dedup_model_parity(spark, texts):
                 kept.append(ln)
         want[i] = (len(lines), len(lines) - len(kept), " ".join(kept))
     assert got == want
+
+
+@given(st.lists(st.text(alphabet="abct ", min_size=0, max_size=24),
+                min_size=0, max_size=6))
+@settings(max_examples=20, deadline=None)
+def test_subword_fold_matches_python_reference(spark, texts):
+    """The packed-BIGINT greedy fold must equal a straightforward
+    Python greedy tokenizer on arbitrary text (any chars, any
+    whitespace shape)."""
+    from bigdata_project_hust_spark.operators.text import (
+        SUBWORD_V2, SUBWORD_V3, subword_piece_counts)
+
+    def ref(text):
+        words = [w for w in text.lower().split() if w]
+        total = 0
+        for w in words:
+            p = 0
+            while p < len(w):
+                if w[p:p + 3] in SUBWORD_V3:
+                    p += 3
+                elif w[p:p + 2] in SUBWORD_V2:
+                    p += 2
+                else:
+                    p += 1
+                total += 1
+        return len(words), total
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)] or [(0, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_pieces"])
+           for r in subword_piece_counts(df).collect()}
+    for i, t in enumerate(texts or [""]):
+        assert got[i] == ref(t), (t, got[i], ref(t))
+
+
+@given(st.lists(st.text(alphabet="ab", min_size=0, max_size=6),
+                min_size=2, max_size=10, unique=True))
+@settings(max_examples=15, deadline=None)
+def test_fuzzy_ed1_matches_bruteforce(spark, strings):
+    """Deletion-neighborhood blocking finds EXACTLY the ed<=1 pairs a
+    brute-force Levenshtein scan finds, on arbitrary short strings
+    (including empty strings and duplicates-by-value)."""
+    from bigdata_project_hust_spark.operators.dedup import fuzzy_join_ed1
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame(list(enumerate(strings)),
+                               "id long, s string")
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in fuzzy_join_ed1(df, "s", "id").collect()}
+    want = {(i, j): lev(a, b)
+            for i, a in enumerate(strings)
+            for j, b in enumerate(strings)
+            if i < j and lev(a, b) <= 1}
+    assert got == want

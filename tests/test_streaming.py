@@ -800,3 +800,39 @@ def test_hll_registers_build_incrementally_over_stream(spark, tmp_path):
         F.col("id").cast("string").alias("v"))
     want = sorted(tuple(r) for r in hll_registers(want_df, "v").collect())
     assert got == want and len(got) > 0
+
+
+def test_streaming_ohlc_matches_batch(spark, tmp_path):
+    """OHLC bars computed over a file stream (update mode) equal the
+    batch ohlc_resample on the same rows — min_by/max_by are plain
+    mergeable aggregates, so the streaming twin is the SAME operator
+    applied to readStream."""
+    from bigdata_project_hust_spark.operators.windows import ohlc_resample
+    src = str(tmp_path / "src")
+    rows = [(i, f"2024-01-01 00:{i:02d}:00", 1 + i % 2, float(10 - i))
+            for i in range(8)]
+    _write_events(src, "a.json", rows)
+    stream = json_file_stream(spark, src, EVENT_SCHEMA)
+    s_ohlc = ohlc_resample(
+        stream.withColumn("value_c",
+                          F.floor(F.col("value") * 100 + 0.5).cast("long")),
+        "ts", "user_id", "value_c", 300, "event_id")
+    q = _run_to_memory(s_ohlc, "ohlc_out", "update", str(tmp_path / "ck"))
+    try:
+        got = {(r.user_id, r.bucket_start):
+               (r.open, r.high, r.low, r.close, r.n_events)
+               for r in spark.sql("SELECT * FROM ohlc_out").collect()}
+        batch = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, value double")
+        batch = (batch.withColumn("ts", F.to_timestamp("ts"))
+                      .withColumn("value_c",
+                                  F.floor(F.col("value") * 100 + 0.5)
+                                  .cast("long")))
+        want = {(r.user_id, r.bucket_start):
+                (r.open, r.high, r.low, r.close, r.n_events)
+                for r in ohlc_resample(batch, "ts", "user_id",
+                                       "value_c", 300,
+                                       "event_id").collect()}
+        assert got == want and len(want) >= 2
+    finally:
+        q.stop()

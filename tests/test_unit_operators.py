@@ -2030,3 +2030,19 @@ def test_entity_resolution_transitive_closure(spark):
                       .alias("entity_id")))
     got = {r["c_custkey"]: r["entity_id"] for r in out.collect()}
     assert got == {10: 10, 11: 10, 12: 10, 30: 30}
+
+
+def test_grid_radius_join_boundaries(spark):
+    """Points exactly at radius match (<=); one unit past does not;
+    cross-cell neighbors are found (the 3×3 probe), and same-cell
+    duplicates at distance 0 match."""
+    from bigdata_project_hust_spark.operators.joins import grid_radius_join
+    r = 10
+    rows = [(1, 0, 0), (2, 10, 0),     # exactly r apart, adjacent cells
+            (3, 95, 95), (4, 101, 103),  # cross-cell, dist2=36+64=100
+            (5, 0, 0),                 # duplicate of 1
+            (6, 500, 500)]             # isolated
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {(r_["id_a"], r_["id_b"]): r_["dist2"]
+           for r_ in grid_radius_join(df, "id", "x", "y", r).collect()}
+    assert got == {(1, 2): 100, (2, 5): 100, (3, 4): 100, (1, 5): 0}
