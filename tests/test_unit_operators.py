@@ -2046,3 +2046,26 @@ def test_grid_radius_join_boundaries(spark):
     got = {(r_["id_a"], r_["id_b"]): r_["dist2"]
            for r_ in grid_radius_join(df, "id", "x", "y", r).collect()}
     assert got == {(1, 2): 100, (2, 5): 100, (3, 4): 100, (1, 5): 0}
+
+
+def test_pointer_jumping_cc_matches_plain_on_path_and_forest(spark):
+    """The pointer-jumping variant must produce identical components
+    to plain min-propagation: a 25-node path (worst-case diameter —
+    pj needs ~log2(25) rounds) plus a separate triangle and an
+    isolated edge."""
+    from bigdata_project_hust_spark.operators.dedup import (
+        connected_components, connected_components_pj)
+    path = [(i, i + 1) for i in range(100, 124)]
+    tri = [(1, 2), (2, 3), (1, 3)]
+    edge = [(50, 51)]
+    pairs = spark.createDataFrame(path + tri + edge,
+                                  "doc_a long, doc_b long")
+    plain = {(r["node"], r["component"])
+             for r in connected_components(pairs).collect()}
+    pj = {(r["node"], r["component"])
+          for r in connected_components_pj(pairs).collect()}
+    assert pj == plain
+    comp = dict(pj)
+    assert all(comp[n] == 100 for n in range(100, 125))
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[50] == comp[51] == 50
