@@ -1155,3 +1155,193 @@ QUERIES_ROUND4.update({
         doc="grid-bucketed radius self-join (3×3 cell probe, exact "
             "integer verify; lossless vs naive all-pairs oracle)"),
 })
+
+
+# ---------------------------------------------------------------------------
+# Sequence & warehouse analytics: transitions, RFM, weighted median
+# ---------------------------------------------------------------------------
+
+
+def q_event_transition_matrix(spark, sf_dir):
+    """Markov transition matrix of event types: per user, adjacent
+    (ts, event_id)-ordered event pairs roll up to global (from, to)
+    counts with row-normalized probabilities (floor e6). ONE user
+    exchange (the journey shape); transitions never cross users."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select("user_id", "event_type",
+                       F.lead("event_type").over(w).alias("next_type"))
+               .where(F.col("next_type").isNotNull()))
+    counts = (pairs.groupBy(F.col("event_type").alias("from_type"),
+                            F.col("next_type").alias("to_type"))
+                   .agg(F.count("*").alias("n")))
+    w2 = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", F.col("n").cast("long"),
+        F.floor(F.col("n") * 1e6 / F.sum("n").over(w2)).cast("long")
+         .alias("p_e6"))
+
+
+ORACLE_TRANSITIONS = """
+  WITH s AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+  ),
+  c AS (
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*)::BIGINT AS n
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY from_type, to_type
+  )
+  SELECT from_type, to_type, n,
+         floor(n * 1e6 / sum(n) OVER (PARTITION BY from_type))::BIGINT
+           AS p_e6
+  FROM c
+"""
+
+
+def q_customer_rfm(spark, sf_dir):
+    """RFM segmentation: per customer, Recency (days since last
+    order vs corpus max date), Frequency (order count), Monetary
+    (total cents), each quintiled by ntile over a deterministic
+    (metric, key) order — the classic warehouse customer-scoring
+    query as three windows over one agg."""
+    from pyspark.sql import Window
+    o = _t(spark, sf_dir, "orders")
+    per = (o.groupBy("o_custkey")
+             .agg(F.max("o_orderdate").alias("last_dt"),
+                  F.count("*").cast("long").alias("frequency"),
+                  F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
+                        .cast("long")).alias("monetary_c")))
+    mx = o.agg(F.max("o_orderdate").alias("mx"))
+    per = (per.crossJoin(F.broadcast(mx))
+              .select("o_custkey",
+                      F.datediff("mx", "last_dt").cast("long")
+                       .alias("recency_days"),
+                      "frequency", "monetary_c"))
+    r = Window.orderBy(F.col("recency_days").asc(),
+                       F.col("o_custkey").asc())
+    f = Window.orderBy(F.col("frequency").desc(),
+                       F.col("o_custkey").asc())
+    m = Window.orderBy(F.col("monetary_c").desc(),
+                       F.col("o_custkey").asc())
+    return per.select(
+        "o_custkey", "recency_days", "frequency", "monetary_c",
+        F.ntile(5).over(r).cast("long").alias("r_quintile"),
+        F.ntile(5).over(f).cast("long").alias("f_quintile"),
+        F.ntile(5).over(m).cast("long").alias("m_quintile"))
+
+
+ORACLE_RFM = """
+  WITH per AS (
+    SELECT o_custkey, max(o_orderdate) AS last_dt,
+           count(*)::BIGINT AS frequency,
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT
+             AS monetary_c
+    FROM orders GROUP BY o_custkey
+  ),
+  mx AS (SELECT max(o_orderdate) AS mx FROM orders)
+  SELECT o_custkey,
+         date_diff('day', last_dt::DATE, mx::DATE)::BIGINT
+           AS recency_days,
+         frequency, monetary_c,
+         ntile(5) OVER (ORDER BY date_diff('day', last_dt::DATE,
+                                           mx::DATE) ASC,
+                        o_custkey ASC)::BIGINT AS r_quintile,
+         ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC)::BIGINT
+           AS f_quintile,
+         ntile(5) OVER (ORDER BY monetary_c DESC, o_custkey ASC)::BIGINT
+           AS m_quintile
+  FROM per, mx
+"""
+
+
+def q_weighted_median_price(spark, sf_dir):
+    """Exact WEIGHTED median extended price per returnflag (weights =
+    integer quantities): order by value, running weight vs half the
+    total — the first value whose cumulative weight reaches half is
+    the lower weighted median. Pure integer comparisons (2·cum ≥
+    total — no halving division), one key shuffle + one window."""
+    from pyspark.sql import Window
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+         .alias("price_c"),
+        F.col("l_quantity").cast("long").alias("qty"))
+    w = Window.partitionBy("l_returnflag").orderBy("price_c") \
+              .rowsBetween(Window.unboundedPreceding, 0)
+    t = Window.partitionBy("l_returnflag")
+    cum = (li.groupBy("l_returnflag", "price_c")
+             .agg(F.sum("qty").alias("w"))
+             .withColumn("cum", F.sum("w").over(
+                 Window.partitionBy("l_returnflag").orderBy("price_c")
+                 .rowsBetween(Window.unboundedPreceding, 0)))
+             .withColumn("tot", F.sum("w").over(t)))
+    return (cum.where(F.col("cum") * 2 >= F.col("tot"))
+               .groupBy("l_returnflag")
+               .agg(F.min("price_c").alias("wmedian_c"),
+                    F.max("tot").cast("long").alias("total_weight")))
+
+
+ORACLE_WMEDIAN = """
+  WITH g AS (
+    SELECT l_returnflag,
+           floor(l_extendedprice * 100 + 0.5)::BIGINT AS price_c,
+           sum(l_quantity::BIGINT)::BIGINT AS w
+    FROM lineitem GROUP BY l_returnflag, price_c
+  ),
+  c AS (
+    SELECT l_returnflag, price_c, w,
+           sum(w) OVER (PARTITION BY l_returnflag ORDER BY price_c
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+           sum(w) OVER (PARTITION BY l_returnflag)::BIGINT AS tot
+    FROM g
+  )
+  SELECT l_returnflag, min(price_c)::BIGINT AS wmedian_c,
+         max(tot)::BIGINT AS total_weight
+  FROM c WHERE cum * 2 >= tot GROUP BY l_returnflag
+"""
+
+
+def q_lang_id_confusion(spark, sf_dir):
+    """Language-ID eval: confusion counts of the labeled lang column
+    vs the n-gram detector — the model-eval query every curation
+    pipeline runs before trusting a classifier gate."""
+    docs = _t(spark, sf_dir, "documents")
+    detected = text.lang_id(docs)
+    return (detected.join(docs.select("doc_id", "lang"), "doc_id")
+                    .groupBy(F.col("lang").alias("labeled"),
+                             F.col("lang_pred"))
+                    .agg(F.count("*").cast("long").alias("n")))
+
+
+def _oracle_lang_confusion() -> str:
+    from .queries import ORACLE_LANG
+    return f"""
+  WITH d AS ({ORACLE_LANG})
+  SELECT doc.lang AS labeled, d.lang_pred, count(*)::BIGINT AS n
+  FROM d JOIN documents doc USING (doc_id)
+  GROUP BY labeled, d.lang_pred
+"""
+
+
+QUERIES_ROUND4.update({
+    "event_transition_matrix": QuerySpec(
+        q_event_transition_matrix, ORACLE_TRANSITIONS,
+        doc="Markov event-type transition matrix (one user exchange, "
+            "row-normalized probabilities e6)"),
+    "customer_rfm": QuerySpec(
+        q_customer_rfm, ORACLE_RFM,
+        doc="RFM quintile segmentation (one agg + three ntile "
+            "windows, deterministic tie-breaks)"),
+    "weighted_median_price": QuerySpec(
+        q_weighted_median_price, ORACLE_WMEDIAN,
+        doc="exact weighted median per group (integer cumulative-"
+            "weight threshold, no FP halving)"),
+    "lang_id_confusion": QuerySpec(
+        q_lang_id_confusion, _oracle_lang_confusion(),
+        doc="language-ID confusion matrix (classifier eval gate)"),
+})

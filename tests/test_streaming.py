@@ -836,3 +836,50 @@ def test_streaming_ohlc_matches_batch(spark, tmp_path):
         assert got == want and len(want) >= 2
     finally:
         q.stop()
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static broadcast enrichment: a streaming event frame
+    joins a static dimension without watermarks (static side never
+    changes mid-query) — the standard speed-layer enrich shape."""
+    src = str(tmp_path / "src")
+    _write_events(src, "a.json", [(1, "2024-01-01 00:00:01", 1, 5.0),
+                                  (2, "2024-01-01 00:00:02", 2, 7.0),
+                                  (3, "2024-01-01 00:00:03", 9, 1.0)])
+    dim = spark.createDataFrame([(1, "gold"), (2, "silver")],
+                                "user_id long, tier string")
+    stream = json_file_stream(spark, src, EVENT_SCHEMA)
+    enriched = (stream.join(F.broadcast(dim), "user_id")
+                      .select("event_id", "tier"))
+    q = _run_to_memory(enriched, "enrich_out", "append",
+                       str(tmp_path / "ck"))
+    try:
+        got = {(r.event_id, r.tier)
+               for r in spark.sql("SELECT * FROM enrich_out").collect()}
+        assert got == {(1, "gold"), (2, "silver")}  # user 9 dropped
+    finally:
+        q.stop()
+
+
+def test_streaming_topk_complete_mode(spark, tmp_path):
+    """Global top-k over a stream in complete output mode: per-user
+    totals ordered with a deterministic tie-break, limit 2 — matches
+    the batch top-k on the same rows."""
+    src = str(tmp_path / "src")
+    rows = [(i, f"2024-01-01 00:00:{i:02d}", i % 3, float(i))
+            for i in range(9)]
+    _write_events(src, "a.json", rows)
+    stream = json_file_stream(spark, src, EVENT_SCHEMA)
+    top = (stream.groupBy("user_id")
+                 .agg(F.sum("value").alias("total"))
+                 .orderBy(F.col("total").desc(), F.col("user_id").asc())
+                 .limit(2))
+    q = _run_to_memory(top, "topk_out", "complete", str(tmp_path / "ck"))
+    try:
+        got = [(r.user_id, r.total)
+               for r in spark.sql(
+                   "SELECT * FROM topk_out ORDER BY total DESC").collect()]
+        # totals: u0=0+3+6=9, u1=1+4+7=12, u2=2+5+8=15
+        assert got == [(2, 15.0), (1, 12.0)]
+    finally:
+        q.stop()

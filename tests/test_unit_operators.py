@@ -2069,3 +2069,49 @@ def test_pointer_jumping_cc_matches_plain_on_path_and_forest(spark):
     assert all(comp[n] == 100 for n in range(100, 125))
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[50] == comp[51] == 50
+
+
+def test_weighted_median_hand_values(spark, tmp_path):
+    """Weighted median with hand weights: values 10,20,30 with
+    weights 1,1,2 → cum 1,2,4 vs total 4 → first 2·cum ≥ 4 is value
+    20; a single-row group returns its own value."""
+    import os
+    from bigdata_project_hust_spark.plans.round4 import (
+        q_weighted_median_price)
+    rows = [("A", 0.10, 1.0), ("A", 0.20, 1.0), ("A", 0.30, 2.0),
+            ("B", 0.50, 3.0)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double, "
+              "l_quantity double") \
+        .write.parquet(os.path.join(d, "lineitem.parquet"))
+    got = {r["l_returnflag"]: (r["wmedian_c"], r["total_weight"])
+           for r in q_weighted_median_price(spark, d).collect()}
+    assert got == {"A": (20, 4), "B": (50, 3)}
+
+
+def test_event_transitions_probabilities_sum(spark):
+    """Per-from-type probabilities floor-sum to ≤ 1e6 and each count
+    is consistent; a 2-user interleaved stream never produces
+    cross-user transitions."""
+    from datetime import datetime
+    from bigdata_project_hust_spark.plans.round4 import (
+        q_event_transition_matrix)
+    import os, tempfile
+    rows = []
+    for u, seq in ((1, ["view", "click", "view"]),
+                   (2, ["click", "purchase"])):
+        for i, et in enumerate(seq):
+            rows.append((u * 100 + i, datetime(2024, 1, 1, 0, i), u, et,
+                         1.0, "{}"))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string") \
+            .write.parquet(os.path.join(d, "events.parquet"))
+        out = q_event_transition_matrix(spark, d).collect()
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["p_e6"])
+           for r in out}
+    assert got == {("view", "click"): (1, 1_000_000),
+                   ("click", "view"): (1, 500_000),
+                   ("click", "purchase"): (1, 500_000)}
