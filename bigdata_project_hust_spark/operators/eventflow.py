@@ -157,3 +157,155 @@ def event_pattern_matches(df: DataFrame,
         journey.alias("journey"),
         F.size(F.regexp_extract_all(journey, F.lit(pattern), F.lit(0)))
          .cast("long").alias("n_matches"))
+
+
+CUSUM_H_C = 2_000          # alarm threshold: 20.00 in value cents
+EWMA_TAIL = 64             # EWMA folds only the last 64 events
+
+
+def cusum_drift_alerts(df: DataFrame, h_c: int = CUSUM_H_C,
+                       user_col: str = "user_id", ts_col: str = "ts",
+                       val_col: str = "value",
+                       id_col: str = "event_id") -> DataFrame:
+    """Per-user one-sided CUSUM drift detection (Page 1954) over the
+    event value stream, computed by the PREFIX-SUM IDENTITY instead of
+    the textbook recursive fold:
+
+        c_t = max(0, c_{t-1} + d_t)  ≡  S_t − min(0, S_1, …, S_t)
+
+    with ``S_t`` the running sum of drifts ``d_t = value_c − target``.
+    Both sides are plain window aggregates over one (user) key shuffle
+    — no per-user array collect, so a hot user with 10⁹ events streams
+    through the window operator instead of materializing in one task
+    (the fold-over-collect_list idiom caps at per-key memory; this
+    caps at nothing). Everything is BIGINT on the cents grid: the
+    target is each user's own floor-mean value (first window pass),
+    drift sums are exact, and the alarm is the first event whose CUSUM
+    exceeds ``h_c``.
+
+    Output per user: n_events, target_c, max CUSUM, and the alarm
+    event id (-1 when the stream never drifts) — the monitoring rollup
+    a quality/billing pipeline runs per entity.
+    """
+    from pyspark.sql import Window
+    v_c = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    base = df.select(F.col(user_col).alias("u"),
+                     F.col(ts_col).alias("ts"),
+                     F.col(id_col).alias("eid"),
+                     v_c.alias("v_c"))
+    per_user = Window.partitionBy("u")
+    ordered = (Window.partitionBy("u")
+               .orderBy("ts", "eid")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    # pass 1: per-user integer target (floor of the mean on the cents
+    # grid — sum/count as exact BIGINTs, not avg() doubles)
+    with_target = base.withColumn(
+        "target_c",
+        F.floor(F.sum("v_c").over(per_user)
+                / F.count("*").over(per_user)).cast("long"))
+    # window functions cannot nest in one expression: materialize the
+    # drift prefix sum S_t, then its running min, then the identity
+    with_s = with_target.withColumn(
+        "s", F.sum(F.col("v_c") - F.col("target_c")).over(ordered))
+    with_min = with_s.withColumn(
+        "s_min", F.min("s").over(ordered))
+    stepped = with_min.select(
+        "u", "eid", "target_c",
+        (F.col("s") - F.least(F.lit(0).cast("long"), F.col("s_min")))
+        .alias("c"))
+    return (stepped.groupBy("u")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.max("target_c").alias("target_c"),
+                 F.max("c").cast("long").alias("cusum_max_c"),
+                 F.coalesce(
+                     F.min(F.when(F.col("c") > h_c, F.col("eid"))),
+                     F.lit(-1)).cast("long").alias("alarm_event_id"))
+            .select(F.col("u").alias(user_col), "n_events", "target_c",
+                    "cusum_max_c", "alarm_event_id"))
+
+
+def ewma_recent(df: DataFrame, tail: int = EWMA_TAIL,
+                user_col: str = "user_id", ts_col: str = "ts",
+                val_col: str = "value",
+                id_col: str = "event_id") -> DataFrame:
+    """Per-user EWMA (α = 1/2) of the LAST ``tail`` event values on the
+    cents grid: ``s ← (s + v_c·64) div 2`` folded left-to-right over
+    the (ts, id)-sorted tail slice — integer ops only, so the smoothed
+    level is bit-exact on any engine (α = 1/2 as a halving keeps the
+    whole fold in BIGINT; the ×64 head-scale preserves 6 fractional
+    bits through the floors).
+
+    Bounding the fold to a fixed tail makes the collect_list safe by
+    CONSTRUCTION (≤ tail structs per user in memory, whatever the
+    user's history length) — the unbounded monitoring path is
+    :func:`cusum_drift_alerts`' window identity. One key shuffle.
+    """
+    v_c = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    base = df.select(F.col(user_col).alias("u"),
+                     F.struct(F.col(ts_col).alias("ts"),
+                              F.col(id_col).alias("eid"),
+                              v_c.alias("v_c")).alias("rec"))
+    folded = (base.groupBy("u")
+              .agg(F.array_sort(F.collect_list("rec")).alias("arr"))
+              # slice(-tail) on a SHORTER array returns [] in Spark —
+              # take the tail explicitly from max(1, n-tail+1)
+              .select("u", F.slice(
+                  F.col("arr"),
+                  F.greatest(F.lit(1), F.size("arr") - F.lit(tail - 1)),
+                  tail).alias("tl"))
+              .select("u", F.size("tl").alias("n_tail"),
+                      F.aggregate(
+                          F.col("tl"), F.lit(0).cast("long"),
+                          lambda acc, r: F.floor(
+                              (acc + r.getField("v_c") * F.lit(64))
+                              / F.lit(2)).cast("long"))
+                      .alias("ewma_c64")))
+    return folded.select(F.col("u").alias(user_col),
+                         F.col("n_tail").cast("long"), "ewma_c64")
+
+
+def autocorr_lag1(df: DataFrame, user_col: str = "user_id",
+                  ts_col: str = "ts", val_col: str = "value",
+                  id_col: str = "event_id") -> DataFrame:
+    """Per-user lag-1 autocorrelation of the event value series —
+    Pearson r between consecutive (ts, id)-ordered values, the
+    burstiness/momentum signal of a metric stream.
+
+    Same exactness contract as ``pearson_qty_price``: the (x, y) pairs
+    come from ONE lag window (no self-join), the five moments
+    accumulate as exact decimal(38,0) (partial-agg order cannot change
+    them), and only the final closed-form combination runs in double,
+    floored at e6. Degenerate series (n ≤ 1 pairs or zero variance)
+    emit r = 0 with the pair count. One key shuffle (the lag window),
+    one tiny agg.
+    """
+    from pyspark.sql import Window
+    v_c = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("u").orderBy("ts", "eid")
+    pairs = (df.select(F.col(user_col).alias("u"),
+                       F.col(ts_col).alias("ts"),
+                       F.col(id_col).alias("eid"),
+                       v_c.alias("y"))
+             .withColumn("x", F.lag("y").over(w))
+             .where(F.col("x").isNotNull()))
+    dec, dec19 = "decimal(38,0)", "decimal(19,0)"
+    agg = pairs.groupBy("u").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec19) * F.col("x").cast(dec19))
+         .alias("sxx"),
+        F.sum(F.col("y").cast(dec19) * F.col("y").cast(dec19))
+         .alias("syy"),
+        F.sum(F.col("x").cast(dec19) * F.col("y").cast(dec19))
+         .alias("sxy"))
+    n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    sxx, syy, sxy = [F.col(c).cast("double")
+                     for c in ("sxx", "syy", "sxy")]
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(
+        F.col("u").alias(user_col),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when(den > 0.0, F.floor(num / den * 1e6))
+         .otherwise(F.lit(0)).cast("long").alias("autocorr_e6"))

@@ -192,3 +192,64 @@ def bfs_hops(edges: DataFrame, max_hops: int = 4,
         dist = (dist.union(step)
                 .groupBy("node").agg(F.min("hops").alias("hops")))
     return dist.select("node", F.col("hops").cast("long"))
+
+
+def link_prediction(edges: DataFrame, a: str = "pa", b: str = "pb",
+                    max_degree: int = 200) -> DataFrame:
+    """Common-neighbor link prediction over an undirected edge list
+    (reference show/page.py serves "related entity" panels from the
+    same co-occurrence signal): for every NON-adjacent pair (u, v)
+    that shares ≥1 neighbor, emit the three classic scores —
+
+    * ``cn``          — common-neighbor count (exact BIGINT),
+    * ``jaccard_e6``  — ``floor(cn·1e6 / |Γ(u) ∪ Γ(v)|)`` as integer
+      division on exact counts,
+    * ``ra_e6``       — Resource Allocation index (Zhou et al. 2009)
+      with each 1/deg(w) term pre-floored to ``floor(1e6/deg(w))`` so
+      the per-pair score is a SUM OF INTEGERS — associative, merge-
+      order-proof, bit-identical on any engine (an FP 1/d sum would
+      depend on partial-agg order; Adamic-Adar's 1/ln d has the same
+      flaw plus cross-engine ln noise).
+
+    Wedge generation is keyed on the shared neighbor w, so the join
+    fan-out per center is deg(w)²; hubs above ``max_degree`` are
+    excluded from CENTER duty (standard web-scale practice — a
+    ~celebrity node's wedge set is quadratic and its evidence is
+    near-zero per pair; both engines apply the identical cap, so
+    results still hash-match). Fan-out bound: Σ_w min(d_w, cap)².
+
+    Scale shape: degree agg (1 shuffle), wedge self-join keyed on w
+    (1 shuffle), pair agg (1 shuffle), one broadcast-able degree join
+    per side, and an existing-edge anti join. Nothing materializes
+    all pairs.
+    """
+    e = edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    # undirected adjacency (both directions), plus exact degrees
+    adj = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    deg = adj.groupBy("x").agg(F.count("*").alias("d"))
+    # wedges centered at w: neighbors u < v of the same (capped) center
+    centers = deg.where(F.col("d") <= F.lit(max_degree)) \
+                 .select(F.col("x").alias("w"), F.col("d").alias("dw"))
+    n1 = adj.select(F.col("x").alias("w"), F.col("y").alias("u"))
+    n2 = adj.select(F.col("x").alias("w"), F.col("y").alias("v"))
+    wedges = (n1.join(centers, "w").join(n2, "w")
+              .where(F.col("u") < F.col("v")))
+    pairs = (wedges.groupBy("u", "v")
+             .agg(F.count("*").cast("long").alias("cn"),
+                  F.sum(F.floor(F.lit(1_000_000) / F.col("dw")))
+                   .cast("long").alias("ra_e6")))
+    # drop already-connected pairs (predict NEW links only)
+    existing = e.select(F.least("x", "y").alias("u"),
+                        F.greatest("x", "y").alias("v"))
+    cand = pairs.join(existing, ["u", "v"], "left_anti")
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    scored = (cand.join(du, "u").join(dv, "v")
+              .select("u", "v", "cn",
+                      (F.col("du") + F.col("dv") - F.col("cn"))
+                      .cast("long").alias("union_sz"),
+                      F.floor(F.col("cn") * F.lit(1_000_000)
+                              / (F.col("du") + F.col("dv") - F.col("cn")))
+                       .cast("long").alias("jaccard_e6"),
+                      "ra_e6"))
+    return scored

@@ -814,3 +814,136 @@ def hash_embedding(df: DataFrame, text_col: str = "text",
     comp = [F.aggregate(F.col("__th"), F.lit(0).cast("long"), _comp(j))
             for j in range(dim)]
     return bound.select(F.col(id_col), F.array(*comp).alias("emb"))
+
+
+def nb_lang_classifier(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Multinomial Naive Bayes language classifier, self-trained on the
+    stopword heuristic's confident labels (:func:`lang_id` rows whose
+    pred ≠ 'und') and applied to EVERY document — the distributed
+    train-then-score loop of a corpus-labeling pipeline (weak rules →
+    model → full-corpus inference), entirely in DataFrame ops.
+
+    Exactness: the model is QUANTIZED at build time — each (term,
+    class) add-1-smoothed log-likelihood ``ln((cnt+1)/(tot_c+V))`` is
+    floored to an e6 BIGINT once, so every per-document score is a SUM
+    OF INTEGERS (+ the e6 prior): associative, partial-agg-proof, and
+    engine-exact. (Summing raw double logs would make the result
+    depend on Spark's merge order — the corr()-style trap.)
+
+    Scale shape: token explode (the one token-volume shuffle, shared
+    with training), model = vocab-sized table JOINED BROADCAST into the
+    scoring pass, corpus stats a 1-row broadcast. OOV tokens take the
+    smoothed floor likelihood via coalesce after the left join — no
+    second pass. At 100 TB the model is a few MB (vocab × 3 longs);
+    inference is one map-side join + one key shuffle per doc.
+    """
+    labels = lang_id(df, text_col, id_col).select(
+        F.col(id_col), F.col("lang_pred"))
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(text_col)).alias("term"))
+    train_toks = (toks.join(labels.where(F.col("lang_pred") != "und"),
+                            id_col)
+                  .select("term", "lang_pred"))
+    langs = ("en", "es", "fr")
+    counts = train_toks.groupBy("term").agg(
+        *[F.sum(F.when(F.col("lang_pred") == c, 1).otherwise(0))
+           .cast("long").alias(f"cnt_{c}") for c in langs])
+    stats = counts.agg(
+        F.count("*").cast("long").alias("vocab"),
+        *[F.sum(f"cnt_{c}").cast("long").alias(f"tot_{c}")
+          for c in langs])
+    doc_priors = (labels.where(F.col("lang_pred") != "und")
+                  .groupBy().agg(
+                      F.count("*").cast("long").alias("n_train"),
+                      *[F.sum(F.when(F.col("lang_pred") == c, 1)
+                              .otherwise(0)).cast("long")
+                         .alias(f"n_{c}") for c in langs]))
+
+    def _ll_e6(cnt, tot):  # floor(1e6·ln((cnt+1)/(tot+V))) — one ln,
+        return F.floor(F.log((cnt + F.lit(1)).cast("double")
+                             / (tot + F.col("vocab")))
+                       * F.lit(1_000_000)).cast("long")
+
+    model = (counts.crossJoin(F.broadcast(stats))
+             .select("term",
+                     *[_ll_e6(F.col(f"cnt_{c}"), F.col(f"tot_{c}"))
+                        .alias(f"ll_{c}") for c in langs]))
+    scored = (toks.join(F.broadcast(model), "term", "left")
+              .crossJoin(F.broadcast(stats))
+              .select(F.col(id_col),
+                      *[F.coalesce(F.col(f"ll_{c}"),
+                                   _ll_e6(F.lit(0), F.col(f"tot_{c}")))
+                         .alias(f"ll_{c}") for c in langs])
+              .groupBy(id_col)
+              .agg(*[F.sum(f"ll_{c}").alias(f"s_{c}") for c in langs]))
+    prior = F.broadcast(doc_priors.select(
+        *[F.floor(F.log((F.col(f"n_{c}") + F.lit(1)).cast("double")
+                        / (F.col("n_train") + F.lit(3)))
+                  * F.lit(1_000_000)).cast("long").alias(f"p_{c}")
+          for c in langs]))
+    out = (df.select(F.col(id_col)).join(scored, id_col, "left")
+           .crossJoin(prior)
+           .select(F.col(id_col),
+                   *[(F.coalesce(F.col(f"s_{c}"), F.lit(0))
+                      + F.col(f"p_{c}")).cast("long")
+                      .alias(f"score_{c}_e6") for c in langs]))
+    en, es, fr = (F.col("score_en_e6"), F.col("score_es_e6"),
+                  F.col("score_fr_e6"))
+    pred = (F.when((en >= es) & (en >= fr), F.lit("en"))
+             .when(es >= fr, F.lit("es")).otherwise(F.lit("fr")))
+    return out.select(id_col, "score_en_e6", "score_es_e6",
+                      "score_fr_e6", pred.alias("nb_pred"))
+
+
+def pmi_bigrams(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", min_count: int = 3,
+                k: int = 30) -> DataFrame:
+    """Collocation mining: top-k adjacent-token bigrams by pointwise
+    mutual information ``ln(c2·N² / (N2·c1(w1)·c1(w2)))`` — the
+    co-occurrence statistic under tokenizer-vocabulary and phrase
+    detection (word2vec's phrase pass uses the same score).
+
+    All counts are exact BIGINTs (emitted alongside the score); the
+    single ln per surviving bigram runs on an identically-parenthesized
+    double tree and floors at e6. Bigrams are built by slicing the
+    bound token array (no self-join); the explode is the usual
+    token-volume shuffle, unigram counts broadcast back, corpus totals
+    a 1-row broadcast, and top-k is TakeOrderedAndProject. min_count
+    prunes the hapax tail BEFORE the joins — at web scale that is the
+    difference between a vocab²-ish candidate set and a short list.
+    """
+    bound = df.select(F.col(id_col), tokens(text_col).alias("__w"))
+    w = F.col("__w")
+    # adjacent pairs w[i], w[i+1] — guarded: sequence(1, 0) would
+    # DESCEND in Spark ([1, 0]), not return empty
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.struct(
+                        F.element_at(w, i).alias("w1"),
+                        F.element_at(w, i + 1).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = (bound.select(F.explode(grams).alias("g"))
+           .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")))
+    uni = (bound.select(F.explode(w).alias("t"))
+           .groupBy("t").agg(F.count("*").cast("long").alias("c1")))
+    c2 = (big.groupBy("w1", "w2")
+          .agg(F.count("*").cast("long").alias("c2"))
+          .where(F.col("c2") >= min_count))
+    totals = uni.agg(F.sum("c1").cast("long").alias("n1")) \
+                .crossJoin(big.groupBy().agg(
+                    F.count("*").cast("long").alias("n2")))
+    ua = uni.select(F.col("t").alias("w1"), F.col("c1").alias("c1a"))
+    ub = uni.select(F.col("t").alias("w2"), F.col("c1").alias("c1b"))
+    scored = (c2.join(F.broadcast(ua), "w1").join(F.broadcast(ub), "w2")
+              .crossJoin(F.broadcast(totals))
+              .select("w1", "w2", "c2", "c1a", "c1b",
+                      F.floor(F.log(
+                          ((F.col("c2").cast("double") * F.col("n1"))
+                           * F.col("n1"))
+                          / ((F.col("n2").cast("double") * F.col("c1a"))
+                             * F.col("c1b")))
+                          * F.lit(1_000_000)).cast("long")
+                       .alias("pmi_e6")))
+    return (scored.orderBy(F.col("pmi_e6").desc(), "w1", "w2").limit(k))

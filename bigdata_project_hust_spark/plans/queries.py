@@ -3034,6 +3034,10 @@ from .round4 import QUERIES_ROUND4  # noqa: E402  (needs _DOT_SQL above)
 
 QUERIES.update(QUERIES_ROUND4)
 
+from .round5 import QUERIES_ROUND5  # noqa: E402  (needs ORACLE_LANG above)
+
+QUERIES.update(QUERIES_ROUND5)
+
 # ---------------------------------------------------------------------------
 # Driver-sweep rotation.
 #

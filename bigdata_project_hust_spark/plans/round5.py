@@ -1,0 +1,416 @@
+"""Round-5 extension queries: common-neighbor link prediction, the
+self-trained Naive Bayes language classifier, PMI collocations,
+CUSUM drift monitoring (prefix-sum identity), bounded-tail EWMA,
+lag-1 autocorrelation, and reciprocal-rank-fusion hybrid retrieval.
+
+Same cross-engine exactness rules as ``queries.py``: counts and
+folds stay in BIGINT; where an ln/sqrt is unavoidable it runs ONCE
+per output (or once per MODEL entry, quantized at build time) on an
+identically-parenthesized double tree and floors at e6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import eventflow, graph, text
+from .spec import QuerySpec, _t
+
+QUERIES_ROUND5: dict[str, QuerySpec] = {}
+
+# ---------------------------------------------------------------------------
+# Link prediction on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_LP_CAP = 200   # wedge-center degree cap (mirrored in the oracle)
+_LP_K = 20
+
+
+def q_link_prediction_copurchase(spark, sf_dir):
+    """Top-20 predicted co-purchase links (non-adjacent part pairs by
+    common-neighbor count): exact cn / Jaccard-e6 / Resource-Allocation
+    with pre-floored integer 1/deg terms — merge-order-proof scoring,
+    degree-capped wedge centers."""
+    scored = graph.link_prediction(
+        graph.copurchase_edges(_t(spark, sf_dir, "lineitem")),
+        max_degree=_LP_CAP)
+    return scored.orderBy(F.col("cn").desc(), F.col("ra_e6").desc(),
+                          "u", "v").limit(_LP_K)
+
+
+ORACLE_LINK_PREDICTION = f"""
+  WITH e0 AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  ),
+  adj AS (
+    SELECT pa AS x, pb AS y FROM e0
+    UNION ALL SELECT pb, pa FROM e0
+  ),
+  deg AS (SELECT x AS n, count(*)::BIGINT AS d FROM adj GROUP BY x),
+  centers AS (SELECT n AS w, d AS dw FROM deg WHERE d <= {_LP_CAP}),
+  wedges AS (
+    SELECT n1.y AS u, n2.y AS v, c.dw
+    FROM adj n1 JOIN centers c ON n1.x = c.w
+                JOIN adj n2 ON n2.x = c.w
+    WHERE n1.y < n2.y
+  ),
+  pairs AS (
+    SELECT u, v, count(*)::BIGINT AS cn,
+           sum(floor(1000000 / dw)::BIGINT)::BIGINT AS ra_e6
+    FROM wedges GROUP BY u, v
+  ),
+  cand AS (
+    SELECT p.* FROM pairs p
+    ANTI JOIN e0 ON e0.pa = p.u AND e0.pb = p.v
+  ),
+  scored AS (
+    SELECT c.u, c.v, c.cn,
+           (du.d + dv.d - c.cn)::BIGINT AS union_sz,
+           floor((c.cn * 1000000) / (du.d + dv.d - c.cn))::BIGINT
+             AS jaccard_e6,
+           c.ra_e6
+    FROM cand c JOIN deg du ON du.n = c.u JOIN deg dv ON dv.n = c.v
+  )
+  SELECT * FROM scored
+  ORDER BY cn DESC, ra_e6 DESC, u, v LIMIT {_LP_K}
+"""
+
+# ---------------------------------------------------------------------------
+# Naive Bayes language classifier (self-trained on the stopword rule)
+# ---------------------------------------------------------------------------
+
+
+def q_nb_lang_classifier(spark, sf_dir):
+    """Train multinomial NB on heuristically-labeled docs, score every
+    doc with quantized-integer log-likelihoods (e6 grid), argmax with
+    the en>es>fr tie order."""
+    return text.nb_lang_classifier(_t(spark, sf_dir, "documents"))
+
+
+def _nb_oracle() -> str:
+    from .queries import ORACLE_LANG
+    langs = ("en", "es", "fr")
+    cnt = ", ".join(
+        f"sum(CASE WHEN lang_pred = '{c}' THEN 1 ELSE 0 END)::BIGINT"
+        f" AS cnt_{c}" for c in langs)
+    tot = ", ".join(f"sum(cnt_{c})::BIGINT AS tot_{c}" for c in langs)
+    ndoc = ", ".join(
+        f"sum(CASE WHEN lang_pred = '{c}' THEN 1 ELSE 0 END)::BIGINT"
+        f" AS n_{c}" for c in langs)
+    mdl = ", ".join(
+        f"floor(ln((cnt_{c} + 1)::DOUBLE / (tot_{c} + vocab)) * 1000000)"
+        f"::BIGINT AS ll_{c}" for c in langs)
+    oov = {c: (f"floor(ln((0 + 1)::DOUBLE / (tot_{c} + vocab)) * 1000000)"
+               f"::BIGINT") for c in langs}
+    ssum = ", ".join(
+        f"sum(coalesce(m.ll_{c}, {oov[c]}))::BIGINT AS s_{c}"
+        for c in langs)
+    pri = ", ".join(
+        f"floor(ln((n_{c} + 1)::DOUBLE / (n_train + 3)) * 1000000)"
+        f"::BIGINT AS p_{c}" for c in langs)
+    sc = ", ".join(
+        f"(coalesce(s.s_{c}, 0) + p.p_{c})::BIGINT AS score_{c}_e6"
+        for c in langs)
+    return rf"""
+  WITH lang AS ({ORACLE_LANG}),
+  t AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                               t -> t <> '') AS w
+    FROM documents
+  ),
+  tok AS (SELECT doc_id, unnest(w) AS term FROM t),
+  train AS (SELECT doc_id, lang_pred FROM lang
+            WHERE lang_pred <> 'und'),
+  tt AS (SELECT term, lang_pred FROM tok JOIN train USING (doc_id)),
+  counts AS (SELECT term, {cnt} FROM tt GROUP BY term),
+  stats AS (SELECT count(*)::BIGINT AS vocab, {tot} FROM counts),
+  priors AS (SELECT count(*)::BIGINT AS n_train, {ndoc} FROM train),
+  model AS (SELECT term, {mdl} FROM counts, stats),
+  scored AS (
+    SELECT tok.doc_id, {ssum}
+    FROM tok LEFT JOIN model m USING (term), stats
+    GROUP BY tok.doc_id
+  ),
+  p AS (SELECT {pri} FROM priors),
+  final AS (
+    SELECT d.doc_id, {sc}
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN scored s USING (doc_id), p
+  )
+  SELECT doc_id, score_en_e6, score_es_e6, score_fr_e6,
+         CASE WHEN score_en_e6 >= score_es_e6
+                   AND score_en_e6 >= score_fr_e6 THEN 'en'
+              WHEN score_es_e6 >= score_fr_e6 THEN 'es'
+              ELSE 'fr' END AS nb_pred
+  FROM final
+"""
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+_PMI_MIN, _PMI_K = 3, 30
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Top-30 adjacent-token bigrams by e6-floored PMI (exact counts
+    alongside) — the phrase-detection statistic."""
+    return text.pmi_bigrams(_t(spark, sf_dir, "documents"),
+                            min_count=_PMI_MIN, k=_PMI_K)
+
+
+ORACLE_PMI = rf"""
+  WITH t AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                               t -> t <> '') AS w
+    FROM documents
+  ),
+  big AS (
+    SELECT unnest(CASE WHEN len(w) >= 2 THEN
+             list_transform(generate_series(1, len(w) - 1), i -> w[i])
+             ELSE [] END) AS w1,
+           unnest(CASE WHEN len(w) >= 2 THEN
+             list_transform(generate_series(1, len(w) - 1), i -> w[i+1])
+             ELSE [] END) AS w2
+    FROM t
+  ),
+  uni AS (
+    SELECT unnest(w) AS tk FROM t
+  ),
+  c1 AS (SELECT tk, count(*)::BIGINT AS c1 FROM uni GROUP BY tk),
+  c2 AS (
+    SELECT w1, w2, count(*)::BIGINT AS c2 FROM big GROUP BY w1, w2
+    HAVING count(*) >= {_PMI_MIN}
+  ),
+  totals AS (
+    SELECT (SELECT sum(c1)::BIGINT FROM c1) AS n1,
+           (SELECT count(*)::BIGINT FROM big) AS n2
+  )
+  SELECT c2.w1, c2.w2, c2.c2, ua.c1 AS c1a, ub.c1 AS c1b,
+         floor(ln(((c2.c2::DOUBLE * n1) * n1)
+                  / ((n2::DOUBLE * ua.c1) * ub.c1)) * 1000000)::BIGINT
+           AS pmi_e6
+  FROM c2 JOIN c1 ua ON ua.tk = c2.w1
+          JOIN c1 ub ON ub.tk = c2.w2, totals
+  ORDER BY pmi_e6 DESC, w1, w2 LIMIT {_PMI_K}
+"""
+
+# ---------------------------------------------------------------------------
+# CUSUM drift alerts / EWMA / lag-1 autocorrelation over the event stream
+# ---------------------------------------------------------------------------
+
+
+def q_cusum_drift_alerts(spark, sf_dir):
+    """Per-user CUSUM drift detection via the prefix-sum identity
+    (c_t = S_t − min(0, min S_j)) — pure window aggregates, no
+    per-user collect; alarm = first event crossing h."""
+    return eventflow.cusum_drift_alerts(_t(spark, sf_dir, "events"))
+
+
+ORACLE_CUSUM = f"""
+  WITH base AS (
+    SELECT user_id AS u, ts, event_id AS eid,
+           floor(value * 100 + 0.5)::BIGINT AS v_c
+    FROM events
+  ),
+  tgt AS (
+    SELECT u, floor(sum(v_c)::DOUBLE / count(*))::BIGINT AS target_c
+    FROM base GROUP BY u
+  ),
+  s AS (
+    SELECT b.u, b.eid, t.target_c,
+           sum(b.v_c - t.target_c) OVER (
+             PARTITION BY b.u ORDER BY b.ts, b.eid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+    FROM base b JOIN tgt t ON t.u = b.u
+  ),
+  m AS (
+    SELECT u, eid, target_c, s,
+           min(s) OVER (PARTITION BY u ORDER BY eid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_min
+    FROM s
+  ),
+  c AS (SELECT u, eid, target_c,
+               (s - least(0, s_min))::BIGINT AS c FROM m)
+  SELECT u AS user_id, count(*)::BIGINT AS n_events,
+         max(target_c)::BIGINT AS target_c,
+         max(c)::BIGINT AS cusum_max_c,
+         coalesce(min(CASE WHEN c > {eventflow.CUSUM_H_C}
+                           THEN eid END), -1)::BIGINT AS alarm_event_id
+  FROM c GROUP BY u
+"""
+
+
+def q_ewma_recent_value(spark, sf_dir):
+    """Per-user integer EWMA (α = ½, 6 fractional bits) of the last 64
+    event values — bounded-tail fold, bit-exact."""
+    return eventflow.ewma_recent(_t(spark, sf_dir, "events"))
+
+
+_EW_T = eventflow.EWMA_TAIL
+
+ORACLE_EWMA = f"""
+  WITH base AS (
+    SELECT user_id AS u,
+           struct_pack(ts := ts, eid := event_id,
+                       v_c := floor(value * 100 + 0.5)::BIGINT) AS rec
+    FROM events
+  ),
+  arr AS (SELECT u, list_sort(list(rec)) AS a FROM base GROUP BY u),
+  tl AS (
+    SELECT u, list_slice(a, greatest(1, len(a) - {_EW_T - 1}),
+                         len(a)) AS tl
+    FROM arr
+  )
+  SELECT u AS user_id, len(tl)::BIGINT AS n_tail,
+         list_reduce(
+           list_prepend(0::BIGINT, list_transform(tl, r -> r.v_c)),
+           (acc, x) -> floor((acc + x * 64)::DOUBLE / 2)::BIGINT
+         )::BIGINT AS ewma_c64
+  FROM tl
+"""
+
+
+def q_autocorr_lag1_user(spark, sf_dir):
+    """Per-user lag-1 value autocorrelation: one lag window, exact
+    decimal moments, e6-floored closed form."""
+    return eventflow.autocorr_lag1(_t(spark, sf_dir, "events"))
+
+
+ORACLE_AUTOCORR = """
+  WITH base AS (
+    SELECT user_id AS u, ts, event_id AS eid,
+           floor(value * 100 + 0.5)::BIGINT AS y
+    FROM events
+  ),
+  pairs AS (
+    SELECT u, y,
+           lag(y) OVER (PARTITION BY u ORDER BY ts, eid) AS x
+    FROM base
+  ),
+  agg AS (
+    SELECT u, count(*)::HUGEINT AS n,
+           sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+           sum(x::HUGEINT * x::HUGEINT) AS sxx,
+           sum(y::HUGEINT * y::HUGEINT) AS syy,
+           sum(x::HUGEINT * y::HUGEINT) AS sxy
+    FROM pairs WHERE x IS NOT NULL GROUP BY u
+  )
+  SELECT u AS user_id, n::BIGINT AS n_pairs,
+         (CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+                    > 0.0
+               THEN floor((n::DOUBLE * sxy::DOUBLE
+                           - sx::DOUBLE * sy::DOUBLE)
+                          / sqrt((n::DOUBLE * sxx::DOUBLE
+                                  - sx::DOUBLE * sx::DOUBLE)
+                                 * (n::DOUBLE * syy::DOUBLE
+                                    - sy::DOUBLE * sy::DOUBLE)) * 1e6)
+               ELSE 0 END)::BIGINT AS autocorr_e6
+  FROM agg
+"""
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and vector ranks
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60   # the standard RRF constant (Cormack et al. 2009)
+
+
+def q_retrieval_rrf_fusion(spark, sf_dir):
+    """Hybrid search: fuse the BM25 top-10 and the hash-embedding
+    cosine top-10 by reciprocal-rank fusion — score(d) =
+    Σ floor(1e9 / (60 + rank_i(d))) over the lists containing d.
+    Integer fusion over two independently-verified rankers; ranks come
+    from row_number over each 10-row list (driver-side windows over
+    k rows, not the corpus)."""
+    from pyspark.sql import Window
+    from ..operators import similarity
+    from .analytics_more import _BM25_B, _BM25_K1, _BM25_TERMS
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = text.bm25_topk(docs, _BM25_TERMS, k=10,
+                         k1=_BM25_K1, b=_BM25_B)
+    wl = Window.orderBy(F.col("score_e6").desc(), F.col("doc_id"))
+    lex_r = lex.select("doc_id",
+                       F.row_number().over(wl).alias("bm25_rank"))
+    emb = text.hash_embedding(docs)
+    vec = similarity.cosine_topk(emb, query_id=0, k=10,
+                                 id_col="doc_id", vec_col="emb")
+    wv = Window.orderBy(F.col("sim_e6").desc(), F.col("doc_id"))
+    vec_r = vec.select("doc_id",
+                       F.row_number().over(wv).alias("vec_rank"))
+    fused = lex_r.join(vec_r, "doc_id", "full_outer")
+
+    def _rr(rank):
+        return F.coalesce(
+            F.floor(F.lit(1_000_000_000) / (F.lit(_RRF_K) + rank))
+             .cast("long"), F.lit(0))
+
+    return (fused.select(
+                "doc_id",
+                F.coalesce("bm25_rank", F.lit(-1)).cast("long")
+                 .alias("bm25_rank"),
+                F.coalesce("vec_rank", F.lit(-1)).cast("long")
+                 .alias("vec_rank"),
+                (_rr(F.col("bm25_rank")) + _rr(F.col("vec_rank")))
+                 .alias("rrf_e9"))
+            .orderBy(F.col("rrf_e9").desc(), "doc_id").limit(10))
+
+
+def _rrf_oracle() -> str:
+    from .analytics_more import _bm25_oracle
+    from .round4 import _oracle_retrieval_hash_topk
+    rr = (f"coalesce(floor(1000000000 / ({_RRF_K} + {{r}}))::BIGINT, 0)")
+    return f"""
+  WITH lex AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score_e6 DESC, doc_id)::BIGINT
+             AS bm25_rank
+    FROM ({_bm25_oracle()})
+  ),
+  vec AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY sim_e6 DESC, doc_id)::BIGINT
+             AS vec_rank
+    FROM ({_oracle_retrieval_hash_topk()})
+  )
+  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         coalesce(bm25_rank, -1)::BIGINT AS bm25_rank,
+         coalesce(vec_rank, -1)::BIGINT AS vec_rank,
+         ({rr.format(r='bm25_rank')} + {rr.format(r='vec_rank')})::BIGINT
+           AS rrf_e9
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+  ORDER BY rrf_e9 DESC, doc_id LIMIT 10
+"""
+
+
+QUERIES_ROUND5.update({
+    "link_prediction_copurchase": QuerySpec(
+        q_link_prediction_copurchase, ORACLE_LINK_PREDICTION,
+        doc="common-neighbor / Jaccard / Resource-Allocation link "
+            "prediction, degree-capped wedge centers, integer scores"),
+    "nb_lang_classifier": QuerySpec(
+        q_nb_lang_classifier, _nb_oracle(),
+        doc="self-trained multinomial Naive Bayes language classifier "
+            "(quantized-integer model, broadcast inference)"),
+    "pmi_collocations": QuerySpec(
+        q_pmi_collocations, ORACLE_PMI,
+        doc="top-k adjacent-bigram collocations by e6-floored PMI"),
+    "cusum_drift_alerts": QuerySpec(
+        q_cusum_drift_alerts, ORACLE_CUSUM,
+        doc="per-user CUSUM drift detection via the prefix-sum window "
+            "identity (no per-key collect)"),
+    "ewma_recent_value": QuerySpec(
+        q_ewma_recent_value, ORACLE_EWMA,
+        doc="bounded-tail integer EWMA (α=1/2) of recent event values"),
+    "autocorr_lag1_user": QuerySpec(
+        q_autocorr_lag1_user, ORACLE_AUTOCORR,
+        doc="per-user lag-1 autocorrelation, exact moments + e6 floor"),
+    "retrieval_rrf_fusion": QuerySpec(
+        q_retrieval_rrf_fusion, _rrf_oracle(),
+        doc="reciprocal-rank fusion of BM25 and hash-embedding cosine "
+            "top-k lists (hybrid search)"),
+})

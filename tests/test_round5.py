@@ -1,0 +1,238 @@
+"""Round-5 operators: hand-value unit tests + 100 TB plan gates for
+link prediction, Naive Bayes, PMI, CUSUM/EWMA/autocorr, RRF fusion."""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from bigdata_project_hust_spark.operators.eventflow import (
+    autocorr_lag1, cusum_drift_alerts, ewma_recent)
+from bigdata_project_hust_spark.operators.graph import link_prediction
+from bigdata_project_hust_spark.operators.text import (
+    nb_lang_classifier, pmi_bigrams)
+from bigdata_project_hust_spark.plans.queries import QUERIES
+
+from .conftest import SF_SMOKE
+from .test_plans import n_nodes, plan_of
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "pa long, pb long")
+
+
+def _events(spark, tmp_path, rows):
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string") \
+        .write.mode("overwrite") \
+        .parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+# ---------------------------------------------------------------------------
+# link prediction
+# ---------------------------------------------------------------------------
+
+def test_link_prediction_path_graph(spark):
+    """Path 1-2-3: the only candidate is (1,3) through center 2 —
+    cn=1, union=|Γ1 ∪ Γ3|=1, jaccard=1e6, ra=floor(1e6/deg(2)=2)."""
+    out = link_prediction(_edges(spark, [(1, 2), (2, 3)])).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["u"], r["v"], r["cn"]) == (1, 3, 1)
+    assert r["union_sz"] == 1 and r["jaccard_e6"] == 1_000_000
+    assert r["ra_e6"] == 500_000
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    """A triangle has no non-adjacent pairs — empty output."""
+    out = link_prediction(
+        _edges(spark, [(1, 2), (1, 3), (2, 3)])).collect()
+    assert out == []
+
+
+def test_link_prediction_degree_cap(spark):
+    """A star hub above the cap contributes no wedges: leaves share
+    only the hub, so capping it empties the candidate set."""
+    star = [(0, i) for i in range(1, 6)]
+    assert len(link_prediction(_edges(spark, star)).collect()) == 10
+    assert link_prediction(_edges(spark, star),
+                           max_degree=4).collect() == []
+
+
+def test_link_prediction_no_cartesian(spark):
+    plan = plan_of(QUERIES["link_prediction_copurchase"]
+                   .fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes classifier
+# ---------------------------------------------------------------------------
+
+def test_nb_classifier_separates_stopword_classes(spark):
+    """Docs dominated by each language's stopwords classify to that
+    language; the shared-vocab doc follows its majority tokens."""
+    rows = [(0, "the and of to in is a the and"),
+            (1, "el la de que y en un el la"),
+            (2, "le la de et les des un le"),
+            (3, "the and of el the and the of")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["nb_pred"]
+           for r in nb_lang_classifier(df).collect()}
+    assert got[0] == "en" and got[1] == "es" and got[3] == "en"
+    # doc 2 is French-stopword-heavy; 'la'/'de'/'un' overlap with es,
+    # but 'le'/'et'/'les'/'des' only count for fr
+    assert got[2] == "fr"
+
+
+def test_nb_scores_are_integers_and_ordered(spark):
+    rows = [(0, "the and of to in"), (1, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in nb_lang_classifier(df).collect()}
+    r0 = out[0]
+    assert r0["score_en_e6"] > r0["score_es_e6"]
+    assert isinstance(r0["score_en_e6"], int)
+    # token-less doc still classifies (prior-only scores)
+    assert out[1]["nb_pred"] in ("en", "es", "fr")
+
+
+def test_nb_plan_broadcasts_model(spark):
+    """The vocab-sized model and the 1-row stats ride broadcasts; the
+    doc-keyed token⋈label joins MAY sort-merge (both sides are corpus-
+    scale — broadcasting them would be the 100 TB mistake), and no
+    join may degenerate to a conditioned nested-loop or cartesian."""
+    plan = plan_of(QUERIES["nb_lang_classifier"].fn(spark, SF_SMOKE))
+    assert n_nodes(plan, "BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+def test_pmi_hand_counts(spark):
+    """Corpus 'a b a b' + 'a b c': c2(a,b)=3, c1(a)=c1(b)=3, N1=7,
+    N2=5 → PMI=ln(3·49/(5·9)); only (a,b) survives min_count=3."""
+    df = spark.createDataFrame([(0, "a b a b"), (1, "a b c")],
+                               "doc_id long, text string")
+    out = pmi_bigrams(df, min_count=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["w1"], r["w2"], r["c2"], r["c1a"], r["c1b"]) == \
+        ("a", "b", 3, 3, 3)
+    assert r["pmi_e6"] == math.floor(
+        math.log(((3.0 * 7) * 7) / ((5.0 * 3) * 3)) * 1_000_000)
+
+
+def test_pmi_single_token_docs_no_bigrams(spark):
+    df = spark.createDataFrame([(0, "solo"), (1, ""), (2, "x y")],
+                               "doc_id long, text string")
+    out = pmi_bigrams(df, min_count=1).collect()
+    assert [(r["w1"], r["w2"], r["c2"]) for r in out] == [("x", "y", 1)]
+
+
+def test_pmi_plan_broadcasts_and_takeordered(spark):
+    plan = plan_of(QUERIES["pmi_collocations"].fn(spark, SF_SMOKE))
+    assert n_nodes(plan, "BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# CUSUM / EWMA / autocorrelation
+# ---------------------------------------------------------------------------
+
+def _ev_rows(user, values, t0=0):
+    return [(user * 1000 + i,
+             datetime(2024, 1, 1, 0, (t0 + i) // 60, (t0 + i) % 60),
+             user, "view", v, "{}") for i, v in enumerate(values)]
+
+
+def test_cusum_hand_series(spark, tmp_path):
+    """[0.10×3, 0.30×3]: target=20c, prefix drifts reach min −30 then
+    climb back — CUSUM max 30, below h → no alarm."""
+    d = _events(spark, tmp_path, _ev_rows(1, [0.10] * 3 + [0.30] * 3))
+    r = cusum_drift_alerts(spark.read.parquet(
+        os.path.join(d, "events.parquet"))).collect()[0]
+    assert (r["n_events"], r["target_c"]) == (6, 20)
+    assert r["cusum_max_c"] == 30
+    assert r["alarm_event_id"] == -1
+
+
+def test_cusum_alarm_fires_at_first_crossing(spark, tmp_path):
+    """[0, 100.0]: drift +5000c on the second event crosses h=2000 —
+    the alarm pins that event id."""
+    d = _events(spark, tmp_path, _ev_rows(2, [0.0, 100.0]))
+    r = cusum_drift_alerts(spark.read.parquet(
+        os.path.join(d, "events.parquet"))).collect()[0]
+    assert r["cusum_max_c"] == 5000
+    assert r["alarm_event_id"] == 2001
+
+
+def test_cusum_single_exchange_no_collect(spark):
+    plan = plan_of(QUERIES["cusum_drift_alerts"].fn(spark, SF_SMOKE))
+    # both window passes and the final agg share hashpartitioning(u)
+    assert n_nodes(plan, "Exchange") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ewma_hand_fold(spark, tmp_path):
+    """[0.10, 0.30] → (0+640)/2=320, (320+1920)/2=1120."""
+    d = _events(spark, tmp_path, _ev_rows(1, [0.10, 0.30]))
+    r = ewma_recent(spark.read.parquet(
+        os.path.join(d, "events.parquet"))).collect()[0]
+    assert (r["n_tail"], r["ewma_c64"]) == (2, 1120)
+
+
+def test_ewma_tail_bounds_fold(spark, tmp_path):
+    """70 identical values: only the last 64 fold, and a constant
+    stream converges to value·64 (= fixed point of (s+v·64)/2...
+    with floor, 1.00 → 6400−ulp region; assert n_tail and the exact
+    converged integer)."""
+    d = _events(spark, tmp_path, _ev_rows(1, [1.0] * 70))
+    r = ewma_recent(spark.read.parquet(
+        os.path.join(d, "events.parquet"))).collect()[0]
+    assert r["n_tail"] == 64
+    # fold s←(s+6400)/2 from 0 converges to 6399 after >=13 steps
+    # (floor keeps it one below the 6400 fixed point)
+    assert r["ewma_c64"] == 6399
+
+
+def test_autocorr_perfect_and_anti(spark, tmp_path):
+    rows = _ev_rows(1, [1.0, 2.0, 3.0, 4.0]) + \
+        _ev_rows(2, [1.0, 5.0, 1.0, 5.0, 1.0]) + \
+        _ev_rows(3, [7.0])
+    d = _events(spark, tmp_path, rows)
+    got = {r["user_id"]: r for r in autocorr_lag1(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()}
+    assert got[1]["autocorr_e6"] == 1_000_000
+    assert got[2]["autocorr_e6"] == -1_000_000
+    # single event → no pairs → user absent (no lag rows)
+    assert 3 not in got
+
+
+# ---------------------------------------------------------------------------
+# RRF fusion
+# ---------------------------------------------------------------------------
+
+def test_rrf_scores_consistent_with_ranks(spark):
+    out = QUERIES["retrieval_rrf_fusion"].fn(spark, SF_SMOKE).collect()
+    assert 0 < len(out) <= 10
+
+    def rr(rank):
+        return 0 if rank == -1 else math.floor(1e9 / (60 + rank))
+    for r in out:
+        assert r["rrf_e9"] == rr(r["bm25_rank"]) + rr(r["vec_rank"])
+    scores = [r["rrf_e9"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_rrf_plan_is_takeordered(spark):
+    plan = plan_of(QUERIES["retrieval_rrf_fusion"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
