@@ -437,3 +437,76 @@ class Engine:
         from .operators.sketches import bloom_build, bloom_prune
         return bloom_prune(bloom_build(self.table(build_table),
                                        build_col), df, col)
+
+    # -- round-5 surface --------------------------------------------
+    def related_parts(self, k: int = 20,
+                      max_degree: int = 200) -> DataFrame:
+        """Link prediction on the co-purchase graph: top-k
+        non-adjacent part pairs by common neighbors (cn / Jaccard /
+        Resource-Allocation, all integer-exact)."""
+        from .operators.graph import copurchase_edges, link_prediction
+        from pyspark.sql import functions as F
+        return (link_prediction(copurchase_edges(self.table("lineitem")),
+                                max_degree=max_degree)
+                .orderBy(F.col("cn").desc(), F.col("ra_e6").desc(),
+                         "u", "v").limit(k))
+
+    def language_model_labels(self) -> DataFrame:
+        """Naive Bayes language predictions for every document
+        (self-trained on the stopword heuristic's confident rows)."""
+        return text.nb_lang_classifier(self.table("documents"))
+
+    def collocations(self, min_count: int = 3, k: int = 30) -> DataFrame:
+        """Top-k adjacent-token bigrams by PMI (phrase detection)."""
+        return text.pmi_bigrams(self.table("documents"),
+                                min_count=min_count, k=k)
+
+    def drift_alerts(self, h_c: int = 2_000) -> DataFrame:
+        """Per-user CUSUM drift detection over event values (window
+        prefix-sum identity — no per-user collect)."""
+        from .operators.eventflow import cusum_drift_alerts
+        return cusum_drift_alerts(self.table("events"), h_c=h_c)
+
+    def smoothed_values(self, tail: int = 64) -> DataFrame:
+        """Per-user integer EWMA (α=1/2) of recent event values."""
+        from .operators.eventflow import ewma_recent
+        return ewma_recent(self.table("events"), tail=tail)
+
+    def value_momentum(self) -> DataFrame:
+        """Per-user lag-1 autocorrelation of event values."""
+        from .operators.eventflow import autocorr_lag1
+        return autocorr_lag1(self.table("events"))
+
+    def hybrid_search(self, terms: list[str] | None = None,
+                      query_doc: int = 0) -> DataFrame:
+        """RRF fusion of BM25 and hash-embedding cosine rankings."""
+        from .plans.round5 import q_retrieval_rrf_fusion
+        return q_retrieval_rrf_fusion(self.spark, self.sf_dir)
+
+    def winsorized_stats(self, lo_pct: int = 10,
+                         hi_pct: int = 90) -> DataFrame:
+        """Per-event-type exact nearest-rank winsorization audit."""
+        from pyspark.sql import functions as F
+        from .operators.quality import winsorize_groups
+        v = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        return winsorize_groups(self.table("events"), "event_type", v,
+                                "event_id", lo_pct=lo_pct,
+                                hi_pct=hi_pct)
+
+    def robust_outliers(self, k: int = 3) -> DataFrame:
+        """Median/MAD outlier census per event type (robust twin of
+        the 3σ rule)."""
+        from pyspark.sql import functions as F
+        from .operators.quality import mad_outliers
+        v = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        return mad_outliers(self.table("events"), "event_type", v,
+                            "event_id", k=k)
+
+    def mixing_weights(self) -> DataFrame:
+        """α=0.7 temperature source-mixing weights over documents."""
+        from .operators.curation import temperature_mix
+        return temperature_mix(self.table("documents"))
+
+    def vocab_curve(self) -> DataFrame:
+        """Vocab size covering 50/90/99% of token occurrences."""
+        return text.vocab_coverage(self.table("documents"))

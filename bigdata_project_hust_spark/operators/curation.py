@@ -382,3 +382,40 @@ def priority_sample(df: DataFrame, n: int = 100,
     w = Window.orderBy(F.col("__p").desc(), F.col(id_col).asc())
     return (ranked.withColumn("rank", F.row_number().over(w).cast("long"))
                   .select("rank", id_col, "weight", "u_num"))
+
+
+def temperature_mix(df: DataFrame, source_col: str = "source",
+                    alpha_num: int = 7,
+                    alpha_den: int = 10) -> DataFrame:
+    """Temperature-based source mixing weights for multilingual/
+    multi-domain training (the ``p_s ∝ n_s^α`` rule, α = 0.7 per
+    mT5/XLM-R): up-weights small sources, down-weights dominant ones.
+
+    Exactness: each source's raw weight ``n^α = exp(α·ln n)`` is
+    QUANTIZED to an e6 BIGINT immediately (one exp/ln pair per SOURCE,
+    not per row); the normalizing total is then an INTEGER sum —
+    summing the raw doubles instead would tie the result to the
+    aggregate's merge order. Output also carries the exact doc count
+    and the effective per-doc sampling factor ×e6.
+
+    Scale: one count-by-source agg (map-side partials), then a
+    |sources|-row projection — nothing else touches the corpus.
+    """
+    alpha = F.lit(alpha_num) / F.lit(alpha_den)
+    counts = (df.groupBy(F.col(source_col).alias("source"))
+              .agg(F.count("*").cast("long").alias("n_docs")))
+    w = counts.select(
+        "source", "n_docs",
+        F.floor(F.exp(alpha * F.log(F.col("n_docs").cast("double")))
+                * F.lit(1_000_000)).cast("long").alias("w_e6"))
+    from pyspark.sql import Window
+    total = F.sum("w_e6").over(Window.partitionBy())  # |sources| rows
+    n_total = F.sum("n_docs").over(Window.partitionBy())
+    return w.select(
+        "source", "n_docs", "w_e6",
+        F.floor(F.col("w_e6") * F.lit(1_000_000) / total)
+         .cast("long").alias("share_e6"),
+        # sampling factor: share / natural share, ×e6
+        F.floor((F.col("w_e6") * F.lit(1_000_000) / total)
+                * n_total / F.col("n_docs"))
+         .cast("long").alias("boost_e6"))

@@ -62,3 +62,104 @@ def audit(df: DataFrame,
     if not parts:
         raise ValueError("no constraints declared")
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def winsorize_groups(df: DataFrame, group_col: str, val_col,
+                     id_col: str, lo_pct: int = 10,
+                     hi_pct: int = 90) -> DataFrame:
+    """Per-group winsorization audit: clip each value to the group's
+    exact nearest-rank [p_lo, p_hi] percentiles and report the clipped
+    sum + clip counts — the outlier-capping pass a feature/training
+    pipeline runs before normalization, with the cut points computed
+    EXACTLY (rank arithmetic on BIGINTs, no FP percentile
+    interpolation to diverge across engines).
+
+    ``val_col`` must already be an integer-grid Column (e.g. cents).
+    Nearest-rank: p_q = value at row_number ``ceil(q·n/100)`` in
+    (value, id) order — deterministic under ties.
+
+    Scale shape: ONE key shuffle for the rank window; the cut-point
+    table is |groups| rows → broadcast back; final rollup reuses the
+    group key. No global sort, no collect.
+    """
+    v = val_col if not isinstance(val_col, str) else F.col(val_col)
+    from pyspark.sql import Window
+    base = df.select(F.col(group_col).alias("g"), v.alias("v"),
+                     F.col(id_col).alias("i"))
+    w = Window.partitionBy("g").orderBy("v", "i")
+    ranked = base.select(
+        "g", "v", F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("g")).alias("n"))
+    lo_rn = F.ceil(F.col("n") * lo_pct / 100).cast("long")
+    hi_rn = F.ceil(F.col("n") * hi_pct / 100).cast("long")
+    cuts = (ranked.groupBy("g")
+            .agg(F.min(F.when(F.col("rn") == lo_rn, F.col("v")))
+                  .alias("lo_c"),
+                 F.min(F.when(F.col("rn") == hi_rn, F.col("v")))
+                  .alias("hi_c")))
+    joined = base.join(F.broadcast(cuts), "g")
+    clipped = F.greatest(F.col("lo_c"), F.least(F.col("hi_c"),
+                                                F.col("v")))
+    return (joined.groupBy("g")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.max("lo_c").cast("long").alias("lo_c"),
+                 F.max("hi_c").cast("long").alias("hi_c"),
+                 F.sum(clipped).cast("long").alias("sum_clipped"),
+                 F.sum(F.when(F.col("v") < F.col("lo_c"), 1)
+                        .otherwise(0)).cast("long").alias("n_clip_lo"),
+                 F.sum(F.when(F.col("v") > F.col("hi_c"), 1)
+                        .otherwise(0)).cast("long").alias("n_clip_hi"))
+            .select(F.col("g").alias(group_col), "n_rows", "lo_c",
+                    "hi_c", "sum_clipped", "n_clip_lo", "n_clip_hi"))
+
+
+def mad_outliers(df: DataFrame, group_col: str, val_col,
+                 id_col: str, k: int = 3) -> DataFrame:
+    """Robust per-group outlier census via median/MAD (the
+    median-absolute-deviation rule — immune to the very outliers it
+    hunts, unlike the 3σ z-score twin ``value_outliers_per_user``):
+    flag rows with ``|v − median| > k·MAD``. Both medians are exact
+    LOW-median ranks (``floor((n+1)/2)`` in (value, id) order) on the
+    integer grid — no FP quantiles anywhere, so the census
+    hash-matches any engine.
+
+    Scale: two rank windows on the SAME group key (median, then
+    deviation median) + one broadcast of the |groups|-row stats —
+    the shuffle layout is reused across all three passes. MAD = 0
+    (constant-majority group) degenerates to "any deviation flags",
+    which is the textbook rule's limit and stays deterministic.
+    """
+    v = val_col if not isinstance(val_col, str) else F.col(val_col)
+    from pyspark.sql import Window
+    base = df.select(F.col(group_col).alias("g"), v.alias("v"),
+                     F.col(id_col).alias("i"))
+
+    def _low_median(frame: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy("g").orderBy(col, "i")
+        r = frame.select("g", F.col(col),
+                         F.row_number().over(w).alias("rn"),
+                         F.count("*").over(
+                             Window.partitionBy("g")).alias("n"))
+        med_rn = F.floor((F.col("n") + 1) / 2).cast("long")
+        return (r.groupBy("g")
+                .agg(F.min(F.when(F.col("rn") == med_rn, F.col(col)))
+                      .alias(f"med_{col}")))
+
+    med = _low_median(base, "v")
+    dev = (base.join(F.broadcast(med), "g")
+           .select("g", "v", "i",
+                   F.abs(F.col("v") - F.col("med_v")).alias("d")))
+    mad = _low_median(dev, "d")
+    stats = med.join(mad, "g")
+    flagged = (base.join(F.broadcast(stats), "g")
+               .select("g", "med_v", "med_d",
+                       (F.abs(F.col("v") - F.col("med_v"))
+                        > F.lit(k) * F.col("med_d")).alias("is_out")))
+    return (flagged.groupBy("g")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.max("med_v").cast("long").alias("median_c"),
+                 F.max("med_d").cast("long").alias("mad_c"),
+                 F.sum(F.when(F.col("is_out"), 1).otherwise(0))
+                  .cast("long").alias("n_outliers"))
+            .select(F.col("g").alias(group_col), "n_rows", "median_c",
+                    "mad_c", "n_outliers"))

@@ -119,3 +119,26 @@ def write_zordered(df: DataFrame, path: str, x: str, y: str,
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode(mode).parquet(path))
+
+
+def write_partitioned(df: DataFrame, path: str, part_col: str) -> None:
+    """Hive-style partitioned parquet layout (one directory per
+    ``part_col`` value) — the physical layout that makes BOTH static
+    partition pruning (literal filters skip directories at planning
+    time) and DYNAMIC partition pruning work: when the fact side is
+    partitioned on the join key and the dim side carries a selective
+    filter, Spark injects a runtime subquery into the fact scan's
+    PartitionFilters and never reads the pruned directories — at
+    100 TB the difference between scanning one date/priority and all
+    of them."""
+    df.write.mode("overwrite").partitionBy(part_col).parquet(path)
+
+
+def dpp_join(spark: SparkSession, fact_path: str, part_col: str,
+             dim: DataFrame, dim_filter: Column) -> DataFrame:
+    """Join a partitioned fact table with a filtered dimension on the
+    partition column — shaped so Catalyst applies dynamic partition
+    pruning (assert ``dynamicpruning`` in the scan's PartitionFilters;
+    tests/test_round5.py gates it)."""
+    fact = spark.read.parquet(fact_path)
+    return fact.join(F.broadcast(dim.where(dim_filter)), part_col)

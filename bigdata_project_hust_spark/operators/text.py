@@ -947,3 +947,48 @@ def pmi_bigrams(df: DataFrame, text_col: str = "text",
                           * F.lit(1_000_000)).cast("long")
                        .alias("pmi_e6")))
     return (scored.orderBy(F.col("pmi_e6").desc(), "w1", "w2").limit(k))
+
+
+def vocab_coverage(df: DataFrame, text_col: str = "text",
+                   thresholds: tuple[int, ...] = (50, 90, 99)
+                   ) -> DataFrame:
+    """Tokenizer-sizing curve: the smallest frequency-ranked
+    vocabulary that covers X% of all token occurrences, for each
+    threshold — the statistic that decides a vocab size before
+    training a tokenizer.
+
+    Exact integers end-to-end: term counts, (count desc, term) rank,
+    running-coverage window sum, and the comparison
+    ``100·cum ≥ thr·total`` all stay in BIGINT. One token explode +
+    one vocab-sized window (the only global sort touches |vocab| rows,
+    not the corpus). Output: one row per threshold with the vocab size
+    and that vocab's exact covered-token count.
+    """
+    from pyspark.sql import Window
+    terms = (df.select(F.explode(tokens(text_col)).alias("t"))
+             .groupBy("t").agg(F.count("*").cast("long").alias("c")))
+    w = Window.orderBy(F.col("c").desc(), "t") \
+              .rowsBetween(Window.unboundedPreceding, 0)
+    ranked = terms.select(
+        F.row_number().over(
+            Window.orderBy(F.col("c").desc(), "t")).alias("rank"),
+        F.sum("c").over(w).alias("cum"))
+    tot = ranked.agg(F.max("cum").alias("total"),
+                     F.max("rank").alias("n_terms"))
+    import functools
+    per_thr = [
+        ranked.crossJoin(F.broadcast(tot))
+        .where(F.col("cum") * 100 >= F.col("total") * F.lit(t))
+        .groupBy()
+        .agg(F.lit(t).cast("long").alias("threshold_pct"),
+             F.min("rank").cast("long").alias("vocab_size"),
+             F.max("n_terms").cast("long").alias("n_terms_total"),
+             F.max("total").cast("long").alias("total_tokens"))
+        for t in thresholds]
+    out = functools.reduce(lambda a, b: a.unionAll(b), per_thr)
+    # vocab_size's cum is the cover count: join it back exactly
+    cover = ranked.select(F.col("rank").alias("vocab_size"),
+                          F.col("cum").alias("covered_tokens"))
+    return (out.join(F.broadcast(cover), "vocab_size")
+            .select("threshold_pct", "vocab_size", "covered_tokens",
+                    "n_terms_total", "total_tokens"))

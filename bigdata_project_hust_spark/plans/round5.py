@@ -414,3 +414,186 @@ QUERIES_ROUND5.update({
         doc="reciprocal-rank fusion of BM25 and hash-embedding cosine "
             "top-k lists (hybrid search)"),
 })
+
+# ---------------------------------------------------------------------------
+# Robust stats: winsorization + median/MAD outliers over event values
+# ---------------------------------------------------------------------------
+
+
+def q_winsorize_event_values(spark, sf_dir):
+    """Per-event-type winsorization audit: exact nearest-rank p10/p90
+    cut points, clipped sum, clip counts — rank arithmetic only."""
+    from ..operators.quality import winsorize_groups
+    ev = _t(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return winsorize_groups(ev, "event_type", v, "event_id")
+
+
+ORACLE_WINSORIZE = """
+  WITH base AS (
+    SELECT event_type AS g, floor(value * 100 + 0.5)::BIGINT AS v,
+           event_id AS i
+    FROM events
+  ),
+  r AS (
+    SELECT g, v,
+           row_number() OVER (PARTITION BY g ORDER BY v, i) AS rn,
+           count(*) OVER (PARTITION BY g) AS n
+    FROM base
+  ),
+  cuts AS (
+    SELECT g,
+           min(CASE WHEN rn = ceil(n * 10 / 100) THEN v END) AS lo_c,
+           min(CASE WHEN rn = ceil(n * 90 / 100) THEN v END) AS hi_c
+    FROM r GROUP BY g
+  )
+  SELECT b.g AS event_type, count(*)::BIGINT AS n_rows,
+         max(lo_c)::BIGINT AS lo_c, max(hi_c)::BIGINT AS hi_c,
+         sum(greatest(lo_c, least(hi_c, v)))::BIGINT AS sum_clipped,
+         sum(CASE WHEN v < lo_c THEN 1 ELSE 0 END)::BIGINT AS n_clip_lo,
+         sum(CASE WHEN v > hi_c THEN 1 ELSE 0 END)::BIGINT AS n_clip_hi
+  FROM base b JOIN cuts USING (g) GROUP BY b.g
+"""
+
+
+def q_mad_outlier_values(spark, sf_dir):
+    """Per-event-type robust outlier census: |v − median| > 3·MAD on
+    exact low-median ranks."""
+    from ..operators.quality import mad_outliers
+    ev = _t(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return mad_outliers(ev, "event_type", v, "event_id")
+
+
+ORACLE_MAD = """
+  WITH base AS (
+    SELECT event_type AS g, floor(value * 100 + 0.5)::BIGINT AS v,
+           event_id AS i
+    FROM events
+  ),
+  r1 AS (
+    SELECT g, v,
+           row_number() OVER (PARTITION BY g ORDER BY v, i) AS rn,
+           count(*) OVER (PARTITION BY g) AS n
+    FROM base
+  ),
+  med AS (
+    SELECT g, min(CASE WHEN rn = floor((n + 1) / 2) THEN v END)
+             AS med_v
+    FROM r1 GROUP BY g
+  ),
+  dev AS (
+    SELECT b.g, abs(b.v - m.med_v) AS d, b.i
+    FROM base b JOIN med m USING (g)
+  ),
+  r2 AS (
+    SELECT g, d,
+           row_number() OVER (PARTITION BY g ORDER BY d, i) AS rn,
+           count(*) OVER (PARTITION BY g) AS n
+    FROM dev
+  ),
+  mad AS (
+    SELECT g, min(CASE WHEN rn = floor((n + 1) / 2) THEN d END)
+             AS med_d
+    FROM r2 GROUP BY g
+  )
+  SELECT b.g AS event_type, count(*)::BIGINT AS n_rows,
+         max(m.med_v)::BIGINT AS median_c,
+         max(a.med_d)::BIGINT AS mad_c,
+         sum(CASE WHEN abs(b.v - m.med_v) > 3 * a.med_d
+                  THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+  FROM base b JOIN med m USING (g) JOIN mad a USING (g)
+  GROUP BY b.g
+"""
+
+# ---------------------------------------------------------------------------
+# Source temperature mixing + vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+
+def q_source_temperature_mix(spark, sf_dir):
+    """Per-source α=0.7 temperature sampling weights (quantized n^α,
+    integer normalization) — the multilingual mixing rule."""
+    from ..operators.curation import temperature_mix
+    return temperature_mix(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_TEMPERATURE = """
+  WITH counts AS (
+    SELECT source, count(*)::BIGINT AS n_docs
+    FROM documents GROUP BY source
+  ),
+  w AS (
+    SELECT source, n_docs,
+           floor(exp((7::DOUBLE / 10) * ln(n_docs::DOUBLE)) * 1000000)
+             ::BIGINT AS w_e6
+    FROM counts
+  ),
+  t AS (
+    SELECT *, sum(w_e6) OVER () AS total,
+           sum(n_docs) OVER () AS n_total
+    FROM w
+  )
+  SELECT source, n_docs, w_e6,
+         floor(w_e6 * 1000000 / total)::BIGINT AS share_e6,
+         floor((w_e6 * 1000000 / total) * n_total / n_docs)::BIGINT
+           AS boost_e6
+  FROM t
+"""
+
+
+def q_vocab_coverage_curve(spark, sf_dir):
+    """Smallest frequency-ranked vocab covering 50/90/99% of token
+    occurrences — exact integer rank/coverage arithmetic."""
+    return text.vocab_coverage(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_VOCAB_COVERAGE = r"""
+  WITH terms AS (
+    SELECT t, count(*)::BIGINT AS c FROM (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents)
+    GROUP BY t
+  ),
+  ranked AS (
+    SELECT row_number() OVER (ORDER BY c DESC, t) AS rank,
+           sum(c) OVER (ORDER BY c DESC, t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM terms
+  ),
+  tot AS (SELECT max(cum) AS total, max(rank) AS n_terms FROM ranked),
+  thr AS (SELECT unnest([50, 90, 99]) AS thr),
+  agg AS (
+    SELECT thr::BIGINT AS threshold_pct,
+           min(rank)::BIGINT AS vocab_size,
+           max(n_terms)::BIGINT AS n_terms_total,
+           max(total)::BIGINT AS total_tokens
+    FROM ranked, tot, thr
+    WHERE cum * 100 >= total * thr
+    GROUP BY thr
+  )
+  SELECT a.threshold_pct, a.vocab_size,
+         r2.cum::BIGINT AS covered_tokens,
+         a.n_terms_total, a.total_tokens
+  FROM agg a JOIN ranked r2 ON r2.rank = a.vocab_size
+"""
+
+
+QUERIES_ROUND5.update({
+    "winsorize_event_values": QuerySpec(
+        q_winsorize_event_values, ORACLE_WINSORIZE,
+        doc="per-group exact nearest-rank winsorization audit"),
+    "mad_outlier_values": QuerySpec(
+        q_mad_outlier_values, ORACLE_MAD,
+        doc="median/MAD robust outlier census (exact low-median "
+            "ranks)"),
+    "source_temperature_mix": QuerySpec(
+        q_source_temperature_mix, ORACLE_TEMPERATURE,
+        doc="α=0.7 temperature source-mixing weights, integer-"
+            "normalized"),
+    "vocab_coverage_curve": QuerySpec(
+        q_vocab_coverage_curve, ORACLE_VOCAB_COVERAGE,
+        doc="vocab size covering 50/90/99% of token mass (tokenizer "
+            "sizing)"),
+})

@@ -236,3 +236,110 @@ def test_rrf_scores_consistent_with_ranks(spark):
 def test_rrf_plan_is_takeordered(spark):
     plan = plan_of(QUERIES["retrieval_rrf_fusion"].fn(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# winsorize / MAD / temperature mix / vocab coverage
+# ---------------------------------------------------------------------------
+
+def test_winsorize_hand_ranks(spark, tmp_path):
+    """Values 1.00..10.00 in one group: p10=rank 1 (100c), p90=rank 9
+    (900c); only the 1000c row clips high; clipped sum = 4500+900."""
+    from bigdata_project_hust_spark.operators.quality import (
+        winsorize_groups)
+    d = _events(spark, tmp_path,
+                _ev_rows(1, [float(i) for i in range(1, 11)]))
+    ev = spark.read.parquet(os.path.join(d, "events.parquet"))
+    v = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    r = winsorize_groups(ev, "event_type", v, "event_id").collect()[0]
+    assert (r["n_rows"], r["lo_c"], r["hi_c"]) == (10, 100, 900)
+    assert r["sum_clipped"] == 5400
+    assert (r["n_clip_lo"], r["n_clip_hi"]) == (0, 1)
+
+
+def test_mad_outliers_robust_to_the_outlier(spark, tmp_path):
+    """[1,1,1,1,100]: median 100c, MAD 0 — only the 100.00 row flags
+    (a 3σ rule would have been dragged by the outlier itself)."""
+    from bigdata_project_hust_spark.operators.quality import mad_outliers
+    d = _events(spark, tmp_path, _ev_rows(1, [1.0] * 4 + [100.0]))
+    ev = spark.read.parquet(os.path.join(d, "events.parquet"))
+    v = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    r = mad_outliers(ev, "event_type", v, "event_id").collect()[0]
+    assert (r["median_c"], r["mad_c"], r["n_outliers"]) == (100, 0, 1)
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    """n=16 vs n=1 at α=0.7: shares follow 16^0.7 : 1 and the small
+    source's boost exceeds 1e6 (oversampled), the big one's is
+    below."""
+    from bigdata_project_hust_spark.operators.curation import (
+        temperature_mix)
+    rows = [(i, "x", "big") for i in range(16)] + [(99, "y", "small")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                     "source string")
+    got = {r["source"]: r for r in temperature_mix(df).collect()}
+    w_big = math.floor(math.exp(0.7 * math.log(16.0)) * 1e6)
+    w_small = math.floor(math.exp(0.7 * math.log(1.0)) * 1e6)
+    assert got["big"]["w_e6"] == w_big
+    assert got["small"]["w_e6"] == w_small
+    tot = w_big + w_small
+    assert got["big"]["share_e6"] == math.floor(w_big * 1e6 / tot)
+    assert got["small"]["boost_e6"] > 1_000_000
+    assert got["big"]["boost_e6"] < 1_000_000
+
+
+def test_vocab_coverage_hand_curve(spark):
+    """'a'×9 + 'b'×1: 50% and 90% need 1 term (cum 9/10), 99% needs
+    both."""
+    from bigdata_project_hust_spark.operators.text import vocab_coverage
+    df = spark.createDataFrame([(0, "a a a a a a a a a b")],
+                               "doc_id long, text string")
+    got = {r["threshold_pct"]: r for r in vocab_coverage(df).collect()}
+    assert got[50]["vocab_size"] == 1 and got[50]["covered_tokens"] == 9
+    assert got[90]["vocab_size"] == 1
+    assert got[99]["vocab_size"] == 2
+    assert got[99]["covered_tokens"] == 10
+    assert got[99]["total_tokens"] == 10
+
+
+def test_engine_facade_round5_surface(spark):
+    """Facade smoke for the round-5 additions."""
+    from bigdata_project_hust_spark.api import Engine
+    eng = Engine(spark, SF_SMOKE)
+    rp = eng.related_parts(k=5)
+    assert set(rp.columns) == {"u", "v", "cn", "union_sz",
+                               "jaccard_e6", "ra_e6"}
+    assert rp.count() <= 5
+    assert "nb_pred" in eng.language_model_labels().columns
+    assert {"w1", "w2", "pmi_e6"} <= set(eng.collocations().columns)
+    assert "alarm_event_id" in eng.drift_alerts().columns
+    assert "ewma_c64" in eng.smoothed_values().columns
+    assert "autocorr_e6" in eng.value_momentum().columns
+    assert eng.hybrid_search().count() <= 10
+    assert "sum_clipped" in eng.winsorized_stats().columns
+    assert "mad_c" in eng.robust_outliers().columns
+    mw = eng.mixing_weights()
+    assert {"share_e6", "boost_e6"} <= set(mw.columns)
+    assert eng.vocab_curve().count() == 3
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """A partitioned fact joined with a filtered broadcast dim on the
+    partition column must carry a dynamicpruning expression in the
+    fact scan's PartitionFilters — the runtime skip that turns a
+    full-layout scan into one directory at cluster scale."""
+    from bigdata_project_hust_spark.operators.scale import (
+        dpp_join, write_partitioned)
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = os.path.join(str(tmp_path), "orders_by_priority")
+    write_partitioned(orders, path, "o_orderpriority")
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("3-MEDIUM", 0)],
+        "o_orderpriority string, keep int")
+    df = dpp_join(spark, path, "o_orderpriority", dim,
+                  F.col("keep") == 1)
+    plan = plan_of(df)
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result only contains the kept partition
+    vals = {r["o_orderpriority"] for r in df.collect()}
+    assert vals == {"1-URGENT"}
