@@ -510,3 +510,24 @@ class Engine:
     def vocab_curve(self) -> DataFrame:
         """Vocab size covering 50/90/99% of token occurrences."""
         return text.vocab_coverage(self.table("documents"))
+
+    def change_feed(self, old: DataFrame, new: DataFrame, key_col: str,
+                    cmp_cols: list[str]) -> DataFrame:
+        """Keyed I/U/D diff between two snapshots (CDC derivation)."""
+        from .operators.joins import snapshot_diff
+        return snapshot_diff(old, new, key_col, cmp_cols)
+
+    def attribution(self, within_s: int = 86400) -> DataFrame:
+        """Last-touch view→purchase attribution over events."""
+        from .operators.eventflow import purchase_attribution
+        return purchase_attribution(self.table("events"),
+                                    within_s=within_s)
+
+    def drift_report(self, part_cond) -> DataFrame:
+        """Per-term chi-square drift between two corpus partitions."""
+        return text.term_drift_chi2(self.table("documents"), part_cond)
+
+    def price_model(self) -> DataFrame:
+        """Two-feature OLS price fit (exact-moment normal equations)."""
+        from .plans.round5 import q_ols_price_model
+        return q_ols_price_model(self.spark, self.sf_dir)

@@ -309,3 +309,50 @@ def autocorr_lag1(df: DataFrame, user_col: str = "user_id",
         F.col("n").cast("long").alias("n_pairs"),
         F.when(den > 0.0, F.floor(num / den * 1e6))
          .otherwise(F.lit(0)).cast("long").alias("autocorr_e6"))
+
+
+ATTRIBUTION_WINDOW_S = 86400
+
+
+def purchase_attribution(df: DataFrame,
+                         within_s: int = ATTRIBUTION_WINDOW_S,
+                         user_col: str = "user_id", ts_col: str = "ts",
+                         type_col: str = "event_type",
+                         id_col: str = "event_id") -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the
+    user's LATEST preceding view within ``within_s`` seconds — the
+    marketing-analytics join every event pipeline serves, as ONE
+    ordered window (no self-join): ``last(view, ignorenulls)`` over
+    rows strictly before the purchase.
+
+    Output per purchase: event id, user, the attributed view id and
+    the view→purchase gap in seconds (-1 / -1 when no view precedes
+    within the window). Epoch-second BIGINTs only.
+
+    Scale: one key shuffle; the frame is ROWS-bounded so state per
+    user is O(1) — a hot user streams through. Same (ts, id) total
+    order as every eventflow operator.
+    """
+    from pyspark.sql import Window
+    base = df.select(F.col(user_col).alias("u"),
+                     _ts_s(ts_col).alias("ts_s"),
+                     F.col(id_col).alias("eid"),
+                     F.col(type_col).alias("et"))
+    w = (Window.partitionBy("u").orderBy("ts_s", "eid")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    lastview = F.last(
+        F.when(F.col("et") == "view",
+               F.struct(F.col("ts_s").alias("vts"),
+                        F.col("eid").alias("vid"))),
+        ignorenulls=True).over(w)
+    scored = (base.withColumn("lv", lastview)
+              .where(F.col("et") == "purchase"))
+    ok = (F.col("lv").isNotNull()
+          & ((F.col("ts_s") - F.col("lv.vts")) <= within_s))
+    return scored.select(
+        F.col("eid").alias("purchase_id"),
+        F.col("u").alias(user_col),
+        F.when(ok, F.col("lv.vid")).otherwise(F.lit(-1)).cast("long")
+         .alias("attributed_view_id"),
+        F.when(ok, F.col("ts_s") - F.col("lv.vts")).otherwise(F.lit(-1))
+         .cast("long").alias("gap_s"))

@@ -201,3 +201,40 @@ def grid_radius_join(df: DataFrame, id_col: str, x_col: str,
              .select("id_a", "id_b", d2.alias("dist2"))
              .where(F.col("dist2") <= radius * radius)
              .distinct())
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str,
+                  cmp_cols: list[str]) -> DataFrame:
+    """Keyed table diff — derive the change-data feed between two
+    snapshots of the same table: one row per changed key with
+    change_type ``I`` (insert: key only in new), ``D`` (delete: key
+    only in old), ``U`` (update: key in both, compared columns
+    differ). Unchanged keys are dropped.
+
+    Comparison is a 60-bit stable fingerprint of the compared columns
+    (``stable_hash64`` over a '|'-joined cast-to-string tuple) so the
+    shuffle carries key + 8 bytes per side, not the full row — the
+    same width regardless of table width. One full-outer join on the
+    key (both snapshots shuffle-partition by key; at 100 TB with both
+    snapshots bucketed on the key it becomes a zero-shuffle zip).
+
+    NULL columns fingerprint as the literal string 'N' (concat_ws
+    skips nulls, which would alias (NULL,'x') with ('x',NULL) across
+    column positions).
+    """
+    from ..functions.scalar import stable_hash64
+
+    def fp(df: DataFrame, side: str) -> DataFrame:
+        parts = [F.coalesce(F.col(c).cast("string"), F.lit("N"))
+                 for c in cmp_cols]
+        return df.select(F.col(key_col).alias("k"),
+                         stable_hash64(F.concat_ws("|", *parts))
+                         .alias(f"fp_{side}"))
+
+    o, n = fp(old, "o"), fp(new, "n")
+    joined = o.join(n, "k", "full_outer")
+    ct = (F.when(F.col("fp_o").isNull(), F.lit("I"))
+           .when(F.col("fp_n").isNull(), F.lit("D"))
+           .when(F.col("fp_o") != F.col("fp_n"), F.lit("U")))
+    return (joined.select(F.col("k").alias(key_col), ct.alias("change_type"))
+            .where(F.col("change_type").isNotNull()))

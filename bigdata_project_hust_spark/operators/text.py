@@ -992,3 +992,41 @@ def vocab_coverage(df: DataFrame, text_col: str = "text",
     return (out.join(F.broadcast(cover), "vocab_size")
             .select("threshold_pct", "vocab_size", "covered_tokens",
                     "n_terms_total", "total_tokens"))
+
+
+def term_drift_chi2(df: DataFrame, part_cond,
+                    text_col: str = "text", min_total: int = 5,
+                    k: int = 30) -> DataFrame:
+    """Distribution-shift detection between two corpus partitions
+    (the 2×2 chi-square per term): which terms are most over/under-
+    represented in partition A vs B — the drift report a curation
+    pipeline runs between crawl snapshots or source groups.
+
+    Exact integer contingency counts (a, b and the totals); the
+    single chi² combination per surviving term runs on a pinned
+    double tree and floors at e6; ``sign`` (+1 when the term skews
+    into A) stays integer. ``min_total`` prunes the hapax tail before
+    scoring. One token explode + a conditional count agg + a 1-row
+    broadcast of the totals; top-k is TakeOrderedAndProject.
+    """
+    toks = df.select(part_cond.cast("int").alias("in_a"),
+                     F.explode(tokens(text_col)).alias("t"))
+    per_term = toks.groupBy("t").agg(
+        F.sum("in_a").cast("long").alias("a"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("long").alias("b"))
+    tot = per_term.agg(F.sum("a").cast("long").alias("na"),
+                       F.sum("b").cast("long").alias("nb"))
+    j = per_term.where(F.col("a") + F.col("b") >= min_total) \
+                .crossJoin(F.broadcast(tot))
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    c, d = na - a, nb - b
+    n = na + nb
+    num = (a * d) - (b * c)
+    chi2 = (n * (num * num)) / (((a + b) * (c + d)) * (na * nb))
+    sign = F.when(a * nb >= b * na, F.lit(1)).otherwise(F.lit(-1))
+    return (j.select("t", F.col("a"), F.col("b"),
+                     F.floor(chi2 * F.lit(1_000_000)).cast("long")
+                      .alias("chi2_e6"),
+                     sign.cast("long").alias("sign"))
+            .orderBy(F.col("chi2_e6").desc(), "t").limit(k))

@@ -393,14 +393,14 @@ QUERIES_ROUND5.update({
         doc="common-neighbor / Jaccard / Resource-Allocation link "
             "prediction, degree-capped wedge centers, integer scores"),
     "nb_lang_classifier": QuerySpec(
-        q_nb_lang_classifier, _nb_oracle(),
+        q_nb_lang_classifier, _nb_oracle(), headline=True,
         doc="self-trained multinomial Naive Bayes language classifier "
             "(quantized-integer model, broadcast inference)"),
     "pmi_collocations": QuerySpec(
         q_pmi_collocations, ORACLE_PMI,
         doc="top-k adjacent-bigram collocations by e6-floored PMI"),
     "cusum_drift_alerts": QuerySpec(
-        q_cusum_drift_alerts, ORACLE_CUSUM,
+        q_cusum_drift_alerts, ORACLE_CUSUM, headline=True,
         doc="per-user CUSUM drift detection via the prefix-sum window "
             "identity (no per-key collect)"),
     "ewma_recent_value": QuerySpec(
@@ -596,4 +596,249 @@ QUERIES_ROUND5.update({
         q_vocab_coverage_curve, ORACLE_VOCAB_COVERAGE,
         doc="vocab size covering 50/90/99% of token mass (tokenizer "
             "sizing)"),
+})
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC derivation) / last-touch attribution / term drift
+# ---------------------------------------------------------------------------
+
+
+def q_snapshot_diff_orders(spark, sf_dir):
+    """Change feed between two deterministic snapshots of orders
+    (keys %97 inserted, %89 deleted, %101 price-bumped): one row per
+    changed key with I/U/D — fingerprint-compare full-outer join."""
+    from ..operators.joins import snapshot_diff
+    orders = _t(spark, sf_dir, "orders")
+    price_c = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) \
+               .cast("long")
+    base = orders.select("o_orderkey", price_c.alias("price_c"))
+    old = base.where(F.col("o_orderkey") % 97 != 0)
+    new = (base.where(F.col("o_orderkey") % 89 != 0)
+           .select("o_orderkey",
+                   (F.col("price_c")
+                    + F.when(F.col("o_orderkey") % 101 == 0, 1)
+                       .otherwise(0)).alias("price_c")))
+    return snapshot_diff(old, new, "o_orderkey", ["price_c"])
+
+
+ORACLE_SNAPSHOT_DIFF = """
+  WITH base AS (
+    SELECT o_orderkey AS k,
+           floor(o_totalprice * 100 + 0.5)::BIGINT AS p
+    FROM orders
+  ),
+  o AS (SELECT k, p FROM base WHERE k % 97 <> 0),
+  n AS (SELECT k, p + (CASE WHEN k % 101 = 0 THEN 1 ELSE 0 END) AS p
+        FROM base WHERE k % 89 <> 0)
+  SELECT coalesce(o.k, n.k) AS o_orderkey,
+         CASE WHEN o.k IS NULL THEN 'I'
+              WHEN n.k IS NULL THEN 'D'
+              WHEN o.p <> n.p THEN 'U' END AS change_type
+  FROM o FULL OUTER JOIN n ON o.k = n.k
+  WHERE (o.k IS NULL OR n.k IS NULL OR o.p <> n.p)
+"""
+
+
+def q_purchase_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase credited to the user's
+    latest preceding view within a day — one ordered window."""
+    return eventflow.purchase_attribution(_t(spark, sf_dir, "events"))
+
+
+ORACLE_ATTRIBUTION = f"""
+  WITH base AS (
+    SELECT user_id AS u, floor(epoch(ts))::BIGINT AS ts_s,
+           event_id AS eid, event_type AS et
+    FROM events
+  ),
+  w AS (
+    SELECT u, ts_s, eid, et,
+           last_value(CASE WHEN et = 'view'
+                           THEN struct_pack(vts := ts_s, vid := eid)
+                      END IGNORE NULLS)
+             OVER (PARTITION BY u ORDER BY ts_s, eid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS lv
+    FROM base
+  )
+  SELECT eid AS purchase_id, u AS user_id,
+         (CASE WHEN lv IS NOT NULL
+                    AND (ts_s - lv.vts) <= {eventflow.ATTRIBUTION_WINDOW_S}
+               THEN lv.vid ELSE -1 END)::BIGINT AS attributed_view_id,
+         (CASE WHEN lv IS NOT NULL
+                    AND (ts_s - lv.vts) <= {eventflow.ATTRIBUTION_WINDOW_S}
+               THEN ts_s - lv.vts ELSE -1 END)::BIGINT AS gap_s
+  FROM w WHERE et = 'purchase'
+"""
+
+
+def q_term_drift_sources(spark, sf_dir):
+    """Top-30 terms by 2×2 chi-square drift between source groups
+    src0-9 (partition A) and src10-19 (partition B)."""
+    docs = _t(spark, sf_dir, "documents")
+    cond = F.substring("source", 4, 8).cast("long") < 10
+    return text.term_drift_chi2(docs, cond)
+
+
+ORACLE_TERM_DRIFT = r"""
+  WITH toks AS (
+    SELECT (CASE WHEN substr(source, 4)::BIGINT < 10
+                 THEN 1 ELSE 0 END) AS in_a,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS t
+    FROM documents
+  ),
+  per_term AS (
+    SELECT t, sum(in_a)::BIGINT AS a,
+           sum(1 - in_a)::BIGINT AS b
+    FROM toks GROUP BY t
+  ),
+  tot AS (SELECT sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb
+          FROM per_term)
+  SELECT t, a, b,
+         floor(((na::DOUBLE + nb::DOUBLE)
+                * (((a::DOUBLE * (nb::DOUBLE - b::DOUBLE))
+                    - (b::DOUBLE * (na::DOUBLE - a::DOUBLE)))
+                   * ((a::DOUBLE * (nb::DOUBLE - b::DOUBLE))
+                      - (b::DOUBLE * (na::DOUBLE - a::DOUBLE)))))
+               / (((a::DOUBLE + b::DOUBLE)
+                   * ((na::DOUBLE - a::DOUBLE)
+                      + (nb::DOUBLE - b::DOUBLE)))
+                  * (na::DOUBLE * nb::DOUBLE))
+               * 1000000)::BIGINT AS chi2_e6,
+         (CASE WHEN a::DOUBLE * nb::DOUBLE >= b::DOUBLE * na::DOUBLE
+               THEN 1 ELSE -1 END)::BIGINT AS sign
+  FROM per_term, tot
+  WHERE a + b >= 5
+  ORDER BY chi2_e6 DESC, t LIMIT 30
+"""
+
+
+QUERIES_ROUND5.update({
+    "snapshot_diff_orders": QuerySpec(
+        q_snapshot_diff_orders, ORACLE_SNAPSHOT_DIFF,
+        doc="keyed I/U/D change feed between table snapshots "
+            "(fingerprint full-outer join)"),
+    "purchase_attribution": QuerySpec(
+        q_purchase_attribution, ORACLE_ATTRIBUTION,
+        doc="last-touch view→purchase attribution in one ordered "
+            "window"),
+    "term_drift_sources": QuerySpec(
+        q_term_drift_sources, ORACLE_TERM_DRIFT,
+        doc="per-term 2×2 chi-square drift between corpus "
+            "partitions"),
+})
+
+# ---------------------------------------------------------------------------
+# Two-feature OLS by normal equations (distributed closed-form fit)
+# ---------------------------------------------------------------------------
+#
+# price_cents ~ b0 + b1·quantity + b2·discount_bp per returnflag: the
+# nine moments accumulate EXACTLY (decimal(38,0) / HUGEINT — partial-agg
+# order cannot change them); the 3×3 Cramer solve then runs on doubles
+# converted from identical exact integers with an IDENTICAL expression
+# string on both engines (the formulas below are embedded verbatim in
+# the Spark plan via F.expr and in the DuckDB oracle), floored at e6.
+# The pearson_qty_price exactness pattern, generalized from 5 moments
+# to a full normal-equations solve.
+
+_OLS_DET = ("((n_ * ((s11 * s22) - (s12 * s12))) "
+            "- (s1 * ((s1 * s22) - (s12 * s2)))) "
+            "+ (s2 * ((s1 * s12) - (s11 * s2)))")
+# Cramer numerators: replace column j of A with b = (sy, s1y, s2y)
+_OLS_D0 = ("((sy * ((s11 * s22) - (s12 * s12))) "
+           "- (s1 * ((s1y * s22) - (s12 * s2y)))) "
+           "+ (s2 * ((s1y * s12) - (s11 * s2y)))")
+_OLS_D1 = ("((n_ * ((s1y * s22) - (s12 * s2y))) "
+           "- (sy * ((s1 * s22) - (s12 * s2)))) "
+           "+ (s2 * ((s1 * s2y) - (s1y * s2)))")
+_OLS_D2 = ("((n_ * ((s11 * s2y) - (s1y * s12))) "
+           "- (s1 * ((s1 * s2y) - (s1y * s2)))) "
+           "+ (sy * ((s1 * s12) - (s11 * s2)))")
+
+
+def q_ols_price_model(spark, sf_dir):
+    """Per-returnflag least-squares fit of price on (quantity,
+    discount_bp): exact integer moments, Cramer's-rule double solve,
+    e6-floored coefficients."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec, dec19 = "decimal(38,0)", "decimal(19,0)"
+    d = li.select(
+        "l_returnflag",
+        F.floor("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
+         .alias("x2"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("y"))
+    x1, x2, y = [F.col(c).cast(dec19) for c in ("x1", "x2", "y")]
+    agg = d.groupBy("l_returnflag").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x1").cast(dec)).alias("s1"),
+        F.sum(F.col("x2").cast(dec)).alias("s2"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(x1 * y).alias("s1y"),
+        F.sum(x2 * y).alias("s2y"))
+    dbl = agg.select(
+        "l_returnflag", F.col("n").cast("long").alias("n_rows"),
+        *[F.col(c).cast("double").alias(c if c != "n" else "n_")
+          for c in ("n", "s1", "s2", "sy", "s11", "s12", "s22",
+                    "s1y", "s2y")])
+    det = F.expr(_OLS_DET)
+    return dbl.select(
+        "l_returnflag", "n_rows",
+        *[F.when(det != 0.0,
+                 F.floor(F.expr(dn) / det * F.lit(1_000_000)))
+           .otherwise(F.lit(0)).cast("long").alias(f"b{i}_e6")
+          for i, dn in enumerate((_OLS_D0, _OLS_D1, _OLS_D2))])
+
+
+def _ols_oracle() -> str:
+    return f"""
+  WITH d AS (
+    SELECT l_returnflag,
+           floor(l_quantity)::BIGINT AS x1,
+           floor(l_discount * 10000 + 0.5)::BIGINT AS x2,
+           floor(l_extendedprice * 100)::BIGINT AS y
+    FROM lineitem
+  ),
+  agg AS (
+    SELECT l_returnflag,
+           count(*)::HUGEINT AS n,
+           sum(x1)::HUGEINT AS s1, sum(x2)::HUGEINT AS s2,
+           sum(y)::HUGEINT AS sy,
+           sum(x1::HUGEINT * x1::HUGEINT) AS s11,
+           sum(x1::HUGEINT * x2::HUGEINT) AS s12,
+           sum(x2::HUGEINT * x2::HUGEINT) AS s22,
+           sum(x1::HUGEINT * y::HUGEINT) AS s1y,
+           sum(x2::HUGEINT * y::HUGEINT) AS s2y
+    FROM d GROUP BY l_returnflag
+  ),
+  dbl AS (
+    SELECT l_returnflag, n::BIGINT AS n_rows,
+           n::DOUBLE AS n_, s1::DOUBLE AS s1, s2::DOUBLE AS s2,
+           sy::DOUBLE AS sy, s11::DOUBLE AS s11, s12::DOUBLE AS s12,
+           s22::DOUBLE AS s22, s1y::DOUBLE AS s1y, s2y::DOUBLE AS s2y
+    FROM agg
+  )
+  SELECT l_returnflag, n_rows,
+         (CASE WHEN ({_OLS_DET}) <> 0.0
+               THEN floor(({_OLS_D0}) / ({_OLS_DET}) * 1000000)
+               ELSE 0 END)::BIGINT AS b0_e6,
+         (CASE WHEN ({_OLS_DET}) <> 0.0
+               THEN floor(({_OLS_D1}) / ({_OLS_DET}) * 1000000)
+               ELSE 0 END)::BIGINT AS b1_e6,
+         (CASE WHEN ({_OLS_DET}) <> 0.0
+               THEN floor(({_OLS_D2}) / ({_OLS_DET}) * 1000000)
+               ELSE 0 END)::BIGINT AS b2_e6
+  FROM dbl
+"""
+
+
+QUERIES_ROUND5.update({
+    "ols_price_model": QuerySpec(
+        q_ols_price_model, _ols_oracle(),
+        doc="two-feature OLS by exact-moment normal equations "
+            "(Cramer solve, shared expression strings)"),
 })

@@ -343,3 +343,106 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     # and the result only contains the kept partition
     vals = {r["o_orderpriority"] for r in df.collect()}
     assert vals == {"1-URGENT"}
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff / attribution / term drift
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_iud(spark):
+    from bigdata_project_hust_spark.operators.joins import snapshot_diff
+    old = spark.createDataFrame([(1, 10), (2, 20), (3, 30)],
+                                "k long, p long")
+    new = spark.createDataFrame([(2, 20), (3, 31), (4, 40)],
+                                "k long, p long")
+    got = {r["k"]: r["change_type"]
+           for r in snapshot_diff(old, new, "k", ["p"]).collect()}
+    assert got == {1: "D", 3: "U", 4: "I"}
+
+
+def test_snapshot_diff_null_vs_string_column(spark):
+    """(NULL,'x') must not fingerprint equal to ('x',NULL) — the
+    concat_ws null-skip trap the 'N' placeholder exists for."""
+    from bigdata_project_hust_spark.operators.joins import snapshot_diff
+    old = spark.createDataFrame([(1, None, "x")],
+                                "k long, a string, b string")
+    new = spark.createDataFrame([(1, "x", None)],
+                                "k long, a string, b string")
+    got = snapshot_diff(old, new, "k", ["a", "b"]).collect()
+    assert [(r["k"], r["change_type"]) for r in got] == [(1, "U")]
+
+
+def test_attribution_last_touch_and_window(spark, tmp_path):
+    """User 1: view(t0) click(t1) purchase(t2) attributes to the view;
+    user 2's purchase has no preceding view; user 3's only view is
+    2 days before the purchase — outside the window."""
+    rows = [
+        (11, datetime(2024, 1, 1, 10, 0, 0), 1, "view", 1.0, "{}"),
+        (12, datetime(2024, 1, 1, 10, 5, 0), 1, "click", 1.0, "{}"),
+        (13, datetime(2024, 1, 1, 10, 9, 0), 1, "view", 1.0, "{}"),
+        (14, datetime(2024, 1, 1, 11, 0, 0), 1, "purchase", 1.0, "{}"),
+        (21, datetime(2024, 1, 1, 9, 0, 0), 2, "purchase", 1.0, "{}"),
+        (31, datetime(2024, 1, 1, 8, 0, 0), 3, "view", 1.0, "{}"),
+        (32, datetime(2024, 1, 3, 8, 0, 0), 3, "purchase", 1.0, "{}"),
+    ]
+    d = _events(spark, tmp_path, rows)
+    from bigdata_project_hust_spark.operators.eventflow import (
+        purchase_attribution)
+    got = {r["purchase_id"]: (r["attributed_view_id"], r["gap_s"])
+           for r in purchase_attribution(
+               spark.read.parquet(
+                   os.path.join(d, "events.parquet"))).collect()}
+    assert got[14] == (13, 51 * 60)      # LATEST view, not the first
+    assert got[21] == (-1, -1)
+    assert got[32] == (-1, -1)           # outside the 1-day window
+
+
+def test_term_drift_extreme_split(spark):
+    """A-docs say only 'aaa', B-docs only 'bbb': both terms score the
+    maximal chi² (=N) with opposite signs."""
+    from bigdata_project_hust_spark.operators.text import term_drift_chi2
+    rows = [(i, "aaa aaa aaa", "src0") for i in range(2)] + \
+           [(9 + i, "bbb bbb bbb", "src15") for i in range(2)]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, text string, source string")
+    cond = F.substring("source", 4, 8).cast("long") < 10
+    got = {r["t"]: r for r in term_drift_chi2(df, cond,
+                                              min_total=1).collect()}
+    assert got["aaa"]["sign"] == 1 and got["bbb"]["sign"] == -1
+    assert got["aaa"]["chi2_e6"] == 12 * 1_000_000  # N = 12 tokens
+    assert got["aaa"]["a"] == 6 and got["aaa"]["b"] == 0
+
+
+def test_ols_recovers_exact_plane(spark, tmp_path):
+    """Rows generated from y = 100 + 2·x1 + 3·x2 (no noise) fit back
+    to exactly (100e6, 2e6, 3e6) — the closed form is exact when the
+    residual is zero."""
+    from bigdata_project_hust_spark.plans.round5 import q_ols_price_model
+    # cents are kept multiples of 25 so dollars = cents/100 is
+    # binary-exact and floor(dollars·100) reproduces them exactly
+    pts = [(5, 30), (10, 85), (15, 40), (25, 0), (35, 10)]
+    rows = [("A", float(x1), x2 / 10000.0,
+             (100 + 2 * x1 + 3 * x2) / 100.0) for x1, x2 in pts]
+    assert all((100 + 2 * x1 + 3 * x2) % 25 == 0 for x1, x2 in pts)
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, "
+              "l_discount double, l_extendedprice double") \
+        .write.parquet(os.path.join(d, "lineitem.parquet"))
+    r = q_ols_price_model(spark, d).collect()[0]
+    assert (r["b0_e6"], r["b1_e6"], r["b2_e6"]) == \
+        (100_000_000, 2_000_000, 3_000_000)
+
+
+def test_ols_degenerate_group_zero_betas(spark, tmp_path):
+    """A single-point group has det 0 — coefficients emit as 0, not
+    NaN/error."""
+    from bigdata_project_hust_spark.plans.round5 import q_ols_price_model
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [("B", 1.0, 0.01, 5.0)],
+        "l_returnflag string, l_quantity double, l_discount double, "
+        "l_extendedprice double") \
+        .write.parquet(os.path.join(d, "lineitem.parquet"))
+    r = q_ols_price_model(spark, d).collect()[0]
+    assert (r["b0_e6"], r["b1_e6"], r["b2_e6"]) == (0, 0, 0)
