@@ -838,10 +838,14 @@ def nb_lang_classifier(df: DataFrame, text_col: str = "text",
     second pass. At 100 TB the model is a few MB (vocab × 3 longs);
     inference is one map-side join + one key shuffle per doc.
     """
+    # the token explode and the label pass each feed BOTH the training
+    # subtree and the scoring subtree — persist so tokenization/lang-id
+    # run once, not twice (same contract as dedup.shingles' persist;
+    # at cluster scale swap for a checkpoint)
     labels = lang_id(df, text_col, id_col).select(
-        F.col(id_col), F.col("lang_pred"))
+        F.col(id_col), F.col("lang_pred")).persist()
     toks = df.select(F.col(id_col),
-                     F.explode(tokens(text_col)).alias("term"))
+                     F.explode(tokens(text_col)).alias("term")).persist()
     train_toks = (toks.join(labels.where(F.col("lang_pred") != "und"),
                             id_col)
                   .select("term", "lang_pred"))

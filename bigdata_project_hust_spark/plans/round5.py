@@ -26,14 +26,27 @@ _LP_CAP = 200   # wedge-center degree cap (mirrored in the oracle)
 _LP_K = 20
 
 
+_LP_MIN_QTY = 40  # "significant" co-purchase: both lines qty >= 40
+
+
 def q_link_prediction_copurchase(spark, sf_dir):
     """Top-20 predicted co-purchase links (non-adjacent part pairs by
     common-neighbor count): exact cn / Jaccard-e6 / Resource-Allocation
     with pre-floored integer 1/deg terms — merge-order-proof scoring,
-    degree-capped wedge centers."""
-    scored = graph.link_prediction(
-        graph.copurchase_edges(_t(spark, sf_dir, "lineitem")),
-        max_degree=_LP_CAP)
+    degree-capped wedge centers.
+
+    The graph keeps only significant co-purchases (both lines
+    qty ≥ 40): the UNFILTERED bipartite projection of uniform-random
+    orders is near-complete (sf0.1: median part degree 119 → 3·10⁸
+    wedges — every part "related" to every other carries no signal);
+    the thresholded projection has dmax 23 and ~9·10⁵ wedges, the
+    shape a real product graph (or a tf-thresholded co-occurrence
+    graph) actually has. The operator itself stays general — the cap
+    bound Σ min(d, cap)² governs whatever graph is passed in."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity") >= _LP_MIN_QTY)
+    scored = graph.link_prediction(graph.copurchase_edges(li),
+                                   max_degree=_LP_CAP)
     return scored.orderBy(F.col("cn").desc(), F.col("ra_e6").desc(),
                           "u", "v").limit(_LP_K)
 
@@ -43,6 +56,8 @@ ORACLE_LINK_PREDICTION = f"""
     SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
     FROM lineitem a JOIN lineitem b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    WHERE a.l_quantity >= {_LP_MIN_QTY}
+      AND b.l_quantity >= {_LP_MIN_QTY}
   ),
   adj AS (
     SELECT pa AS x, pb AS y FROM e0
@@ -841,4 +856,96 @@ QUERIES_ROUND5.update({
         q_ols_price_model, _ols_oracle(),
         doc="two-feature OLS by exact-moment normal equations "
             "(Cramer solve, shared expression strings)"),
+})
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL surface: recursive CTE + pipe syntax
+# ---------------------------------------------------------------------------
+
+
+def q_recursive_cte_depths(spark, sf_dir):
+    """Depth histogram of the region→nation→customer→order hierarchy
+    via a NATIVE ``WITH RECURSIVE`` (Spark 4) — the declarative twin
+    of the iterative-DataFrame recursion family (bfs_hops /
+    recursive_nation_tree): Catalyst runs the fixpoint loop, the SQL
+    text is engine-portable (the oracle is the same statement modulo
+    the count cast). The hierarchy is a TREE (each node one parent),
+    so UNION ALL recursion enumerates each node exactly once — no
+    path explosion, depth bounded at 3 by the data."""
+    for t in ("region", "nation", "customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_rc")
+    return spark.sql("""
+      WITH RECURSIVE edges AS (
+        SELECT 1000000 + n_nationkey AS node,
+               n_regionkey AS parent FROM nation_rc
+        UNION ALL
+        SELECT 2000000 + c_custkey, 1000000 + c_nationkey
+        FROM customer_rc
+        UNION ALL
+        SELECT 3000000 + o_orderkey, 2000000 + o_custkey FROM orders_rc
+      ),
+      tree AS (
+        SELECT CAST(r_regionkey AS BIGINT) AS node, 0 AS depth
+        FROM region_rc
+        UNION ALL
+        SELECT e.node, t.depth + 1
+        FROM edges e JOIN tree t ON e.parent = t.node
+      )
+      SELECT CAST(depth AS BIGINT) AS depth,
+             count(*) AS n_nodes
+      FROM tree GROUP BY depth
+    """)
+
+
+ORACLE_RECURSIVE_CTE = """
+  WITH RECURSIVE edges AS (
+    SELECT 1000000 + n_nationkey AS node, n_regionkey AS parent
+    FROM nation
+    UNION ALL
+    SELECT 2000000 + c_custkey, 1000000 + c_nationkey FROM customer
+    UNION ALL
+    SELECT 3000000 + o_orderkey, 2000000 + o_custkey FROM orders
+  ),
+  tree AS (
+    SELECT r_regionkey::BIGINT AS node, 0 AS depth FROM region
+    UNION ALL
+    SELECT e.node, t.depth + 1
+    FROM edges e JOIN tree t ON e.parent = t.node
+  )
+  SELECT depth::BIGINT AS depth, count(*)::BIGINT AS n_nodes
+  FROM tree GROUP BY depth
+"""
+
+
+def q_pipe_syntax_orders(spark, sf_dir):
+    """Open-order revenue rollup written in Spark 4 PIPE syntax
+    (``|> WHERE … |> EXTEND … |> AGGREGATE … GROUP BY``) — the linear
+    query dialect; parses to the identical Catalyst plan as the
+    equivalent SELECT, which is what the plain-SQL oracle runs."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe")
+    return spark.sql("""
+      FROM orders_pipe
+      |> WHERE o_orderstatus = 'O'
+      |> EXTEND CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+      |> AGGREGATE count(*) AS n_orders, sum(price_c) AS sum_price_c
+         GROUP BY o_orderpriority
+    """)
+
+
+ORACLE_PIPE = """
+  SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+         sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS sum_price_c
+  FROM orders WHERE o_orderstatus = 'O'
+  GROUP BY o_orderpriority
+"""
+
+
+QUERIES_ROUND5.update({
+    "recursive_cte_depths": QuerySpec(
+        q_recursive_cte_depths, ORACLE_RECURSIVE_CTE,
+        doc="native WITH RECURSIVE hierarchy walk (Spark 4 fixpoint "
+            "loop, engine-portable SQL)"),
+    "pipe_syntax_orders": QuerySpec(
+        q_pipe_syntax_orders, ORACLE_PIPE,
+        doc="Spark 4 pipe-syntax rollup (|> WHERE/EXTEND/AGGREGATE)"),
 })

@@ -446,3 +446,29 @@ def test_ols_degenerate_group_zero_betas(spark, tmp_path):
         .write.parquet(os.path.join(d, "lineitem.parquet"))
     r = q_ols_price_model(spark, d).collect()[0]
     assert (r["b0_e6"], r["b1_e6"], r["b2_e6"]) == (0, 0, 0)
+
+
+def test_recursive_cte_walks_full_hierarchy(spark):
+    from bigdata_project_hust_spark.plans.round5 import (
+        q_recursive_cte_depths)
+    got = {r["depth"]: r["n_nodes"]
+           for r in q_recursive_cte_depths(spark, SF_SMOKE).collect()}
+    n_cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").count()
+    n_ord = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
+    assert got == {0: 5, 1: 25, 2: n_cust, 3: n_ord}
+
+
+def test_pipe_syntax_matches_dataframe_twin(spark):
+    from bigdata_project_hust_spark.plans.round5 import (
+        q_pipe_syntax_orders)
+    got = {r["o_orderpriority"]: (r["n_orders"], r["sum_price_c"])
+           for r in q_pipe_syntax_orders(spark, SF_SMOKE).collect()}
+    twin = (spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+            .where(F.col("o_orderstatus") == "O")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100)
+                       .cast("long")).alias("s")))
+    want = {r["o_orderpriority"]: (r["n"], r["s"])
+            for r in twin.collect()}
+    assert got == want
