@@ -531,3 +531,28 @@ class Engine:
         """Two-feature OLS price fit (exact-moment normal equations)."""
         from .plans.round5 import q_ols_price_model
         return q_ols_price_model(self.spark, self.sf_dir)
+
+    def frequent_pairs(self, min_support: int = 3,
+                       k: int = 20) -> DataFrame:
+        """Market-basket pair support/confidence/lift."""
+        from .operators.graph import basket_lift_pairs
+        return basket_lift_pairs(self.table("lineitem"),
+                                 min_support=min_support, k=k)
+
+    def skew_profile(self, table: str, key_col: str) -> DataFrame:
+        """One-row join-key skew report (top key, p99, exact Gini)."""
+        from .operators.scale import key_skew_report
+        return key_skew_report(self.table(table), key_col)
+
+    def zipf_exponent(self) -> DataFrame:
+        """Corpus Zipf fit (quantized log-log OLS)."""
+        return text.zipf_fit(self.table("documents"))
+
+    def related_to(self, iters: int = 3) -> DataFrame:
+        """Personalized PageRank from the lowest trade-graph node."""
+        from .operators.graph import (personalized_pagerank,
+                                      supplier_customer_edges)
+        return personalized_pagerank(
+            supplier_customer_edges(self.table("lineitem"),
+                                    self.table("orders")),
+            iters=iters)

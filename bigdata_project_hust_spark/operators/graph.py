@@ -253,3 +253,111 @@ def link_prediction(edges: DataFrame, a: str = "pa", b: str = "pb",
                        .cast("long").alias("jaccard_e6"),
                       "ra_e6"))
     return scored
+
+
+def basket_lift_pairs(lineitem: DataFrame, min_support: int = 3,
+                      k: int = 20) -> DataFrame:
+    """Market-basket association rules for part pairs (the A-priori
+    pair pass): per unordered pair, the exact basket co-occurrence
+    count (support), conditional confidence P(b|a) and lift
+    s12·N/(s1·s2) — integer counts, e6-floored ratios on pinned
+    integer products.
+
+    Baskets are DISTINCT (order, part) pairs — a part twice in one
+    order counts once. ``min_support`` prunes the pair tail right
+    after the self-join's aggregation (the A-priori support bound);
+    per-part supports are a broadcast-sized table joined back. Top-k
+    by (support, lift) is TakeOrderedAndProject.
+
+    Scale: the order-keyed self-join fan-out is Σ basket_size² —
+    baskets are order line counts (≤7 in TPC-H; bounded per order at
+    any SF), so the join is linear in orders. One wide shuffle on the
+    pair key, everything after is broadcast-sized.
+    """
+    op = (lineitem.select(F.col("l_orderkey").alias("ok"),
+                          F.col("l_partkey").alias("p"))
+          .distinct())
+    n_orders = op.select("ok").distinct() \
+                 .agg(F.count("*").cast("long").alias("n_orders"))
+    s1 = op.groupBy("p").agg(F.count("*").cast("long").alias("s"))
+    a = op.select("ok", F.col("p").alias("pa"))
+    b = op.select("ok", F.col("p").alias("pb"))
+    s12 = (a.join(b, "ok").where(F.col("pa") < F.col("pb"))
+           .groupBy("pa", "pb")
+           .agg(F.count("*").cast("long").alias("support"))
+           .where(F.col("support") >= min_support))
+    sa = s1.select(F.col("p").alias("pa"), F.col("s").alias("s1a"))
+    sb = s1.select(F.col("p").alias("pb"), F.col("s").alias("s1b"))
+    scored = (s12.join(F.broadcast(sa), "pa")
+              .join(F.broadcast(sb), "pb")
+              .crossJoin(F.broadcast(n_orders))
+              .select(
+                  "pa", "pb", "support", "s1a", "s1b",
+                  F.floor(F.col("support") * F.lit(1_000_000)
+                          / F.col("s1a")).cast("long")
+                   .alias("confidence_e6"),
+                  F.floor((F.col("support") * F.col("n_orders"))
+                          * F.lit(1_000_000)
+                          / (F.col("s1a") * F.col("s1b")))
+                   .cast("long").alias("lift_e6")))
+    return (scored.orderBy(F.col("support").desc(),
+                           F.col("lift_e6").desc(), "pa", "pb")
+            .limit(k))
+
+
+def personalized_pagerank(edges: DataFrame, iters: int = 3,
+                          src: str = "src",
+                          dst: str = "dst") -> DataFrame:
+    """Personalized PageRank (random walk with restart): identical
+    exact-integer scheme to :func:`pagerank`, but ALL restart mass
+    returns to one source node (the lowest id, chosen relationally —
+    both engines pick the same root, no collect) instead of spreading
+    uniformly — the "related to THIS entity" ranking behind
+    recommendation panels.
+
+    Total walk mass matches pagerank's |V|·SCALE convention: the
+    source's restart term is ``(3·SCALE·|V|) div 20`` and the initial
+    vector concentrates ``SCALE·|V|`` at the source. Per-iteration
+    shape is pagerank's exactly (one dst-keyed shuffle + one src join;
+    the |V|-row count and 1-row source ride broadcasts).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct())
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    stats = F.broadcast(nodes.agg(
+        F.count("*").cast("long").alias("nv"),
+        F.min("node").cast("long").alias("s")))
+    nodes_s = nodes.crossJoin(stats)
+    is_src = F.col("node") == F.col("s")
+    base = F.when(
+        is_src,
+        F.expr(f"({3 * PR_SCALE}L * nv) div {_D_DEN}")).otherwise(
+        F.lit(0)).cast("long")
+    ranks = nodes_s.select(
+        "node", "nv", "s",
+        F.when(is_src, F.expr(f"{PR_SCALE}L * nv")).otherwise(F.lit(0))
+         .cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = (ranks.alias("rk")
+                   .join(outdeg.alias("og"),
+                         F.col("rk.node") == F.col("og.src"))
+                   .select(F.col("og.src").alias("u"),
+                           F.expr("r div deg").alias("c")))
+        inflow = (e.alias("ed")
+                  .join(contrib.alias("cb"),
+                        F.col("ed.src") == F.col("cb.u"))
+                  .groupBy(F.col("ed.dst").alias("dst"))
+                  .agg(F.sum("c").alias("s_in")))
+        ranks = (nodes_s.alias("nd")
+                 .join(inflow.alias("infl"),
+                       F.col("nd.node") == F.col("infl.dst"), "left")
+                 .select(F.col("nd.node").alias("node"),
+                         F.col("nd.nv").alias("nv"),
+                         F.col("nd.s").alias("s"),
+                         (base + F.expr(
+                             f"(coalesce(s_in, 0L) * {_D_NUM})"
+                             f" div {_D_DEN}"))
+                         .cast("long").alias("r")))
+    return ranks.select(F.col("node"), F.col("r").alias("ppr_e9"))

@@ -142,3 +142,42 @@ def dpp_join(spark: SparkSession, fact_path: str, part_col: str,
     tests/test_round5.py gates it)."""
     fact = spark.read.parquet(fact_path)
     return fact.join(F.broadcast(dim.where(dim_filter)), part_col)
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Join-key skew profiler — the diagnostic you run BEFORE picking
+    a join strategy at 100 TB: per-key counts reduced to one row of
+    n_rows, n_keys, the heaviest key and its count, the nearest-rank
+    p99 key count, and an exact integer Gini coefficient of the key
+    distribution (``(2·Σ rank·cnt − (K+1)·total)·1e6 // (K·total)``
+    over counts ranked ascending — 0 = uniform, →1e6 = one hot key).
+
+    Everything is rank/count arithmetic on BIGINTs. Plan: one key agg
+    (map-side partials), one |keys|-row window rank, one 1-row rollup
+    — the corpus is touched once.
+    """
+    from pyspark.sql import Window
+    counts = df.groupBy(F.col(key_col).alias("k")) \
+               .agg(F.count("*").cast("long").alias("c"))
+    w = Window.orderBy("c", "k")
+    ranked = counts.select(
+        "k", "c", F.row_number().over(w).cast("long").alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("long")
+         .alias("n_k"))
+    agg = ranked.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max(F.struct("c", "k")).alias("top"),
+        F.sum(F.col("rn") * F.col("c")).cast("long").alias("s_rank"),
+        F.min(F.when(F.col("rn") * 100 >= F.col("n_k") * 99,
+                     F.col("c"))).alias("p99_cnt"))
+    return agg.select(
+        "n_rows", "n_keys",
+        F.col("top.k").alias("max_key"),
+        F.col("top.c").cast("long").alias("max_cnt"),
+        F.col("p99_cnt").cast("long").alias("p99_cnt"),
+        F.floor((2 * F.col("s_rank")
+                 - (F.col("n_keys") + 1) * F.col("n_rows"))
+                * F.lit(1_000_000)
+                / (F.col("n_keys") * F.col("n_rows")))
+         .cast("long").alias("gini_e6"))

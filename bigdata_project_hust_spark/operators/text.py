@@ -1034,3 +1034,56 @@ def term_drift_chi2(df: DataFrame, part_cond,
                       .alias("chi2_e6"),
                      sign.cast("long").alias("sign"))
             .orderBy(F.col("chi2_e6").desc(), "t").limit(k))
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf exponent of the corpus token distribution: OLS slope of
+    ln(freq) on ln(rank) over the full vocabulary — the one-row
+    language-health statistic (natural corpora fit α ≈ 1; boilerplate
+    or synthetic floods bend it).
+
+    Exactness: ln(rank)/ln(freq) are QUANTIZED per vocab term to e6
+    BIGINTs, the regression moments then accumulate as exact
+    decimal(38,0), and the closed-form slope/intercept run once on a
+    pinned double tree (the nb-classifier / OLS quantize-then-sum
+    pattern). Output: n_terms, total_tokens, alpha_e6 (= −slope) and
+    intercept_e6 on the e6 log grid.
+
+    Scale: token explode → vocab agg → one |vocab|-row rank window →
+    1-row moment rollup.
+    """
+    from pyspark.sql import Window
+    terms = (df.select(F.explode(tokens(text_col)).alias("t"))
+             .groupBy("t").agg(F.count("*").cast("long").alias("c")))
+    ranked = terms.select(
+        "c", F.row_number().over(
+            Window.orderBy(F.col("c").desc(), "t")).cast("long")
+         .alias("rank"))
+    q = ranked.select(
+        "c",
+        F.floor(F.log(F.col("rank").cast("double")) * 1e6)
+         .cast("long").alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * 1e6)
+         .cast("long").alias("y"))
+    dec, dec19 = "decimal(38,0)", "decimal(19,0)"
+    m = q.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec19) * F.col("x").cast(dec19))
+         .alias("sxx"),
+        F.sum(F.col("x").cast(dec19) * F.col("y").cast(dec19))
+         .alias("sxy"))
+    n, sx, sy, sxx, sxy = [F.col(c).cast("double")
+                           for c in ("n", "sx", "sy", "sxx", "sxy")]
+    den = (n * sxx) - (sx * sx)
+    slope = ((n * sxy) - (sx * sy)) / den
+    intercept = (sy - (slope * sx)) / n
+    return m.select(
+        F.col("n").cast("long").alias("n_terms"),
+        "total_tokens",
+        F.when(den != 0.0, F.floor(-slope * F.lit(1_000_000)))
+         .otherwise(F.lit(0)).cast("long").alias("alpha_e6"),
+        F.when(den != 0.0, F.floor(intercept))
+         .otherwise(F.lit(0)).cast("long").alias("intercept_e6"))

@@ -949,3 +949,208 @@ QUERIES_ROUND5.update({
         q_pipe_syntax_orders, ORACLE_PIPE,
         doc="Spark 4 pipe-syntax rollup (|> WHERE/EXTEND/AGGREGATE)"),
 })
+
+# ---------------------------------------------------------------------------
+# Market basket / key-skew profiler / Zipf fit
+# ---------------------------------------------------------------------------
+
+
+def q_basket_lift_pairs(spark, sf_dir):
+    """Top-20 part pairs by basket support with confidence and lift
+    (A-priori pair pass, exact counts, e6 ratios)."""
+    from ..operators.graph import basket_lift_pairs
+    return basket_lift_pairs(_t(spark, sf_dir, "lineitem"))
+
+
+ORACLE_BASKET = """
+  WITH op AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+  ),
+  no AS (SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM op),
+  s1 AS (SELECT p, count(*)::BIGINT AS s FROM op GROUP BY p),
+  s12 AS (
+    SELECT a.p AS pa, b.p AS pb, count(*)::BIGINT AS support
+    FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+    GROUP BY a.p, b.p HAVING count(*) >= 3
+  )
+  SELECT pa, pb, support, sa.s AS s1a, sb.s AS s1b,
+         floor(support * 1000000 / sa.s)::BIGINT AS confidence_e6,
+         floor((support * n_orders) * 1000000
+               / (sa.s * sb.s))::BIGINT AS lift_e6
+  FROM s12 JOIN s1 sa ON sa.p = s12.pa
+           JOIN s1 sb ON sb.p = s12.pb, no
+  ORDER BY support DESC, lift_e6 DESC, pa, pb LIMIT 20
+"""
+
+
+def q_key_skew_custkey(spark, sf_dir):
+    """One-row skew profile of orders.o_custkey: counts, heaviest
+    key, p99 count, exact integer Gini."""
+    from ..operators.scale import key_skew_report
+    return key_skew_report(_t(spark, sf_dir, "orders"), "o_custkey")
+
+
+ORACLE_KEY_SKEW = """
+  WITH counts AS (
+    SELECT o_custkey AS k, count(*)::BIGINT AS c
+    FROM orders GROUP BY o_custkey
+  ),
+  ranked AS (
+    SELECT k, c, row_number() OVER (ORDER BY c, k)::BIGINT AS rn,
+           count(*) OVER ()::BIGINT AS n_k
+    FROM counts
+  ),
+  agg AS (
+    SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+           sum(rn * c)::BIGINT AS s_rank,
+           min(CASE WHEN rn * 100 >= n_k * 99 THEN c END)::BIGINT
+             AS p99_cnt
+    FROM ranked
+  ),
+  top AS (SELECT k AS max_key, c AS max_cnt FROM counts
+          ORDER BY c DESC, k DESC LIMIT 1)
+  SELECT n_rows, n_keys, max_key, max_cnt, p99_cnt,
+         floor((2 * s_rank - (n_keys + 1) * n_rows) * 1000000
+               / (n_keys * n_rows))::BIGINT AS gini_e6
+  FROM agg, top
+"""
+
+
+def q_zipf_fit_tokens(spark, sf_dir):
+    """Zipf exponent of the document token distribution (quantized
+    log-log OLS, exact moments)."""
+    return text.zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_ZIPF = r"""
+  WITH terms AS (
+    SELECT t, count(*)::BIGINT AS c FROM (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents)
+    GROUP BY t
+  ),
+  ranked AS (
+    SELECT c, row_number() OVER (ORDER BY c DESC, t)::BIGINT AS rank
+    FROM terms
+  ),
+  q AS (
+    SELECT c,
+           floor(ln(rank::DOUBLE) * 1000000)::BIGINT AS x,
+           floor(ln(c::DOUBLE) * 1000000)::BIGINT AS y
+    FROM ranked
+  ),
+  m AS (
+    SELECT count(*)::HUGEINT AS n, sum(c)::BIGINT AS total_tokens,
+           sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+           sum(x::HUGEINT * x::HUGEINT) AS sxx,
+           sum(x::HUGEINT * y::HUGEINT) AS sxy
+    FROM q
+  )
+  SELECT n::BIGINT AS n_terms, total_tokens,
+         (CASE WHEN ((n::DOUBLE * sxx::DOUBLE)
+                     - (sx::DOUBLE * sx::DOUBLE)) <> 0.0
+               THEN floor((-(((n::DOUBLE * sxy::DOUBLE)
+                              - (sx::DOUBLE * sy::DOUBLE))
+                             / ((n::DOUBLE * sxx::DOUBLE)
+                                - (sx::DOUBLE * sx::DOUBLE))))
+                          * 1000000)
+               ELSE 0 END)::BIGINT AS alpha_e6,
+         (CASE WHEN ((n::DOUBLE * sxx::DOUBLE)
+                     - (sx::DOUBLE * sx::DOUBLE)) <> 0.0
+               THEN floor((sy::DOUBLE
+                           - ((((n::DOUBLE * sxy::DOUBLE)
+                                - (sx::DOUBLE * sy::DOUBLE))
+                               / ((n::DOUBLE * sxx::DOUBLE)
+                                  - (sx::DOUBLE * sx::DOUBLE)))
+                              * sx::DOUBLE)) / n::DOUBLE)
+               ELSE 0 END)::BIGINT AS intercept_e6
+  FROM m
+"""
+
+
+QUERIES_ROUND5.update({
+    "basket_lift_pairs": QuerySpec(
+        q_basket_lift_pairs, ORACLE_BASKET,
+        doc="market-basket pair support/confidence/lift (A-priori "
+            "pair pass)"),
+    "key_skew_custkey": QuerySpec(
+        q_key_skew_custkey, ORACLE_KEY_SKEW,
+        doc="join-key skew profiler: top key, p99 count, exact Gini"),
+    "zipf_fit_tokens": QuerySpec(
+        q_zipf_fit_tokens, ORACLE_ZIPF,
+        doc="Zipf exponent via quantized log-log OLS"),
+})
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (random walk with restart)
+# ---------------------------------------------------------------------------
+
+_PPR_ITERS = 3
+
+
+def q_ppr_trade_graph(spark, sf_dir):
+    """Personalized PageRank from the lowest trade-graph node,
+    3 exact-integer iterations — restart mass concentrated at one
+    entity (recommendation ranking), bit-identical across engines."""
+    from ..operators.graph import (personalized_pagerank,
+                                   supplier_customer_edges)
+    edges = supplier_customer_edges(_t(spark, sf_dir, "lineitem"),
+                                    _t(spark, sf_dir, "orders"))
+    return personalized_pagerank(edges, iters=_PPR_ITERS)
+
+
+def _ppr_oracle() -> str:
+    from ..operators.graph import PR_SCALE, _D_DEN, _D_NUM
+    parts = [f"""
+  pairs AS (
+    SELECT DISTINCT o.o_custkey * 2 AS cust_node,
+           l.l_suppkey * 2 + 1 AS supp_node
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  ),
+  e AS (
+    SELECT supp_node AS src, cust_node AS dst FROM pairs
+    UNION ALL
+    SELECT cust_node AS src, supp_node AS dst FROM pairs
+  ),
+  nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+  outdeg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+  st AS (SELECT count(*)::BIGINT AS nv, min(node)::BIGINT AS s
+         FROM nodes),
+  r0 AS (
+    SELECT node,
+           (CASE WHEN node = s THEN {PR_SCALE} * nv
+                 ELSE 0 END)::BIGINT AS r
+    FROM nodes, st)"""]
+    base = (f"(CASE WHEN n.node = st.s "
+            f"THEN ({3 * PR_SCALE} * st.nv) // {_D_DEN} "
+            f"ELSE 0 END)")  # pre-multiplied: 3·1e9 overflows INT32
+    for t in range(_PPR_ITERS):
+        parts.append(f"""
+  c{t} AS (
+    SELECT o.src AS u, (r.r // o.deg)::BIGINT AS c
+    FROM r{t} r JOIN outdeg o ON r.node = o.src
+  ),
+  i{t} AS (
+    SELECT e.dst AS dst, sum(c.c)::BIGINT AS s_in
+    FROM e JOIN c{t} c ON e.src = c.u GROUP BY e.dst
+  ),
+  r{t + 1} AS (
+    SELECT n.node,
+           ({base} + (coalesce(i.s_in, 0) * {_D_NUM}) // {_D_DEN})
+             ::BIGINT AS r
+    FROM nodes n LEFT JOIN i{t} i ON n.node = i.dst, st
+  )""")
+    ctes = ",".join(parts)
+    return f"""
+  WITH {ctes}
+  SELECT node, r AS ppr_e9 FROM r{_PPR_ITERS}
+"""
+
+
+QUERIES_ROUND5.update({
+    "ppr_trade_graph": QuerySpec(
+        q_ppr_trade_graph, _ppr_oracle(),
+        doc="personalized PageRank (restart at one node, exact "
+            "integer grid)"),
+})

@@ -472,3 +472,94 @@ def test_pipe_syntax_matches_dataframe_twin(spark):
     want = {r["o_orderpriority"]: (r["n"], r["s"])
             for r in twin.collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# basket lift / key skew / zipf / personalized pagerank
+# ---------------------------------------------------------------------------
+
+def test_basket_lift_hand_counts(spark, tmp_path):
+    """Baskets {a,b,c},{a,b},{a,b},{a,c}: support(a,b)=3 of N=4,
+    s1(a)=4, s1(b)=3 → confidence 750000, lift exactly 1e6."""
+    from bigdata_project_hust_spark.operators.graph import (
+        basket_lift_pairs)
+    rows = [(1, 100), (1, 200), (1, 300), (2, 100), (2, 200),
+            (3, 100), (3, 200), (4, 100), (4, 300)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = basket_lift_pairs(li, min_support=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["pa"], r["pb"], r["support"]) == (100, 200, 3)
+    assert (r["s1a"], r["s1b"]) == (4, 3)
+    assert r["confidence_e6"] == 750_000
+    assert r["lift_e6"] == 1_000_000
+
+
+def test_key_skew_hand_gini(spark):
+    """Counts {k1:3, k2:1}: Gini = (2·(1·1+2·3) − 3·4)/(2·4) =
+    0.25; p99 count = 3; heaviest key is k1."""
+    from bigdata_project_hust_spark.operators.scale import (
+        key_skew_report)
+    df = spark.createDataFrame([(1,), (1,), (1,), (2,)], "k long")
+    r = key_skew_report(df, "k").collect()[0]
+    assert (r["n_rows"], r["n_keys"]) == (4, 2)
+    assert (r["max_key"], r["max_cnt"]) == (1, 3)
+    assert r["p99_cnt"] == 3
+    assert r["gini_e6"] == 250_000
+
+
+def test_key_skew_uniform_gini_near_zero(spark):
+    from bigdata_project_hust_spark.operators.scale import (
+        key_skew_report)
+    df = spark.createDataFrame([(i,) for i in range(8)], "k long")
+    r = key_skew_report(df, "k").collect()[0]
+    # uniform: gini = (2·Σrn − (K+1)·K)/(K·K) = 0... floor keeps 0
+    assert r["gini_e6"] == 0 and r["max_cnt"] == 1
+
+
+def test_zipf_fit_matches_quantized_reference(spark):
+    """Mirror the quantize-then-OLS computation in python on a tiny
+    corpus and compare exactly."""
+    from bigdata_project_hust_spark.operators.text import zipf_fit
+    df = spark.createDataFrame(
+        [(0, "a a a a b b c")], "doc_id long, text string")
+    r = zipf_fit(df).collect()[0]
+    counts = sorted([4, 2, 1], reverse=True)
+    xs = [math.floor(math.log(float(i + 1)) * 1e6)
+          for i in range(len(counts))]
+    ys = [math.floor(math.log(float(c)) * 1e6) for c in counts]
+    n = float(len(counts))
+    sx, sy = float(sum(xs)), float(sum(ys))
+    sxx = float(sum(x * x for x in xs))
+    sxy = float(sum(x * y for x, y in zip(xs, ys)))
+    den = (n * sxx) - (sx * sx)
+    slope = ((n * sxy) - (sx * sy)) / den
+    assert r["n_terms"] == 3 and r["total_tokens"] == 7
+    assert r["alpha_e6"] == math.floor(-slope * 1_000_000)
+    assert r["intercept_e6"] == math.floor((sy - (slope * sx)) / n)
+    assert 0 < r["alpha_e6"] < 3_000_000  # plausibility
+
+
+def test_ppr_one_iteration_hand_values(spark):
+    """Path 1–2–3 (both directions), source 1, one iteration:
+    r(1)=450e6 (restart only), r(2)=2550e6 (walk mass from the
+    source), r(3)=0."""
+    from bigdata_project_hust_spark.operators.graph import (
+        personalized_pagerank)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long")
+    got = {r["node"]: r["ppr_e9"]
+           for r in personalized_pagerank(e, iters=1).collect()}
+    assert got == {1: 450_000_000, 2: 2_550_000_000, 3: 0}
+
+
+def test_ppr_mass_concentrates_near_source(spark):
+    """After 3 iterations on the trade graph the source keeps a top
+    rank and total mass stays positive near |V|·SCALE·(walk decay)."""
+    from bigdata_project_hust_spark.plans.round5 import q_ppr_trade_graph
+    out = q_ppr_trade_graph(spark, SF_SMOKE)
+    rows = out.collect()
+    src = min(r["node"] for r in rows)
+    by_rank = sorted(rows, key=lambda r: -r["ppr_e9"])
+    assert by_rank[0]["node"] == src
+    assert sum(r["ppr_e9"] for r in rows) > 0
