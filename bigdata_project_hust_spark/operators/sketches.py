@@ -536,3 +536,58 @@ def hll_registers_by(df: DataFrame, col: str,
                       _rho(F.shiftrightunsigned(h, 8)).alias("rho"))
               .groupBy(group_col, "idx")
               .agg(F.max("rho").alias("reg")))
+
+
+AMS_BUCKETS = 128
+
+
+def ams_join_size(a: DataFrame, a_key: str, b: DataFrame, b_key: str,
+                  buckets: int = AMS_BUCKETS) -> DataFrame:
+    """Equi-join cardinality estimation by AMS sketch inner product
+    (Alon-Matias-Szegedy 1996): each side folds to a ``buckets``-row
+    signed-count sketch — S[h(k) mod B] += sign(k) per ROW — and
+    ``Σ_b S_A[b]·S_B[b]`` is an unbiased estimate of
+    ``|A ⋈ B| = Σ_k c_A(k)·c_B(k)``. This is how an optimizer prices
+    a join without touching the other table's rows: the sketches are
+    mergeable (bucket-wise sum over shards) and 1 KB regardless of
+    table size.
+
+    Both the estimate AND the exact join size are emitted (the exact
+    side is the per-key count join) so every run shows its own error.
+    Hash/sign come from the shared ``stable_hash64`` bit pattern —
+    deterministic, mirrored in the oracle. One 1-row output.
+
+    Scale: each sketch is one map-side-collapsed grid agg (B cells);
+    the exact twin is the only key shuffle, and a production use drops
+    it. ``buckets`` must be a power of two (bit ops only — division
+    would round above 2^53).
+    """
+    if buckets & (buckets - 1):
+        raise ValueError("buckets must be a power of two")
+    shift = buckets.bit_length() - 1
+
+    def sketch(df: DataFrame, key: str) -> DataFrame:
+        h = stable_hash64(F.col(key).cast("string"))
+        sign = F.lit(1) - 2 * F.shiftright(h, shift).bitwiseAND(F.lit(1))
+        return (df.select(h.bitwiseAND(F.lit(buckets - 1)).alias("b"),
+                          sign.cast("long").alias("s"))
+                .groupBy("b").agg(F.sum("s").cast("long").alias("s")))
+
+    sa = sketch(a, a_key).select(F.col("b"), F.col("s").alias("sa"))
+    sb = sketch(b, b_key).select(F.col("b"), F.col("s").alias("sb"))
+    est = (sa.join(sb, "b")
+           .agg(F.sum(F.col("sa") * F.col("sb")).cast("long")
+                .alias("est_join_size")))
+    ca = a.groupBy(F.col(a_key).alias("k")) \
+          .agg(F.count("*").cast("long").alias("ca"))
+    cb = b.groupBy(F.col(b_key).alias("k")) \
+          .agg(F.count("*").cast("long").alias("cb"))
+    exact = (ca.join(cb, "k")
+             .agg(F.sum(F.col("ca") * F.col("cb")).cast("long")
+                  .alias("exact_join_size")))
+    return (est.crossJoin(exact)
+            .select(F.coalesce("est_join_size", F.lit(0))
+                     .alias("est_join_size"),
+                    F.coalesce("exact_join_size", F.lit(0))
+                     .alias("exact_join_size"),
+                    F.lit(buckets).cast("long").alias("n_buckets")))

@@ -1154,3 +1154,58 @@ QUERIES_ROUND5.update({
         doc="personalized PageRank (restart at one node, exact "
             "integer grid)"),
 })
+
+# ---------------------------------------------------------------------------
+# AMS join-size estimation
+# ---------------------------------------------------------------------------
+
+
+def q_ams_join_size(spark, sf_dir):
+    """Estimate |orders ⋈ lineitem| on the orderkey by AMS sketch
+    inner product, next to the exact size — the optimizer's
+    cardinality trick as a query."""
+    from ..operators.sketches import ams_join_size
+    return ams_join_size(_t(spark, sf_dir, "orders"), "o_orderkey",
+                         _t(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
+def _ams_oracle() -> str:
+    from ..operators.sketches import AMS_BUCKETS
+    from ..functions.scalar import stable_hash64_sql
+    shift = AMS_BUCKETS.bit_length() - 1
+
+    def sk(table: str, key: str) -> str:
+        h = stable_hash64_sql(f"{key}::VARCHAR")
+        return f"""
+    SELECT ({h} & {AMS_BUCKETS - 1}) AS b,
+           sum(1 - 2 * (({h} >> {shift}) & 1))::BIGINT AS s
+    FROM {table} GROUP BY 1"""
+
+    return f"""
+  WITH sa AS ({sk('orders', 'o_orderkey')}),
+  sb AS ({sk('lineitem', 'l_orderkey')}),
+  est AS (
+    SELECT sum(sa.s * sb.s)::BIGINT AS est_join_size
+    FROM sa JOIN sb ON sa.b = sb.b
+  ),
+  ca AS (SELECT o_orderkey AS k, count(*)::BIGINT AS c
+         FROM orders GROUP BY o_orderkey),
+  cb AS (SELECT l_orderkey AS k, count(*)::BIGINT AS c
+         FROM lineitem GROUP BY l_orderkey),
+  exact AS (
+    SELECT sum(ca.c * cb.c)::BIGINT AS exact_join_size
+    FROM ca JOIN cb ON ca.k = cb.k
+  )
+  SELECT coalesce(est_join_size, 0)::BIGINT AS est_join_size,
+         coalesce(exact_join_size, 0)::BIGINT AS exact_join_size,
+         {AMS_BUCKETS}::BIGINT AS n_buckets
+  FROM est, exact
+"""
+
+
+QUERIES_ROUND5.update({
+    "ams_join_size": QuerySpec(
+        q_ams_join_size, _ams_oracle(),
+        doc="AMS sketch join-cardinality estimate next to the exact "
+            "size"),
+})

@@ -327,3 +327,53 @@ def stateful_threshold_alerts_tws(df: DataFrame, key_col: str = "user_id",
                   outputStructType=f"{key_col} {key_type}, total double",
                   outputMode="append",
                   timeMode="none"))
+
+
+def cusum_stream(df: DataFrame, target_c: int, h_c: int = 2000,
+                 key_col: str = "user_id", ts_col: str = "ts",
+                 value_col: str = "value",
+                 id_col: str = "event_id") -> DataFrame:
+    """Streaming twin of ``eventflow.cusum_drift_alerts``: the
+    RECURSIVE CUSUM form ``c ← max(0, c + (v_c − target))`` as per-key
+    ``applyInPandasWithState``, alert-once on first crossing of
+    ``h_c``.
+
+    Batch/stream delta (documented): the batch operator derives each
+    user's target from their own full history (two window passes);
+    a stream cannot see the future, so the reference level is an
+    EXPLICIT parameter (in production: yesterday's batch mean,
+    broadcast in). State per key is two scalars; rows are sorted by
+    (ts, id) within each micro-batch so replays are deterministic;
+    cross-batch order is the file/trigger order, exactly like every
+    stateful operator here.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        c, alerted = state.get if state.exists else (0, False)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values([ts_col, id_col])
+        alarm_id = None
+        for _, row in batch.iterrows():
+            v_c = int(math.floor(float(row[value_col]) * 100 + 0.5))
+            c = max(0, c + (v_c - target_c))
+            if not alerted and c > h_c:
+                alerted, alarm_id = True, int(row[id_col])
+        state.update((int(c), bool(alerted)))
+        if alarm_id is not None:
+            yield pd.DataFrame({key_col: [key[0]],
+                                "alarm_event_id": [alarm_id],
+                                "cusum_c": [int(c)]})
+
+    import math  # noqa: F401  (bound for the closure above)
+    key_type = df.schema[key_col].dataType.simpleString()
+    return (df.groupBy(key_col)
+              .applyInPandasWithState(
+                  fn,
+                  outputStructType=(f"{key_col} {key_type}, "
+                                    "alarm_event_id long, "
+                                    "cusum_c long"),
+                  stateStructType="c long, alerted boolean",
+                  outputMode="append",
+                  timeoutConf=GroupStateTimeout.NoTimeout))

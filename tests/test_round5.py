@@ -563,3 +563,28 @@ def test_ppr_mass_concentrates_near_source(spark):
     by_rank = sorted(rows, key=lambda r: -r["ppr_e9"])
     assert by_rank[0]["node"] == src
     assert sum(r["ppr_e9"] for r in rows) > 0
+
+
+def test_ams_exact_side_and_determinism(spark):
+    """exact = Σ c_A(k)·c_B(k) on hand multiplicities; the sketch
+    estimate is deterministic run-to-run (hash-derived, no RNG)."""
+    import pytest
+    from bigdata_project_hust_spark.operators.sketches import (
+        ams_join_size)
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k long")
+    b = spark.createDataFrame([(1,), (2,), (2,), (9,)], "k long")
+    r1 = ams_join_size(a, "k", b, "k").collect()[0]
+    r2 = ams_join_size(a, "k", b, "k").collect()[0]
+    assert r1["exact_join_size"] == 2 * 1 + 1 * 2  # k=1: 2·1, k=2: 1·2
+    assert r1["est_join_size"] == r2["est_join_size"]
+    with pytest.raises(ValueError):
+        ams_join_size(a, "k", b, "k", buckets=100)
+
+
+def test_ams_estimate_tracks_exact_on_fixtures(spark):
+    """At sf0.001 the single-estimator AMS estimate lands within 50%
+    of the exact join size (loose bound: B=128, no median-of-means)."""
+    from bigdata_project_hust_spark.plans.round5 import q_ams_join_size
+    r = q_ams_join_size(spark, SF_SMOKE).collect()[0]
+    assert r["exact_join_size"] == 6000
+    assert abs(r["est_join_size"] - 6000) < 3000

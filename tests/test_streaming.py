@@ -883,3 +883,31 @@ def test_streaming_topk_complete_mode(spark, tmp_path):
         assert got == [(2, 15.0), (1, 12.0)]
     finally:
         q.stop()
+
+
+def test_cusum_stream_alerts_across_batches(spark, tmp_path):
+    """Streaming CUSUM (recursive form, fixed target 10.00): user 1's
+    drift accumulates ACROSS micro-batches (state carries) and alarms
+    exactly once at the crossing event; user 2 stays below h and
+    never alarms."""
+    from bigdata_project_hust_spark.streaming.pipeline import (
+        cusum_stream, json_file_stream)
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    # target 1000c, h 2000c. user 1: +1500c drift in batch 1 (c=1500,
+    # below), +1500c again in batch 2 → c=3000 crosses at event 3.
+    # user 2: −500c then +500c → c stays ≤ 0+500.
+    _write_events(src, "a.json", [(1, "2024-01-01 00:00:01", 1, 25.0),
+                                  (2, "2024-01-01 00:00:02", 2, 5.0)])
+    _write_events(src, "b.json", [(3, "2024-01-01 00:00:03", 1, 25.0),
+                                  (4, "2024-01-01 00:00:04", 2, 15.0)])
+    stream = json_file_stream(spark, src, EVENT_SCHEMA,
+                              max_files_per_trigger=1)
+    alerts = cusum_stream(stream, target_c=1000, h_c=2000)
+    q = _run_to_memory(alerts, "cusum_out", "append", ck)
+    try:
+        rows = spark.sql("SELECT * FROM cusum_out").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.user_id, r.alarm_event_id, r.cusum_c) == (1, 3, 3000)
+    finally:
+        q.stop()
