@@ -556,3 +556,12 @@ class Engine:
             supplier_customer_edges(self.table("lineitem"),
                                     self.table("orders")),
             iters=iters)
+
+    def training_triplets(self) -> DataFrame:
+        """(anchor, positive, negative) triplets: near-dup positives,
+        deterministic bucket-chain negatives."""
+        from .operators import dedup
+        from .operators.curation import contrastive_triplets
+        docs = self.table("documents")
+        return contrastive_triplets(
+            docs, dedup.minhash_near_duplicates(docs))

@@ -419,3 +419,59 @@ def temperature_mix(df: DataFrame, source_col: str = "source",
         F.floor((F.col("w_e6") * F.lit(1_000_000) / total)
                 * n_total / F.col("n_docs"))
          .cast("long").alias("boost_e6"))
+
+
+TRIPLET_BUCKETS = 16
+
+
+def contrastive_triplets(docs: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id",
+                         a_col: str = "doc_a", b_col: str = "doc_b",
+                         buckets: int = TRIPLET_BUCKETS) -> DataFrame:
+    """(anchor, positive, negative) triplet mining for embedding-model
+    training: positives are verified near-duplicate pairs (any pair
+    source — MinHash, SimHash, embedding near-dup), negatives are
+    drawn DETERMINISTICALLY by a bucket-chain rule:
+
+      the corpus folds to ``buckets`` rows (min doc id per stable-hash
+      bucket, broadcast everywhere); each anchor probes buckets
+      ``(h(anchor)+1..+3) mod B`` in order and takes the first
+      representative that is neither the anchor nor the positive
+      (-1 if all three collide — bounded, never silent).
+
+    Hash-derived ⇒ reproducible across engines/runs/partitionings
+    (no RNG), and scale-free: the negative table is B rows however
+    large the corpus; mining cost is the pair count, not pairs×docs
+    (the naive "argmin over all docs per anchor" negative rule is a
+    quadratic join — this is the broadcast-sized contract that
+    replaces it).
+    """
+    from ..functions.scalar import stable_hash64
+    if buckets & (buckets - 1):
+        raise ValueError("buckets must be a power of two")
+    h = stable_hash64(F.col(id_col).cast("string"))
+    bmin = (docs.select(h.bitwiseAND(F.lit(buckets - 1)).alias("b"),
+                        F.col(id_col).alias("cand"))
+            .groupBy("b").agg(F.min("cand").alias("cand")))
+    anchor_h = stable_hash64(F.col(a_col).cast("string"))
+    t = pairs.select(F.col(a_col).alias("anchor"),
+                     F.col(b_col).alias("positive"),
+                     anchor_h.alias("ah"))
+    for i in (1, 2, 3):
+        bi = bmin.select(
+            (F.col("b")).alias(f"tb{i}"), F.col("cand").alias(f"c{i}"))
+        t = t.join(F.broadcast(bi),
+                   (F.col("ah") + i).bitwiseAND(F.lit(buckets - 1))
+                   == F.col(f"tb{i}"), "left")
+
+    def ok(i):
+        c = F.col(f"c{i}")
+        return c.isNotNull() & (c != F.col("anchor")) \
+            & (c != F.col("positive"))
+
+    neg = (F.when(ok(1), F.col("c1"))
+            .when(ok(2), F.col("c2"))
+            .when(ok(3), F.col("c3"))
+            .otherwise(F.lit(-1)))
+    return t.select("anchor", "positive",
+                    neg.cast("long").alias("negative"))

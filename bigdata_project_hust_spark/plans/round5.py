@@ -1209,3 +1209,56 @@ QUERIES_ROUND5.update({
         doc="AMS sketch join-cardinality estimate next to the exact "
             "size"),
 })
+
+# ---------------------------------------------------------------------------
+# Contrastive triplet mining
+# ---------------------------------------------------------------------------
+
+
+def q_contrastive_triplets(spark, sf_dir):
+    """(anchor, positive, negative) training triplets: positives from
+    the verified MinHash near-dup pairs, negatives from the
+    deterministic bucket-chain rule (broadcast-sized, no RNG)."""
+    from ..operators import dedup
+    from ..operators.curation import contrastive_triplets
+    docs = _t(spark, sf_dir, "documents")
+    return contrastive_triplets(docs,
+                                dedup.minhash_near_duplicates(docs))
+
+
+def _triplets_oracle() -> str:
+    from ..functions.scalar import stable_hash64_sql
+    from ..operators.curation import TRIPLET_BUCKETS
+    from .queries import _oracle_minhash
+    B = TRIPLET_BUCKETS
+    hdoc = stable_hash64_sql("doc_id::VARCHAR")
+    ha = stable_hash64_sql("doc_a::VARCHAR")
+    joins = "".join(
+        f"\n  LEFT JOIN bmin b{i} ON ((t.ah + {i}) & {B - 1}) = b{i}.b"
+        for i in (1, 2, 3))
+    ok = {i: (f"(b{i}.cand IS NOT NULL AND b{i}.cand <> t.anchor "
+              f"AND b{i}.cand <> t.positive)") for i in (1, 2, 3)}
+    return f"""
+  WITH mh AS (SELECT doc_a, doc_b FROM ({_oracle_minhash()}) x),
+  bmin AS (
+    SELECT ({hdoc} & {B - 1}) AS b, min(doc_id) AS cand
+    FROM documents GROUP BY 1
+  ),
+  t AS (
+    SELECT doc_a AS anchor, doc_b AS positive, {ha} AS ah FROM mh
+  )
+  SELECT t.anchor, t.positive,
+         (CASE WHEN {ok[1]} THEN b1.cand
+               WHEN {ok[2]} THEN b2.cand
+               WHEN {ok[3]} THEN b3.cand
+               ELSE -1 END)::BIGINT AS negative
+  FROM t{joins}
+"""
+
+
+QUERIES_ROUND5.update({
+    "contrastive_triplets": QuerySpec(
+        q_contrastive_triplets, _triplets_oracle(),
+        doc="anchor/positive/negative triplet mining (near-dup "
+            "positives, deterministic bucket-chain negatives)"),
+})

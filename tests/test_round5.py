@@ -588,3 +588,49 @@ def test_ams_estimate_tracks_exact_on_fixtures(spark):
     r = q_ams_join_size(spark, SF_SMOKE).collect()[0]
     assert r["exact_join_size"] == 6000
     assert abs(r["est_join_size"] - 6000) < 3000
+
+
+# ---------------------------------------------------------------------------
+# contrastive triplets
+# ---------------------------------------------------------------------------
+
+def _h64(s, seed=0):
+    import hashlib
+    return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+
+def test_triplets_bucket_chain_matches_reference_rule(spark):
+    """Replicate the bucket-chain rule in python over a 10-doc corpus
+    and compare the mined negative exactly."""
+    from bigdata_project_hust_spark.operators.curation import (
+        contrastive_triplets)
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(10)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    r = contrastive_triplets(docs, pairs).collect()[0]
+    bmin = {}
+    for i in range(10):
+        b = _h64(str(i)) & 15
+        bmin[b] = min(bmin.get(b, i), i)
+    ah = _h64("0")
+    expect = -1
+    for i in (1, 2, 3):
+        c = bmin.get((ah + i) & 15)
+        if c is not None and c not in (0, 1):
+            expect = c
+            break
+    assert (r["anchor"], r["positive"]) == (0, 1)
+    assert r["negative"] == expect and r["negative"] not in (-1, 0, 1)
+
+
+def test_triplets_collision_fallback_minus_one(spark):
+    """A 2-doc corpus: every bucket representative is the anchor or
+    the positive — the chain exhausts and emits -1, never a silent
+    bad negative."""
+    from bigdata_project_hust_spark.operators.curation import (
+        contrastive_triplets)
+    docs = spark.createDataFrame([(5, "a"), (7, "b")],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(5, 7)], "doc_a long, doc_b long")
+    r = contrastive_triplets(docs, pairs).collect()[0]
+    assert r["negative"] == -1
