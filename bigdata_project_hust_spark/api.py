@@ -565,3 +565,18 @@ class Engine:
         docs = self.table("documents")
         return contrastive_triplets(
             docs, dedup.minhash_near_duplicates(docs))
+
+    def distribution_shift(self, type_a: str = "purchase",
+                           type_b: str = "view") -> DataFrame:
+        """Integer-exact two-sample KS distance between event-type
+        value distributions."""
+        from pyspark.sql import functions as F
+        from .operators.eventflow import ks_two_sample
+        return ks_two_sample(self.table("events"),
+                             F.col("event_type") == type_a,
+                             F.col("event_type") == type_b)
+
+    def benford_audit(self) -> DataFrame:
+        """Benford first-digit audit of order totals."""
+        from .operators.aggregations import benford_digits
+        return benford_digits(self.table("orders"), "o_totalprice")

@@ -159,3 +159,48 @@ def value_outliers(df: DataFrame, key_col: str, val_col: str,
                      F.col("n").cast("long").alias("n_group"),
                      (lhs * lhs > rhs).cast("long").alias("is_outlier"))
             .where(F.col("is_outlier") == 1))
+
+
+# floor(log10(1 + 1/d)·1e6) for d = 1..9 — shared literal table with
+# every oracle (no cross-engine log10 calls at query time)
+BENFORD_E6: dict[int, int] = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def benford_digits(df: DataFrame, val_col: str) -> DataFrame:
+    """Benford first-digit audit of a positive numeric column (the
+    fraud/fabrication screen): observed first-significant-digit
+    shares next to the Benford expectation, one row per digit 1-9.
+
+    The leading digit is taken from the DECIMAL STRING of the floored
+    value — pure string ops, no log10 on the data path (a float
+    ``10^floor(log10 x)`` extraction rounds differently per engine at
+    powers of ten). Expected probabilities are the shared literal e6
+    table. Output: digit, n_obs, p_obs_e6 (floor n_obs·1e6/n),
+    p_benford_e6, diff_e6 (signed, integer).
+
+    One digit-keyed aggregation (9 groups, map-side collapsed), one
+    1-row total broadcast.
+    """
+    digit = F.substring(
+        F.floor(F.col(val_col)).cast("long").cast("string"), 1, 1) \
+        .cast("long")
+    base = df.where(F.col(val_col) >= 1).select(digit.alias("digit"))
+    counts = base.groupBy("digit").agg(
+        F.count("*").cast("long").alias("n_obs"))
+    total = counts.agg(F.sum("n_obs").cast("long").alias("n"))
+    bt = F.create_map(*[F.lit(x) for kv in BENFORD_E6.items()
+                        for x in kv])
+    scored = (counts.crossJoin(F.broadcast(total))
+              .select("digit", "n_obs",
+                      F.floor(F.col("n_obs") * F.lit(1_000_000)
+                              / F.col("n")).cast("long")
+                       .alias("p_obs_e6"),
+                      bt[F.col("digit")].cast("long")
+                       .alias("p_benford_e6")))
+    return scored.select(
+        "digit", "n_obs", "p_obs_e6", "p_benford_e6",
+        (F.col("p_obs_e6") - F.col("p_benford_e6")).cast("long")
+         .alias("diff_e6"))

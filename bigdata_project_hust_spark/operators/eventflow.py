@@ -356,3 +356,54 @@ def purchase_attribution(df: DataFrame,
          .alias("attributed_view_id"),
         F.when(ok, F.col("ts_s") - F.col("lv.vts")).otherwise(F.lit(-1))
          .cast("long").alias("gap_s"))
+
+
+def ks_two_sample(df: DataFrame, cond_a, cond_b,
+                  val_col: str = "value") -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the value
+    distributions of two row populations (e.g. purchase vs view
+    amounts) — the distribution-shift test on a NUMERIC column, next
+    to term_drift_chi2's categorical one.
+
+    Entirely integer-exact: per distinct cents value, cumulative
+    counts cumA/cumB accumulate under one value-ordered window, and
+    ``D = max |cumA·n_B − cumB·n_A|`` is exact BIGINT arithmetic —
+    the usual float-CDF subtraction never happens. Output: one row
+    with both sample sizes, ``ks_e6 = floor(D·1e6/(n_A·n_B))``, and
+    the (lowest) value where the maximum gap occurs.
+
+    Scale: one distinct-value aggregation + one |distinct values|-row
+    window + a 1-row rollup. The corpus is scanned once.
+    """
+    from pyspark.sql import Window
+    v_c = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    tagged = df.select(
+        v_c.alias("v"),
+        cond_a.cast("long").alias("ia"),
+        cond_b.cast("long").alias("ib")).where(
+        F.col("ia") + F.col("ib") > 0)
+    per_v = tagged.groupBy("v").agg(
+        F.sum("ia").cast("long").alias("ca"),
+        F.sum("ib").cast("long").alias("cb"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = per_v.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(tot).alias("n_a"),
+        F.sum("cb").over(tot).alias("n_b"))
+    gap = cum.select(
+        "v", "n_a", "n_b",
+        F.abs(F.col("cum_a") * F.col("n_b")
+              - F.col("cum_b") * F.col("n_a")).alias("d"))
+    with_max = gap.withColumn("d_max", F.max("d").over(tot))
+    return (with_max.groupBy()
+            .agg(F.max("n_a").cast("long").alias("n_a"),
+                 F.max("n_b").cast("long").alias("n_b"),
+                 F.floor(F.max("d") * F.lit(1_000_000)
+                         / (F.max("n_a") * F.max("n_b")))
+                  .cast("long").alias("ks_e6"),
+                 F.min(F.when(F.col("d") == F.col("d_max"),
+                              F.col("v")))
+                  .cast("long").alias("ks_value_c")))

@@ -1262,3 +1262,89 @@ QUERIES_ROUND5.update({
         doc="anchor/positive/negative triplet mining (near-dup "
             "positives, deterministic bucket-chain negatives)"),
 })
+
+# ---------------------------------------------------------------------------
+# KS two-sample test + Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+
+def q_ks_purchase_vs_view(spark, sf_dir):
+    """Integer-exact two-sample KS distance between purchase and view
+    value distributions (D on the cents grid, no float CDFs)."""
+    ev = _t(spark, sf_dir, "events")
+    return eventflow.ks_two_sample(
+        ev, F.col("event_type") == "purchase",
+        F.col("event_type") == "view")
+
+
+ORACLE_KS = """
+  WITH tagged AS (
+    SELECT floor(value * 100 + 0.5)::BIGINT AS v,
+           (CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             ::BIGINT AS ia,
+           (CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             ::BIGINT AS ib
+    FROM events
+  ),
+  f AS (SELECT * FROM tagged WHERE ia + ib > 0),
+  per_v AS (SELECT v, sum(ia)::BIGINT AS ca, sum(ib)::BIGINT AS cb
+            FROM f GROUP BY v),
+  cum AS (
+    SELECT v,
+           sum(ca) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_a,
+           sum(cb) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_b,
+           sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+    FROM per_v
+  ),
+  gap AS (SELECT v, n_a, n_b,
+                 abs(cum_a * n_b - cum_b * n_a) AS d FROM cum),
+  g2 AS (SELECT *, max(d) OVER () AS d_max FROM gap)
+  SELECT max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b,
+         floor(max(d) * 1000000 / (max(n_a) * max(n_b)))::BIGINT
+           AS ks_e6,
+         min(CASE WHEN d = d_max THEN v END)::BIGINT AS ks_value_c
+  FROM g2
+"""
+
+
+def q_benford_order_totals(spark, sf_dir):
+    """Benford first-digit audit of order totals — observed digit
+    shares vs the literal Benford table, signed e6 deltas."""
+    from ..operators.aggregations import benford_digits
+    return benford_digits(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def _benford_oracle() -> str:
+    from ..operators.aggregations import BENFORD_E6
+    vals = ", ".join(f"({d}, {p})" for d, p in BENFORD_E6.items())
+    return f"""
+  WITH base AS (
+    SELECT substr(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)::BIGINT
+             AS digit
+    FROM orders WHERE o_totalprice >= 1
+  ),
+  counts AS (SELECT digit, count(*)::BIGINT AS n_obs
+             FROM base GROUP BY digit),
+  total AS (SELECT sum(n_obs)::BIGINT AS n FROM counts),
+  b(digit, p) AS (SELECT * FROM (VALUES {vals}) t(digit, p))
+  SELECT c.digit, c.n_obs,
+         floor(c.n_obs * 1000000 / t.n)::BIGINT AS p_obs_e6,
+         b.p::BIGINT AS p_benford_e6,
+         (floor(c.n_obs * 1000000 / t.n) - b.p)::BIGINT AS diff_e6
+  FROM counts c JOIN b ON b.digit = c.digit, total t
+"""
+
+
+QUERIES_ROUND5.update({
+    "ks_purchase_vs_view": QuerySpec(
+        q_ks_purchase_vs_view, ORACLE_KS,
+        doc="integer-exact two-sample Kolmogorov-Smirnov distance"),
+    "benford_order_totals": QuerySpec(
+        q_benford_order_totals, _benford_oracle(),
+        doc="Benford first-digit audit (string digit extraction, "
+            "literal expectation table)"),
+})

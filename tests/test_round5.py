@@ -634,3 +634,64 @@ def test_triplets_collision_fallback_minus_one(spark):
     pairs = spark.createDataFrame([(5, 7)], "doc_a long, doc_b long")
     r = contrastive_triplets(docs, pairs).collect()[0]
     assert r["negative"] == -1
+
+
+# ---------------------------------------------------------------------------
+# KS / Benford / registry-wide plan hygiene
+# ---------------------------------------------------------------------------
+
+def test_ks_hand_distributions(spark, tmp_path):
+    """A = {1.00, 2.00}, B = {3.00, 4.00}: disjoint supports → the
+    CDF gap peaks at 1 (ks_e6 = 1e6) at the largest A value."""
+    from bigdata_project_hust_spark.operators.eventflow import (
+        ks_two_sample)
+    rows = [(1, datetime(2024, 1, 1), 1, "purchase", 1.0, "{}"),
+            (2, datetime(2024, 1, 1), 1, "purchase", 2.0, "{}"),
+            (3, datetime(2024, 1, 1), 1, "view", 3.0, "{}"),
+            (4, datetime(2024, 1, 1), 1, "view", 4.0, "{}")]
+    d = _events(spark, tmp_path, rows)
+    ev = spark.read.parquet(os.path.join(d, "events.parquet"))
+    r = ks_two_sample(ev, F.col("event_type") == "purchase",
+                      F.col("event_type") == "view").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert r["ks_e6"] == 1_000_000
+    assert r["ks_value_c"] == 200
+
+
+def test_ks_identical_distributions_zero(spark, tmp_path):
+    rows = [(i, datetime(2024, 1, 1), 1,
+             "purchase" if i % 2 else "view", float(i // 2), "{}")
+            for i in range(2, 10)]
+    d = _events(spark, tmp_path, rows)
+    ev = spark.read.parquet(os.path.join(d, "events.parquet"))
+    from bigdata_project_hust_spark.operators.eventflow import (
+        ks_two_sample)
+    r = ks_two_sample(ev, F.col("event_type") == "purchase",
+                      F.col("event_type") == "view").collect()[0]
+    assert r["ks_e6"] == 0
+
+
+def test_benford_shares_sum_and_digits(spark):
+    from bigdata_project_hust_spark.plans.round5 import (
+        q_benford_order_totals)
+    rows = q_benford_order_totals(spark, SF_SMOKE).collect()
+    digits = {r["digit"] for r in rows}
+    assert digits <= set(range(1, 10))
+    n = sum(r["n_obs"] for r in rows)
+    # floor-rounded shares sum to <= 1e6 and within 9 ulps of it
+    s = sum(r["p_obs_e6"] for r in rows)
+    assert 1_000_000 - 9 <= s <= 1_000_000
+    for r in rows:
+        assert r["diff_e6"] == r["p_obs_e6"] - r["p_benford_e6"]
+    assert n == spark.read.parquet(
+        f"{SF_SMOKE}/orders.parquet").count()
+
+
+def test_round5_queries_no_cartesian_products(spark):
+    """Sweeping hygiene gate: no round-5 plan may contain a
+    CartesianProduct (1-row broadcast crossJoins lower to
+    BroadcastNestedLoopJoin without a condition, which is fine)."""
+    from bigdata_project_hust_spark.plans.round5 import QUERIES_ROUND5
+    for name, spec in QUERIES_ROUND5.items():
+        plan = plan_of(spec.fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
