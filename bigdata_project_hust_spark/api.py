@@ -580,3 +580,17 @@ class Engine:
         """Benford first-digit audit of order totals."""
         from .operators.aggregations import benford_digits
         return benford_digits(self.table("orders"), "o_totalprice")
+
+    def rank_test(self, type_a: str = "purchase",
+                  type_b: str = "view") -> DataFrame:
+        """Exact Mann-Whitney U + AUC between event-type values."""
+        from pyspark.sql import functions as F
+        from .operators.eventflow import mann_whitney_u
+        return mann_whitney_u(self.table("events"),
+                              F.col("event_type") == type_a,
+                              F.col("event_type") == type_b)
+
+    def experiment_readout(self) -> DataFrame:
+        """Two-proportion conversion z-test between A/B arms."""
+        from .operators.eventflow import ab_conversion_ztest
+        return ab_conversion_ztest(self.table("events"))

@@ -407,3 +407,95 @@ def ks_two_sample(df: DataFrame, cond_a, cond_b,
                  F.min(F.when(F.col("d") == F.col("d_max"),
                               F.col("v")))
                   .cast("long").alias("ks_value_c")))
+
+
+def mann_whitney_u(df: DataFrame, cond_a, cond_b,
+                   val_col: str = "value") -> DataFrame:
+    """Two-sample Mann-Whitney U (rank-sum) test statistic, EXACT:
+    tie midranks are fractional halves, so everything runs on the
+    DOUBLED-rank grid — ``2·midrank(v) = 2·c_before + c_v + 1`` is an
+    integer, ``2R_A`` accumulates as a BIGINT sum, and
+    ``2U_A = 2R_A − n_A(n_A+1)`` never sees a float. The companion
+    effect size is the probability-of-superiority AUC
+    ``U_A/(n_A·n_B)`` floored at e6 — the statistic behind "are
+    purchase amounts stochastically larger than view amounts".
+
+    Shape: one distinct-value agg + one |values|-row window + a 1-row
+    rollup (the KS plan with different arithmetic).
+    """
+    from pyspark.sql import Window
+    v_c = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    tagged = df.select(
+        v_c.alias("v"),
+        cond_a.cast("long").alias("ia"),
+        cond_b.cast("long").alias("ib")).where(
+        F.col("ia") + F.col("ib") > 0)
+    per_v = tagged.groupBy("v").agg(
+        F.sum("ia").cast("long").alias("ca"),
+        F.sum("ib").cast("long").alias("cb"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = per_v.select(
+        "ca", "cb",
+        (F.sum(F.col("ca") + F.col("cb")).over(w)
+         - (F.col("ca") + F.col("cb"))).alias("c_before"),
+        (F.col("ca") + F.col("cb")).alias("c_v"),
+        F.sum("ca").over(tot).alias("n_a"),
+        F.sum("cb").over(tot).alias("n_b"))
+    r2a = F.sum(F.col("ca")
+                * (2 * F.col("c_before") + F.col("c_v") + 1))
+    out = cum.groupBy().agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        r2a.cast("long").alias("r2_a"))
+    u2a = (F.col("r2_a")
+           - F.col("n_a") * (F.col("n_a") + 1)).cast("long")
+    return out.select(
+        "n_a", "n_b", u2a.alias("u2_a"),
+        (2 * F.col("n_a") * F.col("n_b") - u2a).cast("long")
+         .alias("u2_b"),
+        F.floor(u2a * F.lit(1_000_000)
+                / (2 * F.col("n_a") * F.col("n_b"))).cast("long")
+         .alias("auc_e6"))
+
+
+def ab_conversion_ztest(df: DataFrame, user_col: str = "user_id",
+                        type_col: str = "event_type",
+                        convert_type: str = "purchase") -> DataFrame:
+    """Two-proportion z-test of conversion between an A/B split
+    (deterministic: user id parity): exact per-arm user and converter
+    counts, then the pooled-variance z statistic computed ONCE on a
+    pinned double tree, e6-floored — the experiment readout every
+    event pipeline serves.
+
+    One groupBy(user) pass (conversion flag = max over the user's
+    events), one 2-row arm rollup, one scalar combine. Degenerate
+    arms (zero users or zero variance) emit z = 0.
+    """
+    per_user = (df.select(F.col(user_col).alias("u"),
+                          (F.col(type_col) == convert_type)
+                          .cast("long").alias("cv"))
+                .groupBy("u")
+                .agg(F.max("cv").alias("converted")))
+    arms = (per_user.select(
+        (F.col("u") % 2 == 0).cast("int").alias("arm_a"),
+        "converted")
+        .groupBy().agg(
+            F.sum(F.when(F.col("arm_a") == 1, 1).otherwise(0))
+             .cast("long").alias("n_a"),
+            F.sum(F.when(F.col("arm_a") == 1, F.col("converted"))
+                  .otherwise(0)).cast("long").alias("x_a"),
+            F.sum(F.when(F.col("arm_a") == 0, 1).otherwise(0))
+             .cast("long").alias("n_b"),
+            F.sum(F.when(F.col("arm_a") == 0, F.col("converted"))
+                  .otherwise(0)).cast("long").alias("x_b")))
+    na, xa = F.col("n_a").cast("double"), F.col("x_a").cast("double")
+    nb, xb = F.col("n_b").cast("double"), F.col("x_b").cast("double")
+    p = (xa + xb) / (na + nb)
+    var = (p * (1.0 - p)) * ((1.0 / na) + (1.0 / nb))
+    z = ((xa / na) - (xb / nb)) / F.sqrt(var)
+    return arms.select(
+        "n_a", "x_a", "n_b", "x_b",
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0.0),
+               F.floor(z * F.lit(1_000_000)))
+         .otherwise(F.lit(0)).cast("long").alias("z_e6"))

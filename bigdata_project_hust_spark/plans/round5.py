@@ -1348,3 +1348,108 @@ QUERIES_ROUND5.update({
         doc="Benford first-digit audit (string digit extraction, "
             "literal expectation table)"),
 })
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U + A/B conversion z-test
+# ---------------------------------------------------------------------------
+
+
+def q_mwu_purchase_vs_view(spark, sf_dir):
+    """Exact Mann-Whitney U (doubled-midrank grid) between purchase
+    and view values, with the AUC effect size."""
+    ev = _t(spark, sf_dir, "events")
+    return eventflow.mann_whitney_u(
+        ev, F.col("event_type") == "purchase",
+        F.col("event_type") == "view")
+
+
+ORACLE_MWU = """
+  WITH tagged AS (
+    SELECT floor(value * 100 + 0.5)::BIGINT AS v,
+           (CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             ::BIGINT AS ia,
+           (CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             ::BIGINT AS ib
+    FROM events
+  ),
+  f AS (SELECT * FROM tagged WHERE ia + ib > 0),
+  per_v AS (SELECT v, sum(ia)::BIGINT AS ca, sum(ib)::BIGINT AS cb
+            FROM f GROUP BY v),
+  cum AS (
+    SELECT ca, cb,
+           (sum(ca + cb) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - (ca + cb)) AS c_before,
+           (ca + cb) AS c_v,
+           sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+    FROM per_v
+  ),
+  agg AS (
+    SELECT max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b,
+           sum(ca * (2 * c_before + c_v + 1))::BIGINT AS r2_a
+    FROM cum
+  )
+  SELECT n_a, n_b,
+         (r2_a - n_a * (n_a + 1))::BIGINT AS u2_a,
+         (2 * n_a * n_b - (r2_a - n_a * (n_a + 1)))::BIGINT AS u2_b,
+         floor((r2_a - n_a * (n_a + 1)) * 1000000
+               / (2 * n_a * n_b))::BIGINT AS auc_e6
+  FROM agg
+"""
+
+
+def q_ab_conversion_ztest(spark, sf_dir):
+    """Two-proportion conversion z-test between user-parity arms."""
+    return eventflow.ab_conversion_ztest(_t(spark, sf_dir, "events"))
+
+
+ORACLE_AB = """
+  WITH per_user AS (
+    SELECT user_id AS u,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             ::BIGINT AS converted
+    FROM events GROUP BY user_id
+  ),
+  arms AS (
+    SELECT sum(CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+           sum(CASE WHEN u % 2 = 0 THEN converted ELSE 0 END)
+             ::BIGINT AS x_a,
+           sum(CASE WHEN u % 2 = 0 THEN 0 ELSE 1 END)::BIGINT AS n_b,
+           sum(CASE WHEN u % 2 = 0 THEN 0 ELSE converted END)
+             ::BIGINT AS x_b
+    FROM per_user
+  )
+  SELECT n_a, x_a, n_b, x_b,
+         (CASE WHEN n_a > 0 AND n_b > 0
+                    AND ((((x_a::DOUBLE + x_b::DOUBLE)
+                           / (n_a::DOUBLE + n_b::DOUBLE))
+                          * (1.0 - ((x_a::DOUBLE + x_b::DOUBLE)
+                                    / (n_a::DOUBLE + n_b::DOUBLE))))
+                         * ((1.0 / n_a::DOUBLE)
+                            + (1.0 / n_b::DOUBLE))) > 0.0
+               THEN floor((((x_a::DOUBLE / n_a::DOUBLE)
+                            - (x_b::DOUBLE / n_b::DOUBLE))
+                           / sqrt(((((x_a::DOUBLE + x_b::DOUBLE)
+                                     / (n_a::DOUBLE + n_b::DOUBLE))
+                                    * (1.0 - ((x_a::DOUBLE
+                                               + x_b::DOUBLE)
+                                              / (n_a::DOUBLE
+                                                 + n_b::DOUBLE))))
+                                   * ((1.0 / n_a::DOUBLE)
+                                      + (1.0 / n_b::DOUBLE)))))
+                          * 1000000)
+               ELSE 0 END)::BIGINT AS z_e6
+  FROM arms
+"""
+
+
+QUERIES_ROUND5.update({
+    "mwu_purchase_vs_view": QuerySpec(
+        q_mwu_purchase_vs_view, ORACLE_MWU,
+        doc="exact Mann-Whitney U on the doubled-midrank grid + AUC "
+            "effect size"),
+    "ab_conversion_ztest": QuerySpec(
+        q_ab_conversion_ztest, ORACLE_AB,
+        doc="two-proportion conversion z-test between deterministic "
+            "A/B arms"),
+})

@@ -695,3 +695,56 @@ def test_round5_queries_no_cartesian_products(spark):
     for name, spec in QUERIES_ROUND5.items():
         plan = plan_of(spec.fn(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
+
+
+def test_mwu_hand_ranks_with_ties(spark, tmp_path):
+    """A = {1.00, 2.00}, B = {2.00, 3.00}: midranks 1, 2.5, 2.5, 4 →
+    R_A = 3.5 → U_A = 0.5 (u2_a = 1), AUC = 0.125."""
+    from bigdata_project_hust_spark.operators.eventflow import (
+        mann_whitney_u)
+    rows = [(1, datetime(2024, 1, 1), 1, "purchase", 1.0, "{}"),
+            (2, datetime(2024, 1, 1), 1, "purchase", 2.0, "{}"),
+            (3, datetime(2024, 1, 1), 1, "view", 2.0, "{}"),
+            (4, datetime(2024, 1, 1), 1, "view", 3.0, "{}")]
+    d = _events(spark, tmp_path, rows)
+    ev = spark.read.parquet(os.path.join(d, "events.parquet"))
+    r = mann_whitney_u(ev, F.col("event_type") == "purchase",
+                       F.col("event_type") == "view").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert r["u2_a"] == 1 and r["u2_b"] == 7
+    assert r["auc_e6"] == 125_000
+
+
+def test_mwu_stochastic_dominance_auc_one(spark, tmp_path):
+    """All A values above all B values → AUC = 1."""
+    from bigdata_project_hust_spark.operators.eventflow import (
+        mann_whitney_u)
+    rows = [(1, datetime(2024, 1, 1), 1, "purchase", 9.0, "{}"),
+            (2, datetime(2024, 1, 1), 1, "purchase", 8.0, "{}"),
+            (3, datetime(2024, 1, 1), 1, "view", 1.0, "{}")]
+    d = _events(spark, tmp_path, rows)
+    ev = spark.read.parquet(os.path.join(d, "events.parquet"))
+    r = mann_whitney_u(ev, F.col("event_type") == "purchase",
+                       F.col("event_type") == "view").collect()[0]
+    assert r["auc_e6"] == 1_000_000
+
+
+def test_ab_ztest_sign_and_counts(spark, tmp_path):
+    """Arm A (even users) converts 2/2, arm B 0/2 → z > 0 and exact
+    counts; swapped arms flip the sign."""
+    import math as m
+    from bigdata_project_hust_spark.operators.eventflow import (
+        ab_conversion_ztest)
+    rows = []
+    for u, types in ((2, ["view", "purchase"]), (4, ["purchase"]),
+                     (1, ["view"]), (3, ["click"])):
+        for i, et in enumerate(types):
+            rows.append((u * 10 + i, datetime(2024, 1, 1, 0, i), u,
+                         et, 1.0, "{}"))
+    d = _events(spark, tmp_path, rows)
+    ev = spark.read.parquet(os.path.join(d, "events.parquet"))
+    r = ab_conversion_ztest(ev).collect()[0]
+    assert (r["n_a"], r["x_a"], r["n_b"], r["x_b"]) == (2, 2, 2, 0)
+    p = 0.5
+    z = (1.0 - 0.0) / m.sqrt((p * (1 - p)) * (1 / 2.0 + 1 / 2.0))
+    assert r["z_e6"] == m.floor(z * 1e6)
