@@ -594,3 +594,51 @@ class Engine:
         """Two-proportion conversion z-test between A/B arms."""
         from .operators.eventflow import ab_conversion_ztest
         return ab_conversion_ztest(self.table("events"))
+
+    def spearman(self, group_col: str = "l_returnflag") -> DataFrame:
+        """Tie-correct Spearman rho of quantity vs price per group."""
+        from pyspark.sql import functions as F
+        from .operators.eventflow import spearman_by_group
+        return spearman_by_group(
+            self.table("lineitem"), group_col,
+            F.floor("l_quantity"),
+            F.floor(F.col("l_extendedprice") * 100))
+
+    def drift_report(self) -> DataFrame:
+        """PSI value-drift audit across the mid-month split."""
+        from .operators.eventflow import psi_value_drift
+        return psi_value_drift(self.table("events"))
+
+    def seasonality(self) -> DataFrame:
+        """Hour-of-day profile of event values (exact cents)."""
+        from .operators.eventflow import hourly_profile
+        return hourly_profile(self.table("events"))
+
+    def seasonal_anomalies(self, k: int = 20) -> DataFrame:
+        """Top-k events by deviation from their hour-of-day mean."""
+        from .operators.eventflow import seasonal_deviation_topk
+        return seasonal_deviation_topk(self.table("events"), k)
+
+    def peak_concurrency(self, duration_s: int = 300) -> DataFrame:
+        """Sweep-line peak concurrency per event type."""
+        from .operators.eventflow import max_concurrency_by_type
+        return max_concurrency_by_type(self.table("events"), duration_s)
+
+    def target_encoding(self, m: int = 10) -> DataFrame:
+        """Smoothed mean encoding of c_mktsegment by order total."""
+        from pyspark.sql import functions as F
+        from .operators.curation import target_encode
+        orders = self.table("orders").select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.floor(F.col("o_totalprice") * 100)
+             .cast("long").alias("cents"))
+        return target_encode(orders, self.table("customer"),
+                             "c_custkey", "c_mktsegment",
+                             F.col("cents"), m)
+
+    def diversified_docs(self, per_lang: int = 3, k: int = 20) -> DataFrame:
+        """Diversity-capped top-k documents by length."""
+        from .operators.topk import diversified_topk
+        return diversified_topk(
+            self.table("documents").select("doc_id", "lang", "n_chars"),
+            "lang", "n_chars", "doc_id", per_lang, k)

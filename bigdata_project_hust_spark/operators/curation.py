@@ -475,3 +475,41 @@ def contrastive_triplets(docs: DataFrame, pairs: DataFrame,
             .otherwise(F.lit(-1)))
     return t.select("anchor", "positive",
                     neg.cast("long").alias("negative"))
+
+
+def target_encode(fact: DataFrame, dim: DataFrame, key: str,
+                  cat_col: str, val, m: int = 10) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical column — the
+    leakage-safe feature every tabular training pipeline derives from
+    a fact table: ``enc(c) = (Σ_c y + m·ȳ) / (n_c + m)``, shrinking
+    rare categories toward the global mean.
+
+    Exactness: per-category and global sums accumulate as BIGINT cents
+    (no FP merge-order nondeterminism); the one smoothing division
+    runs per CATEGORY (|categories| rows) on a pinned double tree,
+    floored at e6.
+
+    Plan shape: fact ⋈ dim on the key (bucket/co-partition both at
+    warehouse scale), one |categories|-row agg, global moments via a
+    window over that tiny aggregate — the fact table is scanned once
+    and never re-shuffled.
+    """
+    from pyspark.sql import Window
+    y = val.alias("y_cents")
+    j = fact.join(dim.select(key, cat_col), key).select(
+        F.col(cat_col).alias("cat"), y)
+    per_cat = j.groupBy("cat").agg(
+        F.count("*").cast("long").alias("n_cat"),
+        F.sum("y_cents").cast("long").alias("sum_cents"))
+    tot = Window.partitionBy()
+    t = per_cat.select(
+        "cat", "n_cat", "sum_cents",
+        F.sum("n_cat").over(tot).alias("n_all"),
+        F.sum("sum_cents").over(tot).alias("sum_all"))
+    gmean = F.col("sum_all").cast("double") / F.col("n_all").cast("double")
+    enc = ((F.col("sum_cents").cast("double") + F.lit(float(m)) * gmean)
+           / (F.col("n_cat").cast("double") + F.lit(float(m))))
+    return t.select(
+        F.col("cat").alias(cat_col), "n_cat", "sum_cents",
+        F.floor(enc * 1e6).cast("long").alias("enc_cents_e6")
+    ).orderBy(cat_col)

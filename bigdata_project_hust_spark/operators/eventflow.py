@@ -499,3 +499,193 @@ def ab_conversion_ztest(df: DataFrame, user_col: str = "user_id",
         F.when((F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0.0),
                F.floor(z * F.lit(1_000_000)))
          .otherwise(F.lit(0)).cast("long").alias("z_e6"))
+
+
+def spearman_by_group(df: DataFrame, group_col: str, x, y) -> DataFrame:
+    """Tie-correct Spearman rank correlation per group, EXACT until
+    the last division: midranks are computed on the DOUBLED grid
+    (``2·midrank(v) = 2·c_before + c_v + 1`` — the Mann-Whitney
+    identity, always an integer), each row joins back to its two rank
+    tables, and Pearson's closed form runs on exact decimal(38)
+    moments of the doubled ranks (Pearson is scale-invariant, so the
+    ×2 cancels). One pinned double tree at the end, floored at e6 —
+    the same contract as ``pearson_qty_price``.
+
+    Plan shape: two per-(group, value) hash-aggs, two group-partitioned
+    rank windows (parallel across groups — never a global sort), two
+    shuffle joins back on (group, value), one tiny moments agg.
+    Headroom: doubled ranks ≤ 2n, so n·Σr⁴-scale moments fit
+    decimal(38) to ~3·10⁹ rows per group; beyond, pre-center ranks on
+    a broadcast first-pass mean.
+    """
+    from pyspark.sql import Window
+    d = df.select(F.col(group_col).alias("g"),
+                  x.cast("long").alias("x"), y.cast("long").alias("y"))
+
+    def ranks(col: str) -> DataFrame:
+        per_v = d.groupBy("g", col).agg(F.count("*").alias("c_v"))
+        w = (Window.partitionBy("g").orderBy(col)
+             .rowsBetween(Window.unboundedPreceding, 0))
+        return per_v.select(
+            "g", col,
+            (2 * (F.sum("c_v").over(w) - F.col("c_v"))
+             + F.col("c_v") + 1).alias(f"r{col}"))
+
+    j = (d.join(ranks("x"), ["g", "x"]).join(ranks("y"), ["g", "y"]))
+    dec, d19 = "decimal(38,0)", "decimal(19,0)"
+    agg = j.groupBy("g").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("rx").cast(dec)).alias("sx"),
+        F.sum(F.col("ry").cast(dec)).alias("sy"),
+        F.sum(F.col("rx").cast(d19) * F.col("rx").cast(d19)).alias("sxx"),
+        F.sum(F.col("ry").cast(d19) * F.col("ry").cast(d19)).alias("syy"),
+        F.sum(F.col("rx").cast(d19) * F.col("ry").cast(d19)).alias("sxy"))
+    n, sx, sy, sxx, syy, sxy = [
+        F.col(c).cast("double")
+        for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_rows"),
+        F.when(den > 0.0, F.floor(num / den * 1e6))
+         .otherwise(F.lit(0)).cast("long").alias("spearman_e6"))
+
+
+PSI_SPLIT_TS = "2024-01-16 00:00:00"   # reference | actual boundary
+_PSI_BINS = 10
+
+
+def psi_value_drift(df: DataFrame, split_ts: str = PSI_SPLIT_TS,
+                    val_col: str = "value",
+                    ts_col: str = "ts") -> DataFrame:
+    """Population Stability Index of the value distribution across a
+    time split — the drift audit every scoring pipeline runs before
+    trusting a model on this week's data.
+
+    Bin edges are the REFERENCE half's exact nearest-rank deciles
+    (cumulative distinct-value counts, k = ceil(p·n) — never an
+    interpolated percentile), so both engines derive identical cuts
+    from identical integer arithmetic. Counts per bin are exact
+    BIGINTs with Laplace +1 smoothing (an empty actual-side bin stays
+    finite and deterministic); each bin's (pa−pb)·ln(pa/pb) term runs
+    ONCE on a pinned double tree and floors at e6; the headline PSI is
+    the exact integer sum of the floored terms.
+
+    Plan shape: one cents-quantized scan, one per-value agg + ordered
+    window on the reference's DISTINCT values (the only unpartitioned
+    window — |distinct cents| rows, not |rows|; range-partition the
+    rank for a wider domain), a 1-row broadcast of the 9 cuts, one
+    10-bin agg. No shuffle carries more than |distinct| rows.
+    """
+    from pyspark.sql import Window
+    v = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    ev = df.select(v.alias("v"),
+                   (F.col(ts_col) < F.lit(split_ts).cast("timestamp"))
+                   .cast("long").alias("is_ref"))
+    ref = ev.where(F.col("is_ref") == 1)
+    per_v = ref.groupBy("v").agg(F.count("*").alias("c_v"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v", F.sum("c_v").over(w).alias("cum"),
+        F.sum("c_v").over(Window.partitionBy()).alias("n_ref"))
+    cuts = cum.groupBy().agg(*[
+        F.min(F.when(F.col("cum") * 10 >= k * F.col("n_ref"),
+                     F.col("v"))).alias(f"c{k}")
+        for k in range(1, _PSI_BINS)])
+    binned = ev.crossJoin(F.broadcast(cuts)).select(
+        "is_ref",
+        sum((F.col("v") > F.col(f"c{k}")).cast("long")
+            for k in range(1, _PSI_BINS)).alias("bin"))
+    counts = binned.groupBy("bin").agg(
+        F.sum("is_ref").cast("long").alias("ca"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("cb"))
+    bins = df.sparkSession.range(_PSI_BINS).select(
+        F.col("id").cast("long").alias("bin"))
+    full = (bins.join(counts, "bin", "left")
+            .select("bin", F.coalesce("ca", F.lit(0)).alias("ca"),
+                    F.coalesce("cb", F.lit(0)).alias("cb")))
+    tot = Window.partitionBy()
+    t = full.select(
+        "bin", "ca", "cb",
+        F.sum("ca").over(tot).alias("na"),
+        F.sum("cb").over(tot).alias("nb"))
+    pa = ((F.col("ca") + 1).cast("double")
+          / (F.col("na") + _PSI_BINS).cast("double"))
+    pb = ((F.col("cb") + 1).cast("double")
+          / (F.col("nb") + _PSI_BINS).cast("double"))
+    term = F.floor((pa - pb) * F.log(pa / pb) * 1e6).cast("long")
+    out = t.select("bin", "ca", "cb", term.alias("psi_term_e6"))
+    return out.select(
+        "bin", "ca", "cb", "psi_term_e6",
+        F.sum("psi_term_e6").over(Window.partitionBy())
+         .cast("long").alias("psi_total_e6")).orderBy("bin")
+
+
+def hourly_profile(df: DataFrame, val_col: str = "value",
+                   ts_col: str = "ts") -> DataFrame:
+    """Hour-of-day seasonality profile: exact event counts, exact
+    cents sums, and the truncating-integer-division mean — the
+    all-BIGINT baseline a deviation detector subtracts. One map-side
+    combinable 24-group agg; trivially parallel at any scale."""
+    v = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    return (df.select(F.hour(ts_col).alias("hour"), v.alias("v"))
+            .groupBy("hour")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.sum("v").cast("long").alias("sum_cents"),
+                 F.expr("CAST(sum(v) DIV count(*) AS LONG)")
+                  .alias("avg_cents"))
+            .orderBy("hour"))
+
+
+def seasonal_deviation_topk(df: DataFrame, k: int = 20,
+                            val_col: str = "value",
+                            ts_col: str = "ts") -> DataFrame:
+    """Top-k events by absolute deviation from their hour-of-day mean
+    (the seasonality-adjusted anomaly list). The 24-row profile
+    broadcasts; the global top-k is orderBy+limit — Spark's
+    TakeOrdered, a per-partition heap + driver merge, NEVER a
+    single-partition rank window over all rows."""
+    prof = hourly_profile(df, val_col, ts_col).select("hour", "avg_cents")
+    v = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    ev = df.select("event_id", "event_type",
+                   F.hour(ts_col).alias("hour"), v.alias("v"))
+    return (ev.join(F.broadcast(prof), "hour")
+            .select("event_id", "event_type", "hour", "v",
+                    F.abs(F.col("v") - F.col("avg_cents"))
+                     .cast("long").alias("deviation_cents"))
+            .orderBy(F.col("deviation_cents").desc(), "event_id")
+            .limit(k))
+
+
+def max_concurrency_by_type(df: DataFrame, duration_s: int = 300,
+                            ts_col: str = "ts") -> DataFrame:
+    """Peak concurrency per event type, treating each event as a
+    half-open interval [ts, ts+duration): the classic sweep-line as
+    pure SQL. Collapsing to per-DISTINCT-instant net deltas (starts −
+    ends) makes the running sum tie-proof — an end at instant t
+    releases its slot before a start at t claims one, exactly the
+    half-open semantics — and deterministic regardless of row order
+    within a tie. Windows are partitioned BY TYPE, so the sort
+    parallelizes across types; per-type instant counts are what
+    shuffles, not raw events."""
+    from pyspark.sql import Window
+    s = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
+    starts = df.select("event_type", s.alias("t"),
+                       F.lit(1).alias("d"))
+    ends = df.select("event_type", (s + duration_s).alias("t"),
+                     F.lit(-1).alias("d"))
+    net = (starts.unionAll(ends)
+           .groupBy("event_type", "t")
+           .agg(F.sum("d").cast("long").alias("net")))
+    w = (Window.partitionBy("event_type").orderBy("t")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    run = net.select("event_type", "t",
+                     F.sum("net").over(w).alias("running"))
+    peak = run.groupBy("event_type").agg(
+        F.max("running").cast("long").alias("max_concurrent"))
+    first = (run.join(peak, "event_type")
+             .where(F.col("running") == F.col("max_concurrent"))
+             .groupBy("event_type", "max_concurrent")
+             .agg(F.min("t").cast("long").alias("peak_epoch_s")))
+    return first.orderBy("event_type")

@@ -34,3 +34,21 @@ def top_k_per_group(df: DataFrame, group_cols: list[str], order_col: str,
     w = Window.partitionBy(*group_cols).orderBy(*order)
     return (df.withColumn(rank_name, F.row_number().over(w))
               .where(F.col(rank_name) <= k))
+
+
+def diversified_topk(df: DataFrame, diversity_col: str, score_col: str,
+                     tiebreak_col: str, per_group: int,
+                     k: int) -> DataFrame:
+    """Diversity-capped global top-k (the MMR-lite every retrieval
+    serving layer runs): at most ``per_group`` rows per diversity
+    bucket survive a PARTITIONED rank window (parallel across
+    buckets), then the global k comes from orderBy+limit over the
+    ≤ per_group·|buckets| survivors — TakeOrdered's per-partition
+    heap, never a global rank window over all rows."""
+    w = Window.partitionBy(diversity_col).orderBy(
+        F.col(score_col).desc(), F.col(tiebreak_col).asc())
+    capped = (df.withColumn("group_rank", F.row_number().over(w))
+                .where(F.col("group_rank") <= per_group))
+    return (capped.orderBy(F.col(score_col).desc(),
+                           F.col(tiebreak_col).asc())
+                  .limit(k))

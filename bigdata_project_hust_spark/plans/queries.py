@@ -3038,6 +3038,10 @@ from .round5 import QUERIES_ROUND5  # noqa: E402  (needs ORACLE_LANG above)
 
 QUERIES.update(QUERIES_ROUND5)
 
+from .round6 import QUERIES_ROUND6  # noqa: E402
+
+QUERIES.update(QUERIES_ROUND6)
+
 # ---------------------------------------------------------------------------
 # Driver-sweep rotation.
 #
