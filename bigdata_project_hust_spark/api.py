@@ -642,3 +642,46 @@ class Engine:
         return diversified_topk(
             self.table("documents").select("doc_id", "lang", "n_chars"),
             "lang", "n_chars", "doc_id", per_lang, k)
+
+    def survival_curve(self, target: str = "purchase") -> DataFrame:
+        """Kaplan-Meier time-to-first-target survival per user."""
+        from .operators.eventflow import kaplan_meier
+        return kaplan_meier(self.table("events"), target)
+
+    def forecast_backtest(self) -> DataFrame:
+        """Seasonal-naive WMAPE backtest per event type."""
+        from .operators.eventflow import wmape_seasonal_naive
+        return wmape_seasonal_naive(self.table("events"))
+
+    def k_core_parts(self, k: int = 3, rounds: int = 6) -> DataFrame:
+        """k-core of the part co-purchase graph."""
+        from .operators.graph import copurchase_edges, k_core
+        return k_core(copurchase_edges(self.table("lineitem")),
+                      k=k, rounds=rounds)
+
+    def assortativity(self) -> DataFrame:
+        """Degree assortativity of the co-purchase graph."""
+        from .operators.graph import copurchase_edges, degree_assortativity
+        return degree_assortativity(
+            copurchase_edges(self.table("lineitem")))
+
+    def recommendations(self, top_n: int = 5) -> DataFrame:
+        """Item-item CF cosine top-N per part."""
+        from .operators.graph import item_item_cosine
+        return item_item_cosine(self.table("lineitem"), top_n)
+
+    def keywords(self, k: int = 30) -> DataFrame:
+        """TextRank corpus keywords."""
+        from .operators.text import textrank_keywords
+        return textrank_keywords(self.table("documents"), k=k)
+
+    def readability_scores(self) -> DataFrame:
+        """Flesch reading ease per document."""
+        from .operators.text import readability
+        return readability(self.table("documents"))
+
+    def source_divergence(self, a: str = "src0",
+                          b: str = "src1") -> DataFrame:
+        """Jensen-Shannon divergence between two sources' unigrams."""
+        from .operators.text import js_divergence_sources
+        return js_divergence_sources(self.table("documents"), a, b)

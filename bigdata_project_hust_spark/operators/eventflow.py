@@ -658,6 +658,110 @@ def seasonal_deviation_topk(df: DataFrame, k: int = 20,
             .limit(k))
 
 
+def kaplan_meier(df: DataFrame, target: str = "purchase",
+                 user_col: str = "user_id",
+                 type_col: str = "event_type",
+                 ts_col: str = "ts") -> DataFrame:
+    """Kaplan-Meier survival curve of time-to-first-``target`` per
+    user — the censoring-aware estimator behind every churn /
+    conversion-latency analysis. A user's clock starts at their first
+    observed event; users who never reach the target are right-censored
+    at their last observed event (the standard convention: a user
+    censored at exactly t is still at risk at t, i.e. censoring is
+    processed after events at ties).
+
+    Exactness: durations, at-risk counts and event counts are all
+    BIGINTs derived from one ordered window over the DISTINCT duration
+    grid (|distinct seconds| rows, not |users|). Each hazard term
+    ln((n−d)/n) runs ONCE per event time on a pinned double tree and
+    floors at e9; the cumulative log-survival is the EXACT integer sum
+    of floored terms, and the final S(t) = exp(log/1e9) is one more
+    pinned op floored at e6. An all-events-at-risk tail (n == d) pins
+    the term to -1e11 → S underflows to exactly 0 in both engines.
+
+    Plan shape: one per-user agg (the only |rows|-scale shuffle), one
+    per-duration agg, one ordered window over the duration grid —
+    range-partition that window's sort at a wider duration domain.
+    """
+    from pyspark.sql import Window
+    per_user = df.groupBy(user_col).agg(
+        F.min(_ts_s(ts_col)).alias("first_s"),
+        F.min(F.when(F.col(type_col) == target,
+                     _ts_s(ts_col))).alias("ev_s"),
+        F.max(_ts_s(ts_col)).alias("last_s"))
+    dur = per_user.select(
+        F.coalesce(F.col("ev_s") - F.col("first_s"),
+                   F.col("last_s") - F.col("first_s")).alias("t"),
+        F.col("ev_s").isNotNull().cast("long").alias("is_event"))
+    pts = dur.groupBy("t").agg(
+        F.sum("is_event").cast("long").alias("d"),
+        F.sum(1 - F.col("is_event")).cast("long").alias("c"))
+    before = (Window.orderBy("t")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    tot = Window.partitionBy()
+    risk = pts.select(
+        "t", "d", "c",
+        (F.sum(F.col("d") + F.col("c")).over(tot)
+         - F.coalesce(F.sum(F.col("d") + F.col("c")).over(before),
+                      F.lit(0))).cast("long").alias("n_risk"))
+    ev = risk.where(F.col("d") >= 1)
+    n_d, d_d = F.col("n_risk").cast("double"), F.col("d").cast("double")
+    term = (F.when(F.col("d") >= F.col("n_risk"),
+                   F.lit(-100_000_000_000))
+            .otherwise(F.floor(F.log((n_d - d_d) / n_d) * 1e9))
+            .cast("long"))
+    cum = (Window.orderBy("t")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    with_log = ev.select(
+        "t", "n_risk", "d", "c", term.alias("term_e9")
+    ).select("t", "n_risk", "d", "c",
+             F.sum("term_e9").over(cum).cast("long").alias("log_surv_e9"))
+    surv = F.floor(
+        F.exp(F.col("log_surv_e9").cast("double") / 1e9) * 1e6)
+    return with_log.select(
+        "t", "n_risk", F.col("d").alias("d_events"),
+        F.col("c").alias("c_censored"), "log_surv_e9",
+        surv.cast("long").alias("surv_e6")).orderBy("t")
+
+
+def wmape_seasonal_naive(df: DataFrame, val_col: str = "value",
+                         type_col: str = "event_type",
+                         ts_col: str = "ts") -> DataFrame:
+    """Backtest of the seasonal-naive forecast (predict each (type,
+    day, hour) bucket's total with the PREVIOUS OBSERVED day's same
+    hour) scored by WMAPE = Σ|actual − pred| / Σ|actual| — the
+    denominator-stable variant of MAPE (a zero-actual bucket
+    contributes error mass instead of dividing by zero).
+
+    All-integer until the end: bucket totals are exact cents sums, the
+    lag runs over a (type, hour)-PARTITIONED window ordered by day
+    (parallel across 24·|types| series — never a global sort), both
+    error sums are exact BIGINTs, and the single WMAPE division runs
+    once per type, floored at e6."""
+    from pyspark.sql import Window
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    g = (df.select(F.col(type_col).alias("event_type"),
+                   F.to_date(ts_col).alias("day"),
+                   F.hour(ts_col).alias("hour"), cents.alias("v"))
+         .groupBy("event_type", "day", "hour")
+         .agg(F.sum("v").cast("long").alias("actual")))
+    w = Window.partitionBy("event_type", "hour").orderBy("day")
+    scored = (g.withColumn("pred", F.lag("actual").over(w))
+              .where(F.col("pred").isNotNull()))
+    agg = scored.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_periods"),
+        F.sum(F.abs(F.col("actual") - F.col("pred")))
+         .cast("long").alias("sum_abs_err"),
+        F.sum(F.abs("actual")).cast("long").alias("sum_abs_actual"))
+    wmape = F.floor(F.col("sum_abs_err").cast("double")
+                    / F.col("sum_abs_actual").cast("double") * 1e6)
+    return agg.select(
+        "event_type", "n_periods", "sum_abs_err", "sum_abs_actual",
+        F.when(F.col("sum_abs_actual") > 0, wmape)
+         .otherwise(F.lit(0)).cast("long").alias("wmape_e6")
+    ).orderBy("event_type")
+
+
 def max_concurrency_by_type(df: DataFrame, duration_s: int = 300,
                             ts_col: str = "ts") -> DataFrame:
     """Peak concurrency per event type, treating each event as a

@@ -361,3 +361,142 @@ def personalized_pagerank(edges: DataFrame, iters: int = 3,
                              f" div {_D_DEN}"))
                          .cast("long").alias("r")))
     return ranks.select(F.col("node"), F.col("r").alias("ppr_e9"))
+
+
+def k_core(edges: DataFrame, k: int = 3, rounds: int = 6,
+           a: str = "pa", b: str = "pb") -> DataFrame:
+    """k-core membership by bounded iterative peeling: drop every node
+    whose degree in the SURVIVING subgraph is < k, re-derive degrees,
+    repeat — the standard dense-substructure filter (spam rings,
+    community cores) and the classic fixpoint that converges in a
+    handful of rounds on real graphs because each peel removes whole
+    fringe layers at once.
+
+    ``rounds`` is a fixed bound so both engines run the identical
+    computation (a convergence test at smoke scale asserts rounds and
+    rounds+1 agree — the fixture graph reaches its fixpoint well
+    inside the bound). Output: surviving nodes with their final
+    in-core degree.
+
+    Scale shape per round: one degree agg (|surviving nodes| rows) and
+    two semi-joins of the edge list against that node set — the edge
+    list only ever SHRINKS, so later rounds are cheaper than earlier
+    ones. Pre-partition edges by endpoint to reuse the layout.
+
+    Lineage is TRUNCATED with an eager ``localCheckpoint`` every
+    round (the connected-components pattern): the surviving edge
+    frame feeds THREE subplans of the next round (two semi-joins +
+    the degree agg), so an unbroken lineage re-derives e₀ 3^rounds
+    times — measured as an OOM at 6 rounds on the sf0.01 co-purchase
+    graph. On a real cluster swap in a reliability-grade checkpoint
+    (parquet/HDFS) so executor loss cannot drop a truncated block.
+    """
+    e = edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    for _ in range(rounds):
+        deg = (e.select(F.col("x").alias("n"))
+               .unionAll(e.select(F.col("y").alias("n")))
+               .groupBy("n").agg(F.count("*").alias("d")))
+        keep = deg.where(F.col("d") >= k).select("n")
+        e = (e.join(keep.select(F.col("n").alias("x")), "x")
+             .join(keep.select(F.col("n").alias("y")), "y")
+             .localCheckpoint(eager=True))
+    final = (e.select(F.col("x").alias("node"))
+             .unionAll(e.select(F.col("y").alias("node")))
+             .groupBy("node").agg(F.count("*").cast("long")
+                                  .alias("core_degree")))
+    return final.where(F.col("core_degree") >= k).orderBy("node")
+
+
+def degree_assortativity(edges: DataFrame, a: str = "pa",
+                         b: str = "pb") -> DataFrame:
+    """Degree assortativity of an undirected graph: the Pearson
+    correlation of (deg(u), deg(v)) over all directed edge ends — the
+    one-number summary of hub-to-hub vs hub-to-leaf wiring (positive:
+    social-style, negative: infrastructure-style).
+
+    Same exactness contract as ``pearson_qty_price``: degrees are
+    exact BIGINTs, the five moments accumulate as decimal(38,0)
+    (merge-order-proof), and only the final closed form runs in
+    double, floored at e6. Both orientations of every edge enter the
+    sum, which is exactly Newman's definition for undirected graphs.
+
+    Plan: one degree agg, two joins of the edge list back to the
+    degree table, one 1-row moments agg. Headroom: degrees < 2^19 at
+    10^12 edge ends before n·Σd⁴ nears decimal(38).
+    """
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    both = e.unionAll(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+    deg = (both.groupBy("u").agg(F.count("*").alias("d")))
+    du = deg.select(F.col("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dy"))
+    j = both.join(du, "u").join(dv, "v")
+    dec, d19 = "decimal(38,0)", "decimal(19,0)"
+    agg = j.groupBy().agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("dx").cast(dec)).alias("sx"),
+        F.sum(F.col("dy").cast(dec)).alias("sy"),
+        F.sum(F.col("dx").cast(d19) * F.col("dx").cast(d19)).alias("sxx"),
+        F.sum(F.col("dy").cast(d19) * F.col("dy").cast(d19)).alias("syy"),
+        F.sum(F.col("dx").cast(d19) * F.col("dy").cast(d19)).alias("sxy"))
+    n, sx, sy, sxx, syy, sxy = [
+        F.col(c).cast("double")
+        for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(
+        F.col("n").cast("long").alias("n_edge_ends"),
+        F.when(den > 0.0, F.floor(num / den * 1e6))
+         .otherwise(F.lit(0)).cast("long").alias("assortativity_e6"))
+
+
+def item_item_cosine(lineitem: DataFrame, top_n: int = 5,
+                     min_co: int = 2) -> DataFrame:
+    """Item-item collaborative filtering on co-purchase counts — the
+    classic "customers who bought X also bought Y" ranker:
+    sim(a, b) = co(a, b) / √(n_a · n_b) (cosine over binary
+    order-incidence vectors), top-N neighbors per item.
+
+    Counts are exact BIGINTs from distinct (order, part) incidence;
+    the single cosine division runs once per surviving pair on a
+    pinned double tree, floored at e6. ``min_co`` prunes
+    single-co-occurrence noise pairs BEFORE the degree joins — the
+    same tail-cut every production recommender applies, and the term
+    that keeps the pair table near-linear in practice.
+
+    Scale: pair generation fans out per order as basket², bounded by
+    the order-size cap of the schema (7 lineitems max in TPC-H);
+    for long-tail baskets cap items per basket first. The top-N is a
+    per-item PARTITIONED rank window — parallel across items, never a
+    global sort.
+    """
+    from pyspark.sql import Window
+    op = (lineitem.select(F.col("l_orderkey").alias("ok"),
+                          F.col("l_partkey").alias("p"))
+          .distinct())
+    n_p = op.groupBy("p").agg(F.count("*").alias("n_orders"))
+    a = op.select("ok", F.col("p").alias("pa"))
+    b = op.select("ok", F.col("p").alias("pb"))
+    co = (a.join(b, "ok").where(F.col("pa") < F.col("pb"))
+          .groupBy("pa", "pb").agg(F.count("*").alias("co"))
+          .where(F.col("co") >= min_co))
+    both = co.unionAll(co.select(F.col("pb").alias("pa"),
+                                 F.col("pa").alias("pb"), "co"))
+    j = (both
+         .join(n_p.select(F.col("p").alias("pa"),
+                          F.col("n_orders").alias("na")), "pa")
+         .join(n_p.select(F.col("p").alias("pb"),
+                          F.col("n_orders").alias("nb")), "pb"))
+    sim = F.floor(F.col("co").cast("double")
+                  / F.sqrt(F.col("na").cast("double")
+                           * F.col("nb").cast("double")) * 1e6)
+    scored = j.select(F.col("pa").alias("item"),
+                      F.col("pb").alias("neighbor"),
+                      F.col("co").cast("long").alias("n_co"),
+                      sim.cast("long").alias("cosine_e6"))
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine_e6").desc(), F.col("neighbor").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= top_n)
+            .select("item", "neighbor", "n_co", "cosine_e6",
+                    F.col("rn").cast("long").alias("rn")))

@@ -1087,3 +1087,124 @@ def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
          .otherwise(F.lit(0)).cast("long").alias("alpha_e6"),
         F.when(den != 0.0, F.floor(intercept))
          .otherwise(F.lit(0)).cast("long").alias("intercept_e6"))
+
+
+def readability(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Flesch reading-ease per document — the classic curation signal
+    for separating natural prose from boilerplate/code soup. Counts
+    are deterministic integers: words = non-empty whitespace tokens,
+    sentences = max(1, runs of [.!?]), syllables = per-token
+    max(1, vowel-group runs [aeiouy]+) summed exactly. The score
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) runs
+    ONCE per doc on a pinned double tree and floors at e3 (a
+    zero-word doc pins to 0).
+
+    Zero-shuffle projection in whole-stage codegen except the two
+    regexp HOFs (still JVM-side, Catalyst-interpreted lambdas); the
+    token array binds once."""
+    toks = tokens(F.col(text_col))
+    d = df.select(id_col, F.col(text_col).alias("_txt"),
+                  toks.alias("_w"))
+    n_words = F.size("_w").cast("long")
+    n_sent = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col("_txt"),
+                                    F.lit(r"[.!?]+"), F.lit(0)))
+    ).cast("long")
+    n_syll = F.aggregate(
+        "_w", F.lit(0).cast("long"),
+        lambda acc, t: acc + F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"),
+                                        F.lit(0)))).cast("long"))
+    wd, sd, yd = [c.cast("double") for c in
+                  (n_words, n_sent, n_syll)]
+    score = (F.lit(206.835) - F.lit(1.015) * (wd / sd)
+             - F.lit(84.6) * (yd / wd))
+    return d.select(
+        id_col, n_words.alias("n_words"), n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        F.when(n_words > 0, F.floor(score * 1e3))
+         .otherwise(F.lit(0)).cast("long").alias("flesch_e3"))
+
+
+def textrank_keywords(df: DataFrame, iters: int = 2,
+                      min_pair: int = 2, k: int = 30,
+                      text_col: str = "text") -> DataFrame:
+    """TextRank keyword extraction: build the adjacent-token
+    co-occurrence graph over the whole corpus (undirected, pairs seen
+    ≥ ``min_pair`` times), run the exact-integer PageRank from the
+    graph module over it (damping 17/20 on a 1e9 BIGINT grid — no FP
+    anywhere in the iteration), and take the global top-k words by
+    rank. Deterministic end-to-end: integer ranks tie-break on the
+    word itself, and the top-k is TakeOrdered (per-partition heap),
+    never a global sort.
+
+    Scale: the pair table is bounded by total token count (adjacency,
+    not windows), the min_pair prune drops the hapax tail before the
+    rank loop, and each PageRank round shuffles |surviving vocab|-
+    sized frames only."""
+    from .graph import pagerank
+    t = df.select(tokens(F.col(text_col)).alias("w"))
+    pair = F.expr(
+        "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+        " (t, i) -> struct(t AS w1, element_at(w, i + 2) AS w2))")
+    pairs = (t.select(F.explode(pair).alias("p"))
+             .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+             .where(F.col("w1") != F.col("w2")))
+    und = (pairs.select(F.least("w1", "w2").alias("lo"),
+                        F.greatest("w1", "w2").alias("hi"))
+           .groupBy("lo", "hi").agg(F.count("*").alias("c"))
+           .where(F.col("c") >= min_pair))
+    edges = (und.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+             .unionAll(und.select(F.col("hi").alias("src"),
+                                  F.col("lo").alias("dst"))))
+    ranks = pagerank(edges, iters=iters)
+    return (ranks.select(F.col("node").alias("word"),
+                         F.col("rank_e9"))
+            .orderBy(F.col("rank_e9").desc(), F.col("word").asc())
+            .limit(k))
+
+
+def js_divergence_sources(df: DataFrame, src_a: str = "src0",
+                          src_b: str = "src1", k: int = 20,
+                          text_col: str = "text",
+                          source_col: str = "source") -> DataFrame:
+    """Jensen-Shannon divergence between two sources' unigram token
+    distributions, with the top-k contributing tokens — the
+    corpus-mixing diagnostic that says WHICH terms make two data
+    sources different (always finite, unlike KL, because each side's
+    term uses the mixture as reference).
+
+    Exactness: token counts and totals are exact BIGINTs; each token's
+    0.5·(pa·ln(pa/m) + pb·ln(pb/m)) term (m = (pa+pb)/2; an absent
+    side contributes 0) runs ONCE on a pinned double tree and floors
+    at e9; the headline total is the EXACT integer sum of floored
+    terms over the whole vocabulary, computed before the top-k cut.
+
+    Plan: one token agg (|vocab| rows), a 1-row totals agg broadcast
+    back (never a window over the vocab), one more 1-row agg for the
+    total, TakeOrdered for the top-k."""
+    toks = (df.where(F.col(source_col).isin(src_a, src_b))
+            .select(F.col(source_col).alias("s"),
+                    F.explode(tokens(F.col(text_col))).alias("tok")))
+    counts = toks.groupBy("tok").agg(
+        F.sum((F.col("s") == src_a).cast("long")).alias("ca"),
+        F.sum((F.col("s") == src_b).cast("long")).alias("cb"))
+    tot = counts.groupBy().agg(F.sum("ca").alias("na"),
+                               F.sum("cb").alias("nb"))
+    t = counts.crossJoin(F.broadcast(tot))
+    pa = F.col("ca").cast("double") / F.col("na").cast("double")
+    pb = F.col("cb").cast("double") / F.col("nb").cast("double")
+    m = (pa + pb) * F.lit(0.5)
+    ta = F.when(F.col("ca") > 0, pa * F.log(pa / m)).otherwise(F.lit(0.0))
+    tb = F.when(F.col("cb") > 0, pb * F.log(pb / m)).otherwise(F.lit(0.0))
+    term = F.floor((ta + tb) * F.lit(0.5) * 1e9).cast("long")
+    scored = t.select("tok", "ca", "cb", term.alias("term_e9"))
+    total = scored.groupBy().agg(
+        F.sum("term_e9").cast("long").alias("js_total_e9"))
+    return (scored.crossJoin(F.broadcast(total))
+            .orderBy(F.col("term_e9").desc(), F.col("tok").asc())
+            .limit(k)
+            .select("tok", "ca", "cb", "term_e9", "js_total_e9"))

@@ -350,3 +350,385 @@ QUERIES_ROUND6.update({
         doc="diversity-capped global top-k (per-bucket rank cap + "
             "TakeOrdered)"),
 })
+
+
+# ===========================================================================
+# Batch 2: survival / forecast-backtest / graph-structure / text-signal
+# ===========================================================================
+
+from ..operators import graph, text  # noqa: E402
+from ..operators.graph import PR_SCALE, _D_DEN, _D_NUM  # noqa: E402
+
+
+def q_kaplan_meier_purchase(spark, sf_dir):
+    """Kaplan-Meier survival of time-to-first-purchase per user
+    (right-censored at last observed event): exact integer risk grid,
+    pinned ln hazard terms floored at e9, exact integer log-survival
+    cumsum, one pinned exp per event time floored at e6."""
+    return eventflow.kaplan_meier(_t(spark, sf_dir, "events"))
+
+
+ORACLE_KM = """
+  WITH pu AS (
+    SELECT user_id,
+           min(floor(epoch(ts))::BIGINT) AS first_s,
+           min(CASE WHEN event_type = 'purchase'
+                    THEN floor(epoch(ts))::BIGINT END) AS ev_s,
+           max(floor(epoch(ts))::BIGINT) AS last_s
+    FROM events GROUP BY user_id
+  ),
+  dur AS (
+    SELECT coalesce(ev_s - first_s, last_s - first_s) AS t,
+           (ev_s IS NOT NULL)::BIGINT AS is_event
+    FROM pu
+  ),
+  pts AS (SELECT t, sum(is_event)::BIGINT AS d,
+                 sum(1 - is_event)::BIGINT AS c
+          FROM dur GROUP BY t),
+  risk AS (
+    SELECT t, d, c,
+           (sum(d + c) OVER ()
+            - coalesce(sum(d + c) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0))::BIGINT AS n_risk
+    FROM pts
+  ),
+  ev AS (SELECT * FROM risk WHERE d >= 1),
+  lg AS (
+    SELECT t, n_risk, d, c,
+           sum(CASE WHEN d >= n_risk THEN -100000000000
+               ELSE floor(ln((n_risk - d)::DOUBLE / n_risk::DOUBLE)
+                          * 1e9) END)
+             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)::BIGINT AS log_surv_e9
+    FROM ev
+  )
+  SELECT t, n_risk, d AS d_events, c AS c_censored, log_surv_e9,
+         floor(exp(log_surv_e9::DOUBLE / 1e9) * 1e6)::BIGINT AS surv_e6
+  FROM lg ORDER BY t
+"""
+
+
+def q_wmape_seasonal_naive(spark, sf_dir):
+    """Seasonal-naive forecast backtest per event type: predict each
+    (day, hour) cents total with the previous observed day's same
+    hour; WMAPE = exact |err| sum over exact |actual| sum, one pinned
+    division floored at e6."""
+    return eventflow.wmape_seasonal_naive(_t(spark, sf_dir, "events"))
+
+
+ORACLE_WMAPE = """
+  WITH g AS (
+    SELECT event_type, ts::DATE AS day, hour(ts)::BIGINT AS hour,
+           sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS actual
+    FROM events GROUP BY 1, 2, 3
+  ),
+  s AS (
+    SELECT event_type, actual,
+           lag(actual) OVER (PARTITION BY event_type, hour
+                             ORDER BY day) AS pred
+    FROM g
+  ),
+  a AS (
+    SELECT event_type, count(*)::BIGINT AS n_periods,
+           sum(abs(actual - pred))::BIGINT AS sum_abs_err,
+           sum(abs(actual))::BIGINT AS sum_abs_actual
+    FROM s WHERE pred IS NOT NULL GROUP BY event_type
+  )
+  SELECT event_type, n_periods, sum_abs_err, sum_abs_actual,
+         (CASE WHEN sum_abs_actual > 0
+               THEN floor(sum_abs_err::DOUBLE
+                          / sum_abs_actual::DOUBLE * 1e6)
+               ELSE 0 END)::BIGINT AS wmape_e6
+  FROM a ORDER BY event_type
+"""
+
+
+_KCORE_K, _KCORE_ROUNDS = 3, 6
+
+
+def q_k_core_membership(spark, sf_dir):
+    """3-core of the part co-purchase graph via 6 peeling rounds
+    (fixpoint well inside the bound at fixture scale): surviving
+    nodes + final in-core degree."""
+    return graph.k_core(
+        graph.copurchase_edges(_t(spark, sf_dir, "lineitem")),
+        k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _k_core_oracle() -> str:
+    parts = ["""
+  e0 AS MATERIALIZED (
+    SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  )"""]
+    for r in range(_KCORE_ROUNDS):
+        parts.append(f"""
+  d{r} AS MATERIALIZED (
+    SELECT n, count(*)::BIGINT AS d FROM (
+      SELECT x AS n FROM e{r} UNION ALL SELECT y FROM e{r})
+    GROUP BY n
+  ),
+  k{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE d >= {_KCORE_K}),
+  e{r + 1} AS MATERIALIZED (
+    SELECT e.x, e.y FROM e{r} e
+    JOIN k{r} kx ON e.x = kx.n
+    JOIN k{r} ky ON e.y = ky.n
+  )""")
+    ctes = ",".join(parts)
+    return f"""
+  WITH {ctes}
+  SELECT node, core_degree FROM (
+    SELECT n AS node, count(*)::BIGINT AS core_degree FROM (
+      SELECT x AS n FROM e{_KCORE_ROUNDS}
+      UNION ALL SELECT y FROM e{_KCORE_ROUNDS})
+    GROUP BY n
+  ) WHERE core_degree >= {_KCORE_K}
+  ORDER BY node
+"""
+
+
+def q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph: Pearson over
+    (deg(u), deg(v)) edge ends — exact decimal moments, one pinned
+    division floored at e6."""
+    return graph.degree_assortativity(
+        graph.copurchase_edges(_t(spark, sf_dir, "lineitem")))
+
+
+ORACLE_ASSORT = """
+  WITH e0 AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  ),
+  bth AS (SELECT pa AS u, pb AS v FROM e0
+          UNION ALL SELECT pb, pa FROM e0),
+  deg AS (SELECT u, count(*)::BIGINT AS d FROM bth GROUP BY u),
+  j AS (
+    SELECT du.d AS dx, dv.d AS dy
+    FROM bth JOIN deg du ON bth.u = du.u JOIN deg dv ON bth.v = dv.u
+  ),
+  agg AS (
+    SELECT count(*)::HUGEINT AS n,
+           sum(dx)::HUGEINT AS sx, sum(dy)::HUGEINT AS sy,
+           sum(dx::HUGEINT * dx::HUGEINT) AS sxx,
+           sum(dy::HUGEINT * dy::HUGEINT) AS syy,
+           sum(dx::HUGEINT * dy::HUGEINT) AS sxy
+    FROM j
+  )
+  SELECT n::BIGINT AS n_edge_ends,
+         (CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+                    > 0.0
+               THEN floor((n::DOUBLE * sxy::DOUBLE
+                           - sx::DOUBLE * sy::DOUBLE)
+                          / sqrt((n::DOUBLE * sxx::DOUBLE
+                                  - sx::DOUBLE * sx::DOUBLE)
+                                 * (n::DOUBLE * syy::DOUBLE
+                                    - sy::DOUBLE * sy::DOUBLE)) * 1e6)
+               ELSE 0 END)::BIGINT AS assortativity_e6
+  FROM agg
+"""
+
+
+def q_item_item_recs(spark, sf_dir):
+    """Item-item CF top-5 per part: cosine over binary order-incidence
+    (exact counts, one pinned sqrt division per pair, min_co=2 noise
+    prune, item-partitioned rank window)."""
+    return graph.item_item_cosine(_t(spark, sf_dir, "lineitem"))
+
+
+ORACLE_ITEM_ITEM = """
+  WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+              FROM lineitem),
+  np AS (SELECT p, count(*)::BIGINT AS n_orders FROM op GROUP BY p),
+  co AS (
+    SELECT a.p AS pa, b.p AS pb, count(*)::BIGINT AS co
+    FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+    GROUP BY a.p, b.p HAVING count(*) >= 2
+  ),
+  bth AS (SELECT pa, pb, co FROM co UNION ALL SELECT pb, pa, co FROM co),
+  j AS (
+    SELECT bth.pa AS item, bth.pb AS neighbor, co AS n_co,
+           floor(co::DOUBLE / sqrt(na.n_orders::DOUBLE
+                                   * nb.n_orders::DOUBLE)
+                 * 1e6)::BIGINT AS cosine_e6
+    FROM bth JOIN np na ON bth.pa = na.p JOIN np nb ON bth.pb = nb.p
+  ),
+  r AS (SELECT *, row_number() OVER (PARTITION BY item
+          ORDER BY cosine_e6 DESC, neighbor ASC) AS rn FROM j)
+  SELECT item, neighbor, n_co, cosine_e6, rn::BIGINT AS rn
+  FROM r WHERE rn <= 5
+"""
+
+
+_TR_ITERS, _TR_MIN_PAIR, _TR_K = 2, 2, 30
+
+
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank keywords: adjacent-token co-occurrence graph
+    (pairs seen >= 2), 2 exact-integer PageRank iterations, global
+    top-30 by rank (TakeOrdered, word tie-break)."""
+    return text.textrank_keywords(
+        _t(spark, sf_dir, "documents"),
+        iters=_TR_ITERS, min_pair=_TR_MIN_PAIR, k=_TR_K)
+
+
+def _textrank_oracle() -> str:
+    base = (3 * PR_SCALE) // _D_DEN
+    parts = [rf"""
+  t AS (
+    SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '') AS w
+    FROM documents
+  ),
+  pr AS (
+    SELECT unnest(w[1:len(w) - 1]) AS w1, unnest(w[2:len(w)]) AS w2
+    FROM t
+  ),
+  und AS (
+    SELECT least(w1, w2) AS lo, greatest(w1, w2) AS hi,
+           count(*)::BIGINT AS c
+    FROM pr WHERE w1 <> w2 GROUP BY 1, 2
+    HAVING count(*) >= {_TR_MIN_PAIR}
+  ),
+  e AS (SELECT lo AS src, hi AS dst FROM und
+        UNION ALL SELECT hi, lo FROM und),
+  nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+  outdeg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+  r0 AS (SELECT node, {PR_SCALE}::BIGINT AS r FROM nodes)"""]
+    for it in range(_TR_ITERS):
+        parts.append(f"""
+  c{it} AS (
+    SELECT o.src AS u, (r.r // o.deg)::BIGINT AS c
+    FROM r{it} r JOIN outdeg o ON r.node = o.src
+  ),
+  i{it} AS (
+    SELECT e.dst AS dst, sum(c.c)::BIGINT AS s
+    FROM e JOIN c{it} c ON e.src = c.u GROUP BY e.dst
+  ),
+  r{it + 1} AS (
+    SELECT n.node,
+           ({base} + (coalesce(i.s, 0) * {_D_NUM}) // {_D_DEN})::BIGINT
+             AS r
+    FROM nodes n LEFT JOIN i{it} i ON n.node = i.dst
+  )""")
+    ctes = ",".join(parts)
+    return f"""
+  WITH {ctes}
+  SELECT node AS word, r AS rank_e9 FROM r{_TR_ITERS}
+  ORDER BY rank_e9 DESC, word ASC LIMIT {_TR_K}
+"""
+
+
+def q_readability_flesch(spark, sf_dir):
+    """Flesch reading ease per document: integer word / sentence /
+    syllable counts (vowel-group runs), one pinned double tree
+    floored at e3."""
+    return text.readability(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_FLESCH = rf"""
+  WITH t AS (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '') AS w
+    FROM documents
+  ),
+  f AS (
+    SELECT doc_id,
+      len(w)::BIGINT AS n_words,
+      greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+        AS n_sentences,
+      coalesce(list_sum(list_transform(w,
+          x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))),
+        0)::BIGINT AS n_syllables
+    FROM t
+  )
+  SELECT doc_id, n_words, n_sentences, n_syllables,
+         (CASE WHEN n_words > 0 THEN
+            floor((206.835::DOUBLE
+                   - 1.015::DOUBLE * (n_words::DOUBLE
+                                      / n_sentences::DOUBLE)
+                   - 84.6::DOUBLE * (n_syllables::DOUBLE
+                                     / n_words::DOUBLE)) * 1e3)
+          ELSE 0 END)::BIGINT AS flesch_e3
+  FROM f
+"""
+
+
+def q_js_divergence_sources(spark, sf_dir):
+    """Jensen-Shannon divergence of src0 vs src1 unigram
+    distributions: exact counts, pinned per-token terms floored at
+    e9, exact integer total over the full vocabulary, top-20
+    contributing tokens."""
+    return text.js_divergence_sources(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_JS = rf"""
+  WITH tk AS (
+    SELECT source AS s,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents WHERE source IN ('src0', 'src1')
+  ),
+  counts AS (
+    SELECT tok, sum((s = 'src0')::BIGINT)::BIGINT AS ca,
+           sum((s = 'src1')::BIGINT)::BIGINT AS cb
+    FROM tk GROUP BY tok
+  ),
+  tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+          FROM counts),
+  t AS (
+    SELECT tok, ca, cb,
+      floor(((CASE WHEN ca > 0 THEN (ca::DOUBLE / na::DOUBLE)
+                * ln((ca::DOUBLE / na::DOUBLE)
+                     / (((ca::DOUBLE / na::DOUBLE)
+                         + (cb::DOUBLE / nb::DOUBLE)) * 0.5))
+              ELSE 0.0 END
+            + CASE WHEN cb > 0 THEN (cb::DOUBLE / nb::DOUBLE)
+                * ln((cb::DOUBLE / nb::DOUBLE)
+                     / (((ca::DOUBLE / na::DOUBLE)
+                         + (cb::DOUBLE / nb::DOUBLE)) * 0.5))
+              ELSE 0.0 END)
+            * 0.5) * 1e9)::BIGINT AS term_e9
+    FROM counts, tot
+  ),
+  total AS (SELECT sum(term_e9)::BIGINT AS js_total_e9 FROM t)
+  SELECT tok, ca, cb, term_e9, js_total_e9 FROM t, total
+  ORDER BY term_e9 DESC, tok ASC LIMIT 20
+"""
+
+
+QUERIES_ROUND6.update({
+    "kaplan_meier_purchase": QuerySpec(
+        q_kaplan_meier_purchase, ORACLE_KM,
+        doc="Kaplan-Meier time-to-first-purchase survival "
+            "(integer risk grid, pinned hazard terms)"),
+    "wmape_seasonal_naive": QuerySpec(
+        q_wmape_seasonal_naive, ORACLE_WMAPE,
+        doc="seasonal-naive forecast backtest, WMAPE per type"),
+    "k_core_membership": QuerySpec(
+        q_k_core_membership, _k_core_oracle(),
+        doc="3-core peeling fixpoint on the co-purchase graph"),
+    "degree_assortativity": QuerySpec(
+        q_degree_assortativity, ORACLE_ASSORT,
+        doc="degree assortativity (exact-moment Pearson over edge "
+            "ends)"),
+    "item_item_recs": QuerySpec(
+        q_item_item_recs, ORACLE_ITEM_ITEM,
+        doc="item-item CF cosine top-5 per part"),
+    "textrank_keywords": QuerySpec(
+        q_textrank_keywords, _textrank_oracle(),
+        doc="TextRank keywords via exact-integer PageRank on the "
+            "adjacency graph"),
+    "readability_flesch": QuerySpec(
+        q_readability_flesch, ORACLE_FLESCH,
+        doc="Flesch reading ease (integer counts, pinned combine)"),
+    "js_divergence_sources": QuerySpec(
+        q_js_divergence_sources, ORACLE_JS,
+        doc="Jensen-Shannon source divergence, top contributing "
+            "tokens + exact total"),
+})

@@ -294,3 +294,214 @@ def test_round6_no_complex_output_columns(spark):
         for f in df.schema.fields:
             assert f.dataType.typeName() not in (
                 "array", "map", "struct"), (name, f.name)
+
+
+# ===========================================================================
+# Batch 2: survival / backtest / graph structure / text signals
+# ===========================================================================
+
+def test_kaplan_meier_hand_values(spark, tmp_path):
+    """u1 purchase@+10s, u3 purchase@+20s, u2 censored@+30s:
+    S(10)=2/3, S(20)=1/3 (u2 still at risk at both event times)."""
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+    rows = [(1, t0, 1, "view", 1.0, "{}"),
+            (2, at(10), 1, "purchase", 1.0, "{}"),
+            (3, t0, 2, "view", 1.0, "{}"),
+            (4, at(30), 2, "view", 1.0, "{}"),
+            (5, t0, 3, "view", 1.0, "{}"),
+            (6, at(20), 3, "purchase", 1.0, "{}")]
+    from bigdata_project_hust_spark.operators.eventflow import kaplan_meier
+    d = _events(spark, tmp_path, rows)
+    out = kaplan_meier(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()
+    assert [(r["t"], r["n_risk"], r["d_events"]) for r in out] == \
+        [(10, 3, 1), (20, 2, 1)]
+    l1 = math.floor(math.log(2.0 / 3.0) * 1e9)
+    l2 = l1 + math.floor(math.log(1.0 / 2.0) * 1e9)
+    assert out[0]["surv_e6"] == math.floor(math.exp(l1 / 1e9) * 1e6)
+    assert out[1]["surv_e6"] == math.floor(math.exp(l2 / 1e9) * 1e6)
+    assert abs(out[1]["surv_e6"] - 333_333) <= 1
+
+
+def test_kaplan_meier_all_events_tail_zero(spark, tmp_path):
+    """Single user purchasing: last risk set is all events → S=0."""
+    rows = [(1, datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+            (2, datetime(2024, 1, 1, 0, 1), 1, "purchase", 1.0, "{}")]
+    from bigdata_project_hust_spark.operators.eventflow import kaplan_meier
+    d = _events(spark, tmp_path, rows)
+    out = kaplan_meier(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()
+    assert len(out) == 1 and out[0]["surv_e6"] == 0
+
+
+def test_wmape_hand_value(spark, tmp_path):
+    """Day totals 100, 150, 100 at the same hour → errors 50+50 over
+    actuals 150+100 → WMAPE = 400000e-6."""
+    rows = [(1, datetime(2024, 1, 1, 5), 1, "view", 1.00, "{}"),
+            (2, datetime(2024, 1, 2, 5), 1, "view", 1.50, "{}"),
+            (3, datetime(2024, 1, 3, 5), 1, "view", 1.00, "{}")]
+    from bigdata_project_hust_spark.operators.eventflow import (
+        wmape_seasonal_naive)
+    d = _events(spark, tmp_path, rows)
+    out = wmape_seasonal_naive(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()
+    r = out[0]
+    assert r["n_periods"] == 2 and r["sum_abs_err"] == 100
+    assert r["sum_abs_actual"] == 250 and r["wmape_e6"] == 400_000
+
+
+def test_wmape_lag_skips_missing_days(spark, tmp_path):
+    """A gap day: the lag pairs day3 with day1 (previous OBSERVED)."""
+    rows = [(1, datetime(2024, 1, 1, 5), 1, "view", 2.00, "{}"),
+            (2, datetime(2024, 1, 3, 5), 1, "view", 3.00, "{}")]
+    from bigdata_project_hust_spark.operators.eventflow import (
+        wmape_seasonal_naive)
+    d = _events(spark, tmp_path, rows)
+    out = wmape_seasonal_naive(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()
+    assert out[0]["n_periods"] == 1 and out[0]["sum_abs_err"] == 100
+
+
+def test_k_core_peels_pendant(spark):
+    """Triangle + pendant, k=2: the pendant (and its edge) peels off;
+    the triangle survives with degree 2 each."""
+    from bigdata_project_hust_spark.operators.graph import k_core
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4)], "pa long, pb long")
+    out = {r["node"]: r["core_degree"]
+           for r in k_core(e, k=2, rounds=3).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_cascading_peel(spark):
+    """A chain hanging off a triangle peels layer by layer — needs
+    more than one round to empty."""
+    from bigdata_project_hust_spark.operators.graph import k_core
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6)],
+        "pa long, pb long")
+    out = sorted(r["node"] for r in k_core(e, k=2, rounds=4).collect())
+    assert out == [1, 2, 3]
+
+
+def test_k_core_converged_at_fixture_scale(spark):
+    """rounds and rounds+1 agree on the sf0.001 co-purchase graph —
+    the fixpoint sits inside the registered bound."""
+    from bigdata_project_hust_spark.operators.graph import (
+        copurchase_edges, k_core)
+    from bigdata_project_hust_spark.io import load_table
+    e = copurchase_edges(load_table(spark, SF_SMOKE, "lineitem"))
+    a = sorted((r["node"], r["core_degree"])
+               for r in k_core(e, k=3, rounds=6).collect())
+    b = sorted((r["node"], r["core_degree"])
+               for r in k_core(e, k=3, rounds=7).collect())
+    assert a == b and len(a) > 0
+
+
+def test_assortativity_path_graph(spark):
+    """Path a-b-c: degree pairs (1,2),(2,1),(2,1),(1,2) → rho = −1."""
+    from bigdata_project_hust_spark.operators.graph import (
+        degree_assortativity)
+    e = spark.createDataFrame([(1, 2), (2, 3)], "pa long, pb long")
+    r = degree_assortativity(e).collect()[0]
+    assert r["n_edge_ends"] == 4
+    assert r["assortativity_e6"] == -1_000_000
+
+
+def test_assortativity_regular_graph_zero_variance(spark):
+    """A cycle is degree-regular → zero variance → pinned 0."""
+    from bigdata_project_hust_spark.operators.graph import (
+        degree_assortativity)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "pa long, pb long")
+    assert degree_assortativity(e).collect()[0]["assortativity_e6"] == 0
+
+
+def test_item_item_hand_value(spark):
+    """Orders {p1,p2}×2 and {p1,p3}: only (p1,p2) survives min_co=2;
+    cosine = 2/√(3·2)."""
+    from bigdata_project_hust_spark.operators.graph import item_item_cosine
+    li = spark.createDataFrame(
+        [(1, 101), (1, 102), (2, 101), (2, 102), (3, 101), (3, 103)],
+        "l_orderkey long, l_partkey long")
+    out = {(r["item"], r["neighbor"]): r
+           for r in item_item_cosine(li).collect()}
+    assert set(out) == {(101, 102), (102, 101)}
+    exp = math.floor(2.0 / math.sqrt(3.0 * 2.0) * 1e6)
+    assert out[(101, 102)]["cosine_e6"] == exp == 816_496
+    assert out[(101, 102)]["n_co"] == 2
+
+
+def test_textrank_symmetric_pair(spark):
+    """'a b a b a' yields one symmetric edge — equal ranks, word-order
+    tie-break."""
+    from bigdata_project_hust_spark.operators.text import textrank_keywords
+    df = spark.createDataFrame([("a b a b a",)], "text string")
+    out = textrank_keywords(df, iters=2, min_pair=2, k=10).collect()
+    assert [r["word"] for r in out] == ["a", "b"]
+    assert out[0]["rank_e9"] == out[1]["rank_e9"] > 0
+
+
+def test_readability_hand_value(spark):
+    """'The cat sat.' → 3 words, 1 sentence, 3 syllables."""
+    from bigdata_project_hust_spark.operators.text import readability
+    df = spark.createDataFrame([(7, "The cat sat.")],
+                               "doc_id long, text string")
+    r = readability(df).collect()[0]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (3, 1, 3)
+    exp = math.floor(
+        (206.835 - 1.015 * (3.0 / 1.0) - 84.6 * (3.0 / 3.0)) * 1e3)
+    assert r["flesch_e3"] == exp == 119_190
+
+
+def test_readability_empty_text_pins_zero(spark):
+    from bigdata_project_hust_spark.operators.text import readability
+    df = spark.createDataFrame([(1, ""), (2, "   ")],
+                               "doc_id long, text string")
+    for r in readability(df).collect():
+        assert r["n_words"] == 0 and r["flesch_e3"] == 0
+
+
+def test_js_divergence_identical_sources_zero(spark, tmp_path):
+    """Identical token multisets in both sources → every term 0."""
+    from bigdata_project_hust_spark.operators.text import (
+        js_divergence_sources)
+    rows = [(1, "alpha beta gamma", "en", "src0", 16),
+            (2, "alpha beta gamma", "en", "src1", 16)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = js_divergence_sources(df).collect()
+    assert len(out) == 3
+    assert all(r["term_e9"] == 0 for r in out)
+    assert out[0]["js_total_e9"] == 0
+
+
+def test_js_divergence_disjoint_vocab_ln2(spark):
+    """Fully disjoint vocabularies → JS = ln 2 (up to per-term floor
+    loss)."""
+    from bigdata_project_hust_spark.operators.text import (
+        js_divergence_sources)
+    rows = [(1, "aa bb cc", "en", "src0", 8),
+            (2, "xx yy zz", "en", "src1", 8)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    total = js_divergence_sources(df).collect()[0]["js_total_e9"]
+    ln2_e9 = math.log(2.0) * 1e9
+    assert ln2_e9 - 10 <= total <= ln2_e9
+
+
+def test_kaplan_meier_plan_single_user_shuffle(spark):
+    """The only |rows|-scale aggregation keys on user_id; downstream
+    windows run on the distinct-duration grid."""
+    plan = plan_of(QUERIES["kaplan_meier_purchase"].fn(spark, SF_SMOKE))
+    assert "user_id" in plan and "Window" in plan
+
+
+def test_item_item_plan_partitioned_rank(spark):
+    plan = plan_of(QUERIES["item_item_recs"].fn(spark, SF_SMOKE))
+    assert "row_number" in plan and "CartesianProduct" not in plan
