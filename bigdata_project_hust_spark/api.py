@@ -685,3 +685,46 @@ class Engine:
         """Jensen-Shannon divergence between two sources' unigrams."""
         from .operators.text import js_divergence_sources
         return js_divergence_sources(self.table("documents"), a, b)
+
+    def privacy_audit(self, k: int = 5) -> DataFrame:
+        """k-anonymity / l-diversity audit of customer QI classes."""
+        from pyspark.sql import functions as F
+        from .operators.quality import k_anonymity
+        cust = self.table("customer").select(
+            "c_nationkey", "c_mktsegment",
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+             .cast("long").alias("acct_cents"))
+        return k_anonymity(cust, ("c_nationkey", "c_mktsegment"),
+                           "acct_cents", k)
+
+    def inequality(self) -> DataFrame:
+        """Theil T inequality of event values per type."""
+        from pyspark.sql import functions as F
+        from .operators.aggregations import theil_index
+        return theil_index(self.table("events"), "event_type",
+                           F.floor(F.col("value") * 100 + F.lit(0.5)))
+
+    def lorenz(self) -> DataFrame:
+        """Lorenz concentration deciles of per-user spend."""
+        from .operators.eventflow import lorenz_deciles
+        return lorenz_deciles(self.table("events"))
+
+    def trend_forecast(self) -> DataFrame:
+        """Holt level+trend one-step forecast per user."""
+        from .operators.eventflow import holt_trend
+        return holt_trend(self.table("events"))
+
+    def classifier_calibration(self) -> DataFrame:
+        """NB language-classifier reliability diagram."""
+        from .operators.text import calibration_bins
+        return calibration_bins(self.table("documents"))
+
+    def fertility(self) -> DataFrame:
+        """Subword fertility per language."""
+        from .operators.text import tokenizer_fertility
+        return tokenizer_fertility(self.table("documents"))
+
+    def dedup_cluster_histogram(self) -> DataFrame:
+        """Near-dup cluster-size distribution incl. singletons."""
+        from .plans.round6 import q_dedup_cluster_sizes
+        return q_dedup_cluster_sizes(self.spark, self.sf_dir)

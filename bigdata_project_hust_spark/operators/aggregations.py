@@ -204,3 +204,43 @@ def benford_digits(df: DataFrame, val_col: str) -> DataFrame:
         "digit", "n_obs", "p_obs_e6", "p_benford_e6",
         (F.col("p_obs_e6") - F.col("p_benford_e6")).cast("long")
          .alias("diff_e6"))
+
+
+def theil_index(df: DataFrame, group_col: str, val_cents: Column) -> DataFrame:
+    """Theil T inequality index per group — the decomposable
+    entropy-based concentration measure (0 = perfectly even):
+    ``T = (1/n) Σ (x/μ)·ln(x/μ)`` over positive values.
+
+    Exactness: group totals are exact BIGINTs broadcast back to the
+    rows; each row's (x/μ)·ln(x/μ) term runs ONCE on a pinned double
+    tree (μ itself one pinned division) and floors at e9; the group
+    index is the EXACT integer sum of floored terms, divided by n as
+    one final pinned floor(sum/n) (floor, not truncating `div`:
+    per-term flooring can push a near-zero sum slightly NEGATIVE,
+    where truncation rounds toward zero and floor away — engines
+    would disagree by 1). Zero-value rows contribute exactly 0 (the
+    x·ln x limit).
+
+    Plan: one tiny per-group agg, one broadcast join back (|groups|
+    rows), one re-aggregation on the same key — the fact table
+    shuffles once."""
+    d = df.select(F.col(group_col).alias("g"),
+                  val_cents.cast("long").alias("x"))
+    tot = d.groupBy("g").agg(F.count("*").cast("long").alias("n"),
+                             F.sum("x").cast("long").alias("s"))
+    j = d.join(F.broadcast(tot), "g")
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    r = F.col("x").cast("double") / mu
+    term = (F.when(F.col("x") > 0, F.floor(r * F.log(r) * 1e9))
+            .otherwise(F.lit(0))).cast("long")
+    out = (j.select("g", "n", "s", term.alias("t"))
+           .groupBy("g", "n", "s")
+           .agg(F.sum("t").cast("long").alias("t_sum")))
+    return out.select(
+        F.col("g").alias(group_col),
+        F.col("n").alias("n_events"),
+        F.col("s").alias("sum_cents"),
+        F.floor(F.col("t_sum").cast("double")
+                / F.col("n").cast("double"))
+         .cast("long").alias("theil_e9")
+    ).orderBy(group_col)

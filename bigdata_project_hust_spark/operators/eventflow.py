@@ -793,3 +793,126 @@ def max_concurrency_by_type(df: DataFrame, duration_s: int = 300,
              .groupBy("event_type", "max_concurrent")
              .agg(F.min("t").cast("long").alias("peak_epoch_s")))
     return first.orderBy("event_type")
+
+
+_LORENZ_BINS = 10
+
+
+def lorenz_deciles(df: DataFrame, user_col: str = "user_id",
+                   val_col: str = "value") -> DataFrame:
+    """Lorenz concentration curve of per-user spend: users bucketed
+    into deciles by total cents (exact nearest-rank cuts over the
+    DISTINCT total grid — the PSI binning pattern), cumulative share
+    of total value per decile — the curve behind the exact-Gini
+    profiler, answering "the top 10% of users carry what share?".
+
+    All-integer: totals are exact cents sums; the decile cuts come
+    from cumulative DISTINCT-total counts (k·n ≤ 10·cum comparisons,
+    never an interpolated percentile); per-bin sums are exact BIGINTs
+    and the share divisions floor at e6 on the 10-row frame. Ties on
+    a cut value land in one deterministic bin (bin = #cuts strictly
+    below), so engines can't disagree on boundary users.
+
+    Plan: one |users| agg, one |distinct totals| agg + ordered window
+    on that grid (range-partition it at wider domains), a 1-row
+    broadcast of 9 cuts, one 10-row agg + windows."""
+    from pyspark.sql import Window
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    totals = (df.select(F.col(user_col).alias("u"), cents.alias("v"))
+              .groupBy("u").agg(F.sum("v").cast("long").alias("tot")))
+    per_v = totals.groupBy("tot").agg(F.count("*").alias("c_v"))
+    w = Window.orderBy("tot").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "tot", F.sum("c_v").over(w).alias("cum"),
+        F.sum("c_v").over(Window.partitionBy()).alias("n_users"))
+    cuts = cum.groupBy().agg(*[
+        F.min(F.when(F.col("cum") * _LORENZ_BINS
+                     >= kk * F.col("n_users"), F.col("tot")))
+         .alias(f"c{kk}") for kk in range(1, _LORENZ_BINS)])
+    binned = totals.crossJoin(F.broadcast(cuts)).select(
+        "tot",
+        sum((F.col("tot") > F.col(f"c{kk}")).cast("long")
+            for kk in range(1, _LORENZ_BINS)).alias("decile"))
+    agg = binned.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("tot").cast("long").alias("sum_cents"))
+    bins = df.sparkSession.range(_LORENZ_BINS).select(
+        F.col("id").cast("long").alias("decile"))
+    full = (bins.join(agg, "decile", "left")
+            .select("decile",
+                    F.coalesce("n_users", F.lit(0)).alias("n_users"),
+                    F.coalesce("sum_cents", F.lit(0)).alias("sum_cents")))
+    cumw = (Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    tot_w = Window.partitionBy()
+    t = full.select(
+        "decile", "n_users", "sum_cents",
+        F.sum("sum_cents").over(cumw).alias("cum_cents"),
+        F.sum("sum_cents").over(tot_w).alias("all_cents"))
+    share = F.floor(F.col("cum_cents").cast("double")
+                    / F.col("all_cents").cast("double") * 1e6)
+    return t.select(
+        "decile", "n_users", "sum_cents",
+        F.col("cum_cents").cast("long").alias("cum_cents"),
+        F.when(F.col("all_cents") > 0, share)
+         .otherwise(F.lit(0)).cast("long").alias("cum_share_e6")
+    ).orderBy("decile")
+
+
+HOLT_TAIL = 64
+
+
+def holt_trend(df: DataFrame, tail: int = HOLT_TAIL,
+               user_col: str = "user_id", ts_col: str = "ts",
+               val_col: str = "value",
+               id_col: str = "event_id") -> DataFrame:
+    """Per-user Holt double exponential smoothing (level + trend,
+    α = β = 1/2) over the LAST ``tail`` event values — the
+    one-step-ahead forecaster that extends :func:`ewma_recent` with a
+    trend component:
+
+        l' = (v·64 + l + b) div 2        b' = (b + (l' − l)) div 2
+
+    both folds on the ×64 cents grid, integer-exact on any engine
+    (halving keeps everything in BIGINT through a pinned
+    floor(x/2)). The fold INITIALIZES from the first tail element
+    (l₀ = v₀·64, b₀ = 0) — exactly DuckDB's list_reduce convention,
+    so the oracle needs no separate seed. Forecast = l + b.
+
+    Bounded-tail collect keeps per-user memory at ≤ tail structs by
+    construction; one key shuffle total."""
+    v_c = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    base = df.select(F.col(user_col).alias("u"),
+                     F.struct(F.col(ts_col).alias("ts"),
+                              F.col(id_col).alias("eid"),
+                              v_c.alias("v_c")).alias("rec"))
+    tl = (base.groupBy("u")
+          .agg(F.array_sort(F.collect_list("rec")).alias("arr"))
+          .select("u", F.slice(
+              F.col("arr"),
+              F.greatest(F.lit(1), F.size("arr") - F.lit(tail - 1)),
+              tail).alias("tl")))
+
+    def step(acc, x):
+        l2 = F.floor((x.getField("v_c") * F.lit(64)
+                      + acc.getField("l") + acc.getField("b"))
+                     / F.lit(2)).cast("long")
+        b2 = F.floor((acc.getField("b") + (l2 - acc.getField("l")))
+                     / F.lit(2)).cast("long")
+        return F.struct(l2.alias("l"), b2.alias("b"))
+
+    init = F.struct(
+        (F.element_at("tl", 1).getField("v_c") * F.lit(64))
+        .cast("long").alias("l"),
+        F.lit(0).cast("long").alias("b"))
+    rest = F.slice("tl", 2, F.greatest(F.size("tl") - 1, F.lit(0)))
+    folded = tl.select(
+        "u", F.size("tl").alias("n_tail"),
+        F.aggregate(rest, init, step).alias("st"))
+    return folded.select(
+        F.col("u").alias(user_col),
+        F.col("n_tail").cast("long").alias("n_tail"),
+        F.col("st").getField("l").cast("long").alias("level_c64"),
+        F.col("st").getField("b").cast("long").alias("trend_c64"),
+        (F.col("st").getField("l") + F.col("st").getField("b"))
+        .cast("long").alias("forecast_c64"))

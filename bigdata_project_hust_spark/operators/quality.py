@@ -163,3 +163,28 @@ def mad_outliers(df: DataFrame, group_col: str, val_col,
                   .cast("long").alias("n_outliers"))
             .select(F.col("g").alias(group_col), "n_rows", "median_c",
                     "mad_c", "n_outliers"))
+
+
+def k_anonymity(df: DataFrame, qi_cols: tuple[str, ...],
+                sensitive_col: str, k: int = 5) -> DataFrame:
+    """k-anonymity / l-diversity audit over a quasi-identifier
+    combination — the privacy gate a training-data release runs
+    before shipping records keyed on demographic-ish columns: every
+    QI equivalence class must contain ≥ k rows (re-identification
+    bound) and its sensitive attribute should take > 1 distinct value
+    (homogeneity attack bound).
+
+    One hash aggregation over the QI tuple: n_rows (exact),
+    l_diversity = exact count(DISTINCT sensitive) per class, and an
+    integer violation flag per bound. Map-side combinable except the
+    distinct (which Spark expands to a two-phase partial-distinct
+    agg — still one shuffle keyed on the QI tuple)."""
+    agg = df.groupBy(*qi_cols).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct(sensitive_col).cast("long")
+         .alias("l_diversity"))
+    return agg.select(
+        *qi_cols, "n_rows", "l_diversity",
+        (F.col("n_rows") < k).cast("long").alias("k_violation"),
+        (F.col("l_diversity") <= 1).cast("long").alias("l_violation")
+    ).orderBy(*qi_cols)

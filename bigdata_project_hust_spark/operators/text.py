@@ -1208,3 +1208,101 @@ def js_divergence_sources(df: DataFrame, src_a: str = "src0",
             .orderBy(F.col("term_e9").desc(), F.col("tok").asc())
             .limit(k)
             .select("tok", "ca", "cb", "term_e9", "js_total_e9"))
+
+
+_CAL_BINS = 10
+
+
+def calibration_bins(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Reliability diagram of the Naive-Bayes language classifier:
+    documents bucketed into deciles of prediction CONFIDENCE (the
+    integer margin between the top-2 class scores), each bin scored
+    by how often the NB prediction agrees with the stopword
+    heuristic's confident labels — the calibration audit every
+    model-assisted labeling pipeline runs before trusting
+    soft-labeled data.
+
+    Deterministic end-to-end: margins are exact e6 BIGINTs, decile
+    cuts come from cumulative DISTINCT-margin counts (the PSI
+    nearest-rank pattern — never an interpolated percentile or a
+    global row_number), agreement counts are exact, and the one
+    rate division per bin floors at e6.
+
+    Plan: the NB scoring pass (broadcast model), one |distinct
+    margins| agg + ordered window on that grid, a 1-row cut
+    broadcast, one 10-bin agg."""
+    from pyspark.sql import Window
+    nb = nb_lang_classifier(df, text_col, id_col)
+    heur = lang_id(df, text_col, id_col).select(
+        id_col, F.col("lang_pred"))
+    en, es, fr = (F.col("score_en_e6"), F.col("score_es_e6"),
+                  F.col("score_fr_e6"))
+    top1 = F.greatest(en, es, fr)
+    mid = en + es + fr - top1 - F.least(en, es, fr)
+    j = (nb.join(heur, id_col)
+         .select((top1 - mid).cast("long").alias("margin"),
+                 (F.col("lang_pred") != "und").cast("long")
+                 .alias("confident"),
+                 ((F.col("lang_pred") != "und")
+                  & (F.col("nb_pred") == F.col("lang_pred")))
+                 .cast("long").alias("agree")))
+    per_v = j.groupBy("margin").agg(F.count("*").alias("c_v"))
+    w = Window.orderBy("margin").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "margin", F.sum("c_v").over(w).alias("cum"),
+        F.sum("c_v").over(Window.partitionBy()).alias("n_all"))
+    cuts = cum.groupBy().agg(*[
+        F.min(F.when(F.col("cum") * _CAL_BINS
+                     >= kk * F.col("n_all"), F.col("margin")))
+         .alias(f"c{kk}") for kk in range(1, _CAL_BINS)])
+    binned = j.crossJoin(F.broadcast(cuts)).select(
+        "confident", "agree",
+        sum((F.col("margin") > F.col(f"c{kk}")).cast("long")
+            for kk in range(1, _CAL_BINS)).alias("bin"))
+    agg = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("confident").cast("long").alias("n_confident"),
+        F.sum("agree").cast("long").alias("n_agree"))
+    bins = df.sparkSession.range(_CAL_BINS).select(
+        F.col("id").cast("long").alias("bin"))
+    full = (bins.join(agg, "bin", "left")
+            .select("bin",
+                    F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+                    F.coalesce("n_confident", F.lit(0))
+                     .alias("n_confident"),
+                    F.coalesce("n_agree", F.lit(0)).alias("n_agree")))
+    rate = F.floor(F.col("n_agree").cast("double")
+                   / F.col("n_confident").cast("double") * 1e6)
+    return full.select(
+        "bin", "n_docs", "n_confident", "n_agree",
+        F.when(F.col("n_confident") > 0, rate)
+         .otherwise(F.lit(0)).cast("long").alias("agree_rate_e6")
+    ).orderBy("bin")
+
+
+def tokenizer_fertility(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Tokenizer fertility per language: subword pieces emitted per
+    whitespace word under the fixed greedy vocabulary — the
+    cross-lingual cost metric that says which languages pay more
+    sequence length per word (drives per-language token budgeting).
+
+    Composes :func:`subword_piece_counts` (zero-shuffle greedy fold)
+    with the gold ``lang`` column; per-language sums are exact
+    BIGINTs and the one fertility division per language floors at
+    e6."""
+    pc = subword_piece_counts(df, text_col, id_col)
+    j = df.select(id_col, "lang").join(pc, id_col)
+    agg = j.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("sum_words"),
+        F.sum("n_pieces").cast("long").alias("sum_pieces"))
+    fert = F.floor(F.col("sum_pieces").cast("double")
+                   / F.col("sum_words").cast("double") * 1e6)
+    return agg.select(
+        "lang", "n_docs", "sum_words", "sum_pieces",
+        F.when(F.col("sum_words") > 0, fert)
+         .otherwise(F.lit(0)).cast("long").alias("fertility_e6")
+    ).orderBy("lang")

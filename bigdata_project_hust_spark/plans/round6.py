@@ -732,3 +732,330 @@ QUERIES_ROUND6.update({
         doc="Jensen-Shannon source divergence, top contributing "
             "tokens + exact total"),
 })
+
+
+# ===========================================================================
+# Batch 3: privacy audit / inequality / forecasting / calibration /
+#          tokenizer economics / dedup audit
+# ===========================================================================
+
+from ..operators import aggregations, dedup, quality  # noqa: E402
+
+
+_KA_K = 5
+
+
+def q_k_anonymity_customers(spark, sf_dir):
+    """k-anonymity / l-diversity audit of customer quasi-identifiers
+    (nation x mktsegment) with acctbal cents as the sensitive
+    attribute: exact class sizes, exact distinct-sensitive counts,
+    integer violation flags (k=5)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+         .cast("long").alias("acct_cents"))
+    return quality.k_anonymity(
+        cust, ("c_nationkey", "c_mktsegment"), "acct_cents", k=_KA_K)
+
+
+ORACLE_KANON = f"""
+  SELECT c_nationkey, c_mktsegment,
+         count(*)::BIGINT AS n_rows,
+         count(DISTINCT floor(c_acctbal * 100 + 0.5)::BIGINT)::BIGINT
+           AS l_diversity,
+         (count(*) < {_KA_K})::BIGINT AS k_violation,
+         (count(DISTINCT floor(c_acctbal * 100 + 0.5)::BIGINT) <= 1
+          )::BIGINT AS l_violation
+  FROM customer GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_theil_event_values(spark, sf_dir):
+    """Theil T inequality of event values per type: exact totals
+    broadcast back, pinned per-row (x/mu)ln(x/mu) terms floored e9,
+    exact integer sum, one final pinned floor(sum/n)."""
+    return aggregations.theil_index(
+        _t(spark, sf_dir, "events"), "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)))
+
+
+ORACLE_THEIL = """
+  WITH d AS (
+    SELECT event_type AS g,
+           floor(value * 100 + 0.5)::BIGINT AS x
+    FROM events
+  ),
+  tot AS (SELECT g, count(*)::BIGINT AS n, sum(x)::BIGINT AS s
+          FROM d GROUP BY g),
+  t AS (
+    SELECT d.g, n, s,
+           (CASE WHEN x > 0
+                 THEN floor((x::DOUBLE / (s::DOUBLE / n::DOUBLE))
+                            * ln(x::DOUBLE / (s::DOUBLE / n::DOUBLE))
+                            * 1e9)
+                 ELSE 0 END)::BIGINT AS trm
+    FROM d JOIN tot USING (g)
+  )
+  SELECT g AS event_type, n AS n_events, s AS sum_cents,
+         floor(sum(trm)::DOUBLE / n::DOUBLE)::BIGINT AS theil_e9
+  FROM t GROUP BY g, n, s ORDER BY g
+"""
+
+
+def q_lorenz_user_spend(spark, sf_dir):
+    """Lorenz curve of per-user spend in deciles: exact nearest-rank
+    cuts on the distinct-total grid, exact per-bin sums, cumulative
+    share floored at e6."""
+    return eventflow.lorenz_deciles(_t(spark, sf_dir, "events"))
+
+
+_LOR_CUTS = ",\n           ".join(
+    f"min(CASE WHEN cum * 10 >= {kk} * n_users THEN tot END) AS c{kk}"
+    for kk in range(1, 10))
+_LOR_BIN = " + ".join(f"(tot > c{kk})::BIGINT" for kk in range(1, 10))
+
+ORACLE_LORENZ = f"""
+  WITH totals AS (
+    SELECT user_id AS u,
+           sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS tot
+    FROM events GROUP BY user_id
+  ),
+  per_v AS (SELECT tot, count(*)::BIGINT AS c_v
+            FROM totals GROUP BY tot),
+  cum AS (
+    SELECT tot,
+           sum(c_v) OVER (ORDER BY tot
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c_v) OVER () AS n_users
+    FROM per_v
+  ),
+  cuts AS (SELECT {_LOR_CUTS} FROM cum),
+  binned AS (
+    SELECT tot, ({_LOR_BIN}) AS decile
+    FROM totals CROSS JOIN cuts
+  ),
+  agg AS (
+    SELECT decile, count(*)::BIGINT AS n_users,
+           sum(tot)::BIGINT AS sum_cents
+    FROM binned GROUP BY decile
+  ),
+  filled AS (
+    SELECT b.decile, coalesce(n_users, 0)::BIGINT AS n_users,
+           coalesce(sum_cents, 0)::BIGINT AS sum_cents
+    FROM (SELECT range::BIGINT AS decile FROM range(10)) b
+    LEFT JOIN agg USING (decile)
+  ),
+  t AS (
+    SELECT decile, n_users, sum_cents,
+           sum(sum_cents) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_cents,
+           sum(sum_cents) OVER () AS all_cents
+    FROM filled
+  )
+  SELECT decile, n_users, sum_cents, cum_cents::BIGINT AS cum_cents,
+         (CASE WHEN all_cents > 0
+               THEN floor(cum_cents::DOUBLE / all_cents::DOUBLE * 1e6)
+               ELSE 0 END)::BIGINT AS cum_share_e6
+  FROM t ORDER BY decile
+"""
+
+
+def q_holt_trend_users(spark, sf_dir):
+    """Per-user Holt level+trend (alpha=beta=1/2 integer halving) over
+    the last-64 tail; oracle unrolls the coupled recursion as a
+    recursive CTE (DuckDB 1.0's list_reduce miscomputes chained
+    struct accumulators — measured, see tests)."""
+    return eventflow.holt_trend(_t(spark, sf_dir, "events"))
+
+
+_HOLT_T = 64
+
+ORACLE_HOLT = f"""
+  WITH RECURSIVE base AS (
+    SELECT user_id AS u,
+           struct_pack(ts := ts, eid := event_id,
+                       v_c := floor(value * 100 + 0.5)::BIGINT) AS rec
+    FROM events
+  ),
+  arr AS (SELECT u, list_sort(list(rec)) AS a FROM base GROUP BY u),
+  tl AS (
+    SELECT u, list_slice(a, greatest(1, len(a) - {_HOLT_T - 1}),
+                         len(a)) AS tl
+    FROM arr
+  ),
+  e AS (
+    SELECT u, len(tl)::BIGINT AS n_tail,
+           unnest(tl).v_c * 64 AS vl,
+           unnest(range(1, len(tl) + 1))::BIGINT AS i
+    FROM tl
+  ),
+  st AS (
+    SELECT u, n_tail, 1::BIGINT AS i, vl::BIGINT AS l, 0::BIGINT AS b
+    FROM e WHERE i = 1
+    UNION ALL
+    SELECT st.u, st.n_tail, st.i + 1,
+           floor((e.vl + st.l + st.b)::DOUBLE / 2)::BIGINT,
+           floor((st.b
+                  + (floor((e.vl + st.l + st.b)::DOUBLE / 2)::BIGINT
+                     - st.l))::DOUBLE / 2)::BIGINT
+    FROM st JOIN e ON e.u = st.u AND e.i = st.i + 1
+  )
+  SELECT u AS user_id, n_tail, l AS level_c64, b AS trend_c64,
+         (l + b)::BIGINT AS forecast_c64
+  FROM st WHERE i = n_tail
+"""
+
+
+_CAL_CUTS = ",\n           ".join(
+    f"min(CASE WHEN cum * 10 >= {kk} * n_all THEN margin END) AS c{kk}"
+    for kk in range(1, 10))
+_CAL_BIN = " + ".join(f"(margin > c{kk})::BIGINT" for kk in range(1, 10))
+
+
+def q_calibration_bins_nb(spark, sf_dir):
+    """NB language-classifier reliability diagram: confidence-margin
+    deciles (nearest-rank cuts on the distinct-margin grid) vs
+    agreement with the confident stopword labels."""
+    return text.calibration_bins(_t(spark, sf_dir, "documents"))
+
+
+def _calibration_oracle() -> str:
+    from .queries import ORACLE_LANG
+    from .round5 import _nb_oracle
+    return f"""
+  WITH nb AS ({_nb_oracle()}),
+  lang AS ({ORACLE_LANG}),
+  m AS (
+    SELECT (greatest(score_en_e6, score_es_e6, score_fr_e6)
+            - (score_en_e6 + score_es_e6 + score_fr_e6
+               - greatest(score_en_e6, score_es_e6, score_fr_e6)
+               - least(score_en_e6, score_es_e6, score_fr_e6))
+            )::BIGINT AS margin,
+           (l.lang_pred <> 'und')::BIGINT AS confident,
+           (l.lang_pred <> 'und'
+            AND nb.nb_pred = l.lang_pred)::BIGINT AS agree
+    FROM nb JOIN lang l USING (doc_id)
+  ),
+  per_v AS (SELECT margin, count(*)::BIGINT AS c_v
+            FROM m GROUP BY margin),
+  cum AS (
+    SELECT margin,
+           sum(c_v) OVER (ORDER BY margin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c_v) OVER () AS n_all
+    FROM per_v
+  ),
+  cuts AS (SELECT {_CAL_CUTS} FROM cum),
+  binned AS (
+    SELECT confident, agree, ({_CAL_BIN}) AS bin
+    FROM m CROSS JOIN cuts
+  ),
+  agg AS (
+    SELECT bin, count(*)::BIGINT AS n_docs,
+           sum(confident)::BIGINT AS n_confident,
+           sum(agree)::BIGINT AS n_agree
+    FROM binned GROUP BY bin
+  ),
+  filled AS (
+    SELECT b.bin, coalesce(n_docs, 0)::BIGINT AS n_docs,
+           coalesce(n_confident, 0)::BIGINT AS n_confident,
+           coalesce(n_agree, 0)::BIGINT AS n_agree
+    FROM (SELECT range::BIGINT AS bin FROM range(10)) b
+    LEFT JOIN agg USING (bin)
+  )
+  SELECT bin, n_docs, n_confident, n_agree,
+         (CASE WHEN n_confident > 0
+               THEN floor(n_agree::DOUBLE / n_confident::DOUBLE * 1e6)
+               ELSE 0 END)::BIGINT AS agree_rate_e6
+  FROM filled ORDER BY bin
+"""
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Subword fertility (pieces per word) per gold language under the
+    fixed greedy vocabulary: exact per-language sums, one pinned
+    division floored e6."""
+    return text.tokenizer_fertility(_t(spark, sf_dir, "documents"))
+
+
+def _fertility_oracle() -> str:
+    from .round4 import _oracle_subword
+    return f"""
+  WITH sw AS ({_oracle_subword()})
+  SELECT d.lang, count(*)::BIGINT AS n_docs,
+         sum(sw.n_words)::BIGINT AS sum_words,
+         sum(sw.n_pieces)::BIGINT AS sum_pieces,
+         (CASE WHEN sum(sw.n_words) > 0
+               THEN floor(sum(sw.n_pieces)::DOUBLE
+                          / sum(sw.n_words)::DOUBLE * 1e6)
+               ELSE 0 END)::BIGINT AS fertility_e6
+  FROM sw JOIN documents d USING (doc_id)
+  GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size histogram: component sizes from the
+    MinHash pair graph, plus the singleton count (docs in no pair)
+    as the size-1 row — the dedup-audit distribution."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs)
+    comp = dedup.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"))
+    nd = docs.groupBy().agg(F.count("*").alias("n_docs"))
+    nc = comp.groupBy().agg(F.count("*").alias("n_clustered"))
+    singleton = nd.crossJoin(F.broadcast(nc)).select(
+        F.lit(1).cast("long").alias("cluster_size"),
+        (F.col("n_docs") - F.col("n_clustered")).cast("long")
+        .alias("n_clusters"))
+    return (hist.select(F.col("cluster_size").cast("long"),
+                        "n_clusters")
+            .unionAll(singleton).orderBy("cluster_size"))
+
+
+def _cluster_sizes_oracle() -> str:
+    from .queries import _oracle_components
+    return f"""
+  WITH comp AS ({_oracle_components()}),
+  sizes AS (SELECT component, count(*)::BIGINT AS cluster_size
+            FROM comp GROUP BY component),
+  hist AS (SELECT cluster_size, count(*)::BIGINT AS n_clusters
+           FROM sizes GROUP BY cluster_size),
+  nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+  nc AS (SELECT count(*)::BIGINT AS n_clustered FROM comp)
+  SELECT cluster_size, n_clusters FROM hist
+  UNION ALL
+  SELECT 1::BIGINT, (n_docs - n_clustered)::BIGINT FROM nd, nc
+"""
+
+
+QUERIES_ROUND6.update({
+    "k_anonymity_customers": QuerySpec(
+        q_k_anonymity_customers, ORACLE_KANON,
+        doc="k-anonymity / l-diversity privacy audit over customer "
+            "quasi-identifiers"),
+    "theil_event_values": QuerySpec(
+        q_theil_event_values, ORACLE_THEIL,
+        doc="Theil T inequality per event type (pinned terms, exact "
+            "integer sum)"),
+    "lorenz_user_spend": QuerySpec(
+        q_lorenz_user_spend, ORACLE_LORENZ,
+        doc="Lorenz concentration deciles of per-user spend"),
+    "holt_trend_users": QuerySpec(
+        q_holt_trend_users, ORACLE_HOLT,
+        doc="Holt level+trend forecast over bounded tails (integer "
+            "halving)"),
+    "calibration_bins_nb": QuerySpec(
+        q_calibration_bins_nb, _calibration_oracle(),
+        doc="NB classifier reliability diagram vs heuristic labels"),
+    "tokenizer_fertility": QuerySpec(
+        q_tokenizer_fertility, _fertility_oracle(),
+        doc="subword fertility per language (greedy vocab)"),
+    "dedup_cluster_sizes": QuerySpec(
+        q_dedup_cluster_sizes, _cluster_sizes_oracle(),
+        doc="near-dup cluster-size histogram incl. singletons"),
+})

@@ -505,3 +505,115 @@ def test_kaplan_meier_plan_single_user_shuffle(spark):
 def test_item_item_plan_partitioned_rank(spark):
     plan = plan_of(QUERIES["item_item_recs"].fn(spark, SF_SMOKE))
     assert "row_number" in plan and "CartesianProduct" not in plan
+
+
+# ===========================================================================
+# Batch 3: privacy / inequality / forecasting / calibration / dedup audit
+# ===========================================================================
+
+def test_k_anonymity_flags(spark):
+    """Class (1,'A') has 1 row -> k-violation; class (2,'B') has 5 rows
+    of one sensitive value -> l-violation only."""
+    from bigdata_project_hust_spark.operators.quality import k_anonymity
+    rows = [(1, "A", 10)] + [(2, "B", 7)] * 5
+    df = spark.createDataFrame(rows, "nat long, seg string, sens long")
+    out = {(r["nat"], r["seg"]): r
+           for r in k_anonymity(df, ("nat", "seg"), "sens", k=5)
+           .collect()}
+    a, b = out[(1, "A")], out[(2, "B")]
+    assert a["k_violation"] == 1 and a["l_violation"] == 1
+    assert b["k_violation"] == 0 and b["l_violation"] == 1
+    assert b["n_rows"] == 5 and b["l_diversity"] == 1
+
+
+def test_theil_equal_values_zero(spark):
+    from bigdata_project_hust_spark.operators.aggregations import (
+        theil_index)
+    df = spark.createDataFrame([("a", 5), ("a", 5), ("a", 5)],
+                               "g string, x long")
+    r = theil_index(df, "g", F.col("x")).collect()[0]
+    assert r["theil_e9"] == 0 and r["sum_cents"] == 15
+
+
+def test_theil_hand_value(spark):
+    """Values (1, 3): mu=2, T = (0.5·ln0.5 + 1.5·ln1.5)/2 with
+    per-term e9 floors then a final floor(sum/2)."""
+    from bigdata_project_hust_spark.operators.aggregations import (
+        theil_index)
+    df = spark.createDataFrame([("a", 1), ("a", 3)], "g string, x long")
+    r = theil_index(df, "g", F.col("x")).collect()[0]
+    t1 = math.floor(0.5 * math.log(0.5) * 1e9)
+    t2 = math.floor(1.5 * math.log(1.5) * 1e9)
+    assert r["theil_e9"] == math.floor((t1 + t2) / 2.0)
+    assert r["theil_e9"] > 0
+
+
+def test_lorenz_distinct_totals(spark, tmp_path):
+    """Users with totals 1..10 cents land one per decile; cumulative
+    share is the exact partial-sum ratio."""
+    rows = [(i, datetime(2024, 1, 1), i, "view", i / 100.0, "{}")
+            for i in range(1, 11)]
+    from bigdata_project_hust_spark.operators.eventflow import (
+        lorenz_deciles)
+    d = _events(spark, tmp_path, rows)
+    out = lorenz_deciles(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()
+    assert [r["n_users"] for r in out] == [1] * 10
+    assert [r["sum_cents"] for r in out] == list(range(1, 11))
+    assert out[-1]["cum_share_e6"] == 1_000_000
+    assert out[0]["cum_share_e6"] == math.floor(1.0 / 55.0 * 1e6)
+
+
+def test_holt_hand_fold(spark, tmp_path):
+    """Values 0.05, 0.09, 0.03 -> fold (320,0) -> (448,64) ->
+    (352,-16); forecast 336."""
+    rows = [(1, datetime(2024, 1, 1, 0, 0, 0), 1, "view", 0.05, "{}"),
+            (2, datetime(2024, 1, 1, 0, 0, 1), 1, "view", 0.09, "{}"),
+            (3, datetime(2024, 1, 1, 0, 0, 2), 1, "view", 0.03, "{}")]
+    from bigdata_project_hust_spark.operators.eventflow import holt_trend
+    d = _events(spark, tmp_path, rows)
+    r = holt_trend(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()[0]
+    assert (r["n_tail"], r["level_c64"], r["trend_c64"],
+            r["forecast_c64"]) == (3, 352, -16, 336)
+
+
+def test_holt_single_event_is_level_only(spark, tmp_path):
+    rows = [(1, datetime(2024, 1, 1), 1, "view", 1.00, "{}")]
+    from bigdata_project_hust_spark.operators.eventflow import holt_trend
+    d = _events(spark, tmp_path, rows)
+    r = holt_trend(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()[0]
+    assert (r["level_c64"], r["trend_c64"]) == (100 * 64, 0)
+
+
+def test_calibration_bins_shape(spark):
+    out = QUERIES["calibration_bins_nb"].fn(spark, SF_SMOKE).collect()
+    assert [r["bin"] for r in out] == list(range(10))
+    total = sum(r["n_docs"] for r in out)
+    assert total > 0
+    for r in out:
+        assert r["n_agree"] <= r["n_confident"] <= r["n_docs"]
+        assert 0 <= r["agree_rate_e6"] <= 1_000_000
+
+
+def test_tokenizer_fertility_single_char_words(spark):
+    """1-char words are always exactly one piece -> fertility 1e6."""
+    from bigdata_project_hust_spark.operators.text import (
+        tokenizer_fertility)
+    df = spark.createDataFrame(
+        [(1, "a b c", "xx"), (2, "d e", "xx")],
+        "doc_id long, text string, lang string")
+    r = tokenizer_fertility(df).collect()[0]
+    assert r["lang"] == "xx" and r["sum_words"] == 5
+    assert r["sum_pieces"] == 5 and r["fertility_e6"] == 1_000_000
+
+
+def test_dedup_cluster_sizes_conserve_docs(spark):
+    """sum(cluster_size x n_clusters) over the histogram (incl. the
+    singleton row) equals the total document count."""
+    from bigdata_project_hust_spark.io import load_table
+    out = QUERIES["dedup_cluster_sizes"].fn(spark, SF_SMOKE).collect()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r["cluster_size"] * r["n_clusters"] for r in out) == n_docs
+    assert out[0]["cluster_size"] == 1
