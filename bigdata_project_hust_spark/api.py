@@ -728,3 +728,38 @@ class Engine:
         """Near-dup cluster-size distribution incl. singletons."""
         from .plans.round6 import q_dedup_cluster_sizes
         return q_dedup_cluster_sizes(self.spark, self.sf_dir)
+
+    def vector_hygiene(self) -> DataFrame:
+        """mapInArrow per-vector L2 norm / max-abs scan."""
+        from .operators.arrowops import embedding_norms
+        return embedding_norms(self.table("embeddings"))
+
+    def centroids(self) -> DataFrame:
+        """applyInArrow exact integer centroid accumulators."""
+        from .operators.arrowops import label_centroids
+        return label_centroids(self.table("embeddings"))
+
+    def burstiness(self) -> DataFrame:
+        """Fano factor of hourly event counts per type."""
+        from .operators.eventflow import fano_factor
+        return fano_factor(self.table("events"))
+
+    def ltv(self) -> DataFrame:
+        """Cohort LTV triangle with integer per-user averages."""
+        from .operators.eventflow import cohort_ltv
+        return cohort_ltv(self.table("events"))
+
+    def feature_correlations(self) -> DataFrame:
+        """One-scan 3x3 Pearson matrix over lineitem features."""
+        from pyspark.sql import functions as F
+        from .operators.aggregations import corr_matrix3
+        return corr_matrix3(
+            self.table("lineitem"), F.floor("l_quantity"),
+            F.floor(F.col("l_extendedprice") * 100),
+            F.floor(F.col("l_discount") * 100),
+            ("qty", "price", "disc"))
+
+    def concordance(self, term: str = "the") -> DataFrame:
+        """Keyword-in-context snippets for a term."""
+        from .operators.text import kwic
+        return kwic(self.table("documents"), term)

@@ -244,3 +244,56 @@ def theil_index(df: DataFrame, group_col: str, val_cents: Column) -> DataFrame:
                 / F.col("n").cast("double"))
          .cast("long").alias("theil_e9")
     ).orderBy(group_col)
+
+
+def corr_matrix3(df: DataFrame, x: Column, y: Column, z: Column,
+                 names: tuple[str, str, str]) -> DataFrame:
+    """Full 3x3 Pearson correlation matrix in ONE scan — the
+    feature-redundancy screen run before model fitting: nine exact
+    decimal(38) moments in a single aggregate (map-side partials, one
+    1-row exchange), then each of the three pairwise correlations
+    combines on a pinned double tree floored at e6. Output is the
+    tall upper triangle (pair, n_rows, corr_e6) — unpivoted via a
+    literal 3-element explode on the 1-row aggregate, never a second
+    scan."""
+    d = df.select(x.cast("long").alias("x"), y.cast("long").alias("y"),
+                  z.cast("long").alias("z"))
+    dec, d19 = "decimal(38,0)", "decimal(19,0)"
+
+    def c19(c):
+        return F.col(c).cast(d19)
+
+    agg = d.groupBy().agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("z").cast(dec)).alias("sz"),
+        F.sum(c19("x") * c19("x")).alias("sxx"),
+        F.sum(c19("y") * c19("y")).alias("syy"),
+        F.sum(c19("z") * c19("z")).alias("szz"),
+        F.sum(c19("x") * c19("y")).alias("sxy"),
+        F.sum(c19("x") * c19("z")).alias("sxz"),
+        F.sum(c19("y") * c19("z")).alias("syz"))
+
+    def corr(sa, sb, saa, sbb, sab):
+        n = F.col("n").cast("double")
+        a, b = F.col(sa).cast("double"), F.col(sb).cast("double")
+        aa, bb = F.col(saa).cast("double"), F.col(sbb).cast("double")
+        ab = F.col(sab).cast("double")
+        num = n * ab - a * b
+        den = F.sqrt((n * aa - a * a) * (n * bb - b * b))
+        return (F.when(den > 0.0, F.floor(num / den * 1e6))
+                .otherwise(F.lit(0))).cast("long")
+
+    pairs = F.array(
+        F.struct(F.lit(f"{names[0]}_{names[1]}").alias("pair"),
+                 corr("sx", "sy", "sxx", "syy", "sxy").alias("c")),
+        F.struct(F.lit(f"{names[0]}_{names[2]}").alias("pair"),
+                 corr("sx", "sz", "sxx", "szz", "sxz").alias("c")),
+        F.struct(F.lit(f"{names[1]}_{names[2]}").alias("pair"),
+                 corr("sy", "sz", "syy", "szz", "syz").alias("c")))
+    return (agg.select(F.col("n").cast("long").alias("n_rows"),
+                       F.explode(pairs).alias("p"))
+            .select(F.col("p.pair").alias("pair"), "n_rows",
+                    F.col("p.c").alias("corr_e6"))
+            .orderBy("pair"))

@@ -916,3 +916,77 @@ def holt_trend(df: DataFrame, tail: int = HOLT_TAIL,
         F.col("st").getField("b").cast("long").alias("trend_c64"),
         (F.col("st").getField("l") + F.col("st").getField("b"))
         .cast("long").alias("forecast_c64"))
+
+
+def fano_factor(df: DataFrame, bucket_s: int = 3600,
+                type_col: str = "event_type",
+                ts_col: str = "ts") -> DataFrame:
+    """Burstiness per event type: the Fano factor (variance / mean of
+    per-hour-bucket counts) over OBSERVED buckets — ≈1 for a Poisson
+    arrival process, >1 for bursty traffic, <1 for regular/paced.
+    The dispersion screen that separates organic from scripted
+    activity.
+
+    Exact to the last op: bucket counts are BIGINTs, the moment sums
+    accumulate as decimal(38), and F = (n·Σc² − S²)/(n·S) runs ONCE
+    per type on a pinned double tree, floored at e6. Two small
+    aggs — per-(type, bucket), then per-type."""
+    b = df.select(F.col(type_col).alias("event_type"),
+                  F.floor(_ts_s(ts_col) / bucket_s).cast("long")
+                   .alias("bucket"))
+    counts = b.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("long").alias("c"))
+    dec, d19 = "decimal(38,0)", "decimal(19,0)"
+    agg = counts.groupBy("event_type").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("c").cast(dec)).alias("s"),
+        F.sum(F.col("c").cast(d19) * F.col("c").cast(d19)).alias("q"))
+    n, s, q = [F.col(c).cast("double") for c in ("n", "s", "q")]
+    fano = F.floor((n * q - s * s) / (n * s) * 1e6)
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_buckets"),
+        F.col("s").cast("long").alias("n_events"),
+        F.when(F.col("s") > 0, fano).otherwise(F.lit(0))
+         .cast("long").alias("fano_e6")).orderBy("event_type")
+
+
+def cohort_ltv(df: DataFrame, user_col: str = "user_id",
+               type_col: str = "event_type", val_col: str = "value",
+               ts_col: str = "ts", target: str = "purchase") -> DataFrame:
+    """Cohort lifetime-value triangle: users cohorted by first-event
+    epoch day, cumulative purchase revenue per (cohort, day offset),
+    and average LTV per cohort user — the revenue twin of
+    :func:`retention_cohorts`, ALL-INTEGER end to end (the per-user
+    average is cents·100 integer division, no FP anywhere).
+
+    Offsets are the OBSERVED purchase days (sparse triangle); the
+    cumulative window is cohort-partitioned — parallel across
+    cohorts. Plan: one |users| agg for cohort day, one purchase
+    rollup, a cohort-size join, one partitioned window."""
+    from pyspark.sql import Window
+    day = F.floor(_ts_s(ts_col) / _DAY_S).cast("long")
+    e = df.select(F.col(user_col).alias("u"), day.alias("day"),
+                  F.col(type_col).alias("et"),
+                  F.floor(F.col(val_col) * 100 + F.lit(0.5))
+                   .cast("long").alias("cents"))
+    cohorts = e.groupBy("u").agg(F.min("day").alias("cohort_day"))
+    sizes = cohorts.groupBy("cohort_day").agg(
+        F.count("*").cast("long").alias("n_cohort_users"))
+    rev = (e.where(F.col("et") == target)
+           .join(cohorts, "u")
+           .groupBy("cohort_day",
+                    (F.col("day") - F.col("cohort_day"))
+                    .alias("day_offset"))
+           .agg(F.sum("cents").cast("long").alias("rev_cents")))
+    w = (Window.partitionBy("cohort_day").orderBy("day_offset")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = rev.select("cohort_day", "day_offset", "rev_cents",
+                     F.sum("rev_cents").over(w).cast("long")
+                      .alias("cum_rev_cents"))
+    return (cum.join(sizes, "cohort_day")
+            .select("cohort_day", "day_offset", "rev_cents",
+                    "cum_rev_cents", "n_cohort_users",
+                    F.expr("(cum_rev_cents * 100) div n_cohort_users")
+                     .cast("long").alias("avg_ltv_c100"))
+            .orderBy("cohort_day", "day_offset"))

@@ -1306,3 +1306,31 @@ def tokenizer_fertility(df: DataFrame, text_col: str = "text",
         F.when(F.col("sum_words") > 0, fert)
          .otherwise(F.lit(0)).cast("long").alias("fertility_e6")
     ).orderBy("lang")
+
+
+def kwic(df: DataFrame, term: str = "the", width: int = 2,
+         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keyword-in-context extraction: for documents containing
+    ``term``, the 1-based position of its FIRST occurrence and the
+    ±``width``-token window joined as a snippet — the concordance
+    view an annotation/debugging pipeline serves next to every
+    keyword hit.
+
+    Zero-shuffle projection: the token array binds once,
+    array_position / slice / concat_ws all run in whole-stage
+    codegen; both engines share identical 1-based index arithmetic
+    (Spark array_position = DuckDB list_position)."""
+    t = df.select(id_col, tokens(F.col(text_col)).alias("_w"))
+    pos = F.array_position("_w", term)
+    start = F.greatest(F.lit(1), pos - width)
+    fin = F.least(F.size("_w").cast("long"), pos + width)
+    return (t.select(id_col, F.col("_w"),
+                     pos.cast("long").alias("pos"),
+                     F.size("_w").cast("long").alias("n_tokens"),
+                     start.alias("_s"), fin.alias("_f"))
+            .where(F.col("pos") > 0)
+            .select(id_col, "pos", "n_tokens",
+                    F.concat_ws(" ", F.slice(
+                        F.col("_w"), F.col("_s").cast("int"),
+                        (F.col("_f") - F.col("_s") + 1).cast("int")))
+                    .alias("snippet")))

@@ -1059,3 +1059,218 @@ QUERIES_ROUND6.update({
         q_dedup_cluster_sizes, _cluster_sizes_oracle(),
         doc="near-dup cluster-size histogram incl. singletons"),
 })
+
+
+# ===========================================================================
+# Batch 4: Arrow-native vector ops / burstiness / LTV / correlation
+#          matrix / concordance
+# ===========================================================================
+
+from ..operators import arrowops  # noqa: E402
+
+
+def q_arrow_embedding_norms(spark, sf_dir):
+    """mapInArrow vector hygiene scan: per-vector L2 norm and max
+    |component|, e6-floored; the squared-sum folds sequentially over
+    dims to match the oracle's list_reduce order bit-for-bit."""
+    return arrowops.embedding_norms(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_ARROW_NORMS = """
+  SELECT vec_id,
+         floor(sqrt(list_reduce(
+             list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+             (a, b) -> a + b)) * 1e6)::BIGINT AS norm_e6,
+         floor(list_max(list_transform(embedding,
+                                       x -> abs(x::DOUBLE)))
+               * 1e6)::BIGINT AS max_abs_e6
+  FROM embeddings
+"""
+
+
+def q_arrow_label_centroids(spark, sf_dir):
+    """applyInArrow per-label centroid accumulator: exact BIGINT sums
+    of e6-quantized components per (label, dim) — quantize-then-sum
+    makes the result batch-order-proof."""
+    return arrowops.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_ARROW_CENTROIDS = """
+  WITH t AS (
+    SELECT label::BIGINT AS label,
+           unnest(embedding) AS comp,
+           unnest(range(1, len(embedding) + 1))::BIGINT AS dim
+    FROM embeddings
+  )
+  SELECT label, dim,
+         sum(floor(comp::DOUBLE * 1e6)::BIGINT)::BIGINT AS sum_q_e6,
+         count(*)::BIGINT AS n_vecs
+  FROM t GROUP BY label, dim ORDER BY label, dim
+"""
+
+
+def q_fano_factor_bursts(spark, sf_dir):
+    """Fano factor (variance/mean of hourly counts) per event type —
+    exact decimal moments, one pinned division floored e6."""
+    return eventflow.fano_factor(_t(spark, sf_dir, "events"))
+
+
+ORACLE_FANO = """
+  WITH b AS (
+    SELECT event_type,
+           floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS bucket
+    FROM events
+  ),
+  counts AS (SELECT event_type, bucket, count(*)::BIGINT AS c
+             FROM b GROUP BY 1, 2),
+  agg AS (
+    SELECT event_type, count(*)::HUGEINT AS n,
+           sum(c)::HUGEINT AS s,
+           sum(c::HUGEINT * c::HUGEINT) AS q
+    FROM counts GROUP BY event_type
+  )
+  SELECT event_type, n::BIGINT AS n_buckets, s::BIGINT AS n_events,
+         (CASE WHEN s > 0
+               THEN floor((n::DOUBLE * q::DOUBLE
+                           - s::DOUBLE * s::DOUBLE)
+                          / (n::DOUBLE * s::DOUBLE) * 1e6)
+               ELSE 0 END)::BIGINT AS fano_e6
+  FROM agg ORDER BY event_type
+"""
+
+
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort LTV triangle: cumulative purchase revenue per (first-day
+    cohort, day offset) and all-integer average LTV per cohort user."""
+    return eventflow.cohort_ltv(_t(spark, sf_dir, "events"))
+
+
+ORACLE_LTV = """
+  WITH e AS (
+    SELECT user_id AS u,
+           floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day,
+           event_type AS et,
+           floor(value * 100 + 0.5)::BIGINT AS cents
+    FROM events
+  ),
+  coh AS (SELECT u, min(day) AS cohort_day FROM e GROUP BY u),
+  sizes AS (SELECT cohort_day, count(*)::BIGINT AS n_cohort_users
+            FROM coh GROUP BY cohort_day),
+  rev AS (
+    SELECT c.cohort_day, (e.day - c.cohort_day)::BIGINT AS day_offset,
+           sum(cents)::BIGINT AS rev_cents
+    FROM e JOIN coh c ON e.u = c.u
+    WHERE et = 'purchase' GROUP BY 1, 2
+  ),
+  cum AS (
+    SELECT cohort_day, day_offset, rev_cents,
+           sum(rev_cents) OVER (PARTITION BY cohort_day
+             ORDER BY day_offset ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)::BIGINT AS cum_rev_cents
+    FROM rev
+  )
+  SELECT cohort_day, day_offset, rev_cents, cum_rev_cents,
+         n_cohort_users,
+         ((cum_rev_cents * 100) // n_cohort_users)::BIGINT
+           AS avg_ltv_c100
+  FROM cum JOIN sizes USING (cohort_day)
+  ORDER BY cohort_day, day_offset
+"""
+
+
+def q_correlation_matrix_lineitem(spark, sf_dir):
+    """3x3 Pearson matrix (qty, price cents, discount points) in one
+    scan: nine exact decimal moments, pinned combines, tall unpivoted
+    upper triangle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return aggregations.corr_matrix3(
+        li, F.floor("l_quantity"),
+        F.floor(F.col("l_extendedprice") * 100),
+        F.floor(F.col("l_discount") * 100),
+        ("qty", "price", "disc"))
+
+
+def _corr_pair_sql(a, b, aa, bb, ab, name):
+    num = f"(n::DOUBLE * {ab}::DOUBLE - {a}::DOUBLE * {b}::DOUBLE)"
+    va = f"(n::DOUBLE * {aa}::DOUBLE - {a}::DOUBLE * {a}::DOUBLE)"
+    vb = f"(n::DOUBLE * {bb}::DOUBLE - {b}::DOUBLE * {b}::DOUBLE)"
+    return f"""
+  SELECT '{name}' AS pair, n::BIGINT AS n_rows,
+         (CASE WHEN {va} * {vb} > 0.0
+               THEN floor({num} / sqrt({va} * {vb}) * 1e6)
+               ELSE 0 END)::BIGINT AS corr_e6
+  FROM agg"""
+
+
+ORACLE_CORR_MATRIX = f"""
+  WITH d AS (
+    SELECT floor(l_quantity)::BIGINT AS x,
+           floor(l_extendedprice * 100)::BIGINT AS y,
+           floor(l_discount * 100)::BIGINT AS z
+    FROM lineitem
+  ),
+  agg AS (
+    SELECT count(*)::HUGEINT AS n,
+           sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+           sum(z)::HUGEINT AS sz,
+           sum(x::HUGEINT * x::HUGEINT) AS sxx,
+           sum(y::HUGEINT * y::HUGEINT) AS syy,
+           sum(z::HUGEINT * z::HUGEINT) AS szz,
+           sum(x::HUGEINT * y::HUGEINT) AS sxy,
+           sum(x::HUGEINT * z::HUGEINT) AS sxz,
+           sum(y::HUGEINT * z::HUGEINT) AS syz
+    FROM d
+  )
+  {_corr_pair_sql('sx', 'sy', 'sxx', 'syy', 'sxy', 'qty_price')}
+  UNION ALL
+  {_corr_pair_sql('sx', 'sz', 'sxx', 'szz', 'sxz', 'qty_disc')}
+  UNION ALL
+  {_corr_pair_sql('sy', 'sz', 'syy', 'szz', 'syz', 'price_disc')}
+  ORDER BY pair
+"""
+
+
+def q_kwic_the(spark, sf_dir):
+    """Keyword-in-context for 'the': first-occurrence position and the
+    ±2-token snippet — zero-shuffle codegen projection."""
+    return text.kwic(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_KWIC = rf"""
+  WITH t AS (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> x <> '') AS w
+    FROM documents
+  ),
+  p AS (
+    SELECT doc_id, coalesce(list_position(w, 'the'), 0)::BIGINT AS pos,
+           len(w)::BIGINT AS n_tokens, w
+    FROM t
+  )
+  SELECT doc_id, pos, n_tokens,
+         array_to_string(w[greatest(1, pos - 2):least(n_tokens, pos + 2)],
+                         ' ') AS snippet
+  FROM p WHERE pos > 0
+"""
+
+
+QUERIES_ROUND6.update({
+    "arrow_embedding_norms": QuerySpec(
+        q_arrow_embedding_norms, ORACLE_ARROW_NORMS,
+        doc="mapInArrow L2-norm / max-abs vector hygiene scan"),
+    "arrow_label_centroids": QuerySpec(
+        q_arrow_label_centroids, ORACLE_ARROW_CENTROIDS,
+        doc="applyInArrow exact integer centroid accumulator"),
+    "fano_factor_bursts": QuerySpec(
+        q_fano_factor_bursts, ORACLE_FANO,
+        doc="Fano-factor burstiness per event type"),
+    "cohort_ltv": QuerySpec(
+        q_cohort_ltv, ORACLE_LTV,
+        doc="cohort LTV triangle, all-integer average per user"),
+    "correlation_matrix_lineitem": QuerySpec(
+        q_correlation_matrix_lineitem, ORACLE_CORR_MATRIX,
+        doc="one-scan 3x3 Pearson matrix (exact moments)"),
+    "kwic_the": QuerySpec(
+        q_kwic_the, ORACLE_KWIC,
+        doc="keyword-in-context concordance snippets"),
+})

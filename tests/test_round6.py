@@ -617,3 +617,94 @@ def test_dedup_cluster_sizes_conserve_docs(spark):
     n_docs = load_table(spark, SF_SMOKE, "documents").count()
     assert sum(r["cluster_size"] * r["n_clusters"] for r in out) == n_docs
     assert out[0]["cluster_size"] == 1
+
+
+# ===========================================================================
+# Batch 4: Arrow-native ops / burstiness / LTV / corr matrix / KWIC
+# ===========================================================================
+
+def test_arrow_norms_hand_value(spark):
+    from bigdata_project_hust_spark.operators.arrowops import (
+        embedding_norms)
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in embedding_norms(df, dim=2).collect()}
+    assert out[1]["norm_e6"] == 5_000_000
+    assert out[1]["max_abs_e6"] == 4_000_000
+    assert out[2]["norm_e6"] == 0
+
+
+def test_arrow_centroids_exact_sums(spark):
+    from bigdata_project_hust_spark.operators.arrowops import (
+        label_centroids)
+    df = spark.createDataFrame(
+        [(0, [1.5, -0.25]), (0, [0.5, 0.25]), (1, [2.0, 0.0])],
+        "label int, embedding array<float>")
+    out = {(r["label"], r["dim"]): r
+           for r in label_centroids(df, dim=2).collect()}
+    assert out[(0, 1)]["sum_q_e6"] == 2_000_000  # 1.5e6 + 0.5e6
+    # floor(-0.25e6) + floor(0.25e6) = -250000 + 250000
+    assert out[(0, 2)]["sum_q_e6"] == 0
+    assert out[(0, 1)]["n_vecs"] == 2 and out[(1, 1)]["n_vecs"] == 1
+
+
+def test_fano_poisson_like_vs_burst(spark, tmp_path):
+    """Constant 1-per-bucket traffic -> variance 0 -> fano 0; all
+    events in one bucket out of... single bucket also var 0. Bursty
+    2-bucket (4,0-style impossible; use observed buckets (1,3)):
+    mean 2, var 1 -> F=0.5."""
+    rows = [(1, datetime(2024, 1, 1, 0), 1, "view", 1.0, "{}"),
+            (2, datetime(2024, 1, 1, 1), 1, "view", 1.0, "{}"),
+            (3, datetime(2024, 1, 1, 1, 10), 1, "view", 1.0, "{}"),
+            (4, datetime(2024, 1, 1, 1, 20), 1, "view", 1.0, "{}")]
+    from bigdata_project_hust_spark.operators.eventflow import fano_factor
+    d = _events(spark, tmp_path, rows)
+    r = fano_factor(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()[0]
+    # counts (1, 3): n=2, S=4, Q=10 -> (2*10-16)/(2*4) = 0.5
+    assert r["n_buckets"] == 2 and r["n_events"] == 4
+    assert r["fano_e6"] == 500_000
+
+
+def test_cohort_ltv_hand_values(spark, tmp_path):
+    """Two users cohort on day 0; purchases of 1.00 (day 0) and 3.00
+    (day 1) accumulate; avg is cents*100 div 2 users."""
+    d0, d1 = datetime(2024, 1, 1), datetime(2024, 1, 2)
+    rows = [(1, d0, 1, "view", 0.0, "{}"),
+            (2, d0, 2, "purchase", 1.00, "{}"),
+            (3, d1, 2, "purchase", 3.00, "{}")]
+    from bigdata_project_hust_spark.operators.eventflow import cohort_ltv
+    d = _events(spark, tmp_path, rows)
+    out = cohort_ltv(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()
+    assert [(r["day_offset"], r["rev_cents"], r["cum_rev_cents"],
+             r["avg_ltv_c100"]) for r in out] == \
+        [(0, 100, 100, 5000), (1, 300, 400, 20000)]
+
+
+def test_corr_matrix_perfect_and_inverse(spark):
+    from bigdata_project_hust_spark.operators.aggregations import (
+        corr_matrix3)
+    df = spark.createDataFrame(
+        [(1, 10, 5), (2, 20, 4), (3, 30, 3)], "a long, b long, c long")
+    out = {r["pair"]: r["corr_e6"] for r in corr_matrix3(
+        df, F.col("a"), F.col("b"), F.col("c"),
+        ("a", "b", "c")).collect()}
+    assert out["a_b"] == 1_000_000
+    assert out["a_c"] == -1_000_000
+    assert out["b_c"] == -1_000_000
+
+
+def test_kwic_window_and_boundaries(spark):
+    from bigdata_project_hust_spark.operators.text import kwic
+    df = spark.createDataFrame(
+        [(1, "over the lazy dog today"),   # pos 2, window clipped left
+         (2, "the quick fox"),             # pos 1, clipped hard left
+         (3, "no match here")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in kwic(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["pos"] == 2
+    assert out[1]["snippet"] == "over the lazy dog"
+    assert out[2]["snippet"] == "the quick fox"
