@@ -763,3 +763,23 @@ class Engine:
         """Keyword-in-context snippets for a term."""
         from .operators.text import kwic
         return kwic(self.table("documents"), term)
+
+    def hubs_and_authorities(self) -> DataFrame:
+        """HITS over the supplier->customer trade graph."""
+        from .plans.round6 import q_hits_trade
+        return q_hits_trade(self.spark, self.sf_dir)
+
+    def seasonal_decomposition(self) -> DataFrame:
+        """STL-lite trend/seasonal/residual of hourly values."""
+        from .operators.eventflow import stl_lite
+        return stl_lite(self.table("events"))
+
+    def class_separability(self) -> DataFrame:
+        """Cosine matrix between label centroids."""
+        from .operators.arrowops import centroid_cosine
+        return centroid_cosine(self.table("embeddings"))
+
+    def vocabulary_manifest(self) -> DataFrame:
+        """df-band vocabulary pruning manifest."""
+        from .operators.text import vocab_prune
+        return vocab_prune(self.table("documents"))

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 EMB_DIM = 64
 
@@ -106,3 +106,44 @@ def label_centroids(df: DataFrame, dim: int = EMB_DIM) -> DataFrame:
             .applyInArrow(per_group,
                           "label int, dim long, sum_q_e6 long, "
                           "n_vecs long"))
+
+
+def centroid_cosine(df: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """Label-centroid similarity matrix: cosine between every pair of
+    class centroids — the class-separability audit run on embedding
+    quality before training a classifier on the space.
+
+    Composes :func:`label_centroids`; each centroid mean is ONE
+    pinned floor(sum/n) per (label, dim) cell (→ exact e6-grid
+    BIGINT), so the dot products and squared norms are EXACT integer
+    sums over dims (order-free), and the final cosine is one pinned
+    division per label pair floored at e6. |labels|²·dim work —
+    trivial at any corpus scale."""
+    c = label_centroids(df, dim)
+    m = c.select("label", "dim",
+                 F.floor(F.col("sum_q_e6").cast("double")
+                         / F.col("n_vecs").cast("double"))
+                  .cast("long").alias("mq"))
+    a = m.select(F.col("label").alias("label_a"), "dim",
+                 F.col("mq").alias("ma"))
+    b = m.select(F.col("label").alias("label_b"), "dim",
+                 F.col("mq").alias("mb"))
+    dots = (a.join(b, "dim")
+            .where(F.col("label_a") < F.col("label_b"))
+            .groupBy("label_a", "label_b")
+            .agg(F.sum(F.col("ma") * F.col("mb")).alias("dot")))
+    norms = (m.groupBy("label")
+             .agg(F.sum(F.col("mq") * F.col("mq")).alias("n2")))
+    j = (dots
+         .join(norms.select(F.col("label").alias("label_a"),
+                            F.col("n2").alias("n2a")), "label_a")
+         .join(norms.select(F.col("label").alias("label_b"),
+                            F.col("n2").alias("n2b")), "label_b"))
+    cos = F.floor(F.col("dot").cast("double")
+                  / F.sqrt(F.col("n2a").cast("double")
+                           * F.col("n2b").cast("double")) * 1e6)
+    return (j.select("label_a", "label_b",
+                     F.when((F.col("n2a") > 0) & (F.col("n2b") > 0),
+                            cos).otherwise(F.lit(0))
+                     .cast("long").alias("cosine_e6"))
+            .orderBy("label_a", "label_b"))

@@ -990,3 +990,48 @@ def cohort_ltv(df: DataFrame, user_col: str = "user_id",
                     F.expr("(cum_rev_cents * 100) div n_cohort_users")
                      .cast("long").alias("avg_ltv_c100"))
             .orderBy("cohort_day", "day_offset"))
+
+
+_STL_HALF = 12  # centered trend window: ±12 observed hourly buckets
+
+
+def stl_lite(df: DataFrame, type_col: str = "event_type",
+             val_col: str = "value", ts_col: str = "ts") -> DataFrame:
+    """Additive seasonal-trend decomposition (STL-lite) of the hourly
+    value series per event type: y = trend + seasonal + residual.
+
+    * trend: centered moving average over ±12 OBSERVED hourly buckets
+      (one pinned floor(sum/count) per row — never an FP running
+      mean), type-partitioned window;
+    * seasonal: per (type, hour-of-day) pinned-floored mean of the
+      detrended series;
+    * residual: the exact integer remainder.
+
+    Deterministic: bucket totals are exact cents BIGINTs and each
+    division is a single pinned floor. Windows and aggs are all
+    type-partitioned — the sort parallelizes across types, and the
+    seasonal join is a 24·|types|-row broadcast."""
+    from pyspark.sql import Window
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    g = (df.select(F.col(type_col).alias("event_type"),
+                   F.floor(_ts_s(ts_col) / 3600).cast("long")
+                    .alias("bucket"), cents.alias("v"))
+         .groupBy("event_type", "bucket")
+         .agg(F.sum("v").cast("long").alias("y")))
+    wt = (Window.partitionBy("event_type").orderBy("bucket")
+          .rowsBetween(-_STL_HALF, _STL_HALF))
+    trend = F.floor(F.sum("y").over(wt).cast("double")
+                    / F.count("y").over(wt).cast("double")).cast("long")
+    t = g.select("event_type", "bucket", "y", trend.alias("trend"),
+                 F.pmod(F.col("bucket"), F.lit(24)).cast("long")
+                  .alias("hod"))
+    t = t.withColumn("detr", F.col("y") - F.col("trend"))
+    seas = (t.groupBy("event_type", "hod")
+            .agg(F.floor(F.sum("detr").cast("double")
+                         / F.count("*").cast("double"))
+                 .cast("long").alias("seasonal")))
+    out = (t.join(F.broadcast(seas), ["event_type", "hod"])
+           .select("event_type", "bucket", "y", "trend", "seasonal",
+                   (F.col("y") - F.col("trend") - F.col("seasonal"))
+                   .cast("long").alias("residual")))
+    return out.orderBy("event_type", "bucket")

@@ -500,3 +500,58 @@ def item_item_cosine(lineitem: DataFrame, top_n: int = 5,
             .where(F.col("rn") <= top_n)
             .select("item", "neighbor", "n_co", "cosine_e6",
                     F.col("rn").cast("long").alias("rn")))
+
+
+HITS_SCALE = 1_000_000
+
+
+def hits(edges: DataFrame, iters: int = 2,
+         src: str = "src", dst: str = "dst") -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on a directed edge
+    list, ``iters`` UN-normalized exact-integer iterations:
+
+        a'(v) = Σ_{u→v} h(u)        h'(u) = Σ_{u→v} a'(v)
+
+    Skipping the per-round L2 normalization keeps every value an
+    exact BIGINT (the normalized ratios are recoverable downstream,
+    and ORDERING — what hub/authority scores are used for — is
+    normalization-invariant). Growth bound: scores ≤
+    SCALE · d_max^(2·iters); at the default 2 iterations that stays
+    inside int64 for d_max up to ~5·10³ — beyond, move the grid to
+    decimal(38) or add a per-round integer right-shift.
+
+    Plan per round: two edge joins + two aggs, each shuffling
+    |V|-sized frames on node ids; AQE dedups the loop-invariant edge
+    exchange across rounds (the pagerank pattern — deliberately no
+    persist)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct())
+    h = nodes.select("node",
+                     F.lit(HITS_SCALE).cast("long").alias("h"))
+    a = None
+    for _ in range(iters):
+        a_in = (e.alias("ed")
+                .join(h.alias("hh"), F.col("ed.src") == F.col("hh.node"))
+                .groupBy(F.col("ed.dst").alias("dst"))
+                .agg(F.sum("h").alias("s_a")))
+        a = (nodes.alias("nd")
+             .join(a_in.alias("ai"),
+                   F.col("nd.node") == F.col("ai.dst"), "left")
+             .select(F.col("nd.node").alias("node"),
+                     F.coalesce(F.col("s_a"), F.lit(0))
+                     .cast("long").alias("a")))
+        h_in = (e.alias("ed")
+                .join(a.alias("aa"), F.col("ed.dst") == F.col("aa.node"))
+                .groupBy(F.col("ed.src").alias("src"))
+                .agg(F.sum("a").alias("s_h")))
+        h = (nodes.alias("nd")
+             .join(h_in.alias("hi"),
+                   F.col("nd.node") == F.col("hi.src"), "left")
+             .select(F.col("nd.node").alias("node"),
+                     F.coalesce(F.col("s_h"), F.lit(0))
+                     .cast("long").alias("h")))
+    return (h.join(a, "node")
+            .select("node", F.col("h").alias("hub"),
+                    F.col("a").alias("authority")))

@@ -1334,3 +1334,34 @@ def kwic(df: DataFrame, term: str = "the", width: int = 2,
                         F.col("_w"), F.col("_s").cast("int"),
                         (F.col("_f") - F.col("_s") + 1).cast("int")))
                     .alias("snippet")))
+
+
+def vocab_prune(df: DataFrame, min_df: int = 2,
+                max_df_ratio_e2: int = 50,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Vocabulary-pruning manifest: per token, its DOCUMENT frequency
+    and whether it survives the [min_df, max_df%] band — the
+    feature-selection gate (drop hapax noise below, drop
+    stopword-like ubiquity above) every bag-of-words / tf-idf
+    pipeline applies before building features.
+
+    All-integer decision: the ratio test is the cross-multiplied
+    ``df·100 ≤ ratio_e2·n_docs`` — no division anywhere. One
+    per-(doc, token) distinct pass (map-side array_distinct before
+    the explode keeps the shuffle at unique-tokens-per-doc), one
+    |vocab| agg, a 1-row broadcast of n_docs."""
+    per_doc = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col))))
+         .alias("tok"))
+    dfreq = per_doc.groupBy("tok").agg(
+        F.count("*").cast("long").alias("doc_freq"))
+    nd = df.groupBy().agg(F.count("*").cast("long").alias("n_docs"))
+    t = dfreq.crossJoin(F.broadcast(nd))
+    kept = ((F.col("doc_freq") >= min_df)
+            & (F.col("doc_freq") * 100
+               <= F.lit(max_df_ratio_e2) * F.col("n_docs")))
+    return (t.select("tok", "doc_freq", "n_docs",
+                     kept.cast("long").alias("kept"))
+            .orderBy("tok"))

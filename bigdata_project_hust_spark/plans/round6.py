@@ -1274,3 +1274,222 @@ QUERIES_ROUND6.update({
         q_kwic_the, ORACLE_KWIC,
         doc="keyword-in-context concordance snippets"),
 })
+
+
+# ===========================================================================
+# Batch 5: HITS / STL-lite / centroid separability / SQL-surface set
+#          ops / vocab pruning
+# ===========================================================================
+
+_HITS_ITERS = 2
+
+
+def q_hits_trade(spark, sf_dir):
+    """HITS hubs & authorities on the directed supplier→customer trade
+    graph, 2 un-normalized exact-integer iterations (suppliers are
+    hubs, customers authorities)."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    pairs = (li.select("l_orderkey", "l_suppkey")
+             .join(od.select("o_orderkey", "o_custkey"),
+                   li.l_orderkey == od.o_orderkey)
+             .select((F.col("l_suppkey") * 2 + 1).alias("src"),
+                     (F.col("o_custkey") * 2).alias("dst"))
+             .distinct())
+    return graph.hits(pairs, iters=_HITS_ITERS)
+
+
+def _hits_oracle() -> str:
+    from ..operators.graph import HITS_SCALE
+    parts = [f"""
+  e AS (
+    SELECT DISTINCT l.l_suppkey * 2 + 1 AS src,
+           o.o_custkey * 2 AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  ),
+  nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+  h0 AS (SELECT node, {HITS_SCALE}::BIGINT AS h FROM nodes)"""]
+    for t in range(_HITS_ITERS):
+        parts.append(f"""
+  ai{t} AS (
+    SELECT e.dst, sum(h.h)::BIGINT AS s_a
+    FROM e JOIN h{t} h ON e.src = h.node GROUP BY e.dst
+  ),
+  a{t + 1} AS (
+    SELECT n.node, coalesce(s_a, 0)::BIGINT AS a
+    FROM nodes n LEFT JOIN ai{t} ON n.node = ai{t}.dst
+  ),
+  hi{t} AS (
+    SELECT e.src, sum(a.a)::BIGINT AS s_h
+    FROM e JOIN a{t + 1} a ON e.dst = a.node GROUP BY e.src
+  ),
+  h{t + 1} AS (
+    SELECT n.node, coalesce(s_h, 0)::BIGINT AS h
+    FROM nodes n LEFT JOIN hi{t} ON n.node = hi{t}.src
+  )""")
+    ctes = ",".join(parts)
+    return f"""
+  WITH {ctes}
+  SELECT h.node, h.h AS hub, a.a AS authority
+  FROM h{_HITS_ITERS} h JOIN a{_HITS_ITERS} a ON h.node = a.node
+"""
+
+
+def q_stl_hourly_values(spark, sf_dir):
+    """STL-lite additive decomposition of per-type hourly value
+    series: centered ±12-bucket trend, hour-of-day seasonal on the
+    detrended series, exact integer residual."""
+    return eventflow.stl_lite(_t(spark, sf_dir, "events"))
+
+
+ORACLE_STL = """
+  WITH g AS (
+    SELECT event_type,
+           floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT AS bucket,
+           sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS y
+    FROM events GROUP BY 1, 2
+  ),
+  t AS (
+    SELECT event_type, bucket, y,
+           floor((sum(y) OVER w)::DOUBLE
+                 / (count(y) OVER w)::DOUBLE)::BIGINT AS trend,
+           (bucket % 24)::BIGINT AS hod
+    FROM g
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+  ),
+  d AS (SELECT *, (y - trend)::BIGINT AS detr FROM t),
+  s AS (
+    SELECT event_type, hod,
+           floor(sum(detr)::DOUBLE / count(*)::DOUBLE)::BIGINT
+             AS seasonal
+    FROM d GROUP BY 1, 2
+  )
+  SELECT d.event_type, bucket, y, trend, seasonal,
+         (y - trend - seasonal)::BIGINT AS residual
+  FROM d JOIN s ON d.event_type = s.event_type AND d.hod = s.hod
+  ORDER BY d.event_type, bucket
+"""
+
+
+def q_centroid_separability(spark, sf_dir):
+    """Cosine between every pair of label centroids (composes the
+    applyInArrow accumulator): pinned mean per cell, exact integer
+    dots/norms over dims, one pinned division per pair."""
+    return arrowops.centroid_cosine(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_CENTROID_COS = f"""
+  WITH cent AS ({ORACLE_ARROW_CENTROIDS}),
+  m AS (
+    SELECT label, dim,
+           floor(sum_q_e6::DOUBLE / n_vecs::DOUBLE)::BIGINT AS mq
+    FROM cent
+  ),
+  dots AS (
+    SELECT a.label AS label_a, b.label AS label_b,
+           sum(a.mq * b.mq)::BIGINT AS dot
+    FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY 1, 2
+  ),
+  norms AS (SELECT label, sum(mq * mq)::BIGINT AS n2
+            FROM m GROUP BY label)
+  SELECT label_a, label_b,
+         (CASE WHEN na.n2 > 0 AND nb.n2 > 0
+               THEN floor(dot::DOUBLE
+                          / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) * 1e6)
+               ELSE 0 END)::BIGINT AS cosine_e6
+  FROM dots JOIN norms na ON label_a = na.label
+            JOIN norms nb ON label_b = nb.label
+  ORDER BY label_a, label_b
+"""
+
+
+def q_except_all_custkeys(spark, sf_dir):
+    """EXCEPT ALL multiset semantics through the SQL text interface:
+    order custkeys minus one occurrence per customer row — repeat
+    buyers survive with multiplicity n_orders − 1."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("r6_orders_v")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("r6_cust_v")
+    return spark.sql("""
+      SELECT o_custkey AS custkey FROM r6_orders_v
+      EXCEPT ALL
+      SELECT c_custkey FROM r6_cust_v
+    """)
+
+
+ORACLE_EXCEPT_ALL = """
+  SELECT o_custkey AS custkey FROM orders
+  EXCEPT ALL
+  SELECT c_custkey FROM customer
+"""
+
+
+def q_group_by_all_revenue(spark, sf_dir):
+    """GROUP BY ALL sugar through the SQL text interface — grouping
+    keys inferred from the non-aggregate select list."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("r6_orders_v2")
+    return spark.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+             count(*) AS n_orders,
+             sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      FROM r6_orders_v2
+      GROUP BY ALL
+      ORDER BY o_orderstatus, o_orderpriority
+    """)
+
+
+ORACLE_GROUP_BY_ALL = """
+  SELECT o_orderstatus, o_orderpriority,
+         count(*)::BIGINT AS n_orders,
+         sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS rev_cents
+  FROM orders
+  GROUP BY ALL
+  ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_vocab_prune_manifest(spark, sf_dir):
+    """Vocabulary pruning manifest: document frequency per token and
+    the all-integer [min_df=2, max_df=50%] survival flag."""
+    return text.vocab_prune(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_VOCAB_PRUNE = rf"""
+  WITH per_doc AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  ),
+  dfreq AS (SELECT tok, count(*)::BIGINT AS doc_freq
+            FROM per_doc GROUP BY tok),
+  nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+  SELECT tok, doc_freq, n_docs,
+         (doc_freq >= 2 AND doc_freq * 100 <= 50 * n_docs)::BIGINT
+           AS kept
+  FROM dfreq, nd ORDER BY tok
+"""
+
+
+QUERIES_ROUND6.update({
+    "hits_trade": QuerySpec(
+        q_hits_trade, _hits_oracle(),
+        doc="HITS hubs/authorities, exact-integer un-normalized "
+            "iterations"),
+    "stl_hourly_values": QuerySpec(
+        q_stl_hourly_values, ORACLE_STL,
+        doc="STL-lite trend/seasonal/residual decomposition"),
+    "centroid_separability": QuerySpec(
+        q_centroid_separability, ORACLE_CENTROID_COS,
+        doc="label-centroid cosine matrix (class separability)"),
+    "except_all_custkeys": QuerySpec(
+        q_except_all_custkeys, ORACLE_EXCEPT_ALL,
+        doc="EXCEPT ALL multiset set-op via SQL text"),
+    "group_by_all_revenue": QuerySpec(
+        q_group_by_all_revenue, ORACLE_GROUP_BY_ALL,
+        doc="GROUP BY ALL inferred grouping via SQL text"),
+    "vocab_prune_manifest": QuerySpec(
+        q_vocab_prune_manifest, ORACLE_VOCAB_PRUNE,
+        doc="df-band vocabulary pruning manifest (all-integer)"),
+})

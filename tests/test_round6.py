@@ -708,3 +708,95 @@ def test_kwic_window_and_boundaries(spark):
     assert out[1]["pos"] == 2
     assert out[1]["snippet"] == "over the lazy dog"
     assert out[2]["snippet"] == "the quick fox"
+
+
+# ===========================================================================
+# Batch 5: HITS / STL-lite / centroid cosine / set ops / vocab pruning
+# ===========================================================================
+
+def test_hits_star_graph(spark):
+    """Star u->{v1,v2,v3}: the center is the only hub; leaves are the
+    only authorities, all equal."""
+    from bigdata_project_hust_spark.operators.graph import (
+        HITS_SCALE, hits)
+    e = spark.createDataFrame([(0, 1), (0, 2), (0, 3)],
+                              "src long, dst long")
+    out = {r["node"]: r for r in hits(e, iters=2).collect()}
+    assert out[0]["authority"] == 0
+    assert out[1]["hub"] == 0
+    assert out[1]["authority"] == out[2]["authority"] == \
+        out[3]["authority"] > 0
+    # iter1: a(leaf)=S, h(0)=3S; iter2: a(leaf)=3S, h(0)=9S
+    assert out[0]["hub"] == 9 * HITS_SCALE
+    assert out[1]["authority"] == 3 * HITS_SCALE
+
+
+def test_stl_reconstruction_identity(spark):
+    """y == trend + seasonal + residual for every output row."""
+    out = QUERIES["stl_hourly_values"].fn(spark, SF_SMOKE).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["y"] == r["trend"] + r["seasonal"] + r["residual"]
+
+
+def test_stl_constant_series_zero_residual(spark, tmp_path):
+    """A constant hourly series: trend == y, seasonal == 0,
+    residual == 0."""
+    rows = [(i, datetime(2024, 1, 1, i % 24), 1, "view", 2.00, "{}")
+            for i in range(24)]
+    from bigdata_project_hust_spark.operators.eventflow import stl_lite
+    d = _events(spark, tmp_path, rows)
+    for r in stl_lite(
+            spark.read.parquet(os.path.join(d, "events.parquet"))
+    ).collect():
+        assert r["trend"] == r["y"] == 200
+        assert r["seasonal"] == 0 and r["residual"] == 0
+
+
+def test_centroid_cosine_identical_vs_orthogonal(spark):
+    from bigdata_project_hust_spark.operators.arrowops import (
+        centroid_cosine)
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [1.0, 0.0]),
+         (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "label int, embedding array<float>")
+    out = {(r["label_a"], r["label_b"]): r["cosine_e6"]
+           for r in centroid_cosine(df, dim=2).collect()}
+    assert out[(0, 1)] == 1_000_000   # identical centroids
+    assert out[(0, 2)] == 0           # orthogonal
+    assert out[(1, 2)] == 0
+
+
+def test_except_all_multiplicity(spark):
+    """Repeat buyers survive with multiplicity n_orders - 1."""
+    from bigdata_project_hust_spark.io import load_table
+    out = QUERIES["except_all_custkeys"].fn(spark, SF_SMOKE)
+    counts = {r["custkey"]: r["n"] for r in
+              out.groupBy("custkey").count()
+              .withColumnRenamed("count", "n").collect()}
+    orders = load_table(spark, SF_SMOKE, "orders")
+    ocounts = {r["o_custkey"]: r["n"] for r in
+               orders.groupBy("o_custkey").count()
+               .withColumnRenamed("count", "n").collect()}
+    for k, n in list(counts.items())[:20]:
+        assert n == ocounts[k] - 1
+
+
+def test_vocab_prune_band(spark):
+    from bigdata_project_hust_spark.operators.text import vocab_prune
+    docs = [(i, "common filler", "en") for i in range(10)]
+    docs += [(100, "common rare", "en")]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string")
+    out = {r["tok"]: r for r in vocab_prune(df).collect()}
+    # 'common' in 11/11 docs -> above 50% cap -> dropped
+    assert out["common"]["kept"] == 0
+    # 'rare' in 1 doc -> below min_df=2 -> dropped
+    assert out["rare"]["kept"] == 0
+    # 'filler' in 10/11 docs -> still above 50% -> dropped; make a kept one
+    df2 = spark.createDataFrame(
+        [(1, "a b", "en"), (2, "a c", "en"), (3, "d e", "en"),
+         (4, "f g", "en"), (5, "h i", "en")],
+        "doc_id long, text string, lang string")
+    out2 = {r["tok"]: r["kept"] for r in vocab_prune(df2).collect()}
+    assert out2["a"] == 1  # df=2, 2*100 <= 50*5 -> 200 <= 250
