@@ -783,3 +783,25 @@ class Engine:
         """df-band vocabulary pruning manifest."""
         from .operators.text import vocab_prune
         return vocab_prune(self.table("documents"))
+
+    def clustering(self) -> DataFrame:
+        """Local clustering coefficients on the co-purchase graph."""
+        from .operators.graph import (clustering_coefficient,
+                                      copurchase_edges)
+        return clustering_coefficient(
+            copurchase_edges(self.table("lineitem")))
+
+    def seasonal_anomaly_buckets(self) -> DataFrame:
+        """Hour buckets whose STL residual exceeds 3x the MAD."""
+        from .plans.round6 import q_stl_anomaly_buckets
+        return q_stl_anomaly_buckets(self.spark, self.sf_dir)
+
+    def affinity_paths(self) -> DataFrame:
+        """Bounded Bellman-Ford with co-purchase affinity costs."""
+        from .plans.round6 import q_weighted_paths_parts
+        return q_weighted_paths_parts(self.spark, self.sf_dir)
+
+    def funnel_latencies(self) -> DataFrame:
+        """Median seconds between consecutive funnel stages."""
+        from .operators.eventflow import stage_transition_medians
+        return stage_transition_medians(self.table("events"))

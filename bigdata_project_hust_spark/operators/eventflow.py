@@ -31,6 +31,35 @@ def _first_within(arr: Column, lo: Column, within_s: int) -> Column:
         arr, lambda x: (x >= lo) & (x <= lo + F.lit(within_s))))
 
 
+def stage_times(df: DataFrame, stages: tuple[str, ...] = FUNNEL_STAGES,
+                within_s: int = FUNNEL_WINDOW_S,
+                user_col: str = "user_id", type_col: str = "event_type",
+                ts_col: str = "ts") -> DataFrame:
+    """Per-user stage-reach times ``(u, t0..t{n-1})`` under the funnel
+    window rule (stage k's earliest event within ``within_s`` at-or-
+    after reaching stage k-1; null = never reached). The shared
+    gather behind :func:`event_funnel` (counts) and
+    :func:`stage_transition_medians` (latencies): ONE groupBy(user)
+    exchange, then pure array expressions."""
+    e = df.select(F.col(user_col).alias("u"),
+                  F.col(type_col).alias("et"),
+                  _ts_s(ts_col).alias("ts_s"))
+    per_user = e.groupBy("u").agg(
+        *[F.array_sort(F.collect_list(
+            F.when(F.col("et") == F.lit(stage), F.col("ts_s"))))
+           .alias(f"a{i}")
+          for i, stage in enumerate(stages)])
+    cur, prev_t = per_user, None
+    for i in range(len(stages)):
+        if prev_t is None:
+            t = F.get(F.col(f"a{i}"), 0)
+        else:
+            t = _first_within(F.col(f"a{i}"), F.col(prev_t), within_s)
+        cur = cur.withColumn(f"t{i}", t)
+        prev_t = f"t{i}"
+    return cur.select("u", *[f"t{i}" for i in range(len(stages))])
+
+
 def event_funnel(df: DataFrame, stages: tuple[str, ...] = FUNNEL_STAGES,
                  within_s: int = FUNNEL_WINDOW_S,
                  user_col: str = "user_id", type_col: str = "event_type",
@@ -48,27 +77,12 @@ def event_funnel(df: DataFrame, stages: tuple[str, ...] = FUNNEL_STAGES,
     evaluates as per-row array expressions (element_at / filter /
     array_min) on the aggregated row. A window-chain formulation
     measured 5 shuffles here; this form is 1 plus two tiny rollups
-    over |stages|+1 rows.
+    over |stages|+1 rows. (get() is null-on-missing inside
+    stage_times; element_at would ERROR on an empty array under ANSI
+    mode — a user with no stage-0 events must yield null, not kill
+    the job.)
     """
-    e = df.select(F.col(user_col).alias("u"),
-                  F.col(type_col).alias("et"),
-                  _ts_s(ts_col).alias("ts_s"))
-    per_user = e.groupBy("u").agg(
-        *[F.array_sort(F.collect_list(
-            F.when(F.col("et") == F.lit(stage), F.col("ts_s"))))
-           .alias(f"a{i}")
-          for i, stage in enumerate(stages)])
-    cur, prev_t = per_user, None
-    for i in range(len(stages)):
-        if prev_t is None:
-            # get() is null-on-missing (0-based); element_at ERRORS on
-            # an empty array under ANSI mode — a user with no stage-0
-            # events must yield null, not kill the job
-            t = F.get(F.col(f"a{i}"), 0)
-        else:
-            t = _first_within(F.col(f"a{i}"), F.col(prev_t), within_s)
-        cur = cur.withColumn(f"t{i}", t)
-        prev_t = f"t{i}"
+    cur = stage_times(df, stages, within_s, user_col, type_col, ts_col)
     depth = F.lit(0)
     for i in range(len(stages)):
         depth = F.when(F.col(f"t{i}").isNotNull(), F.lit(i + 1)) \
@@ -1035,3 +1049,40 @@ def stl_lite(df: DataFrame, type_col: str = "event_type",
                    (F.col("y") - F.col("trend") - F.col("seasonal"))
                    .cast("long").alias("residual")))
     return out.orderBy("event_type", "bucket")
+
+
+def stage_transition_medians(df: DataFrame,
+                             stages: tuple[str, ...] = FUNNEL_STAGES,
+                             within_s: int = FUNNEL_WINDOW_S,
+                             user_col: str = "user_id",
+                             type_col: str = "event_type",
+                             ts_col: str = "ts") -> DataFrame:
+    """Median seconds between consecutive funnel stages over
+    converting users — the latency profile behind the funnel counts
+    ("users click a median of N s after viewing"). Composes
+    :func:`stage_times` (same single-exchange gather as the funnel).
+
+    Medians are the exact LOW median (rank (n+1) div 2 in the sorted
+    deltas — the nearest-rank convention every exact-median operator
+    in this package uses), selected by a stage-PARTITIONED rank
+    window; ties on the delta value make the selected VALUE
+    deterministic regardless of row order. All-integer end to end."""
+    from pyspark.sql import Window
+    st = stage_times(df, stages, within_s, user_col, type_col, ts_col)
+    deltas = None
+    for i in range(1, len(stages)):
+        d = st.where(F.col(f"t{i}").isNotNull()).select(
+            F.lit(f"{stages[i - 1]}_to_{stages[i]}").alias("transition"),
+            (F.col(f"t{i}") - F.col(f"t{i - 1}")).cast("long")
+            .alias("delta_s"))
+        deltas = d if deltas is None else deltas.unionAll(d)
+    w = Window.partitionBy("transition").orderBy("delta_s")
+    ranked = deltas.select(
+        "transition", "delta_s",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("transition")).alias("n"))
+    return (ranked.where(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select("transition",
+                    F.col("n").cast("long").alias("n_converted"),
+                    F.col("delta_s").alias("median_delta_s"))
+            .orderBy("transition"))

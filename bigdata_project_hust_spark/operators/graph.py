@@ -555,3 +555,58 @@ def hits(edges: DataFrame, iters: int = 2,
     return (h.join(a, "node")
             .select("node", F.col("h").alias("hub"),
                     F.col("a").alias("authority")))
+
+
+def clustering_coefficient(edges: DataFrame, a: str = "pa",
+                           b: str = "pb") -> DataFrame:
+    """Local clustering coefficient per node: cc = 2·T / (d·(d−1)) —
+    how close each node's neighborhood is to a clique, the classic
+    community-structure signal next to triangle counts (which this
+    composes: the degree-ordered triangle counter bounds the wedge
+    work at O(√|E|) per vertex).
+
+    ALL-INTEGER: cc_e6 = (2·T·1e6) div (d·(d−1)) — exact counts, one
+    integer division, no FP anywhere. Nodes with degree < 2 pin to 0
+    (no possible triangle)."""
+    tri = triangle_count(edges, a, b)
+    e = edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    deg = (e.select(F.col("x").alias("node"))
+           .unionAll(e.select(F.col("y").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("long").alias("d")))
+    j = (deg.join(tri, "node", "left")
+         .select("node", F.col("d").alias("degree"),
+                 F.coalesce(F.col("n_triangles"), F.lit(0))
+                 .cast("long").alias("n_triangles")))
+    cc = F.expr("(2 * n_triangles * 1000000) div (degree * (degree - 1))")
+    return (j.select("node", "degree", "n_triangles",
+                     F.when(F.col("degree") >= 2, cc)
+                      .otherwise(F.lit(0)).cast("long").alias("cc_e6"))
+            .orderBy("node"))
+
+
+def weighted_relax(edges: DataFrame, rounds: int = 4,
+                   src: str = "src", dst: str = "dst",
+                   w: str = "w") -> DataFrame:
+    """Bounded-round weighted shortest paths from the lowest-id node
+    (Bellman-Ford as iterative relational relaxation — the weighted
+    sibling of :func:`bfs_hops`): each round joins the distance table
+    through the edge list and min-collapses, so the frontier never
+    exceeds |V| rows regardless of path multiplicity. Weights are
+    BIGINTs (quantize upstream), distances exact integer sums —
+    deterministic at any partitioning. Nodes unreached within
+    ``rounds`` hops are omitted (documented bound, mirrored exactly
+    by the oracle's unrolled rounds)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                     F.col(w).cast("long").alias("w"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct())
+    dist = (nodes.orderBy("node").limit(1)
+            .select("node", F.lit(0).cast("long").alias("c")))
+    for _ in range(rounds):
+        step = (dist.join(e, dist.node == e.src)
+                .select(F.col("dst").alias("node"),
+                        (F.col("c") + F.col("w")).alias("c")))
+        dist = (dist.union(step)
+                .groupBy("node").agg(F.min("c").alias("c")))
+    return dist.select("node", F.col("c").cast("long").alias("cost"))

@@ -1493,3 +1493,206 @@ QUERIES_ROUND6.update({
         q_vocab_prune_manifest, ORACLE_VOCAB_PRUNE,
         doc="df-band vocabulary pruning manifest (all-integer)"),
 })
+
+
+# ===========================================================================
+# Batch 6: clustering coefficient / STL anomalies / weighted paths /
+#          funnel latencies
+# ===========================================================================
+
+
+def q_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient on the co-purchase graph —
+    composes the degree-ordered triangle counter; cc_e6 is pure
+    integer division."""
+    return graph.clustering_coefficient(
+        graph.copurchase_edges(_t(spark, sf_dir, "lineitem")))
+
+
+def _clustering_oracle() -> str:
+    from .analytics_more import ORACLE_TRIANGLES
+    return f"""
+  WITH tri AS ({ORACLE_TRIANGLES}),
+  ce AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  ),
+  deg AS (
+    SELECT n AS node, count(*)::BIGINT AS d FROM (
+      SELECT pa AS n FROM ce UNION ALL SELECT pb FROM ce)
+    GROUP BY n
+  )
+  SELECT deg.node, d AS degree,
+         coalesce(tri.n_triangles, 0)::BIGINT AS n_triangles,
+         (CASE WHEN d >= 2
+               THEN (2 * coalesce(tri.n_triangles, 0) * 1000000)
+                    // (d * (d - 1))
+               ELSE 0 END)::BIGINT AS cc_e6
+  FROM deg LEFT JOIN tri ON deg.node = tri.node
+  ORDER BY deg.node
+"""
+
+
+def q_stl_anomaly_buckets(spark, sf_dir):
+    """Seasonality-adjusted anomalies: buckets whose |STL residual|
+    exceeds 3x the per-type MAD of residuals (exact low-median rank
+    arithmetic — no FP)."""
+    from pyspark.sql import Window
+    r = eventflow.stl_lite(_t(spark, sf_dir, "events"))
+    ar = r.select("event_type", "bucket", "residual",
+                  F.abs("residual").cast("long").alias("absr"))
+    w = Window.partitionBy("event_type").orderBy("absr")
+    ranked = ar.select(
+        "event_type", "bucket", "residual", "absr",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"))
+    mad = (ranked.where(F.col("rn") == F.expr("(n + 1) div 2"))
+           .select("event_type", F.col("absr").alias("mad")))
+    return (ar.join(mad, "event_type")
+            .where(F.col("absr") > 3 * F.col("mad"))
+            .select("event_type", "bucket", "residual", "mad")
+            .orderBy("event_type", "bucket"))
+
+
+ORACLE_STL_ANOM = f"""
+  WITH stl AS ({ORACLE_STL}),
+  ar AS (
+    SELECT event_type, bucket, residual,
+           abs(residual)::BIGINT AS absr
+    FROM stl
+  ),
+  ranked AS (
+    SELECT event_type, bucket, residual, absr,
+           row_number() OVER (PARTITION BY event_type ORDER BY absr)
+             AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM ar
+  ),
+  mad AS (
+    SELECT event_type, absr AS mad FROM ranked
+    WHERE rn = (n + 1) // 2
+  )
+  SELECT ar.event_type, bucket, residual, mad
+  FROM ar JOIN mad ON ar.event_type = mad.event_type
+  WHERE absr > 3 * mad
+  ORDER BY ar.event_type, bucket
+"""
+
+
+_WSP_ROUNDS = 4
+
+
+def q_weighted_paths_parts(spark, sf_dir):
+    """Bounded Bellman-Ford from the lowest part id over the
+    co-purchase graph with affinity costs (1e6 div co-count —
+    stronger ties are cheaper): exact integer distances, unrolled
+    oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pb"))
+    co = (a.join(b, "ok").where(F.col("pa") < F.col("pb"))
+          .groupBy("pa", "pb").agg(F.count("*").alias("co")))
+    e = (co.select(F.col("pa").alias("src"), F.col("pb").alias("dst"),
+                   F.expr("1000000 div co").alias("w"))
+         .unionAll(co.select(F.col("pb").alias("src"),
+                             F.col("pa").alias("dst"),
+                             F.expr("1000000 div co").alias("w"))))
+    return graph.weighted_relax(e, rounds=_WSP_ROUNDS)
+
+
+def _weighted_paths_oracle() -> str:
+    parts = [f"""
+  ce AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+           count(*)::BIGINT AS co
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+  ),
+  e AS MATERIALIZED (
+    SELECT pa AS src, pb AS dst, (1000000 // co)::BIGINT AS w FROM ce
+    UNION ALL
+    SELECT pb, pa, (1000000 // co)::BIGINT FROM ce
+  ),
+  root AS (
+    SELECT min(node) AS node FROM (
+      SELECT src AS node FROM e UNION SELECT dst FROM e)
+  ),
+  d0 AS (SELECT node, 0::BIGINT AS c FROM root)"""]
+    for r in range(_WSP_ROUNDS):
+        parts.append(f"""
+  d{r + 1} AS MATERIALIZED (
+    SELECT node, min(c)::BIGINT AS c FROM (
+      SELECT node, c FROM d{r}
+      UNION ALL
+      SELECT e.dst AS node, d.c + e.w AS c
+      FROM d{r} d JOIN e ON e.src = d.node)
+    GROUP BY node
+  )""")
+    ctes = ",".join(parts)
+    return f"""
+  WITH {ctes}
+  SELECT node, c AS cost FROM d{_WSP_ROUNDS}
+"""
+
+
+def q_funnel_transition_medians(spark, sf_dir):
+    """Exact low-median seconds between consecutive funnel stages over
+    converting users (same single-exchange gather as event_funnel)."""
+    return eventflow.stage_transition_medians(_t(spark, sf_dir, "events"))
+
+
+ORACLE_TRANSITION_MEDIANS = """
+  WITH e AS (
+    SELECT user_id AS u, event_type AS et,
+           floor(epoch(ts))::BIGINT AS ts_s
+    FROM events
+  ),
+  s1 AS (SELECT u, min(CASE WHEN et = 'view' THEN ts_s END) AS t0
+         FROM e GROUP BY u),
+  s2 AS (SELECT e.u,
+                min(CASE WHEN et = 'click' AND ts_s >= t0
+                          AND ts_s <= t0 + 86400 THEN ts_s END) AS t1
+         FROM e JOIN s1 USING (u) GROUP BY e.u),
+  s3 AS (SELECT e.u,
+                min(CASE WHEN et = 'purchase' AND ts_s >= t1
+                          AND ts_s <= t1 + 86400 THEN ts_s END) AS t2
+         FROM e JOIN s2 USING (u) GROUP BY e.u),
+  d AS (
+    SELECT 'view_to_click' AS transition, (t1 - t0)::BIGINT AS delta_s
+    FROM s2 JOIN s1 USING (u) WHERE t1 IS NOT NULL
+    UNION ALL
+    SELECT 'click_to_purchase', (t2 - t1)::BIGINT
+    FROM s3 JOIN s2 USING (u) WHERE t2 IS NOT NULL
+  ),
+  r AS (
+    SELECT transition, delta_s,
+           row_number() OVER (PARTITION BY transition
+                              ORDER BY delta_s) AS rn,
+           count(*) OVER (PARTITION BY transition) AS n
+    FROM d
+  )
+  SELECT transition, n::BIGINT AS n_converted,
+         delta_s AS median_delta_s
+  FROM r WHERE rn = (n + 1) // 2 ORDER BY transition
+"""
+
+
+QUERIES_ROUND6.update({
+    "clustering_coefficient": QuerySpec(
+        q_clustering_coefficient, _clustering_oracle(),
+        doc="local clustering coefficient (integer cc from triangle "
+            "counts)"),
+    "stl_anomaly_buckets": QuerySpec(
+        q_stl_anomaly_buckets, ORACLE_STL_ANOM,
+        doc="seasonality-adjusted anomalies via STL residual MAD"),
+    "weighted_paths_parts": QuerySpec(
+        q_weighted_paths_parts, _weighted_paths_oracle(),
+        doc="bounded Bellman-Ford with affinity costs"),
+    "funnel_transition_medians": QuerySpec(
+        q_funnel_transition_medians, ORACLE_TRANSITION_MEDIANS,
+        doc="exact low-median stage transition latencies"),
+})

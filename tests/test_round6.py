@@ -800,3 +800,74 @@ def test_vocab_prune_band(spark):
         "doc_id long, text string, lang string")
     out2 = {r["tok"]: r["kept"] for r in vocab_prune(df2).collect()}
     assert out2["a"] == 1  # df=2, 2*100 <= 50*5 -> 200 <= 250
+
+
+# ===========================================================================
+# Batch 6: clustering coefficient / STL anomalies / weighted paths /
+#          funnel latencies
+# ===========================================================================
+
+def test_clustering_coefficient_triangle_plus_pendant(spark):
+    """Triangle nodes have cc=1; the junction with the pendant has
+    d=3 and one triangle: cc = 2/(3*2) = 1/3."""
+    from bigdata_project_hust_spark.operators.graph import (
+        clustering_coefficient)
+    e = spark.createDataFrame([(1, 2), (1, 3), (2, 3), (1, 4)],
+                              "pa long, pb long")
+    out = {r["node"]: r for r in clustering_coefficient(e).collect()}
+    assert out[2]["cc_e6"] == out[3]["cc_e6"] == 1_000_000
+    assert out[1]["cc_e6"] == 333_333
+    assert out[4]["cc_e6"] == 0 and out[4]["degree"] == 1
+
+
+def test_weighted_relax_prefers_cheap_two_hop(spark):
+    """Direct edge costs 10; the two-hop detour costs 2+3=5 — the
+    relaxation must take the detour."""
+    from bigdata_project_hust_spark.operators.graph import weighted_relax
+    e = spark.createDataFrame(
+        [(1, 4, 10), (1, 2, 2), (2, 4, 3)], "src long, dst long, w long")
+    out = {r["node"]: r["cost"]
+           for r in weighted_relax(e, rounds=3).collect()}
+    assert out[1] == 0 and out[2] == 2 and out[4] == 5
+
+
+def test_weighted_relax_bounded_rounds(spark):
+    """A node 3 hops out is unreached with rounds=2."""
+    from bigdata_project_hust_spark.operators.graph import weighted_relax
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1)], "src long, dst long, w long")
+    out = {r["node"] for r in weighted_relax(e, rounds=2).collect()}
+    assert 4 not in out and 3 in out
+
+
+def test_stl_anomaly_rows_exceed_mad(spark):
+    """Every flagged row satisfies |residual| > 3*mad against its own
+    type's MAD."""
+    out = QUERIES["stl_anomaly_buckets"].fn(spark, SF_SMOKE).collect()
+    for r in out:
+        assert abs(r["residual"]) > 3 * r["mad"]
+
+
+def test_transition_medians_hand_values(spark, tmp_path):
+    """Three users convert view->click in 10, 20, 30 s: low median
+    20. One converts click->purchase in 5 s."""
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+    rows = [(1, t0, 1, "view", 1.0, "{}"),
+            (2, at(10), 1, "click", 1.0, "{}"),
+            (3, at(15), 1, "purchase", 1.0, "{}"),
+            (4, t0, 2, "view", 1.0, "{}"),
+            (5, at(20), 2, "click", 1.0, "{}"),
+            (6, t0, 3, "view", 1.0, "{}"),
+            (7, at(30), 3, "click", 1.0, "{}")]
+    from bigdata_project_hust_spark.operators.eventflow import (
+        stage_transition_medians)
+    d = _events(spark, tmp_path, rows)
+    out = {r["transition"]: r for r in stage_transition_medians(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()}
+    assert out["view_to_click"]["n_converted"] == 3
+    assert out["view_to_click"]["median_delta_s"] == 20
+    assert out["click_to_purchase"]["n_converted"] == 1
+    assert out["click_to_purchase"]["median_delta_s"] == 5
