@@ -805,3 +805,30 @@ class Engine:
         """Median seconds between consecutive funnel stages."""
         from .operators.eventflow import stage_transition_medians
         return stage_transition_medians(self.table("events"))
+
+    def curriculum(self) -> DataFrame:
+        """Quality-banded deterministic curriculum order."""
+        from .operators.curation import curriculum_order
+        return curriculum_order(self.table("documents"))
+
+    def packing_audit(self, seq_len: int = 64) -> DataFrame:
+        """Histogram of per-sequence token fill after packing."""
+        from pyspark.sql import functions as F
+        from .operators.curation import packing_fill_histogram
+        from .operators.text import tokens
+        nt = self.table("documents").select(
+            F.col("doc_id"),
+            F.size(tokens("text")).cast("long").alias("n_tokens"))
+        return packing_fill_histogram(nt, seq_len=seq_len)
+
+    def ingest_dedup(self, new_source: str = "src9") -> DataFrame:
+        """Batch-vs-corpus MinHash near-dup pairs."""
+        from pyspark.sql import functions as F
+        from .operators.dedup import incremental_near_duplicates
+        return incremental_near_duplicates(
+            self.table("documents"), F.col("source") == new_source)
+
+    def reduce_dims(self, out_dim: int = 16) -> DataFrame:
+        """Deterministic JL projection of embeddings."""
+        from .operators.similarity import jl_project
+        return jl_project(self.table("embeddings"), out_dim)

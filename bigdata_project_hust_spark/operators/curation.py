@@ -513,3 +513,74 @@ def target_encode(fact: DataFrame, dim: DataFrame, key: str,
         F.col("cat").alias(cat_col), "n_cat", "sum_cents",
         F.floor(enc * 1e6).cast("long").alias("enc_cents_e6")
     ).orderBy(cat_col)
+
+
+def curriculum_order(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", seed: int = 11,
+                     shift: int = 50) -> DataFrame:
+    """Curriculum training order: documents sorted easiest-first by
+    quality band (highest heuristic quality = band 0), shuffled
+    DETERMINISTICALLY within each band — the quality-staged loader
+    order (curriculum learning, Bengio et al. 2009) with
+    :func:`corpus_shuffle`'s reproducibility guarantees.
+
+    Global positions use the same two-phase rank: the range partition
+    is (band, top hash bits), so within-partition row_numbers run in
+    parallel and bucket base offsets come from a tiny totals table —
+    bit-identical to a naive global ``row_number() OVER (ORDER BY
+    band, hash, id)`` (which would funnel the corpus through one
+    task, and which the oracle uses)."""
+    from ..operators.text import quality_score
+    from ..functions.scalar import stable_hash64
+    q = quality_score(df, text_col, id_col).select(
+        F.col(id_col), F.col("quality"))
+    h = stable_hash64(F.col(id_col).cast("string"), seed)
+    marked = q.select(
+        F.col(id_col), F.col("quality"), h.alias("__h"),
+        F.expr("(100 - quality) div 10").alias("__band"))
+    marked = marked.withColumn("__b", F.shiftright(F.col("__h"), shift))
+    intra_w = Window.partitionBy("__band", "__b").orderBy("__h", id_col)
+    intra = marked.withColumn(
+        "__r", F.row_number().over(intra_w).cast("long") - 1)
+    counts = marked.groupBy("__band", "__b").agg(
+        F.count("*").alias("__n"))
+    base_w = (Window.orderBy("__band", "__b")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    base = counts.withColumn(
+        "__base", F.coalesce(F.sum("__n").over(base_w), F.lit(0))) \
+        .select("__band", "__b", "__base")
+    return (intra.join(F.broadcast(base), ["__band", "__b"])
+            .select(F.col(id_col), F.col("quality"),
+                    (F.col("__base") + F.col("__r")).cast("long")
+                    .alias("curriculum_pos")))
+
+
+def packing_fill_histogram(df: DataFrame, id_col: str = "doc_id",
+                           ntok_col: str = "n_tokens",
+                           seq_len: int = 64,
+                           bucket: int = 1024) -> DataFrame:
+    """Fill-ratio audit of concat-and-split packing: exact token
+    count landing in every training sequence (docs spanning several
+    sequences contribute their interval overlap), then the histogram
+    of per-sequence fill — the padding-waste dashboard behind
+    :func:`sequence_pack` (a full pack holds exactly ``seq_len``).
+
+    The span explode is bounded: a doc emits ceil(n/seq_len)+1 rows.
+    All arithmetic is integer interval overlap — exact on any
+    engine."""
+    sp = sequence_pack(df, id_col, ntok_col, seq_len, bucket)
+    spans = sp.where(F.col("n_tokens") > 0).select(
+        "offset", "n_tokens",
+        F.explode(F.sequence(
+            F.col("pack_id"),
+            F.col("pack_id") + F.col("n_packs_spanned") - 1))
+        .alias("pack"))
+    lo = F.greatest(F.col("offset"), F.col("pack") * seq_len)
+    hi = F.least(F.col("offset") + F.col("n_tokens"),
+                 (F.col("pack") + 1) * seq_len)
+    per_pack = (spans.select("pack", (hi - lo).alias("fill"))
+                .groupBy("pack")
+                .agg(F.sum("fill").cast("long").alias("fill_tokens")))
+    return (per_pack.groupBy("fill_tokens")
+            .agg(F.count("*").cast("long").alias("n_packs"))
+            .orderBy("fill_tokens"))

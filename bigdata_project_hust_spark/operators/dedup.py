@@ -665,3 +665,45 @@ def connected_components_pj(pairs: DataFrame, src: str = "doc_a",
             break
     edges.unpersist()
     return labels.select("node", "component")
+
+
+def incremental_near_duplicates(df: DataFrame, new_cond,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                threshold_num: int = 1,
+                                threshold_den: int = 2) -> DataFrame:
+    """Incremental ingestion dedup: MinHash near-duplicate pairs
+    between a NEW batch (rows satisfying ``new_cond``) and the
+    existing corpus — the nightly-ingest shape, where re-running the
+    full self-dedup would redo O(corpus) candidate work for an
+    O(batch) question.
+
+    Same shingle→signature→band machinery as
+    :func:`minhash_near_duplicates`, but the bucket join is
+    CROSS-SIDE ONLY (new × corpus): the corpus-side self-pairs —
+    the quadratic bulk of every bucket — are never generated.
+    Within-batch duplicates are the batch's own self-dedup run, by
+    design. Verification is the exact integer Jaccard.
+
+    Output: (new_doc, dup_of, inter_size, union_size) — equal, by
+    construction, to the full pair graph restricted to cross-side
+    pairs (which is exactly how the oracle derives it)."""
+    sh = shingles(df, text_col, id_col)
+    sig = minhash_signatures(sh, id_col)
+    bands = minhash_bands(sig, id_col)
+    flags = df.select(F.col(id_col),
+                      new_cond.cast("long").alias("__new"))
+    tagged = bands.join(flags, id_col)
+    a = (tagged.where(F.col("__new") == 1)
+         .select("band", "band_hash", F.col(id_col).alias("new_doc")))
+    b = (tagged.where(F.col("__new") == 0)
+         .select("band", "band_hash", F.col(id_col).alias("dup_of")))
+    cand = (a.join(b, ["band", "band_hash"])
+            .select("new_doc", "dup_of").distinct())
+    pairs = cand.select(F.col("new_doc").alias("doc_a"),
+                        F.col("dup_of").alias("doc_b"))
+    verified = jaccard_verify(pairs, sh, id_col,
+                              threshold_num, threshold_den)
+    return verified.select(
+        F.col("doc_a").alias("new_doc"), F.col("doc_b").alias("dup_of"),
+        "inter_size", "union_size")

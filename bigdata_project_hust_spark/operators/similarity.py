@@ -758,3 +758,46 @@ def semantic_dedup(df: DataFrame, k: int = 8, iters: int = 2,
              .select(F.col(id_col), F.col("cluster_id"),
                      F.when(F.col("__lost").isNull(), F.lit(1))
                       .otherwise(F.lit(0)).cast("long").alias("is_kept")))
+
+
+JL_OUT_DIM = 16
+
+
+def jl_project(df: DataFrame, out_dim: int = JL_OUT_DIM,
+               in_dim: int = 64, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim``
+    components with a DETERMINISTIC ±1 sign matrix (Achlioptas 2003:
+    Rademacher entries preserve pairwise distances like Gaussians) —
+    the dimensionality-reduction step that makes downstream ANN /
+    clustering 4× cheaper per vector.
+
+    Engine-exact by integer design: components quantize to the e6
+    grid FIRST, the sign matrix is pure integer arithmetic
+    (``1 − 2·(((i·73856093 + j·19349663) mod 97) mod 2)`` — identical
+    on any engine), and each output component is an exact BIGINT
+    Σ s(i,j)·q_i (associative — no FP fold-order anywhere, unlike a
+    float dot product). Scaling by 1/√out_dim is left to consumers
+    (a constant factor — distance ORDER is what matters).
+
+    Plan: posexplode to (vec, i, q) — in_dim rows per vector — one
+    broadcast join against the in_dim×out_dim literal sign matrix,
+    one (vec, j) re-aggregation. Output tall: out_dim rows per
+    vector."""
+    spark = df.sparkSession
+    i_d = spark.range(in_dim).select(F.col("id").alias("i"))
+    j_d = spark.range(out_dim).select(F.col("id").alias("jdim"))
+    s = (F.lit(1) - 2 * F.pmod(
+        F.pmod(F.col("i") * 73856093 + F.col("jdim") * 19349663,
+               F.lit(97)), F.lit(2))).cast("long")
+    signs = i_d.crossJoin(j_d).select("i", "jdim", s.alias("s"))
+    t = df.select(F.col(id_col),
+                  F.posexplode(vec_col).alias("i", "comp"))
+    q = t.select(id_col, F.col("i").cast("long").alias("i"),
+                 F.floor(F.col("comp").cast("double") * 1e6)
+                  .cast("long").alias("q"))
+    return (q.join(F.broadcast(signs), "i")
+            .groupBy(id_col, "jdim")
+            .agg(F.sum(F.col("s") * F.col("q")).cast("long")
+                 .alias("proj_q_e6"))
+            .orderBy(id_col, "jdim"))

@@ -1696,3 +1696,154 @@ QUERIES_ROUND6.update({
         q_funnel_transition_medians, ORACLE_TRANSITION_MEDIANS,
         doc="exact low-median stage transition latencies"),
 })
+
+
+# ===========================================================================
+# Batch 7: curriculum order / packing audit / incremental dedup /
+#          JL projection
+# ===========================================================================
+
+from ..functions.scalar import stable_hash64_sql  # noqa: E402
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Quality-banded curriculum training order with deterministic
+    within-band shuffle (two-phase global rank — never a single-task
+    sort; oracle uses the naive global row_number)."""
+    return curation.curriculum_order(_t(spark, sf_dir, "documents"))
+
+
+def _curriculum_oracle() -> str:
+    from .queries import ORACLE_QUALITY
+    return f"""
+  WITH q AS ({ORACLE_QUALITY}),
+  h AS (
+    SELECT doc_id, quality,
+           {stable_hash64_sql('doc_id::VARCHAR', 11)} AS hh
+    FROM q
+  )
+  SELECT doc_id, quality,
+         (row_number() OVER (ORDER BY (100 - quality) // 10, hh,
+                             doc_id) - 1)::BIGINT AS curriculum_pos
+  FROM h
+"""
+
+
+def q_packing_fill_histogram(spark, sf_dir):
+    """Histogram of per-sequence token fill after concat-and-split
+    packing at seq_len=64 — the padding-waste audit (exact interval
+    overlaps, bounded span explode)."""
+    docs = _t(spark, sf_dir, "documents")
+    from ..operators.text import tokens as _tokens
+    nt = docs.select(F.col("doc_id"),
+                     F.size(_tokens("text")).cast("long")
+                      .alias("n_tokens"))
+    return curation.packing_fill_histogram(nt, seq_len=64, bucket=256)
+
+
+ORACLE_PACK_FILL = rf"""
+  WITH t AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> ''))::BIGINT AS n_tokens
+    FROM documents
+  ),
+  off AS (
+    SELECT doc_id, n_tokens,
+           coalesce(sum(n_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0)::BIGINT AS o
+    FROM t
+  ),
+  spans AS (
+    SELECT o, n_tokens,
+           unnest(range(o // 64, (o + n_tokens - 1) // 64 + 1))
+             ::BIGINT AS pack
+    FROM off WHERE n_tokens > 0
+  ),
+  per_pack AS (
+    SELECT pack,
+           sum(least(o + n_tokens, (pack + 1) * 64)
+               - greatest(o, pack * 64))::BIGINT AS fill_tokens
+    FROM spans GROUP BY pack
+  )
+  SELECT fill_tokens, count(*)::BIGINT AS n_packs
+  FROM per_pack GROUP BY fill_tokens ORDER BY fill_tokens
+"""
+
+
+_INC_NEW_SOURCE = "src9"
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental ingest dedup: MinHash near-dup pairs between the
+    src9 batch and the rest of the corpus — cross-side-only bucket
+    join (no corpus self-pairs), exact Jaccard verify."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.incremental_near_duplicates(
+        docs, F.col("source") == _INC_NEW_SOURCE)
+
+
+def _incremental_dedup_oracle() -> str:
+    from .queries import _oracle_minhash
+    return f"""
+  WITH mh AS ({_oracle_minhash()}),
+  flags AS (SELECT doc_id,
+                   (source = '{_INC_NEW_SOURCE}')::BIGINT AS is_new
+            FROM documents)
+  SELECT (CASE WHEN fa.is_new = 1 THEN doc_a ELSE doc_b END)::BIGINT
+           AS new_doc,
+         (CASE WHEN fa.is_new = 1 THEN doc_b ELSE doc_a END)::BIGINT
+           AS dup_of,
+         inter_size, union_size
+  FROM mh JOIN flags fa ON fa.doc_id = mh.doc_a
+          JOIN flags fb ON fb.doc_id = mh.doc_b
+  WHERE fa.is_new + fb.is_new = 1
+"""
+
+
+def q_jl_projection(spark, sf_dir):
+    """Deterministic ±1 Johnson-Lindenstrauss projection 64→16 dims
+    on the e6 integer grid — exact BIGINT output components."""
+    from ..operators.similarity import jl_project
+    return jl_project(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_JL = """
+  WITH t AS (
+    SELECT vec_id, unnest(embedding) AS comp,
+           unnest(range(0, len(embedding)))::BIGINT AS i
+    FROM embeddings
+  ),
+  q AS (SELECT vec_id, i,
+               floor(comp::DOUBLE * 1e6)::BIGINT AS qq
+        FROM t),
+  s AS (
+    SELECT i.range::BIGINT AS i, j.range::BIGINT AS jdim,
+           (1 - 2 * (((i.range * 73856093 + j.range * 19349663)
+                      % 97) % 2))::BIGINT AS s
+    FROM range(64) i, range(16) j
+  )
+  SELECT vec_id, jdim, sum(s * qq)::BIGINT AS proj_q_e6
+  FROM q JOIN s USING (i) GROUP BY vec_id, jdim
+  ORDER BY vec_id, jdim
+"""
+
+
+QUERIES_ROUND6.update({
+    "curriculum_order": QuerySpec(
+        q_curriculum_order, _curriculum_oracle(),
+        doc="quality-banded curriculum order, two-phase global rank"),
+    "packing_fill_histogram": QuerySpec(
+        q_packing_fill_histogram, ORACLE_PACK_FILL,
+        doc="per-sequence fill audit of concat-and-split packing"),
+    "incremental_dedup": QuerySpec(
+        q_incremental_dedup, _incremental_dedup_oracle(),
+        doc="batch-vs-corpus MinHash dedup (cross-side bucket join "
+            "only)"),
+    "jl_projection": QuerySpec(
+        q_jl_projection, ORACLE_JL,
+        doc="deterministic Rademacher JL projection on the integer "
+            "grid"),
+})

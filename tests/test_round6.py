@@ -871,3 +871,95 @@ def test_transition_medians_hand_values(spark, tmp_path):
     assert out["view_to_click"]["median_delta_s"] == 20
     assert out["click_to_purchase"]["n_converted"] == 1
     assert out["click_to_purchase"]["median_delta_s"] == 5
+
+
+# ===========================================================================
+# Batch 7: curriculum / packing audit / incremental dedup / JL
+# ===========================================================================
+
+def test_curriculum_bands_ordered(spark):
+    """Every doc in a better quality band precedes every doc in a
+    worse one; positions are a dense 0..n-1 permutation."""
+    out = QUERIES["curriculum_order"].fn(spark, SF_SMOKE).collect()
+    n = len(out)
+    assert sorted(r["curriculum_pos"] for r in out) == list(range(n))
+    by_pos = sorted(out, key=lambda r: r["curriculum_pos"])
+    bands = [(100 - r["quality"]) // 10 for r in by_pos]
+    assert bands == sorted(bands)
+
+
+def test_packing_fill_conserves_tokens(spark):
+    """Sum of fill_tokens x n_packs equals the corpus token count, and
+    no pack exceeds seq_len=64."""
+    from bigdata_project_hust_spark.io import load_table
+    from bigdata_project_hust_spark.operators.text import tokens
+    out = QUERIES["packing_fill_histogram"].fn(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    total = docs.select(
+        F.sum(F.size(tokens("text"))).alias("t")).collect()[0]["t"]
+    assert sum(r["fill_tokens"] * r["n_packs"] for r in out) == total
+    assert max(r["fill_tokens"] for r in out) <= 64
+    full = [r for r in out if r["fill_tokens"] == 64]
+    assert full and full[0]["n_packs"] >= total // 64 - 1
+
+
+def test_incremental_dedup_cross_side_only(spark):
+    """Every returned pair has the new side in src9 and the dup_of
+    side outside it."""
+    from bigdata_project_hust_spark.io import load_table
+    out = QUERIES["incremental_dedup"].fn(spark, SF_SMOKE).collect()
+    docs = {r["doc_id"]: r["source"] for r in
+            load_table(spark, SF_SMOKE, "documents")
+            .select("doc_id", "source").collect()}
+    for r in out:
+        assert docs[r["new_doc"]] == "src9"
+        assert docs[r["dup_of"]] != "src9"
+        assert r["inter_size"] * 2 >= r["union_size"]
+
+
+def test_incremental_dedup_subset_of_full(spark):
+    """Incremental pairs are exactly the cross-side restriction of the
+    full MinHash pair graph."""
+    from bigdata_project_hust_spark.io import load_table
+    from bigdata_project_hust_spark.operators.dedup import (
+        minhash_near_duplicates)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    full = {(min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+            for r in minhash_near_duplicates(docs).collect()}
+    src = {r["doc_id"]: r["source"]
+           for r in docs.select("doc_id", "source").collect()}
+    expected = {p for p in full
+                if (src[p[0]] == "src9") != (src[p[1]] == "src9")}
+    got = {(min(r["new_doc"], r["dup_of"]), max(r["new_doc"], r["dup_of"]))
+           for r in QUERIES["incremental_dedup"].fn(spark, SF_SMOKE)
+           .collect()}
+    assert got == expected
+
+
+def test_jl_projection_hand_value(spark):
+    """2-dim vector, 2 output dims: proj_j = s(0,j)*q0 + s(1,j)*q1
+    with the literal sign formula."""
+    from bigdata_project_hust_spark.operators.similarity import jl_project
+    df = spark.createDataFrame([(1, [0.5, -0.25])],
+                               "vec_id long, embedding array<float>")
+    out = {r["jdim"]: r["proj_q_e6"]
+           for r in jl_project(df, out_dim=2, in_dim=2).collect()}
+
+    def s(i, j):
+        return 1 - 2 * (((i * 73856093 + j * 19349663) % 97) % 2)
+    q = [500000, -250000]
+    for j in (0, 1):
+        assert out[j] == s(0, j) * q[0] + s(1, j) * q[1]
+
+
+def test_jl_projection_preserves_relative_distance(spark):
+    """Identical vectors project identically; a far vector stays
+    far after projection (JL sanity, not a tolerance test)."""
+    from bigdata_project_hust_spark.operators.similarity import jl_project
+    rows = [(1, [1.0] * 8), (2, [1.0] * 8), (3, [-1.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {}
+    for r in jl_project(df, out_dim=4, in_dim=8).collect():
+        out.setdefault(r["vec_id"], []).append(r["proj_q_e6"])
+    assert out[1] == out[2]
+    assert out[1] != out[3]
