@@ -832,3 +832,18 @@ class Engine:
         """Deterministic JL projection of embeddings."""
         from .operators.similarity import jl_project
         return jl_project(self.table("embeddings"), out_dim)
+
+    def survival_ab_test(self) -> DataFrame:
+        """Log-rank test between A/B arms' conversion latency."""
+        from .operators.eventflow import logrank_test
+        return logrank_test(self.table("events"))
+
+    def script_report(self) -> DataFrame:
+        """Unicode script composition per document."""
+        from .operators.text import script_mix
+        return script_mix(self.table("documents"))
+
+    def gap_profile(self) -> DataFrame:
+        """Log2 inter-event gap histogram."""
+        from .operators.eventflow import interevent_gap_histogram
+        return interevent_gap_histogram(self.table("events"))

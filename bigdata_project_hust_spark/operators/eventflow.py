@@ -1086,3 +1086,104 @@ def stage_transition_medians(df: DataFrame,
                     F.col("n").cast("long").alias("n_converted"),
                     F.col("delta_s").alias("median_delta_s"))
             .orderBy("transition"))
+
+
+def logrank_test(df: DataFrame, target: str = "purchase",
+                 user_col: str = "user_id",
+                 type_col: str = "event_type",
+                 ts_col: str = "ts") -> DataFrame:
+    """Log-rank test between the two A/B arms' time-to-first-target
+    survival curves (arm = user_id parity, matching
+    :func:`ab_conversion_ztest`) — the censoring-aware significance
+    companion to :func:`kaplan_meier`: is arm B's conversion latency
+    distribution actually different?
+
+    Exactness: the risk grid (per-arm at-risk and event counts at
+    every pooled distinct duration) is pure BIGINT window arithmetic;
+    each time's observed-minus-expected term (d1 − d·n1/n) and
+    hypergeometric variance term run ONCE on pinned double trees
+    floored at e9; the sums are exact integer sums of floored terms,
+    and the final z combines once, floored at e6.
+
+    One |users| agg, one |distinct durations| agg + ONE ordered
+    window carrying four cumulative counters, a 1-row rollup."""
+    from pyspark.sql import Window
+    per_user = df.groupBy(user_col).agg(
+        F.min(_ts_s(ts_col)).alias("first_s"),
+        F.min(F.when(F.col(type_col) == target,
+                     _ts_s(ts_col))).alias("ev_s"),
+        F.max(_ts_s(ts_col)).alias("last_s"))
+    dur = per_user.select(
+        F.coalesce(F.col("ev_s") - F.col("first_s"),
+                   F.col("last_s") - F.col("first_s")).alias("t"),
+        F.col("ev_s").isNotNull().cast("long").alias("is_event"),
+        F.pmod(F.col(user_col), F.lit(2)).cast("long").alias("arm"))
+    pts = dur.groupBy("t").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("is_event"))
+               .otherwise(F.lit(0))).cast("long").alias("d1"),
+        F.sum(F.when(F.col("arm") == 0, 1 - F.col("is_event"))
+               .otherwise(F.lit(0))).cast("long").alias("c1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("is_event"))
+               .otherwise(F.lit(0))).cast("long").alias("d2"),
+        F.sum(F.when(F.col("arm") == 1, 1 - F.col("is_event"))
+               .otherwise(F.lit(0))).cast("long").alias("c2"))
+    before = (Window.orderBy("t")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    tot = Window.partitionBy()
+    risk = pts.select(
+        "t", "d1", "d2",
+        (F.sum(F.col("d1") + F.col("c1")).over(tot)
+         - F.coalesce(F.sum(F.col("d1") + F.col("c1")).over(before),
+                      F.lit(0))).cast("long").alias("n1"),
+        (F.sum(F.col("d2") + F.col("c2")).over(tot)
+         - F.coalesce(F.sum(F.col("d2") + F.col("c2")).over(before),
+                      F.lit(0))).cast("long").alias("n2"))
+    ev = risk.where((F.col("d1") + F.col("d2")) >= 1)
+    n = (F.col("n1") + F.col("n2")).cast("double")
+    d = (F.col("d1") + F.col("d2")).cast("double")
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    oe = F.floor((F.col("d1").cast("double") - d * n1d / n) * 1e9)
+    v = F.when(
+        n > 1.0,
+        F.floor(d * (n1d / n) * (n2d / n)
+                * ((n - d) / (n - F.lit(1.0))) * 1e9)
+    ).otherwise(F.lit(0))
+    agg = ev.select(oe.cast("long").alias("oe_e9"),
+                    v.cast("long").alias("v_e9")).groupBy().agg(
+        F.count("*").cast("long").alias("n_times"),
+        F.sum("oe_e9").cast("long").alias("o_minus_e_e9"),
+        F.sum("v_e9").cast("long").alias("var_e9"))
+    z = ((F.col("o_minus_e_e9").cast("double") / 1e9)
+         / F.sqrt(F.col("var_e9").cast("double") / 1e9))
+    return agg.select(
+        "n_times", "o_minus_e_e9", "var_e9",
+        F.when(F.col("var_e9") > 0, F.floor(z * 1e6))
+         .otherwise(F.lit(0)).cast("long").alias("z_e6"))
+
+
+def interevent_gap_histogram(df: DataFrame, user_col: str = "user_id",
+                             ts_col: str = "ts",
+                             id_col: str = "event_id") -> DataFrame:
+    """Log2-bucketed histogram of per-user inter-event gaps — the
+    burst/idle-time profile behind sessionization-gap tuning (pick
+    the session gap where the histogram's bimodal valley sits).
+
+    The log2 bucket is INTEGER arithmetic on both engines:
+    ``length(bin(gap)) − 1`` = floor(log2(gap)) for gap ≥ 1 — no FP
+    log anywhere; zero-second gaps (same-second events) get bucket
+    −1 explicitly. One lag window partitioned by user, one tiny
+    agg."""
+    from pyspark.sql import Window
+    e = df.select(F.col(user_col).alias("u"),
+                  _ts_s(ts_col).alias("s"),
+                  F.col(id_col).alias("eid"))
+    w = Window.partitionBy("u").orderBy("s", "eid")
+    gaps = (e.select((F.col("s") - F.lag("s").over(w)).alias("gap"))
+            .where(F.col("gap").isNotNull()))
+    bucket = (F.when(F.col("gap") <= 0, F.lit(-1))
+              .otherwise(F.length(F.bin(F.col("gap"))) - 1)
+              .cast("long"))
+    return (gaps.select(bucket.alias("log2_bucket"))
+            .groupBy("log2_bucket")
+            .agg(F.count("*").cast("long").alias("n_gaps"))
+            .orderBy("log2_bucket"))

@@ -1365,3 +1365,37 @@ def vocab_prune(df: DataFrame, min_df: int = 2,
     return (t.select("tok", "doc_freq", "n_docs",
                      kept.cast("long").alias("kept"))
             .orderBy("tok"))
+
+
+_CJK_RANGE = "[一-鿿]"
+
+
+def script_mix(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Unicode script composition per document: CJK / Latin / digit
+    character counts and the dominant script — the routing signal a
+    multilingual pipeline uses before language-specific tokenizers.
+
+    Ranges are literal character classes (the actual codepoints are
+    embedded in the pattern, so Java regex and RE2 read the identical
+    class — no \\p{...} property names, whose tables differ between
+    engines). Dominance ties break CJK > Latin > digit,
+    deterministically. Zero-shuffle codegen projection."""
+    t = F.col(text_col)
+    n_cjk = F.size(F.regexp_extract_all(t, F.lit(_CJK_RANGE),
+                                        F.lit(0))).cast("long")
+    n_latin = F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]"),
+                                          F.lit(0))).cast("long")
+    n_digit = F.size(F.regexp_extract_all(t, F.lit("[0-9]"),
+                                          F.lit(0))).cast("long")
+    d = df.select(id_col, n_cjk.alias("n_cjk"),
+                  n_latin.alias("n_latin"), n_digit.alias("n_digit"))
+    dom = (F.when((F.col("n_cjk") >= F.col("n_latin"))
+                  & (F.col("n_cjk") >= F.col("n_digit"))
+                  & (F.col("n_cjk") > 0), F.lit("cjk"))
+           .when((F.col("n_latin") >= F.col("n_digit"))
+                 & (F.col("n_latin") > 0), F.lit("latin"))
+           .when(F.col("n_digit") > 0, F.lit("digit"))
+           .otherwise(F.lit("none")))
+    return d.select(id_col, "n_cjk", "n_latin", "n_digit",
+                    dom.alias("dominant_script"))

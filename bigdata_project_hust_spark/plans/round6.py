@@ -1847,3 +1847,147 @@ QUERIES_ROUND6.update({
         doc="deterministic Rademacher JL projection on the integer "
             "grid"),
 })
+
+
+# ===========================================================================
+# Batch 8: log-rank survival test / script mix / gap histogram
+# ===========================================================================
+
+
+def q_logrank_ab_survival(spark, sf_dir):
+    """Log-rank test of time-to-first-purchase between A/B arms:
+    exact pooled risk grid, pinned O−E and variance terms floored
+    e9, one final pinned z floored e6."""
+    return eventflow.logrank_test(_t(spark, sf_dir, "events"))
+
+
+ORACLE_LOGRANK = """
+  WITH pu AS (
+    SELECT user_id,
+           min(floor(epoch(ts))::BIGINT) AS first_s,
+           min(CASE WHEN event_type = 'purchase'
+                    THEN floor(epoch(ts))::BIGINT END) AS ev_s,
+           max(floor(epoch(ts))::BIGINT) AS last_s
+    FROM events GROUP BY user_id
+  ),
+  dur AS (
+    SELECT coalesce(ev_s - first_s, last_s - first_s) AS t,
+           (ev_s IS NOT NULL)::BIGINT AS is_event,
+           (user_id % 2)::BIGINT AS arm
+    FROM pu
+  ),
+  pts AS (
+    SELECT t,
+           sum(CASE WHEN arm = 0 THEN is_event ELSE 0 END)::BIGINT AS d1,
+           sum(CASE WHEN arm = 0 THEN 1 - is_event ELSE 0 END)::BIGINT
+             AS c1,
+           sum(CASE WHEN arm = 1 THEN is_event ELSE 0 END)::BIGINT AS d2,
+           sum(CASE WHEN arm = 1 THEN 1 - is_event ELSE 0 END)::BIGINT
+             AS c2
+    FROM dur GROUP BY t
+  ),
+  risk AS (
+    SELECT t, d1, d2,
+           (sum(d1 + c1) OVER ()
+            - coalesce(sum(d1 + c1) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0))::BIGINT AS n1,
+           (sum(d2 + c2) OVER ()
+            - coalesce(sum(d2 + c2) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0))::BIGINT AS n2
+    FROM pts
+  ),
+  ev AS (SELECT * FROM risk WHERE d1 + d2 >= 1),
+  terms AS (
+    SELECT
+      floor((d1::DOUBLE - (d1 + d2)::DOUBLE * n1::DOUBLE
+             / (n1 + n2)::DOUBLE) * 1e9)::BIGINT AS oe_e9,
+      (CASE WHEN (n1 + n2) > 1
+            THEN floor((d1 + d2)::DOUBLE
+                       * (n1::DOUBLE / (n1 + n2)::DOUBLE)
+                       * (n2::DOUBLE / (n1 + n2)::DOUBLE)
+                       * (((n1 + n2)::DOUBLE - (d1 + d2)::DOUBLE)
+                          / ((n1 + n2)::DOUBLE - 1.0)) * 1e9)
+            ELSE 0 END)::BIGINT AS v_e9
+    FROM ev
+  ),
+  agg AS (
+    SELECT count(*)::BIGINT AS n_times,
+           sum(oe_e9)::BIGINT AS o_minus_e_e9,
+           sum(v_e9)::BIGINT AS var_e9
+    FROM terms
+  )
+  SELECT n_times, o_minus_e_e9, var_e9,
+         (CASE WHEN var_e9 > 0
+               THEN floor((o_minus_e_e9::DOUBLE / 1e9)
+                          / sqrt(var_e9::DOUBLE / 1e9) * 1e6)
+               ELSE 0 END)::BIGINT AS z_e6
+  FROM agg
+"""
+
+
+def q_script_mix_report(spark, sf_dir):
+    """Unicode script composition per document (literal character
+    classes — identical in Java regex and RE2), deterministic
+    dominance."""
+    return text.script_mix(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_SCRIPT_MIX = """
+  WITH d AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[一-鿿]'))::BIGINT AS n_cjk,
+           len(regexp_extract_all(text, '[A-Za-z]'))::BIGINT AS n_latin,
+           len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digit
+    FROM documents
+  )
+  SELECT doc_id, n_cjk, n_latin, n_digit,
+         (CASE WHEN n_cjk >= n_latin AND n_cjk >= n_digit
+                    AND n_cjk > 0 THEN 'cjk'
+               WHEN n_latin >= n_digit AND n_latin > 0 THEN 'latin'
+               WHEN n_digit > 0 THEN 'digit'
+               ELSE 'none' END) AS dominant_script
+  FROM d
+"""
+
+
+def q_interevent_gap_histogram(spark, sf_dir):
+    """Log2-bucketed inter-event gap histogram (integer
+    length(bin(gap))−1 — no FP log), the sessionization-gap tuning
+    profile."""
+    return eventflow.interevent_gap_histogram(_t(spark, sf_dir, "events"))
+
+
+ORACLE_GAP_HIST = """
+  WITH e AS (
+    SELECT user_id AS u, floor(epoch(ts))::BIGINT AS s, event_id AS eid
+    FROM events
+  ),
+  gaps AS (
+    SELECT s - lag(s) OVER (PARTITION BY u ORDER BY s, eid) AS gap
+    FROM e
+  ),
+  b AS (
+    SELECT (CASE WHEN gap <= 0 THEN -1
+                 ELSE length(bin(gap)) - 1 END)::BIGINT AS log2_bucket
+    FROM gaps WHERE gap IS NOT NULL
+  )
+  SELECT log2_bucket, count(*)::BIGINT AS n_gaps
+  FROM b GROUP BY log2_bucket ORDER BY log2_bucket
+"""
+
+
+QUERIES_ROUND6.update({
+    "logrank_ab_survival": QuerySpec(
+        q_logrank_ab_survival, ORACLE_LOGRANK,
+        doc="log-rank survival test between A/B arms (pinned O-E and "
+            "variance terms)"),
+    "script_mix_report": QuerySpec(
+        q_script_mix_report, ORACLE_SCRIPT_MIX,
+        doc="unicode script composition per document"),
+    "interevent_gap_histogram": QuerySpec(
+        q_interevent_gap_histogram, ORACLE_GAP_HIST,
+        doc="log2 inter-event gap histogram (integer bin-length "
+            "log)"),
+})

@@ -963,3 +963,85 @@ def test_jl_projection_preserves_relative_distance(spark):
         out.setdefault(r["vec_id"], []).append(r["proj_q_e6"])
     assert out[1] == out[2]
     assert out[1] != out[3]
+
+
+# ===========================================================================
+# Batch 8: log-rank / script mix / gap histogram
+# ===========================================================================
+
+def test_logrank_identical_arms_zero(spark, tmp_path):
+    """Mirror-image arms (same durations, same censoring) -> O-E sums
+    to ~0 and z pins near 0."""
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+    rows = []
+    eid = 0
+    for u in (2, 4, 3, 5):   # arms 0,0,1,1 — identical per arm
+        eid += 1
+        rows.append((eid, t0, u, "view", 1.0, "{}"))
+        eid += 1
+        rows.append((eid, at(10 if u in (2, 3) else 20), u,
+                     "purchase", 1.0, "{}"))
+    from bigdata_project_hust_spark.operators.eventflow import logrank_test
+    d = _events(spark, tmp_path, rows)
+    r = logrank_test(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()[0]
+    assert abs(r["o_minus_e_e9"]) <= 2     # floor loss only
+    assert abs(r["z_e6"]) <= 10
+
+
+def test_logrank_separated_arms_large_z(spark, tmp_path):
+    """Arm 0 converts instantly, arm 1 never (censored): |z| is
+    large."""
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return datetime(2024, 1, 1, 0, s // 60, s % 60)
+    rows, eid = [], 0
+    for u in (2, 4, 6, 8):   # arm 0: instant purchase
+        eid += 1
+        rows.append((eid, t0, u, "view", 1.0, "{}"))
+        eid += 1
+        rows.append((eid, at(5), u, "purchase", 1.0, "{}"))
+    for u in (3, 5, 7, 9):   # arm 1: censored at 100 s
+        eid += 1
+        rows.append((eid, t0, u, "view", 1.0, "{}"))
+        eid += 1
+        rows.append((eid, at(100), u, "view", 1.0, "{}"))
+    from bigdata_project_hust_spark.operators.eventflow import logrank_test
+    d = _events(spark, tmp_path, rows)
+    r = logrank_test(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()[0]
+    assert r["z_e6"] > 1_000_000
+
+
+def test_script_mix_dominance(spark):
+    from bigdata_project_hust_spark.operators.text import script_mix
+    df = spark.createDataFrame(
+        [(1, "hello world 123"), (2, "数据 处理 系统 ok"), (3, "12345"),
+         (4, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in script_mix(df).collect()}
+    assert out[1]["dominant_script"] == "latin"
+    assert out[2]["dominant_script"] == "cjk" and out[2]["n_cjk"] == 6
+    assert out[3]["dominant_script"] == "digit"
+    assert out[4]["dominant_script"] == "none"
+
+
+def test_gap_histogram_log2_buckets(spark, tmp_path):
+    """Gaps 1, 3, 8, 0 land in buckets 0, 1, 3, -1."""
+    def at(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+    rows = [(1, at(0), 1, "view", 1.0, "{}"),
+            (2, at(1), 1, "view", 1.0, "{}"),    # gap 1 -> b0
+            (3, at(4), 1, "view", 1.0, "{}"),    # gap 3 -> b1
+            (4, at(12), 1, "view", 1.0, "{}"),   # gap 8 -> b3
+            (5, at(12), 1, "view", 1.0, "{}")]   # gap 0 -> b-1
+    from bigdata_project_hust_spark.operators.eventflow import (
+        interevent_gap_histogram)
+    d = _events(spark, tmp_path, rows)
+    out = {r["log2_bucket"]: r["n_gaps"] for r in interevent_gap_histogram(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()}
+    assert out == {-1: 1, 0: 1, 1: 1, 3: 1}
