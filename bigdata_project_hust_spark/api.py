@@ -847,3 +847,18 @@ class Engine:
         """Log2 inter-event gap histogram."""
         from .operators.eventflow import interevent_gap_histogram
         return interevent_gap_histogram(self.table("events"))
+
+    def top_order_per_customer(self) -> DataFrame:
+        """Correlated LATERAL top-1 order per customer."""
+        from .plans.round6 import q_lateral_top_order
+        return q_lateral_top_order(self.spark, self.sf_dir)
+
+    def trailing_revenue(self) -> DataFrame:
+        """RANGE-frame trailing 7-day revenue per order day."""
+        from .plans.round6 import q_range_window_weekly_revenue
+        return q_range_window_weekly_revenue(self.spark, self.sf_dir)
+
+    def ingest_gate(self) -> DataFrame:
+        """Nightly accept list: quality + dedup gates for src9."""
+        from .plans.round6 import q_ingest_accept_list
+        return q_ingest_accept_list(self.spark, self.sf_dir)

@@ -1991,3 +1991,145 @@ QUERIES_ROUND6.update({
         doc="log2 inter-event gap histogram (integer bin-length "
             "log)"),
 })
+
+
+# ===========================================================================
+# Batch 9: LATERAL subquery / RANGE frame / nightly ingest gate
+# ===========================================================================
+
+
+def q_lateral_top_order(spark, sf_dir):
+    """Correlated LATERAL subquery (Spark 4 SQL surface): each
+    customer's single highest-value order via a per-row dependent
+    subquery — Catalyst decorrelates it to the same
+    window/aggregate plan a hand-written top-1 would produce."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("r6_lat_c")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("r6_lat_o")
+    return spark.sql("""
+      SELECT c.c_custkey, t.o_orderkey, t.cents
+      FROM r6_lat_c c,
+      LATERAL (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM r6_lat_o o WHERE o.o_custkey = c.c_custkey
+        ORDER BY cents DESC, o_orderkey ASC LIMIT 1
+      ) t
+    """)
+
+
+ORACLE_LATERAL = """
+  SELECT c.c_custkey, t.o_orderkey, t.cents
+  FROM customer c,
+  LATERAL (
+    SELECT o_orderkey, floor(o_totalprice * 100)::BIGINT AS cents
+    FROM orders o WHERE o.o_custkey = c.c_custkey
+    ORDER BY cents DESC, o_orderkey ASC LIMIT 1
+  ) t
+"""
+
+
+def q_range_window_weekly_revenue(spark, sf_dir):
+    """Value-based RANGE window frame: trailing 7-day revenue per
+    order day (range -6..0 over the integer epoch-day key — the frame
+    follows the VALUE axis across date gaps, unlike a rows frame).
+    The single ordered window runs over |distinct days| rows —
+    range-partition it at a wider date domain."""
+    from pyspark.sql import Window
+    od = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    daily = (od.select(day.cast("long").alias("day"),
+                       F.floor(F.col("o_totalprice") * 100)
+                        .cast("long").alias("cents"))
+             .groupBy("day")
+             .agg(F.sum("cents").cast("long").alias("day_cents")))
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    return (daily.select(
+        "day", "day_cents",
+        F.sum("day_cents").over(w).cast("long").alias("trailing_7d"))
+        .orderBy("day"))
+
+
+ORACLE_RANGE_WINDOW = """
+  WITH daily AS (
+    SELECT date_diff('day', DATE '1970-01-01', o_orderdate)::BIGINT
+             AS day,
+           sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS day_cents
+    FROM orders GROUP BY 1
+  )
+  SELECT day, day_cents,
+         sum(day_cents) OVER (ORDER BY day
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT
+           AS trailing_7d
+  FROM daily ORDER BY day
+"""
+
+
+_GATE_MIN_QUALITY = 60
+
+
+def q_ingest_accept_list(spark, sf_dir):
+    """The complete nightly ingest gate for the src9 batch: accept a
+    new document iff its heuristic quality clears the bar AND it is
+    not a near-dup of the corpus AND it is not a non-keeper near-dup
+    within its own batch (greedy lowest-id keeper — the package-wide
+    rule). Composes quality_score + incremental_near_duplicates +
+    minhash_near_duplicates, all individually oracle-verified."""
+    from ..operators.text import quality_score
+    docs = _t(spark, sf_dir, "documents")
+    is_new = F.col("source") == _INC_NEW_SOURCE
+    q = quality_score(docs).select("doc_id", "quality")
+    new_docs = docs.where(is_new).select("doc_id").join(q, "doc_id")
+    cross = (dedup.incremental_near_duplicates(docs, is_new)
+             .select(F.col("new_doc").alias("doc_id")).distinct())
+    within = (dedup.minhash_near_duplicates(docs.where(is_new))
+              .select(F.col("doc_b").alias("doc_id")).distinct())
+    rejects = cross.unionAll(within).distinct()
+    return (new_docs
+            .join(rejects, "doc_id", "left_anti")
+            .where(F.col("quality") >= _GATE_MIN_QUALITY)
+            .select("doc_id", "quality")
+            .orderBy("doc_id"))
+
+
+def _ingest_gate_oracle() -> str:
+    from .queries import ORACLE_QUALITY, _oracle_minhash
+    return f"""
+  WITH mh AS ({_oracle_minhash()}),
+  flags AS (SELECT doc_id,
+                   (source = '{_INC_NEW_SOURCE}')::BIGINT AS is_new
+            FROM documents),
+  tagged AS (
+    SELECT doc_a, doc_b, fa.is_new AS na, fb.is_new AS nb
+    FROM mh JOIN flags fa ON fa.doc_id = mh.doc_a
+            JOIN flags fb ON fb.doc_id = mh.doc_b
+  ),
+  rejects AS (
+    SELECT CASE WHEN na = 1 THEN doc_a ELSE doc_b END AS doc_id
+    FROM tagged WHERE na + nb = 1
+    UNION
+    SELECT doc_b FROM tagged WHERE na = 1 AND nb = 1
+  ),
+  q AS ({ORACLE_QUALITY})
+  SELECT d.doc_id, q.quality
+  FROM documents d
+  JOIN q ON q.doc_id = d.doc_id
+  WHERE d.source = '{_INC_NEW_SOURCE}'
+    AND q.quality >= {_GATE_MIN_QUALITY}
+    AND d.doc_id NOT IN (SELECT doc_id FROM rejects)
+  ORDER BY d.doc_id
+"""
+
+
+QUERIES_ROUND6.update({
+    "lateral_top_order": QuerySpec(
+        q_lateral_top_order, ORACLE_LATERAL,
+        doc="correlated LATERAL subquery (decorrelated top-1 per "
+            "customer)"),
+    "range_window_weekly_revenue": QuerySpec(
+        q_range_window_weekly_revenue, ORACLE_RANGE_WINDOW,
+        doc="value-based RANGE frame trailing-7-day revenue"),
+    "ingest_accept_list": QuerySpec(
+        q_ingest_accept_list, _ingest_gate_oracle(),
+        doc="nightly ingest gate: quality + cross-corpus dedup + "
+            "within-batch keeper"),
+})

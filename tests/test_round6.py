@@ -1045,3 +1045,46 @@ def test_gap_histogram_log2_buckets(spark, tmp_path):
     out = {r["log2_bucket"]: r["n_gaps"] for r in interevent_gap_histogram(
         spark.read.parquet(os.path.join(d, "events.parquet"))).collect()}
     assert out == {-1: 1, 0: 1, 1: 1, 3: 1}
+
+
+# ===========================================================================
+# Batch 9: LATERAL / RANGE frame / ingest gate
+# ===========================================================================
+
+def test_lateral_decorrelates_no_cartesian(spark):
+    plan = plan_of(QUERIES["lateral_top_order"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+
+
+def test_range_frame_spans_date_gaps(spark):
+    """With a gap between order days, the RANGE frame still only sums
+    days within 6 of the current VALUE (a rows frame would reach
+    across the gap)."""
+    df = spark.createDataFrame(
+        [(0, 10), (1, 20), (10, 40)], "day long, day_cents long")
+    from pyspark.sql import Window
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    out = {r["day"]: r["t"] for r in df.select(
+        "day", F.sum("day_cents").over(w).alias("t")).collect()}
+    assert out == {0: 10, 1: 30, 10: 40}
+
+
+def test_ingest_gate_consistency(spark):
+    """Every accepted doc is src9, clears quality, and appears in
+    neither reject set."""
+    from bigdata_project_hust_spark.io import load_table
+    from bigdata_project_hust_spark.operators.dedup import (
+        incremental_near_duplicates, minhash_near_duplicates)
+    accepted = {r["doc_id"]: r["quality"] for r in
+                QUERIES["ingest_accept_list"].fn(spark, SF_SMOKE)
+                .collect()}
+    docs = load_table(spark, SF_SMOKE, "documents")
+    new = {r["doc_id"] for r in
+           docs.where(F.col("source") == "src9").collect()}
+    cross = {r["new_doc"] for r in incremental_near_duplicates(
+        docs, F.col("source") == "src9").collect()}
+    within = {r["doc_b"] for r in minhash_near_duplicates(
+        docs.where(F.col("source") == "src9")).collect()}
+    for d, q in accepted.items():
+        assert d in new and q >= 60
+        assert d not in cross and d not in within
