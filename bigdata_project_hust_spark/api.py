@@ -862,3 +862,13 @@ class Engine:
         """Nightly accept list: quality + dedup gates for src9."""
         from .plans.round6 import q_ingest_accept_list
         return q_ingest_accept_list(self.spark, self.sf_dir)
+
+    def journeys(self, k: int = 20) -> DataFrame:
+        """Top-k 3-step behavior sequences."""
+        from .operators.eventflow import top_trigram_journeys
+        return top_trigram_journeys(self.table("events"), k)
+
+    def vector_outliers(self) -> DataFrame:
+        """Within-class centroid-distance embedding outliers."""
+        from .operators.arrowops import embedding_outliers
+        return embedding_outliers(self.table("embeddings"))

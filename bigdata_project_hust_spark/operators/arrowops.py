@@ -147,3 +147,54 @@ def centroid_cosine(df: DataFrame, dim: int = EMB_DIM) -> DataFrame:
                             cos).otherwise(F.lit(0))
                      .cast("long").alias("cosine_e6"))
             .orderBy("label_a", "label_b"))
+
+
+def embedding_outliers(df: DataFrame, dim: int = EMB_DIM,
+                       sigmas: int = 3) -> DataFrame:
+    """Within-class embedding outliers: vectors whose squared
+    distance to their OWN label centroid is a >sigmas z-score among
+    the label's distances — the mislabeled/garbage-vector screen run
+    before training on labeled embeddings.
+
+    Exact end to end: components and centroid means live on the e6
+    integer grid, distances are exact BIGINT Σ(q−m)², and the z test
+    is the cross-multiplied integer comparison
+    ``(n·x − S)² > sigmas²·(n·Q − S²)`` on decimal(38) — no division,
+    no sqrt, no FP (the value_outliers pattern, lifted to decimal
+    because x ~ dim·(2e6)² already nears int64 when squared).
+
+    Plan: centroid accumulate (applyInArrow), broadcast means join,
+    one |vectors| distance agg, a per-label moments join."""
+    c = label_centroids(df, dim)
+    means = c.select("label", "dim",
+                     F.floor(F.col("sum_q_e6").cast("double")
+                             / F.col("n_vecs").cast("double"))
+                      .cast("long").alias("mq"))
+    t = df.select("vec_id", "label",
+                  F.posexplode("embedding").alias("pos", "comp"))
+    q = t.select("vec_id", "label",
+                 (F.col("pos") + 1).cast("long").alias("dim"),
+                 F.floor(F.col("comp").cast("double") * 1e6)
+                  .cast("long").alias("q"))
+    d2 = (q.join(F.broadcast(means), ["label", "dim"])
+          .groupBy("vec_id", "label")
+          .agg(F.sum((F.col("q") - F.col("mq"))
+                     * (F.col("q") - F.col("mq")))
+               .cast("long").alias("dist2")))
+    dec, d19 = "decimal(38,0)", "decimal(19,0)"
+    mom = d2.groupBy("label").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("dist2").cast(dec)).alias("s"),
+        F.sum(F.col("dist2").cast(d19) * F.col("dist2").cast(d19))
+         .alias("s2"))
+    j = d2.join(F.broadcast(mom), "label")
+    lhs = (F.col("n").cast(dec) * F.col("dist2").cast(dec)
+           - F.col("s"))
+    rhs = (F.lit(sigmas * sigmas).cast(dec)
+           * (F.col("n") * F.col("s2") - F.col("s") * F.col("s")))
+    return (j.select("vec_id", "label", "dist2",
+                     F.col("n").cast("long").alias("n_label"),
+                     ((lhs > 0) & (lhs * lhs > rhs)).cast("long")
+                     .alias("is_outlier"))
+            .where(F.col("is_outlier") == 1)
+            .orderBy("vec_id"))

@@ -1187,3 +1187,30 @@ def interevent_gap_histogram(df: DataFrame, user_col: str = "user_id",
             .groupBy("log2_bucket")
             .agg(F.count("*").cast("long").alias("n_gaps"))
             .orderBy("log2_bucket"))
+
+
+def top_trigram_journeys(df: DataFrame, k: int = 20,
+                         user_col: str = "user_id",
+                         type_col: str = "event_type",
+                         ts_col: str = "ts",
+                         id_col: str = "event_id") -> DataFrame:
+    """Most common 3-step behavior sequences: per user, events order
+    by (ts, id), each type encodes as its first letter, and every
+    consecutive triple counts once — the sequence-mining rollup one
+    step beyond the pairwise transition matrix.
+
+    Plan: ONE user-partitioned window carrying two leads (no
+    journey-string materialization, no self-joins), a trigram count
+    agg, TakeOrdered top-k with a deterministic trigram tie-break."""
+    from pyspark.sql import Window
+    e = df.select(F.col(user_col).alias("u"),
+                  _ts_s(ts_col).alias("s"), F.col(id_col).alias("eid"),
+                  F.substring(F.col(type_col), 1, 1).alias("c"))
+    w = Window.partitionBy("u").orderBy("s", "eid")
+    tri = (e.select(F.concat(F.col("c"), F.lead("c", 1).over(w),
+                             F.lead("c", 2).over(w)).alias("trigram"))
+           .where(F.col("trigram").isNotNull()))
+    return (tri.groupBy("trigram")
+            .agg(F.count("*").cast("long").alias("n_journeys"))
+            .orderBy(F.col("n_journeys").desc(), F.col("trigram").asc())
+            .limit(k))

@@ -2133,3 +2133,111 @@ QUERIES_ROUND6.update({
         doc="nightly ingest gate: quality + cross-corpus dedup + "
             "within-batch keeper"),
 })
+
+
+# ===========================================================================
+# Batch 10: parameterized SQL / sequence mining / embedding outliers
+# ===========================================================================
+
+_PARAM_CAP = 50000.0
+
+
+def q_parameterized_sql(spark, sf_dir):
+    """Named-parameter SQL (Spark 4 parameterized queries): the bind
+    variable arrives via args=, never string interpolation — the
+    injection-safe serving surface."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("r6_param_o")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM r6_param_o WHERE o_totalprice < :cap
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"cap": _PARAM_CAP})
+
+
+ORACLE_PARAM_SQL = f"""
+  SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+  FROM orders WHERE o_totalprice < {_PARAM_CAP}::DOUBLE
+  GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_top_trigram_journeys(spark, sf_dir):
+    """Top-20 three-step behavior sequences via one user-partitioned
+    double-lead window (no journey strings, no self-joins)."""
+    return eventflow.top_trigram_journeys(_t(spark, sf_dir, "events"))
+
+
+ORACLE_TRIGRAMS = """
+  WITH e AS (
+    SELECT user_id AS u, floor(epoch(ts))::BIGINT AS s,
+           event_id AS eid, substr(event_type, 1, 1) AS c
+    FROM events
+  ),
+  tri AS (
+    SELECT c || lead(c, 1) OVER w || lead(c, 2) OVER w AS trigram
+    FROM e WINDOW w AS (PARTITION BY u ORDER BY s, eid)
+  )
+  SELECT trigram, count(*)::BIGINT AS n_journeys
+  FROM tri WHERE trigram IS NOT NULL
+  GROUP BY trigram
+  ORDER BY n_journeys DESC, trigram ASC LIMIT 20
+"""
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Within-class embedding outliers: exact integer distance to the
+    own-label centroid, cross-multiplied decimal(38) z-test — no
+    division or sqrt anywhere."""
+    return arrowops.embedding_outliers(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_EMB_OUTLIERS = f"""
+  WITH cent AS ({ORACLE_ARROW_CENTROIDS}),
+  means AS (
+    SELECT label, dim,
+           floor(sum_q_e6::DOUBLE / n_vecs::DOUBLE)::BIGINT AS mq
+    FROM cent
+  ),
+  t AS (
+    SELECT vec_id, label::BIGINT AS label,
+           unnest(embedding) AS comp,
+           unnest(range(1, len(embedding) + 1))::BIGINT AS dim
+    FROM embeddings
+  ),
+  q AS (SELECT vec_id, label, dim,
+               floor(comp::DOUBLE * 1e6)::BIGINT AS qq
+        FROM t),
+  d2 AS (
+    SELECT vec_id, label,
+           sum((qq - mq) * (qq - mq))::BIGINT AS dist2
+    FROM q JOIN means USING (label, dim)
+    GROUP BY vec_id, label
+  ),
+  mom AS (
+    SELECT label, count(*)::HUGEINT AS n,
+           sum(dist2)::HUGEINT AS s,
+           sum(dist2::HUGEINT * dist2::HUGEINT) AS s2
+    FROM d2 GROUP BY label
+  )
+  SELECT vec_id, d2.label, dist2, n::BIGINT AS n_label,
+         1::BIGINT AS is_outlier
+  FROM d2 JOIN mom ON d2.label = mom.label
+  WHERE (n * dist2 - s) > 0
+    AND (n * dist2 - s) * (n * dist2 - s) > 9 * (n * s2 - s * s)
+  ORDER BY vec_id
+"""
+
+
+QUERIES_ROUND6.update({
+    "parameterized_sql": QuerySpec(
+        q_parameterized_sql, ORACLE_PARAM_SQL,
+        doc="named-parameter SQL binding (injection-safe serving)"),
+    "top_trigram_journeys": QuerySpec(
+        q_top_trigram_journeys, ORACLE_TRIGRAMS,
+        doc="3-step sequence mining via double-lead window"),
+    "embedding_outliers": QuerySpec(
+        q_embedding_outliers, ORACLE_EMB_OUTLIERS,
+        doc="within-class centroid-distance outliers (integer z²)"),
+})

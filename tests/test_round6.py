@@ -1088,3 +1088,42 @@ def test_ingest_gate_consistency(spark):
     for d, q in accepted.items():
         assert d in new and q >= 60
         assert d not in cross and d not in within
+
+
+# ===========================================================================
+# Batch 10: parameterized SQL / trigram journeys / embedding outliers
+# ===========================================================================
+
+def test_trigram_hand_sequence(spark, tmp_path):
+    """User journey v,c,p,v yields trigrams vcp, cpv."""
+    def at(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+    rows = [(1, at(0), 1, "view", 1.0, "{}"),
+            (2, at(1), 1, "click", 1.0, "{}"),
+            (3, at(2), 1, "purchase", 1.0, "{}"),
+            (4, at(3), 1, "view", 1.0, "{}")]
+    from bigdata_project_hust_spark.operators.eventflow import (
+        top_trigram_journeys)
+    d = _events(spark, tmp_path, rows)
+    out = {r["trigram"]: r["n_journeys"] for r in top_trigram_journeys(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()}
+    assert out == {"vcp": 1, "cpv": 1}
+
+
+def test_embedding_outlier_detects_planted(spark):
+    """19 near-identical vectors + one far vector in the same label:
+    the far one is flagged, the rest are not."""
+    from bigdata_project_hust_spark.operators.arrowops import (
+        embedding_outliers)
+    rows = [(i, 0, [1.0 + (i % 3) * 1e-4, 0.0]) for i in range(19)]
+    rows.append((99, 0, [100.0, 50.0]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>")
+    out = [r["vec_id"] for r in embedding_outliers(df, dim=2).collect()]
+    assert out == [99]
+
+
+def test_parameterized_sql_binds(spark):
+    out = QUERIES["parameterized_sql"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 5
+    assert all(r["n_orders"] > 0 for r in out)
