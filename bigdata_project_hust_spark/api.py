@@ -872,3 +872,18 @@ class Engine:
         """Within-class centroid-distance embedding outliers."""
         from .operators.arrowops import embedding_outliers
         return embedding_outliers(self.table("embeddings"))
+
+    def subdocument_dups(self) -> DataFrame:
+        """Asymmetric containment near-dup pairs."""
+        from .operators.dedup import containment_duplicates
+        return containment_duplicates(self.table("documents"))
+
+    def stickiness(self) -> DataFrame:
+        """DAU / trailing WAU / stickiness per observed day."""
+        from .operators.eventflow import dau_wau_stickiness
+        return dau_wau_stickiness(self.table("events"))
+
+    def hapax_report(self) -> DataFrame:
+        """Per-source hapax legomena ratio."""
+        from .operators.text import hapax_ratio_by_source
+        return hapax_ratio_by_source(self.table("documents"))

@@ -707,3 +707,46 @@ def incremental_near_duplicates(df: DataFrame, new_cond,
     return verified.select(
         F.col("doc_a").alias("new_doc"), F.col("doc_b").alias("dup_of"),
         "inter_size", "union_size")
+
+
+def containment_duplicates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           min_cont_num: int = 9,
+                           min_cont_den: int = 10) -> DataFrame:
+    """Asymmetric near-duplication: candidate pairs where the SMALLER
+    shingle set is ≥ num/den contained in the other — catches a
+    document embedded inside a larger one (quote farms, wrapper
+    pages), which symmetric Jaccard misses (|A∩B|/|A∪B| stays low
+    when |B| ≫ |A|).
+
+    Candidates still come from the MinHash bands (recall tracks
+    Jaccard, not containment — the standard engineering trade,
+    documented; a containment-optimal index would be the prefix
+    filter on df-ordered shingles, see dedup_ngram_prefix). The
+    containment test is integer cross-multiplication; the reported
+    score is one integer division on the e6 grid."""
+    sh = shingles(df, text_col, id_col)
+    sig = minhash_signatures(sh, id_col)
+    bands = minhash_bands(sig, id_col)
+    cand = candidate_pairs(bands, id_col)
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("sh"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("sh"))
+    inter = (cand.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("inter_size")))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    na = sizes.select(F.col(id_col).alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    j = inter.join(na, "doc_a").join(nb, "doc_b")
+    small = F.least(F.col("n_a"), F.col("n_b"))
+    return (j.where(F.col("inter_size") * min_cont_den
+                    >= min_cont_num * small)
+            .select("doc_a", "doc_b",
+                    F.col("inter_size").cast("long").alias("inter_size"),
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    F.expr("(inter_size * 1000000)"
+                           " div least(n_a, n_b)").cast("long")
+                    .alias("cont_small_e6")))

@@ -1214,3 +1214,32 @@ def top_trigram_journeys(df: DataFrame, k: int = 20,
             .agg(F.count("*").cast("long").alias("n_journeys"))
             .orderBy(F.col("n_journeys").desc(), F.col("trigram").asc())
             .limit(k))
+
+
+def dau_wau_stickiness(df: DataFrame, user_col: str = "user_id",
+                       ts_col: str = "ts") -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per observed day — the
+    engagement dashboard headline. Exact distinct counts at any
+    scale: each distinct (user, active day) row fans out to the ≤7
+    future days whose WAU window contains it (a bounded explode —
+    never a distinct-over-range-window, which Spark cannot do
+    exactly), then one distinct count per day. Stickiness is the
+    all-integer (DAU·1e6) div WAU.
+
+    Output rows are the OBSERVED activity days (a day with zero
+    events has no DAU row to report)."""
+    ud = (df.select(F.col(user_col).alias("u"),
+                    F.floor(_ts_s(ts_col) / _DAY_S).cast("long")
+                     .alias("day"))
+          .distinct())
+    dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    fanned = ud.select(
+        "u", F.explode(F.sequence(
+            F.col("day"), F.col("day") + F.lit(6))).alias("wday"))
+    wau = (fanned.distinct()
+           .groupBy("wday").agg(F.count("*").cast("long").alias("wau")))
+    return (dau.join(wau, dau.day == wau.wday)
+            .select("day", "dau", "wau",
+                    F.expr("(dau * 1000000) div wau").cast("long")
+                    .alias("stickiness_e6"))
+            .orderBy("day"))

@@ -1399,3 +1399,31 @@ def script_mix(df: DataFrame, text_col: str = "text",
            .otherwise(F.lit("none")))
     return d.select(id_col, "n_cjk", "n_latin", "n_digit",
                     dom.alias("dominant_script"))
+
+
+def hapax_ratio_by_source(df: DataFrame, text_col: str = "text",
+                          source_col: str = "source") -> DataFrame:
+    """Hapax legomena ratio per source: the share of a source's token
+    occurrences whose CORPUS-WIDE frequency is exactly 1 — high
+    ratios flag OCR noise / mojibake / random-string pollution in one
+    ingestion source before it reaches training.
+
+    Exact integers end to end; the global frequency table joins on
+    the token (shuffle keyed by token — at 100 TB pre-aggregate
+    per-source counts first so the join carries |source × vocab|
+    rows, which is what this does)."""
+    toks = df.select(F.col(source_col).alias("source"),
+                     F.explode(tokens(F.col(text_col))).alias("tok"))
+    per_src = toks.groupBy("source", "tok").agg(
+        F.count("*").alias("c_src"))
+    glob = per_src.groupBy("tok").agg(F.sum("c_src").alias("c_all"))
+    j = per_src.join(glob, "tok")
+    agg = j.groupBy("source").agg(
+        F.sum("c_src").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("c_all") == 1, F.col("c_src"))
+               .otherwise(F.lit(0))).cast("long").alias("n_hapax"))
+    return (agg.select(
+        "source", "n_tokens", "n_hapax",
+        F.expr("(n_hapax * 1000000) div n_tokens").cast("long")
+        .alias("hapax_ratio_e6"))
+        .orderBy("source"))

@@ -667,7 +667,33 @@ def _oracle_minhash() -> str:
         f" AS band_hash FROM sig"
         for b in range(bands))
     return f"""
-  WITH {_SHINGLES_SQL},
+  {_minhash_graph_sql()}
+  SELECT i.doc_a, i.doc_b, i.inter_size,
+         (na.n_sh + nb.n_sh - i.inter_size) AS union_size
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE i.inter_size * 2 >= (na.n_sh + nb.n_sh - i.inter_size)
+"""
+
+
+def _minhash_graph_sql() -> str:
+    """The shingle -> signature -> band -> candidate -> intersection
+    CTE chain (through ``inter`` and ``sizes``), shared by the
+    Jaccard-threshold oracle and the containment-threshold oracle —
+    callers append their own final SELECT/filter."""
+    k, bands = dedup.MINHASH_K, dedup.MINHASH_BANDS
+    rows = k // bands
+    salts = dedup.xor_salts(k)
+    mins = ",\n           ".join(
+        f"min(xor({_h64('sh', 0)}, {salts[i]})) AS h{i}" for i in range(k))
+    sep = " || ',' || "
+    band_selects = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5({sep.join(f'h{i}' for i in range(b*rows, (b+1)*rows))})"
+        f" AS band_hash FROM sig"
+        for b in range(bands))
+    return f"""WITH {_SHINGLES_SQL},
   sig AS (
     SELECT doc_id,
            {mins}
@@ -689,14 +715,7 @@ def _oracle_minhash() -> str:
     JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
     GROUP BY c.doc_a, c.doc_b
   ),
-  sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
-  SELECT i.doc_a, i.doc_b, i.inter_size,
-         (na.n_sh + nb.n_sh - i.inter_size) AS union_size
-  FROM inter i
-  JOIN sizes na ON na.doc_id = i.doc_a
-  JOIN sizes nb ON nb.doc_id = i.doc_b
-  WHERE i.inter_size * 2 >= (na.n_sh + nb.n_sh - i.inter_size)
-"""
+  sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)"""
 
 
 def q_dedup_components(spark, sf_dir):

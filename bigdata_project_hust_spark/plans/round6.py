@@ -2241,3 +2241,102 @@ QUERIES_ROUND6.update({
         q_embedding_outliers, ORACLE_EMB_OUTLIERS,
         doc="within-class centroid-distance outliers (integer z²)"),
 })
+
+
+# ===========================================================================
+# Batch 11: containment dedup / DAU-WAU stickiness / hapax audit
+# ===========================================================================
+
+
+def q_containment_dups(spark, sf_dir):
+    """Asymmetric containment near-dups: candidate pairs whose smaller
+    shingle set is ≥90% inside the other — sub-document duplication
+    symmetric Jaccard misses."""
+    return dedup.containment_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def _containment_oracle() -> str:
+    from .queries import _minhash_graph_sql
+    return f"""
+  {_minhash_graph_sql()}
+  SELECT i.doc_a, i.doc_b, i.inter_size::BIGINT AS inter_size,
+         na.n_sh::BIGINT AS n_a, nb.n_sh::BIGINT AS n_b,
+         ((i.inter_size * 1000000)
+          // least(na.n_sh, nb.n_sh))::BIGINT AS cont_small_e6
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE i.inter_size * 10 >= 9 * least(na.n_sh, nb.n_sh)
+"""
+
+
+def q_dau_wau_stickiness(spark, sf_dir):
+    """DAU / trailing-7d WAU / integer stickiness per observed day —
+    exact distincts via the bounded 7-day fan-out (no
+    distinct-over-range-window)."""
+    return eventflow.dau_wau_stickiness(_t(spark, sf_dir, "events"))
+
+
+ORACLE_DAU_WAU = """
+  WITH ud AS (
+    SELECT DISTINCT user_id AS u,
+           floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day
+    FROM events
+  ),
+  dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY day),
+  fanned AS (
+    SELECT DISTINCT u,
+           unnest(range(day, day + 7))::BIGINT AS wday
+    FROM ud
+  ),
+  wau AS (SELECT wday, count(*)::BIGINT AS wau
+          FROM fanned GROUP BY wday)
+  SELECT day, dau.dau, wau.wau,
+         ((dau.dau * 1000000) // wau.wau)::BIGINT AS stickiness_e6
+  FROM dau JOIN wau ON dau.day = wau.wday
+  ORDER BY day
+"""
+
+
+def q_hapax_ratio_by_source(spark, sf_dir):
+    """Hapax legomena share per source — the noisy-ingest detector
+    (all-integer, per-source pre-aggregation before the vocab
+    join)."""
+    return text.hapax_ratio_by_source(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_HAPAX = rf"""
+  WITH toks AS (
+    SELECT source,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  ),
+  per_src AS (SELECT source, tok, count(*)::BIGINT AS c_src
+              FROM toks GROUP BY 1, 2),
+  gcnt AS (SELECT tok, sum(c_src)::BIGINT AS c_all
+           FROM per_src GROUP BY tok),
+  agg AS (
+    SELECT source, sum(c_src)::BIGINT AS n_tokens,
+           sum(CASE WHEN c_all = 1 THEN c_src ELSE 0 END)::BIGINT
+             AS n_hapax
+    FROM per_src JOIN gcnt USING (tok) GROUP BY source
+  )
+  SELECT source, n_tokens, n_hapax,
+         ((n_hapax * 1000000) // n_tokens)::BIGINT AS hapax_ratio_e6
+  FROM agg ORDER BY source
+"""
+
+
+QUERIES_ROUND6.update({
+    "containment_dups": QuerySpec(
+        q_containment_dups, _containment_oracle(),
+        doc="asymmetric >=90% containment near-dups (sub-document "
+            "duplication)"),
+    "dau_wau_stickiness": QuerySpec(
+        q_dau_wau_stickiness, ORACLE_DAU_WAU,
+        doc="DAU / trailing WAU / integer stickiness per day"),
+    "hapax_ratio_by_source": QuerySpec(
+        q_hapax_ratio_by_source, ORACLE_HAPAX,
+        doc="per-source hapax legomena ratio (noise detector)"),
+})

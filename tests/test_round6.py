@@ -1127,3 +1127,58 @@ def test_parameterized_sql_binds(spark):
     out = QUERIES["parameterized_sql"].fn(spark, SF_SMOKE).collect()
     assert len(out) == 5
     assert all(r["n_orders"] > 0 for r in out)
+
+
+# ===========================================================================
+# Batch 11: containment dedup / DAU-WAU / hapax
+# ===========================================================================
+
+def test_containment_catches_subdocument(spark):
+    """A short doc fully embedded in a long doc: Jaccard is low (below
+    the 1/2 near-dup bar) but containment flags it."""
+    from bigdata_project_hust_spark.operators.dedup import (
+        containment_duplicates, minhash_near_duplicates)
+    small = " ".join(f"s{i}" for i in range(30))
+    big = small + " " + " ".join(f"e{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, small, "en", "s", 1), (2, big, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    cont = containment_duplicates(df).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert r["cont_small_e6"] == 1_000_000
+    assert r["inter_size"] * 2 < r["n_a"] + r["n_b"] - r["inter_size"]
+    jacc = minhash_near_duplicates(df).collect()
+    assert jacc == []   # symmetric threshold misses it
+
+
+def test_dau_wau_hand_values(spark, tmp_path):
+    """User A active day 0, user B days 0 and 3: WAU(day3) = 2,
+    DAU(day3) = 1 -> stickiness 500000."""
+    rows = [(1, datetime(2024, 1, 1), 100, "view", 1.0, "{}"),
+            (2, datetime(2024, 1, 1), 200, "view", 1.0, "{}"),
+            (3, datetime(2024, 1, 4), 200, "view", 1.0, "{}")]
+    from bigdata_project_hust_spark.operators.eventflow import (
+        dau_wau_stickiness)
+    d = _events(spark, tmp_path, rows)
+    out = {r["day"]: r for r in dau_wau_stickiness(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()}
+    d0 = min(out)
+    assert out[d0]["dau"] == 2 and out[d0]["wau"] == 2
+    assert out[d0 + 3]["dau"] == 1 and out[d0 + 3]["wau"] == 2
+    assert out[d0 + 3]["stickiness_e6"] == 500_000
+
+
+def test_hapax_ratio_hand_values(spark):
+    from bigdata_project_hust_spark.operators.text import (
+        hapax_ratio_by_source)
+    df = spark.createDataFrame(
+        [(1, "common unique1", "en", "a", 1),
+         (2, "common unique2 unique3", "en", "b", 1)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = {r["source"]: r for r in hapax_ratio_by_source(df).collect()}
+    assert out["a"]["n_tokens"] == 2 and out["a"]["n_hapax"] == 1
+    assert out["b"]["n_hapax"] == 2
+    assert out["a"]["hapax_ratio_e6"] == 500_000
