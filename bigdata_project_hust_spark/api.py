@@ -887,3 +887,17 @@ class Engine:
         """Per-source hapax legomena ratio."""
         from .operators.text import hapax_ratio_by_source
         return hapax_ratio_by_source(self.table("documents"))
+
+    def mean_with_ci(self, n_boot: int = 40) -> DataFrame:
+        """Deterministic Poisson-bootstrap CI of the mean order
+        value."""
+        from pyspark.sql import functions as F
+        from .operators.sampling import bootstrap_mean_ci
+        return bootstrap_mean_ci(
+            self.table("orders"), "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100), n_boot)
+
+    def retrieval_quality(self) -> DataFrame:
+        """MRR / nDCG@10 of the BM25 ranker."""
+        from .plans.round6 import q_retrieval_eval
+        return q_retrieval_eval(self.spark, self.sf_dir)

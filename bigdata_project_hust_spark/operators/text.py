@@ -1427,3 +1427,74 @@ def hapax_ratio_by_source(df: DataFrame, text_col: str = "text",
         F.expr("(n_hapax * 1000000) div n_tokens").cast("long")
         .alias("hapax_ratio_e6"))
         .orderBy("source"))
+
+
+def _ndcg_discounts(k: int) -> list[int]:
+    """floor(1e9 / log2(r+1)) for r=1..k — computed once in Python and
+    embedded as LITERALS in both engines (no runtime log2 calls to
+    diverge)."""
+    import math
+    return [int(1e9 / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def retrieval_eval(df: DataFrame, query_terms: list[str], k: int = 10,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Offline retrieval quality: MRR and nDCG@k of the BM25 ranking
+    against the conjunctive relevance set (documents containing ALL
+    query terms) — the eval loop every retrieval stack runs before a
+    ranker change ships.
+
+    All-integer scoring: rank discounts are Python-computed e9
+    literals (identical in the oracle), MRR is ``1e9 div rank``, DCG
+    and IDCG are exact integer sums of literals, and
+    nDCG = (dcg·1e6) div idcg. The rank window runs over the k-row
+    BM25 result — trivially single-partition."""
+    from pyspark.sql import Window
+    ranked = (bm25_topk(df, query_terms, k, text_col, id_col)
+              .select(F.col(id_col), F.col("score_e6"))
+              .withColumn("rank", F.row_number().over(
+                  Window.orderBy(F.desc("score_e6"), F.col(id_col)))))
+    toks = tokens(F.col(text_col))
+    n_present = None
+    for t in query_terms:
+        c = F.array_contains(toks, t).cast("long")
+        n_present = c if n_present is None else n_present + c
+    rel = df.select(F.col(id_col),
+                    (n_present == len(query_terms)).cast("long")
+                    .alias("relevant"))
+    n_rel = rel.groupBy().agg(
+        F.sum("relevant").cast("long").alias("n_relevant"))
+    disc = _ndcg_discounts(k)
+    disc_col = F.lit(0).cast("long")
+    for r, dv in enumerate(disc, start=1):
+        disc_col = F.when(F.col("rank") == r, F.lit(dv)) \
+                    .otherwise(disc_col)
+    j = ranked.join(rel, id_col)
+    hits = j.groupBy().agg(
+        F.min(F.when(F.col("relevant") == 1, F.col("rank")))
+         .alias("first_rel_rank"),
+        F.sum(F.when(F.col("relevant") == 1, disc_col)
+               .otherwise(F.lit(0))).cast("long").alias("dcg_e9"))
+    cum = [0]
+    for dv in disc:
+        cum.append(cum[-1] + dv)
+    out = hits.crossJoin(F.broadcast(n_rel))
+    m = F.least(F.col("n_relevant"), F.lit(k)).cast("int")
+    idcg = F.lit(0).cast("long")
+    for i in range(1, k + 1):
+        idcg = F.when(m == i, F.lit(cum[i])).otherwise(idcg)
+    mrr = F.when(F.col("first_rel_rank").isNotNull(),
+                 F.expr("1000000000 div first_rel_rank")) \
+           .otherwise(F.lit(0))
+    return out.select(
+        "n_relevant",
+        F.coalesce("first_rel_rank", F.lit(0)).cast("long")
+         .alias("first_rel_rank"),
+        mrr.cast("long").alias("mrr_e9"),
+        "dcg_e9", idcg.alias("idcg_e9")
+    ).select("n_relevant", "first_rel_rank", "mrr_e9", "dcg_e9",
+             "idcg_e9",
+             F.when(F.col("idcg_e9") > 0,
+                    F.expr("(dcg_e9 * 1000000) div idcg_e9"))
+              .otherwise(F.lit(0)).cast("long").alias("ndcg_e6"))

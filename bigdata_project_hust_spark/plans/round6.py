@@ -2340,3 +2340,148 @@ QUERIES_ROUND6.update({
         q_hapax_ratio_by_source, ORACLE_HAPAX,
         doc="per-source hapax legomena ratio (noise detector)"),
 })
+
+
+# ===========================================================================
+# Batch 12: deterministic bootstrap CI / retrieval eval
+# ===========================================================================
+
+from ..operators import sampling  # noqa: E402
+from ..operators.sampling import _POISSON1_CDF, _H_RANGE  # noqa: E402
+
+
+_BOOT_B = 40
+
+
+def q_bootstrap_order_mean(spark, sf_dir):
+    """Deterministic Poisson bootstrap of the mean order value:
+    literal-threshold Poisson(1) weights per (row, replicate), exact
+    replicate sums, nearest-rank p05/median/p95 band."""
+    od = _t(spark, sf_dir, "orders")
+    return sampling.bootstrap_mean_ci(
+        od, "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100), n_boot=_BOOT_B)
+
+
+def _bootstrap_oracle() -> str:
+    t = [int(p * _H_RANGE) for p in _POISSON1_CDF]
+    h = stable_hash64_sql("id || ':' || bb::VARCHAR")
+    lo_r = max(1, -(-5 * _BOOT_B // 100))
+    med_r = (_BOOT_B + 1) // 2
+    hi_r = -(-95 * _BOOT_B // 100)
+    return f"""
+  WITH bs AS (SELECT range::BIGINT AS bb FROM range({_BOOT_B})),
+  d AS (SELECT o_orderkey::VARCHAR AS id,
+               floor(o_totalprice * 100)::BIGINT AS v
+        FROM orders),
+  e AS (SELECT id, v, bb FROM d, bs),
+  wts AS (
+    SELECT bb, v,
+           (CASE WHEN {h} < {t[0]} THEN 0
+                 WHEN {h} < {t[1]} THEN 1
+                 WHEN {h} < {t[2]} THEN 2
+                 WHEN {h} < {t[3]} THEN 3
+                 ELSE 4 END)::BIGINT AS w
+    FROM e
+  ),
+  reps AS (
+    SELECT bb, sum(w)::BIGINT AS n_w, sum(w * v)::BIGINT AS s_w
+    FROM wts GROUP BY bb
+  ),
+  means AS (
+    SELECT (CASE WHEN n_w > 0
+                 THEN floor(s_w::DOUBLE / n_w::DOUBLE)
+                 ELSE 0 END)::BIGINT AS m
+    FROM reps
+  ),
+  ranked AS (SELECT m, row_number() OVER (ORDER BY m) AS rn
+             FROM means),
+  pick AS (
+    SELECT max(CASE WHEN rn = {lo_r} THEN m END)::BIGINT AS p05_c,
+           max(CASE WHEN rn = {med_r} THEN m END)::BIGINT AS med_c,
+           max(CASE WHEN rn = {hi_r} THEN m END)::BIGINT AS p95_c
+    FROM ranked
+  ),
+  base AS (
+    SELECT count(*)::BIGINT AS n_rows,
+           floor(sum(v)::DOUBLE / count(*)::DOUBLE)::BIGINT AS mean_c
+    FROM d
+  )
+  SELECT n_rows, mean_c, p05_c, med_c, p95_c,
+         {_BOOT_B}::BIGINT AS n_boot
+  FROM base, pick
+"""
+
+
+def q_retrieval_eval(spark, sf_dir):
+    """MRR / nDCG@10 of the BM25 ranking against the conjunctive
+    relevance set — all-integer from Python-literal rank discounts."""
+    from .analytics_more import _BM25_TERMS
+    return text.retrieval_eval(_t(spark, sf_dir, "documents"),
+                               _BM25_TERMS, k=10)
+
+
+def _retrieval_eval_oracle() -> str:
+    from .analytics_more import _BM25_TERMS, _bm25_oracle
+    from ..operators.text import _ndcg_discounts
+    disc = _ndcg_discounts(10)
+    disc_case = " ".join(f"WHEN rank = {r} THEN {dv}"
+                         for r, dv in enumerate(disc, start=1))
+    cum = [0]
+    for dv in disc:
+        cum.append(cum[-1] + dv)
+    idcg_case = " ".join(f"WHEN m = {i} THEN {cum[i]}"
+                         for i in range(1, 11))
+    contains = " + ".join(f"list_contains(w, '{t}')::BIGINT"
+                          for t in _BM25_TERMS)
+    return rf"""
+  WITH bm AS ({_bm25_oracle()}),
+  ranked AS (
+    SELECT doc_id, score_e6,
+           row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rank
+    FROM bm
+  ),
+  tw AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '') AS w
+    FROM documents
+  ),
+  rel AS (
+    SELECT doc_id,
+           (({contains}) = {len(_BM25_TERMS)})::BIGINT AS relevant
+    FROM tw
+  ),
+  nr AS (SELECT sum(relevant)::BIGINT AS n_relevant FROM rel),
+  hits AS (
+    SELECT min(CASE WHEN relevant = 1 THEN rank END) AS first_rel,
+           sum(CASE WHEN relevant = 1
+                    THEN (CASE {disc_case} ELSE 0 END)
+                    ELSE 0 END)::BIGINT AS dcg_e9
+    FROM ranked JOIN rel USING (doc_id)
+  )
+  SELECT n_relevant,
+         coalesce(first_rel, 0)::BIGINT AS first_rel_rank,
+         (CASE WHEN first_rel IS NOT NULL
+               THEN 1000000000 // first_rel ELSE 0 END)::BIGINT
+           AS mrr_e9,
+         dcg_e9,
+         (CASE {idcg_case} ELSE 0 END)::BIGINT AS idcg_e9,
+         (CASE WHEN (CASE {idcg_case} ELSE 0 END) > 0
+               THEN (dcg_e9 * 1000000)
+                    // (CASE {idcg_case} ELSE 0 END)
+               ELSE 0 END)::BIGINT AS ndcg_e6
+  FROM hits, nr, (SELECT least(n_relevant, 10)::BIGINT AS m FROM nr) mm
+"""
+
+
+QUERIES_ROUND6.update({
+    "bootstrap_order_mean": QuerySpec(
+        q_bootstrap_order_mean, _bootstrap_oracle(),
+        doc="deterministic Poisson bootstrap CI of the mean order "
+            "value"),
+    "retrieval_eval": QuerySpec(
+        q_retrieval_eval, _retrieval_eval_oracle(),
+        doc="MRR / nDCG@10 of BM25 vs conjunctive relevance "
+            "(literal discounts)"),
+})

@@ -1182,3 +1182,50 @@ def test_hapax_ratio_hand_values(spark):
     assert out["a"]["n_tokens"] == 2 and out["a"]["n_hapax"] == 1
     assert out["b"]["n_hapax"] == 2
     assert out["a"]["hapax_ratio_e6"] == 500_000
+
+
+# ===========================================================================
+# Batch 12: bootstrap CI / retrieval eval
+# ===========================================================================
+
+def test_bootstrap_band_brackets_mean(spark):
+    """The p05..p95 replicate band brackets the exact mean, and the
+    replicate medians are ordered."""
+    r = QUERIES["bootstrap_order_mean"].fn(spark, SF_SMOKE).collect()[0]
+    assert r["n_boot"] == 40
+    assert r["p05_c"] <= r["med_c"] <= r["p95_c"]
+    assert r["p05_c"] <= r["mean_c"] <= r["p95_c"]
+    # Poisson-bootstrap band of the mean should be tight-ish: within
+    # 25% of the mean at smoke scale
+    assert (r["p95_c"] - r["p05_c"]) < r["mean_c"] // 2
+
+
+def test_bootstrap_constant_data_degenerate_band(spark):
+    from pyspark.sql import functions as F
+    from bigdata_project_hust_spark.operators.sampling import (
+        bootstrap_mean_ci)
+    df = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    r = bootstrap_mean_ci(df, "k", F.lit(700), n_boot=16).collect()[0]
+    assert r["p05_c"] == r["med_c"] == r["p95_c"] == 700
+    assert r["mean_c"] == 700
+
+
+def test_retrieval_eval_bounds(spark):
+    r = QUERIES["retrieval_eval"].fn(spark, SF_SMOKE).collect()[0]
+    assert 0 <= r["ndcg_e6"] <= 1_000_000
+    assert r["dcg_e9"] <= r["idcg_e9"]
+    if r["first_rel_rank"] > 0:
+        assert r["mrr_e9"] == 1_000_000_000 // r["first_rel_rank"]
+
+
+def test_retrieval_eval_perfect_ranking(spark):
+    """A corpus where every ranked doc is relevant -> nDCG exactly
+    1e6 and MRR 1e9."""
+    from bigdata_project_hust_spark.operators.text import retrieval_eval
+    rows = [(i, "spark vector merge filler%d" % i) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = retrieval_eval(df, ["spark", "vector", "merge"], k=10) \
+        .collect()[0]
+    assert r["ndcg_e6"] == 1_000_000
+    assert r["mrr_e9"] == 1_000_000_000
+    assert r["n_relevant"] == 12
