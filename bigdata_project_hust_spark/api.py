@@ -901,3 +901,16 @@ class Engine:
         """MRR / nDCG@10 of the BM25 ranker."""
         from .plans.round6 import q_retrieval_eval
         return q_retrieval_eval(self.spark, self.sf_dir)
+
+    def robust_mean(self, k_groups: int = 32) -> DataFrame:
+        """Median-of-means robust mean of event values."""
+        from pyspark.sql import functions as F
+        from .operators.aggregations import median_of_means
+        return median_of_means(
+            self.table("events"), "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)), k_groups)
+
+    def vocab_overlap(self) -> DataFrame:
+        """MinHash vs exact Jaccard between source vocabularies."""
+        from .operators.sketches import source_vocab_jaccard
+        return source_vocab_jaccard(self.table("documents"))

@@ -297,3 +297,45 @@ def corr_matrix3(df: DataFrame, x: Column, y: Column, z: Column,
             .select(F.col("p.pair").alias("pair"), "n_rows",
                     F.col("p.c").alias("corr_e6"))
             .orderBy("pair"))
+
+
+def median_of_means(df: DataFrame, id_col: str, val_cents,
+                    k_groups: int = 32) -> DataFrame:
+    """Median-of-means robust mean estimator: rows hash-partition
+    into ``k_groups`` deterministic buckets, each bucket's mean is
+    one pinned division on exact sums, and the estimate is the exact
+    LOW median of the bucket means — the heavy-tail-robust
+    alternative to the plain mean (sub-Gaussian deviation bounds
+    under only finite variance), fully reproducible because bucket
+    membership is ``stable_hash64(id) mod k``, never a partitioning
+    accident.
+
+    One |rows| agg keyed by the hash bucket (k partial rows per
+    task), one k-row rank window. The plain mean rides along for the
+    outlier-gap diagnostic."""
+    from pyspark.sql import Window
+    from ..functions.scalar import stable_hash64
+    d = df.select(
+        F.pmod(stable_hash64(F.col(id_col).cast("string")),
+               F.lit(k_groups)).alias("g"),
+        val_cents.cast("long").alias("v"))
+    groups = d.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"))
+    gm = (F.when(F.col("n") > 0,
+                 F.floor(F.col("s").cast("double")
+                         / F.col("n").cast("double")))
+          .otherwise(F.lit(0))).cast("long")
+    ranked = groups.select(gm.alias("m")).select(
+        "m", F.row_number().over(Window.orderBy("m")).alias("rn"))
+    med_r = (k_groups + 1) // 2
+    mom = ranked.where(F.col("rn") == med_r).select(
+        F.col("m").alias("mom_c"))
+    base = d.groupBy().agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.floor(F.sum("v").cast("double")
+                / F.count("*").cast("double")).cast("long")
+         .alias("mean_c"))
+    return (base.crossJoin(F.broadcast(mom))
+            .select("n_rows", F.lit(k_groups).cast("long")
+                    .alias("k_groups"), "mean_c", "mom_c"))

@@ -591,3 +591,67 @@ def ams_join_size(a: DataFrame, a_key: str, b: DataFrame, b_key: str,
                     F.coalesce("exact_join_size", F.lit(0))
                      .alias("exact_join_size"),
                     F.lit(buckets).cast("long").alias("n_buckets")))
+
+
+def source_vocab_jaccard(df: DataFrame, k: int = 16,
+                         text_col: str = "text",
+                         source_col: str = "source") -> DataFrame:
+    """MinHash Jaccard ESTIMATES between every pair of sources'
+    vocabularies, side-by-side with the exact Jaccard — the
+    estimator-quality audit for the signature machinery itself
+    (k matching components / k ≈ J; both columns deterministic, so
+    the driver hashes the estimator's error too).
+
+    Signatures reuse the dedup family's xor-salt permutations: one
+    md5 per distinct (source, token), k cheap xors, one k-column min
+    agg per source — a |sources|-row sketch table; the 45-pair
+    comparison is a trivial self-join. The exact side shuffles
+    (token → source-pair) with per-token fan-out ≤ C(|sources|, 2).
+    """
+    from .dedup import xor_salts
+    from .text import tokens
+    salts = xor_salts(k)
+    st = (df.select(F.col(source_col).alias("src"),
+                    F.explode(tokens(F.col(text_col))).alias("tok"))
+          .distinct())
+    h = stable_hash64(F.col("tok"), seed=0)
+    bound = st.select("src", h.alias("b"))
+    sig = bound.groupBy("src").agg(
+        *[F.min(F.col("b").bitwiseXOR(F.lit(salts[i])))
+           .alias(f"h{i}") for i in range(k)])
+    a = sig.select(F.col("src").alias("source_a"),
+                   *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)])
+    b2 = sig.select(F.col("src").alias("source_b"),
+                    *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)])
+    pairs = a.crossJoin(b2).where(F.col("source_a") < F.col("source_b"))
+    n_match = None
+    for i in range(k):
+        m = (F.col(f"a{i}") == F.col(f"b{i}")).cast("long")
+        n_match = m if n_match is None else n_match + m
+    est = pairs.select("source_a", "source_b",
+                       n_match.alias("n_match"))
+    sizes = st.groupBy("src").agg(F.count("*").alias("n_tok"))
+    ta = st.select(F.col("src").alias("source_a"), "tok")
+    tb = st.select(F.col("src").alias("source_b"), "tok")
+    inter = (ta.join(tb, "tok")
+             .where(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count("*").alias("inter")))
+    na = sizes.select(F.col("src").alias("source_a"),
+                      F.col("n_tok").alias("n_a"))
+    nb = sizes.select(F.col("src").alias("source_b"),
+                      F.col("n_tok").alias("n_b"))
+    j = (est.join(inter, ["source_a", "source_b"], "left")
+         .join(na, "source_a").join(nb, "source_b")
+         .select("source_a", "source_b",
+                 F.coalesce("inter", F.lit(0)).cast("long")
+                 .alias("inter"),
+                 F.col("n_a").cast("long"), F.col("n_b").cast("long"),
+                 F.col("n_match").cast("long")))
+    return (j.select(
+        "source_a", "source_b", "inter", "n_a", "n_b", "n_match",
+        F.expr("(inter * 1000000) div (n_a + n_b - inter)")
+         .cast("long").alias("exact_j_e6"),
+        F.expr(f"(n_match * 1000000) div {k}").cast("long")
+         .alias("est_j_e6"))
+        .orderBy("source_a", "source_b"))

@@ -2485,3 +2485,123 @@ QUERIES_ROUND6.update({
         doc="MRR / nDCG@10 of BM25 vs conjunctive relevance "
             "(literal discounts)"),
 })
+
+
+# ===========================================================================
+# Batch 13: median-of-means / sketch-vs-exact Jaccard audit
+# ===========================================================================
+
+from ..operators import sketches  # noqa: E402
+
+
+_MOM_K = 32
+
+
+def q_median_of_means(spark, sf_dir):
+    """Median-of-means robust mean of event value cents: 32
+    hash-deterministic buckets, pinned bucket means, exact low-median
+    — next to the plain mean for the outlier-gap diagnostic."""
+    return aggregations.median_of_means(
+        _t(spark, sf_dir, "events"), "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)), k_groups=_MOM_K)
+
+
+def _mom_oracle() -> str:
+    h = stable_hash64_sql("event_id::VARCHAR")
+    med_r = (_MOM_K + 1) // 2
+    return f"""
+  WITH d AS (
+    SELECT ({h} % {_MOM_K})::BIGINT AS g,
+           floor(value * 100 + 0.5)::BIGINT AS v
+    FROM events
+  ),
+  groups AS (SELECT g, count(*)::BIGINT AS n, sum(v)::BIGINT AS s
+             FROM d GROUP BY g),
+  means AS (
+    SELECT (CASE WHEN n > 0 THEN floor(s::DOUBLE / n::DOUBLE)
+                 ELSE 0 END)::BIGINT AS m
+    FROM groups
+  ),
+  ranked AS (SELECT m, row_number() OVER (ORDER BY m) AS rn
+             FROM means),
+  mom AS (SELECT m AS mom_c FROM ranked WHERE rn = {med_r}),
+  base AS (
+    SELECT count(*)::BIGINT AS n_rows,
+           floor(sum(v)::DOUBLE / count(*)::DOUBLE)::BIGINT AS mean_c
+    FROM d
+  )
+  SELECT n_rows, {_MOM_K}::BIGINT AS k_groups, mean_c, mom_c
+  FROM base, mom
+"""
+
+
+_SVJ_K = 16
+
+
+def q_source_vocab_jaccard(spark, sf_dir):
+    """MinHash estimate vs exact Jaccard between every source pair's
+    vocabulary — the estimator-quality audit on the dedup family's
+    own xor-salt permutations."""
+    return sketches.source_vocab_jaccard(
+        _t(spark, sf_dir, "documents"), k=_SVJ_K)
+
+
+def _svj_oracle() -> str:
+    from ..operators.dedup import xor_salts
+    salts = xor_salts(_SVJ_K)
+    h = stable_hash64_sql("tok", 0)
+    mins = ",\n           ".join(
+        f"min(xor({h}, {salts[i]})) AS h{i}" for i in range(_SVJ_K))
+    match = " + ".join(f"(a.h{i} = b.h{i})::BIGINT"
+                       for i in range(_SVJ_K))
+    return rf"""
+  WITH st AS (
+    SELECT DISTINCT source AS src,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  ),
+  sig AS (
+    SELECT src,
+           {mins}
+    FROM st GROUP BY src
+  ),
+  est AS (
+    SELECT a.src AS source_a, b.src AS source_b,
+           ({match})::BIGINT AS n_match
+    FROM sig a JOIN sig b ON a.src < b.src
+  ),
+  sizes AS (SELECT src, count(*)::BIGINT AS n_tok
+            FROM st GROUP BY src),
+  inter AS (
+    SELECT ta.src AS source_a, tb.src AS source_b,
+           count(*)::BIGINT AS inter
+    FROM st ta JOIN st tb ON ta.tok = tb.tok AND ta.src < tb.src
+    GROUP BY 1, 2
+  )
+  SELECT e.source_a, e.source_b,
+         coalesce(i.inter, 0)::BIGINT AS inter,
+         na.n_tok::BIGINT AS n_a, nb.n_tok::BIGINT AS n_b,
+         e.n_match,
+         ((coalesce(i.inter, 0) * 1000000)
+          // (na.n_tok + nb.n_tok - coalesce(i.inter, 0)))::BIGINT
+           AS exact_j_e6,
+         ((e.n_match * 1000000) // {_SVJ_K})::BIGINT AS est_j_e6
+  FROM est e
+  LEFT JOIN inter i ON e.source_a = i.source_a
+                   AND e.source_b = i.source_b
+  JOIN sizes na ON na.src = e.source_a
+  JOIN sizes nb ON nb.src = e.source_b
+  ORDER BY e.source_a, e.source_b
+"""
+
+
+QUERIES_ROUND6.update({
+    "median_of_means": QuerySpec(
+        q_median_of_means, _mom_oracle(),
+        doc="hash-bucketed median-of-means robust mean"),
+    "source_vocab_jaccard": QuerySpec(
+        q_source_vocab_jaccard, _svj_oracle(),
+        doc="MinHash estimate vs exact Jaccard per source pair "
+            "(estimator audit)"),
+})

@@ -1229,3 +1229,46 @@ def test_retrieval_eval_perfect_ranking(spark):
     assert r["ndcg_e6"] == 1_000_000
     assert r["mrr_e9"] == 1_000_000_000
     assert r["n_relevant"] == 12
+
+
+# ===========================================================================
+# Batch 13: median-of-means / sketch Jaccard audit
+# ===========================================================================
+
+def test_median_of_means_robust_to_planted_outlier(spark):
+    """A single enormous outlier drags the plain mean but not the
+    median of bucket means."""
+    from pyspark.sql import functions as F
+    from bigdata_project_hust_spark.operators.aggregations import (
+        median_of_means)
+    rows = [(i, 100) for i in range(640)] + [(9999, 10_000_000)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    r = median_of_means(df, "k", F.col("v"), k_groups=32).collect()[0]
+    assert r["mean_c"] > 15_000      # mean dragged
+    assert r["mom_c"] == 100         # mom untouched
+
+
+def test_source_vocab_jaccard_bounds(spark):
+    """Estimates stay in [0,1e6]; exact values match set identities;
+    45 pairs for 10 sources."""
+    from bigdata_project_hust_spark.io import load_table
+    out = QUERIES["source_vocab_jaccard"].fn(spark, SF_SMOKE).collect()
+    n_src = load_table(spark, SF_SMOKE, "documents") \
+        .select("source").distinct().count()
+    assert len(out) == n_src * (n_src - 1) // 2
+    for r in out:
+        assert 0 <= r["est_j_e6"] <= 1_000_000
+        assert 0 <= r["exact_j_e6"] <= 1_000_000
+        assert r["inter"] <= min(r["n_a"], r["n_b"])
+
+
+def test_source_vocab_jaccard_identical_sets(spark):
+    from bigdata_project_hust_spark.operators.sketches import (
+        source_vocab_jaccard)
+    df = spark.createDataFrame(
+        [(1, "a b c", "en", "s1", 1), (2, "a b c", "en", "s2", 1)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    r = source_vocab_jaccard(df).collect()[0]
+    assert r["exact_j_e6"] == 1_000_000
+    assert r["est_j_e6"] == 1_000_000 and r["n_match"] == 16
