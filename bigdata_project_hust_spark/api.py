@@ -914,3 +914,25 @@ class Engine:
         """MinHash vs exact Jaccard between source vocabularies."""
         from .operators.sketches import source_vocab_jaccard
         return source_vocab_jaccard(self.table("documents"))
+
+    def forecast_intervals(self) -> DataFrame:
+        """Split-conformal interval half-widths per event type."""
+        from .operators.eventflow import conformal_forecast_intervals
+        return conformal_forecast_intervals(self.table("events"))
+
+    def churn(self, inactive_days: int = 7) -> DataFrame:
+        """Per-arm churn rates under an inactivity horizon."""
+        from .operators.eventflow import churn_labels
+        return churn_labels(self.table("events"), inactive_days)
+
+    def robust_price_mean(self) -> DataFrame:
+        """10% trimmed mean of extended price per returnflag."""
+        from pyspark.sql import functions as F
+        from .operators.aggregations import trimmed_mean
+        return trimmed_mean(self.table("lineitem"), "l_returnflag",
+                            F.floor(F.col("l_extendedprice") * 100))
+
+    def revenue_features(self) -> DataFrame:
+        """Lag-feature table for revenue forecasting."""
+        from .plans.round6 import q_daily_revenue_features
+        return q_daily_revenue_features(self.spark, self.sf_dir)

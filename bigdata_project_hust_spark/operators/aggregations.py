@@ -339,3 +339,33 @@ def median_of_means(df: DataFrame, id_col: str, val_cents,
     return (base.crossJoin(F.broadcast(mom))
             .select("n_rows", F.lit(k_groups).cast("long")
                     .alias("k_groups"), "mean_c", "mom_c"))
+
+
+def trimmed_mean(df: DataFrame, group_col: str, val_cents,
+                 trim_num: int = 1, trim_den: int = 10) -> DataFrame:
+    """Exact trimmed mean per group: drop the lowest and highest
+    ``trim_num/trim_den`` of ranks (floor(n·num/den) rows each side —
+    pure integer rank arithmetic), then one pinned division over the
+    exact surviving sum — the robustness midpoint between the mean
+    and the median, fully deterministic (rank ties carry equal
+    values, so the trimmed SUM is rank-order-independent).
+
+    One key shuffle for the rank window, one re-aggregation."""
+    from pyspark.sql import Window
+    d = df.select(F.col(group_col).alias("g"),
+                  val_cents.cast("long").alias("v"))
+    w = Window.partitionBy("g").orderBy("v")
+    ranked = d.select(
+        "g", "v", F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("g")).alias("n"))
+    k = F.expr(f"(n * {trim_num}) div {trim_den}")
+    kept = ranked.where((F.col("rn") > k) & (F.col("rn") <= F.col("n") - k))
+    agg = kept.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("v").cast("long").alias("s_kept"),
+        F.max("n").cast("long").alias("n_total"))
+    tm = F.floor(F.col("s_kept").cast("double")
+                 / F.col("n_kept").cast("double"))
+    return (agg.select(F.col("g").alias(group_col), "n_total", "n_kept",
+                       tm.cast("long").alias("trimmed_mean_c"))
+            .orderBy(group_col))

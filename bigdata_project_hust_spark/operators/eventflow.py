@@ -1243,3 +1243,85 @@ def dau_wau_stickiness(df: DataFrame, user_col: str = "user_id",
                     F.expr("(dau * 1000000) div wau").cast("long")
                     .alias("stickiness_e6"))
             .orderBy("day"))
+
+
+def conformal_forecast_intervals(df: DataFrame,
+                                 alpha_num: int = 1,
+                                 alpha_den: int = 10,
+                                 val_col: str = "value",
+                                 type_col: str = "event_type",
+                                 ts_col: str = "ts") -> DataFrame:
+    """Split-conformal prediction interval for the seasonal-naive
+    forecaster: the per-type calibration quantile q̂ = the
+    ⌈(1−α)(n+1)⌉-th smallest absolute residual — the
+    distribution-free coverage guarantee (P(|err| ≤ q̂) ≥ 1−α) every
+    modern forecasting service attaches to its point predictions.
+
+    Residuals come from the same lag-over-(type,hour) grid as
+    :func:`wmape_seasonal_naive`; the quantile is exact nearest-rank
+    selection over a type-PARTITIONED rank window (never an
+    interpolated percentile); everything stays BIGINT."""
+    from pyspark.sql import Window
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    g = (df.select(F.col(type_col).alias("event_type"),
+                   F.to_date(ts_col).alias("day"),
+                   F.hour(ts_col).alias("hour"), cents.alias("v"))
+         .groupBy("event_type", "day", "hour")
+         .agg(F.sum("v").cast("long").alias("actual")))
+    w = Window.partitionBy("event_type", "hour").orderBy("day")
+    scored = (g.withColumn("pred", F.lag("actual").over(w))
+              .where(F.col("pred").isNotNull())
+              .select("event_type",
+                      F.abs(F.col("actual") - F.col("pred"))
+                      .cast("long").alias("absr")))
+    rw = Window.partitionBy("event_type").orderBy("absr")
+    ranked = scored.select(
+        "event_type", "absr",
+        F.row_number().over(rw).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"))
+    # ceil((1-alpha)(n+1)) clamped to n — POSITIVE-operand integer
+    # arithmetic only: ceil(a/b) = (a + b - 1) div b. (The negated
+    # form -((-a) div b) is a cross-engine trap: Spark's div
+    # TRUNCATES toward zero while DuckDB's // FLOORS, so they
+    # disagree on every non-divisible negative intermediate.)
+    num = alpha_den - alpha_num
+    target = F.least(
+        F.col("n"),
+        F.expr(f"({num} * (n + 1) + {alpha_den - 1})"
+               f" div {alpha_den}"))
+    return (ranked.where(F.col("rn") == target)
+            .select("event_type", F.col("n").cast("long")
+                    .alias("n_calibration"),
+                    F.col("absr").alias("qhat_cents"))
+            .orderBy("event_type"))
+
+
+def churn_labels(df: DataFrame, inactive_days: int = 7,
+                 user_col: str = "user_id",
+                 ts_col: str = "ts") -> DataFrame:
+    """Churn label generation: a user is churned when their last
+    observed activity is ≥ ``inactive_days`` epoch days before the
+    corpus's last day — the label every retention model trains on,
+    derived relationally (the corpus horizon is a 1-row broadcast,
+    never a driver-side collect). Output: per-user label plus
+    per-arm (user parity) churn rates in the same frame shape as the
+    A/B tooling."""
+    day = F.floor(_ts_s(ts_col) / _DAY_S).cast("long")
+    per_user = df.groupBy(user_col).agg(F.max(day).alias("last_day"))
+    horizon = per_user.groupBy().agg(
+        F.max("last_day").alias("max_day"))
+    lab = (per_user.crossJoin(F.broadcast(horizon))
+           .select(F.col(user_col),
+                   F.pmod(F.col(user_col), F.lit(2)).cast("long")
+                    .alias("arm"),
+                   (F.col("max_day") - F.col("last_day"))
+                   .cast("long").alias("idle_days"),
+                   ((F.col("max_day") - F.col("last_day"))
+                    >= inactive_days).cast("long").alias("churned")))
+    return (lab.groupBy("arm")
+            .agg(F.count("*").cast("long").alias("n_users"),
+                 F.sum("churned").cast("long").alias("n_churned"))
+            .select("arm", "n_users", "n_churned",
+                    F.expr("(n_churned * 1000000) div n_users")
+                    .cast("long").alias("churn_rate_e6"))
+            .orderBy("arm"))

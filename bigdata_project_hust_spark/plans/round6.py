@@ -2605,3 +2605,162 @@ QUERIES_ROUND6.update({
         doc="MinHash estimate vs exact Jaccard per source pair "
             "(estimator audit)"),
 })
+
+
+# ===========================================================================
+# Batch 14: conformal intervals / churn labels / trimmed mean /
+#           revenue feature table
+# ===========================================================================
+
+
+def q_conformal_intervals(spark, sf_dir):
+    """Split-conformal 90% interval half-width per event type for the
+    seasonal-naive forecaster — exact nearest-rank
+    ceil(0.9(n+1))-th absolute residual."""
+    return eventflow.conformal_forecast_intervals(
+        _t(spark, sf_dir, "events"))
+
+
+ORACLE_CONFORMAL = """
+  WITH g AS (
+    SELECT event_type, ts::DATE AS day, hour(ts)::BIGINT AS hour,
+           sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS actual
+    FROM events GROUP BY 1, 2, 3
+  ),
+  s AS (
+    SELECT event_type,
+           abs(actual - lag(actual) OVER (PARTITION BY event_type,
+             hour ORDER BY day))::BIGINT AS absr
+    FROM g
+  ),
+  sc AS (SELECT event_type, absr FROM s WHERE absr IS NOT NULL),
+  ranked AS (
+    SELECT event_type, absr,
+           row_number() OVER (PARTITION BY event_type ORDER BY absr)
+             AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM sc
+  )
+  SELECT event_type, n::BIGINT AS n_calibration,
+         absr AS qhat_cents
+  FROM ranked
+  WHERE rn = least(n, (9 * (n + 1) + 9) // 10)
+  ORDER BY event_type
+"""
+
+
+def q_churn_rates(spark, sf_dir):
+    """Churn labels (7-day inactivity against the corpus horizon) and
+    per-arm churn rates — all-integer, horizon via 1-row broadcast."""
+    return eventflow.churn_labels(_t(spark, sf_dir, "events"))
+
+
+ORACLE_CHURN = """
+  WITH pu AS (
+    SELECT user_id,
+           max(floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT)
+             AS last_day
+    FROM events GROUP BY user_id
+  ),
+  h AS (SELECT max(last_day) AS max_day FROM pu),
+  lab AS (
+    SELECT (user_id % 2)::BIGINT AS arm,
+           ((max_day - last_day) >= 7)::BIGINT AS churned
+    FROM pu, h
+  )
+  SELECT arm, count(*)::BIGINT AS n_users,
+         sum(churned)::BIGINT AS n_churned,
+         ((sum(churned) * 1000000) // count(*))::BIGINT
+           AS churn_rate_e6
+  FROM lab GROUP BY arm ORDER BY arm
+"""
+
+
+def q_trimmed_mean_prices(spark, sf_dir):
+    """10% two-sided trimmed mean of extended price per returnflag —
+    exact rank trimming, one pinned division."""
+    return aggregations.trimmed_mean(
+        _t(spark, sf_dir, "lineitem"), "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100))
+
+
+ORACLE_TRIMMED = """
+  WITH d AS (
+    SELECT l_returnflag AS g,
+           floor(l_extendedprice * 100)::BIGINT AS v
+    FROM lineitem
+  ),
+  ranked AS (
+    SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+           count(*) OVER (PARTITION BY g) AS n
+    FROM d
+  ),
+  kept AS (
+    SELECT g, v, n FROM ranked
+    WHERE rn > (n * 1) // 10 AND rn <= n - (n * 1) // 10
+  )
+  SELECT g AS l_returnflag, max(n)::BIGINT AS n_total,
+         count(*)::BIGINT AS n_kept,
+         floor(sum(v)::DOUBLE / count(*)::DOUBLE)::BIGINT
+           AS trimmed_mean_c
+  FROM kept GROUP BY g ORDER BY g
+"""
+
+
+def q_daily_revenue_features(spark, sf_dir):
+    """ML feature table for revenue forecasting: per order day, the
+    cents total plus lag-1 / lag-7 OBSERVED-day features and the
+    day-of-week — one partitioned-less lag window over |days| rows
+    (range-partition at a wider domain)."""
+    from pyspark.sql import Window
+    od = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"),
+                     F.lit("1970-01-01").cast("date")).cast("long")
+    daily = (od.select(day.alias("day"),
+                       F.floor(F.col("o_totalprice") * 100)
+                        .cast("long").alias("cents"))
+             .groupBy("day")
+             .agg(F.sum("cents").cast("long").alias("rev")))
+    w = Window.orderBy("day")
+    return (daily.select(
+        "day", "rev",
+        F.coalesce(F.lag("rev", 1).over(w), F.lit(0)).cast("long")
+         .alias("rev_lag1"),
+        F.coalesce(F.lag("rev", 7).over(w), F.lit(0)).cast("long")
+         .alias("rev_lag7"),
+        F.pmod(F.col("day") + 4, F.lit(7)).cast("long").alias("dow"))
+        .orderBy("day"))
+
+
+ORACLE_REV_FEATURES = """
+  WITH daily AS (
+    SELECT date_diff('day', DATE '1970-01-01', o_orderdate)::BIGINT
+             AS day,
+           sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS rev
+    FROM orders GROUP BY 1
+  )
+  SELECT day, rev,
+         coalesce(lag(rev, 1) OVER (ORDER BY day), 0)::BIGINT
+           AS rev_lag1,
+         coalesce(lag(rev, 7) OVER (ORDER BY day), 0)::BIGINT
+           AS rev_lag7,
+         ((day + 4) % 7)::BIGINT AS dow
+  FROM daily ORDER BY day
+"""
+
+
+QUERIES_ROUND6.update({
+    "conformal_intervals": QuerySpec(
+        q_conformal_intervals, ORACLE_CONFORMAL,
+        doc="split-conformal 90% interval per type (nearest-rank "
+            "residual quantile)"),
+    "churn_rates": QuerySpec(
+        q_churn_rates, ORACLE_CHURN,
+        doc="7-day-inactivity churn labels + per-arm rates"),
+    "trimmed_mean_prices": QuerySpec(
+        q_trimmed_mean_prices, ORACLE_TRIMMED,
+        doc="exact 10% two-sided trimmed mean per group"),
+    "daily_revenue_features": QuerySpec(
+        q_daily_revenue_features, ORACLE_REV_FEATURES,
+        doc="lag-feature table for revenue forecasting"),
+})
