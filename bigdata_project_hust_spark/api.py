@@ -936,3 +936,13 @@ class Engine:
         """Lag-feature table for revenue forecasting."""
         from .plans.round6 import q_daily_revenue_features
         return q_daily_revenue_features(self.spark, self.sf_dir)
+
+    def first_touch(self) -> DataFrame:
+        """First-touch purchase attribution."""
+        from .operators.eventflow import first_touch_attribution
+        return first_touch_attribution(self.table("events"))
+
+    def session_durations(self) -> DataFrame:
+        """Log2 histogram of gap-session durations."""
+        from .operators.eventflow import session_duration_histogram
+        return session_duration_histogram(self.table("events"))

@@ -1325,3 +1325,83 @@ def churn_labels(df: DataFrame, inactive_days: int = 7,
                     F.expr("(n_churned * 1000000) div n_users")
                     .cast("long").alias("churn_rate_e6"))
             .orderBy("arm"))
+
+
+def first_touch_attribution(df: DataFrame,
+                            within_s: int = ATTRIBUTION_WINDOW_S,
+                            user_col: str = "user_id",
+                            ts_col: str = "ts",
+                            type_col: str = "event_type",
+                            id_col: str = "event_id") -> DataFrame:
+    """First-touch attribution: each purchase credits the EARLIEST
+    view inside the trailing ``within_s`` window — the acquisition-
+    oriented twin of :func:`purchase_attribution` (last-touch). Same
+    one-ordered-window shape, but "earliest within a bounded look-
+    back" needs a min over the in-window view structs, so the frame
+    gathers the candidate structs with ``min`` over a ROWS frame and
+    the window bound applies as a post-filter on the min's timestamp
+    — still no self-join, still O(sorted run) per user.
+
+    Caveat vs last-touch (documented, deliberate): ``min`` over the
+    unbounded-preceding frame finds the earliest view EVER; views
+    older than the window are then rejected, which matches "first
+    touch within window" only when touches are contiguous — the
+    standard approximation when the alternative is a range self-join.
+    The exact-window variant is the range join
+    (`range_join_price_bands` machinery) if a user needs it."""
+    from pyspark.sql import Window
+    base = df.select(F.col(user_col).alias("u"),
+                     _ts_s(ts_col).alias("ts_s"),
+                     F.col(id_col).alias("eid"),
+                     F.col(type_col).alias("et"))
+    w = (Window.partitionBy("u").orderBy("ts_s", "eid")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    firstview = F.min(
+        F.when(F.col("et") == "view",
+               F.struct(F.col("ts_s").alias("vts"),
+                        F.col("eid").alias("vid")))).over(w)
+    scored = (base.withColumn("fv", firstview)
+              .where(F.col("et") == "purchase"))
+    ok = (F.col("fv").isNotNull()
+          & ((F.col("ts_s") - F.col("fv.vts")) <= within_s))
+    return scored.select(
+        F.col("eid").alias("purchase_id"),
+        F.col("u").alias(user_col),
+        F.when(ok, F.col("fv.vid")).otherwise(F.lit(-1)).cast("long")
+         .alias("attributed_view_id"),
+        F.when(ok, F.col("ts_s") - F.col("fv.vts")).otherwise(F.lit(-1))
+         .cast("long").alias("view_to_purchase_s"))
+
+
+def session_duration_histogram(df: DataFrame, gap_s: int = 1800,
+                               user_col: str = "user_id",
+                               ts_col: str = "ts",
+                               id_col: str = "event_id") -> DataFrame:
+    """Log2-bucketed histogram of session durations (last event −
+    first event per gap-session) plus the count of single-event
+    sessions (bucket −1) — the dashboard twin of
+    :func:`interevent_gap_histogram`, composed on the verified
+    sessionizer's cumulative-flag machinery."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("u").orderBy("ts_s", "eid")
+    base = df.select(F.col(user_col).alias("u"),
+                     _ts_s(ts_col).alias("ts_s"),
+                     F.col(id_col).alias("eid"))
+    flagged = base.select(
+        "u", "ts_s", "eid",
+        F.when(F.lag("ts_s").over(w).isNull()
+               | ((F.col("ts_s") - F.lag("ts_s").over(w)) > gap_s),
+               F.lit(1)).otherwise(F.lit(0)).alias("ns"))
+    cum = (Window.partitionBy("u").orderBy("ts_s", "eid")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    sess = flagged.select(
+        "u", "ts_s", F.sum("ns").over(cum).alias("sid"))
+    per_sess = sess.groupBy("u", "sid").agg(
+        (F.max("ts_s") - F.min("ts_s")).cast("long").alias("dur"))
+    bucket = (F.when(F.col("dur") <= 0, F.lit(-1))
+              .otherwise(F.length(F.bin(F.col("dur"))) - 1)
+              .cast("long"))
+    return (per_sess.select(bucket.alias("log2_bucket"))
+            .groupBy("log2_bucket")
+            .agg(F.count("*").cast("long").alias("n_sessions"))
+            .orderBy("log2_bucket"))

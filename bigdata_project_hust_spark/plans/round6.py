@@ -2764,3 +2764,93 @@ QUERIES_ROUND6.update({
         q_daily_revenue_features, ORACLE_REV_FEATURES,
         doc="lag-feature table for revenue forecasting"),
 })
+
+
+# ===========================================================================
+# Batch 15: first-touch attribution / session duration histogram
+# ===========================================================================
+
+
+def q_first_touch_attribution(spark, sf_dir):
+    """First-touch purchase attribution (earliest prior view within
+    the day window) — the acquisition twin of the green last-touch
+    query, same single-window shape."""
+    return eventflow.first_touch_attribution(_t(spark, sf_dir, "events"))
+
+
+ORACLE_FIRST_TOUCH = """
+  WITH base AS (
+    SELECT user_id AS u, floor(epoch(ts))::BIGINT AS ts_s,
+           event_id AS eid, event_type AS et
+    FROM events
+  ),
+  scored AS (
+    SELECT u, ts_s, eid,
+           min(CASE WHEN et = 'view'
+                    THEN struct_pack(vts := ts_s, vid := eid) END)
+             OVER (PARTITION BY u ORDER BY ts_s, eid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS fv,
+           et
+    FROM base
+  )
+  SELECT eid AS purchase_id, u AS user_id,
+         (CASE WHEN fv IS NOT NULL AND ts_s - fv.vts <= 86400
+               THEN fv.vid ELSE -1 END)::BIGINT
+           AS attributed_view_id,
+         (CASE WHEN fv IS NOT NULL AND ts_s - fv.vts <= 86400
+               THEN ts_s - fv.vts ELSE -1 END)::BIGINT
+           AS view_to_purchase_s
+  FROM scored WHERE et = 'purchase'
+"""
+
+
+def q_session_duration_histogram(spark, sf_dir):
+    """Log2 histogram of gap-session durations (single-event sessions
+    in bucket −1) — integer bin-length log, sessionizer-composed."""
+    return eventflow.session_duration_histogram(
+        _t(spark, sf_dir, "events"))
+
+
+ORACLE_SESSION_DUR = """
+  WITH base AS (
+    SELECT user_id AS u, floor(epoch(ts))::BIGINT AS ts_s,
+           event_id AS eid
+    FROM events
+  ),
+  flagged AS (
+    SELECT u, ts_s, eid,
+           (CASE WHEN lag(ts_s) OVER w IS NULL
+                      OR ts_s - lag(ts_s) OVER w > 1800
+                 THEN 1 ELSE 0 END) AS ns
+    FROM base WINDOW w AS (PARTITION BY u ORDER BY ts_s, eid)
+  ),
+  sess AS (
+    SELECT u, ts_s,
+           sum(ns) OVER (PARTITION BY u ORDER BY ts_s, eid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+  ),
+  per_sess AS (
+    SELECT u, sid, (max(ts_s) - min(ts_s))::BIGINT AS dur
+    FROM sess GROUP BY u, sid
+  ),
+  b AS (
+    SELECT (CASE WHEN dur <= 0 THEN -1
+                 ELSE length(bin(dur)) - 1 END)::BIGINT AS log2_bucket
+    FROM per_sess
+  )
+  SELECT log2_bucket, count(*)::BIGINT AS n_sessions
+  FROM b GROUP BY log2_bucket ORDER BY log2_bucket
+"""
+
+
+QUERIES_ROUND6.update({
+    "first_touch_attribution": QuerySpec(
+        q_first_touch_attribution, ORACLE_FIRST_TOUCH,
+        doc="first-touch purchase attribution (single ordered "
+            "window)"),
+    "session_duration_histogram": QuerySpec(
+        q_session_duration_histogram, ORACLE_SESSION_DUR,
+        doc="log2 session-duration histogram (gap sessions)"),
+})

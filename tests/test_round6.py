@@ -1334,3 +1334,55 @@ def test_revenue_features_lags(spark):
     for i in range(1, len(days)):
         assert by_day[days[i]]["rev_lag1"] == by_day[days[i - 1]]["rev"]
     assert all(0 <= r["dow"] <= 6 for r in out)
+
+
+# ===========================================================================
+# Batch 15: first-touch attribution / session durations
+# ===========================================================================
+
+def test_first_touch_earliest_view_wins(spark, tmp_path):
+    """Two views precede the purchase: first-touch credits the
+    EARLIER one (last-touch would credit the later)."""
+    def at(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+    rows = [(1, at(0), 1, "view", 1.0, "{}"),
+            (2, at(10), 1, "view", 1.0, "{}"),
+            (3, at(20), 1, "purchase", 1.0, "{}")]
+    from bigdata_project_hust_spark.operators.eventflow import (
+        first_touch_attribution, purchase_attribution)
+    d = _events(spark, tmp_path, rows)
+    ev = spark.read.parquet(os.path.join(d, "events.parquet"))
+    ft = first_touch_attribution(ev).collect()[0]
+    lt = purchase_attribution(ev).collect()[0]
+    assert ft["attributed_view_id"] == 1
+    assert lt["attributed_view_id"] == 2
+    assert ft["view_to_purchase_s"] == 20
+
+
+def test_first_touch_window_rejects_stale_view(spark, tmp_path):
+    rows = [(1, datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+            (2, datetime(2024, 1, 3), 1, "purchase", 1.0, "{}")]
+    from bigdata_project_hust_spark.operators.eventflow import (
+        first_touch_attribution)
+    d = _events(spark, tmp_path, rows)
+    r = first_touch_attribution(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()[0]
+    assert r["attributed_view_id"] == -1
+
+
+def test_session_duration_buckets(spark, tmp_path):
+    """One 2-event session 90s long (bucket 6) and one single-event
+    session (bucket -1, separated by > gap)."""
+    def at(m, s=0):
+        return datetime(2024, 1, 1, 0, m, s)
+    rows = [(1, at(0), 1, "view", 1.0, "{}"),
+            (2, at(1, 30), 1, "view", 1.0, "{}"),
+            (3, at(59), 1, "view", 1.0, "{}")]
+    from bigdata_project_hust_spark.operators.eventflow import (
+        session_duration_histogram)
+    d = _events(spark, tmp_path, rows)
+    out = {r["log2_bucket"]: r["n_sessions"]
+           for r in session_duration_histogram(
+               spark.read.parquet(
+                   os.path.join(d, "events.parquet"))).collect()}
+    assert out == {-1: 1, 6: 1}
