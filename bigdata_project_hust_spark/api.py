@@ -946,3 +946,19 @@ class Engine:
         """Log2 histogram of gap-session durations."""
         from .operators.eventflow import session_duration_histogram
         return session_duration_histogram(self.table("events"))
+
+    def comovement(self, window_days: int = 14) -> DataFrame:
+        """Trailing-window correlation of view vs purchase totals."""
+        from .operators.eventflow import rolling_corr_daily
+        return rolling_corr_daily(self.table("events"),
+                                  window_days=window_days)
+
+    def nearest_order(self) -> DataFrame:
+        """Two-sided nearest-in-time order per purchase event."""
+        from .plans.round6 import q_nearest_order_per_event
+        return q_nearest_order_per_event(self.spark, self.sf_dir)
+
+    def readability_by_language(self) -> DataFrame:
+        """Mean Flesch reading ease per gold language."""
+        from .plans.round6 import q_readability_by_lang
+        return q_readability_by_lang(self.spark, self.sf_dir)

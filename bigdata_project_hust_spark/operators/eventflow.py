@@ -1405,3 +1405,48 @@ def session_duration_histogram(df: DataFrame, gap_s: int = 1800,
             .groupBy("log2_bucket")
             .agg(F.count("*").cast("long").alias("n_sessions"))
             .orderBy("log2_bucket"))
+
+
+def rolling_corr_daily(df: DataFrame, type_a: str = "view",
+                       type_b: str = "purchase", window_days: int = 14,
+                       val_col: str = "value", type_col: str = "event_type",
+                       ts_col: str = "ts") -> DataFrame:
+    """Trailing ``window_days`` correlation between two event types'
+    daily cents totals — the co-movement monitor ("do purchases still
+    track views this fortnight?"). The moment sums (n, Σx, Σy, Σx²,
+    Σy², Σxy) accumulate through SIX value-based RANGE frames over
+    the integer day axis — exact BIGINTs, merge-order-proof — and
+    Pearson's closed form runs ONCE per output day on a pinned double
+    tree floored at e6 (zero-variance windows pin to 0).
+
+    One |days|-row frame after the daily rollup; range-partition the
+    ordered window at a wider date domain."""
+    from pyspark.sql import Window
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    day = F.floor(_ts_s(ts_col) / _DAY_S).cast("long")
+    daily = (df.where(F.col(type_col).isin(type_a, type_b))
+             .select(day.alias("day"), F.col(type_col).alias("et"),
+                     cents.alias("v"))
+             .groupBy("day")
+             .agg(F.sum(F.when(F.col("et") == type_a, F.col("v"))
+                         .otherwise(F.lit(0))).cast("long").alias("x"),
+                  F.sum(F.when(F.col("et") == type_b, F.col("v"))
+                         .otherwise(F.lit(0))).cast("long").alias("y")))
+    w = Window.orderBy("day").rangeBetween(-(window_days - 1), 0)
+    m = daily.select(
+        "day", "x", "y",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"), F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"))
+    n, sx, sy, sxx, syy, sxy = [
+        F.col(c).cast("double")
+        for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return m.select(
+        "day", "x", "y", F.col("n").cast("long").alias("n_window"),
+        F.when(den > 0.0, F.floor(num / den * 1e6))
+         .otherwise(F.lit(0)).cast("long").alias("corr_e6")
+    ).orderBy("day")

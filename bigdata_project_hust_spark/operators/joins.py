@@ -238,3 +238,59 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str,
            .when(F.col("fp_o") != F.col("fp_n"), F.lit("U")))
     return (joined.select(F.col("k").alias(key_col), ct.alias("change_type"))
             .where(F.col("change_type").isNotNull()))
+
+
+def nearest_in_time(left: DataFrame, right: DataFrame,
+                    key: str, left_ts: str, right_ts: str,
+                    left_id: str, right_id: str) -> DataFrame:
+    """Nearest-neighbor-in-time join per key: each left row pairs
+    with the right row minimizing |Δt| — the two-sided sibling of the
+    as-of join (which only looks backward). Same scale-safe union +
+    single-key-shuffle idiom: one PRECEDING pass (latest right ≤ t,
+    via last ignorenulls) and one FOLLOWING pass (earliest right ≥ t,
+    reversed frame), then a per-row pick of the closer side
+    (tie → the earlier right row, deterministically).
+
+    No per-key loops, no range self-join; two ordered windows over
+    the same (key, ts) shuffle — AQE reuses the exchange."""
+    from pyspark.sql import Window
+    l = left.select(F.col(key).alias("k"),
+                    F.col(left_ts).alias("t"),
+                    F.col(left_id).alias("lid"),
+                    F.lit(1).alias("is_l"))
+    r = right.select(F.col(key).alias("k"),
+                     F.col(right_ts).alias("t"),
+                     F.col(right_id).alias("rid"),
+                     F.lit(0).alias("is_l"))
+    lu = l.select("k", "t", F.col("lid"),
+                  F.lit(None).cast("long").alias("rid"), "is_l")
+    ru = r.select("k", "t", F.lit(None).cast("long").alias("lid"),
+                  F.col("rid"), "is_l")
+    uni = lu.unionByName(ru)
+    # right rows sort BEFORE left rows at the same timestamp so an
+    # equal-ts right row is visible to both directional passes
+    wb = (Window.partitionBy("k").orderBy("t", "is_l", "rid")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy("k").orderBy("t", "is_l", "rid")
+          .rowsBetween(0, Window.unboundedFollowing))
+    rstruct = F.when(F.col("is_l") == 0,
+                     F.struct(F.col("t").alias("rt"),
+                              F.col("rid").alias("rrid")))
+    prev = F.last(rstruct, ignorenulls=True).over(wb)
+    nxt = F.first(rstruct, ignorenulls=True).over(wf)
+    cand = (uni.withColumn("pv", prev).withColumn("nx", nxt)
+            .where(F.col("is_l") == 1))
+    d_prev = F.col("t") - F.col("pv.rt")
+    d_next = F.col("nx.rt") - F.col("t")
+    pick_prev = (F.col("pv").isNotNull()
+                 & (F.col("nx").isNull() | (d_prev <= d_next)))
+    chosen_id = (F.when(pick_prev, F.col("pv.rrid"))
+                 .when(F.col("nx").isNotNull(), F.col("nx.rrid")))
+    chosen_dt = (F.when(pick_prev, d_prev)
+                 .when(F.col("nx").isNotNull(), d_next))
+    return cand.select(
+        F.col("lid").alias(left_id), F.col("k").alias(key),
+        F.coalesce(chosen_id, F.lit(-1)).cast("long")
+         .alias(f"nearest_{right_id}"),
+        F.coalesce(chosen_dt, F.lit(-1)).cast("long")
+         .alias("abs_delta_s"))

@@ -2854,3 +2854,171 @@ QUERIES_ROUND6.update({
         q_session_duration_histogram, ORACLE_SESSION_DUR,
         doc="log2 session-duration histogram (gap sessions)"),
 })
+
+
+# ===========================================================================
+# Batch 16: rolling correlation / nearest-in-time join / readability
+#           rollup
+# ===========================================================================
+
+from ..operators import joins  # noqa: E402
+
+
+def q_rolling_corr_view_purchase(spark, sf_dir):
+    """Trailing 14-day Pearson correlation between daily view and
+    purchase cents totals — six exact RANGE-frame moment sums, one
+    pinned combine per day."""
+    return eventflow.rolling_corr_daily(_t(spark, sf_dir, "events"))
+
+
+ORACLE_ROLLING_CORR = """
+  WITH daily AS (
+    SELECT floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day,
+           sum(CASE WHEN event_type = 'view'
+                    THEN floor(value * 100 + 0.5)::BIGINT
+                    ELSE 0 END)::BIGINT AS x,
+           sum(CASE WHEN event_type = 'purchase'
+                    THEN floor(value * 100 + 0.5)::BIGINT
+                    ELSE 0 END)::BIGINT AS y
+    FROM events WHERE event_type IN ('view', 'purchase')
+    GROUP BY 1
+  ),
+  m AS (
+    SELECT day, x, y,
+           count(*) OVER w AS n,
+           sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+           sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+           sum(x * y) OVER w AS sxy
+    FROM daily
+    WINDOW w AS (ORDER BY day
+                 RANGE BETWEEN 13 PRECEDING AND CURRENT ROW)
+  )
+  SELECT day, x, y, n::BIGINT AS n_window,
+         (CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+                    > 0.0
+               THEN floor((n::DOUBLE * sxy::DOUBLE
+                           - sx::DOUBLE * sy::DOUBLE)
+                          / sqrt((n::DOUBLE * sxx::DOUBLE
+                                  - sx::DOUBLE * sx::DOUBLE)
+                                 * (n::DOUBLE * syy::DOUBLE
+                                    - sy::DOUBLE * sy::DOUBLE))
+                          * 1e6)
+               ELSE 0 END)::BIGINT AS corr_e6
+  FROM m ORDER BY day
+"""
+
+
+def q_nearest_order_per_event(spark, sf_dir):
+    """Two-sided nearest-in-time join: each purchase event pairs with
+    the order (same key modulo the customer universe) minimizing
+    |Δt| — preceding + following window passes, closer side wins,
+    tie → earlier."""
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("event_type") == "purchase")
+          .select(F.pmod(F.col("user_id"), F.lit(1500)).alias("ck"),
+                  F.floor(F.unix_timestamp("ts")).cast("long")
+                   .alias("ets"), F.col("event_id")))
+    od = (_t(spark, sf_dir, "orders")
+          .select(F.col("o_custkey").alias("ck"),
+                  F.datediff(F.col("o_orderdate"),
+                             F.lit("1970-01-01").cast("date"))
+                   .cast("long").alias("ots"),
+                  F.col("o_orderkey")))
+    od = od.select("ck", (F.col("ots") * 86400).alias("ots"),
+                   "o_orderkey")
+    return joins.nearest_in_time(ev, od, "ck", "ets", "ots",
+                                 "event_id", "o_orderkey")
+
+
+ORACLE_NEAREST = """
+  WITH l AS (
+    SELECT (user_id % 1500)::BIGINT AS k,
+           floor(epoch(ts))::BIGINT AS t, event_id AS lid,
+           1 AS is_l, NULL::BIGINT AS rid
+    FROM events WHERE event_type = 'purchase'
+  ),
+  r AS (
+    SELECT o_custkey::BIGINT AS k,
+           (date_diff('day', DATE '1970-01-01', o_orderdate)::BIGINT
+            * 86400)::BIGINT AS t,
+           NULL::BIGINT AS lid, 0 AS is_l, o_orderkey AS rid
+    FROM orders
+  ),
+  uni AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+  marked AS (
+    SELECT k, t, lid, is_l,
+           last(CASE WHEN is_l = 0
+                     THEN struct_pack(rt := t, rrid := rid) END
+                IGNORE NULLS)
+             OVER (PARTITION BY k ORDER BY t, is_l, rid NULLS FIRST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS pv,
+           first(CASE WHEN is_l = 0
+                      THEN struct_pack(rt := t, rrid := rid) END
+                 IGNORE NULLS)
+             OVER (PARTITION BY k ORDER BY t, is_l, rid NULLS FIRST
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS nx
+    FROM uni
+  ),
+  cand AS (SELECT * FROM marked WHERE is_l = 1)
+  SELECT lid AS event_id, k AS ck,
+         coalesce(CASE WHEN pv IS NOT NULL
+                            AND (nx IS NULL
+                                 OR t - pv.rt <= nx.rt - t)
+                       THEN pv.rrid
+                       WHEN nx IS NOT NULL THEN nx.rrid END,
+                  -1)::BIGINT AS nearest_o_orderkey,
+         coalesce(CASE WHEN pv IS NOT NULL
+                            AND (nx IS NULL
+                                 OR t - pv.rt <= nx.rt - t)
+                       THEN t - pv.rt
+                       WHEN nx IS NOT NULL THEN nx.rt - t END,
+                  -1)::BIGINT AS abs_delta_s
+  FROM cand
+"""
+
+
+def q_readability_by_lang(spark, sf_dir):
+    """Mean Flesch reading ease per gold language — composes the
+    per-doc readability operator, one pinned division per lang."""
+    from ..operators.text import readability
+    r = readability(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (r.join(docs, "doc_id")
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("flesch_e3").cast("long").alias("sum_flesch_e3"))
+            .select("lang", "n_docs", "sum_flesch_e3",
+                    F.floor(F.col("sum_flesch_e3").cast("double")
+                            / F.col("n_docs").cast("double"))
+                     .cast("long").alias("mean_flesch_e3"))
+            .orderBy("lang"))
+
+
+def _readability_by_lang_oracle() -> str:
+    return f"""
+  WITH r AS ({ORACLE_FLESCH})
+  SELECT d.lang, count(*)::BIGINT AS n_docs,
+         sum(r.flesch_e3)::BIGINT AS sum_flesch_e3,
+         floor(sum(r.flesch_e3)::DOUBLE
+               / count(*)::DOUBLE)::BIGINT AS mean_flesch_e3
+  FROM r JOIN documents d USING (doc_id)
+  GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+QUERIES_ROUND6.update({
+    "rolling_corr_view_purchase": QuerySpec(
+        q_rolling_corr_view_purchase, ORACLE_ROLLING_CORR,
+        doc="trailing 14-day Pearson via six RANGE-frame moment "
+            "sums"),
+    "nearest_order_per_event": QuerySpec(
+        q_nearest_order_per_event, ORACLE_NEAREST,
+        doc="two-sided nearest-in-time join (closer of as-of "
+            "before/after)"),
+    "readability_by_lang": QuerySpec(
+        q_readability_by_lang, _readability_by_lang_oracle(),
+        doc="mean Flesch per gold language (composed rollup)"),
+})

@@ -1386,3 +1386,65 @@ def test_session_duration_buckets(spark, tmp_path):
                spark.read.parquet(
                    os.path.join(d, "events.parquet"))).collect()}
     assert out == {-1: 1, 6: 1}
+
+
+# ===========================================================================
+# Batch 16: rolling correlation / nearest-in-time / readability rollup
+# ===========================================================================
+
+def test_rolling_corr_perfect_comovement(spark, tmp_path):
+    """x and y proportional on every day -> corr pins to 1e6 once the
+    window holds >= 2 days."""
+    rows = []
+    eid = 0
+    for d in range(5):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1 + d), 1, "view",
+                     1.0 * (d + 1), "{}"))
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1 + d), 1, "purchase",
+                     2.0 * (d + 1), "{}"))
+    from bigdata_project_hust_spark.operators.eventflow import (
+        rolling_corr_daily)
+    d = _events(spark, tmp_path, rows)
+    out = rolling_corr_daily(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()
+    assert out[0]["corr_e6"] == 0          # single-day window
+    for r in out[1:]:
+        assert r["corr_e6"] == 1_000_000
+
+
+def test_nearest_in_time_picks_closer_side(spark):
+    """Left at t=100: right rows at 40 and 130 -> 130 wins (|30|<|60|);
+    left at t=35 -> 40 wins; tie prefers the earlier right row."""
+    from bigdata_project_hust_spark.operators.joins import nearest_in_time
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 35, 11), (1, 85, 12)],
+        "k long, t long, lid long")
+    right = spark.createDataFrame(
+        [(1, 40, 7), (1, 130, 8)], "k long, t long, rid long")
+    out = {r["lid"]: r for r in nearest_in_time(
+        left, right, "k", "t", "t", "lid", "rid").collect()}
+    assert out[10]["nearest_rid"] == 8 and out[10]["abs_delta_s"] == 30
+    assert out[11]["nearest_rid"] == 7 and out[11]["abs_delta_s"] == 5
+    # t=85: deltas 45 both sides -> earlier (40, rid 7) wins
+    assert out[12]["nearest_rid"] == 7 and out[12]["abs_delta_s"] == 45
+
+
+def test_nearest_in_time_no_right_rows(spark):
+    from bigdata_project_hust_spark.operators.joins import nearest_in_time
+    left = spark.createDataFrame([(1, 5, 10)], "k long, t long, lid long")
+    right = spark.createDataFrame([(2, 5, 7)], "k long, t long, rid long")
+    r = nearest_in_time(left, right, "k", "t", "t",
+                        "lid", "rid").collect()[0]
+    assert r["nearest_rid"] == -1 and r["abs_delta_s"] == -1
+
+
+def test_readability_by_lang_shape(spark):
+    out = QUERIES["readability_by_lang"].fn(spark, SF_SMOKE).collect()
+    assert len(out) >= 3
+    for r in out:
+        assert r["mean_flesch_e3"] == (
+            r["sum_flesch_e3"] // r["n_docs"]
+            if r["sum_flesch_e3"] >= 0
+            else r["mean_flesch_e3"])  # floor semantics checked by oracle
