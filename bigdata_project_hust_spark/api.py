@@ -962,3 +962,13 @@ class Engine:
         """Mean Flesch reading ease per gold language."""
         from .plans.round6 import q_readability_by_lang
         return q_readability_by_lang(self.spark, self.sf_dir)
+
+    def wau_sketches(self) -> DataFrame:
+        """Sliding-window HLL WAU maintenance proof + exact WAU."""
+        from .operators.sketches import sliding_hll_wau
+        return sliding_hll_wau(self.table("events"))
+
+    def top_orders_ties(self) -> DataFrame:
+        """rank()-with-ties top-10 orders."""
+        from .plans.round6 import q_top_orders_with_ties
+        return q_top_orders_with_ties(self.spark, self.sf_dir)

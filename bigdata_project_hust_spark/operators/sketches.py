@@ -655,3 +655,45 @@ def source_vocab_jaccard(df: DataFrame, k: int = 16,
         F.expr(f"(n_match * 1000000) div {k}").cast("long")
          .alias("est_j_e6"))
         .orderBy("source_a", "source_b"))
+
+
+def sliding_hll_wau(df: DataFrame, user_col: str = "user_id",
+                    ts_col: str = "ts") -> DataFrame:
+    """Sliding-window sketch maintenance proof for WAU: per observed
+    day, the trailing-7-day HLL built by MERGING the seven daily
+    sketches (register-wise max over the fan-out) must equal the HLL
+    built DIRECTLY from the window's users, register for register —
+    the property that lets a warehouse keep one m=256 sketch per day
+    and answer any trailing window in O(7·m), never rescanning users.
+
+    Output per observed day: exact WAU (ground truth), both register
+    checksums, and the merged==direct flag (1 everywhere). All
+    integers; the day fan-out is the same bounded ×7 explode as the
+    exact DAU/WAU operator."""
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / 86400).cast("long")
+    ud = (df.select(F.col(user_col).alias("u"), day.alias("day"))
+          .distinct())
+    by_day = hll_registers_by(ud, "u", "day")
+    fan_reg = by_day.select(
+        "idx", "reg",
+        F.explode(F.sequence(F.col("day"), F.col("day") + F.lit(6)))
+         .alias("wday"))
+    merged = (fan_reg.groupBy("wday", "idx")
+              .agg(F.max("reg").alias("reg")))
+    chk = F.sum(F.col("reg") * (F.col("idx") + 1)).cast("long")
+    merged_chk = merged.groupBy("wday").agg(chk.alias("merged_chk"))
+    fan_u = (ud.select(
+        "u", F.explode(F.sequence(F.col("day"), F.col("day") + F.lit(6)))
+        .alias("wday")).distinct())
+    direct = hll_registers_by(fan_u, "u", "wday")
+    direct_chk = direct.groupBy("wday").agg(chk.alias("direct_chk"))
+    wau = fan_u.groupBy("wday").agg(
+        F.count("*").cast("long").alias("exact_wau"))
+    days = ud.select("day").distinct()
+    return (days.join(wau, days.day == wau.wday)
+            .join(merged_chk, "wday").join(direct_chk, "wday")
+            .select(F.col("day"), "exact_wau", "merged_chk",
+                    "direct_chk",
+                    (F.col("merged_chk") == F.col("direct_chk"))
+                    .cast("long").alias("merge_matches_direct"))
+            .orderBy("day"))

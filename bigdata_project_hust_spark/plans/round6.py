@@ -3022,3 +3022,105 @@ QUERIES_ROUND6.update({
         q_readability_by_lang, _readability_by_lang_oracle(),
         doc="mean Flesch per gold language (composed rollup)"),
 })
+
+
+# ===========================================================================
+# Batch 17: sliding HLL maintenance / rank-with-ties top-k
+# ===========================================================================
+
+
+def q_sliding_hll_wau(spark, sf_dir):
+    """Trailing-7-day WAU sketch maintenance: merged daily HLLs ==
+    direct window HLL (checksum proof per day) next to the exact
+    WAU."""
+    return sketches.sliding_hll_wau(_t(spark, sf_dir, "events"))
+
+
+def _sliding_hll_oracle() -> str:
+    from ..operators.sketches import HLL_M, _rho_sql
+    h = stable_hash64_sql("u::VARCHAR")
+    rho = _rho_sql("(h >> 8)")
+    return f"""
+  WITH ud AS (
+    SELECT DISTINCT user_id AS u,
+           floor(epoch(ts) / 86400)::BIGINT AS day
+    FROM events
+  ),
+  hashed AS (SELECT u, day, {h} AS h FROM ud),
+  by_day AS (
+    SELECT day, h % {HLL_M} AS idx, max({rho}) AS reg
+    FROM hashed GROUP BY day, idx
+  ),
+  fan_reg AS (
+    SELECT idx, reg, unnest(range(day, day + 7))::BIGINT AS wday
+    FROM by_day
+  ),
+  merged AS (
+    SELECT wday, idx, max(reg) AS reg
+    FROM fan_reg GROUP BY wday, idx
+  ),
+  merged_chk AS (
+    SELECT wday, sum(reg * (idx + 1))::BIGINT AS merged_chk
+    FROM merged GROUP BY wday
+  ),
+  fan_u AS (
+    SELECT DISTINCT u, unnest(range(day, day + 7))::BIGINT AS wday
+    FROM ud
+  ),
+  fh AS (SELECT u, wday, {h} AS h FROM fan_u),
+  direct AS (
+    SELECT wday, h % {HLL_M} AS idx, max({rho}) AS reg
+    FROM fh GROUP BY wday, idx
+  ),
+  direct_chk AS (
+    SELECT wday, sum(reg * (idx + 1))::BIGINT AS direct_chk
+    FROM direct GROUP BY wday
+  ),
+  wau AS (SELECT wday, count(*)::BIGINT AS exact_wau
+          FROM fan_u GROUP BY wday),
+  days AS (SELECT DISTINCT day FROM ud)
+  SELECT day, exact_wau, merged_chk, direct_chk,
+         (merged_chk = direct_chk)::BIGINT AS merge_matches_direct
+  FROM days
+  JOIN wau ON days.day = wau.wday
+  JOIN merged_chk ON merged_chk.wday = days.day
+  JOIN direct_chk ON direct_chk.wday = days.day
+  ORDER BY day
+"""
+
+
+def q_top_orders_with_ties(spark, sf_dir):
+    """rank()-based top-10 WITH TIES semantics through the SQL text
+    interface — every order tying the 10th value survives (the
+    row_number contrast every serving API must choose between)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("r6_ties_o")
+    return spark.sql("""
+      SELECT o_orderkey, cents, rnk FROM (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               rank() OVER (ORDER BY floor(o_totalprice * 100) DESC)
+                 AS rnk
+        FROM r6_ties_o
+      ) WHERE rnk <= 10
+    """)
+
+
+ORACLE_TOP_TIES = """
+  SELECT o_orderkey, cents, rnk FROM (
+    SELECT o_orderkey,
+           floor(o_totalprice * 100)::BIGINT AS cents,
+           rank() OVER (ORDER BY floor(o_totalprice * 100) DESC)
+             AS rnk
+    FROM orders
+  ) WHERE rnk <= 10
+"""
+
+
+QUERIES_ROUND6.update({
+    "sliding_hll_wau": QuerySpec(
+        q_sliding_hll_wau, _sliding_hll_oracle(),
+        doc="sliding-window HLL merge==direct proof + exact WAU"),
+    "top_orders_with_ties": QuerySpec(
+        q_top_orders_with_ties, ORACLE_TOP_TIES,
+        doc="rank()-with-ties top-k SQL semantics"),
+})

@@ -1448,3 +1448,25 @@ def test_readability_by_lang_shape(spark):
             r["sum_flesch_e3"] // r["n_docs"]
             if r["sum_flesch_e3"] >= 0
             else r["mean_flesch_e3"])  # floor semantics checked by oracle
+
+
+# ===========================================================================
+# Batch 17: sliding HLL maintenance / rank with ties
+# ===========================================================================
+
+def test_sliding_hll_merge_always_matches_direct(spark):
+    out = QUERIES["sliding_hll_wau"].fn(spark, SF_SMOKE).collect()
+    assert len(out) > 0
+    assert all(r["merge_matches_direct"] == 1 for r in out)
+    assert all(r["exact_wau"] > 0 for r in out)
+
+
+def test_top_with_ties_includes_boundary_ties(spark):
+    """rank() keeps every row tying the k-th value — n_rows >= 10 and
+    every rnk <= 10."""
+    out = QUERIES["top_orders_with_ties"].fn(spark, SF_SMOKE).collect()
+    assert len(out) >= 10
+    assert all(r["rnk"] <= 10 for r in out)
+    vals = sorted((r["cents"] for r in out), reverse=True)
+    assert vals == [r["cents"] for r in
+                    sorted(out, key=lambda x: (-x["cents"]))]
