@@ -972,3 +972,13 @@ class Engine:
         """rank()-with-ties top-10 orders."""
         from .plans.round6 import q_top_orders_with_ties
         return q_top_orders_with_ties(self.spark, self.sf_dir)
+
+    def session_associations(self) -> DataFrame:
+        """PMI between event types co-occurring in sessions."""
+        from .operators.eventflow import session_type_pmi
+        return session_type_pmi(self.table("events"))
+
+    def pareto_orders(self) -> DataFrame:
+        """2-D skyline: orders undominated on (date, value)."""
+        from .plans.round6 import q_skyline_orders
+        return q_skyline_orders(self.spark, self.sf_dir)

@@ -1450,3 +1450,61 @@ def rolling_corr_daily(df: DataFrame, type_a: str = "view",
         F.when(den > 0.0, F.floor(num / den * 1e6))
          .otherwise(F.lit(0)).cast("long").alias("corr_e6")
     ).orderBy("day")
+
+
+def session_type_pmi(df: DataFrame, gap_s: int = 1800,
+                     min_pair: int = 3,
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     type_col: str = "event_type",
+                     id_col: str = "event_id") -> DataFrame:
+    """PMI between event types CO-OCCURRING IN A SESSION — "which
+    behaviors happen together within one visit" (the session-level
+    association signal, stronger than global co-occurrence because
+    the session bounds the time scale). Sessions come from the
+    verified gap sessionizer; each session contributes its DISTINCT
+    type set; pair/singleton counts are exact, and each surviving
+    pair's ln(n·c_ab/(c_a·c_b)) runs once, pinned, floored at e6.
+
+    Fan-out is bounded by |event-type vocabulary|² per session —
+    single digits here, and the min_pair prune drops noise pairs
+    before the ln."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("u").orderBy("ts_s", "eid")
+    base = df.select(F.col(user_col).alias("u"),
+                     _ts_s(ts_col).alias("ts_s"),
+                     F.col(id_col).alias("eid"),
+                     F.col(type_col).alias("et"))
+    flagged = base.select(
+        "u", "ts_s", "eid", "et",
+        F.when(F.lag("ts_s").over(w).isNull()
+               | ((F.col("ts_s") - F.lag("ts_s").over(w)) > gap_s),
+               F.lit(1)).otherwise(F.lit(0)).alias("ns"))
+    cum = (Window.partitionBy("u").orderBy("ts_s", "eid")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    sess = flagged.select(
+        "u", "et", F.sum("ns").over(cum).alias("sid"))
+    st = sess.select("u", "sid", "et").distinct()
+    n_sess = st.select("u", "sid").distinct().groupBy().agg(
+        F.count("*").cast("long").alias("n"))
+    singles = st.groupBy("et").agg(F.count("*").alias("c"))
+    a = st.select("u", "sid", F.col("et").alias("ta"))
+    b = st.select("u", "sid", F.col("et").alias("tb"))
+    pairs = (a.join(b, ["u", "sid"]).where(F.col("ta") < F.col("tb"))
+             .groupBy("ta", "tb").agg(F.count("*").alias("c_ab"))
+             .where(F.col("c_ab") >= min_pair))
+    j = (pairs
+         .join(singles.select(F.col("et").alias("ta"),
+                              F.col("c").alias("c_a")), "ta")
+         .join(singles.select(F.col("et").alias("tb"),
+                              F.col("c").alias("c_b")), "tb")
+         .crossJoin(F.broadcast(n_sess)))
+    pmi = F.floor(F.log(
+        F.col("n").cast("double") * F.col("c_ab").cast("double")
+        / (F.col("c_a").cast("double") * F.col("c_b").cast("double")))
+        * 1e6)
+    return (j.select("ta", "tb",
+                     F.col("c_ab").cast("long").alias("n_cooccur"),
+                     F.col("c_a").cast("long").alias("n_a"),
+                     F.col("c_b").cast("long").alias("n_b"),
+                     pmi.cast("long").alias("pmi_e6"))
+            .orderBy("ta", "tb"))

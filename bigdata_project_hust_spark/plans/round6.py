@@ -3124,3 +3124,109 @@ QUERIES_ROUND6.update({
         q_top_orders_with_ties, ORACLE_TOP_TIES,
         doc="rank()-with-ties top-k SQL semantics"),
 })
+
+
+# ===========================================================================
+# Batch 18: session-level PMI / 2-D skyline
+# ===========================================================================
+
+
+def q_session_type_pmi(spark, sf_dir):
+    """PMI between event types co-occurring within gap-sessions —
+    exact counts, one pinned ln per surviving pair."""
+    return eventflow.session_type_pmi(_t(spark, sf_dir, "events"))
+
+
+ORACLE_SESSION_PMI = """
+  WITH base AS (
+    SELECT user_id AS u, floor(epoch(ts))::BIGINT AS ts_s,
+           event_id AS eid, event_type AS et
+    FROM events
+  ),
+  flagged AS (
+    SELECT u, ts_s, eid, et,
+           (CASE WHEN lag(ts_s) OVER w IS NULL
+                      OR ts_s - lag(ts_s) OVER w > 1800
+                 THEN 1 ELSE 0 END) AS ns
+    FROM base WINDOW w AS (PARTITION BY u ORDER BY ts_s, eid)
+  ),
+  sess AS (
+    SELECT u, et,
+           sum(ns) OVER (PARTITION BY u ORDER BY ts_s, eid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+  ),
+  st AS (SELECT DISTINCT u, sid, et FROM sess),
+  ns AS (SELECT count(*)::BIGINT AS n
+         FROM (SELECT DISTINCT u, sid FROM st)),
+  singles AS (SELECT et, count(*)::BIGINT AS c FROM st GROUP BY et),
+  pairs AS (
+    SELECT a.et AS ta, b.et AS tb, count(*)::BIGINT AS c_ab
+    FROM st a JOIN st b ON a.u = b.u AND a.sid = b.sid
+                       AND a.et < b.et
+    GROUP BY 1, 2 HAVING count(*) >= 3
+  )
+  SELECT ta, tb, c_ab AS n_cooccur, sa.c AS n_a, sb.c AS n_b,
+         floor(ln(n::DOUBLE * c_ab::DOUBLE
+                  / (sa.c::DOUBLE * sb.c::DOUBLE)) * 1e6)::BIGINT
+           AS pmi_e6
+  FROM pairs
+  JOIN singles sa ON sa.et = ta
+  JOIN singles sb ON sb.et = tb, ns
+  ORDER BY ta, tb
+"""
+
+
+def q_skyline_orders(spark, sf_dir):
+    """2-D skyline (Pareto front): orders not dominated on
+    (earlier-or-equal date, strictly higher value) — one prefix-max
+    window over the day axis, the classic sort-based skyline.
+    A row survives iff its cents strictly exceed every
+    EARLIER-dated order's cents (ties on day share the frontier when
+    both beat all earlier days)."""
+    from pyspark.sql import Window
+    od = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"),
+                     F.lit("1970-01-01").cast("date")).cast("long")
+    d = od.select("o_orderkey", day.alias("day"),
+                  F.floor(F.col("o_totalprice") * 100).cast("long")
+                   .alias("cents"))
+    w = (Window.orderBy("day")
+         .rangeBetween(Window.unboundedPreceding, -1))
+    m = d.select("o_orderkey", "day", "cents",
+                 F.max("cents").over(w).alias("prev_max"))
+    return (m.where(F.col("prev_max").isNull()
+                    | (F.col("cents") > F.col("prev_max")))
+            .select("o_orderkey", "day", "cents")
+            .orderBy("day", "o_orderkey"))
+
+
+ORACLE_SKYLINE = """
+  WITH d AS (
+    SELECT o_orderkey,
+           date_diff('day', DATE '1970-01-01', o_orderdate)::BIGINT
+             AS day,
+           floor(o_totalprice * 100)::BIGINT AS cents
+    FROM orders
+  ),
+  m AS (
+    SELECT o_orderkey, day, cents,
+           max(cents) OVER (ORDER BY day
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max
+    FROM d
+  )
+  SELECT o_orderkey, day, cents
+  FROM m WHERE prev_max IS NULL OR cents > prev_max
+  ORDER BY day, o_orderkey
+"""
+
+
+QUERIES_ROUND6.update({
+    "session_type_pmi": QuerySpec(
+        q_session_type_pmi, ORACLE_SESSION_PMI,
+        doc="session-level event-type PMI (exact counts, pinned ln)"),
+    "skyline_orders": QuerySpec(
+        q_skyline_orders, ORACLE_SKYLINE,
+        doc="2-D Pareto skyline via one prefix-max window"),
+})

@@ -1470,3 +1470,50 @@ def test_top_with_ties_includes_boundary_ties(spark):
     vals = sorted((r["cents"] for r in out), reverse=True)
     assert vals == [r["cents"] for r in
                     sorted(out, key=lambda x: (-x["cents"]))]
+
+
+# ===========================================================================
+# Batch 18: session PMI / skyline
+# ===========================================================================
+
+def test_session_pmi_cooccurrence(spark, tmp_path):
+    """view+click together in 3 sessions, purchase alone in 3 others:
+    (click,view) survives min_pair; PMI = ln(n*c_ab/(c_a*c_b))."""
+    rows = []
+    eid = 0
+    for s in range(3):
+        base = datetime(2024, 1, 1 + s)
+        eid += 1
+        rows.append((eid, base, 1, "view", 1.0, "{}"))
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1 + s, 0, 1), 1, "click",
+                     1.0, "{}"))
+    for s in range(3):
+        eid += 1
+        rows.append((eid, datetime(2024, 2, 1 + s), 1, "purchase",
+                     1.0, "{}"))
+    from bigdata_project_hust_spark.operators.eventflow import (
+        session_type_pmi)
+    d = _events(spark, tmp_path, rows)
+    out = session_type_pmi(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["ta"], r["tb"]) == ("click", "view")
+    assert r["n_cooccur"] == 3 and r["n_a"] == 3 and r["n_b"] == 3
+    assert r["pmi_e6"] == math.floor(math.log(6 * 3 / 9.0) * 1e6)
+
+
+def test_skyline_orders_pareto_property(spark):
+    """No skyline row is dominated: every earlier-day row has
+    strictly smaller cents."""
+    out = QUERIES["skyline_orders"].fn(spark, SF_SMOKE).collect()
+    assert len(out) >= 1
+    by_day = {}
+    for r in out:
+        by_day.setdefault(r["day"], []).append(r["cents"])
+    run = None
+    for d in sorted(by_day):
+        if run is not None:
+            assert min(by_day[d]) > run   # beats every earlier day
+        run = max(run or 0, max(by_day[d]))
