@@ -3079,6 +3079,18 @@ QUERIES.update(QUERIES_ROUND6)
 # try_divide_safe sit at the end of the window).  Positions 51-75 hold the
 # remaining never-checked entries so any longer sweep reaches them next;
 # previously-green rounds-1/2 entries follow.
+#
+# ROUND-4 TODO (next session, after CORRECTNESS_r03 lands): rotate the
+# checked round-3 window out and promote (a) positions 51-75, then (b) the
+# highest-risk round-6 additions — the FP-combining families first
+# (kaplan_meier_purchase, logrank_ab_survival, psi_value_drift,
+# bootstrap_order_mean, spearman_qty_price, correlation_matrix_lineitem,
+# rolling_corr_view_purchase, stl_* / conformal, js_divergence_sources,
+# theil_event_values, readability_flesch) since pinned-double floors are
+# where real drivers could still diverge; the all-integer families
+# (k-core, skyline, DAU/WAU, fertility, KWIC…) carry less residual risk.
+# Every round-6 entry was verified at sf0.01 with driver-identical
+# canonicalization during bring-up regardless.
 _CHECK_FIRST = [
     "tpch_q2_shape", "tpch_q3_shape", "tpch_q4_shape", "tpch_q5_shape",
     "tpch_q6_shape", "tpch_q7_shape", "tpch_q8_shape", "tpch_q9_shape",
