@@ -982,3 +982,17 @@ class Engine:
         """2-D skyline: orders undominated on (date, value)."""
         from .plans.round6 import q_skyline_orders
         return q_skyline_orders(self.spark, self.sf_dir)
+
+    def anova(self) -> DataFrame:
+        """One-way ANOVA F of event values across types."""
+        from pyspark.sql import functions as F
+        from .operators.aggregations import anova_oneway
+        return anova_oneway(self.table("events"), "event_type",
+                            F.floor(F.col("value") * 100 + F.lit(0.5)))
+
+    def value_fingerprint(self) -> DataFrame:
+        """Exact ECDF at the fixed cents grid per event type."""
+        from pyspark.sql import functions as F
+        from .operators.aggregations import ecdf_at_points
+        return ecdf_at_points(self.table("events"), "event_type",
+                              F.floor(F.col("value") * 100 + F.lit(0.5)))

@@ -369,3 +369,83 @@ def trimmed_mean(df: DataFrame, group_col: str, val_cents,
     return (agg.select(F.col("g").alias(group_col), "n_total", "n_kept",
                        tm.cast("long").alias("trimmed_mean_c"))
             .orderBy(group_col))
+
+
+def anova_oneway(df: DataFrame, group_col: str, val_cents) -> DataFrame:
+    """One-way ANOVA F statistic across groups — "do the group means
+    differ more than within-group noise explains?", the k-group
+    generalization of the two-sample tests in eventflow.
+
+    Moment sums (n, Σx, Σx² per group) are exact decimal(38); each
+    group's within-sum-of-squares term floors ONCE from a pinned
+    double tree (sxx − sx²/n), the between term likewise against the
+    grand mean, both sums are exact integer sums of floored terms,
+    and F = (SSB/(k−1))/(SSW/(n−k)) is one final pinned combine
+    floored at e3. Two tiny aggregations, one 1-row output."""
+    d = df.select(F.col(group_col).alias("g"),
+                  val_cents.cast("long").alias("v"))
+    dec, d19 = "decimal(38,0)", "decimal(19,0)"
+    per = d.groupBy("g").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("sx"),
+        F.sum(F.col("v").cast(d19) * F.col("v").cast(d19)).alias("sxx"))
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    ssw_t = F.floor(sxx_d - sx_d * sx_d / n_d).cast("long")
+    terms = per.select("g", "n", "sx", ssw_t.alias("ssw_t"))
+    tot = terms.groupBy().agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("n")).cast(dec).alias("nn"),
+        F.sum(F.col("sx")).cast(dec).alias("ssx"),
+        F.sum("ssw_t").cast("long").alias("ssw"))
+    j = terms.crossJoin(F.broadcast(tot))
+    gmean = F.col("ssx").cast("double") / F.col("nn").cast("double")
+    dev = sx_d / n_d - gmean
+    ssb_t = F.floor(n_d * dev * dev).cast("long")
+    agg = (j.select("k", "nn", "ssw", ssb_t.alias("ssb_t"))
+           .groupBy("k", "nn", "ssw")
+           .agg(F.sum("ssb_t").cast("long").alias("ssb")))
+    kk = F.col("k").cast("double")
+    nn = F.col("nn").cast("double")
+    f_stat = ((F.col("ssb").cast("double") / (kk - F.lit(1.0)))
+              / (F.col("ssw").cast("double") / (nn - kk)))
+    return agg.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n_rows"),
+        F.col("ssb").alias("ssb_c2"), F.col("ssw").alias("ssw_c2"),
+        F.when((F.col("k") > 1) & (F.col("ssw") > 0),
+               F.floor(f_stat * 1e3))
+         .otherwise(F.lit(0)).cast("long").alias("f_e3"))
+
+
+ECDF_POINTS_C = (100, 250, 500, 1000, 2000, 4000, 8000, 16000)
+
+
+def ecdf_at_points(df: DataFrame, group_col: str, val_cents,
+                   points=ECDF_POINTS_C) -> DataFrame:
+    """Empirical CDF evaluated at fixed literal cut points per group —
+    the distribution fingerprint a monitoring system stores per
+    period (compact, exact, comparable across runs; the fixed grid
+    sidesteps every percentile-interpolation divergence).
+
+    One conditional-sum aggregation per group (all points in a single
+    pass, map-side combinable), then a literal unpivot. All-integer:
+    share_e6 = (n_le·1e6) div n."""
+    d = df.select(F.col(group_col).alias("g"),
+                  val_cents.cast("long").alias("v"))
+    agg = d.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        *[F.sum((F.col("v") <= p).cast("long")).alias(f"le_{i}")
+          for i, p in enumerate(points)])
+    pairs = F.array(*[
+        F.struct(F.lit(p).cast("long").alias("point_c"),
+                 F.col(f"le_{i}").cast("long").alias("n_le"))
+        for i, p in enumerate(points)])
+    return (agg.select("g", "n", F.explode(pairs).alias("p"))
+            .select(F.col("g").alias(group_col), "n",
+                    F.col("p.point_c").alias("point_c"),
+                    F.col("p.n_le").alias("n_le"),
+                    F.expr("(p.n_le * 1000000) div n").cast("long")
+                    .alias("share_e6"))
+            .orderBy(group_col, "point_c"))

@@ -3230,3 +3230,104 @@ QUERIES_ROUND6.update({
         q_skyline_orders, ORACLE_SKYLINE,
         doc="2-D Pareto skyline via one prefix-max window"),
 })
+
+
+# ===========================================================================
+# Batch 19: one-way ANOVA / ECDF fingerprint
+# ===========================================================================
+
+
+def q_anova_value_by_type(spark, sf_dir):
+    """One-way ANOVA F of event value cents across event types —
+    exact decimal moments, pinned per-group SS terms, one final
+    pinned F floored e3."""
+    return aggregations.anova_oneway(
+        _t(spark, sf_dir, "events"), "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)))
+
+
+ORACLE_ANOVA = """
+  WITH d AS (
+    SELECT event_type AS g,
+           floor(value * 100 + 0.5)::BIGINT AS v
+    FROM events
+  ),
+  per AS (
+    SELECT g, count(*)::HUGEINT AS n, sum(v)::HUGEINT AS sx,
+           sum(v::HUGEINT * v::HUGEINT) AS sxx
+    FROM d GROUP BY g
+  ),
+  terms AS (
+    SELECT g, n, sx,
+           floor(sxx::DOUBLE
+                 - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)::BIGINT
+             AS ssw_t
+    FROM per
+  ),
+  tot AS (
+    SELECT count(*)::BIGINT AS k, sum(n)::HUGEINT AS nn,
+           sum(sx)::HUGEINT AS ssx, sum(ssw_t)::BIGINT AS ssw
+    FROM terms
+  ),
+  agg AS (
+    SELECT k, nn, ssw,
+           sum(floor(n::DOUBLE
+                     * (sx::DOUBLE / n::DOUBLE
+                        - ssx::DOUBLE / nn::DOUBLE)
+                     * (sx::DOUBLE / n::DOUBLE
+                        - ssx::DOUBLE / nn::DOUBLE)))::BIGINT AS ssb
+    FROM terms, tot GROUP BY k, nn, ssw
+  )
+  SELECT k AS k_groups, nn::BIGINT AS n_rows,
+         ssb AS ssb_c2, ssw AS ssw_c2,
+         (CASE WHEN k > 1 AND ssw > 0
+               THEN floor((ssb::DOUBLE / (k::DOUBLE - 1.0))
+                          / (ssw::DOUBLE / (nn::DOUBLE - k::DOUBLE))
+                          * 1e3)
+               ELSE 0 END)::BIGINT AS f_e3
+  FROM agg
+"""
+
+
+def q_ecdf_value_by_type(spark, sf_dir):
+    """ECDF of event value cents at the fixed 8-point grid per type —
+    the exact distribution fingerprint, all-integer shares."""
+    return aggregations.ecdf_at_points(
+        _t(spark, sf_dir, "events"), "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)))
+
+
+def _ecdf_oracle() -> str:
+    from ..operators.aggregations import ECDF_POINTS_C
+    selects = "\n  UNION ALL ".join(
+        f"SELECT g, n, {p}::BIGINT AS point_c, le_{i} AS n_le,"
+        f" ((le_{i} * 1000000) // n)::BIGINT AS share_e6 FROM agg"
+        for i, p in enumerate(ECDF_POINTS_C))
+    les = ",\n           ".join(
+        f"sum((v <= {p})::BIGINT)::BIGINT AS le_{i}"
+        for i, p in enumerate(ECDF_POINTS_C))
+    return f"""
+  WITH d AS (
+    SELECT event_type AS g,
+           floor(value * 100 + 0.5)::BIGINT AS v
+    FROM events
+  ),
+  agg AS (
+    SELECT g, count(*)::BIGINT AS n,
+           {les}
+    FROM d GROUP BY g
+  )
+  SELECT g AS event_type, n, point_c, n_le, share_e6 FROM (
+  {selects}
+  ) ORDER BY event_type, point_c
+"""
+
+
+QUERIES_ROUND6.update({
+    "anova_value_by_type": QuerySpec(
+        q_anova_value_by_type, ORACLE_ANOVA,
+        doc="one-way ANOVA F across event types (pinned SS terms)"),
+    "ecdf_value_by_type": QuerySpec(
+        q_ecdf_value_by_type, _ecdf_oracle(),
+        doc="exact ECDF fingerprint at a fixed cents grid"),
+})

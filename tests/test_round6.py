@@ -1517,3 +1517,43 @@ def test_skyline_orders_pareto_property(spark):
         if run is not None:
             assert min(by_day[d]) > run   # beats every earlier day
         run = max(run or 0, max(by_day[d]))
+
+
+# ===========================================================================
+# Batch 19: ANOVA / ECDF
+# ===========================================================================
+
+def test_anova_identical_groups_zero_f(spark):
+    """Groups with the same values -> SSB floors to ~0 -> F ~ 0."""
+    from bigdata_project_hust_spark.operators.aggregations import (
+        anova_oneway)
+    rows = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = anova_oneway(df, "g", F.col("v")).collect()[0]
+    assert r["k_groups"] == 2 and r["n_rows"] == 6
+    assert abs(r["f_e3"]) <= 1
+
+
+def test_anova_separated_groups_large_f(spark):
+    from bigdata_project_hust_spark.operators.aggregations import (
+        anova_oneway)
+    rows = [("a", v) for v in (10, 11, 12)] + \
+           [("b", v) for v in (100, 101, 102)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = anova_oneway(df, "g", F.col("v")).collect()[0]
+    assert r["f_e3"] > 1_000_000   # F >> 1000
+
+
+def test_ecdf_monotone_and_bounded(spark):
+    out = QUERIES["ecdf_value_by_type"].fn(spark, SF_SMOKE).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["event_type"], []).append(
+            (r["point_c"], r["share_e6"], r["n_le"], r["n"]))
+    for g, rows in by_g.items():
+        rows.sort()
+        shares = [s for _, s, _, _ in rows]
+        assert shares == sorted(shares)          # monotone
+        assert all(0 <= s <= 1_000_000 for s in shares)
+        for _, s, n_le, n in rows:
+            assert s == (n_le * 1_000_000) // n
