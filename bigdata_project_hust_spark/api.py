@@ -996,3 +996,15 @@ class Engine:
         from .operators.aggregations import ecdf_at_points
         return ecdf_at_points(self.table("events"), "event_type",
                               F.floor(F.col("value") * 100 + F.lit(0.5)))
+
+    def mean_difference_test(self) -> DataFrame:
+        """Welch's t between A/B arms' event values."""
+        from .operators.eventflow import welch_t_value
+        return welch_t_value(self.table("events"))
+
+    def dispersion(self) -> DataFrame:
+        """Coefficient of variation per event type."""
+        from pyspark.sql import functions as F
+        from .operators.aggregations import cv_by_group
+        return cv_by_group(self.table("events"), "event_type",
+                           F.floor(F.col("value") * 100 + F.lit(0.5)))

@@ -449,3 +449,27 @@ def ecdf_at_points(df: DataFrame, group_col: str, val_cents,
                     F.expr("(p.n_le * 1000000) div n").cast("long")
                     .alias("share_e6"))
             .orderBy(group_col, "point_c"))
+
+
+def cv_by_group(df: DataFrame, group_col: str, val_cents) -> DataFrame:
+    """Coefficient of variation per group (sample-stdev / mean) — the
+    scale-free dispersion gauge: exact decimal moments, one pinned
+    sqrt-and-divide per group floored at e6 (zero/negative means pin
+    to 0)."""
+    d = df.select(F.col(group_col).alias("g"),
+                  val_cents.cast("long").alias("v"))
+    dec, d19 = "decimal(38,0)", "decimal(19,0)"
+    agg = d.groupBy("g").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("s"),
+        F.sum(F.col("v").cast(d19) * F.col("v").cast(d19)).alias("q"))
+    n, s, q = [F.col(c).cast("double") for c in ("n", "s", "q")]
+    var = (n * q - s * s) / (n * (n - F.lit(1.0)))
+    cv = F.sqrt(var) / (s / n)
+    ok = (F.col("n").cast("long") > 1) & (F.col("s").cast("long") > 0)
+    return (agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_rows"),
+        F.when(ok, F.floor(cv * 1e6)).otherwise(F.lit(0))
+         .cast("long").alias("cv_e6"))
+        .orderBy(group_col))

@@ -1508,3 +1508,46 @@ def session_type_pmi(df: DataFrame, gap_s: int = 1800,
                      F.col("c_b").cast("long").alias("n_b"),
                      pmi.cast("long").alias("pmi_e6"))
             .orderBy("ta", "tb"))
+
+
+def welch_t_value(df: DataFrame, user_col: str = "user_id",
+                  val_col: str = "value") -> DataFrame:
+    """Welch's unequal-variance t statistic between the A/B arms'
+    event values — the mean-difference companion to the conversion
+    z-test (which compares rates) and the Mann-Whitney U (which
+    compares ranks): exact decimal moments per arm, one pinned
+    t = (m₁−m₂)/√(s₁²/n₁ + s₂²/n₂) floored at e6, plus the
+    Welch-Satterthwaite degrees of freedom floored at e3."""
+    d = df.select(
+        F.pmod(F.col(user_col), F.lit(2)).cast("long").alias("arm"),
+        F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+         .alias("v"))
+    dec, d19 = "decimal(38,0)", "decimal(19,0)"
+    per = d.groupBy("arm").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("s"),
+        F.sum(F.col("v").cast(d19) * F.col("v").cast(d19)).alias("q"))
+    a = per.where(F.col("arm") == 0).select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"),
+        F.col("q").alias("q1"))
+    b = per.where(F.col("arm") == 1).select(
+        F.col("n").alias("n2"), F.col("s").alias("s2"),
+        F.col("q").alias("q2"))
+    j = a.crossJoin(F.broadcast(b))
+    n1, s1, q1, n2, s2, q2 = [F.col(c).cast("double") for c in
+                              ("n1", "s1", "q1", "n2", "s2", "q2")]
+    var1 = (n1 * q1 - s1 * s1) / (n1 * (n1 - F.lit(1.0)))
+    var2 = (n2 * q2 - s2 * s2) / (n2 * (n2 - F.lit(1.0)))
+    se1, se2 = var1 / n1, var2 / n2
+    t = (s1 / n1 - s2 / n2) / F.sqrt(se1 + se2)
+    dof = ((se1 + se2) * (se1 + se2)
+           / (se1 * se1 / (n1 - F.lit(1.0))
+              + se2 * se2 / (n2 - F.lit(1.0))))
+    ok = (F.col("n1").cast("long") > 1) & (F.col("n2").cast("long") > 1)
+    return j.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        F.when(ok, F.floor(t * 1e6)).otherwise(F.lit(0))
+         .cast("long").alias("t_e6"),
+        F.when(ok, F.floor(dof * 1e3)).otherwise(F.lit(0))
+         .cast("long").alias("dof_e3"))

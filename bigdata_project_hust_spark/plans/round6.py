@@ -3331,3 +3331,110 @@ QUERIES_ROUND6.update({
         q_ecdf_value_by_type, _ecdf_oracle(),
         doc="exact ECDF fingerprint at a fixed cents grid"),
 })
+
+
+# ===========================================================================
+# Batch 20: Welch's t / coefficient of variation
+# ===========================================================================
+
+
+def q_welch_t_values(spark, sf_dir):
+    """Welch's unequal-variance t between A/B arms' event values +
+    Welch-Satterthwaite dof — exact moments, two pinned combines."""
+    return eventflow.welch_t_value(_t(spark, sf_dir, "events"))
+
+
+ORACLE_WELCH = """
+  WITH d AS (
+    SELECT (user_id % 2)::BIGINT AS arm,
+           floor(value * 100 + 0.5)::BIGINT AS v
+    FROM events
+  ),
+  per AS (
+    SELECT arm, count(*)::HUGEINT AS n, sum(v)::HUGEINT AS s,
+           sum(v::HUGEINT * v::HUGEINT) AS q
+    FROM d GROUP BY arm
+  ),
+  j AS (
+    SELECT a.n AS n1, a.s AS s1, a.q AS q1,
+           b.n AS n2, b.s AS s2, b.q AS q2
+    FROM (SELECT * FROM per WHERE arm = 0) a,
+         (SELECT * FROM per WHERE arm = 1) b
+  )
+  SELECT n1::BIGINT AS n_a, n2::BIGINT AS n_b,
+         (CASE WHEN n1 > 1 AND n2 > 1 THEN
+            floor((s1::DOUBLE / n1::DOUBLE - s2::DOUBLE / n2::DOUBLE)
+                  / sqrt(((n1::DOUBLE * q1::DOUBLE
+                           - s1::DOUBLE * s1::DOUBLE)
+                          / (n1::DOUBLE * (n1::DOUBLE - 1.0)))
+                         / n1::DOUBLE
+                         + ((n2::DOUBLE * q2::DOUBLE
+                             - s2::DOUBLE * s2::DOUBLE)
+                            / (n2::DOUBLE * (n2::DOUBLE - 1.0)))
+                           / n2::DOUBLE) * 1e6)
+          ELSE 0 END)::BIGINT AS t_e6,
+         (CASE WHEN n1 > 1 AND n2 > 1 THEN
+            floor(
+              (((n1::DOUBLE * q1::DOUBLE - s1::DOUBLE * s1::DOUBLE)
+                / (n1::DOUBLE * (n1::DOUBLE - 1.0)) / n1::DOUBLE)
+               + ((n2::DOUBLE * q2::DOUBLE - s2::DOUBLE * s2::DOUBLE)
+                  / (n2::DOUBLE * (n2::DOUBLE - 1.0)) / n2::DOUBLE))
+              * (((n1::DOUBLE * q1::DOUBLE - s1::DOUBLE * s1::DOUBLE)
+                  / (n1::DOUBLE * (n1::DOUBLE - 1.0)) / n1::DOUBLE)
+                 + ((n2::DOUBLE * q2::DOUBLE
+                     - s2::DOUBLE * s2::DOUBLE)
+                    / (n2::DOUBLE * (n2::DOUBLE - 1.0)) / n2::DOUBLE))
+              / (((n1::DOUBLE * q1::DOUBLE - s1::DOUBLE * s1::DOUBLE)
+                  / (n1::DOUBLE * (n1::DOUBLE - 1.0)) / n1::DOUBLE)
+                 * ((n1::DOUBLE * q1::DOUBLE - s1::DOUBLE * s1::DOUBLE)
+                    / (n1::DOUBLE * (n1::DOUBLE - 1.0)) / n1::DOUBLE)
+                 / (n1::DOUBLE - 1.0)
+                 + ((n2::DOUBLE * q2::DOUBLE - s2::DOUBLE * s2::DOUBLE)
+                    / (n2::DOUBLE * (n2::DOUBLE - 1.0)) / n2::DOUBLE)
+                   * ((n2::DOUBLE * q2::DOUBLE
+                       - s2::DOUBLE * s2::DOUBLE)
+                      / (n2::DOUBLE * (n2::DOUBLE - 1.0)) / n2::DOUBLE)
+                   / (n2::DOUBLE - 1.0)) * 1e3)
+          ELSE 0 END)::BIGINT AS dof_e3
+  FROM j
+"""
+
+
+def q_cv_by_type(spark, sf_dir):
+    """Coefficient of variation of event value cents per type —
+    scale-free dispersion, exact moments, one pinned combine."""
+    return aggregations.cv_by_group(
+        _t(spark, sf_dir, "events"), "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)))
+
+
+ORACLE_CV = """
+  WITH d AS (
+    SELECT event_type AS g,
+           floor(value * 100 + 0.5)::BIGINT AS v
+    FROM events
+  ),
+  agg AS (
+    SELECT g, count(*)::HUGEINT AS n, sum(v)::HUGEINT AS s,
+           sum(v::HUGEINT * v::HUGEINT) AS q
+    FROM d GROUP BY g
+  )
+  SELECT g AS event_type, n::BIGINT AS n_rows,
+         (CASE WHEN n > 1 AND s > 0 THEN
+            floor(sqrt((n::DOUBLE * q::DOUBLE - s::DOUBLE * s::DOUBLE)
+                       / (n::DOUBLE * (n::DOUBLE - 1.0)))
+                  / (s::DOUBLE / n::DOUBLE) * 1e6)
+          ELSE 0 END)::BIGINT AS cv_e6
+  FROM agg ORDER BY g
+"""
+
+
+QUERIES_ROUND6.update({
+    "welch_t_values": QuerySpec(
+        q_welch_t_values, ORACLE_WELCH,
+        doc="Welch unequal-variance t + Satterthwaite dof between "
+            "arms"),
+    "cv_by_type": QuerySpec(
+        q_cv_by_type, ORACLE_CV,
+        doc="coefficient of variation per type (exact moments)"),
+})

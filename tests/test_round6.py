@@ -1557,3 +1557,54 @@ def test_ecdf_monotone_and_bounded(spark):
         assert all(0 <= s <= 1_000_000 for s in shares)
         for _, s, n_le, n in rows:
             assert s == (n_le * 1_000_000) // n
+
+
+# ===========================================================================
+# Batch 20: Welch t / coefficient of variation
+# ===========================================================================
+
+def test_welch_identical_arms_zero_t(spark, tmp_path):
+    """Mirror-image arms -> t pins near 0."""
+    rows = []
+    eid = 0
+    for u in (2, 4, 3, 5):
+        for v in (1.0, 2.0, 3.0):
+            eid += 1
+            rows.append((eid, datetime(2024, 1, 1), u, "view", v, "{}"))
+    from bigdata_project_hust_spark.operators.eventflow import (
+        welch_t_value)
+    d = _events(spark, tmp_path, rows)
+    r = welch_t_value(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()[0]
+    assert r["n_a"] == 6 and r["n_b"] == 6
+    assert abs(r["t_e6"]) <= 1
+    assert r["dof_e3"] == 10_000    # equal variances -> dof = n1+n2-2
+
+
+def test_welch_separated_means_large_t(spark, tmp_path):
+    rows = []
+    eid = 0
+    for u in (2, 4):
+        for v in (1.0, 1.1, 0.9):
+            eid += 1
+            rows.append((eid, datetime(2024, 1, 1), u, "view", v, "{}"))
+    for u in (3, 5):
+        for v in (10.0, 10.1, 9.9):
+            eid += 1
+            rows.append((eid, datetime(2024, 1, 1), u, "view", v, "{}"))
+    from bigdata_project_hust_spark.operators.eventflow import (
+        welch_t_value)
+    d = _events(spark, tmp_path, rows)
+    r = welch_t_value(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()[0]
+    assert r["t_e6"] < -10_000_000   # arm0 mean far below arm1
+
+
+def test_cv_hand_value(spark):
+    """Values (1,2,3): mean 2, sample stdev 1 -> cv = 0.5."""
+    from bigdata_project_hust_spark.operators.aggregations import (
+        cv_by_group)
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("a", 3)],
+                               "g string, v long")
+    r = cv_by_group(df, "g", F.col("v")).collect()[0]
+    assert r["cv_e6"] == 500_000
