@@ -1008,3 +1008,13 @@ class Engine:
         from .operators.aggregations import cv_by_group
         return cv_by_group(self.table("events"), "event_type",
                            F.floor(F.col("value") * 100 + F.lit(0.5)))
+
+    def association(self) -> DataFrame:
+        """Cramér's V between event type and A/B arm."""
+        from .plans.round6 import q_cramers_v_type_arm
+        return q_cramers_v_type_arm(self.spark, self.sf_dir)
+
+    def cluster_purity(self) -> DataFrame:
+        """Gini label impurity per k-means cluster."""
+        from .plans.round6 import q_cluster_label_impurity
+        return q_cluster_label_impurity(self.spark, self.sf_dir)

@@ -473,3 +473,49 @@ def cv_by_group(df: DataFrame, group_col: str, val_cents) -> DataFrame:
         F.when(ok, F.floor(cv * 1e6)).otherwise(F.lit(0))
          .cast("long").alias("cv_e6"))
         .orderBy(group_col))
+
+
+def cramers_v(df: DataFrame, row_col, col_col) -> DataFrame:
+    """Cramér's V association between two categorical columns — the
+    normalized chi-square (0 = independent, 1 = perfectly
+    associated). Contingency counts and margins are exact BIGINTs;
+    each cell's (o−e)²/e term runs ONCE on a pinned double tree
+    floored at e6, the chi-square is the exact integer sum of floored
+    terms, and V combines once more, floored at e6.
+
+    Plan: one contingency agg, margins via two tiny re-aggs broadcast
+    back, one |cells| rollup — nothing scans the fact table twice."""
+    d = df.select(row_col.cast("string").alias("r"),
+                  col_col.cast("string").alias("c"))
+    cells = d.groupBy("r", "c").agg(F.count("*").cast("long").alias("o"))
+    rm = cells.groupBy("r").agg(F.sum("o").alias("nr"))
+    cm = cells.groupBy("c").agg(F.sum("o").alias("nc"))
+    tot = cells.groupBy().agg(F.sum("o").cast("long").alias("n"),
+                              F.countDistinct("r").cast("long")
+                               .alias("k_r"),
+                              F.countDistinct("c").cast("long")
+                               .alias("k_c"))
+    # the FULL margin grid — an unobserved cell still contributes
+    # (0−e)²/e (dropping zero cells understates chi² exactly when the
+    # association is strongest; caught by the perfect-association
+    # unit test)
+    grid = rm.crossJoin(F.broadcast(cm))
+    full = (grid.join(cells, ["r", "c"], "left")
+            .select("r", "c", "nr", "nc",
+                    F.coalesce("o", F.lit(0)).cast("long").alias("o")))
+    j = full.crossJoin(F.broadcast(tot))
+    e = (F.col("nr").cast("double") * F.col("nc").cast("double")
+         / F.col("n").cast("double"))
+    term = F.floor((F.col("o").cast("double") - e)
+                   * (F.col("o").cast("double") - e) / e * 1e6)
+    agg = (j.select("n", "k_r", "k_c", term.cast("long").alias("t"))
+           .groupBy("n", "k_r", "k_c")
+           .agg(F.sum("t").cast("long").alias("chi2_e6")))
+    mind = F.least(F.col("k_r") - 1, F.col("k_c") - 1).cast("double")
+    v = F.sqrt(F.col("chi2_e6").cast("double") / 1e6
+               / (F.col("n").cast("double") * mind))
+    ok = (F.col("k_r") > 1) & (F.col("k_c") > 1) & (F.col("chi2_e6") >= 0)
+    return agg.select(
+        F.col("n").alias("n_rows"), "k_r", "k_c", "chi2_e6",
+        F.when(ok, F.floor(v * 1e6)).otherwise(F.lit(0))
+         .cast("long").alias("cramers_v_e6"))

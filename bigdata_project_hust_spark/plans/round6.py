@@ -3438,3 +3438,115 @@ QUERIES_ROUND6.update({
         q_cv_by_type, ORACLE_CV,
         doc="coefficient of variation per type (exact moments)"),
 })
+
+
+# ===========================================================================
+# Batch 21: Cramér's V / k-means cluster label impurity
+# ===========================================================================
+
+
+def q_cramers_v_type_arm(spark, sf_dir):
+    """Cramér's V between event type and A/B arm — normalized
+    chi-square association on exact contingency counts, pinned cell
+    terms."""
+    ev = _t(spark, sf_dir, "events")
+    return aggregations.cramers_v(
+        ev, F.col("event_type"),
+        F.pmod(F.col("user_id"), F.lit(2)))
+
+
+ORACLE_CRAMERS = """
+  WITH d AS (
+    SELECT event_type::VARCHAR AS r,
+           (user_id % 2)::VARCHAR AS c
+    FROM events
+  ),
+  cells AS (SELECT r, c, count(*)::BIGINT AS o FROM d GROUP BY r, c),
+  rm AS (SELECT r, sum(o)::BIGINT AS nr FROM cells GROUP BY r),
+  cm AS (SELECT c, sum(o)::BIGINT AS nc FROM cells GROUP BY c),
+  tot AS (SELECT sum(o)::BIGINT AS n,
+                 count(DISTINCT r)::BIGINT AS k_r,
+                 count(DISTINCT c)::BIGINT AS k_c
+          FROM cells),
+  grid AS (SELECT r, c, nr, nc FROM rm, cm),
+  filled AS (
+    SELECT grid.r, grid.c, nr, nc,
+           coalesce(cells.o, 0)::BIGINT AS o
+    FROM grid LEFT JOIN cells ON grid.r = cells.r
+                             AND grid.c = cells.c
+  ),
+  terms AS (
+    SELECT n, k_r, k_c,
+           floor((o::DOUBLE - nr::DOUBLE * nc::DOUBLE / n::DOUBLE)
+                 * (o::DOUBLE - nr::DOUBLE * nc::DOUBLE / n::DOUBLE)
+                 / (nr::DOUBLE * nc::DOUBLE / n::DOUBLE)
+                 * 1e6)::BIGINT AS t
+    FROM filled, tot
+  ),
+  agg AS (
+    SELECT n, k_r, k_c, sum(t)::BIGINT AS chi2_e6
+    FROM terms GROUP BY n, k_r, k_c
+  )
+  SELECT n AS n_rows, k_r, k_c, chi2_e6,
+         (CASE WHEN k_r > 1 AND k_c > 1 AND chi2_e6 >= 0
+               THEN floor(sqrt(chi2_e6::DOUBLE / 1e6
+                               / (n::DOUBLE
+                                  * least(k_r - 1, k_c - 1)::DOUBLE))
+                          * 1e6)
+               ELSE 0 END)::BIGINT AS cramers_v_e6
+  FROM agg
+"""
+
+
+def q_cluster_label_impurity(spark, sf_dir):
+    """Gini label impurity per k-means cluster — the clustering-
+    quality audit against the gold labels: imp = 1e6 − (Σ c_l²·1e6)
+    div c², all-integer. Composes the verified exact-integer Lloyd
+    assignment."""
+    from ..operators.similarity import kmeans_assign
+    emb = _t(spark, sf_dir, "embeddings")
+    a = kmeans_assign(emb, k=8, iters=2).select("vec_id", "cluster_id")
+    j = a.join(emb.select("vec_id", "label"), "vec_id")
+    per = j.groupBy("cluster_id", "label").agg(
+        F.count("*").cast("long").alias("c_l"))
+    clus = per.groupBy("cluster_id").agg(
+        F.sum("c_l").cast("long").alias("c"),
+        F.sum(F.col("c_l") * F.col("c_l")).cast("long").alias("c2"))
+    return (clus.select(
+        "cluster_id", F.col("c").alias("n_vecs"),
+        (F.lit(1_000_000)
+         - F.expr("(c2 * 1000000) div (c * c)")).cast("long")
+        .alias("gini_impurity_e6"))
+        .orderBy("cluster_id"))
+
+
+def _impurity_oracle() -> str:
+    from .analytics_more import _kmeans_oracle
+    return f"""
+  WITH km AS ({_kmeans_oracle()}),
+  j AS (
+    SELECT km.cluster_id, e.label
+    FROM km JOIN embeddings e ON km.vec_id = e.vec_id
+  ),
+  per AS (SELECT cluster_id, label, count(*)::BIGINT AS c_l
+          FROM j GROUP BY 1, 2),
+  clus AS (
+    SELECT cluster_id, sum(c_l)::BIGINT AS c,
+           sum(c_l * c_l)::BIGINT AS c2
+    FROM per GROUP BY cluster_id
+  )
+  SELECT cluster_id, c AS n_vecs,
+         (1000000 - (c2 * 1000000) // (c * c))::BIGINT
+           AS gini_impurity_e6
+  FROM clus ORDER BY cluster_id
+"""
+
+
+QUERIES_ROUND6.update({
+    "cramers_v_type_arm": QuerySpec(
+        q_cramers_v_type_arm, ORACLE_CRAMERS,
+        doc="Cramér's V association (pinned chi-square cells)"),
+    "cluster_label_impurity": QuerySpec(
+        q_cluster_label_impurity, _impurity_oracle(),
+        doc="Gini label impurity per k-means cluster (all-integer)"),
+})

@@ -1608,3 +1608,33 @@ def test_cv_hand_value(spark):
                                "g string, v long")
     r = cv_by_group(df, "g", F.col("v")).collect()[0]
     assert r["cv_e6"] == 500_000
+
+
+# ===========================================================================
+# Batch 21: Cramér's V / cluster impurity
+# ===========================================================================
+
+def test_cramers_v_independent_near_zero(spark):
+    from bigdata_project_hust_spark.operators.aggregations import cramers_v
+    rows = [(r, c) for r in ("a", "b") for c in ("x", "y")
+            for _ in range(25)]
+    df = spark.createDataFrame(rows, "r string, c string")
+    res = cramers_v(df, F.col("r"), F.col("c")).collect()[0]
+    assert res["cramers_v_e6"] <= 1000   # exactly independent
+
+
+def test_cramers_v_perfect_association(spark):
+    from bigdata_project_hust_spark.operators.aggregations import cramers_v
+    rows = [("a", "x")] * 30 + [("b", "y")] * 30
+    df = spark.createDataFrame(rows, "r string, c string")
+    res = cramers_v(df, F.col("r"), F.col("c")).collect()[0]
+    assert res["cramers_v_e6"] >= 999_000
+
+
+def test_cluster_impurity_bounds_and_conservation(spark):
+    from bigdata_project_hust_spark.io import load_table
+    out = QUERIES["cluster_label_impurity"].fn(spark, SF_SMOKE).collect()
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r["n_vecs"] for r in out) == n
+    for r in out:
+        assert 0 <= r["gini_impurity_e6"] < 1_000_000
