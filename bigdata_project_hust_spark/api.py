@@ -1018,3 +1018,13 @@ class Engine:
         """Gini label impurity per k-means cluster."""
         from .plans.round6 import q_cluster_label_impurity
         return q_cluster_label_impurity(self.spark, self.sf_dir)
+
+    def variance_homogeneity(self) -> DataFrame:
+        """Brown-Forsythe F across event types."""
+        from .operators.eventflow import brown_forsythe
+        return brown_forsythe(self.table("events"))
+
+    def randomness_check(self) -> DataFrame:
+        """Wald-Wolfowitz runs test on daily totals per type."""
+        from .operators.eventflow import runs_test_daily
+        return runs_test_daily(self.table("events"))

@@ -1551,3 +1551,80 @@ def welch_t_value(df: DataFrame, user_col: str = "user_id",
          .cast("long").alias("t_e6"),
         F.when(ok, F.floor(dof * 1e3)).otherwise(F.lit(0))
          .cast("long").alias("dof_e3"))
+
+
+def brown_forsythe(df: DataFrame, group_col: str = "event_type",
+                   val_col: str = "value") -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test: one-way ANOVA F over
+    z = |x − group LOW MEDIAN| — the robust Levene variant (median
+    center, not mean) that guards the equal-variance assumption
+    behind pooled tests. Medians are exact nearest-rank selections
+    (group-partitioned windows); z is an exact BIGINT; the F combine
+    reuses the exact-moment ANOVA machinery."""
+    from pyspark.sql import Window
+    from .. operators.aggregations import anova_oneway
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    d = df.select(F.col(group_col).alias("g"), cents.alias("v"))
+    w = Window.partitionBy("g").orderBy("v")
+    ranked = d.select(
+        "g", "v", F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("g")).alias("n"))
+    med = (ranked.where(F.col("rn") == F.expr("(n + 1) div 2"))
+           .select("g", F.col("v").alias("med")))
+    z = (d.join(med, "g")
+         .select("g", F.abs(F.col("v") - F.col("med")).alias("z")))
+    return anova_oneway(z, "g", F.col("z")).withColumnRenamed(
+        "f_e3", "bf_f_e3")
+
+
+def runs_test_daily(df: DataFrame, type_col: str = "event_type",
+                    val_col: str = "value",
+                    ts_col: str = "ts") -> DataFrame:
+    """Wald-Wolfowitz runs test on each type's daily-total series:
+    are above/below-median days RANDOMLY ordered, or do they streak
+    (trend / regime persistence)? Signs compare exact cents totals to
+    the exact per-type LOW median (ties side with "below", both
+    engines identically); the run count is 1 + Σ sign-changes via a
+    type-partitioned lag; E[R] and Var[R] combine once per type on a
+    pinned double tree, z floored at e6."""
+    from pyspark.sql import Window
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    day = F.floor(_ts_s(ts_col) / _DAY_S).cast("long")
+    daily = (df.select(F.col(type_col).alias("g"), day.alias("day"),
+                       cents.alias("v"))
+             .groupBy("g", "day").agg(F.sum("v").cast("long").alias("t")))
+    wv = Window.partitionBy("g").orderBy("t")
+    ranked = daily.select(
+        "g", "day", "t", F.row_number().over(wv).alias("rn"),
+        F.count("*").over(Window.partitionBy("g")).alias("n"))
+    med = (ranked.where(F.col("rn") == F.expr("(n + 1) div 2"))
+           .select("g", F.col("t").alias("med")))
+    signed = (daily.join(med, "g")
+              .select("g", "day",
+                      (F.col("t") > F.col("med")).cast("long")
+                      .alias("s")))
+    wd = Window.partitionBy("g").orderBy("day")
+    runs = signed.select(
+        "g", "s",
+        F.when(F.lag("s").over(wd).isNull()
+               | (F.lag("s").over(wd) != F.col("s")), F.lit(1))
+         .otherwise(F.lit(0)).alias("new_run"))
+    agg = runs.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("n1"),
+        F.sum("new_run").cast("long").alias("r"))
+    n, n1 = F.col("n").cast("double"), F.col("n1").cast("double")
+    n2 = n - n1
+    e_r = F.lit(1.0) + 2.0 * n1 * n2 / n
+    var_r = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+             / (n * n * (n - F.lit(1.0))))
+    z = (F.col("r").cast("double") - e_r) / F.sqrt(var_r)
+    ok = ((F.col("n1") > 0) & (F.col("n1") < F.col("n"))
+          & (F.col("n") > 1))
+    return agg.select(
+        F.col("g").alias(type_col),
+        F.col("n").alias("n_days"), F.col("n1").alias("n_above"),
+        F.col("r").alias("n_runs"),
+        F.when(ok & (var_r > 0.0), F.floor(z * 1e6))
+         .otherwise(F.lit(0)).cast("long").alias("z_e6")
+    ).orderBy(type_col)

@@ -3550,3 +3550,134 @@ QUERIES_ROUND6.update({
         q_cluster_label_impurity, _impurity_oracle(),
         doc="Gini label impurity per k-means cluster (all-integer)"),
 })
+
+
+# ===========================================================================
+# Batch 22: Brown-Forsythe / runs test
+# ===========================================================================
+
+
+def q_brown_forsythe_values(spark, sf_dir):
+    """Brown-Forsythe variance-homogeneity F across event types —
+    |x − group low-median| through the exact-moment ANOVA."""
+    return eventflow.brown_forsythe(_t(spark, sf_dir, "events"))
+
+
+ORACLE_BF = """
+  WITH d AS (
+    SELECT event_type AS g,
+           floor(value * 100 + 0.5)::BIGINT AS v
+    FROM events
+  ),
+  ranked AS (
+    SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+           count(*) OVER (PARTITION BY g) AS nn
+    FROM d
+  ),
+  med AS (SELECT g, v AS med FROM ranked WHERE rn = (nn + 1) // 2),
+  z AS (
+    SELECT d.g, abs(v - med)::BIGINT AS v
+    FROM d JOIN med USING (g)
+  ),
+  per AS (
+    SELECT g, count(*)::HUGEINT AS n, sum(v)::HUGEINT AS sx,
+           sum(v::HUGEINT * v::HUGEINT) AS sxx
+    FROM z GROUP BY g
+  ),
+  terms AS (
+    SELECT g, n, sx,
+           floor(sxx::DOUBLE
+                 - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)::BIGINT
+             AS ssw_t
+    FROM per
+  ),
+  tot AS (
+    SELECT count(*)::BIGINT AS k, sum(n)::HUGEINT AS nn,
+           sum(sx)::HUGEINT AS ssx, sum(ssw_t)::BIGINT AS ssw
+    FROM terms
+  ),
+  agg AS (
+    SELECT k, nn, ssw,
+           sum(floor(n::DOUBLE
+                     * (sx::DOUBLE / n::DOUBLE
+                        - ssx::DOUBLE / nn::DOUBLE)
+                     * (sx::DOUBLE / n::DOUBLE
+                        - ssx::DOUBLE / nn::DOUBLE)))::BIGINT AS ssb
+    FROM terms, tot GROUP BY k, nn, ssw
+  )
+  SELECT k AS k_groups, nn::BIGINT AS n_rows,
+         ssb AS ssb_c2, ssw AS ssw_c2,
+         (CASE WHEN k > 1 AND ssw > 0
+               THEN floor((ssb::DOUBLE / (k::DOUBLE - 1.0))
+                          / (ssw::DOUBLE / (nn::DOUBLE - k::DOUBLE))
+                          * 1e3)
+               ELSE 0 END)::BIGINT AS bf_f_e3
+  FROM agg
+"""
+
+
+def q_runs_test_daily(spark, sf_dir):
+    """Wald-Wolfowitz runs test on daily totals per type — exact
+    low-median signs, lag-counted runs, pinned z."""
+    return eventflow.runs_test_daily(_t(spark, sf_dir, "events"))
+
+
+ORACLE_RUNS = """
+  WITH daily AS (
+    SELECT event_type AS g,
+           floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day,
+           sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS t
+    FROM events GROUP BY 1, 2
+  ),
+  ranked AS (
+    SELECT g, t, row_number() OVER (PARTITION BY g ORDER BY t) AS rn,
+           count(*) OVER (PARTITION BY g) AS nn
+    FROM daily
+  ),
+  med AS (SELECT g, t AS med FROM ranked WHERE rn = (nn + 1) // 2),
+  signed AS (
+    SELECT daily.g, day, (t > med)::BIGINT AS s
+    FROM daily JOIN med USING (g)
+  ),
+  runs AS (
+    SELECT g, s,
+           (CASE WHEN lag(s) OVER w IS NULL
+                      OR lag(s) OVER w <> s THEN 1 ELSE 0 END) AS nr
+    FROM signed WINDOW w AS (PARTITION BY g ORDER BY day)
+  ),
+  agg AS (
+    SELECT g, count(*)::BIGINT AS n, sum(s)::BIGINT AS n1,
+           sum(nr)::BIGINT AS r
+    FROM runs GROUP BY g
+  )
+  SELECT g AS event_type, n AS n_days, n1 AS n_above, r AS n_runs,
+         (CASE WHEN n1 > 0 AND n1 < n AND n > 1
+                    AND (2.0 * n1::DOUBLE * (n::DOUBLE - n1::DOUBLE)
+                         * (2.0 * n1::DOUBLE
+                            * (n::DOUBLE - n1::DOUBLE) - n::DOUBLE)
+                         / (n::DOUBLE * n::DOUBLE
+                            * (n::DOUBLE - 1.0))) > 0.0
+               THEN floor((r::DOUBLE
+                           - (1.0 + 2.0 * n1::DOUBLE
+                              * (n::DOUBLE - n1::DOUBLE) / n::DOUBLE))
+                          / sqrt(2.0 * n1::DOUBLE
+                                 * (n::DOUBLE - n1::DOUBLE)
+                                 * (2.0 * n1::DOUBLE
+                                    * (n::DOUBLE - n1::DOUBLE)
+                                    - n::DOUBLE)
+                                 / (n::DOUBLE * n::DOUBLE
+                                    * (n::DOUBLE - 1.0))) * 1e6)
+               ELSE 0 END)::BIGINT AS z_e6
+  FROM agg ORDER BY g
+"""
+
+
+QUERIES_ROUND6.update({
+    "brown_forsythe_values": QuerySpec(
+        q_brown_forsythe_values, ORACLE_BF,
+        doc="Brown-Forsythe variance-homogeneity F (median-centered "
+            "Levene)"),
+    "runs_test_daily": QuerySpec(
+        q_runs_test_daily, ORACLE_RUNS,
+        doc="Wald-Wolfowitz runs test on daily totals per type"),
+})

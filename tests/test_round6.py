@@ -1638,3 +1638,68 @@ def test_cluster_impurity_bounds_and_conservation(spark):
     assert sum(r["n_vecs"] for r in out) == n
     for r in out:
         assert 0 <= r["gini_impurity_e6"] < 1_000_000
+
+
+# ===========================================================================
+# Batch 22: Brown-Forsythe / runs test
+# ===========================================================================
+
+def test_brown_forsythe_equal_spread_small_f(spark, tmp_path):
+    """Same dispersion in both groups -> F near 0; blown-up spread in
+    one group -> F large."""
+    rows = []
+    eid = 0
+    for g, scale in (("view", 1.0), ("click", 1.0)):
+        for v in (1.0, 2.0, 3.0, 4.0, 5.0):
+            eid += 1
+            rows.append((eid, datetime(2024, 1, 1), 1, g,
+                         v * scale, "{}"))
+    from bigdata_project_hust_spark.operators.eventflow import (
+        brown_forsythe)
+    d = _events(spark, tmp_path, rows)
+    r = brown_forsythe(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()[0]
+    assert r["bf_f_e3"] <= 10
+
+    rows2 = []
+    eid = 0
+    for v in (1.0, 2.0, 3.0, 4.0, 5.0):
+        eid += 1
+        rows2.append((eid, datetime(2024, 1, 1), 1, "view", v, "{}"))
+    for v in (1.0, 20.0, 40.0, 60.0, 80.0):
+        eid += 1
+        rows2.append((eid, datetime(2024, 1, 1), 1, "click", v, "{}"))
+    d2 = _events(spark, tmp_path.joinpath("b"), rows2)
+    r2 = brown_forsythe(
+        spark.read.parquet(os.path.join(d2, "events.parquet"))).collect()[0]
+    assert r2["bf_f_e3"] > 3_000
+
+
+def test_runs_test_alternating_vs_streaky(spark, tmp_path):
+    """Perfectly alternating above/below days -> many runs -> z > 0;
+    two long streaks -> few runs -> z < 0."""
+    from bigdata_project_hust_spark.operators.eventflow import (
+        runs_test_daily)
+    rows = []
+    eid = 0
+    for dday in range(10):
+        v = 10.0 if dday % 2 == 0 else 1.0
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1 + dday), 1, "view",
+                     v, "{}"))
+    d = _events(spark, tmp_path, rows)
+    r = runs_test_daily(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()[0]
+    assert r["n_runs"] == 10 and r["z_e6"] > 2_000_000
+
+    rows2 = []
+    eid = 0
+    for dday in range(10):
+        v = 10.0 if dday < 5 else 1.0
+        eid += 1
+        rows2.append((eid, datetime(2024, 1, 1 + dday), 1, "view",
+                      v, "{}"))
+    d2 = _events(spark, tmp_path.joinpath("b"), rows2)
+    r2 = runs_test_daily(
+        spark.read.parquet(os.path.join(d2, "events.parquet"))).collect()[0]
+    assert r2["n_runs"] == 2 and r2["z_e6"] < -2_000_000
