@@ -1028,3 +1028,13 @@ class Engine:
         """Wald-Wolfowitz runs test on daily totals per type."""
         from .operators.eventflow import runs_test_daily
         return runs_test_daily(self.table("events"))
+
+    def rank_anova(self) -> DataFrame:
+        """Tie-corrected Kruskal-Wallis H across event types."""
+        from .operators.eventflow import kruskal_wallis
+        return kruskal_wallis(self.table("events"))
+
+    def effect_size(self) -> DataFrame:
+        """Cohen's d between A/B arms' event values."""
+        from .operators.eventflow import cohens_d_arms
+        return cohens_d_arms(self.table("events"))

@@ -225,9 +225,16 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     from pyspark.sql import Observation
 
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Eager localCheckpoint (not just persist) on the base tables:
+    # persist caches DATA but every round's plan still EMBEDS the full
+    # upstream pair-generation plan (a fuzzy join's deletion lattice can
+    # be thousands of tree nodes), and k rounds nest k copies of it —
+    # plan stringification alone then overflows a default-sized (1g)
+    # driver heap.  Truncating here makes each round's plan O(rounds
+    # since last checkpoint), independent of the upstream plan.
     edges = (e.unionByName(e.select(F.col("b").alias("a"),
                                     F.col("a").alias("b")))
-              .distinct().persist())
+              .distinct().localCheckpoint(eager=True))
     labels = (edges.select(F.col("a").alias("node")).distinct()
                    .select("node", F.col("node").alias("component"))
                    .persist())
@@ -616,9 +623,12 @@ def connected_components_pj(pairs: DataFrame, src: str = "doc_a",
     from pyspark.sql import Observation
 
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # eager base-lineage truncation — same driver-heap rationale as
+    # connected_components (pj nests TWO joins per round, so the plan
+    # budget is even tighter)
     edges = (e.unionByName(e.select(F.col("b").alias("a"),
                                     F.col("a").alias("b")))
-              .distinct().persist())
+              .distinct().localCheckpoint(eager=True))
     labels = (edges.select(F.col("a").alias("node")).distinct()
                    .select("node", F.col("node").alias("component"))
                    .persist())

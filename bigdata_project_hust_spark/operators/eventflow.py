@@ -1628,3 +1628,97 @@ def runs_test_daily(df: DataFrame, type_col: str = "event_type",
         F.when(ok & (var_r > 0.0), F.floor(z * 1e6))
          .otherwise(F.lit(0)).cast("long").alias("z_e6")
     ).orderBy(type_col)
+
+
+def kruskal_wallis(df: DataFrame, group_col: str = "event_type",
+                   val_col: str = "value") -> DataFrame:
+    """Kruskal-Wallis H across groups with the tie correction — the
+    rank-based k-group test (ANOVA's nonparametric sibling, the
+    k-group Mann-Whitney): global DOUBLED midranks (the integer MWU
+    grid) from one per-distinct-value agg + ordered window, exact
+    decimal rank sums per group, H and the tie factor
+    C = 1 − Σ(t³−t)/(n³−n) each combined ONCE on pinned double trees,
+    H/C floored at e3.
+
+    The only unpartitioned window runs over |distinct cents| rows —
+    range-partition it at a wider value domain."""
+    from pyspark.sql import Window
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    d = df.select(F.col(group_col).alias("g"), cents.alias("v"))
+    per_v = d.groupBy("v").agg(F.count("*").alias("c_v"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranks = per_v.select(
+        "v", "c_v",
+        (2 * (F.sum("c_v").over(w) - F.col("c_v"))
+         + F.col("c_v") + 1).alias("r2"))          # doubled midrank
+    dec = "decimal(38,0)"
+    j = d.join(ranks.select("v", "r2"), "v")
+    per_g = j.groupBy("g").agg(
+        F.count("*").cast(dec).alias("n_g"),
+        F.sum(F.col("r2").cast(dec)).alias("s_r2"))
+    ties = per_v.groupBy().agg(
+        F.sum(F.col("c_v").cast(dec) * F.col("c_v").cast(dec)
+              * F.col("c_v").cast(dec)
+              - F.col("c_v").cast(dec)).alias("tie_sum"))
+    tot = per_g.groupBy().agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n_g").cast(dec).alias("n"))
+    jj = per_g.crossJoin(F.broadcast(tot))
+    n_d = F.col("n").cast("double")
+    # H on the doubled grid: r̄_g = s_r2/(2 n_g); H = 12/(n(n+1)) Σ
+    # n_g (r̄_g − (n+1)/2)² — expand with the /2 factored out once
+    mean_g = F.col("s_r2").cast("double") / (2.0 * F.col("n_g")
+                                             .cast("double"))
+    dev = mean_g - (n_d + F.lit(1.0)) / F.lit(2.0)
+    term = F.floor(F.col("n_g").cast("double") * dev * dev * 1e6)
+    hsum = (jj.select("k", "n", term.cast("long").alias("t"))
+            .groupBy("k", "n").agg(F.sum("t").cast("long").alias("hs")))
+    out = hsum.crossJoin(F.broadcast(ties))
+    n2 = F.col("n").cast("double")
+    h = (F.lit(12.0) * (F.col("hs").cast("double") / 1e6)
+         / (n2 * (n2 + F.lit(1.0))))
+    c = (F.lit(1.0) - F.col("tie_sum").cast("double")
+         / (n2 * n2 * n2 - n2))
+    ok = (F.col("k") > 1) & (c > 0.0)
+    return out.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.when(ok, F.floor(h / c * 1e3)).otherwise(F.lit(0))
+         .cast("long").alias("h_e3"))
+
+
+def cohens_d_arms(df: DataFrame, user_col: str = "user_id",
+                  val_col: str = "value") -> DataFrame:
+    """Cohen's d effect size between the A/B arms' event values —
+    the magnitude companion to Welch's t (significance without size
+    is a dashboard trap): exact moments per arm, pooled sample
+    variance and the final d each one pinned combine, floored e6."""
+    d = df.select(
+        F.pmod(F.col(user_col), F.lit(2)).cast("long").alias("arm"),
+        F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+         .alias("v"))
+    dec, d19 = "decimal(38,0)", "decimal(19,0)"
+    per = d.groupBy("arm").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("s"),
+        F.sum(F.col("v").cast(d19) * F.col("v").cast(d19)).alias("q"))
+    a = per.where(F.col("arm") == 0).select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"),
+        F.col("q").alias("q1"))
+    b = per.where(F.col("arm") == 1).select(
+        F.col("n").alias("n2"), F.col("s").alias("s2"),
+        F.col("q").alias("q2"))
+    j = a.crossJoin(F.broadcast(b))
+    n1, s1, q1, n2, s2, q2 = [F.col(c).cast("double") for c in
+                              ("n1", "s1", "q1", "n2", "s2", "q2")]
+    ss1 = q1 - s1 * s1 / n1
+    ss2 = q2 - s2 * s2 / n2
+    pooled = (ss1 + ss2) / (n1 + n2 - F.lit(2.0))
+    dd = (s1 / n1 - s2 / n2) / F.sqrt(pooled)
+    ok = ((F.col("n1").cast("long") > 1)
+          & (F.col("n2").cast("long") > 1))
+    return j.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        F.when(ok, F.floor(dd * 1e6)).otherwise(F.lit(0))
+         .cast("long").alias("cohens_d_e6"))

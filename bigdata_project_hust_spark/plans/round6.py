@@ -3681,3 +3681,112 @@ QUERIES_ROUND6.update({
         q_runs_test_daily, ORACLE_RUNS,
         doc="Wald-Wolfowitz runs test on daily totals per type"),
 })
+
+
+# ===========================================================================
+# Batch 23: Kruskal-Wallis / Cohen's d
+# ===========================================================================
+
+
+def q_kruskal_wallis_values(spark, sf_dir):
+    """Tie-corrected Kruskal-Wallis H across event types on the
+    doubled-midrank grid."""
+    return eventflow.kruskal_wallis(_t(spark, sf_dir, "events"))
+
+
+ORACLE_KW = """
+  WITH d AS (
+    SELECT event_type AS g,
+           floor(value * 100 + 0.5)::BIGINT AS v
+    FROM events
+  ),
+  per_v AS (SELECT v, count(*)::BIGINT AS c_v FROM d GROUP BY v),
+  ranks AS (
+    SELECT v, c_v,
+           (2 * (sum(c_v) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - c_v) + c_v + 1) AS r2
+    FROM per_v
+  ),
+  j AS (SELECT d.g, ranks.r2 FROM d JOIN ranks USING (v)),
+  per_g AS (
+    SELECT g, count(*)::HUGEINT AS n_g, sum(r2)::HUGEINT AS s_r2
+    FROM j GROUP BY g
+  ),
+  ties AS (
+    SELECT sum(c_v::HUGEINT * c_v::HUGEINT * c_v::HUGEINT
+               - c_v::HUGEINT) AS tie_sum
+    FROM per_v
+  ),
+  tot AS (SELECT count(*)::BIGINT AS k, sum(n_g)::HUGEINT AS n
+          FROM per_g),
+  hsum AS (
+    SELECT k, n,
+           sum(floor(n_g::DOUBLE
+                     * (s_r2::DOUBLE / (2.0 * n_g::DOUBLE)
+                        - (n::DOUBLE + 1.0) / 2.0)
+                     * (s_r2::DOUBLE / (2.0 * n_g::DOUBLE)
+                        - (n::DOUBLE + 1.0) / 2.0)
+                     * 1e6))::BIGINT AS hs
+    FROM per_g, tot GROUP BY k, n
+  )
+  SELECT k AS k_groups, n::BIGINT AS n_rows,
+         (CASE WHEN k > 1
+                    AND (1.0 - tie_sum::DOUBLE
+                         / (n::DOUBLE * n::DOUBLE * n::DOUBLE
+                            - n::DOUBLE)) > 0.0
+               THEN floor((12.0 * (hs::DOUBLE / 1e6)
+                           / (n::DOUBLE * (n::DOUBLE + 1.0)))
+                          / (1.0 - tie_sum::DOUBLE
+                             / (n::DOUBLE * n::DOUBLE * n::DOUBLE
+                                - n::DOUBLE)) * 1e3)
+               ELSE 0 END)::BIGINT AS h_e3
+  FROM hsum, ties
+"""
+
+
+def q_cohens_d_arms(spark, sf_dir):
+    """Cohen's d effect size between A/B arms — exact moments, pinned
+    pooled-sd combine."""
+    return eventflow.cohens_d_arms(_t(spark, sf_dir, "events"))
+
+
+ORACLE_COHENS_D = """
+  WITH d AS (
+    SELECT (user_id % 2)::BIGINT AS arm,
+           floor(value * 100 + 0.5)::BIGINT AS v
+    FROM events
+  ),
+  per AS (
+    SELECT arm, count(*)::HUGEINT AS n, sum(v)::HUGEINT AS s,
+           sum(v::HUGEINT * v::HUGEINT) AS q
+    FROM d GROUP BY arm
+  ),
+  j AS (
+    SELECT a.n AS n1, a.s AS s1, a.q AS q1,
+           b.n AS n2, b.s AS s2, b.q AS q2
+    FROM (SELECT * FROM per WHERE arm = 0) a,
+         (SELECT * FROM per WHERE arm = 1) b
+  )
+  SELECT n1::BIGINT AS n_a, n2::BIGINT AS n_b,
+         (CASE WHEN n1 > 1 AND n2 > 1 THEN
+            floor((s1::DOUBLE / n1::DOUBLE - s2::DOUBLE / n2::DOUBLE)
+                  / sqrt(((q1::DOUBLE
+                           - s1::DOUBLE * s1::DOUBLE / n1::DOUBLE)
+                          + (q2::DOUBLE
+                             - s2::DOUBLE * s2::DOUBLE / n2::DOUBLE))
+                         / (n1::DOUBLE + n2::DOUBLE - 2.0)) * 1e6)
+          ELSE 0 END)::BIGINT AS cohens_d_e6
+  FROM j
+"""
+
+
+QUERIES_ROUND6.update({
+    "kruskal_wallis_values": QuerySpec(
+        q_kruskal_wallis_values, ORACLE_KW,
+        doc="tie-corrected Kruskal-Wallis H on the doubled-midrank "
+            "grid"),
+    "cohens_d_arms": QuerySpec(
+        q_cohens_d_arms, ORACLE_COHENS_D,
+        doc="Cohen's d effect size between arms (pooled sd)"),
+})

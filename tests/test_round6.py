@@ -1703,3 +1703,63 @@ def test_runs_test_alternating_vs_streaky(spark, tmp_path):
     r2 = runs_test_daily(
         spark.read.parquet(os.path.join(d2, "events.parquet"))).collect()[0]
     assert r2["n_runs"] == 2 and r2["z_e6"] < -2_000_000
+
+
+# ===========================================================================
+# Batch 23: Kruskal-Wallis / Cohen's d
+# ===========================================================================
+
+def test_kruskal_identical_groups_small_h(spark, tmp_path):
+    rows = []
+    eid = 0
+    for g in ("view", "click"):
+        for v in (1.0, 2.0, 3.0, 4.0):
+            eid += 1
+            rows.append((eid, datetime(2024, 1, 1), 1, g, v, "{}"))
+    from bigdata_project_hust_spark.operators.eventflow import (
+        kruskal_wallis)
+    d = _events(spark, tmp_path, rows)
+    r = kruskal_wallis(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()[0]
+    assert r["k_groups"] == 2 and r["h_e3"] <= 10
+
+
+def test_kruskal_separated_groups_large_h(spark, tmp_path):
+    rows = []
+    eid = 0
+    for v in (1.0, 2.0, 3.0, 4.0):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1), 1, "view", v, "{}"))
+    for v in (100.0, 101.0, 102.0, 103.0):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1), 1, "click", v, "{}"))
+    from bigdata_project_hust_spark.operators.eventflow import (
+        kruskal_wallis)
+    d = _events(spark, tmp_path, rows)
+    r = kruskal_wallis(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()[0]
+    # fully separated 2x4: H = 12/(8*9) * (4*(2.5-4.5)^2 + 4*(6.5-4.5)^2)
+    import math as m
+    exp = 12.0 / 72.0 * (4 * 4.0 + 4 * 4.0)
+    assert abs(r["h_e3"] / 1e3 - exp) < 0.01
+
+
+def test_cohens_d_sign_and_magnitude(spark, tmp_path):
+    """Arm means 1.00 vs 10.00 with unit-ish spread -> large negative
+    d (arm0 - arm1)."""
+    rows = []
+    eid = 0
+    for u in (2, 4):
+        for v in (0.9, 1.0, 1.1):
+            eid += 1
+            rows.append((eid, datetime(2024, 1, 1), u, "view", v, "{}"))
+    for u in (3, 5):
+        for v in (9.9, 10.0, 10.1):
+            eid += 1
+            rows.append((eid, datetime(2024, 1, 1), u, "view", v, "{}"))
+    from bigdata_project_hust_spark.operators.eventflow import (
+        cohens_d_arms)
+    d = _events(spark, tmp_path, rows)
+    r = cohens_d_arms(
+        spark.read.parquet(os.path.join(d, "events.parquet"))).collect()[0]
+    assert r["cohens_d_e6"] < -50_000_000   # |d| >> 50
