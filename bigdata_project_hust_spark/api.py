@@ -1038,3 +1038,33 @@ class Engine:
         """Cohen's d between A/B arms' event values."""
         from .operators.eventflow import cohens_d_arms
         return cohens_d_arms(self.table("events"))
+
+    def normality_test(self) -> DataFrame:
+        """Jarque-Bera skew/kurtosis normality per event type."""
+        from .operators.eventflow import jarque_bera_by_type
+        return jarque_bera_by_type(self.table("events"))
+
+    def rank_concordance(self) -> DataFrame:
+        """Kendall tau-b between daily view and purchase counts."""
+        from .operators.eventflow import kendall_tau_daily
+        return kendall_tau_daily(self.table("events"))
+
+    def blocked_rank_test(self) -> DataFrame:
+        """Tie-corrected Friedman test over the day×type grid."""
+        from .operators.eventflow import friedman_daily_types
+        return friedman_daily_types(self.table("events"))
+
+    def best_split(self, label_cond=None) -> DataFrame:
+        """Depth-1 Gini decision stump on event value."""
+        from pyspark.sql import functions as F
+        from .operators.eventflow import decision_stump
+        cond = (label_cond if label_cond is not None
+                else F.col("event_type").eqNullSafe("purchase"))
+        return decision_stump(self.table("events"), cond)
+
+    def revenue_drawdown(self) -> DataFrame:
+        """Max drawdown of daily revenue per nation."""
+        from .operators.eventflow import max_drawdown_daily
+        return max_drawdown_daily(self.table("orders"),
+                                  self.table("customer"),
+                                  self.table("nation"))

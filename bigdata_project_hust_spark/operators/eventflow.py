@@ -1722,3 +1722,256 @@ def cohens_d_arms(df: DataFrame, user_col: str = "user_id",
         F.col("n2").cast("long").alias("n_b"),
         F.when(ok, F.floor(dd * 1e6)).otherwise(F.lit(0))
          .cast("long").alias("cohens_d_e6"))
+
+
+# --- Jarque-Bera: shared double-combine strings (embedded verbatim in
+# both the Spark plan via F.expr and the DuckDB oracle — the OLS
+# cross-engine-parity-by-construction trick).  Inputs are doubles
+# n_, s1, q2, q3, q4 (count and raw power sums of the cents grid).
+JB_M2 = "((q2 / n_) - ((s1 / n_) * (s1 / n_)))"
+JB_M3 = ("(((q3 / n_) - ((3.0 * (s1 / n_)) * (q2 / n_))) "
+         "+ ((2.0 * (s1 / n_)) * ((s1 / n_) * (s1 / n_))))")
+JB_M4 = ("((((q4 / n_) - ((4.0 * (s1 / n_)) * (q3 / n_))) "
+         "+ (((6.0 * (s1 / n_)) * (s1 / n_)) * (q2 / n_))) "
+         "- (((3.0 * (s1 / n_)) * (s1 / n_)) "
+         "* ((s1 / n_) * (s1 / n_))))")
+JB_SKEW = f"({JB_M3} / ({JB_M2} * sqrt({JB_M2})))"
+JB_KURT = f"(({JB_M4} / ({JB_M2} * {JB_M2})) - 3.0)"
+JB_STAT = (f"((n_ / 6.0) * (({JB_SKEW} * {JB_SKEW}) "
+           f"+ (({JB_KURT} * {JB_KURT}) / 4.0)))")
+
+
+def jarque_bera_by_type(df: DataFrame, group_col: str = "event_type",
+                        val_col: str = "value") -> DataFrame:
+    """Jarque-Bera normality test per group — skewness and excess
+    kurtosis from EXACT raw power sums (count, Σv, Σv², Σv³, Σv⁴ on
+    the cents grid, decimal(38,0) — merge-order-proof), combined into
+    central moments ONCE per group on pinned double trees shared
+    verbatim with the oracle; m2^1.5 is written ``m2·sqrt(m2)``
+    because sqrt is correctly rounded on both engines while pow is
+    libm-dependent.  One narrow hash agg over the scan — no shuffle
+    wider than one row per group at any scale."""
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    dec, d19 = "decimal(38,0)", "decimal(19,0)"
+    d = df.select(F.col(group_col).alias("g"), cents.alias("v"),
+                  (cents * cents).alias("v2"))
+    agg = d.groupBy("g").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("s1"),
+        F.sum(F.col("v2").cast(dec)).alias("q2"),
+        F.sum(F.col("v2").cast(d19) * F.col("v").cast(d19)).alias("q3"),
+        F.sum(F.col("v2").cast(d19) * F.col("v2").cast(d19)).alias("q4"))
+    dbl = agg.select(
+        "g", F.col("n").cast("long").alias("n_rows"),
+        F.col("n").cast("double").alias("n_"),
+        *[F.col(c).cast("double").alias(c)
+          for c in ("s1", "q2", "q3", "q4")])
+    ok = (F.col("n_rows") > 3) & (F.expr(JB_M2) > 0.0)
+    return dbl.select(
+        F.col("g").alias(group_col), "n_rows",
+        F.when(ok, F.floor(F.expr(JB_SKEW) * F.lit(1_000_000)))
+         .otherwise(F.lit(0)).cast("long").alias("skew_e6"),
+        F.when(ok, F.floor(F.expr(JB_KURT) * F.lit(1_000_000)))
+         .otherwise(F.lit(0)).cast("long").alias("kurt_e6"),
+        F.when(ok, F.floor(F.expr(JB_STAT) * F.lit(1_000)))
+         .otherwise(F.lit(0)).cast("long").alias("jb_e3"),
+    ).orderBy(group_col)
+
+
+KENDALL_TAU = "((c_ - d_) / sqrt((p_ - tx_) * (p_ - ty_)))"
+
+
+def kendall_tau_daily(df: DataFrame, ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      x_type: str = "view",
+                      y_type: str = "purchase") -> DataFrame:
+    """Kendall tau-b between two event types' DAILY counts: do days
+    with more views also see more purchases, rank-wise?  The O(rows)
+    work is the daily aggregation; the exact concordant/discordant
+    census then runs all-pairs on the tiny per-day series (b days →
+    b(b-1)/2 pairs — broadcast self-join, never a shuffle).  C, D and
+    the tie counts are exact integers; tau-b's single sqrt combine is
+    a pinned shared-string double, floored at e6."""
+    day = F.floor(_ts_s(ts_col) / _DAY_S).cast("long")
+    daily = (df.select(day.alias("day"), F.col(type_col).alias("t"))
+             .groupBy("day")
+             .agg(F.sum((F.col("t") == x_type).cast("long"))
+                   .alias("x"),
+                  F.sum((F.col("t") == y_type).cast("long"))
+                   .alias("y")))
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"),
+                     F.col("y").alias("ya"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"),
+                     F.col("y").alias("yb"))
+    dx = F.signum((F.col("xa") - F.col("xb")).cast("double")).cast("long")
+    dy = F.signum((F.col("ya") - F.col("yb")).cast("double")).cast("long")
+    pairs = (a.join(F.broadcast(b), F.col("da") < F.col("db"))
+             .select(dx.alias("dx"), dy.alias("dy")))
+    agg = pairs.groupBy().agg(
+        F.count("*").alias("p"),
+        F.sum((F.col("dx") * F.col("dy") == 1).cast("long")).alias("c"),
+        F.sum((F.col("dx") * F.col("dy") == -1).cast("long")).alias("d"),
+        F.sum((F.col("dx") == 0).cast("long")).alias("tx"),
+        F.sum((F.col("dy") == 0).cast("long")).alias("ty"))
+    n_days = daily.groupBy().agg(F.count("*").alias("n_days"))
+    j = agg.crossJoin(F.broadcast(n_days))
+    dbl = j.select(
+        "n_days", F.col("c").alias("n_conc"), F.col("d").alias("n_disc"),
+        *[F.col(c).cast("double").alias(f"{c}_")
+          for c in ("p", "c", "d", "tx", "ty")])
+    ok = (F.col("p_") > F.col("tx_")) & (F.col("p_") > F.col("ty_"))
+    return dbl.select(
+        "n_days", "n_conc", "n_disc",
+        F.when(ok, F.floor(F.expr(KENDALL_TAU) * F.lit(1_000_000)))
+         .otherwise(F.lit(0)).cast("long").alias("tau_b_e6"))
+
+
+def friedman_daily_types(df: DataFrame, ts_col: str = "ts",
+                         type_col: str = "event_type") -> DataFrame:
+    """Tie-corrected Friedman test: blocks = days, treatments = event
+    types, observations = daily counts on the COMPLETE day×type grid
+    (absent cells count 0 — a type with no events that day ranks
+    lowest, which is the question being asked).  With doubled midranks
+    r2 the Conover tie-corrected statistic collapses to a ratio of
+    two INTEGERS — the /4 factors cancel:
+
+        chi2 = (k-1)·Σ_j (R2_j - b(k+1))² / (Σ_ij r2² - b·k·(k+1)²)
+
+    so the whole test is exact integer arithmetic; only the final e6
+    quotient is a decimal division.  Ranking runs per-day (partitioned
+    window over k cells); every aggregate is one narrow hash agg."""
+    from pyspark.sql import Window
+    day = F.floor(_ts_s(ts_col) / _DAY_S).cast("long")
+    d = df.select(day.alias("day"), F.col(type_col).alias("t"))
+    cnt = d.groupBy("day", "t").agg(F.count("*").alias("c"))
+    days = d.select("day").distinct()
+    types = d.select("t").distinct()
+    grid = (days.crossJoin(F.broadcast(types))
+            .join(cnt, ["day", "t"], "left")
+            .select("day", "t", F.coalesce("c", F.lit(0)).alias("c")))
+    # doubled midranks of c within each day (ties share the midrank)
+    per_c = grid.groupBy("day", "c").agg(F.count("*").alias("m"))
+    wd = (Window.partitionBy("day").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    r2tab = per_c.select(
+        "day", "c",
+        (2 * (F.sum("m").over(wd) - F.col("m")) + F.col("m") + 1)
+        .alias("r2"))
+    cells = grid.join(r2tab, ["day", "c"]).select("day", "t", "r2")
+    dec = "decimal(38,0)"
+    per_t = cells.groupBy("t").agg(
+        F.sum(F.col("r2").cast(dec)).alias("r2_sum"))
+    glob = cells.groupBy().agg(
+        F.countDistinct("day").cast(dec).alias("b"),
+        F.countDistinct("t").cast(dec).alias("k"),
+        F.sum(F.col("r2").cast(dec) * F.col("r2").cast(dec))
+         .alias("sq"))
+    jj = per_t.crossJoin(F.broadcast(glob))
+    dev = F.col("r2_sum") - F.col("b") * (F.col("k") + 1)
+    nd = (jj.groupBy("b", "k", "sq")
+            .agg(F.sum(dev * dev).alias("devsq"))
+            .select(
+                F.col("b").cast("long").alias("b_days"),
+                F.col("k").cast("long").alias("k_types"),
+                ((F.col("k") - 1) * F.col("devsq")).cast(dec)
+                .alias("num"),
+                (F.col("sq") - F.col("b") * F.col("k")
+                 * (F.col("k") + 1) * (F.col("k") + 1)).cast(dec)
+                .alias("den")))
+    return nd.select(
+        "b_days", "k_types",
+        F.when(F.col("den") > 0,
+               F.expr("(num * 1000000) div den"))
+         .otherwise(F.lit(0)).cast("long").alias("chi2_e6"))
+
+
+STUMP_GINI = ("(((2.0 * (pl_ * ql_)) / nl_) "
+              "+ ((2.0 * (pr_ * qr_)) / nr_))")
+
+
+def decision_stump(df: DataFrame, label_cond,
+                   val_col: str = "value") -> DataFrame:
+    """Best single-threshold split (a depth-1 decision tree) of a
+    binary label on one numeric feature by weighted Gini impurity —
+    the greedy-split primitive under every tree ensemble, run as one
+    declarative plan: per-distinct-value (count, positives) hash agg,
+    cumulative (n_left, pos_left) via an ordered window, the impurity
+    of each candidate threshold as ONE pinned shared-string double
+    floored at e9, argmin via TakeOrdered (score, then threshold —
+    deterministic under floored-score ties).
+
+    The only unpartitioned window runs over |distinct cents| rows —
+    range-partition the candidate grid at a wider value domain.
+    Emits the best split: threshold (left = v <= thr), its scaled
+    impurity, and the left-branch census."""
+    from pyspark.sql import Window
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    d = df.select(cents.alias("v"),
+                  label_cond.cast("long").alias("y"))
+    per_v = d.groupBy("v").agg(F.count("*").alias("c"),
+                               F.sum("y").alias("pos"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v",
+        F.sum("c").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pl"))
+    tot = per_v.groupBy().agg(F.sum("c").alias("n"),
+                              F.sum("pos").alias("p"))
+    cand = (cum.crossJoin(F.broadcast(tot))
+            .where(F.col("nl") < F.col("n"))
+            .select(
+                "v", "nl", "pl",
+                F.col("n").alias("n_rows"),
+                (F.col("nl") - F.col("pl")).alias("ql"),
+                (F.col("n") - F.col("nl")).alias("nr"),
+                (F.col("p") - F.col("pl")).alias("pr")))
+    dbl = cand.select(
+        "v", "nl", "pl", "n_rows",
+        F.col("nl").cast("double").alias("nl_"),
+        F.col("pl").cast("double").alias("pl_"),
+        F.col("ql").cast("double").alias("ql_"),
+        F.col("nr").cast("double").alias("nr_"),
+        F.col("pr").cast("double").alias("pr_"),
+        (F.col("nr") - F.col("pr")).cast("double").alias("qr_"))
+    scored = dbl.select(
+        F.col("v").alias("thr_cents"),
+        F.floor(F.expr(STUMP_GINI) * F.lit(1_000_000_000))
+         .cast("long").alias("gini_e9"),
+        F.col("nl").alias("n_left"), F.col("pl").alias("pos_left"),
+        "n_rows")
+    return scored.orderBy("gini_e9", "thr_cents").limit(1)
+
+
+def max_drawdown_daily(orders: DataFrame, customer: DataFrame,
+                       nation: DataFrame) -> DataFrame:
+    """Worst peak-to-trough drop of each nation's DAILY revenue
+    series — the classic running-max window identity
+    ``dd_t = max_{s<=t}(rev_s) - rev_t`` on exact cents.  The heavy
+    work is the orders⋈customer shuffle join on custkey and the
+    (nation, day) hash agg; the drawdown itself is two windows
+    partitioned by nation over one row per day — O(days) state, any
+    scale.  All-integer output."""
+    from pyspark.sql import Window
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) \
+           .cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) \
+             .cast("long")
+    cust = customer.select("c_custkey", "c_nationkey")
+    nat = nation.select("n_nationkey", "n_name")
+    daily = (orders
+             .select(F.col("o_custkey").alias("c_custkey"),
+                     day.alias("day"), cents.alias("v"))
+             .join(cust, "c_custkey")
+             .join(F.broadcast(nat),
+                   F.col("c_nationkey") == F.col("n_nationkey"))
+             .groupBy("n_name", "day")
+             .agg(F.sum("v").alias("rev")))
+    wpk = (Window.partitionBy("n_name").orderBy("day")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    dd = daily.select(
+        "n_name",
+        (F.max("rev").over(wpk) - F.col("rev")).alias("dd"))
+    return (dd.groupBy("n_name")
+            .agg(F.max("dd").alias("max_drawdown_cents"),
+                 F.count("*").alias("n_days"))
+            .orderBy("n_name"))

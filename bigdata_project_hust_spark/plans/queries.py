@@ -3061,6 +3061,10 @@ from .round6 import QUERIES_ROUND6  # noqa: E402
 
 QUERIES.update(QUERIES_ROUND6)
 
+from .round7 import QUERIES_ROUND7  # noqa: E402
+
+QUERIES.update(QUERIES_ROUND7)
+
 # ---------------------------------------------------------------------------
 # Driver-sweep rotation.
 #

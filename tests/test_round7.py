@@ -1,0 +1,263 @@
+"""Round-7 operators: hand-value unit tests + 100 TB plan gates for
+Jarque-Bera, Kendall tau-b, Friedman, the Gini decision stump, and
+max drawdown."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from bigdata_project_hust_spark.operators.eventflow import (
+    decision_stump, friedman_daily_types, jarque_bera_by_type,
+    kendall_tau_daily, max_drawdown_daily)
+from bigdata_project_hust_spark.plans.queries import QUERIES
+from bigdata_project_hust_spark.plans.round7 import QUERIES_ROUND7
+
+from .conftest import SF_SMOKE
+from .test_plans import plan_of
+
+
+def _events(spark, tmp_path, rows):
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string") \
+        .write.mode("overwrite") \
+        .parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def _ev(spark, tmp_path, rows):
+    d = _events(spark, tmp_path, rows)
+    return spark.read.parquet(os.path.join(d, "events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera
+# ---------------------------------------------------------------------------
+
+def test_jarque_bera_uniform4_hand_values(spark, tmp_path):
+    """{1,2,3,4} cents-scaled: skew exactly 0; excess kurtosis
+    2.5625/1.5625 - 3 = -1.36; JB = (4/6)(1.36^2/4) = 0.30826…"""
+    rows = [(i + 1, datetime(2024, 1, 1), 1, "view", v, "{}")
+            for i, v in enumerate((0.01, 0.02, 0.03, 0.04))]
+    r = jarque_bera_by_type(_ev(spark, tmp_path, rows)).collect()[0]
+    assert r["n_rows"] == 4
+    assert r["skew_e6"] == 0
+    assert r["kurt_e6"] == -1_360_000
+    assert r["jb_e3"] == 308
+
+
+def test_jarque_bera_right_skew_positive(spark, tmp_path):
+    """One far-right outlier → positive skewness."""
+    rows = [(i + 1, datetime(2024, 1, 1), 1, "view", v, "{}")
+            for i, v in enumerate((1.0, 1.0, 1.0, 1.0, 50.0))]
+    r = jarque_bera_by_type(_ev(spark, tmp_path, rows)).collect()[0]
+    assert r["skew_e6"] > 1_000_000 and r["jb_e3"] > 0
+
+
+def test_jarque_bera_degenerate_zero(spark, tmp_path):
+    """Constant values → m2 = 0 → all stats gated to 0."""
+    rows = [(i + 1, datetime(2024, 1, 1), 1, "view", 2.0, "{}")
+            for i in range(5)]
+    r = jarque_bera_by_type(_ev(spark, tmp_path, rows)).collect()[0]
+    assert (r["skew_e6"], r["kurt_e6"], r["jb_e3"]) == (0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b
+# ---------------------------------------------------------------------------
+
+def _day_events(spark, tmp_path, day_counts):
+    """day_counts: list of (views, purchases) per consecutive day."""
+    rows, eid = [], 0
+    for d, (nv, np_) in enumerate(day_counts):
+        t = datetime(2024, 1, 1) + timedelta(days=d)
+        for _ in range(nv):
+            eid += 1
+            rows.append((eid, t, 1, "view", 1.0, "{}"))
+        for _ in range(np_):
+            eid += 1
+            rows.append((eid, t, 1, "purchase", 1.0, "{}"))
+    return _ev(spark, tmp_path, rows)
+
+
+def test_kendall_perfect_concordance(spark, tmp_path):
+    r = kendall_tau_daily(
+        _day_events(spark, tmp_path, [(1, 1), (2, 2), (3, 3)])) \
+        .collect()[0]
+    assert r["n_days"] == 3 and r["n_conc"] == 3 and r["n_disc"] == 0
+    assert r["tau_b_e6"] == 1_000_000
+
+
+def test_kendall_perfect_discordance(spark, tmp_path):
+    r = kendall_tau_daily(
+        _day_events(spark, tmp_path, [(1, 3), (2, 2), (3, 1)])) \
+        .collect()[0]
+    assert r["n_disc"] == 3 and r["tau_b_e6"] == -1_000_000
+
+
+def test_kendall_all_tied_gated(spark, tmp_path):
+    """x constant across days → denominator gate → 0."""
+    r = kendall_tau_daily(
+        _day_events(spark, tmp_path, [(2, 1), (2, 2), (2, 3)])) \
+        .collect()[0]
+    assert r["tau_b_e6"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Friedman
+# ---------------------------------------------------------------------------
+
+def test_friedman_perfect_separation_k2(spark, tmp_path):
+    """Type A beats B on both days → chi2 = b(k-1) = 2 exactly."""
+    rows, eid = [], 0
+    for d in range(2):
+        t = datetime(2024, 1, 1) + timedelta(days=d)
+        for _ in range(2):
+            eid += 1
+            rows.append((eid, t, 1, "view", 1.0, "{}"))
+        eid += 1
+        rows.append((eid, t, 1, "purchase", 1.0, "{}"))
+    r = friedman_daily_types(_ev(spark, tmp_path, rows)).collect()[0]
+    assert r["b_days"] == 2 and r["k_types"] == 2
+    assert r["chi2_e6"] == 2_000_000
+
+
+def test_friedman_all_tied_gated(spark, tmp_path):
+    """Every type has the same count every day → den = 0 → gated 0."""
+    rows, eid = [], 0
+    for d in range(2):
+        t = datetime(2024, 1, 1) + timedelta(days=d)
+        for ty in ("view", "purchase"):
+            eid += 1
+            rows.append((eid, t, 1, ty, 1.0, "{}"))
+    r = friedman_daily_types(_ev(spark, tmp_path, rows)).collect()[0]
+    assert r["chi2_e6"] == 0
+
+
+def test_friedman_absent_cell_ranks_lowest(spark, tmp_path):
+    """A type absent on a day enters the grid as count 0 (complete
+    grid), so the statistic still sees k types on every day."""
+    rows = [(1, datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+            (2, datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+            (3, datetime(2024, 1, 2), 1, "view", 1.0, "{}"),
+            (4, datetime(2024, 1, 2), 1, "purchase", 1.0, "{}")]
+    r = friedman_daily_types(_ev(spark, tmp_path, rows)).collect()[0]
+    assert r["b_days"] == 2 and r["k_types"] == 2
+    # day1: view r2=4, purchase(0) r2=2; day2: tie → both r2=3
+    # R2: view 7, purchase 5; dev ±1 → devsq 2; num = 2
+    # sq = 16+4+9+9 = 38; den = 38 - 2*2*9 = 2 → chi2 = 1.0
+    assert r["chi2_e6"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Decision stump
+# ---------------------------------------------------------------------------
+
+def test_stump_perfect_split(spark, tmp_path):
+    """Views at 0.50, purchases at 2.00 → threshold 50 splits
+    perfectly: gini 0, left branch pure-negative."""
+    rows = [(1, datetime(2024, 1, 1), 1, "view", 0.5, "{}"),
+            (2, datetime(2024, 1, 1), 1, "view", 0.5, "{}"),
+            (3, datetime(2024, 1, 1), 1, "purchase", 2.0, "{}"),
+            (4, datetime(2024, 1, 1), 1, "purchase", 2.0, "{}")]
+    r = decision_stump(
+        _ev(spark, tmp_path, rows),
+        F.col("event_type").eqNullSafe("purchase")).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r["thr_cents"] == 50 and r["gini_e9"] == 0
+    assert r["n_left"] == 2 and r["pos_left"] == 0
+
+
+def test_stump_tie_breaks_on_smallest_threshold(spark, tmp_path):
+    """All labels identical → every split scores 0; the smallest
+    candidate threshold wins deterministically."""
+    rows = [(i + 1, datetime(2024, 1, 1), 1, "view", float(i + 1), "{}")
+            for i in range(4)]
+    r = decision_stump(
+        _ev(spark, tmp_path, rows),
+        F.col("event_type").eqNullSafe("purchase")).collect()[0]
+    assert r["thr_cents"] == 100 and r["gini_e9"] == 0
+
+
+def test_stump_hand_gini(spark, tmp_path):
+    """v=1: 1 pos + 1 neg; v=2: 2 neg. Split at 100:
+    left (1,1): 2·(1·1)/2 = 1; right (0,2): 0 → score 1.0."""
+    rows = [(1, datetime(2024, 1, 1), 1, "purchase", 1.0, "{}"),
+            (2, datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+            (3, datetime(2024, 1, 1), 1, "view", 2.0, "{}"),
+            (4, datetime(2024, 1, 1), 1, "view", 2.0, "{}")]
+    r = decision_stump(
+        _ev(spark, tmp_path, rows),
+        F.col("event_type").eqNullSafe("purchase")).collect()[0]
+    assert r["thr_cents"] == 100
+    assert r["gini_e9"] == 1_000_000_000
+
+
+# ---------------------------------------------------------------------------
+# Max drawdown
+# ---------------------------------------------------------------------------
+
+def test_drawdown_hand_values(spark):
+    """Daily revenue 10,30,20,25,5 → peaks 10,30,30,30,30 →
+    max drawdown 25.00 = 2500 cents."""
+    orders = spark.createDataFrame(
+        [(i, 1, datetime(2024, 1, 1 + i).date(), float(v))
+         for i, v in enumerate((10, 30, 20, 25, 5))],
+        "o_orderkey long, o_custkey long, o_orderdate date, "
+        "o_totalprice double")
+    customer = spark.createDataFrame(
+        [(1, 7)], "c_custkey long, c_nationkey long")
+    nation = spark.createDataFrame(
+        [(7, "GERMANY")], "n_nationkey long, n_name string")
+    r = max_drawdown_daily(orders, customer, nation).collect()
+    assert len(r) == 1
+    assert r[0]["n_name"] == "GERMANY"
+    assert r[0]["max_drawdown_cents"] == 2500 and r[0]["n_days"] == 5
+
+
+def test_drawdown_monotone_rising_is_zero(spark):
+    orders = spark.createDataFrame(
+        [(i, 1, datetime(2024, 1, 1 + i).date(), float(v))
+         for i, v in enumerate((10, 20, 30))],
+        "o_orderkey long, o_custkey long, o_orderdate date, "
+        "o_totalprice double")
+    customer = spark.createDataFrame(
+        [(1, 7)], "c_custkey long, c_nationkey long")
+    nation = spark.createDataFrame(
+        [(7, "FRANCE")], "n_nationkey long, n_name string")
+    r = max_drawdown_daily(orders, customer, nation).collect()[0]
+    assert r["max_drawdown_cents"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Plan gates
+# ---------------------------------------------------------------------------
+
+def test_drawdown_plan_broadcasts_nation(spark):
+    plan = plan_of(QUERIES["max_drawdown_nation"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kendall_plan_broadcasts_pair_side(spark):
+    """The all-pairs self-join runs on the tiny daily aggregate —
+    broadcast NLJ, never a shuffle join."""
+    plan = plan_of(QUERIES["kendall_view_purchase"].fn(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stump_plan_takeordered_argmin(spark):
+    plan = plan_of(QUERIES["decision_stump_purchase"].fn(spark,
+                                                         SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_round7_queries_no_cartesian(spark):
+    for name, spec in QUERIES_ROUND7.items():
+        plan = plan_of(spec.fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
