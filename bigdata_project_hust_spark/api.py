@@ -1068,3 +1068,26 @@ class Engine:
         return max_drawdown_daily(self.table("orders"),
                                   self.table("customer"),
                                   self.table("nation"))
+
+    def distinct_sketch(self, table: str = "orders",
+                        col: str = "o_custkey") -> DataFrame:
+        """KMV(64) distinct-cardinality estimate vs exact."""
+        from .operators.sketches import kmv_distinct
+        return kmv_distinct(self.table(table), col)
+
+    def phrase_search(self, phrase: str) -> DataFrame:
+        """Quoted-phrase hit counts over the document corpus."""
+        from .operators.text import phrase_hits
+        return phrase_hits(self.table("documents"), phrase)
+
+    def shard_manifest(self, target_bytes: int = 1 << 14) -> DataFrame:
+        """Deterministic output-shard plan for the corpus."""
+        from pyspark.sql import functions as F
+        from .operators.scale import shard_plan
+        return shard_plan(self.table("documents"), F.length("text"),
+                          target_bytes=target_bytes)
+
+    def correlogram(self, max_lag: int = 7) -> DataFrame:
+        """ACF of daily value totals at lags 1..max_lag."""
+        from .operators.eventflow import acf_daily_totals
+        return acf_daily_totals(self.table("events"), max_lag)

@@ -1975,3 +1975,60 @@ def max_drawdown_daily(orders: DataFrame, customer: DataFrame,
             .agg(F.max("dd").alias("max_drawdown_cents"),
                  F.count("*").alias("n_days"))
             .orderBy("n_name"))
+
+
+ACF_R = ("(((n_ * sxy) - (sx * sy)) "
+         "/ (sqrt((n_ * sxx) - (sx * sx)) "
+         "* sqrt((n_ * syy) - (sy * sy))))")
+
+
+def acf_daily_totals(df: DataFrame, max_lag: int = 7,
+                     ts_col: str = "ts",
+                     val_col: str = "value") -> DataFrame:
+    """Autocorrelation of the daily-total series at lags 1..max_lag
+    in ONE plan — the correlogram behind seasonality/PACF eyeballing.
+    The O(rows) work is the daily cents aggregation; the lag fan-out
+    is a broadcast theta-join of the tiny series against itself
+    (day_a = day_b + lag), one row per (lag, aligned pair).  Each
+    lag's Pearson r then combines exact decimal moments once on the
+    shared pinned string, floored at e6.  Gaps in the calendar pair
+    only genuinely lag-separated days — missing days drop out instead
+    of faking zeros."""
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    day = F.floor(_ts_s(ts_col) / _DAY_S).cast("long")
+    daily = (df.select(day.alias("day"), cents.alias("v"))
+             .groupBy("day").agg(F.sum("v").alias("t")))
+    lags = daily.sparkSession.range(1, max_lag + 1) \
+                .select(F.col("id").alias("lag"))
+    a = daily.select(F.col("day").alias("da"), F.col("t").alias("x"))
+    b = daily.select(F.col("day").alias("db"), F.col("t").alias("y"))
+    # precompute the partner day on the left so the lag join carries a
+    # one-sided equi key (match_day == db) — BroadcastHashJoin, not a
+    # nested-loop theta join
+    pairs = (a.crossJoin(F.broadcast(lags))
+             .select("lag", "x",
+                     (F.col("da") - F.col("lag")).alias("match_day"))
+             .join(F.broadcast(b),
+                   F.col("match_day") == F.col("db")))
+    dec, d19 = "decimal(38,0)", "decimal(19,0)"
+    x, y = F.col("x").cast(d19), F.col("y").cast(d19)
+    agg = pairs.groupBy("lag").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"))
+    dbl = agg.select(
+        "lag", F.col("n").cast("long").alias("n_pairs"),
+        F.col("n").cast("double").alias("n_"),
+        *[F.col(c).cast("double").alias(c)
+          for c in ("sx", "sy", "sxx", "syy", "sxy")])
+    ok = ((F.col("n_pairs") > 1)
+          & (F.col("n_") * F.col("sxx") > F.col("sx") * F.col("sx"))
+          & (F.col("n_") * F.col("syy") > F.col("sy") * F.col("sy")))
+    return dbl.select(
+        "lag", "n_pairs",
+        F.when(ok, F.floor(F.expr(ACF_R) * F.lit(1_000_000)))
+         .otherwise(F.lit(0)).cast("long").alias("acf_e6")
+    ).orderBy("lag")

@@ -181,3 +181,35 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
                 * F.lit(1_000_000)
                 / (F.col("n_keys") * F.col("n_rows")))
          .cast("long").alias("gini_e6"))
+
+
+def shard_plan(df: DataFrame, size_col: Column | str,
+               source_col: str = "source", id_col: str = "doc_id",
+               target_bytes: int = 1 << 14) -> DataFrame:
+    """Deterministic output-shard assignment by running byte total —
+    the compaction/sharding planner that turns a skewed document set
+    into ~target-sized output files (the small-files problem at the
+    write edge).  Shard id = cumulative bytes BEFORE the row,
+    integer-divided by the target: pure prefix arithmetic (exact
+    ``div``, never a double), reproducible across engines and reruns,
+    one per-source partitioned window (no global sort).  A row larger
+    than the target gets its own shard by construction.  Emits the
+    per-shard manifest (doc count + actual bytes) the writer would
+    execute."""
+    from pyspark.sql import Window
+    c = F.col(size_col) if isinstance(size_col, str) else size_col
+    w = (Window.partitionBy(source_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    sized = df.select(F.col(source_col), F.col(id_col),
+                      c.cast("long").alias("bytes"))
+    planned = (sized
+               .select(source_col, "bytes",
+                       (F.sum("bytes").over(w) - F.col("bytes"))
+                       .cast("long").alias("cum_before"))
+               .select(source_col, "bytes",
+                       F.expr(f"cum_before div {target_bytes}")
+                        .alias("shard_id")))
+    return (planned.groupBy(source_col, "shard_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("bytes").alias("shard_bytes"))
+            .orderBy(source_col, "shard_id"))

@@ -697,3 +697,108 @@ def sliding_hll_wau(df: DataFrame, user_col: str = "user_id",
                     (F.col("merged_chk") == F.col("direct_chk"))
                     .cast("long").alias("merge_matches_direct"))
             .orderBy("day"))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch
+# ---------------------------------------------------------------------------
+#
+# Keep the k smallest distinct hash values; the k-th smallest h_k
+# estimates distinct cardinality as (k-1)·M/h_k (M = 2^60, our hash
+# space).  Unlike HLL the whole state is k longs and every step —
+# hash, distinct, k-smallest, the final division — is exact integer
+# arithmetic, so Spark and the DuckDB oracle agree bit-for-bit with
+# NO pinned-double anywhere.  Reference capability: approximate
+# distinct counts at bounded memory (the Mongo-side count audit),
+# re-expressed as a mergeable sketch.
+
+_KMV_M = 1 << 60  # stable_hash64 draws uniformly from [0, 2^60)
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 64,
+                 seed: int = 31) -> DataFrame:
+    """KMV cardinality estimate next to the exact count (the audit
+    shape).  Plan: hash projection → distinct (one shuffle on the
+    hash) → TakeOrdered k (per-partition top-k, merged on the driver
+    — k longs over the wire) + one exact distinct agg.  With fewer
+    than k distinct values the sketch IS the exact set and the
+    estimate equals the exact count."""
+    h = stable_hash64(F.col(col).cast("string"), seed)
+    hashes = df.select(h.alias("h")).distinct()
+    smallest = hashes.orderBy("h").limit(k)
+    dec = "decimal(38,0)"
+    sk = (smallest.groupBy()
+          .agg(F.count("*").alias("k_used"),
+               F.max("h").alias("h_k")))
+    exact = hashes.groupBy().agg(F.count("*").alias("n_exact"))
+    j = sk.crossJoin(F.broadcast(exact))
+    est = F.expr(f"(CAST(k_used - 1 AS DECIMAL(38,0)) * "
+                 f"CAST({_KMV_M} AS DECIMAL(38,0))) div "
+                 f"CAST(h_k AS DECIMAL(38,0))").cast("long")
+    return j.select(
+        "k_used", "h_k", "n_exact",
+        F.when(F.col("k_used") < F.lit(k), F.col("n_exact"))
+         .otherwise(est).cast("long").alias("est_distinct"))
+
+
+def kmv_distinct_oracle(table: str, col: str, k: int = 64,
+                        seed: int = 31) -> str:
+    hexpr = stable_hash64_sql(f"{col}::VARCHAR", seed)
+    return f"""
+  WITH hashes AS (SELECT DISTINCT {hexpr} AS h FROM {table}),
+  smallest AS (SELECT h FROM hashes ORDER BY h LIMIT {k}),
+  sk AS (SELECT count(*)::BIGINT AS k_used, max(h)::BIGINT AS h_k
+         FROM smallest),
+  ex AS (SELECT count(*)::BIGINT AS n_exact FROM hashes)
+  SELECT k_used, h_k, n_exact,
+         (CASE WHEN k_used < {k} THEN n_exact
+               ELSE ((k_used - 1)::HUGEINT * {_KMV_M}::HUGEINT)
+                    // h_k::HUGEINT END)::BIGINT AS est_distinct
+  FROM sk, ex
+"""
+
+
+def kmv_jaccard(a: DataFrame, col_a: str, b: DataFrame, col_b: str,
+                k: int = 64, seed: int = 31) -> DataFrame:
+    """KMV set-similarity: the k smallest hashes of the UNION are an
+    unbiased sample of it; the fraction also present in both sides
+    estimates Jaccard.  Membership flags come from two hash-key left
+    semi joins against the k-row union sketch (broadcast — k longs),
+    so nothing wider than the two distinct projections ever
+    shuffles.  Output in basis points, exact integer division."""
+    ha = a.select(stable_hash64(F.col(col_a).cast("string"), seed)
+                  .alias("h")).distinct()
+    hb = b.select(stable_hash64(F.col(col_b).cast("string"), seed)
+                  .alias("h")).distinct()
+    union_sketch = ha.unionByName(hb).distinct().orderBy("h").limit(k)
+    in_a = union_sketch.join(ha, "h", "left_semi")
+    in_b = union_sketch.join(hb, "h", "left_semi")
+    both = in_a.join(in_b, "h", "left_semi")
+    cnt = union_sketch.groupBy().agg(F.count("*").alias("k_used"))
+    m = both.groupBy().agg(F.count("*").alias("n_both"))
+    j = cnt.crossJoin(F.broadcast(m))
+    return j.select(
+        "k_used", "n_both",
+        F.expr("(CAST(n_both AS DECIMAL(38,0)) * 10000) div "
+               "CAST(k_used AS DECIMAL(38,0))").cast("long")
+         .alias("jaccard_bp"))
+
+
+def kmv_jaccard_oracle(table_a: str, col_a: str,
+                       table_b: str, col_b: str,
+                       k: int = 64, seed: int = 31) -> str:
+    hx_a = stable_hash64_sql(f"{col_a}::VARCHAR", seed)
+    hx_b = stable_hash64_sql(f"{col_b}::VARCHAR", seed)
+    return f"""
+  WITH ha AS (SELECT DISTINCT {hx_a} AS h FROM {table_a}),
+  hb AS (SELECT DISTINCT {hx_b} AS h FROM {table_b}),
+  u AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+        ORDER BY h LIMIT {k}),
+  cnt AS (SELECT count(*)::BIGINT AS k_used FROM u),
+  m AS (SELECT count(*)::BIGINT AS n_both FROM u
+        WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb))
+  SELECT k_used, n_both,
+         ((n_both::HUGEINT * 10000) // k_used::HUGEINT)::BIGINT
+           AS jaccard_bp
+  FROM cnt, m
+"""

@@ -1498,3 +1498,63 @@ def retrieval_eval(df: DataFrame, query_terms: list[str], k: int = 10,
              F.when(F.col("idcg_e9") > 0,
                     F.expr("(dcg_e9 * 1000000) div idcg_e9"))
               .otherwise(F.lit(0)).cast("long").alias("ndcg_e6"))
+
+
+def phrase_hits(df: DataFrame, phrase: str, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact multi-word phrase search over the positional token index
+    — the inverted-index-with-positions primitive under every "quoted
+    query" feature.  Each phrase word becomes a filtered projection of
+    the (doc, pos, tok) index normalized to the phrase START position
+    (pos - i); an n-way equi join on (doc, start) keeps exactly the
+    positions where all n words line up consecutively.  The word
+    filters push into the index scan, and every join key is
+    (doc, start) — co-partitioned end to end, no join wider than the
+    per-word posting lists at any corpus size.  Output: doc and its
+    occurrence count, matching docs only."""
+    words = phrase.lower().split()
+    if len(words) < 2:
+        raise ValueError("phrase_hits wants a multi-word phrase")
+    idx = (df.select(F.col(id_col),
+                     F.posexplode(tokens(text_col))
+                      .alias("pos", "tok")))
+    streams = [
+        idx.where(F.col("tok") == w)
+           .select(F.col(id_col), (F.col("pos") - i).alias("start"))
+        for i, w in enumerate(words)]
+    hits = streams[0]
+    for s in streams[1:]:
+        hits = hits.join(s, [id_col, "start"])
+    return (hits.groupBy(id_col)
+            .agg(F.count("*").alias("n_hits"))
+            .orderBy(id_col))
+
+
+def phrase_hits_oracle(phrase: str, table: str = "documents",
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """DuckDB twin: same tokenizer, same start-aligned n-way join."""
+    words = phrase.lower().split()
+    streams = ",\n".join(
+        f"  s{i} AS (SELECT {id_col}, (pos - {i}) AS start FROM idx "
+        f"WHERE tok = '{w}')"
+        for i, w in enumerate(words))
+    joins = " ".join(
+        f"JOIN s{i} USING ({id_col}, start)"
+        for i in range(1, len(words)))
+    return rf"""
+  WITH w AS (
+    SELECT {id_col},
+           list_filter(string_split_regex(lower({text_col}), '\s+'),
+                       t -> t <> '') AS w
+    FROM {table}
+  ),
+  idx AS (
+    SELECT {id_col}, (i - 1)::INT AS pos, w[i] AS tok
+    FROM w, unnest(generate_series(1, len(w))) AS t(i)
+  ),
+{streams}
+  SELECT {id_col}, count(*)::BIGINT AS n_hits
+  FROM s0 {joins}
+  GROUP BY {id_col} ORDER BY {id_col}
+"""

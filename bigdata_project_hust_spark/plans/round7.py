@@ -288,3 +288,164 @@ QUERIES_ROUND7.update({
         doc="max drawdown of daily revenue per nation "
             "(running-peak window)"),
 })
+
+
+# ===========================================================================
+# Batch 2: KMV sketch, phrase search, shard planner, SQL surface, ACF
+# ===========================================================================
+
+from ..operators import scale, sketches, text  # noqa: E402
+
+
+def q_kmv_distinct_custkeys(spark, sf_dir):
+    """KMV(64) cardinality estimate of ordering customers next to the
+    exact count — all-integer sketch, bit-for-bit cross-engine."""
+    return sketches.kmv_distinct(_t(spark, sf_dir, "orders"),
+                                 "o_custkey")
+
+
+def q_kmv_jaccard_custkeys(spark, sf_dir):
+    """KMV union-sample Jaccard between ordering custkeys and the
+    full customer key set (basis points, exact integer division)."""
+    return sketches.kmv_jaccard(
+        _t(spark, sf_dir, "orders"), "o_custkey",
+        _t(spark, sf_dir, "customer"), "c_custkey")
+
+
+def q_phrase_search_the_part(spark, sf_dir):
+    """Quoted-phrase search ("the part") via the positional inverted
+    index — start-aligned n-way join on (doc, start)."""
+    return text.phrase_hits(_t(spark, sf_dir, "documents"),
+                            "the part")
+
+
+def q_shard_plan_documents(spark, sf_dir):
+    """Per-source output-shard manifest: running byte totals
+    integer-divided by a 16 KiB target."""
+    d = _t(spark, sf_dir, "documents")
+    return scale.shard_plan(d, F.length("text"))
+
+
+ORACLE_SHARD_PLAN = """
+  WITH sized AS (
+    SELECT source, doc_id, length(text)::BIGINT AS bytes
+    FROM documents
+  ),
+  planned AS (
+    SELECT source, bytes,
+           ((sum(bytes) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - bytes) // 16384)::BIGINT AS shard_id
+    FROM sized
+  )
+  SELECT source, shard_id, count(*)::BIGINT AS n_docs,
+         sum(bytes)::BIGINT AS shard_bytes
+  FROM planned GROUP BY source, shard_id
+  ORDER BY source, shard_id
+"""
+
+
+def q_filter_clause_rollup(spark, sf_dir):
+    """SQL-surface breadth: aggregate FILTER (WHERE …) clauses plus a
+    named WINDOW clause ranking the grouped rows — one grouped scan,
+    no CASE-expression contortions."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_r7")
+    return spark.sql("""
+      SELECT o_orderpriority,
+             count(*) AS n_orders,
+             count(*) FILTER (WHERE o_orderstatus = 'F')
+               AS n_finished,
+             count(*) FILTER (WHERE o_totalprice > 100000.0)
+               AS n_large,
+             rank() OVER w AS priority_rank
+      FROM orders_r7
+      GROUP BY o_orderpriority
+      WINDOW w AS (ORDER BY count(*) DESC, o_orderpriority)
+    """)
+
+
+ORACLE_FILTER_CLAUSE = """
+  SELECT o_orderpriority,
+         count(*)::BIGINT AS n_orders,
+         (count(*) FILTER (WHERE o_orderstatus = 'F'))::BIGINT
+           AS n_finished,
+         (count(*) FILTER (WHERE o_totalprice > 100000.0))::BIGINT
+           AS n_large,
+         rank() OVER w AS priority_rank
+  FROM orders
+  GROUP BY o_orderpriority
+  WINDOW w AS (ORDER BY count(*) DESC, o_orderpriority)
+"""
+
+
+def q_acf_daily_values(spark, sf_dir):
+    """Correlogram of the daily value-total series, lags 1..7 in one
+    plan (broadcast lag fan-out, exact per-lag moments)."""
+    return eventflow.acf_daily_totals(_t(spark, sf_dir, "events"))
+
+
+ORACLE_ACF = f"""
+  WITH daily AS (
+    SELECT floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day,
+           sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS t
+    FROM events GROUP BY 1
+  ),
+  pairs AS (
+    SELECT l.lag, a.t AS x, b.t AS y
+    FROM (SELECT unnest(generate_series(1, 7))::BIGINT AS lag) l
+    JOIN daily a ON true
+    JOIN daily b ON a.day = b.day + l.lag
+  ),
+  agg AS (
+    SELECT lag, count(*)::HUGEINT AS n,
+           sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+           sum(x::HUGEINT * x::HUGEINT) AS sxx,
+           sum(y::HUGEINT * y::HUGEINT) AS syy,
+           sum(x::HUGEINT * y::HUGEINT) AS sxy
+    FROM pairs GROUP BY lag
+  ),
+  dbl AS (
+    SELECT lag, n::BIGINT AS n_pairs, n::DOUBLE AS n_,
+           sx::DOUBLE AS sx, sy::DOUBLE AS sy, sxx::DOUBLE AS sxx,
+           syy::DOUBLE AS syy, sxy::DOUBLE AS sxy
+    FROM agg
+  )
+  SELECT lag, n_pairs,
+         (CASE WHEN n_pairs > 1
+                    AND n_ * sxx > sx * sx
+                    AND n_ * syy > sy * sy
+               THEN floor(({eventflow.ACF_R}) * 1000000)
+               ELSE 0 END)::BIGINT AS acf_e6
+  FROM dbl ORDER BY lag
+"""
+
+
+QUERIES_ROUND7.update({
+    "kmv_distinct_custkeys": QuerySpec(
+        q_kmv_distinct_custkeys,
+        sketches.kmv_distinct_oracle("orders", "o_custkey"),
+        doc="KMV(64) distinct sketch vs exact (all-integer "
+            "estimate)"),
+    "kmv_jaccard_custkeys": QuerySpec(
+        q_kmv_jaccard_custkeys,
+        sketches.kmv_jaccard_oracle("orders", "o_custkey",
+                                    "customer", "c_custkey"),
+        doc="KMV union-sample Jaccard in basis points"),
+    "phrase_search_the_part": QuerySpec(
+        q_phrase_search_the_part,
+        text.phrase_hits_oracle("the part"),
+        doc="positional-index quoted-phrase search (start-aligned "
+            "n-way join)"),
+    "shard_plan_documents": QuerySpec(
+        q_shard_plan_documents, ORACLE_SHARD_PLAN,
+        doc="deterministic output-shard planner (running-byte "
+            "integer div)"),
+    "filter_clause_rollup": QuerySpec(
+        q_filter_clause_rollup, ORACLE_FILTER_CLAUSE,
+        doc="aggregate FILTER clauses + named WINDOW clause "
+            "(SQL surface)"),
+    "acf_daily_values": QuerySpec(
+        q_acf_daily_values, ORACLE_ACF,
+        doc="multi-lag correlogram of daily totals (one-plan lag "
+            "fan-out)"),
+})

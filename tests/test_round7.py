@@ -261,3 +261,123 @@ def test_round7_queries_no_cartesian(spark):
     for name, spec in QUERIES_ROUND7.items():
         plan = plan_of(spec.fn(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
+
+
+# ===========================================================================
+# Batch 2: KMV, phrase search, shard plan, SQL surface, ACF
+# ===========================================================================
+
+from bigdata_project_hust_spark.operators.scale import shard_plan
+from bigdata_project_hust_spark.operators.sketches import (
+    kmv_distinct, kmv_jaccard)
+from bigdata_project_hust_spark.operators.text import phrase_hits
+from bigdata_project_hust_spark.operators.eventflow import (
+    acf_daily_totals)
+
+
+def test_kmv_small_set_is_exact(spark):
+    df = spark.range(10).select(F.col("id").alias("k"))
+    r = kmv_distinct(df, "k", k=64).collect()[0]
+    assert r["k_used"] == 10 and r["n_exact"] == 10
+    assert r["est_distinct"] == 10
+
+
+def test_kmv_estimate_within_2x(spark):
+    """KMV(64) over 1000 distinct keys: deterministic estimate lands
+    within a loose 2x band (k=64 → ~12% stddev)."""
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    r = kmv_distinct(df, "k", k=64).collect()[0]
+    assert r["k_used"] == 64
+    assert 500 <= r["est_distinct"] <= 2000
+
+
+def test_kmv_jaccard_identical_and_disjoint(spark):
+    a = spark.range(100).select(F.col("id").alias("k"))
+    b = spark.range(100, 200).select(F.col("id").alias("k"))
+    same = kmv_jaccard(a, "k", a, "k", k=32).collect()[0]
+    assert same["jaccard_bp"] == 10000
+    disj = kmv_jaccard(a, "k", b, "k", k=32).collect()[0]
+    assert disj["jaccard_bp"] == 0
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_phrase_hits_counts_and_misses(spark):
+    d = _docs(spark, [
+        (1, "the part is the part"),      # 2 hits
+        (2, "part the part"),             # 1 hit
+        (3, "the and part but never adjacent"),
+        (4, "THE PART uppercase"),        # tokenizer lowercases → 1
+    ])
+    r = {x["doc_id"]: x["n_hits"]
+         for x in phrase_hits(d, "the part").collect()}
+    assert r == {1: 2, 2: 1, 4: 1}
+
+
+def test_phrase_hits_overlapping_occurrences(spark):
+    d = _docs(spark, [(1, "a a a")])
+    r = phrase_hits(d, "a a").collect()
+    assert r[0]["n_hits"] == 2
+
+
+def test_phrase_hits_three_words(spark):
+    d = _docs(spark, [(1, "x the big part y"), (2, "the big part"),
+                      (3, "the big small part")])
+    r = {x["doc_id"]: x["n_hits"]
+         for x in phrase_hits(d, "the big part").collect()}
+    assert r == {1: 1, 2: 1}
+
+
+def test_shard_plan_hand_values(spark):
+    df = spark.createDataFrame(
+        [("s", i, "x" * n) for i, n in
+         enumerate((10, 10, 10))],
+        "source string, doc_id long, text string")
+    r = shard_plan(df, F.length("text"), target_bytes=16).collect()
+    got = [(x["shard_id"], x["n_docs"], x["shard_bytes"]) for x in r]
+    # cum_before 0,10,20 → shards 0,0,1
+    assert got == [(0, 2, 20), (1, 1, 10)]
+
+
+def test_shard_plan_oversized_doc_own_shard(spark):
+    df = spark.createDataFrame(
+        [("s", 0, "x" * 100), ("s", 1, "y" * 5)],
+        "source string, doc_id long, text string")
+    r = shard_plan(df, F.length("text"), target_bytes=16).collect()
+    got = [(x["shard_id"], x["n_docs"]) for x in r]
+    assert got == [(0, 1), (6, 1)]
+
+
+def test_acf_alternating_series(spark, tmp_path):
+    """Daily totals 1,3,1,3,… → lag1 r = -1, lag2 r = +1."""
+    rows, eid = [], 0
+    for d in range(8):
+        t = datetime(2024, 1, 1) + timedelta(days=d)
+        eid += 1
+        rows.append((eid, t, 1, "view", 1.0 if d % 2 == 0 else 3.0,
+                     "{}"))
+    r = {x["lag"]: x["acf_e6"]
+         for x in acf_daily_totals(_ev(spark, tmp_path, rows))
+         .collect()}
+    assert r[1] == -1_000_000 and r[2] == 1_000_000
+
+
+def test_acf_constant_series_gated(spark, tmp_path):
+    rows = [(d + 1, datetime(2024, 1, 1) + timedelta(days=d), 1,
+             "view", 2.0, "{}") for d in range(5)]
+    r = acf_daily_totals(_ev(spark, tmp_path, rows)).collect()
+    assert all(x["acf_e6"] == 0 for x in r)
+
+
+def test_kmv_plan_takeordered(spark):
+    plan = plan_of(QUERIES["kmv_distinct_custkeys"].fn(spark,
+                                                       SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_acf_plan_broadcast_fanout(spark):
+    plan = plan_of(QUERIES["acf_daily_values"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
