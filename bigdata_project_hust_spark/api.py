@@ -1091,3 +1091,23 @@ class Engine:
         """ACF of daily value totals at lags 1..max_lag."""
         from .operators.eventflow import acf_daily_totals
         return acf_daily_totals(self.table("events"), max_lag)
+
+    def robust_trend(self) -> DataFrame:
+        """Theil-Sen slope of daily value totals."""
+        from .operators.eventflow import theil_sen_daily
+        return theil_sen_daily(self.table("events"))
+
+    def trend_test(self) -> DataFrame:
+        """Mann-Kendall monotone-trend test on daily totals."""
+        from .operators.eventflow import mann_kendall_trend
+        return mann_kendall_trend(self.table("events"))
+
+    def type_uniformity(self) -> DataFrame:
+        """Chi-square GOF of the event-type histogram vs uniform."""
+        from .operators.eventflow import chi2_gof_types
+        return chi2_gof_types(self.table("events"))
+
+    def activity_streaks(self) -> DataFrame:
+        """Per-user consecutive-active-day streak features."""
+        from .operators.eventflow import active_day_islands
+        return active_day_islands(self.table("events"))

@@ -2032,3 +2032,132 @@ def acf_daily_totals(df: DataFrame, max_lag: int = 7,
         F.when(ok, F.floor(F.expr(ACF_R) * F.lit(1_000_000)))
          .otherwise(F.lit(0)).cast("long").alias("acf_e6")
     ).orderBy("lag")
+
+
+def theil_sen_daily(df: DataFrame, ts_col: str = "ts",
+                    val_col: str = "value") -> DataFrame:
+    """Theil-Sen robust trend of the daily-total series: the LOW
+    median of all pairwise slopes — outlier days move OLS, not this.
+    Slopes are quantized to e6 with FLOOR division made cross-engine
+    safe by the shift identity floor((a + K·b)/b) = floor(a/b) + K:
+    adding K·denominator makes every operand positive, where Spark's
+    ``div`` (truncate) and DuckDB's ``//`` agree, then K comes back
+    off.  The pair fan-out is the tiny daily series self-joined
+    broadcast (b(b-1)/2 rows); the median is the runs-test
+    nearest-rank pattern — no doubles anywhere."""
+    from pyspark.sql import Window
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    day = F.floor(_ts_s(ts_col) / _DAY_S).cast("long")
+    daily = (df.select(day.alias("day"), cents.alias("v"))
+             .groupBy("day").agg(F.sum("v").alias("t")))
+    a = daily.select(F.col("day").alias("da"), F.col("t").alias("ta"))
+    b = daily.select(F.col("day").alias("db"), F.col("t").alias("tb"))
+    K = 1 << 40
+    num = ((F.col("tb") - F.col("ta")) * 1_000_000
+           + F.lit(K) * (F.col("db") - F.col("da")))
+    slopes = (a.join(F.broadcast(b), F.col("da") < F.col("db"))
+              .select(num.alias("num"),
+                      (F.col("db") - F.col("da")).alias("den")))
+    slopes = slopes.select(
+        (F.expr("num div den") - F.lit(K)).alias("slope_e6"))
+    w = Window.orderBy("slope_e6")
+    ranked = slopes.select(
+        "slope_e6", F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"))
+    return (ranked.where(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select(F.col("n").alias("n_pairs"),
+                    F.col("slope_e6").alias("sen_slope_e6")))
+
+
+MK_Z = "((s_ - adj_) / sqrt(var_))"
+
+
+def mann_kendall_trend(df: DataFrame, ts_col: str = "ts",
+                       val_col: str = "value") -> DataFrame:
+    """Mann-Kendall monotone-trend test on the daily-total series:
+    S = Σ_{i<j} sign(t_j - t_i) over the broadcast pair fan-out
+    (exact integer), tie-corrected variance
+    [n(n-1)(2n+5) - Σ t_g(t_g-1)(2t_g+5)] / 18 from one per-distinct-
+    value agg, and the continuity-corrected z on a pinned shared
+    double tree floored at e6."""
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    day = F.floor(_ts_s(ts_col) / _DAY_S).cast("long")
+    daily = (df.select(day.alias("day"), cents.alias("v"))
+             .groupBy("day").agg(F.sum("v").alias("t")))
+    a = daily.select(F.col("day").alias("da"), F.col("t").alias("ta"))
+    b = daily.select(F.col("day").alias("db"), F.col("t").alias("tb"))
+    s_agg = (a.join(F.broadcast(b), F.col("da") < F.col("db"))
+             .groupBy()
+             .agg(F.sum(F.signum((F.col("tb") - F.col("ta"))
+                                 .cast("double")).cast("long"))
+                   .alias("s")))
+    ties = (daily.groupBy("t").agg(F.count("*").alias("m"))
+            .groupBy()
+            .agg(F.count("*").alias("n_distinct"),
+                 F.sum(F.col("m") * (F.col("m") - 1)
+                       * (2 * F.col("m") + 5)).alias("tie_sum"),
+                 F.sum("m").alias("n")))
+    j = s_agg.crossJoin(F.broadcast(ties))
+    n_ = F.col("n").cast("double")
+    var_ = ((n_ * (n_ - 1.0) * (2.0 * n_ + 5.0)
+             - F.col("tie_sum").cast("double")) / F.lit(18.0))
+    adj = F.when(F.col("s") > 0, F.lit(1.0)) \
+           .when(F.col("s") < 0, F.lit(-1.0)).otherwise(F.lit(0.0))
+    dbl = j.select(
+        F.col("n").alias("n_days"), F.col("s").alias("s_stat"),
+        F.col("s").cast("double").alias("s_"), adj.alias("adj_"),
+        var_.alias("var_"))
+    ok = (F.col("var_") > 0.0) & (F.col("s_stat") != 0)
+    return dbl.select(
+        "n_days", "s_stat",
+        F.when(ok, F.floor(F.expr(MK_Z) * F.lit(1_000_000)))
+         .otherwise(F.lit(0)).cast("long").alias("z_e6"))
+
+
+def chi2_gof_types(df: DataFrame,
+                   type_col: str = "event_type") -> DataFrame:
+    """Chi-square goodness of fit of the event-type histogram against
+    uniform — via the exact identity chi2 = (k·ΣO² - n²)/n, so the
+    whole statistic is one integer ratio (Cauchy-Schwarz keeps the
+    numerator nonnegative; positive-operand div is floor on both
+    engines).  One hash agg over the scan."""
+    counts = (df.where(F.col(type_col).isNotNull())
+              .groupBy(type_col).agg(F.count("*").alias("o")))
+    dec = "decimal(38,0)"
+    agg = counts.groupBy().agg(
+        F.count("*").cast(dec).alias("k"),
+        F.sum(F.col("o").cast(dec)).alias("n"),
+        F.sum(F.col("o").cast(dec) * F.col("o").cast(dec))
+         .alias("sq"))
+    return agg.select(
+        F.col("k").cast("long").alias("k_types"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.when(F.col("n") > 0,
+               F.expr("((k * sq - n * n) * 1000000) div n"))
+         .otherwise(F.lit(0)).cast("long").alias("chi2_e6"))
+
+
+def active_day_islands(df: DataFrame, user_col: str = "user_id",
+                       ts_col: str = "ts") -> DataFrame:
+    """Gaps-and-islands: each user's runs of CONSECUTIVE active days
+    (the streak feature under habit metrics).  The classic
+    day - row_number() island key on the per-user distinct-day grid —
+    one partitioned window, one reagg; every aggregate narrow.
+    Output per user: active days, streak count, longest streak."""
+    from pyspark.sql import Window
+    day = F.floor(_ts_s(ts_col) / _DAY_S).cast("long")
+    days = (df.select(F.col(user_col).alias("u"), day.alias("day"))
+            .distinct())
+    w = Window.partitionBy("u").orderBy("day")
+    grouped = days.select(
+        "u", "day",
+        (F.col("day") - F.row_number().over(w)).alias("island"))
+    islands = (grouped.groupBy("u", "island")
+               .agg(F.count("*").alias("len")))
+    return (islands.groupBy("u")
+            .agg(F.sum("len").alias("n_active_days"),
+                 F.count("*").alias("n_streaks"),
+                 F.max("len").alias("longest_streak"))
+            .select(F.col("u").alias(user_col), "n_active_days",
+                    "n_streaks", "longest_streak")
+            .orderBy(user_col))

@@ -449,3 +449,253 @@ QUERIES_ROUND7.update({
         doc="multi-lag correlogram of daily totals (one-plan lag "
             "fan-out)"),
 })
+
+
+# ===========================================================================
+# Batch 3: robust trend, trend test, GOF, streaks, ridge regression
+# ===========================================================================
+
+import re  # noqa: E402
+
+from ..operators.eventflow import MK_Z  # noqa: E402
+from .round5 import _OLS_D0, _OLS_D1, _OLS_D2, _OLS_DET  # noqa: E402
+
+_K_SHIFT = 1 << 40  # slope-quantization positivity shift
+
+
+def q_theil_sen_daily(spark, sf_dir):
+    """Theil-Sen robust slope of daily totals — LOW median of e6
+    pairwise slopes, floor-div made engine-safe by the +K·den
+    shift."""
+    return eventflow.theil_sen_daily(_t(spark, sf_dir, "events"))
+
+
+ORACLE_THEIL_SEN = f"""
+  WITH daily AS (
+    SELECT floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day,
+           sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS t
+    FROM events GROUP BY 1
+  ),
+  slopes AS (
+    SELECT (((b.t - a.t) * 1000000 + {_K_SHIFT} * (b.day - a.day))
+            // (b.day - a.day) - {_K_SHIFT})::BIGINT AS slope_e6
+    FROM daily a JOIN daily b ON a.day < b.day
+  ),
+  ranked AS (
+    SELECT slope_e6, row_number() OVER (ORDER BY slope_e6) AS rn,
+           count(*) OVER () AS n
+    FROM slopes
+  )
+  SELECT n::BIGINT AS n_pairs, slope_e6 AS sen_slope_e6
+  FROM ranked WHERE rn = (n + 1) // 2
+"""
+
+
+def q_mann_kendall_daily(spark, sf_dir):
+    """Mann-Kendall trend test on daily totals — exact S, tie-
+    corrected variance, continuity-corrected pinned z."""
+    return eventflow.mann_kendall_trend(_t(spark, sf_dir, "events"))
+
+
+ORACLE_MANN_KENDALL = f"""
+  WITH daily AS (
+    SELECT floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day,
+           sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS t
+    FROM events GROUP BY 1
+  ),
+  s_agg AS (
+    SELECT sum(sign(b.t - a.t))::BIGINT AS s
+    FROM daily a JOIN daily b ON a.day < b.day
+  ),
+  ties AS (
+    SELECT sum(m * (m - 1) * (2 * m + 5))::BIGINT AS tie_sum,
+           sum(m)::BIGINT AS n
+    FROM (SELECT t, count(*)::BIGINT AS m FROM daily GROUP BY t)
+  ),
+  dbl AS (
+    SELECT n AS n_days, s AS s_stat, s::DOUBLE AS s_,
+           (CASE WHEN s > 0 THEN 1.0 WHEN s < 0 THEN -1.0
+                 ELSE 0.0 END)::DOUBLE AS adj_,
+           ((n::DOUBLE * (n::DOUBLE - 1.0)
+             * (2.0 * n::DOUBLE + 5.0) - tie_sum::DOUBLE)
+            / 18.0) AS var_
+    FROM s_agg, ties
+  )
+  SELECT n_days, s_stat,
+         (CASE WHEN var_ > 0.0 AND s_stat <> 0
+               THEN floor(({MK_Z}) * 1000000)
+               ELSE 0 END)::BIGINT AS z_e6
+  FROM dbl
+"""
+
+
+def q_chi2_gof_types(spark, sf_dir):
+    """Uniformity GOF of the type histogram via the integer identity
+    chi2 = (k·ΣO² - n²)/n."""
+    return eventflow.chi2_gof_types(_t(spark, sf_dir, "events"))
+
+
+ORACLE_CHI2_GOF = """
+  WITH counts AS (
+    SELECT event_type, count(*)::BIGINT AS o FROM events
+    WHERE event_type IS NOT NULL GROUP BY event_type
+  ),
+  agg AS (
+    SELECT count(*)::HUGEINT AS k, sum(o)::HUGEINT AS n,
+           sum(o::HUGEINT * o::HUGEINT) AS sq
+    FROM counts
+  )
+  SELECT k::BIGINT AS k_types, n::BIGINT AS n_rows,
+         (CASE WHEN n > 0
+               THEN ((k * sq - n * n) * 1000000) // n
+               ELSE 0 END)::BIGINT AS chi2_e6
+  FROM agg
+"""
+
+
+def q_active_day_islands(spark, sf_dir):
+    """Per-user consecutive-active-day streaks (gaps-and-islands)."""
+    return eventflow.active_day_islands(_t(spark, sf_dir, "events"))
+
+
+ORACLE_ISLANDS = """
+  WITH days AS (
+    SELECT DISTINCT user_id AS u,
+           floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day
+    FROM events
+  ),
+  g AS (
+    SELECT u, day,
+           (day - row_number() OVER (PARTITION BY u ORDER BY day))
+             AS island
+    FROM days
+  ),
+  isl AS (SELECT u, island, count(*)::BIGINT AS len FROM g
+          GROUP BY u, island)
+  SELECT u AS user_id, sum(len)::BIGINT AS n_active_days,
+         count(*)::BIGINT AS n_streaks,
+         max(len)::BIGINT AS longest_streak
+  FROM isl GROUP BY u ORDER BY user_id
+"""
+
+
+# --- Ridge regression: the OLS normal equations with lam added to
+# every diagonal of X'X — the shared strings are DERIVED from the
+# verified OLS strings by a word-boundary substitution, so Spark and
+# the oracle keep byte-identical double trees by construction.
+# Raw-scale ridge (no feature standardization), documented as such.
+
+
+def _ridge_expr(expr: str) -> str:
+    expr = re.sub(r"\bn_\b", "(n_ + lam)", expr)
+    expr = re.sub(r"\bs11\b", "(s11 + lam)", expr)
+    expr = re.sub(r"\bs22\b", "(s22 + lam)", expr)
+    return expr
+
+
+_RIDGE_DET = _ridge_expr(_OLS_DET)
+_RIDGE_D = [_ridge_expr(d) for d in (_OLS_D0, _OLS_D1, _OLS_D2)]
+_RIDGE_LAM = "100000.0"
+
+
+def q_ridge_price_model(spark, sf_dir):
+    """Per-returnflag ridge fit of price on (quantity, discount_bp):
+    exact decimal moments, Cramer solve on the lam-shifted normal
+    equations, e6-floored coefficients."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec, dec19 = "decimal(38,0)", "decimal(19,0)"
+    d = li.select(
+        "l_returnflag",
+        F.floor("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
+         .alias("x2"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("y"))
+    x1, x2, y = [F.col(c).cast(dec19) for c in ("x1", "x2", "y")]
+    agg = d.groupBy("l_returnflag").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x1").cast(dec)).alias("s1"),
+        F.sum(F.col("x2").cast(dec)).alias("s2"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(x1 * y).alias("s1y"),
+        F.sum(x2 * y).alias("s2y"))
+    dbl = agg.select(
+        "l_returnflag", F.col("n").cast("long").alias("n_rows"),
+        F.expr(f"CAST({_RIDGE_LAM} AS DOUBLE)").alias("lam"),
+        *[F.col(c).cast("double").alias(c if c != "n" else "n_")
+          for c in ("n", "s1", "s2", "sy", "s11", "s12", "s22",
+                    "s1y", "s2y")])
+    det = F.expr(_RIDGE_DET)
+    return dbl.select(
+        "l_returnflag", "n_rows",
+        *[F.when(det != 0.0,
+                 F.floor(F.expr(dn) / det * F.lit(1_000_000)))
+           .otherwise(F.lit(0)).cast("long").alias(f"b{i}_e6")
+          for i, dn in enumerate(_RIDGE_D)])
+
+
+def _ridge_oracle() -> str:
+    return f"""
+  WITH d AS (
+    SELECT l_returnflag,
+           floor(l_quantity)::BIGINT AS x1,
+           floor(l_discount * 10000 + 0.5)::BIGINT AS x2,
+           floor(l_extendedprice * 100)::BIGINT AS y
+    FROM lineitem
+  ),
+  agg AS (
+    SELECT l_returnflag,
+           count(*)::HUGEINT AS n,
+           sum(x1)::HUGEINT AS s1, sum(x2)::HUGEINT AS s2,
+           sum(y)::HUGEINT AS sy,
+           sum(x1::HUGEINT * x1::HUGEINT) AS s11,
+           sum(x1::HUGEINT * x2::HUGEINT) AS s12,
+           sum(x2::HUGEINT * x2::HUGEINT) AS s22,
+           sum(x1::HUGEINT * y::HUGEINT) AS s1y,
+           sum(x2::HUGEINT * y::HUGEINT) AS s2y
+    FROM d GROUP BY l_returnflag
+  ),
+  dbl AS (
+    SELECT l_returnflag, n::BIGINT AS n_rows,
+           {_RIDGE_LAM}::DOUBLE AS lam,
+           n::DOUBLE AS n_, s1::DOUBLE AS s1, s2::DOUBLE AS s2,
+           sy::DOUBLE AS sy, s11::DOUBLE AS s11, s12::DOUBLE AS s12,
+           s22::DOUBLE AS s22, s1y::DOUBLE AS s1y, s2y::DOUBLE AS s2y
+    FROM agg
+  )
+  SELECT l_returnflag, n_rows,
+         (CASE WHEN ({_RIDGE_DET}) <> 0.0
+               THEN floor(({_RIDGE_D[0]}) / ({_RIDGE_DET}) * 1000000)
+               ELSE 0 END)::BIGINT AS b0_e6,
+         (CASE WHEN ({_RIDGE_DET}) <> 0.0
+               THEN floor(({_RIDGE_D[1]}) / ({_RIDGE_DET}) * 1000000)
+               ELSE 0 END)::BIGINT AS b1_e6,
+         (CASE WHEN ({_RIDGE_DET}) <> 0.0
+               THEN floor(({_RIDGE_D[2]}) / ({_RIDGE_DET}) * 1000000)
+               ELSE 0 END)::BIGINT AS b2_e6
+  FROM dbl
+"""
+
+
+QUERIES_ROUND7.update({
+    "theil_sen_daily": QuerySpec(
+        q_theil_sen_daily, ORACLE_THEIL_SEN,
+        doc="Theil-Sen robust slope (median of pairwise slopes, "
+            "shift-safe floor div)"),
+    "mann_kendall_daily": QuerySpec(
+        q_mann_kendall_daily, ORACLE_MANN_KENDALL,
+        doc="Mann-Kendall trend test (exact S, tie-corrected "
+            "variance)"),
+    "chi2_gof_types": QuerySpec(
+        q_chi2_gof_types, ORACLE_CHI2_GOF,
+        doc="chi-square GOF vs uniform (pure integer identity)"),
+    "active_day_islands": QuerySpec(
+        q_active_day_islands, ORACLE_ISLANDS,
+        doc="gaps-and-islands consecutive-day streaks per user"),
+    "ridge_price_model": QuerySpec(
+        q_ridge_price_model, _ridge_oracle(),
+        doc="ridge regression via lam-shifted normal equations "
+            "(strings derived from the verified OLS strings)"),
+})

@@ -381,3 +381,153 @@ def test_acf_plan_broadcast_fanout(spark):
     plan = plan_of(QUERIES["acf_daily_values"].fn(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ===========================================================================
+# Batch 3: Theil-Sen, Mann-Kendall, chi2 GOF, islands, ridge
+# ===========================================================================
+
+import math
+
+from bigdata_project_hust_spark.operators.eventflow import (
+    active_day_islands, chi2_gof_types, mann_kendall_trend,
+    theil_sen_daily)
+
+
+def _daily_series(spark, tmp_path, dollars):
+    rows = [(d + 1, datetime(2024, 1, 1) + timedelta(days=d), 1,
+             "view", float(v), "{}") for d, v in enumerate(dollars)]
+    return _ev(spark, tmp_path, rows)
+
+
+def test_theil_sen_linear_series(spark, tmp_path):
+    """Totals 1,3,5 dollars → every pair slope 200 cents/day."""
+    r = theil_sen_daily(
+        _daily_series(spark, tmp_path, (1.0, 3.0, 5.0))).collect()[0]
+    assert r["n_pairs"] == 3
+    assert r["sen_slope_e6"] == 200_000_000
+
+
+def test_theil_sen_robust_to_outlier(spark, tmp_path):
+    """Linear 2$/day with one 500$ spike at the end: 10 clean pairs
+    vs 5 contaminated — the median slope stays 200 cents/day."""
+    r = theil_sen_daily(
+        _daily_series(spark, tmp_path,
+                      (1.0, 3.0, 5.0, 7.0, 9.0, 500.0))).collect()[0]
+    assert r["n_pairs"] == 15
+    assert r["sen_slope_e6"] == 200_000_000
+
+
+def test_theil_sen_negative_slope_floor(spark, tmp_path):
+    """Decreasing series: negative slopes must FLOOR identically to
+    the oracle (the +K shift guard)."""
+    r = theil_sen_daily(
+        _daily_series(spark, tmp_path, (5.0, 3.0, 1.0))).collect()[0]
+    assert r["sen_slope_e6"] == -200_000_000
+
+
+def test_mann_kendall_monotone_up(spark, tmp_path):
+    """Strictly increasing, n=5: S=10, var=50/3,
+    z=(10-1)/sqrt(50/3)."""
+    r = mann_kendall_trend(
+        _daily_series(spark, tmp_path,
+                      (1.0, 2.0, 3.0, 4.0, 5.0))).collect()[0]
+    assert r["s_stat"] == 10
+    assert r["z_e6"] == math.floor(9.0 / math.sqrt(50.0 / 3.0) * 1e6)
+
+
+def test_mann_kendall_monotone_down_negative(spark, tmp_path):
+    r = mann_kendall_trend(
+        _daily_series(spark, tmp_path,
+                      (5.0, 4.0, 3.0, 2.0, 1.0))).collect()[0]
+    assert r["s_stat"] == -10 and r["z_e6"] < 0
+
+
+def test_chi2_gof_hand_value(spark, tmp_path):
+    """Counts 3 vs 1: chi2 = (2*10 - 16)/4 = 1."""
+    rows = ([(i, datetime(2024, 1, 1), 1, "view", 1.0, "{}")
+             for i in range(3)]
+            + [(9, datetime(2024, 1, 1), 1, "purchase", 1.0, "{}")])
+    r = chi2_gof_types(_ev(spark, tmp_path, rows)).collect()[0]
+    assert r["k_types"] == 2 and r["n_rows"] == 4
+    assert r["chi2_e6"] == 1_000_000
+
+
+def test_chi2_gof_uniform_is_zero(spark, tmp_path):
+    rows = [(i, datetime(2024, 1, 1), 1, t, 1.0, "{}")
+            for i, t in enumerate(("view", "purchase") * 3)]
+    r = chi2_gof_types(_ev(spark, tmp_path, rows)).collect()[0]
+    assert r["chi2_e6"] == 0
+
+
+def test_islands_hand_values(spark, tmp_path):
+    """Days {1,2,3, 7,8, 20} → 6 active, 3 streaks, longest 3."""
+    rows = [(i, datetime(2024, 1, 1) + timedelta(days=d), 42,
+             "view", 1.0, "{}")
+            for i, d in enumerate((1, 2, 3, 7, 8, 20))]
+    # duplicate events on one day must not split streaks
+    rows.append((99, datetime(2024, 1, 3, 12), 42, "view", 1.0, "{}"))
+    r = active_day_islands(_ev(spark, tmp_path, rows)).collect()[0]
+    assert r["user_id"] == 42
+    assert r["n_active_days"] == 6
+    assert r["n_streaks"] == 3
+    assert r["longest_streak"] == 3
+
+
+def test_ridge_survives_collinearity(spark):
+    """OLS normal equations go singular when x2 is a copy of x1; the
+    lam-shifted ridge system stays invertible and returns finite
+    coefficients."""
+    from bigdata_project_hust_spark.plans.round7 import (
+        _RIDGE_D, _RIDGE_DET)
+    rows = [(f, float(q), float(q) / 10000.0, float(p))
+            for f, q, p in (("A", 1, 10.0), ("A", 2, 20.0),
+                            ("A", 3, 31.0), ("A", 4, 39.0))]
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, "
+              "l_discount double, l_extendedprice double")
+    # mimic the plan body on an inline frame
+    from pyspark.sql import functions as FF
+    dec, dec19 = "decimal(38,0)", "decimal(19,0)"
+    d = df.select(
+        "l_returnflag",
+        FF.floor("l_quantity").cast("long").alias("x1"),
+        FF.floor(FF.col("l_discount") * 10000 + FF.lit(0.5))
+          .cast("long").alias("x2"),
+        FF.floor(FF.col("l_extendedprice") * 100).cast("long")
+          .alias("y"))
+    x1, x2, y = [FF.col(c).cast(dec19) for c in ("x1", "x2", "y")]
+    agg = d.groupBy("l_returnflag").agg(
+        FF.count("*").cast(dec).alias("n"),
+        FF.sum(FF.col("x1").cast(dec)).alias("s1"),
+        FF.sum(FF.col("x2").cast(dec)).alias("s2"),
+        FF.sum(FF.col("y").cast(dec)).alias("sy"),
+        FF.sum(x1 * x1).alias("s11"), FF.sum(x1 * x2).alias("s12"),
+        FF.sum(x2 * x2).alias("s22"), FF.sum(x1 * y).alias("s1y"),
+        FF.sum(x2 * y).alias("s2y"))
+    dbl = agg.select(
+        "l_returnflag",
+        FF.expr("CAST(100000.0 AS DOUBLE)").alias("lam"),
+        *[FF.col(c).cast("double").alias(c if c != "n" else "n_")
+          for c in ("n", "s1", "s2", "sy", "s11", "s12", "s22",
+                    "s1y", "s2y")])
+    row = dbl.select(
+        FF.expr(_RIDGE_DET).alias("det"),
+        *[FF.expr(dn).alias(f"d{i}")
+          for i, dn in enumerate(_RIDGE_D)]).collect()[0]
+    assert row["det"] > 0.0
+    for i in range(3):
+        assert math.isfinite(row[f"d{i}"] / row["det"])
+
+
+def test_islands_plan_partitioned_window(spark):
+    plan = plan_of(QUERIES["active_day_islands"].fn(spark, SF_SMOKE))
+    import re as _re
+    for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "u#" in m.group(1) or "u " in m.group(1)
+
+
+def test_trend_plans_broadcast_pairs(spark):
+    for name in ("theil_sen_daily", "mann_kendall_daily"):
+        plan = plan_of(QUERIES[name].fn(spark, SF_SMOKE))
+        assert "SortMergeJoin" not in plan, name
