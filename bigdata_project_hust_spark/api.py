@@ -1111,3 +1111,27 @@ class Engine:
         """Per-user consecutive-active-day streak features."""
         from .operators.eventflow import active_day_islands
         return active_day_islands(self.table("events"))
+
+    def quantile_normalize(self) -> DataFrame:
+        """Cross-type quantile-normalization mapping for values."""
+        from pyspark.sql import functions as F
+        from .operators.quality import quantile_normalize_map
+        return quantile_normalize_map(
+            self.table("events"), "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+
+    def communities(self, rounds: int = 3) -> DataFrame:
+        """Deterministic LPA communities on the co-purchase graph."""
+        from .operators.graph import copurchase_edges, lpa_communities
+        return lpa_communities(copurchase_edges(self.table("lineitem")),
+                               rounds=rounds)
+
+    def posthoc_pairs(self) -> DataFrame:
+        """Pairwise Welch t between every event-type pair."""
+        from .operators.eventflow import pairwise_welch_matrix
+        return pairwise_welch_matrix(self.table("events"))
+
+    def training_mix_plan(self) -> DataFrame:
+        """Temperature-weighted epoch-capped token budget by source."""
+        from .operators.curation import token_budget_allocation
+        return token_budget_allocation(self.table("documents"))

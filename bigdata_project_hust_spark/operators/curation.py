@@ -584,3 +584,52 @@ def packing_fill_histogram(df: DataFrame, id_col: str = "doc_id",
     return (per_pack.groupBy("fill_tokens")
             .agg(F.count("*").cast("long").alias("n_packs"))
             .orderBy("fill_tokens"))
+
+
+def token_budget_allocation(df: DataFrame, text_col: str = "text",
+                            source_col: str = "source",
+                            budget_num: int = 1, budget_den: int = 2,
+                            max_epochs: int = 4,
+                            alpha_num: int = 7,
+                            alpha_den: int = 10) -> DataFrame:
+    """Training token-budget allocator: split a total budget of
+    ``total·budget_num/budget_den`` tokens across sources by
+    temperature weights (n^α, α=0.7), capping any source at
+    ``max_epochs`` passes over its data — the concrete mixing plan a
+    pretraining run executes (DoReMi/mT5-style weighting with an
+    epoch cap instead of unbounded upsampling).
+
+    Exactness: per-source token counts are exact integers; each n^α
+    is quantized to an e6 BIGINT immediately (one exp/ln per source,
+    the temperature_mix rule); everything after — the normalizing
+    total, the budget share, the epoch cap, the e2 epoch factor — is
+    integer arithmetic (positive-operand div).  The budget is a
+    FRACTION of the corpus so the operator is scale-free.  One
+    agg over the corpus, then a |sources|-row plan."""
+    alpha = F.lit(alpha_num) / F.lit(alpha_den)
+    toks = df.select(F.col(source_col).alias("source"),
+                     F.size(tokens(text_col)).cast("long").alias("nt"))
+    per = toks.groupBy("source").agg(F.sum("nt").alias("n_tokens"))
+    w = per.select(
+        "source", "n_tokens",
+        F.floor(F.exp(alpha * F.log(F.col("n_tokens").cast("double")))
+                * F.lit(1_000_000)).cast("long").alias("w_e6"))
+    tot_w = F.sum("w_e6").over(Window.partitionBy())
+    tot_n = F.sum("n_tokens").over(Window.partitionBy())
+    dec = "decimal(38,0)"
+    sized = w.select(
+        "source", "n_tokens", "w_e6",
+        tot_w.alias("tw"),
+        (tot_n * F.lit(budget_num)).alias("bnum"))
+    raw = F.expr(f"(CAST(bnum AS {dec}) * CAST(w_e6 AS {dec})) div "
+                 f"(CAST(tw AS {dec}) * {budget_den})")
+    alloc = F.least(raw.cast("long"),
+                    F.col("n_tokens") * F.lit(max_epochs))
+    planned = sized.select("source", "n_tokens", "w_e6",
+                           alloc.alias("alloc_tokens"))
+    return (planned.select(
+        "source", "n_tokens", "w_e6", "alloc_tokens",
+        F.expr(f"(CAST(alloc_tokens AS {dec}) * 100) div "
+               f"CAST(n_tokens AS {dec})").cast("long")
+         .alias("epochs_e2"))
+            .orderBy("source"))

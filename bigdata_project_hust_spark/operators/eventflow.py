@@ -2161,3 +2161,49 @@ def active_day_islands(df: DataFrame, user_col: str = "user_id",
             .select(F.col("u").alias(user_col), "n_active_days",
                     "n_streaks", "longest_streak")
             .orderBy(user_col))
+
+
+def pairwise_welch_matrix(df: DataFrame,
+                          group_col: str = "event_type",
+                          val_col: str = "value") -> DataFrame:
+    """Post-hoc pairwise Welch t after an ANOVA reject: which group
+    pairs actually differ?  Exact decimal moments per group (one hash
+    agg over the scan), then every (a < b) pair combines ONCE on a
+    broadcast self-join of the k-row moment table — k(k-1)/2 output
+    rows however large the fact table.  Same pinned t and
+    Satterthwaite-dof trees as welch_t_value, floored e6/e3."""
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    dec, d19 = "decimal(38,0)", "decimal(19,0)"
+    per = (df.where(F.col(group_col).isNotNull())
+           .select(F.col(group_col).alias("g"), cents.alias("v"))
+           .groupBy("g").agg(
+               F.count("*").cast(dec).alias("n"),
+               F.sum(F.col("v").cast(dec)).alias("s"),
+               F.sum(F.col("v").cast(d19) * F.col("v").cast(d19))
+                .alias("q")))
+    a = per.select(F.col("g").alias("type_a"), F.col("n").alias("n1"),
+                   F.col("s").alias("s1"), F.col("q").alias("q1"))
+    b = per.select(F.col("g").alias("type_b"), F.col("n").alias("n2"),
+                   F.col("s").alias("s2"), F.col("q").alias("q2"))
+    j = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    n1, s1, q1, n2, s2, q2 = [F.col(c).cast("double") for c in
+                              ("n1", "s1", "q1", "n2", "s2", "q2")]
+    var1 = (n1 * q1 - s1 * s1) / (n1 * (n1 - F.lit(1.0)))
+    var2 = (n2 * q2 - s2 * s2) / (n2 * (n2 - F.lit(1.0)))
+    se1, se2 = var1 / n1, var2 / n2
+    t = (s1 / n1 - s2 / n2) / F.sqrt(se1 + se2)
+    dof = ((se1 + se2) * (se1 + se2)
+           / (se1 * se1 / (n1 - F.lit(1.0))
+              + se2 * se2 / (n2 - F.lit(1.0))))
+    ok = ((F.col("n1").cast("long") > 1)
+          & (F.col("n2").cast("long") > 1)
+          & (se1 + se2 > 0.0))
+    return j.select(
+        "type_a", "type_b",
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        F.when(ok, F.floor(t * 1e6)).otherwise(F.lit(0))
+         .cast("long").alias("t_e6"),
+        F.when(ok, F.floor(dof * 1e3)).otherwise(F.lit(0))
+         .cast("long").alias("dof_e3")
+    ).orderBy("type_a", "type_b")

@@ -610,3 +610,65 @@ def weighted_relax(edges: DataFrame, rounds: int = 4,
         dist = (dist.union(step)
                 .groupBy("node").agg(F.min("c").alias("c")))
     return dist.select("node", F.col("c").cast("long").alias("cost"))
+
+
+def lpa_communities(edges: DataFrame, a: str = "pa", b: str = "pb",
+                    rounds: int = 3) -> DataFrame:
+    """Synchronous label propagation communities, made DETERMINISTIC:
+    every node adopts its most frequent neighbor label each round,
+    ties broken by the smaller label — (count DESC, label ASC) is a
+    total order, so unlike textbook async LPA the result is a pure
+    function of the graph.  A fixed ``rounds`` budget (3) bounds both
+    the work and the oracle (which unrolls the same rounds as CTEs).
+
+    Per round: one edge⋈labels join keyed on the node id and one
+    per-node top-1 window — the same shuffle shape as a round of
+    min-label components, O(|E|) per round at any scale.  Nodes keep
+    their own label only while no neighbor message arrives (symmetric
+    edge lists deliver one per edge)."""
+    from pyspark.sql import Window
+    e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    sym = e.unionByName(e.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst"))).distinct()
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("lbl")))
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), "lbl")
+    for _ in range(rounds):
+        msgs = (sym.join(labels.withColumnRenamed("node", "dst"),
+                         "dst")
+                .groupBy(F.col("src").alias("node"), "lbl")
+                .agg(F.count("*").alias("c")))
+        labels = (msgs.select("node", "lbl",
+                              F.row_number().over(w).alias("rn"))
+                  .where(F.col("rn") == 1)
+                  .select("node", "lbl"))
+    return (labels.select("node", F.col("lbl").alias("community"))
+            .orderBy("node"))
+
+
+def lpa_communities_oracle(edges_sql: str, rounds: int = 3) -> str:
+    """DuckDB twin: the same rounds unrolled as chained CTEs.
+    ``edges_sql`` must yield columns (pa, pb)."""
+    parts = [f"""
+  e0 AS ({edges_sql}),
+  e AS (SELECT pa AS src, pb AS dst FROM e0
+        UNION SELECT pb, pa FROM e0),
+  r0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+  c{i} AS (
+    SELECT e.src AS node, r.lbl, count(*)::BIGINT AS c
+    FROM e JOIN r{i - 1} r ON r.node = e.dst
+    GROUP BY e.src, r.lbl
+  ),
+  r{i} AS (
+    SELECT node, lbl FROM (
+      SELECT node, lbl,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY c DESC, lbl) AS rn
+      FROM c{i}
+    ) WHERE rn = 1
+  )""")
+    return ("  WITH" + ",".join(parts)
+            + f"\n  SELECT node, lbl AS community FROM r{rounds} "
+              "ORDER BY node")

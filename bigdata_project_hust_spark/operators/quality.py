@@ -188,3 +188,59 @@ def k_anonymity(df: DataFrame, qi_cols: tuple[str, ...],
         (F.col("n_rows") < k).cast("long").alias("k_violation"),
         (F.col("l_diversity") <= 1).cast("long").alias("l_violation")
     ).orderBy(*qi_cols)
+
+
+def quantile_normalize_map(df: DataFrame, group_col: str,
+                           val_col) -> DataFrame:
+    """Quantile normalization ACROSS groups: map every group's value
+    distribution onto the POOLED distribution by rank — the batch-
+    effect-removal preprocessing step (expression arrays, per-source
+    score calibration).  Output is the per-distinct-cell mapping
+    (group, v, v_norm) a downstream join applies to the full table.
+
+    All-integer construction: per-group doubled midranks r2 (one
+    partitioned window over distinct cells), target pooled index
+    i = ceil(r2·N / 2n_g) by positive-operand ceil-div, and the
+    "first pooled value with cum ≥ i" lookup as a MERGE-STREAM
+    window — queries and pooled cum boundaries union-sorted on
+    (pos, is_boundary), answer = min boundary value over the frame
+    [current row → end).  That replaces the naive interval range join
+    (O(cells × pool) nested loop) with one sort — the scalable shape.
+    The merged window is |distinct cells + pool| rows; range-partition
+    it at a wider value domain."""
+    from pyspark.sql import Window
+    c = F.col(val_col) if isinstance(val_col, str) else val_col
+    d = df.select(F.col(group_col).alias("g"), c.alias("v"))
+    cells = d.groupBy("g", "v").agg(F.count("*").alias("c"))
+    wg = (Window.partitionBy("g").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    ranked = cells.select(
+        "g", "v",
+        (2 * (F.sum("c").over(wg) - F.col("c")) + F.col("c") + 1)
+        .alias("r2"),
+        F.sum("c").over(Window.partitionBy("g")).alias("n_g"))
+    pool = d.groupBy("v").agg(F.count("*").alias("cp"))
+    wp = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    bounds = pool.select(F.col("v").alias("bv"),
+                         F.sum("cp").over(wp).alias("cum"))
+    n_total = d.groupBy().agg(F.count("*").alias("n_tot"))
+    # i = ceil(r2·N / (2·n_g)) — positive operands, div == floor
+    queries = (ranked.crossJoin(F.broadcast(n_total))
+               .select("g", "v",
+                       F.expr("(r2 * n_tot + 2 * n_g - 1) "
+                              "div (2 * n_g)").alias("pos"),
+                       F.lit(0).alias("is_b"),
+                       F.lit(None).cast("long").alias("bval")))
+    boundaries = bounds.select(
+        F.lit(None).cast(queries.schema["g"].dataType).alias("g"),
+        F.lit(None).cast("long").alias("v"),
+        F.col("cum").alias("pos"), F.lit(1).alias("is_b"),
+        F.col("bv").alias("bval"))
+    merged = queries.unionByName(boundaries)
+    wm = (Window.orderBy("pos", "is_b")
+          .rowsBetween(0, Window.unboundedFollowing))
+    looked = merged.select(
+        "g", "v", "is_b", F.min("bval").over(wm).alias("v_norm"))
+    return (looked.where(F.col("is_b") == 0)
+            .select("g", "v", "v_norm")
+            .orderBy("g", "v"))

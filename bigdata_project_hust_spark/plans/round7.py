@@ -699,3 +699,184 @@ QUERIES_ROUND7.update({
         doc="ridge regression via lam-shifted normal equations "
             "(strings derived from the verified OLS strings)"),
 })
+
+
+# ===========================================================================
+# Batch 4: quantile normalization, LPA communities, post-hoc Welch,
+# token budget allocation
+# ===========================================================================
+
+from ..operators import curation, graph, quality  # noqa: E402
+
+
+def q_quantile_normalize_values(spark, sf_dir):
+    """Per-type value cells mapped onto the pooled distribution by
+    rank (merge-stream lookup, no range join)."""
+    e = _t(spark, sf_dir, "events")
+    return quality.quantile_normalize_map(
+        e, "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+
+
+ORACLE_QNORM = """
+  WITH d AS (
+    SELECT event_type AS g, floor(value * 100 + 0.5)::BIGINT AS v
+    FROM events
+  ),
+  cells AS (SELECT g, v, count(*)::BIGINT AS c FROM d GROUP BY g, v),
+  ranked AS (
+    SELECT g, v,
+           (2 * (sum(c) OVER (PARTITION BY g ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - c) + c + 1) AS r2,
+           sum(c) OVER (PARTITION BY g) AS n_g
+    FROM cells
+  ),
+  pool AS (SELECT v, count(*)::BIGINT AS cp FROM d GROUP BY v),
+  bounds AS (
+    SELECT v AS bv,
+           sum(cp) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum
+    FROM pool
+  ),
+  nt AS (SELECT count(*)::BIGINT AS n_tot FROM d),
+  queries AS (
+    SELECT g, v, (r2 * n_tot + 2 * n_g - 1) // (2 * n_g) AS pos,
+           0 AS is_b, NULL::BIGINT AS bval
+    FROM ranked, nt
+  ),
+  boundaries AS (
+    SELECT NULL::VARCHAR AS g, NULL::BIGINT AS v, cum AS pos,
+           1 AS is_b, bv AS bval
+    FROM bounds
+  ),
+  merged AS (SELECT * FROM queries UNION ALL
+             SELECT * FROM boundaries),
+  looked AS (
+    SELECT g, v, is_b,
+           min(bval) OVER (ORDER BY pos, is_b
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS v_norm
+    FROM merged
+  )
+  SELECT g, v, v_norm FROM looked WHERE is_b = 0 ORDER BY g, v
+"""
+
+
+_COPURCHASE_SQL = """SELECT DISTINCT a.l_partkey AS pa,
+           b.l_partkey AS pb
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"""
+
+
+def q_lpa_communities(spark, sf_dir):
+    """Deterministic synchronous label propagation (3 rounds) on the
+    co-purchase graph."""
+    from ..operators.graph import copurchase_edges
+    return graph.lpa_communities(
+        copurchase_edges(_t(spark, sf_dir, "lineitem")))
+
+
+def q_pairwise_welch_types(spark, sf_dir):
+    """Post-hoc pairwise Welch t between every event-type pair."""
+    return eventflow.pairwise_welch_matrix(_t(spark, sf_dir,
+                                              "events"))
+
+
+_SE1 = ("((n1::DOUBLE * q1::DOUBLE - s1::DOUBLE * s1::DOUBLE) "
+        "/ (n1::DOUBLE * (n1::DOUBLE - 1.0)) / n1::DOUBLE)")
+_SE2 = ("((n2::DOUBLE * q2::DOUBLE - s2::DOUBLE * s2::DOUBLE) "
+        "/ (n2::DOUBLE * (n2::DOUBLE - 1.0)) / n2::DOUBLE)")
+_WELCH_OK = f"n1 > 1 AND n2 > 1 AND ({_SE1} + {_SE2}) > 0.0"
+_WELCH_T = (f"((s1::DOUBLE / n1::DOUBLE - s2::DOUBLE / n2::DOUBLE) "
+            f"/ sqrt({_SE1} + {_SE2}))")
+_WELCH_DOF = (f"((({_SE1} + {_SE2}) * ({_SE1} + {_SE2})) "
+              f"/ ({_SE1} * {_SE1} / (n1::DOUBLE - 1.0) "
+              f"+ {_SE2} * {_SE2} / (n2::DOUBLE - 1.0)))")
+
+ORACLE_PAIRWISE_WELCH = f"""
+  WITH d AS (
+    SELECT event_type AS g, floor(value * 100 + 0.5)::BIGINT AS v
+    FROM events WHERE event_type IS NOT NULL
+  ),
+  per AS (
+    SELECT g, count(*)::HUGEINT AS n, sum(v)::HUGEINT AS s,
+           sum(v::HUGEINT * v::HUGEINT) AS q
+    FROM d GROUP BY g
+  ),
+  j AS (
+    SELECT a.g AS type_a, b.g AS type_b,
+           a.n AS n1, a.s AS s1, a.q AS q1,
+           b.n AS n2, b.s AS s2, b.q AS q2
+    FROM per a JOIN per b ON a.g < b.g
+  )
+  SELECT type_a, type_b, n1::BIGINT AS n_a, n2::BIGINT AS n_b,
+         (CASE WHEN {_WELCH_OK}
+               THEN floor({_WELCH_T} * 1e6)
+               ELSE 0 END)::BIGINT AS t_e6,
+         (CASE WHEN {_WELCH_OK}
+               THEN floor({_WELCH_DOF} * 1e3)
+               ELSE 0 END)::BIGINT AS dof_e3
+  FROM j ORDER BY type_a, type_b
+"""
+
+
+def q_token_budget_allocation(spark, sf_dir):
+    """Temperature-weighted token-budget plan (half the corpus,
+    epoch-capped) per source."""
+    return curation.token_budget_allocation(_t(spark, sf_dir,
+                                               "documents"))
+
+
+ORACLE_TOKEN_BUDGET = r"""
+  WITH toks AS (
+    SELECT source,
+           len(list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> ''))::BIGINT AS nt
+    FROM documents
+  ),
+  per AS (SELECT source, sum(nt)::BIGINT AS n_tokens FROM toks
+          GROUP BY source),
+  w AS (
+    SELECT source, n_tokens,
+           floor(exp((7::DOUBLE / 10) * ln(n_tokens::DOUBLE))
+                 * 1000000)::BIGINT AS w_e6
+    FROM per
+  ),
+  t AS (
+    SELECT *, sum(w_e6) OVER () AS tw,
+           (sum(n_tokens) OVER () * 1) AS bnum
+    FROM w
+  ),
+  planned AS (
+    SELECT source, n_tokens, w_e6,
+           least((bnum::HUGEINT * w_e6::HUGEINT)
+                 // (tw::HUGEINT * 2),
+                 (n_tokens * 4)::HUGEINT)::BIGINT AS alloc_tokens
+    FROM t
+  )
+  SELECT source, n_tokens, w_e6, alloc_tokens,
+         ((alloc_tokens::HUGEINT * 100) // n_tokens::HUGEINT)::BIGINT
+           AS epochs_e2
+  FROM planned ORDER BY source
+"""
+
+
+QUERIES_ROUND7.update({
+    "quantile_normalize_values": QuerySpec(
+        q_quantile_normalize_values, ORACLE_QNORM,
+        doc="cross-group quantile normalization (merge-stream rank "
+            "lookup, no range join)"),
+    "lpa_communities_parts": QuerySpec(
+        q_lpa_communities,
+        graph.lpa_communities_oracle(_COPURCHASE_SQL),
+        doc="deterministic synchronous LPA communities (3 unrolled "
+            "rounds)"),
+    "pairwise_welch_types": QuerySpec(
+        q_pairwise_welch_types, ORACLE_PAIRWISE_WELCH,
+        doc="post-hoc pairwise Welch t matrix (k-row moment "
+            "self-join)"),
+    "token_budget_allocation": QuerySpec(
+        q_token_budget_allocation, ORACLE_TOKEN_BUDGET,
+        doc="temperature-weighted epoch-capped token budget plan"),
+})

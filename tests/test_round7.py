@@ -531,3 +531,105 @@ def test_trend_plans_broadcast_pairs(spark):
     for name in ("theil_sen_daily", "mann_kendall_daily"):
         plan = plan_of(QUERIES[name].fn(spark, SF_SMOKE))
         assert "SortMergeJoin" not in plan, name
+
+
+# ===========================================================================
+# Batch 4: quantile normalization, LPA, pairwise Welch, token budget
+# ===========================================================================
+
+from bigdata_project_hust_spark.operators.curation import (
+    token_budget_allocation)
+from bigdata_project_hust_spark.operators.eventflow import (
+    pairwise_welch_matrix)
+from bigdata_project_hust_spark.operators.graph import lpa_communities
+from bigdata_project_hust_spark.operators.quality import (
+    quantile_normalize_map)
+
+
+def test_qnorm_two_groups_align(spark):
+    """A={1,2}, B={10,20}: both map onto the pooled quantiles
+    {2, 20} — the batch effect disappears."""
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 10), ("B", 20)], "g string, v long")
+    r = {(x["g"], x["v"]): x["v_norm"]
+         for x in quantile_normalize_map(df, "g", "v").collect()}
+    assert r == {("A", 1): 2, ("A", 2): 20,
+                 ("B", 10): 2, ("B", 20): 20}
+
+
+def test_qnorm_single_group_identity(spark):
+    df = spark.createDataFrame(
+        [("A", 5), ("A", 7), ("A", 7), ("A", 9)], "g string, v long")
+    r = quantile_normalize_map(df, "g", "v").collect()
+    assert all(x["v_norm"] == x["v"] for x in r)
+
+
+def test_lpa_triangle_converges_pair_oscillates(spark):
+    """Triangle {1,2,3} converges to community 1 in 3 sync rounds; an
+    isolated 2-cycle oscillates deterministically (documented LPA
+    behavior on bipartite components — sync update, tie → min)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11)], "pa long, pb long")
+    r = {x["node"]: x["community"]
+         for x in lpa_communities(edges).collect()}
+    assert r[1] == 1 and r[2] == 1 and r[3] == 1
+    assert (r[10], r[11]) == (11, 10)
+
+
+def test_pairwise_welch_signs_and_gate(spark, tmp_path):
+    """view≈1, purchase≈10 → t(purchase,view) strongly positive (mean
+    a - mean b with a='purchase' < 'view' lexicographically);
+    constant-value pair (click vs tap, both ==5) gates to 0."""
+    rows, eid = [], 0
+    for v in (0.9, 1.0, 1.1):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1), 1, "view", v, "{}"))
+    for v in (9.9, 10.0, 10.1):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1), 1, "purchase", v,
+                     "{}"))
+    for _ in range(3):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1), 1, "click", 5.0,
+                     "{}"))
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 1), 1, "tap", 5.0, "{}"))
+    r = {(x["type_a"], x["type_b"]): x
+         for x in pairwise_welch_matrix(
+             _ev(spark, tmp_path, rows)).collect()}
+    assert len(r) == 6  # C(4,2)
+    assert r[("purchase", "view")]["t_e6"] > 10_000_000
+    assert r[("click", "tap")]["t_e6"] == 0  # zero-variance gate
+
+
+def test_token_budget_even_split(spark):
+    """Two equal sources, budget = half the corpus → 50 tokens and
+    0.50 epochs each."""
+    docs = [("a", i, "w " * 100) for i in range(1)] + \
+           [("b", i, "w " * 100) for i in range(1)]
+    df = spark.createDataFrame(
+        [(s, i, t) for s, i, t in docs],
+        "source string, doc_id long, text string")
+    r = {x["source"]: x for x in token_budget_allocation(df).collect()}
+    assert r["a"]["n_tokens"] == 100
+    assert r["a"]["alloc_tokens"] == 50 and r["b"]["alloc_tokens"] == 50
+    assert r["a"]["epochs_e2"] == 50
+
+
+def test_token_budget_epoch_cap(spark):
+    """A 4-token source next to a 10000-token one: temperature
+    up-weighting would give it ~20 tokens, the 4-epoch cap clamps to
+    16 (epochs_e2 = 400)."""
+    df = spark.createDataFrame(
+        [("tiny", 0, "w w w w"), ("big", 1, "w " * 10000)],
+        "source string, doc_id long, text string")
+    r = {x["source"]: x for x in token_budget_allocation(df).collect()}
+    assert r["tiny"]["alloc_tokens"] == 16
+    assert r["tiny"]["epochs_e2"] == 400
+    assert r["big"]["epochs_e2"] < 100
+
+
+def test_pairwise_welch_plan_broadcast(spark):
+    plan = plan_of(QUERIES["pairwise_welch_types"].fn(spark,
+                                                      SF_SMOKE))
+    assert "SortMergeJoin" not in plan
