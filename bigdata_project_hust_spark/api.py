@@ -1135,3 +1135,20 @@ class Engine:
         """Temperature-weighted epoch-capped token budget by source."""
         from .operators.curation import token_budget_allocation
         return token_budget_allocation(self.table("documents"))
+
+    def near_dups_prefix_filtered(self) -> DataFrame:
+        """Lossless prefix-filtered n-gram Jaccard near-dup pairs."""
+        from .operators.dedup import prefix_filter_jaccard_pairs
+        return prefix_filter_jaccard_pairs(self.table("documents"))
+
+    def shard_routing(self, n_nodes: int = 4,
+                      vnodes: int = 8) -> DataFrame:
+        """Consistent-hash ring load audit for document keys."""
+        from .operators.scale import consistent_hash_routing
+        return consistent_hash_routing(self.table("documents"),
+                                       n_nodes=n_nodes, vnodes=vnodes)
+
+    def multi_touch_attribution(self) -> DataFrame:
+        """Linear (equal-credit) pre-purchase view attribution."""
+        from .operators.eventflow import linear_attribution
+        return linear_attribution(self.table("events"))

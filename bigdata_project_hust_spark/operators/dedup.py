@@ -760,3 +760,47 @@ def containment_duplicates(df: DataFrame, text_col: str = "text",
                     F.expr("(inter_size * 1000000)"
                            " div least(n_a, n_b)").cast("long")
                     .alias("cont_small_e6")))
+
+
+def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id", n: int = 3,
+                                threshold_num: int = 3,
+                                threshold_den: int = 10) -> DataFrame:
+    """AllPairs/PPJoin-style PREFIX-FILTERED n-gram Jaccard: order
+    every document's shingles by GLOBAL rarity (df asc, shingle asc —
+    a total order) and generate candidates only from each document's
+    first L = |d| - ceil(θ|d|) + 1 shingles.  If J(a,b) >= θ the two
+    prefixes must share a shingle, so unlike the df-cap variant this
+    pruning is LOSSLESS — same output as the full inverted-index join,
+    provably, at a fraction of the candidate volume (the frequent
+    shingles that dominate Σ df² never seed candidates; they only get
+    touched in the exact verify of surviving pairs).
+
+    ceil is the positive-operand (a+b-1) div b form; the global
+    rarity rank is one row_number over the |vocab|-row distinct-
+    shingle table (range-partition it for a web-scale vocabulary).
+    Verification is the shared exact-integer jaccard_verify."""
+    from pyspark.sql import Window
+    sh = shingles(df, text_col, id_col, n).persist()
+    vocab = (sh.groupBy("sh").agg(F.count("*").alias("__df")))
+    rk = vocab.select(
+        "sh", F.row_number().over(
+            Window.orderBy("__df", "sh")).alias("__rk"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__n"))
+    entries = (sh.join(rk, "sh").join(sizes, id_col))
+    wd = Window.partitionBy(id_col).orderBy("__rk")
+    prefix = (entries
+              .select(id_col, "sh", "__n",
+                      F.row_number().over(wd).alias("__pos"))
+              .where(F.col("__pos")
+                     <= F.col("__n")
+                     - F.expr(f"({threshold_num} * __n "
+                              f"+ {threshold_den} - 1) "
+                              f"div {threshold_den}") + 1))
+    a = prefix.select(F.col(id_col).alias("doc_a"), "sh")
+    b = prefix.select(F.col(id_col).alias("doc_b"), "sh")
+    pairs = (a.join(b, "sh")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct())
+    return jaccard_verify(pairs, sh, id_col,
+                          threshold_num, threshold_den)

@@ -2207,3 +2207,37 @@ def pairwise_welch_matrix(df: DataFrame,
         F.when(ok, F.floor(dof * 1e3)).otherwise(F.lit(0))
          .cast("long").alias("dof_e3")
     ).orderBy("type_a", "type_b")
+
+
+def linear_attribution(df: DataFrame, user_col: str = "user_id",
+                       type_col: str = "event_type",
+                       ts_col: str = "ts",
+                       window_s: int = 3600) -> DataFrame:
+    """Linear multi-touch attribution: every view in the hour before
+    a purchase shares the credit equally — the complement of the
+    first/last-touch single-winner models.  The view census per
+    purchase is ONE per-user RANGE-frame window (value-based frame,
+    no self-join); credit is integer basis points, 10000 div n, with
+    the remainder noted so credits still sum to exactly 10000.
+    Output: one row per attributed purchase."""
+    from pyspark.sql import Window
+    d = df.select(F.col(user_col).alias("u"),
+                  F.col(type_col).alias("et"),
+                  F.col("event_id"),
+                  _ts_s(ts_col).alias("ts_s"))
+    w = (Window.partitionBy("u").orderBy("ts_s")
+         .rangeBetween(-window_s, 0))
+    counted = d.select(
+        "u", "et", "event_id", "ts_s",
+        F.sum((F.col("et") == "view").cast("long")).over(w)
+         .alias("n_views"))
+    purchases = (counted.where((F.col("et") == "purchase")
+                               & (F.col("n_views") > 0)))
+    return (purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("u").alias(user_col),
+        "n_views",
+        F.expr("10000 div n_views").alias("credit_bp"),
+        (F.lit(10000) - F.col("n_views")
+         * F.expr("10000 div n_views")).alias("remainder_bp"))
+        .orderBy("purchase_id"))

@@ -213,3 +213,53 @@ def shard_plan(df: DataFrame, size_col: Column | str,
             .agg(F.count("*").alias("n_docs"),
                  F.sum("bytes").alias("shard_bytes"))
             .orderBy(source_col, "shard_id"))
+
+
+def consistent_hash_routing(df: DataFrame, id_col: str = "doc_id",
+                            n_nodes: int = 4,
+                            vnodes: int = 8) -> DataFrame:
+    """Consistent-hash ring routing with virtual nodes — the shard
+    router every distributed KV/cache layer runs, expressed as one
+    declarative plan: ring positions are stable_hash64("node:replica")
+    (n_nodes × vnodes literals, identical on every engine), a key
+    routes to the first vnode clockwise from its own hash, wrapping to
+    the ring minimum.
+
+    The successor lookup reuses the MERGE-STREAM window (keys and ring
+    positions union-sorted; answer = min over the forward frame) with
+    positions encoded pos·n_nodes + node — injective, order-preserving
+    — so the argmin needs no struct comparison and no range join; the
+    wraparound is one broadcast scalar.  Output: per-node key counts,
+    the load-balance audit (with 8 vnodes expect visible imbalance —
+    that IS the measurement)."""
+    from pyspark.sql import Window
+    from ..functions.scalar import stable_hash64
+    ring = df.sparkSession.range(n_nodes * vnodes).select(
+        (F.col("id") % n_nodes).cast("long").alias("node"),
+        stable_hash64(F.concat(
+            F.lit("ring:"), (F.col("id") % n_nodes).cast("string"),
+            F.lit(":"), (F.col("id") / n_nodes).cast("long")
+            .cast("string")), seed=17).alias("pos"))
+    enc = ring.select(
+        (F.col("pos") * n_nodes + F.col("node")).alias("epos"))
+    keys = df.select(
+        stable_hash64(F.col(id_col).cast("string"), seed=23)
+        .alias("h"))
+    wrap = enc.groupBy().agg(F.min("epos").alias("wrap_epos"))
+    merged = (keys.select((F.col("h") * n_nodes).alias("spos"),
+                          F.lit(0).alias("is_ring"),
+                          F.lit(None).cast("long").alias("epos"))
+              .unionByName(enc.select(
+                  F.col("epos").alias("spos"),
+                  F.lit(1).alias("is_ring"), "epos")))
+    wm = (Window.orderBy("spos", "is_ring")
+          .rowsBetween(0, Window.unboundedFollowing))
+    routed = (merged
+              .select("is_ring", F.min("epos").over(wm).alias("succ"))
+              .where(F.col("is_ring") == 0)
+              .crossJoin(F.broadcast(wrap))
+              .select(F.pmod(F.coalesce("succ", "wrap_epos"),
+                             F.lit(n_nodes)).alias("node")))
+    return (routed.groupBy("node")
+            .agg(F.count("*").alias("n_keys"))
+            .orderBy("node"))

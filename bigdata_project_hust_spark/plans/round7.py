@@ -880,3 +880,106 @@ QUERIES_ROUND7.update({
         q_token_budget_allocation, ORACLE_TOKEN_BUDGET,
         doc="temperature-weighted epoch-capped token budget plan"),
 })
+
+
+# ===========================================================================
+# Batch 5: prefix-filtered similarity join, consistent-hash routing,
+# linear multi-touch attribution
+# ===========================================================================
+
+from ..functions.scalar import stable_hash64_sql  # noqa: E402
+from ..operators import dedup, scale as scale_ops  # noqa: E402
+from .queries import ORACLE_NGRAM  # noqa: E402  (defined before round7 loads)
+
+
+def q_dedup_prefix_filter(spark, sf_dir):
+    """Lossless prefix-filtered n-gram Jaccard ≥ 3/10 — identical
+    output to dedup_ngram_jaccard by the AllPairs guarantee, so it
+    shares that query's oracle verbatim (the equality IS the test)."""
+    return dedup.prefix_filter_jaccard_pairs(
+        _t(spark, sf_dir, "documents"))
+
+
+def q_consistent_hash_routing(spark, sf_dir):
+    """Ring routing of doc keys over 4 nodes × 8 vnodes — per-node
+    load audit via the merge-stream successor window."""
+    return scale_ops.consistent_hash_routing(
+        _t(spark, sf_dir, "documents"))
+
+
+_RING_HASH = stable_hash64_sql(
+    "('ring:' || (i % 4)::VARCHAR || ':' || (i // 4)::VARCHAR)", 17)
+_KEY_HASH = stable_hash64_sql("doc_id::VARCHAR", 23)
+
+ORACLE_CONSISTENT_HASH = f"""
+  WITH ring AS (
+    SELECT (i % 4)::BIGINT AS node, {_RING_HASH} AS pos
+    FROM (SELECT unnest(generate_series(0, 31)) AS i)
+  ),
+  enc AS (SELECT (pos * 4 + node) AS epos FROM ring),
+  keys AS (SELECT {_KEY_HASH} AS h FROM documents),
+  wrap AS (SELECT min(epos) AS wrap_epos FROM enc),
+  merged AS (
+    SELECT (h * 4) AS spos, 0 AS is_ring, NULL::BIGINT AS epos
+    FROM keys
+    UNION ALL
+    SELECT epos AS spos, 1 AS is_ring, epos FROM enc
+  ),
+  routed AS (
+    SELECT is_ring,
+           min(epos) OVER (ORDER BY spos, is_ring
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS succ
+    FROM merged
+  )
+  SELECT (coalesce(succ, wrap_epos) % 4)::BIGINT AS node,
+         count(*)::BIGINT AS n_keys
+  FROM routed, wrap WHERE is_ring = 0
+  GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_linear_attribution(spark, sf_dir):
+    """Equal-credit multi-touch attribution: integer bp credit per
+    view in the pre-purchase hour, remainder tracked."""
+    return eventflow.linear_attribution(_t(spark, sf_dir, "events"))
+
+
+ORACLE_LINEAR_ATTRIBUTION = """
+  WITH d AS (
+    SELECT user_id AS u, event_type AS et, event_id,
+           floor(epoch(ts))::BIGINT AS ts_s
+    FROM events
+  ),
+  counted AS (
+    SELECT u, et, event_id,
+           sum((et = 'view')::BIGINT) OVER (
+             PARTITION BY u ORDER BY ts_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+             AS n_views
+    FROM d
+  )
+  SELECT event_id AS purchase_id, u AS user_id,
+         n_views::BIGINT AS n_views,
+         (10000 // n_views)::BIGINT AS credit_bp,
+         (10000 - n_views * (10000 // n_views))::BIGINT
+           AS remainder_bp
+  FROM counted WHERE et = 'purchase' AND n_views > 0
+  ORDER BY purchase_id
+"""
+
+
+QUERIES_ROUND7.update({
+    "dedup_prefix_filter": QuerySpec(
+        q_dedup_prefix_filter, ORACLE_NGRAM,
+        doc="lossless prefix-filtered Jaccard join (AllPairs bound, "
+            "same oracle as the full inverted-index join)"),
+    "consistent_hash_routing": QuerySpec(
+        q_consistent_hash_routing, ORACLE_CONSISTENT_HASH,
+        doc="consistent-hash ring router (merge-stream successor "
+            "lookup, vnode load audit)"),
+    "linear_attribution": QuerySpec(
+        q_linear_attribution, ORACLE_LINEAR_ATTRIBUTION,
+        doc="linear multi-touch attribution (RANGE-frame view "
+            "census, integer bp credits)"),
+})

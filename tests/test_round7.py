@@ -633,3 +633,83 @@ def test_pairwise_welch_plan_broadcast(spark):
     plan = plan_of(QUERIES["pairwise_welch_types"].fn(spark,
                                                       SF_SMOKE))
     assert "SortMergeJoin" not in plan
+
+
+# ===========================================================================
+# Batch 5: prefix filter, consistent hashing, linear attribution
+# ===========================================================================
+
+from bigdata_project_hust_spark.operators.dedup import (
+    ngram_jaccard_pairs, prefix_filter_jaccard_pairs)
+from bigdata_project_hust_spark.operators.eventflow import (
+    linear_attribution)
+from bigdata_project_hust_spark.operators.scale import (
+    consistent_hash_routing)
+
+
+def test_prefix_filter_equals_full_join(spark):
+    """The AllPairs guarantee: prefix-filtered candidates produce
+    exactly the full inverted-index result (lossless pruning)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon eta"),
+         (3, "one two three four five six seven"),
+         (4, "one two three four five six eight"),
+         (5, "totally different words here now then")],
+        "doc_id long, text string")
+    full = {(r["doc_a"], r["doc_b"], r["inter_size"], r["union_size"])
+            for r in ngram_jaccard_pairs(docs).collect()}
+    pref = {(r["doc_a"], r["doc_b"], r["inter_size"], r["union_size"])
+            for r in prefix_filter_jaccard_pairs(docs).collect()}
+    assert pref == full and len(full) >= 2
+
+
+def test_consistent_hash_total_and_determinism(spark):
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    r1 = {x["node"]: x["n_keys"]
+          for x in consistent_hash_routing(docs).collect()}
+    r2 = {x["node"]: x["n_keys"]
+          for x in consistent_hash_routing(docs).collect()}
+    assert r1 == r2
+    assert sum(r1.values()) == 500
+    assert set(r1) <= {0, 1, 2, 3}
+
+
+def test_consistent_hash_stability_under_growth(spark):
+    """Adding keys never reroutes existing ones (the whole point of
+    the ring): per-key assignment on a subset is a sub-multiset of
+    the superset run."""
+    small = spark.range(100).select(F.col("id").alias("doc_id"))
+    big = spark.range(200).select(F.col("id").alias("doc_id"))
+    s = {x["node"]: x["n_keys"]
+         for x in consistent_hash_routing(small).collect()}
+    b = {x["node"]: x["n_keys"]
+         for x in consistent_hash_routing(big).collect()}
+    assert all(b.get(k, 0) >= v for k, v in s.items())
+
+
+def test_linear_attribution_hand_case(spark, tmp_path):
+    """3 views in the hour before the purchase → credit 3333 bp,
+    remainder 1; a view 2h earlier is outside the RANGE frame; a
+    purchase with no prior views is dropped."""
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0 - timedelta(hours=2), 7, "view", 1.0, "{}"),
+        (2, t0 - timedelta(minutes=50), 7, "view", 1.0, "{}"),
+        (3, t0 - timedelta(minutes=30), 7, "view", 1.0, "{}"),
+        (4, t0 - timedelta(minutes=10), 7, "view", 1.0, "{}"),
+        (5, t0, 7, "purchase", 9.0, "{}"),
+        (6, t0, 8, "purchase", 9.0, "{}"),   # no views → dropped
+    ]
+    r = linear_attribution(_ev(spark, tmp_path, rows)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["purchase_id"] == 5 and row["n_views"] == 3
+    assert row["credit_bp"] == 3333 and row["remainder_bp"] == 1
+
+
+def test_attribution_plan_single_window_no_selfjoin(spark):
+    plan = plan_of(QUERIES["linear_attribution"].fn(spark, SF_SMOKE))
+    from .test_plans import n_nodes
+    assert n_nodes(plan, "Window") == 1
+    assert "Join" not in plan
