@@ -1152,3 +1152,33 @@ class Engine:
         """Linear (equal-credit) pre-purchase view attribution."""
         from .operators.eventflow import linear_attribution
         return linear_attribution(self.table("events"))
+
+    def treatment_effect(self) -> DataFrame:
+        """Difference-in-differences across arms and the cutover."""
+        from .operators.eventflow import diff_in_diff
+        return diff_in_diff(self.table("events"))
+
+    def cumulative_hazard(self, target: str = "purchase") -> DataFrame:
+        """Nelson-Aalen cumulative hazard of time-to-target."""
+        from .operators.eventflow import nelson_aalen
+        return nelson_aalen(self.table("events"), target)
+
+    def level_shift(self) -> DataFrame:
+        """Best single changepoint of the daily value series."""
+        from .operators.eventflow import changepoint_daily
+        return changepoint_daily(self.table("events"))
+
+    def order_quartiles(self) -> DataFrame:
+        """Exact interpolated quartiles of order totals."""
+        from pyspark.sql import functions as F
+        from .operators.aggregations import percentile_cont_quartiles
+        return percentile_cont_quartiles(
+            self.table("orders"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+
+    def trending(self, k: int = 20) -> DataFrame:
+        """Decay-weighted trending terms over ingest batches."""
+        from pyspark.sql import functions as F
+        from .operators.text import trending_terms
+        return trending_terms(self.table("documents"),
+                              F.expr("doc_id div 50"), k=k)

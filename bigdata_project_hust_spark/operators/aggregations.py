@@ -519,3 +519,50 @@ def cramers_v(df: DataFrame, row_col, col_col) -> DataFrame:
         F.col("n").alias("n_rows"), "k_r", "k_c", "chi2_e6",
         F.when(ok, F.floor(v * 1e6)).otherwise(F.lit(0))
          .cast("long").alias("cramers_v_e6"))
+
+
+def percentile_cont_quartiles(df: DataFrame, val_col,
+                              scale: int = 100) -> DataFrame:
+    """EXACT interpolated quartiles (percentile_cont semantics) of a
+    numeric column, with the linear interpolation done in integer
+    arithmetic: rank position (n-1)·q/4 splits into lo index and a
+    fractional numerator mod 4, and the interpolated value is
+    v_lo·scale + (v_hi - v_lo)·scale·frac div 4 — no doubles, so no
+    engine can disagree.  The rank→value lookups run against the
+    DISTINCT-value cumulative grid (never a full row sort): the six
+    needed ranks broadcast across the grid and a conditional min
+    resolves each — O(|distinct|) work however many rows."""
+    from pyspark.sql import functions as FF
+    c = FF.col(val_col) if isinstance(val_col, str) else val_col
+    d = df.select(c.cast("long").alias("v"))
+    grid = d.groupBy("v").agg(FF.count("*").alias("c"))
+    from pyspark.sql import Window
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select("v", FF.sum("c").over(w).alias("cum"))
+    n = d.groupBy().agg(FF.count("*").alias("n"))
+    qs = d.sparkSession.range(1, 4).select(FF.col("id").alias("q"))
+    ranks = (qs.crossJoin(FF.broadcast(n))
+             .select("q", "n",
+                     (FF.expr("((n - 1) * q) div 4") + 1).alias("rlo"),
+                     (FF.expr("((n - 1) * q) div 4") + 2).alias("rhi"),
+                     FF.expr("((n - 1) * q) % 4").alias("frac")))
+    lo = (cum.crossJoin(FF.broadcast(ranks))
+          .where(FF.col("cum") >= FF.col("rlo"))
+          .groupBy("q", "n", "frac", "rhi")
+          .agg(FF.min("v").alias("v_lo")))
+    hi = (cum.crossJoin(FF.broadcast(
+            ranks.select("q", FF.col("rhi").alias("rh"))))
+          .where(FF.col("cum") >= FF.col("rh"))
+          .groupBy("q").agg(FF.min("v").alias("v_hi")))
+    j = lo.join(hi, "q")
+    # frac = 0 → rhi may exceed n (q3 of n where (n-1)*3 % 4 == 0);
+    # the hi lookup then finds nothing, but its weight is zero — pin
+    # v_hi to v_lo so the arithmetic stays total
+    v_hi = FF.coalesce(FF.col("v_hi"), FF.col("v_lo"))
+    return (j.select(
+        "q", FF.col("n").cast("long").alias("n_rows"),
+        FF.col("v_lo"), v_hi.alias("v_hi"),
+        (FF.col("v_lo") * scale
+         + FF.expr(f"((coalesce(v_hi, v_lo) - v_lo) * {scale} "
+                   f"* frac) div 4")).alias(f"value_e{len(str(scale))-1}"))
+        .orderBy("q"))

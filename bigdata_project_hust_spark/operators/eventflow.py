@@ -2241,3 +2241,150 @@ def linear_attribution(df: DataFrame, user_col: str = "user_id",
         (F.lit(10000) - F.col("n_views")
          * F.expr("10000 div n_views")).alias("remainder_bp"))
         .orderBy("purchase_id"))
+
+
+DID = ("(((mtpost - mtpre) - (mcpost - mcpre)))")
+
+
+def diff_in_diff(df: DataFrame, user_col: str = "user_id",
+                 val_col: str = "value", ts_col: str = "ts",
+                 cutover_days: int = 15) -> DataFrame:
+    """Difference-in-differences estimate of the treatment effect on
+    event values: arms by user parity, periods split at
+    min_day + cutover_days (derived relationally, so the operator is
+    scale- and calendar-free).  Four exact (sum, count) cells → four
+    means and the DiD contrast combined ONCE on a pinned double tree
+    floored at e6.  One hash agg over the scan + a broadcast of the
+    1-row min-day scalar."""
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    day = F.floor(_ts_s(ts_col) / _DAY_S).cast("long")
+    d = df.select(
+        F.pmod(F.col(user_col), F.lit(2)).cast("long").alias("arm"),
+        day.alias("day"), cents.alias("v"))
+    d0 = d.groupBy().agg(F.min("day").alias("day0"))
+    dec = "decimal(38,0)"
+    cells = (d.crossJoin(F.broadcast(d0))
+             .select("arm",
+                     (F.col("day") >= F.col("day0")
+                      + F.lit(cutover_days)).cast("long").alias("post"),
+                     "v")
+             .groupBy("arm", "post")
+             .agg(F.count("*").cast(dec).alias("n"),
+                  F.sum(F.col("v").cast(dec)).alias("s")))
+    flat = cells.groupBy().agg(
+        *[F.sum(F.when((F.col("arm") == a) & (F.col("post") == p),
+                       F.col(c))).alias(f"{c}{a}{p}")
+          for a in (0, 1) for p in (0, 1) for c in ("n", "s")])
+    dbl = flat.select(
+        *[F.col(f"n{a}{p}").cast("long").alias(f"n_{a}{p}")
+          for a in (0, 1) for p in (0, 1)],
+        (F.col("s10").cast("double") / F.col("n10").cast("double"))
+        .alias("mtpre"),
+        (F.col("s11").cast("double") / F.col("n11").cast("double"))
+        .alias("mtpost"),
+        (F.col("s00").cast("double") / F.col("n00").cast("double"))
+        .alias("mcpre"),
+        (F.col("s01").cast("double") / F.col("n01").cast("double"))
+        .alias("mcpost"))
+    ok = ((F.col("n_00") > 0) & (F.col("n_01") > 0)
+          & (F.col("n_10") > 0) & (F.col("n_11") > 0))
+    return dbl.select(
+        "n_00", "n_01", "n_10", "n_11",
+        F.when(ok, F.floor(F.expr(DID) * F.lit(1_000_000)))
+         .otherwise(F.lit(0)).cast("long").alias("did_e6"))
+
+
+def nelson_aalen(df: DataFrame, target: str = "purchase",
+                 user_col: str = "user_id",
+                 type_col: str = "event_type",
+                 ts_col: str = "ts") -> DataFrame:
+    """Nelson-Aalen cumulative hazard of time-to-first-``target`` —
+    Kaplan-Meier's additive sibling, and here the FULLY INTEGER one:
+    each increment d_i/n_i is floored at e9 by integer division (no
+    doubles anywhere), and H(t) is their exact running sum.  Same
+    censoring convention and duration-grid plan shape as
+    kaplan_meier: one per-user agg, one per-duration agg, one ordered
+    window over |distinct durations| rows."""
+    from pyspark.sql import Window
+    per_user = df.groupBy(user_col).agg(
+        F.min(_ts_s(ts_col)).alias("first_s"),
+        F.min(F.when(F.col(type_col) == target,
+                     _ts_s(ts_col))).alias("ev_s"),
+        F.max(_ts_s(ts_col)).alias("last_s"))
+    dur = per_user.select(
+        F.coalesce(F.col("ev_s") - F.col("first_s"),
+                   F.col("last_s") - F.col("first_s")).alias("t"),
+        F.col("ev_s").isNotNull().cast("long").alias("is_event"))
+    pts = dur.groupBy("t").agg(
+        F.sum("is_event").cast("long").alias("d"),
+        F.sum(1 - F.col("is_event")).cast("long").alias("c"))
+    before = (Window.orderBy("t")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    tot = Window.partitionBy()
+    at_risk = pts.select(
+        "t", "d",
+        (F.sum(F.col("d") + F.col("c")).over(tot)
+         - F.coalesce(F.sum(F.col("d") + F.col("c")).over(before),
+                      F.lit(0))).alias("n"))
+    ev = at_risk.where(F.col("d") > 0)
+    inc = ev.select(
+        "t", "d", "n",
+        F.expr("(d * 1000000000) div n").alias("inc_e9"))
+    run = (Window.orderBy("t")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    return inc.select(
+        "t", "d", F.col("n").alias("n_at_risk"),
+        F.sum("inc_e9").over(run).cast("long").alias("cum_hazard_e9")
+    ).orderBy("t")
+
+
+CHANGEPOINT_SSE = ("(((ql - ((sl * sl) / nl)) "
+                   "+ (qr - ((sr * sr) / nr))))")
+
+
+def changepoint_daily(df: DataFrame, ts_col: str = "ts",
+                      val_col: str = "value") -> DataFrame:
+    """Single-changepoint detection on the daily-total series (binary
+    segmentation, depth 1): the split minimizing left+right SSE.
+    Prefix sums over the ordered day grid give each split's moments —
+    exact decimal; each candidate's SSE combines once on the pinned
+    shared string floored at whole cents² (argmin needs no finer
+    resolution and the floor stays inside double-exact range at any
+    scale); TakeOrdered argmin with a deterministic day tie-break."""
+    from pyspark.sql import Window
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    day = F.floor(_ts_s(ts_col) / _DAY_S).cast("long")
+    daily = (df.select(day.alias("day"), cents.alias("v"))
+             .groupBy("day").agg(F.sum("v").alias("t")))
+    dec = "decimal(38,0)"
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = daily.select(
+        "day",
+        F.count("*").over(w).cast("long").alias("nl"),
+        F.sum(F.col("t").cast(dec)).over(w).alias("sl"),
+        F.sum(F.col("t").cast(dec) * F.col("t").cast(dec)).over(w)
+         .alias("ql"),
+        F.count("*").over(tot).cast("long").alias("n"),
+        F.sum(F.col("t").cast(dec)).over(tot).alias("s"),
+        F.sum(F.col("t").cast(dec) * F.col("t").cast(dec)).over(tot)
+         .alias("q"))
+    cand = cum.where(F.col("nl") < F.col("n"))
+    dbl = cand.select(
+        F.col("day").alias("split_day"),
+        F.col("nl").alias("n_left"),
+        (F.col("n") - F.col("nl")).alias("n_right"),
+        F.col("nl").cast("double").alias("nld"),
+        F.col("sl").cast("double").alias("sld"),
+        F.col("ql").cast("double").alias("qld"),
+        (F.col("n") - F.col("nl")).cast("double").alias("nrd"),
+        (F.col("s") - F.col("sl")).cast("double").alias("srd"),
+        (F.col("q") - F.col("ql")).cast("double").alias("qrd"))
+    sse_expr = (CHANGEPOINT_SSE
+                .replace("ql", "qld").replace("sl", "sld")
+                .replace("nl", "nld").replace("qr", "qrd")
+                .replace("sr", "srd").replace("nr", "nrd"))
+    sse = dbl.select(
+        "split_day", "n_left", "n_right",
+        F.floor(F.expr(sse_expr)).cast("long").alias("sse_floor"))
+    return sse.orderBy("sse_floor", "split_day").limit(1)

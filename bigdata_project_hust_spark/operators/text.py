@@ -1558,3 +1558,31 @@ def phrase_hits_oracle(phrase: str, table: str = "documents",
   FROM s0 {joins}
   GROUP BY {id_col} ORDER BY {id_col}
 """
+
+
+def trending_terms(df: DataFrame, epoch_expr,
+                   text_col: str = "text", k: int = 20,
+                   max_age: int = 40) -> DataFrame:
+    """Trending terms under exponential time decay: each epoch-count
+    contributes count >> age (integer halving per epoch of age,
+    capped at ``max_age`` where the contribution is provably zero for
+    any realistic count) — the deterministic integer twin of the
+    e^{-λt} decayed counter every trending widget runs.
+    ``epoch_expr`` is any integer Column giving the row's time bucket
+    (a day number, an ingest-batch id…).  One (term, epoch) agg over
+    the corpus, one 1-row max-epoch broadcast, a reagg to terms,
+    TakeOrdered k with a (score desc, term) total order."""
+    toks = df.select(
+        epoch_expr.cast("long").alias("ep"),
+        F.explode(tokens(text_col)).alias("term"))
+    per = toks.groupBy("term", "ep").agg(F.count("*").alias("c"))
+    mx = per.groupBy().agg(F.max("ep").alias("max_ep"))
+    scored = (per.crossJoin(F.broadcast(mx))
+              .select("term",
+                      F.expr(f"c div shiftleft(1, cast(least("
+                             f"max_ep - ep, {max_age}) as int))")
+                      .alias("w")))
+    agg = scored.groupBy("term").agg(
+        F.sum("w").cast("long").alias("score"))
+    return (agg.where(F.col("score") > 0)
+            .orderBy(F.col("score").desc(), "term").limit(k))

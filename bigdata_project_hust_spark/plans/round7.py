@@ -983,3 +983,235 @@ QUERIES_ROUND7.update({
         doc="linear multi-touch attribution (RANGE-frame view "
             "census, integer bp credits)"),
 })
+
+
+# ===========================================================================
+# Batch 6: DiD, Nelson-Aalen, exact percentile_cont, changepoint,
+# trending terms
+# ===========================================================================
+
+from ..operators import aggregations  # noqa: E402
+from ..operators.eventflow import CHANGEPOINT_SSE, DID  # noqa: E402
+
+
+def q_diff_in_diff_arms(spark, sf_dir):
+    """DiD treatment-effect contrast across arms and the day-15
+    cutover — four exact cells, one pinned combine."""
+    return eventflow.diff_in_diff(_t(spark, sf_dir, "events"))
+
+
+ORACLE_DID = f"""
+  WITH d AS (
+    SELECT (user_id % 2)::BIGINT AS arm,
+           floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day,
+           floor(value * 100 + 0.5)::BIGINT AS v
+    FROM events
+  ),
+  d0 AS (SELECT min(day) AS day0 FROM d),
+  cells AS (
+    SELECT arm, (day >= day0 + 15)::BIGINT AS post,
+           count(*)::HUGEINT AS n, sum(v)::HUGEINT AS s
+    FROM d, d0 GROUP BY 1, 2
+  ),
+  flat AS (
+    SELECT
+      sum(CASE WHEN arm = 0 AND post = 0 THEN n END) AS n00,
+      sum(CASE WHEN arm = 0 AND post = 0 THEN s END) AS s00,
+      sum(CASE WHEN arm = 0 AND post = 1 THEN n END) AS n01,
+      sum(CASE WHEN arm = 0 AND post = 1 THEN s END) AS s01,
+      sum(CASE WHEN arm = 1 AND post = 0 THEN n END) AS n10,
+      sum(CASE WHEN arm = 1 AND post = 0 THEN s END) AS s10,
+      sum(CASE WHEN arm = 1 AND post = 1 THEN n END) AS n11,
+      sum(CASE WHEN arm = 1 AND post = 1 THEN s END) AS s11
+    FROM cells
+  ),
+  dbl AS (
+    SELECT n00::BIGINT AS n_00, n01::BIGINT AS n_01,
+           n10::BIGINT AS n_10, n11::BIGINT AS n_11,
+           (s10::DOUBLE / n10::DOUBLE) AS mtpre,
+           (s11::DOUBLE / n11::DOUBLE) AS mtpost,
+           (s00::DOUBLE / n00::DOUBLE) AS mcpre,
+           (s01::DOUBLE / n01::DOUBLE) AS mcpost
+    FROM flat
+  )
+  SELECT n_00, n_01, n_10, n_11,
+         (CASE WHEN n_00 > 0 AND n_01 > 0 AND n_10 > 0 AND n_11 > 0
+               THEN floor(({DID}) * 1000000)
+               ELSE 0 END)::BIGINT AS did_e6
+  FROM dbl
+"""
+
+
+def q_nelson_aalen_purchase(spark, sf_dir):
+    """Cumulative hazard of time-to-first-purchase — fully integer
+    (d·1e9 div n increments, exact running sum)."""
+    return eventflow.nelson_aalen(_t(spark, sf_dir, "events"))
+
+
+ORACLE_NELSON_AALEN = """
+  WITH per_user AS (
+    SELECT user_id,
+           min(floor(epoch(ts))::BIGINT) AS first_s,
+           min(CASE WHEN event_type = 'purchase'
+                    THEN floor(epoch(ts))::BIGINT END) AS ev_s,
+           max(floor(epoch(ts))::BIGINT) AS last_s
+    FROM events GROUP BY user_id
+  ),
+  dur AS (
+    SELECT coalesce(ev_s - first_s, last_s - first_s) AS t,
+           (ev_s IS NOT NULL)::BIGINT AS is_event
+    FROM per_user
+  ),
+  pts AS (SELECT t, sum(is_event)::BIGINT AS d,
+                 sum(1 - is_event)::BIGINT AS c
+          FROM dur GROUP BY t),
+  at_risk AS (
+    SELECT t, d,
+           (sum(d + c) OVER ()
+            - coalesce(sum(d + c) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0))::BIGINT AS n
+    FROM pts
+  ),
+  inc AS (SELECT t, d, n, (d * 1000000000) // n AS inc_e9
+          FROM at_risk WHERE d > 0)
+  SELECT t, d, n AS n_at_risk,
+         sum(inc_e9) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+           PRECEDING AND CURRENT ROW)::BIGINT AS cum_hazard_e9
+  FROM inc ORDER BY t
+"""
+
+
+def q_changepoint_daily(spark, sf_dir):
+    """Depth-1 binary-segmentation changepoint of the daily series
+    (min left+right SSE, TakeOrdered argmin)."""
+    return eventflow.changepoint_daily(_t(spark, sf_dir, "events"))
+
+
+_SSE_SQL = (CHANGEPOINT_SSE
+            .replace("ql", "qld").replace("sl", "sld")
+            .replace("nl", "nld").replace("qr", "qrd")
+            .replace("sr", "srd").replace("nr", "nrd"))
+
+ORACLE_CHANGEPOINT = f"""
+  WITH daily AS (
+    SELECT floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day,
+           sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS t
+    FROM events GROUP BY 1
+  ),
+  cum AS (
+    SELECT day,
+           count(*) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW)::BIGINT AS nl,
+           sum(t::HUGEINT) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS sl,
+           sum(t::HUGEINT * t::HUGEINT) OVER (ORDER BY day ROWS
+             BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ql,
+           count(*) OVER ()::BIGINT AS n,
+           sum(t::HUGEINT) OVER () AS s,
+           sum(t::HUGEINT * t::HUGEINT) OVER () AS q
+    FROM daily
+  ),
+  dbl AS (
+    SELECT day AS split_day, nl AS n_left, (n - nl) AS n_right,
+           nl::DOUBLE AS nld, sl::DOUBLE AS sld, ql::DOUBLE AS qld,
+           (n - nl)::DOUBLE AS nrd, (s - sl)::DOUBLE AS srd,
+           (q - ql)::DOUBLE AS qrd
+    FROM cum WHERE nl < n
+  )
+  SELECT split_day, n_left, n_right,
+         floor({_SSE_SQL})::BIGINT AS sse_floor
+  FROM dbl ORDER BY sse_floor, split_day LIMIT 1
+"""
+
+
+def q_quartiles_order_totals(spark, sf_dir):
+    """Exact percentile_cont quartiles of order totals — integer
+    interpolation on the distinct-value grid."""
+    o = _t(spark, sf_dir, "orders")
+    return aggregations.percentile_cont_quartiles(
+        o, F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+
+
+ORACLE_QUARTILES = """
+  WITH d AS (SELECT floor(o_totalprice * 100 + 0.5)::BIGINT AS v
+             FROM orders),
+  grid AS (SELECT v, count(*)::BIGINT AS c FROM d GROUP BY v),
+  cum AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW)::BIGINT AS cum FROM grid),
+  n AS (SELECT count(*)::BIGINT AS n FROM d),
+  ranks AS (
+    SELECT q, n, ((n - 1) * q) // 4 + 1 AS rlo,
+           ((n - 1) * q) // 4 + 2 AS rhi,
+           ((n - 1) * q) % 4 AS frac
+    FROM (SELECT unnest([1, 2, 3])::BIGINT AS q), n
+  ),
+  lo AS (
+    SELECT q, n, frac, min(v) AS v_lo
+    FROM cum, ranks WHERE cum >= rlo GROUP BY q, n, frac
+  ),
+  hi AS (
+    SELECT q, min(v) AS v_hi
+    FROM cum, ranks WHERE cum >= rhi GROUP BY q
+  )
+  SELECT lo.q, n AS n_rows, v_lo,
+         coalesce(v_hi, v_lo) AS v_hi,
+         (v_lo * 100 + ((coalesce(v_hi, v_lo) - v_lo) * 100 * frac)
+          // 4)::BIGINT AS value_e2
+  FROM lo LEFT JOIN hi ON hi.q = lo.q
+  ORDER BY lo.q
+"""
+
+
+def q_trending_terms_batches(spark, sf_dir):
+    """Decayed trending terms over ingest batches (doc_id div 50) —
+    integer halving per batch of age."""
+    d = _t(spark, sf_dir, "documents")
+    return text.trending_terms(d, F.expr("doc_id div 50"))
+
+
+ORACLE_TRENDING = r"""
+  WITH toks AS (
+    SELECT (doc_id // 50)::BIGINT AS ep,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              t -> t <> '')) AS term
+    FROM documents
+  ),
+  per AS (SELECT term, ep, count(*)::BIGINT AS c FROM toks
+          GROUP BY 1, 2),
+  mx AS (SELECT max(ep) AS max_ep FROM per),
+  scored AS (
+    SELECT term,
+           (c // (1::BIGINT << least(max_ep - ep, 40)::INT))::BIGINT
+             AS w
+    FROM per, mx
+  ),
+  agg AS (SELECT term, sum(w)::BIGINT AS score FROM scored
+          GROUP BY term)
+  SELECT term, score FROM agg WHERE score > 0
+  ORDER BY score DESC, term LIMIT 20
+"""
+
+
+QUERIES_ROUND7.update({
+    "diff_in_diff_arms": QuerySpec(
+        q_diff_in_diff_arms, ORACLE_DID,
+        doc="difference-in-differences contrast (4 exact cells, one "
+            "pinned combine)"),
+    "nelson_aalen_purchase": QuerySpec(
+        q_nelson_aalen_purchase, ORACLE_NELSON_AALEN,
+        doc="Nelson-Aalen cumulative hazard (fully integer "
+            "increments)"),
+    "changepoint_daily": QuerySpec(
+        q_changepoint_daily, ORACLE_CHANGEPOINT,
+        doc="binary-segmentation changepoint (prefix-sum SSE "
+            "argmin)"),
+    "quartiles_order_totals": QuerySpec(
+        q_quartiles_order_totals, ORACLE_QUARTILES,
+        doc="exact percentile_cont quartiles (integer interpolation "
+            "on the distinct grid)"),
+    "trending_terms_batches": QuerySpec(
+        q_trending_terms_batches, ORACLE_TRENDING,
+        doc="exponential-decay trending terms (integer halving per "
+            "batch)"),
+})

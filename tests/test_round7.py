@@ -713,3 +713,105 @@ def test_attribution_plan_single_window_no_selfjoin(spark):
     from .test_plans import n_nodes
     assert n_nodes(plan, "Window") == 1
     assert "Join" not in plan
+
+
+# ===========================================================================
+# Batch 6: DiD, Nelson-Aalen, changepoint, quartiles, trending
+# ===========================================================================
+
+from bigdata_project_hust_spark.operators.aggregations import (
+    percentile_cont_quartiles)
+from bigdata_project_hust_spark.operators.eventflow import (
+    changepoint_daily, diff_in_diff, nelson_aalen)
+from bigdata_project_hust_spark.operators.text import trending_terms
+
+
+def test_did_hand_values(spark, tmp_path):
+    """Treatment (odd users): 1$ pre → 3$ post; control: 1$ → 1.5$.
+    DiD = (300-100) - (150-100) = 150 cents."""
+    rows, eid = [], 0
+    for d in (0, 20):  # pre day 0, post day 20 (cutover at day 15)
+        t = datetime(2024, 1, 1) + timedelta(days=d)
+        for u, v in ((1, 1.0 if d < 15 else 3.0),
+                     (2, 1.0 if d < 15 else 1.5)):
+            eid += 1
+            rows.append((eid, t, u, "view", v, "{}"))
+    r = diff_in_diff(_ev(spark, tmp_path, rows)).collect()[0]
+    assert (r["n_00"], r["n_01"], r["n_10"], r["n_11"]) == (1, 1, 1, 1)
+    assert r["did_e6"] == 150_000_000
+
+
+def test_did_missing_cell_gated(spark, tmp_path):
+    rows = [(1, datetime(2024, 1, 1), 1, "view", 1.0, "{}")]
+    r = diff_in_diff(_ev(spark, tmp_path, rows)).collect()[0]
+    assert r["did_e6"] == 0
+
+
+def test_nelson_aalen_hand_values(spark, tmp_path):
+    """u1 converts at +10s (3 at risk), u2 censored at +20s, u3
+    converts at +30s (1 at risk): H = 1/3 then 1/3 + 1."""
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + timedelta(seconds=10), 1, "purchase", 1.0, "{}"),
+        (3, t0, 2, "view", 1.0, "{}"),
+        (4, t0 + timedelta(seconds=20), 2, "view", 1.0, "{}"),
+        (5, t0, 3, "view", 1.0, "{}"),
+        (6, t0 + timedelta(seconds=30), 3, "purchase", 1.0, "{}"),
+    ]
+    r = nelson_aalen(_ev(spark, tmp_path, rows)).collect()
+    assert [(x["t"], x["n_at_risk"], x["cum_hazard_e9"])
+            for x in r] == [(10, 3, 333333333), (30, 1, 1333333333)]
+
+
+def test_changepoint_finds_level_shift(spark, tmp_path):
+    """1,1,1,10,10,10 $/day → perfect split after day 3, SSE 0."""
+    r = changepoint_daily(
+        _daily_series(spark, tmp_path,
+                      (1.0, 1.0, 1.0, 10.0, 10.0, 10.0))).collect()[0]
+    assert r["n_left"] == 3 and r["n_right"] == 3
+    assert r["sse_floor"] == 0
+
+
+def test_quartiles_hand_values(spark):
+    """{100,200,300,400}: q1 = 175.00, q2 = 250.00, q3 = 325.00
+    (exact interpolation, value_e2 = cents·100)."""
+    df = spark.createDataFrame([(100,), (200,), (300,), (400,)],
+                               "v long")
+    r = {x["q"]: x for x in
+         percentile_cont_quartiles(df, "v").collect()}
+    assert r[1]["value_e2"] == 17500
+    assert r[2]["value_e2"] == 25000
+    assert r[3]["value_e2"] == 32500
+
+
+def test_quartiles_exact_rank_no_interp(spark):
+    """n=5: every quartile position is integral (frac=0) — value is
+    the exact order statistic, v_hi pinned to v_lo."""
+    df = spark.createDataFrame([(10,), (20,), (30,), (40,), (50,)],
+                               "v long")
+    r = {x["q"]: x for x in
+         percentile_cont_quartiles(df, "v").collect()}
+    assert r[1]["value_e2"] == 2000 and r[1]["v_lo"] == 20
+    assert r[2]["value_e2"] == 3000
+    assert r[3]["value_e2"] == 4000
+
+
+def test_trending_decay_hand_values(spark):
+    """'old' count 8 in batch 0, 'new' count 2 in batch 1 →
+    scores old = 8>>1 = 4, new = 2."""
+    docs = ([(i, "old") for i in range(8)]
+            + [(50 + i, "new") for i in range(2)])
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = [(x["term"], x["score"]) for x in
+         trending_terms(df, F.expr("doc_id div 50")).collect()]
+    assert r == [("old", 4), ("new", 2)]
+
+
+def test_nelson_aalen_monotone_nondecreasing(spark, tmp_path):
+    rows = [(i + 1, datetime(2024, 1, 1) + timedelta(seconds=i * 7),
+             i % 5, "purchase" if i % 3 == 0 else "view",
+             1.0, "{}") for i in range(40)]
+    r = nelson_aalen(_ev(spark, tmp_path, rows)).collect()
+    hz = [x["cum_hazard_e9"] for x in r]
+    assert hz == sorted(hz)
