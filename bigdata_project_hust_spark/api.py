@@ -1182,3 +1182,28 @@ class Engine:
         from .operators.text import trending_terms
         return trending_terms(self.table("documents"),
                               F.expr("doc_id div 50"), k=k)
+
+    def bandit_scores(self) -> DataFrame:
+        """UCB1 allocation scores per event-type arm."""
+        from .operators.eventflow import ucb_arm_scores
+        return ucb_arm_scores(self.table("events"))
+
+    def rate_test(self) -> DataFrame:
+        """Two-sample event-rate (Poisson/binomial) test by arm."""
+        from .operators.eventflow import poisson_rate_test
+        return poisson_rate_test(self.table("events"))
+
+    def churn_hazard(self) -> DataFrame:
+        """Discrete churn hazard by tenure week."""
+        from .operators.eventflow import churn_hazard_by_tenure
+        return churn_hazard_by_tenure(self.table("events"))
+
+    def graph_powerlaw(self) -> DataFrame:
+        """Degree-distribution power-law exponent (co-purchase)."""
+        from .operators.graph import copurchase_edges, degree_powerlaw
+        return degree_powerlaw(copurchase_edges(self.table("lineitem")))
+
+    def smoothed_daily(self) -> DataFrame:
+        """7-day rolling median of daily value totals."""
+        from .operators.eventflow import rolling_median_daily
+        return rolling_median_daily(self.table("events"))

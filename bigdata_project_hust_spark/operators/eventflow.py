@@ -2388,3 +2388,158 @@ def changepoint_daily(df: DataFrame, ts_col: str = "ts",
         "split_day", "n_left", "n_right",
         F.floor(F.expr(sse_expr)).cast("long").alias("sse_floor"))
     return sse.orderBy("sse_floor", "split_day").limit(1)
+
+
+UCB1 = "((k_ / n_) + sqrt((2.0 * ln(nn_)) / n_))"
+
+
+def ucb_arm_scores(df: DataFrame, type_col: str = "event_type",
+                   val_col: str = "value",
+                   success_cents: int = 10000) -> DataFrame:
+    """UCB1 bandit scores per arm (event type): empirical success
+    rate (value above the threshold) plus the sqrt(2 ln N / n)
+    exploration bonus — the allocation rule a serving layer would
+    read off this table each round.  Exact (n, k) integers per arm
+    from one hash agg; the bonus combines once per arm on the pinned
+    shared string (ln and sqrt are correctly rounded on both
+    engines), floored at e6; deterministic (score desc, arm) rank."""
+    from pyspark.sql import Window
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    per = (df.where(F.col(type_col).isNotNull())
+           .select(F.col(type_col).alias("arm"), cents.alias("v"))
+           .groupBy("arm")
+           .agg(F.count("*").alias("n"),
+                F.sum((F.col("v") >= success_cents).cast("long"))
+                 .alias("k")))
+    tot = per.groupBy().agg(F.sum("n").alias("nn"))
+    j = per.crossJoin(F.broadcast(tot))
+    dbl = j.select(
+        "arm", F.col("n").alias("n_pulls"), F.col("k").alias("n_wins"),
+        F.col("n").cast("double").alias("n_"),
+        F.col("k").cast("double").alias("k_"),
+        F.col("nn").cast("double").alias("nn_"))
+    scored = dbl.select(
+        "arm", "n_pulls", "n_wins",
+        F.floor(F.expr(UCB1) * F.lit(1_000_000)).cast("long")
+         .alias("ucb_e6"))
+    w = Window.orderBy(F.col("ucb_e6").desc(), "arm")
+    return scored.select("arm", "n_pulls", "n_wins", "ucb_e6",
+                         F.row_number().over(w).alias("rank"))
+
+
+POISSON_Z = "(k1t_ / sqrt(nt1t2_))"
+
+
+def poisson_rate_test(df: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Two-sample event-rate comparison between the A/B arms, as the
+    CONDITIONAL binomial test: given n = k1+k2 total events and
+    exposures T1/T2 (active user-days per arm), k1 ~ Bin(n, T1/T) —
+    z = (k1·T - n·T1) / sqrt(n·T1·T2), whose numerator and radicand
+    are EXACT integers; only the final quotient is a pinned double,
+    floored at e6.  Two hash aggs over the scan (events, exposures)."""
+    day = F.floor(_ts_s(ts_col) / _DAY_S).cast("long")
+    arm = F.pmod(F.col(user_col), F.lit(2)).cast("long")
+    d = df.select(arm.alias("arm"), F.col(user_col).alias("u"),
+                  day.alias("day"))
+    ks = d.groupBy("arm").agg(F.count("*").alias("k"))
+    exp_ = (d.select("arm", "u", "day").distinct()
+            .groupBy("arm").agg(F.count("*").alias("t")))
+    j = (ks.join(exp_, "arm")
+         .groupBy()
+         .agg(F.sum(F.when(F.col("arm") == 0, F.col("k"))).alias("k1"),
+              F.sum(F.when(F.col("arm") == 1, F.col("k"))).alias("k2"),
+              F.sum(F.when(F.col("arm") == 0, F.col("t"))).alias("t1"),
+              F.sum(F.when(F.col("arm") == 1, F.col("t"))).alias("t2")))
+    dec = "decimal(38,0)"
+    ints = j.select(
+        F.col("k1").cast("long").alias("n_events_a"),
+        F.col("k2").cast("long").alias("n_events_b"),
+        F.col("t1").cast("long").alias("exposure_a"),
+        F.col("t2").cast("long").alias("exposure_b"),
+        (F.col("k1").cast(dec) * (F.col("t1") + F.col("t2")).cast(dec)
+         - (F.col("k1") + F.col("k2")).cast(dec)
+         * F.col("t1").cast(dec)).cast("double").alias("k1t_"),
+        F.lit(0.0).alias("nt1_"),
+        ((F.col("k1") + F.col("k2")).cast(dec)
+         * F.col("t1").cast(dec) * F.col("t2").cast(dec))
+        .cast("double").alias("nt1t2_"))
+    ok = (F.col("exposure_a") > 0) & (F.col("exposure_b") > 0) \
+        & (F.col("nt1t2_") > 0.0)
+    return ints.select(
+        "n_events_a", "n_events_b", "exposure_a", "exposure_b",
+        F.when(ok, F.floor(F.expr(POISSON_Z) * F.lit(1_000_000)))
+         .otherwise(F.lit(0)).cast("long").alias("z_e6"))
+
+
+def churn_hazard_by_tenure(df: DataFrame, user_col: str = "user_id",
+                           ts_col: str = "ts",
+                           week_days: int = 7) -> DataFrame:
+    """Discrete churn hazard by tenure week: of the users who
+    REACHED week w, what fraction stopped there?  Users whose last
+    event falls inside the final observation week are right-censored
+    — they hold a place in every at-risk denominator up to their
+    tenure but never count as churned.  at-risk(w) is a suffix sum
+    over the |weeks|-row histogram (one ordered window); the hazard
+    is exact integer e6 division."""
+    from pyspark.sql import Window
+    day = F.floor(_ts_s(ts_col) / _DAY_S).cast("long")
+    per_user = (df.select(F.col(user_col).alias("u"), day.alias("d"))
+                .groupBy("u")
+                .agg(F.min("d").alias("first_d"),
+                     F.max("d").alias("last_d")))
+    mx = per_user.groupBy().agg(F.max("last_d").alias("max_d"))
+    tagged = (per_user.crossJoin(F.broadcast(mx))
+              .select(
+                  F.expr(f"(last_d - first_d) div {week_days}")
+                   .alias("w"),
+                  (F.col("last_d") > F.col("max_d") - week_days)
+                  .cast("long").alias("censored")))
+    hist = tagged.groupBy("w").agg(
+        F.count("*").alias("n_ending"),
+        F.sum("censored").alias("n_censored"))
+    wdesc = (Window.orderBy(F.col("w").desc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+    haz = hist.select(
+        "w", "n_ending", "n_censored",
+        F.sum("n_ending").over(wdesc).alias("at_risk"),
+        (F.col("n_ending") - F.col("n_censored")).alias("churned"))
+    return (haz.select(
+        F.col("w").alias("tenure_week"), "at_risk", "churned",
+        F.col("n_censored").cast("long").alias("censored"),
+        F.expr("(churned * 1000000) div at_risk").cast("long")
+         .alias("hazard_e6"))
+        .orderBy("tenure_week"))
+
+
+def rolling_median_daily(df: DataFrame, ts_col: str = "ts",
+                         val_col: str = "value",
+                         window_days: int = 7) -> DataFrame:
+    """Rolling 7-day LOW median of the daily-total series — the
+    robust smoother (a median never chases one spike the way a
+    moving average does).  Medians aren't frame-expressible, so each
+    center day joins its ≤7 window members via a broadcast offset
+    fan-out over the tiny day grid and takes the nearest-rank
+    element with one per-center window — O(days·window) rows total,
+    all integer."""
+    from pyspark.sql import Window
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    day = F.floor(_ts_s(ts_col) / _DAY_S).cast("long")
+    daily = (df.select(day.alias("day"), cents.alias("v"))
+             .groupBy("day").agg(F.sum("v").alias("t")))
+    offs = daily.sparkSession.range(window_days) \
+                .select(F.col("id").alias("off"))
+    members = (daily.crossJoin(F.broadcast(offs))
+               .select((F.col("day") + F.col("off")).alias("center"),
+                       "t"))
+    centers = daily.select(F.col("day").alias("center"))
+    joined = members.join(centers, "center")
+    w = Window.partitionBy("center").orderBy("t")
+    ranked = joined.select(
+        "center", "t", F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("center")).alias("m"))
+    return (ranked.where(F.col("rn") == F.expr("(m + 1) div 2"))
+            .select(F.col("center").alias("day"),
+                    F.col("m").alias("n_window"),
+                    F.col("t").alias("rolling_median"))
+            .orderBy("day"))

@@ -672,3 +672,41 @@ def lpa_communities_oracle(edges_sql: str, rounds: int = 3) -> str:
     return ("  WITH" + ",".join(parts)
             + f"\n  SELECT node, lbl AS community FROM r{rounds} "
               "ORDER BY node")
+
+
+def degree_powerlaw(edges: DataFrame, a: str = "pa",
+                    b: str = "pb") -> DataFrame:
+    """Power-law exponent of the degree distribution: OLS slope of
+    ln(count) on ln(degree) over the degree histogram — the one-row
+    is-this-a-hub-graph diagnostic that decides whether skew
+    machinery (salting, degree caps) is needed before any join on
+    the edge list.  Same quantize-then-exact-sum pattern as the
+    token zipf fit: per-degree lns floored to e6 BIGINTs, exact
+    decimal moments, one pinned closed-form combine."""
+    e = edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    sym = e.unionByName(e.select(F.col("y").alias("x"),
+                                 F.col("x").alias("y")))
+    deg = sym.groupBy("x").agg(F.count("*").alias("d"))
+    hist = deg.groupBy("d").agg(F.count("*").alias("c"))
+    q = hist.select(
+        F.floor(F.log(F.col("d").cast("double")) * 1e6).cast("long")
+         .alias("qx"),
+        F.floor(F.log(F.col("c").cast("double")) * 1e6).cast("long")
+         .alias("qy"))
+    dec, dec19 = "decimal(38,0)", "decimal(19,0)"
+    m = q.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("qx").cast(dec)).alias("sx"),
+        F.sum(F.col("qy").cast(dec)).alias("sy"),
+        F.sum(F.col("qx").cast(dec19) * F.col("qx").cast(dec19))
+         .alias("sxx"),
+        F.sum(F.col("qx").cast(dec19) * F.col("qy").cast(dec19))
+         .alias("sxy"))
+    n, sx, sy, sxx, sxy = [F.col(c).cast("double")
+                           for c in ("n", "sx", "sy", "sxx", "sxy")]
+    den = (n * sxx) - (sx * sx)
+    slope = ((n * sxy) - (sx * sy)) / den
+    return m.select(
+        F.col("n").cast("long").alias("n_degree_levels"),
+        F.when(den != 0.0, F.floor(-slope * F.lit(1_000_000)))
+         .otherwise(F.lit(0)).cast("long").alias("gamma_e6"))

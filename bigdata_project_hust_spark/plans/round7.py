@@ -1215,3 +1215,212 @@ QUERIES_ROUND7.update({
         doc="exponential-decay trending terms (integer halving per "
             "batch)"),
 })
+
+
+# ===========================================================================
+# Batch 7: UCB1 bandit, Poisson rate test, churn hazard, degree
+# power law, rolling median
+# ===========================================================================
+
+from ..operators.eventflow import POISSON_Z, UCB1  # noqa: E402
+
+
+def q_ucb_arm_scores(spark, sf_dir):
+    """UCB1 allocation scores per event-type arm (success = value ≥
+    $100), deterministic rank."""
+    return eventflow.ucb_arm_scores(_t(spark, sf_dir, "events"))
+
+
+ORACLE_UCB = f"""
+  WITH per AS (
+    SELECT event_type AS arm, count(*)::BIGINT AS n,
+           sum((floor(value * 100 + 0.5)::BIGINT >= 10000)::BIGINT)
+             ::BIGINT AS k
+    FROM events WHERE event_type IS NOT NULL GROUP BY 1
+  ),
+  tot AS (SELECT sum(n)::BIGINT AS nn FROM per),
+  dbl AS (
+    SELECT arm, n AS n_pulls, k AS n_wins, n::DOUBLE AS n_,
+           k::DOUBLE AS k_, nn::DOUBLE AS nn_
+    FROM per, tot
+  ),
+  scored AS (
+    SELECT arm, n_pulls, n_wins,
+           floor(({UCB1}) * 1000000)::BIGINT AS ucb_e6
+    FROM dbl
+  )
+  SELECT arm, n_pulls, n_wins, ucb_e6,
+         row_number() OVER (ORDER BY ucb_e6 DESC, arm) AS rank
+  FROM scored
+"""
+
+
+def q_poisson_rate_arms(spark, sf_dir):
+    """Conditional binomial test of event rates per exposure
+    user-day between arms — integer numerator and radicand."""
+    return eventflow.poisson_rate_test(_t(spark, sf_dir, "events"))
+
+
+ORACLE_POISSON = f"""
+  WITH d AS (
+    SELECT (user_id % 2)::BIGINT AS arm, user_id AS u,
+           floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day
+    FROM events
+  ),
+  ks AS (SELECT arm, count(*)::BIGINT AS k FROM d GROUP BY arm),
+  ex AS (SELECT arm, count(*)::BIGINT AS t
+         FROM (SELECT DISTINCT arm, u, day FROM d) GROUP BY arm),
+  j AS (
+    SELECT sum(CASE WHEN ks.arm = 0 THEN k END)::BIGINT AS k1,
+           sum(CASE WHEN ks.arm = 1 THEN k END)::BIGINT AS k2,
+           sum(CASE WHEN ks.arm = 0 THEN t END)::BIGINT AS t1,
+           sum(CASE WHEN ks.arm = 1 THEN t END)::BIGINT AS t2
+    FROM ks JOIN ex ON ks.arm = ex.arm
+  ),
+  ints AS (
+    SELECT k1 AS n_events_a, k2 AS n_events_b,
+           t1 AS exposure_a, t2 AS exposure_b,
+           (k1::HUGEINT * (t1 + t2)::HUGEINT
+            - (k1 + k2)::HUGEINT * t1::HUGEINT)::DOUBLE AS k1t_,
+           ((k1 + k2)::HUGEINT * t1::HUGEINT * t2::HUGEINT)::DOUBLE
+             AS nt1t2_
+    FROM j
+  )
+  SELECT n_events_a, n_events_b, exposure_a, exposure_b,
+         (CASE WHEN exposure_a > 0 AND exposure_b > 0
+                    AND nt1t2_ > 0.0
+               THEN floor(({POISSON_Z}) * 1000000)
+               ELSE 0 END)::BIGINT AS z_e6
+  FROM ints
+"""
+
+
+def q_churn_hazard_tenure(spark, sf_dir):
+    """Discrete churn hazard per tenure week, final-week users
+    censored."""
+    return eventflow.churn_hazard_by_tenure(_t(spark, sf_dir,
+                                               "events"))
+
+
+ORACLE_CHURN_HAZARD = """
+  WITH per_user AS (
+    SELECT user_id AS u,
+           min(floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT)
+             AS first_d,
+           max(floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT)
+             AS last_d
+    FROM events GROUP BY 1
+  ),
+  mx AS (SELECT max(last_d) AS max_d FROM per_user),
+  tagged AS (
+    SELECT ((last_d - first_d) // 7)::BIGINT AS w,
+           (last_d > max_d - 7)::BIGINT AS censored
+    FROM per_user, mx
+  ),
+  hist AS (SELECT w, count(*)::BIGINT AS n_ending,
+                  sum(censored)::BIGINT AS n_censored
+           FROM tagged GROUP BY w),
+  haz AS (
+    SELECT w, n_ending, n_censored,
+           sum(n_ending) OVER (ORDER BY w DESC ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS at_risk,
+           (n_ending - n_censored)::BIGINT AS churned
+    FROM hist
+  )
+  SELECT w AS tenure_week, at_risk, churned,
+         n_censored AS censored,
+         ((churned * 1000000) // at_risk)::BIGINT AS hazard_e6
+  FROM haz ORDER BY tenure_week
+"""
+
+
+def q_degree_powerlaw_parts(spark, sf_dir):
+    """Power-law exponent of the co-purchase degree histogram
+    (quantized-ln OLS)."""
+    from ..operators.graph import copurchase_edges
+    return graph.degree_powerlaw(
+        copurchase_edges(_t(spark, sf_dir, "lineitem")))
+
+
+ORACLE_DEGREE_POWERLAW = f"""
+  WITH e0 AS ({_COPURCHASE_SQL}),
+  sym AS (SELECT pa AS x, pb AS y FROM e0
+          UNION ALL SELECT pb, pa FROM e0),
+  deg AS (SELECT x, count(*)::BIGINT AS d FROM sym GROUP BY x),
+  hist AS (SELECT d, count(*)::BIGINT AS c FROM deg GROUP BY d),
+  q AS (
+    SELECT floor(ln(d::DOUBLE) * 1e6)::BIGINT AS qx,
+           floor(ln(c::DOUBLE) * 1e6)::BIGINT AS qy
+    FROM hist
+  ),
+  m AS (
+    SELECT count(*)::HUGEINT AS n, sum(qx)::HUGEINT AS sx,
+           sum(qy)::HUGEINT AS sy,
+           sum(qx::HUGEINT * qx::HUGEINT) AS sxx,
+           sum(qx::HUGEINT * qy::HUGEINT) AS sxy
+    FROM q
+  )
+  SELECT n::BIGINT AS n_degree_levels,
+         (CASE WHEN ((n::DOUBLE * sxx::DOUBLE)
+                     - (sx::DOUBLE * sx::DOUBLE)) <> 0.0
+               THEN floor(-(((n::DOUBLE * sxy::DOUBLE)
+                             - (sx::DOUBLE * sy::DOUBLE))
+                            / ((n::DOUBLE * sxx::DOUBLE)
+                               - (sx::DOUBLE * sx::DOUBLE)))
+                          * 1000000)
+               ELSE 0 END)::BIGINT AS gamma_e6
+  FROM m
+"""
+
+
+def q_rolling_median_daily(spark, sf_dir):
+    """7-day rolling LOW median of daily totals (offset fan-out +
+    nearest rank)."""
+    return eventflow.rolling_median_daily(_t(spark, sf_dir,
+                                             "events"))
+
+
+ORACLE_ROLLING_MEDIAN = """
+  WITH daily AS (
+    SELECT floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT AS day,
+           sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS t
+    FROM events GROUP BY 1
+  ),
+  offs AS (SELECT unnest(generate_series(0, 6))::BIGINT AS off),
+  members AS (SELECT (day + off) AS center, t FROM daily, offs),
+  joined AS (
+    SELECT m.center, m.t
+    FROM members m JOIN (SELECT day AS center FROM daily) c
+      USING (center)
+  ),
+  ranked AS (
+    SELECT center, t,
+           row_number() OVER (PARTITION BY center ORDER BY t) AS rn,
+           count(*) OVER (PARTITION BY center) AS m
+    FROM joined
+  )
+  SELECT center AS day, m::BIGINT AS n_window, t AS rolling_median
+  FROM ranked WHERE rn = (m + 1) // 2 ORDER BY day
+"""
+
+
+QUERIES_ROUND7.update({
+    "ucb_arm_scores": QuerySpec(
+        q_ucb_arm_scores, ORACLE_UCB,
+        doc="UCB1 bandit allocation scores per arm (pinned "
+            "exploration bonus)"),
+    "poisson_rate_arms": QuerySpec(
+        q_poisson_rate_arms, ORACLE_POISSON,
+        doc="two-sample event-rate test (conditional binomial, "
+            "integer radicand)"),
+    "churn_hazard_tenure": QuerySpec(
+        q_churn_hazard_tenure, ORACLE_CHURN_HAZARD,
+        doc="discrete churn hazard by tenure week (censored final "
+            "week)"),
+    "degree_powerlaw_parts": QuerySpec(
+        q_degree_powerlaw_parts, ORACLE_DEGREE_POWERLAW,
+        doc="degree-distribution power-law fit (quantized-ln OLS)"),
+    "rolling_median_daily": QuerySpec(
+        q_rolling_median_daily, ORACLE_ROLLING_MEDIAN,
+        doc="7-day rolling LOW median smoother (offset fan-out)"),
+})
