@@ -1207,3 +1207,23 @@ class Engine:
         """7-day rolling median of daily value totals."""
         from .operators.eventflow import rolling_median_daily
         return rolling_median_daily(self.table("events"))
+
+    def distribution_fit(self) -> DataFrame:
+        """Lognormal + gamma method-of-moments fits of values."""
+        from .operators.eventflow import lognormal_gamma_fit
+        return lognormal_gamma_fit(self.table("events"))
+
+    def calendar_heatmap(self) -> DataFrame:
+        """DOW × hour activity matrix."""
+        from .operators.eventflow import dow_hour_heatmap
+        return dow_hour_heatmap(self.table("events"))
+
+    def journey_similarity(self) -> DataFrame:
+        """Edit distance between adjacent users' journeys."""
+        from .operators.eventflow import journey_edit_distance
+        return journey_edit_distance(self.table("events"))
+
+    def outlier_votes(self) -> DataFrame:
+        """3-detector outlier consensus histogram."""
+        from .operators.eventflow import outlier_consensus
+        return outlier_consensus(self.table("events"))

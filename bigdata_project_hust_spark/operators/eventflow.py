@@ -2543,3 +2543,171 @@ def rolling_median_daily(df: DataFrame, ts_col: str = "ts",
                     F.col("m").alias("n_window"),
                     F.col("t").alias("rolling_median"))
             .orderBy("day"))
+
+
+def lognormal_gamma_fit(df: DataFrame,
+                        val_col: str = "value") -> DataFrame:
+    """Parametric distribution fitting of positive values by method
+    of moments: lognormal (mu, sigma of ln v) and gamma
+    (k = mean²/var, theta = var/mean) in one pass.  ln runs once per
+    DISTINCT cent value and is immediately e6-quantized (the
+    nb/zipf rule), so the log moments are exact integer sums; mu is
+    an exact integer division and sigma/k/theta combine once each on
+    pinned double trees.  One grid agg + one 1-row rollup."""
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    d = df.select(cents.alias("v")).where(F.col("v") > 0)
+    grid = d.groupBy("v").agg(F.count("*").alias("c"))
+    dec, d19 = "decimal(38,0)", "decimal(19,0)"
+    q = grid.select(
+        "v", "c",
+        F.floor(F.log(F.col("v").cast("double") / F.lit(100.0))
+                * 1e6).cast("long").alias("l"))
+    m = q.agg(
+        F.sum(F.col("c").cast(dec)).alias("n"),
+        F.sum(F.col("c").cast(d19) * F.col("l").cast(d19)).alias("sl"),
+        F.sum(F.col("c").cast(dec)
+              * (F.col("l").cast(d19) * F.col("l").cast(d19))
+              .cast(dec)).alias("ql"),
+        F.sum(F.col("c").cast(d19) * F.col("v").cast(d19)).alias("sv"),
+        F.sum(F.col("c").cast(dec)
+              * (F.col("v").cast(d19) * F.col("v").cast(d19))
+              .cast(dec)).alias("qv"))
+    ints = m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        # sl is negative when values sit below 1.0 — floor-div via the
+        # +K·n shift so Spark's truncating div matches DuckDB's //
+        F.expr("(sl + 30000000 * n) div n - 30000000").cast("long")
+         .alias("mu_e6"),
+        *[F.col(c).cast("double").alias(f"{c}_")
+          for c in ("n", "sl", "ql", "sv", "qv")])
+    sig = ("sqrt(((n_ * ql_) - (sl_ * sl_)) / (n_ * n_))")
+    mean_v = "(sv_ / n_)"
+    var_v = f"(((n_ * qv_) - (sv_ * sv_)) / (n_ * n_))"
+    ok_v = F.expr(var_v) > 0.0
+    return ints.select(
+        "n_rows", "mu_e6",
+        F.when(F.col("n_rows") > 1,
+               F.floor(F.expr(sig))).otherwise(F.lit(0))
+         .cast("long").alias("sigma_e6"),
+        F.when(ok_v, F.floor(F.expr(
+            f"(({mean_v} * {mean_v}) / {var_v})") * F.lit(1_000_000)))
+         .otherwise(F.lit(0)).cast("long").alias("gamma_k_e6"),
+        F.when(ok_v, F.floor(F.expr(
+            f"({var_v} / {mean_v})") * F.lit(1_000_000)))
+         .otherwise(F.lit(0)).cast("long").alias("gamma_theta_e6"))
+
+
+def dow_hour_heatmap(df: DataFrame, ts_col: str = "ts",
+                     val_col: str = "value") -> DataFrame:
+    """Day-of-week × hour activity heatmap — the calendar-seasonality
+    matrix, in pure epoch integer arithmetic (no timezone/date
+    functions to disagree over): dow = (epoch_day + 3) mod 7 with
+    0 = Monday (1970-01-01 was a Thursday), hour = epoch_hour mod
+    24.  One hash agg over the scan."""
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    day = F.floor(_ts_s(ts_col) / _DAY_S).cast("long")
+    hour = F.pmod(F.floor(_ts_s(ts_col) / F.lit(3600)), F.lit(24)) \
+            .cast("long")
+    return (df.select(F.pmod(day + 3, F.lit(7)).cast("long")
+                      .alias("dow"),
+                      hour.alias("hour"), cents.alias("v"))
+            .groupBy("dow", "hour")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("v").alias("sum_cents"))
+            .orderBy("dow", "hour"))
+
+
+def journey_edit_distance(df: DataFrame, user_col: str = "user_id",
+                          type_col: str = "event_type",
+                          ts_col: str = "ts",
+                          max_len: int = 50) -> DataFrame:
+    """Behavioral similarity between ADJACENT user ids: Levenshtein
+    distance of their journey strings (first letters of the first
+    ``max_len`` events, ordered by (ts, event_id) — a total order, so
+    the string is deterministic).  The per-user cap bounds the edit
+    DP at max_len², and the comparison joins each user to id+1 — a
+    co-partitioned equi join, no pair explosion.  The session-journey
+    twin of the trigram mining ops."""
+    from pyspark.sql import Window
+    d = df.select(F.col(user_col).alias("u"),
+                  F.substring(F.col(type_col), 1, 1).alias("ch"),
+                  _ts_s(ts_col).alias("ts_s"), F.col("event_id"))
+    w = Window.partitionBy("u").orderBy("ts_s", "event_id")
+    capped = (d.select("u", "ch", "ts_s", "event_id",
+                       F.row_number().over(w).alias("rn"))
+              .where(F.col("rn") <= max_len))
+    js = (capped.groupBy("u")
+          .agg(F.concat_ws(
+              "", F.transform(
+                  F.array_sort(F.collect_list(
+                      F.struct("rn", "ch"))),
+                  lambda s: s["ch"])).alias("j")))
+    a = js.select(F.col("u").alias("user_a"), F.col("j").alias("ja"))
+    b = js.select((F.col("u") - 1).alias("user_a"),
+                  F.col("u").alias("user_b"),
+                  F.col("j").alias("jb"))
+    return (a.join(b, "user_a")
+            .select("user_a", "user_b",
+                    F.length("ja").cast("long").alias("len_a"),
+                    F.length("jb").cast("long").alias("len_b"),
+                    F.levenshtein("ja", "jb").cast("long")
+                     .alias("edit_distance"))
+            .orderBy("user_a"))
+
+
+def outlier_consensus(df: DataFrame,
+                      val_col: str = "value") -> DataFrame:
+    """Ensemble outlier census: three detectors vote on every event
+    value — 3σ z-score, 3×MAD about the LOW median, and extreme
+    Tukey fences (3·IQR/2 beyond the nearest-rank quartiles) — and
+    the output is the vote histogram (how many rows got 0/1/2/3
+    votes).  EVERY comparison is integer: the z test as
+    (n·v - s)² > 9·(n·q - s²), MAD and the fences as scaled cent
+    arithmetic.  One 1-row stats broadcast against the scan; no
+    doubles anywhere."""
+    from pyspark.sql import Window
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    d = df.select(cents.alias("v"))
+    dec = "decimal(38,0)"
+    mom = d.agg(F.count("*").cast(dec).alias("n"),
+                F.sum(F.col("v").cast(dec)).alias("s"),
+                F.sum(F.col("v").cast("decimal(19,0)")
+                      * F.col("v").cast("decimal(19,0)")).alias("q"))
+    grid = d.groupBy("v").agg(F.count("*").alias("c"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select("v", F.sum("c").over(wv).alias("cum"),
+                      F.sum("c").over(Window.partitionBy())
+                       .alias("nn"))
+    med = (cum.where(F.col("cum") >= F.expr("(nn + 1) div 2"))
+           .groupBy().agg(F.min("v").alias("med")))
+    q1 = (cum.where(F.col("cum") * 4 >= F.col("nn"))
+          .groupBy().agg(F.min("v").alias("q1")))
+    q3 = (cum.where(F.col("cum") * 4 >= F.col("nn") * 3)
+          .groupBy().agg(F.min("v").alias("q3")))
+    dev = (d.crossJoin(F.broadcast(med))
+           .select(F.abs(F.col("v") - F.col("med")).alias("a")))
+    dgrid = dev.groupBy("a").agg(F.count("*").alias("c"))
+    wa = Window.orderBy("a").rowsBetween(Window.unboundedPreceding, 0)
+    dcum = dgrid.select("a", F.sum("c").over(wa).alias("cum"),
+                        F.sum("c").over(Window.partitionBy())
+                         .alias("nn"))
+    mad = (dcum.where(F.col("cum") >= F.expr("(nn + 1) div 2"))
+           .groupBy().agg(F.min("a").alias("mad")))
+    stats = (mom.crossJoin(F.broadcast(med))
+             .crossJoin(F.broadcast(mad))
+             .crossJoin(F.broadcast(q1))
+             .crossJoin(F.broadcast(q3)))
+    j = d.crossJoin(F.broadcast(stats))
+    nv_s = (F.col("n") * F.col("v").cast(dec) - F.col("s"))
+    z_vote = ((nv_s * nv_s)
+              > F.lit(9) * (F.col("n") * F.col("q")
+                            - F.col("s") * F.col("s"))).cast("long")
+    mad_vote = (F.abs(F.col("v") - F.col("med"))
+                > 3 * F.col("mad")).cast("long")
+    iqr = F.col("q3") - F.col("q1")
+    iqr_vote = ((2 * F.col("v") < 2 * F.col("q1") - 3 * iqr)
+                | (2 * F.col("v") > 2 * F.col("q3") + 3 * iqr)) \
+        .cast("long")
+    return (j.select((z_vote + mad_vote + iqr_vote).alias("votes"))
+            .groupBy("votes").agg(F.count("*").alias("n_rows"))
+            .orderBy("votes"))

@@ -1424,3 +1424,166 @@ QUERIES_ROUND7.update({
         q_rolling_median_daily, ORACLE_ROLLING_MEDIAN,
         doc="7-day rolling LOW median smoother (offset fan-out)"),
 })
+
+
+# ===========================================================================
+# Batch 8: distribution fitting, calendar heatmap, journey distance,
+# outlier consensus
+# ===========================================================================
+
+
+def q_lognormal_gamma_values(spark, sf_dir):
+    """Method-of-moments lognormal and gamma fits of event values
+    (quantized-ln exact sums, pinned combines)."""
+    return eventflow.lognormal_gamma_fit(_t(spark, sf_dir, "events"))
+
+
+ORACLE_DIST_FIT = """
+  WITH d AS (
+    SELECT floor(value * 100 + 0.5)::BIGINT AS v FROM events
+    WHERE floor(value * 100 + 0.5)::BIGINT > 0
+  ),
+  grid AS (SELECT v, count(*)::BIGINT AS c FROM d GROUP BY v),
+  q AS (SELECT v, c,
+               floor(ln(v::DOUBLE / 100.0) * 1e6)::BIGINT AS l
+        FROM grid),
+  m AS (
+    SELECT sum(c)::HUGEINT AS n,
+           sum(c::HUGEINT * l::HUGEINT) AS sl,
+           sum(c::HUGEINT * (l::HUGEINT * l::HUGEINT)) AS ql,
+           sum(c::HUGEINT * v::HUGEINT) AS sv,
+           sum(c::HUGEINT * (v::HUGEINT * v::HUGEINT)) AS qv
+    FROM q
+  ),
+  ints AS (
+    SELECT n::BIGINT AS n_rows, (sl // n)::BIGINT AS mu_e6,
+           n::DOUBLE AS n_, sl::DOUBLE AS sl_, ql::DOUBLE AS ql_,
+           sv::DOUBLE AS sv_, qv::DOUBLE AS qv_
+    FROM m
+  )
+  SELECT n_rows, mu_e6,
+         (CASE WHEN n_rows > 1
+               THEN floor(sqrt(((n_ * ql_) - (sl_ * sl_))
+                               / (n_ * n_)))
+               ELSE 0 END)::BIGINT AS sigma_e6,
+         (CASE WHEN (((n_ * qv_) - (sv_ * sv_)) / (n_ * n_)) > 0.0
+               THEN floor((((sv_ / n_) * (sv_ / n_))
+                           / (((n_ * qv_) - (sv_ * sv_))
+                              / (n_ * n_))) * 1000000)
+               ELSE 0 END)::BIGINT AS gamma_k_e6,
+         (CASE WHEN (((n_ * qv_) - (sv_ * sv_)) / (n_ * n_)) > 0.0
+               THEN floor(((((n_ * qv_) - (sv_ * sv_))
+                            / (n_ * n_)) / (sv_ / n_)) * 1000000)
+               ELSE 0 END)::BIGINT AS gamma_theta_e6
+  FROM ints
+"""
+
+
+def q_dow_hour_heatmap(spark, sf_dir):
+    """DOW × hour activity matrix in pure epoch arithmetic."""
+    return eventflow.dow_hour_heatmap(_t(spark, sf_dir, "events"))
+
+
+ORACLE_DOW_HOUR = """
+  SELECT ((floor(floor(epoch(ts))::BIGINT / 86400)::BIGINT + 3) % 7)
+           ::BIGINT AS dow,
+         (floor(floor(epoch(ts))::BIGINT / 3600)::BIGINT % 24)
+           ::BIGINT AS hour,
+         count(*)::BIGINT AS n_events,
+         sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS sum_cents
+  FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_journey_edit_distance(spark, sf_dir):
+    """Levenshtein distance between adjacent users' capped journey
+    strings."""
+    return eventflow.journey_edit_distance(_t(spark, sf_dir,
+                                              "events"))
+
+
+ORACLE_JOURNEY_EDIT = """
+  WITH d AS (
+    SELECT user_id AS u, substring(event_type, 1, 1) AS ch,
+           floor(epoch(ts))::BIGINT AS ts_s, event_id
+    FROM events
+  ),
+  capped AS (
+    SELECT u, ch,
+           row_number() OVER (PARTITION BY u
+                              ORDER BY ts_s, event_id) AS rn
+    FROM d QUALIFY rn <= 50
+  ),
+  js AS (SELECT u, string_agg(ch, '' ORDER BY rn) AS j
+         FROM capped GROUP BY u)
+  SELECT a.u AS user_a, b.u AS user_b,
+         length(a.j)::BIGINT AS len_a, length(b.j)::BIGINT AS len_b,
+         levenshtein(a.j, b.j)::BIGINT AS edit_distance
+  FROM js a JOIN js b ON b.u = a.u + 1
+  ORDER BY user_a
+"""
+
+
+def q_outlier_consensus(spark, sf_dir):
+    """Vote histogram of the 3σ / 3·MAD / extreme-Tukey ensemble —
+    every comparison integer."""
+    return eventflow.outlier_consensus(_t(spark, sf_dir, "events"))
+
+
+ORACLE_OUTLIER_CONSENSUS = """
+  WITH d AS (SELECT floor(value * 100 + 0.5)::BIGINT AS v
+             FROM events),
+  mom AS (SELECT count(*)::HUGEINT AS n, sum(v)::HUGEINT AS s,
+                 sum(v::HUGEINT * v::HUGEINT) AS q
+          FROM d),
+  grid AS (SELECT v, count(*)::BIGINT AS c FROM d GROUP BY v),
+  cum AS (
+    SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+           sum(c) OVER ()::BIGINT AS nn
+    FROM grid
+  ),
+  med AS (SELECT min(v) AS med FROM cum WHERE cum >= (nn + 1) // 2),
+  qq1 AS (SELECT min(v) AS q1 FROM cum WHERE cum * 4 >= nn),
+  qq3 AS (SELECT min(v) AS q3 FROM cum WHERE cum * 4 >= nn * 3),
+  dev AS (SELECT abs(v - med) AS a FROM d, med),
+  dgrid AS (SELECT a, count(*)::BIGINT AS c FROM dev GROUP BY a),
+  dcum AS (
+    SELECT a, sum(c) OVER (ORDER BY a ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+           sum(c) OVER ()::BIGINT AS nn
+    FROM dgrid
+  ),
+  mad AS (SELECT min(a) AS mad FROM dcum WHERE cum >= (nn + 1) // 2),
+  votes AS (
+    SELECT (((n * v::HUGEINT - s) * (n * v::HUGEINT - s)
+             > 9 * (n * q - s * s))::BIGINT
+            + (abs(v - med) > 3 * mad)::BIGINT
+            + ((2 * v < 2 * q1 - 3 * (q3 - q1))
+               OR (2 * v > 2 * q3 + 3 * (q3 - q1)))::BIGINT)
+             AS votes
+    FROM d, mom, med, mad, qq1, qq3
+  )
+  SELECT votes, count(*)::BIGINT AS n_rows
+  FROM votes GROUP BY votes ORDER BY votes
+"""
+
+
+QUERIES_ROUND7.update({
+    "lognormal_gamma_values": QuerySpec(
+        q_lognormal_gamma_values, ORACLE_DIST_FIT,
+        doc="method-of-moments lognormal + gamma fits (quantized-ln "
+            "exact sums)"),
+    "dow_hour_heatmap": QuerySpec(
+        q_dow_hour_heatmap, ORACLE_DOW_HOUR,
+        doc="dow×hour calendar heatmap (pure epoch integer "
+            "arithmetic)"),
+    "journey_edit_distance": QuerySpec(
+        q_journey_edit_distance, ORACLE_JOURNEY_EDIT,
+        doc="adjacent-user journey Levenshtein (capped total-order "
+            "strings)"),
+    "outlier_consensus": QuerySpec(
+        q_outlier_consensus, ORACLE_OUTLIER_CONSENSUS,
+        doc="3-detector outlier vote histogram (all-integer "
+            "thresholds)"),
+})

@@ -917,3 +917,77 @@ def test_rolling_median_smooths_spike(spark, tmp_path):
     spike_day = days[6]
     assert r[spike_day] == 100  # median ignores the spike
     assert all(v == 100 for d, v in r.items() if d >= days[2])
+
+
+# ===========================================================================
+# Batch 8: distribution fit, heatmap, journey distance, consensus
+# ===========================================================================
+
+from bigdata_project_hust_spark.operators.eventflow import (
+    dow_hour_heatmap, journey_edit_distance, lognormal_gamma_fit,
+    outlier_consensus)
+
+
+def test_lognormal_fit_point_mass(spark, tmp_path):
+    """All values e (2.71828…) → mu ≈ 1e6, sigma 0."""
+    rows = [(i + 1, datetime(2024, 1, 1), 1, "view", 2.72, "{}")
+            for i in range(5)]
+    r = lognormal_gamma_fit(_ev(spark, tmp_path, rows)).collect()[0]
+    assert abs(r["mu_e6"] - 1_000_000) < 3000  # ln(2.72) ≈ 1.0006
+    assert r["sigma_e6"] == 0
+    assert r["gamma_k_e6"] == 0  # zero variance gates gamma
+
+
+def test_lognormal_mu_floor_negative(spark, tmp_path):
+    """Values 0.50$ → ln(0.5) < 0: mu must FLOOR like the oracle's
+    // (the +K·n shift guard)."""
+    rows = [(i + 1, datetime(2024, 1, 1), 1, "view", 0.5, "{}")
+            for i in range(3)]
+    r = lognormal_gamma_fit(_ev(spark, tmp_path, rows)).collect()[0]
+    assert r["mu_e6"] == math.floor(math.log(0.5) * 1e6)
+
+
+def test_dow_hour_epoch_arithmetic(spark, tmp_path):
+    """2024-01-01 was a Monday → dow 0; 13:00 UTC → hour 13."""
+    rows = [(1, datetime(2024, 1, 1, 13, 30), 1, "view", 2.0, "{}"),
+            (2, datetime(2024, 1, 7, 5, 0), 1, "view", 3.0, "{}")]
+    r = {(x["dow"], x["hour"]): x for x in
+         dow_hour_heatmap(_ev(spark, tmp_path, rows)).collect()}
+    assert r[(0, 13)]["n_events"] == 1
+    assert r[(0, 13)]["sum_cents"] == 200
+    assert (6, 5) in r  # Jan 7 was a Sunday
+
+
+def test_journey_edit_distance_hand(spark, tmp_path):
+    """u1 journey 'vvp', u2 'vp' → distance 1; u3 'ppp' vs u2 →
+    distance 2 (substitute v, insert p)."""
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u, seq in ((1, "vvp"), (2, "vp"), (3, "ppp")):
+        for i, ch in enumerate(seq):
+            eid += 1
+            et = "view" if ch == "v" else "purchase"
+            rows.append((eid, t0 + timedelta(seconds=i), u, et, 1.0,
+                         "{}"))
+    r = {(x["user_a"], x["user_b"]): x["edit_distance"] for x in
+         journey_edit_distance(_ev(spark, tmp_path, rows)).collect()}
+    assert r[(1, 2)] == 1 and r[(2, 3)] == 2
+
+
+def test_outlier_consensus_clean_data_zero_votes(spark, tmp_path):
+    rows = [(i + 1, datetime(2024, 1, 1), 1, "view",
+             1.0 + (i % 3) * 0.01, "{}") for i in range(30)]
+    r = {x["votes"]: x["n_rows"] for x in
+         outlier_consensus(_ev(spark, tmp_path, rows)).collect()}
+    assert r == {0: 30}
+
+
+def test_outlier_consensus_spike_gets_all_votes(spark, tmp_path):
+    """29 values near 1$, one at 500$ → the spike trips all three
+    detectors."""
+    rows = [(i + 1, datetime(2024, 1, 1), 1, "view",
+             1.0 + (i % 5) * 0.01, "{}") for i in range(29)]
+    rows.append((99, datetime(2024, 1, 1), 1, "view", 500.0, "{}"))
+    r = {x["votes"]: x["n_rows"] for x in
+         outlier_consensus(_ev(spark, tmp_path, rows)).collect()}
+    assert r.get(3) == 1 and r.get(0) == 29
