@@ -1456,7 +1456,7 @@ ORACLE_DIST_FIT = """
     FROM q
   ),
   ints AS (
-    SELECT n::BIGINT AS n_rows, (sl // n)::BIGINT AS mu_e6,
+    SELECT n::BIGINT AS n_rows, ((sl + 30000000 * n) // n - 30000000)::BIGINT AS mu_e6,
            n::DOUBLE AS n_, sl::DOUBLE AS sl_, ql::DOUBLE AS ql_,
            sv::DOUBLE AS sv_, qv::DOUBLE AS qv_
     FROM m
