@@ -604,8 +604,10 @@ class Engine:
             F.floor("l_quantity"),
             F.floor(F.col("l_extendedprice") * 100))
 
-    def drift_report(self) -> DataFrame:
-        """PSI value-drift audit across the mid-month split."""
+    def psi_drift_report(self) -> DataFrame:
+        """PSI value-drift audit across the mid-month split. (Renamed
+        from `drift_report` — it shadowed the chi-square term-drift
+        facade method at Engine.drift_report.)"""
         from .operators.eventflow import psi_value_drift
         return psi_value_drift(self.table("events"))
 
@@ -1069,9 +1071,11 @@ class Engine:
                                   self.table("customer"),
                                   self.table("nation"))
 
-    def distinct_sketch(self, table: str = "orders",
-                        col: str = "o_custkey") -> DataFrame:
-        """KMV(64) distinct-cardinality estimate vs exact."""
+    def kmv_distinct_sketch(self, table: str = "orders",
+                            col: str = "o_custkey") -> DataFrame:
+        """KMV(64) distinct-cardinality estimate vs exact. (Renamed from
+        `distinct_sketch` — it shadowed the HLL facade method; see
+        VERDICT r3 #3.)"""
         from .operators.sketches import kmv_distinct
         return kmv_distinct(self.table(table), col)
 

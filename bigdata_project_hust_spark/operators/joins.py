@@ -218,15 +218,21 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str,
     key (both snapshots shuffle-partition by key; at 100 TB with both
     snapshots bucketed on the key it becomes a zero-shuffle zip).
 
-    NULL columns fingerprint as the literal string 'N' (concat_ws
-    skips nulls, which would alias (NULL,'x') with ('x',NULL) across
-    column positions).
+    Each column is length-prefixed (``<len>:<value>``, NULL → the bare
+    token ``N``) before joining on '|', so the encoding is prefix-free:
+    values containing '|' cannot alias across column boundaries
+    (('a|b','c') → ``3:a|b|1:c`` vs ('a','b|c') → ``1:a|3:b|c``), and a
+    literal string 'N' (→ ``1:N``) cannot collide with the NULL token.
     """
     from ..functions.scalar import stable_hash64
 
     def fp(df: DataFrame, side: str) -> DataFrame:
-        parts = [F.coalesce(F.col(c).cast("string"), F.lit("N"))
-                 for c in cmp_cols]
+        def enc(c: str):
+            s = F.col(c).cast("string")
+            return F.coalesce(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s),
+                F.lit("N"))
+        parts = [enc(c) for c in cmp_cols]
         return df.select(F.col(key_col).alias("k"),
                          stable_hash64(F.concat_ws("|", *parts))
                          .alias(f"fp_{side}"))

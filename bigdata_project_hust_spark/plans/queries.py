@@ -1591,7 +1591,7 @@ ORACLE_SESSIONIZE = """
              AS session_id
     FROM flagged
   )
-  SELECT user_id, session_id, count(*) AS n_events,
+  SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
          min(ts_s) AS session_start_s, max(ts_s) AS session_end_s
   FROM sess GROUP BY user_id, session_id
 """
@@ -1961,13 +1961,20 @@ def q_revenue_decimal_exact(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     dec = F.col("o_totalprice").cast("decimal(18,2)")
     return (o.groupBy("o_orderstatus")
-             .agg(F.sum(dec).cast("decimal(18,2)").alias("revenue_dec"),
+             .agg(F.sum(dec).cast("decimal(18,2)").cast("string")
+                  .alias("revenue_dec"),
                   F.count("*").alias("n_orders")))
 
 
+# The decimal sum is exposed as its exact STRING rendering: pandas
+# canonicalization coerces DuckDB DECIMAL to float64 ('1251869314.0')
+# while Spark yields Decimal ('1251869314.00') — a driver hash mismatch
+# with identical values. VARCHAR keeps the exact-arithmetic contract
+# comparable byte-for-byte on both engines.
 ORACLE_REVENUE_DECIMAL = """
   SELECT o_orderstatus,
-         sum(o_totalprice::DECIMAL(18,2))::DECIMAL(18,2) AS revenue_dec,
+         sum(o_totalprice::DECIMAL(18,2))::DECIMAL(18,2)::VARCHAR
+           AS revenue_dec,
          count(*) AS n_orders
   FROM orders GROUP BY o_orderstatus
 """
@@ -3084,46 +3091,95 @@ QUERIES.update(QUERIES_ROUND7)
 # remaining never-checked entries so any longer sweep reaches them next;
 # previously-green rounds-1/2 entries follow.
 #
-# ROUND-4 TODO (next session, after CORRECTNESS_r03 lands): rotate the
-# checked round-3 window out and promote (a) positions 51-75, then (b) the
-# highest-risk round-6 additions — the FP-combining families first
-# (kaplan_meier_purchase, logrank_ab_survival, psi_value_drift,
-# bootstrap_order_mean, spearman_qty_price, correlation_matrix_lineitem,
-# rolling_corr_view_purchase, stl_* / conformal, js_divergence_sources,
-# theil_event_values, readability_flesch) since pinned-double floors are
-# where real drivers could still diverge; the all-integer families
-# (k-core, skyline, DAU/WAU, fertility, KWIC…) carry less residual risk.
-# Every round-6 entry was verified at sf0.01 with driver-identical
-# canonicalization during bring-up regardless.
+# Round-4 front window: `sessionize_events` first (its oracle cast fix —
+# VERDICT r3 #1 — needs a driver row), then the 25 entries that sat at
+# positions 51-75 of the r3 rotation, then the FP-combining round-6
+# families (pinned-double floors are where real drivers could still
+# diverge), then every remaining never-driver-checked entry in
+# registration order.  The list below IS the complete never-checked set
+# (223 names as of r4), so a sweep of ANY length maximally advances the
+# union coverage; round 5 rotates whatever the r4 window does not reach.
+# Union of driver rows after r1-r3: 111/333 (110 green + sessionize).
 _CHECK_FIRST = [
-    "tpch_q2_shape", "tpch_q3_shape", "tpch_q4_shape", "tpch_q5_shape",
-    "tpch_q6_shape", "tpch_q7_shape", "tpch_q8_shape", "tpch_q9_shape",
-    "tpch_q10_shape", "tpch_q11_shape", "tpch_q12_shape", "tpch_q13_shape",
-    "tpch_q14_shape", "tpch_q15_shape", "tpch_q16_shape", "tpch_q17_shape",
-    "tpch_q18_shape", "tpch_q19_shape", "tpch_q20_shape", "tpch_q21_shape",
-    "tpch_q22_shape",
-    "training_manifest", "line_dedup_clean", "benchmark_decontamination",
-    "sequence_packing", "chunk_documents", "dsir_importance",
-    "dsir_resampled_corpus", "corpus_shuffle_positions",
-    "embedding_quantize_int8", "text_repetition_signals",
-    "multimodal_decode_meta", "multimodal_features",
-    "multimodal_frame_sample", "multimodal_resize",
-    "similarity_ivf_topk", "asof_latest_order_per_event",
-    "sessionize_events", "session_window_events", "range_join_price_bands",
-    "skew_salted_revenue", "text_tfidf_top_terms", "text_winnow_fingerprints",
-    "above_nation_avg", "grouping_sets_orders", "zorder_codes",
-    "recursive_nation_tree", "variant_props_rollup",
-    "lateral_view_tokens_sql", "try_divide_safe",
-    # ---- positions 51+: remaining never-driver-checked entries ----
-    "text_url_extract", "explode_token_topk", "analytic_functions_breadth",
-    "conditional_agg_priority", "intersect_buyer_supplier_nations",
-    "customer_order_counts_outer", "in_subquery_sql", "array_math_features",
-    "revenue_decimal_exact", "row_scalar_functions", "string_features",
-    "ship_latency_histogram", "nation_name_lists", "variance_acctbal_exact",
+    "sessionize_events", "text_url_extract", "explode_token_topk",
+    "analytic_functions_breadth", "conditional_agg_priority",
+    "intersect_buyer_supplier_nations", "customer_order_counts_outer",
+    "in_subquery_sql", "array_math_features", "revenue_decimal_exact",
+    "row_scalar_functions", "string_features", "ship_latency_histogram",
+    "nation_name_lists", "variance_acctbal_exact",
     "unpivot_customer_counters", "customer_analytics", "topk_via_array_agg",
     "rolling_distinct_types", "moving_sum_orders", "json_roundtrip",
     "point_lookup_customer", "kol_project_page", "monthly_revenue",
     "approx_percentile_acctbal", "multimodal_image_raster",
+    "kaplan_meier_purchase", "logrank_ab_survival", "psi_value_drift",
+    "bootstrap_order_mean", "spearman_qty_price",
+    "correlation_matrix_lineitem", "rolling_corr_view_purchase",
+    "stl_hourly_values", "stl_anomaly_buckets", "conformal_intervals",
+    "js_divergence_sources", "theil_event_values", "readability_flesch",
+    "text_token_entropy", "tfidf_cosine_pairs", "triangle_count_copurchase",
+    "pagerank_trade_graph", "pyds_customer_scan", "span_dedup_stats",
+    "bm25_search_topk", "kmeans_clusters", "knn_label_vote", "kmeans_inertia",
+    "scd2_event_type_history", "value_outliers_per_user",
+    "events_value_histogram", "gopher_quality_filter", "semantic_dedup",
+    "ccnet_perplexity_buckets", "bpe_top_merges", "tukey_outlier_events",
+    "event_funnel", "retention_cohorts", "hll_distinct_orderkeys",
+    "pearson_qty_price", "cms_event_type_counts", "bloom_customer_orders",
+    "hll_union_custkeys", "equidepth_octiles", "table_fingerprint_orders",
+    "pq_codes", "pq_adc_topk", "ann_recall_lsh", "bfs_hops_trade",
+    "weighted_doc_sample", "text_bigram_logprob", "bloom_pruned_revenue",
+    "ivf_pq_topk", "subword_piece_counts", "dedup_ngram_prefix",
+    "text_hash_embedding", "retrieval_hash_topk", "hll_group_rollup",
+    "incremental_join_view", "pandas_gmean_prices", "event_pattern_matches",
+    "ivfadc_topk", "ohlc_events", "fuzzy_customer_names",
+    "entity_resolution_customers", "customer_radius_pairs",
+    "event_transition_matrix", "customer_rfm", "weighted_median_price",
+    "lang_id_confusion", "link_prediction_copurchase", "nb_lang_classifier",
+    "pmi_collocations", "cusum_drift_alerts", "ewma_recent_value",
+    "autocorr_lag1_user", "retrieval_rrf_fusion", "winsorize_event_values",
+    "mad_outlier_values", "source_temperature_mix", "vocab_coverage_curve",
+    "snapshot_diff_orders", "purchase_attribution", "term_drift_sources",
+    "ols_price_model", "recursive_cte_depths", "pipe_syntax_orders",
+    "basket_lift_pairs", "key_skew_custkey", "zipf_fit_tokens",
+    "ppr_trade_graph", "ams_join_size", "contrastive_triplets",
+    "ks_purchase_vs_view", "benford_order_totals", "mwu_purchase_vs_view",
+    "ab_conversion_ztest", "hourly_seasonality", "seasonal_deviation_topk",
+    "max_concurrent_events", "target_encoding_mktsegment",
+    "diversified_topk_docs", "wmape_seasonal_naive", "k_core_membership",
+    "degree_assortativity", "item_item_recs", "textrank_keywords",
+    "k_anonymity_customers", "lorenz_user_spend", "holt_trend_users",
+    "calibration_bins_nb", "tokenizer_fertility", "dedup_cluster_sizes",
+    "arrow_embedding_norms", "arrow_label_centroids", "fano_factor_bursts",
+    "cohort_ltv", "kwic_the", "hits_trade", "centroid_separability",
+    "except_all_custkeys", "group_by_all_revenue", "vocab_prune_manifest",
+    "clustering_coefficient", "weighted_paths_parts",
+    "funnel_transition_medians", "curriculum_order", "packing_fill_histogram",
+    "incremental_dedup", "jl_projection", "script_mix_report",
+    "interevent_gap_histogram", "lateral_top_order",
+    "range_window_weekly_revenue", "ingest_accept_list", "parameterized_sql",
+    "top_trigram_journeys", "embedding_outliers", "containment_dups",
+    "dau_wau_stickiness", "hapax_ratio_by_source", "retrieval_eval",
+    "median_of_means", "source_vocab_jaccard", "churn_rates",
+    "trimmed_mean_prices", "daily_revenue_features",
+    "first_touch_attribution", "session_duration_histogram",
+    "nearest_order_per_event", "readability_by_lang", "sliding_hll_wau",
+    "top_orders_with_ties", "session_type_pmi", "skyline_orders",
+    "anova_value_by_type", "ecdf_value_by_type", "welch_t_values",
+    "cv_by_type", "cramers_v_type_arm", "cluster_label_impurity",
+    "brown_forsythe_values", "runs_test_daily", "kruskal_wallis_values",
+    "cohens_d_arms", "jarque_bera_values", "kendall_view_purchase",
+    "friedman_daily_types", "decision_stump_purchase", "max_drawdown_nation",
+    "kmv_distinct_custkeys", "kmv_jaccard_custkeys", "phrase_search_the_part",
+    "shard_plan_documents", "filter_clause_rollup", "acf_daily_values",
+    "theil_sen_daily", "mann_kendall_daily", "chi2_gof_types",
+    "active_day_islands", "ridge_price_model", "quantile_normalize_values",
+    "lpa_communities_parts", "pairwise_welch_types",
+    "token_budget_allocation", "dedup_prefix_filter",
+    "consistent_hash_routing", "linear_attribution", "diff_in_diff_arms",
+    "nelson_aalen_purchase", "changepoint_daily", "quartiles_order_totals",
+    "trending_terms_batches", "ucb_arm_scores", "poisson_rate_arms",
+    "churn_hazard_tenure", "degree_powerlaw_parts", "rolling_median_daily",
+    "lognormal_gamma_values", "dow_hour_heatmap", "journey_edit_distance",
+    "outlier_consensus",
 ]
 
 

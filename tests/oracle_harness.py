@@ -25,7 +25,9 @@ def driver_canon(cols: list[str], rows: list[tuple]) -> None:
     complex-typed output can slip through again."""
     for r in rows:
         for v in r:
-            if isinstance(v, (list, dict, set, tuple, bytearray)):
+            if isinstance(v, (list, dict, set, tuple, bytearray)) or (
+                    type(v).__module__ == "numpy" and hasattr(v, "ndim")
+                    and v.ndim > 0):
                 raise TypeError(
                     f"non-scalar cell {type(v).__name__} — the driver's "
                     "pandas canonicalizer cannot hash this; serialize the "
@@ -44,16 +46,25 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v) -> str:
+    # NO integral-float -> int normalization here: the real driver hashes
+    # "3.0" != "3" when one engine types a column float64 and the other
+    # int64 (e.g. DuckDB HUGEINT -> pandas float64 — the r03
+    # `sessionize_events` red). The harness must be exactly as strict.
     if v is None:
         return "␀"
     if isinstance(v, bool):
         return str(int(v))
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(v)
+    try:
+        if pd.isna(v):
+            return "␀"
+    except (TypeError, ValueError):
+        pass
     return str(v)
 
 
@@ -72,11 +83,16 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
 
     Raises (like the real driver) if either side's result contains
     cells the driver's pandas canonicalizer cannot sort/hash."""
-    s_cols = list(spark_df.columns)
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    rel = con.execute(sql)
-    d_cols = [c[0] for c in rel.description]
-    d_rows = rel.fetchall()
+    # Fetch BOTH sides through pandas, like the real driver, so dtype
+    # coercions surface in-repo: DuckDB HUGEINT and nullable ints become
+    # float64, Decimals may widen, etc. Fetching via fetchall()/collect()
+    # hid exactly this class of bug in r03 (sessionize_events).
+    s_pdf = spark_df.toPandas()
+    s_cols = list(s_pdf.columns)
+    s_rows = [tuple(r) for r in s_pdf.itertuples(index=False, name=None)]
+    d_pdf = con.execute(sql).df()
+    d_cols = list(d_pdf.columns)
+    d_rows = [tuple(r) for r in d_pdf.itertuples(index=False, name=None)]
     driver_canon(s_cols, s_rows)
     driver_canon(d_cols, d_rows)
     s_order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])

@@ -748,3 +748,16 @@ def test_ab_ztest_sign_and_counts(spark, tmp_path):
     p = 0.5
     z = (1.0 - 0.0) / m.sqrt((p * (1 - p)) * (1 / 2.0 + 1 / 2.0))
     assert r["z_e6"] == m.floor(z * 1e6)
+
+
+def test_snapshot_diff_delimiter_and_null_sentinel_no_alias(spark):
+    """Values containing the join delimiter must not alias across
+    column boundaries, and a literal 'N' must differ from NULL."""
+    from bigdata_project_hust_spark.operators.joins import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "a|b", "c"), (2, "N", "x")], "k int, a string, b string")
+    new = spark.createDataFrame(
+        [(1, "a", "b|c"), (2, None, "x")], "k int, a string, b string")
+    got = {r["k"]: r["change_type"]
+           for r in snapshot_diff(old, new, "k", ["a", "b"]).collect()}
+    assert got == {1: "U", 2: "U"}

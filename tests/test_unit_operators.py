@@ -2115,3 +2115,28 @@ def test_event_transitions_probabilities_sum(spark):
     assert got == {("view", "click"): (1, 1_000_000),
                    ("click", "view"): (1, 500_000),
                    ("click", "purchase"): (1, 500_000)}
+
+
+def test_engine_has_no_duplicate_method_definitions():
+    """Guard against F811 shadowing inside the Engine facade: a second
+    `def` of the same name silently replaces the first (this bit us in
+    r3 — a KMV `distinct_sketch` shadowed the HLL one). Parse the AST
+    and assert every method name in the class body is unique."""
+    import ast
+    import collections
+    import inspect
+
+    from bigdata_project_hust_spark import api
+
+    tree = ast.parse(inspect.getsource(api))
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ClassDef) and node.name == "Engine":
+            names = [n.name for n in node.body
+                     if isinstance(n, (ast.FunctionDef,
+                                       ast.AsyncFunctionDef))]
+            dupes = [n for n, c in collections.Counter(names).items()
+                     if c > 1]
+            assert not dupes, f"duplicate Engine methods: {dupes}"
+            break
+    else:
+        raise AssertionError("Engine class not found in api.py")
