@@ -536,9 +536,11 @@ def percentile_cont_quartiles(df: DataFrame, val_col,
     c = FF.col(val_col) if isinstance(val_col, str) else val_col
     d = df.select(c.cast("long").alias("v"))
     grid = d.groupBy("v").agg(FF.count("*").alias("c"))
-    from pyspark.sql import Window
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = grid.select("v", FF.sum("c").over(w).alias("cum"))
+    # two-phase bucketed cumsum (operators.scale): the grid is the
+    # distinct-value domain — a global-window sort here is a one-task
+    # straggler on continuous columns at scale
+    from .scale import dist_cumsum
+    cum = dist_cumsum(grid, "v", {"cum": "c"}).select("v", "cum")
     n = d.groupBy().agg(FF.count("*").alias("n"))
     qs = d.sparkSession.range(1, 4).select(FF.col("id").alias("q"))
     ranks = (qs.crossJoin(FF.broadcast(n))

@@ -399,27 +399,27 @@ def ks_two_sample(df: DataFrame, cond_a, cond_b,
     per_v = tagged.groupBy("v").agg(
         F.sum("ia").cast("long").alias("ca"),
         F.sum("ib").cast("long").alias("cb"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    tot = Window.partitionBy()
-    cum = per_v.select(
-        "v",
-        F.sum("ca").over(w).alias("cum_a"),
-        F.sum("cb").over(w).alias("cum_b"),
-        F.sum("ca").over(tot).alias("n_a"),
-        F.sum("cb").over(tot).alias("n_b"))
+    # distributed prefix sums over the value grid (operators.scale) —
+    # the naive Window.orderBy("v") is a one-task sort when |distinct|
+    # approaches |rows|; totals come from a broadcast 1-row agg, and
+    # the argmax value falls out of max(struct(d, -v)) with no window
+    from .scale import dist_cumsum
+    totn = per_v.groupBy().agg(F.sum("ca").cast("long").alias("n_a"),
+                               F.sum("cb").cast("long").alias("n_b"))
+    cum = (dist_cumsum(per_v, "v", {"cum_a": "ca", "cum_b": "cb"})
+           .crossJoin(F.broadcast(totn)))
     gap = cum.select(
         "v", "n_a", "n_b",
         F.abs(F.col("cum_a") * F.col("n_b")
               - F.col("cum_b") * F.col("n_a")).alias("d"))
-    with_max = gap.withColumn("d_max", F.max("d").over(tot))
-    return (with_max.groupBy()
+    best = F.max(F.struct(F.col("d"), (-F.col("v")).alias("nv")))
+    return (gap.groupBy()
             .agg(F.max("n_a").cast("long").alias("n_a"),
                  F.max("n_b").cast("long").alias("n_b"),
                  F.floor(F.max("d") * F.lit(1_000_000)
                          / (F.max("n_a") * F.max("n_b")))
                   .cast("long").alias("ks_e6"),
-                 F.min(F.when(F.col("d") == F.col("d_max"),
-                              F.col("v")))
+                 (-best.getField("nv"))
                   .cast("long").alias("ks_value_c")))
 
 
@@ -447,15 +447,16 @@ def mann_whitney_u(df: DataFrame, cond_a, cond_b,
     per_v = tagged.groupBy("v").agg(
         F.sum("ia").cast("long").alias("ca"),
         F.sum("ib").cast("long").alias("cb"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    tot = Window.partitionBy()
-    cum = per_v.select(
-        "ca", "cb",
-        (F.sum(F.col("ca") + F.col("cb")).over(w)
-         - (F.col("ca") + F.col("cb"))).alias("c_before"),
-        (F.col("ca") + F.col("cb")).alias("c_v"),
-        F.sum("ca").over(tot).alias("n_a"),
-        F.sum("cb").over(tot).alias("n_b"))
+    # bucketed EXCLUSIVE prefix sum over the value grid + broadcast
+    # totals — no single-task value-domain sort (operators.scale)
+    from .scale import dist_cumsum
+    totn = per_v.groupBy().agg(F.sum("ca").cast("long").alias("n_a"),
+                               F.sum("cb").cast("long").alias("n_b"))
+    pv = per_v.withColumn("cab", F.col("ca") + F.col("cb"))
+    cum = (dist_cumsum(pv, "v", {"c_before": "cab"}, inclusive=False)
+           .crossJoin(F.broadcast(totn))
+           .select("ca", "cb", "c_before",
+                   F.col("cab").alias("c_v"), "n_a", "n_b"))
     r2a = F.sum(F.col("ca")
                 * (2 * F.col("c_before") + F.col("c_v") + 1))
     out = cum.groupBy().agg(
@@ -599,10 +600,12 @@ def psi_value_drift(df: DataFrame, split_ts: str = PSI_SPLIT_TS,
                    .cast("long").alias("is_ref"))
     ref = ev.where(F.col("is_ref") == 1)
     per_v = ref.groupBy("v").agg(F.count("*").alias("c_v"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_v.select(
-        "v", F.sum("c_v").over(w).alias("cum"),
-        F.sum("c_v").over(Window.partitionBy()).alias("n_ref"))
+    # bucketed prefix sum + broadcast total over the reference value
+    # grid (operators.scale) — no single-task value-domain sort
+    from .scale import dist_cumsum
+    nr = per_v.groupBy().agg(F.sum("c_v").cast("long").alias("n_ref"))
+    cum = (dist_cumsum(per_v, "v", {"cum": "c_v"})
+           .crossJoin(F.broadcast(nr)).select("v", "cum", "n_ref"))
     cuts = cum.groupBy().agg(*[
         F.min(F.when(F.col("cum") * 10 >= k * F.col("n_ref"),
                      F.col("v"))).alias(f"c{k}")
@@ -710,26 +713,29 @@ def kaplan_meier(df: DataFrame, target: str = "purchase",
     pts = dur.groupBy("t").agg(
         F.sum("is_event").cast("long").alias("d"),
         F.sum(1 - F.col("is_event")).cast("long").alias("c"))
-    before = (Window.orderBy("t")
-              .rowsBetween(Window.unboundedPreceding, -1))
-    tot = Window.partitionBy()
-    risk = pts.select(
-        "t", "d", "c",
-        (F.sum(F.col("d") + F.col("c")).over(tot)
-         - F.coalesce(F.sum(F.col("d") + F.col("c")).over(before),
-                      F.lit(0))).cast("long").alias("n_risk"))
+    # both duration-grid running sums go through the bucketed two-phase
+    # helper (operators.scale): n_risk = total − exclusive-cumsum, and
+    # the log-survival accumulation — no single-task sort of the
+    # duration domain
+    from .scale import dist_cumsum
+    ntot = pts.groupBy().agg(
+        F.sum(F.col("d") + F.col("c")).cast("long").alias("n_tot"))
+    risk = (dist_cumsum(pts.withColumn("dc", F.col("d") + F.col("c")),
+                        "t", {"dc_before": "dc"}, inclusive=False)
+            .crossJoin(F.broadcast(ntot))
+            .select("t", "d", "c",
+                    (F.col("n_tot") - F.col("dc_before")).cast("long")
+                    .alias("n_risk")))
     ev = risk.where(F.col("d") >= 1)
     n_d, d_d = F.col("n_risk").cast("double"), F.col("d").cast("double")
     term = (F.when(F.col("d") >= F.col("n_risk"),
                    F.lit(-100_000_000_000))
             .otherwise(F.floor(F.log((n_d - d_d) / n_d) * 1e9))
             .cast("long"))
-    cum = (Window.orderBy("t")
-           .rowsBetween(Window.unboundedPreceding, 0))
-    with_log = ev.select(
-        "t", "n_risk", "d", "c", term.alias("term_e9")
-    ).select("t", "n_risk", "d", "c",
-             F.sum("term_e9").over(cum).cast("long").alias("log_surv_e9"))
+    with_log = dist_cumsum(
+        ev.select("t", "n_risk", "d", "c", term.alias("term_e9")),
+        "t", {"log_surv_e9": "term_e9"}) \
+        .select("t", "n_risk", "d", "c", "log_surv_e9")
     surv = F.floor(
         F.exp(F.col("log_surv_e9").cast("double") / 1e9) * 1e6)
     return with_log.select(
@@ -835,10 +841,14 @@ def lorenz_deciles(df: DataFrame, user_col: str = "user_id",
     totals = (df.select(F.col(user_col).alias("u"), cents.alias("v"))
               .groupBy("u").agg(F.sum("v").cast("long").alias("tot")))
     per_v = totals.groupBy("tot").agg(F.count("*").alias("c_v"))
-    w = Window.orderBy("tot").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_v.select(
-        "tot", F.sum("c_v").over(w).alias("cum"),
-        F.sum("c_v").over(Window.partitionBy()).alias("n_users"))
+    # bucketed prefix sum + broadcast total over the distinct-totals
+    # grid (operators.scale) — no single-task sort
+    from .scale import dist_cumsum
+    nu = per_v.groupBy().agg(
+        F.sum("c_v").cast("long").alias("n_users"))
+    cum = (dist_cumsum(per_v, "tot", {"cum": "c_v"})
+           .crossJoin(F.broadcast(nu))
+           .select("tot", "cum", "n_users"))
     cuts = cum.groupBy().agg(*[
         F.min(F.when(F.col("cum") * _LORENZ_BINS
                      >= kk * F.col("n_users"), F.col("tot")))
@@ -1127,17 +1137,21 @@ def logrank_test(df: DataFrame, target: str = "purchase",
                .otherwise(F.lit(0))).cast("long").alias("d2"),
         F.sum(F.when(F.col("arm") == 1, 1 - F.col("is_event"))
                .otherwise(F.lit(0))).cast("long").alias("c2"))
-    before = (Window.orderBy("t")
-              .rowsBetween(Window.unboundedPreceding, -1))
-    tot = Window.partitionBy()
-    risk = pts.select(
-        "t", "d1", "d2",
-        (F.sum(F.col("d1") + F.col("c1")).over(tot)
-         - F.coalesce(F.sum(F.col("d1") + F.col("c1")).over(before),
-                      F.lit(0))).cast("long").alias("n1"),
-        (F.sum(F.col("d2") + F.col("c2")).over(tot)
-         - F.coalesce(F.sum(F.col("d2") + F.col("c2")).over(before),
-                      F.lit(0))).cast("long").alias("n2"))
+    # per-arm at-risk censuses via bucketed exclusive prefix sums +
+    # broadcast totals (operators.scale) — no single-task sort of the
+    # duration domain
+    from .scale import dist_cumsum
+    ntot = pts.groupBy().agg(
+        F.sum(F.col("d1") + F.col("c1")).cast("long").alias("t1"),
+        F.sum(F.col("d2") + F.col("c2")).cast("long").alias("t2"))
+    pre = dist_cumsum(
+        pts.withColumn("a1", F.col("d1") + F.col("c1"))
+           .withColumn("a2", F.col("d2") + F.col("c2")),
+        "t", {"b1": "a1", "b2": "a2"}, inclusive=False)
+    risk = (pre.crossJoin(F.broadcast(ntot))
+            .select("t", "d1", "d2",
+                    (F.col("t1") - F.col("b1")).cast("long").alias("n1"),
+                    (F.col("t2") - F.col("b2")).cast("long").alias("n2")))
     ev = risk.where((F.col("d1") + F.col("d2")) >= 1)
     n = (F.col("n1") + F.col("n2")).cast("double")
     d = (F.col("d1") + F.col("d2")).cast("double")
@@ -1646,11 +1660,15 @@ def kruskal_wallis(df: DataFrame, group_col: str = "event_type",
     cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
     d = df.select(F.col(group_col).alias("g"), cents.alias("v"))
     per_v = d.groupBy("v").agg(F.count("*").alias("c_v"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    ranks = per_v.select(
-        "v", "c_v",
-        (2 * (F.sum("c_v").over(w) - F.col("c_v"))
-         + F.col("c_v") + 1).alias("r2"))          # doubled midrank
+    # bucketed exclusive prefix sum over the value grid
+    # (operators.scale) — the doubled-midrank census with no
+    # single-task value-domain sort
+    from .scale import dist_cumsum
+    ranks = (dist_cumsum(per_v, "v", {"c_before": "c_v"},
+                         inclusive=False)
+             .select("v", "c_v",
+                     (2 * F.col("c_before") + F.col("c_v") + 1)
+                     .alias("r2")))                # doubled midrank
     dec = "decimal(38,0)"
     j = d.join(ranks.select("v", "r2"), "v")
     per_g = j.groupBy("g").agg(
@@ -1910,11 +1928,11 @@ def decision_stump(df: DataFrame, label_cond,
                   label_cond.cast("long").alias("y"))
     per_v = d.groupBy("v").agg(F.count("*").alias("c"),
                                F.sum("y").alias("pos"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_v.select(
-        "v",
-        F.sum("c").over(w).alias("nl"),
-        F.sum("pos").over(w).alias("pl"))
+    # bucketed prefix sums over the candidate-threshold grid
+    # (operators.scale) — no single-task value-domain sort
+    from .scale import dist_cumsum
+    cum = (dist_cumsum(per_v, "v", {"nl": "c", "pl": "pos"})
+           .select("v", "nl", "pl"))
     tot = per_v.groupBy().agg(F.sum("c").alias("n"),
                               F.sum("pos").alias("p"))
     cand = (cum.crossJoin(F.broadcast(tot))
@@ -2060,13 +2078,19 @@ def theil_sen_daily(df: DataFrame, ts_col: str = "ts",
                       (F.col("db") - F.col("da")).alias("den")))
     slopes = slopes.select(
         (F.expr("num div den") - F.lit(K)).alias("slope_e6"))
-    w = Window.orderBy("slope_e6")
-    ranked = slopes.select(
-        "slope_e6", F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"))
-    return (ranked.where(F.col("rn") == F.expr("(n + 1) div 2"))
-            .select(F.col("n").alias("n_pairs"),
-                    F.col("slope_e6").alias("sen_slope_e6")))
+    # low median via the distinct-slope cumulative grid (bucketed
+    # prefix sum, operators.scale) — replaces a global row_number sort
+    # of all b(b-1)/2 pair slopes with a parallel census
+    from .scale import dist_cumsum
+    grid = slopes.groupBy("slope_e6").agg(F.count("*").alias("c"))
+    n1 = grid.groupBy().agg(F.sum("c").cast("long").alias("n"))
+    cum = (dist_cumsum(grid, "slope_e6", {"cum": "c"})
+           .crossJoin(F.broadcast(n1)))
+    return (cum.where(F.col("cum") >= F.expr("(n + 1) div 2"))
+            .groupBy("n")  # keyed agg: empty input stays empty
+            .agg(F.min("slope_e6").cast("long").alias("sen_slope_e6"))
+            .select(F.col("n").cast("long").alias("n_pairs"),
+                    "sen_slope_e6"))
 
 
 MK_Z = "((s_ - adj_) / sqrt(var_))"
@@ -2318,24 +2342,26 @@ def nelson_aalen(df: DataFrame, target: str = "purchase",
     pts = dur.groupBy("t").agg(
         F.sum("is_event").cast("long").alias("d"),
         F.sum(1 - F.col("is_event")).cast("long").alias("c"))
-    before = (Window.orderBy("t")
-              .rowsBetween(Window.unboundedPreceding, -1))
-    tot = Window.partitionBy()
-    at_risk = pts.select(
-        "t", "d",
-        (F.sum(F.col("d") + F.col("c")).over(tot)
-         - F.coalesce(F.sum(F.col("d") + F.col("c")).over(before),
-                      F.lit(0))).alias("n"))
+    # duration-grid censuses via bucketed prefix sums
+    # (operators.scale) — no single-task sort
+    from .scale import dist_cumsum
+    ntot = pts.groupBy().agg(
+        F.sum(F.col("d") + F.col("c")).cast("long").alias("n_tot"))
+    at_risk = (dist_cumsum(
+        pts.withColumn("dc", F.col("d") + F.col("c")),
+        "t", {"dc_before": "dc"}, inclusive=False)
+        .crossJoin(F.broadcast(ntot))
+        .select("t", "d",
+                (F.col("n_tot") - F.col("dc_before")).alias("n")))
     ev = at_risk.where(F.col("d") > 0)
     inc = ev.select(
         "t", "d", "n",
         F.expr("(d * 1000000000) div n").alias("inc_e9"))
-    run = (Window.orderBy("t")
-           .rowsBetween(Window.unboundedPreceding, 0))
-    return inc.select(
-        "t", "d", F.col("n").alias("n_at_risk"),
-        F.sum("inc_e9").over(run).cast("long").alias("cum_hazard_e9")
-    ).orderBy("t")
+    return (dist_cumsum(inc, "t", {"cum_hazard_e9": "inc_e9"})
+            .select("t", "d", F.col("n").alias("n_at_risk"),
+                    F.col("cum_hazard_e9").cast("long")
+                    .alias("cum_hazard_e9"))
+            .orderBy("t"))
 
 
 CHANGEPOINT_SSE = ("(((ql - ((sl * sl) / nl)) "
@@ -2674,10 +2700,12 @@ def outlier_consensus(df: DataFrame,
                 F.sum(F.col("v").cast("decimal(19,0)")
                       * F.col("v").cast("decimal(19,0)")).alias("q"))
     grid = d.groupBy("v").agg(F.count("*").alias("c"))
-    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = grid.select("v", F.sum("c").over(wv).alias("cum"),
-                      F.sum("c").over(Window.partitionBy())
-                       .alias("nn"))
+    # both median lookups run on bucketed prefix sums
+    # (operators.scale) — no single-task value-domain sorts
+    from .scale import dist_cumsum
+    nn1 = grid.groupBy().agg(F.sum("c").cast("long").alias("nn"))
+    cum = (dist_cumsum(grid, "v", {"cum": "c"})
+           .crossJoin(F.broadcast(nn1)).select("v", "cum", "nn"))
     med = (cum.where(F.col("cum") >= F.expr("(nn + 1) div 2"))
            .groupBy().agg(F.min("v").alias("med")))
     q1 = (cum.where(F.col("cum") * 4 >= F.col("nn"))
@@ -2687,10 +2715,9 @@ def outlier_consensus(df: DataFrame,
     dev = (d.crossJoin(F.broadcast(med))
            .select(F.abs(F.col("v") - F.col("med")).alias("a")))
     dgrid = dev.groupBy("a").agg(F.count("*").alias("c"))
-    wa = Window.orderBy("a").rowsBetween(Window.unboundedPreceding, 0)
-    dcum = dgrid.select("a", F.sum("c").over(wa).alias("cum"),
-                        F.sum("c").over(Window.partitionBy())
-                         .alias("nn"))
+    nn2 = dgrid.groupBy().agg(F.sum("c").cast("long").alias("nn"))
+    dcum = (dist_cumsum(dgrid, "a", {"cum": "c"})
+            .crossJoin(F.broadcast(nn2)).select("a", "cum", "nn"))
     mad = (dcum.where(F.col("cum") >= F.expr("(nn + 1) div 2"))
            .groupBy().agg(F.min("a").alias("mad")))
     stats = (mom.crossJoin(F.broadcast(med))

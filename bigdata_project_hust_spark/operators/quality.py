@@ -206,9 +206,15 @@ def quantile_normalize_map(df: DataFrame, group_col: str,
     (pos, is_boundary), answer = min boundary value over the frame
     [current row → end).  That replaces the naive interval range join
     (O(cells × pool) nested loop) with one sort — the scalable shape.
-    The merged window is |distinct cells + pool| rows; range-partition
-    it at a wider value domain."""
+    Both full-domain running aggregates (the pooled cumulative counts
+    and the merge-stream suffix-min) run through the two-phase bucketed
+    helpers in ``operators.scale`` — parallel per-range windows plus a
+    tiny per-bucket carry table — so no single task ever sorts the
+    whole value domain (a straggler when a continuous 100 TB column
+    makes |distinct| ≈ |rows|)."""
     from pyspark.sql import Window
+
+    from .scale import dist_cumsum, dist_suffix_min
     c = F.col(val_col) if isinstance(val_col, str) else val_col
     d = df.select(F.col(group_col).alias("g"), c.alias("v"))
     cells = d.groupBy("g", "v").agg(F.count("*").alias("c"))
@@ -220,9 +226,8 @@ def quantile_normalize_map(df: DataFrame, group_col: str,
         .alias("r2"),
         F.sum("c").over(Window.partitionBy("g")).alias("n_g"))
     pool = d.groupBy("v").agg(F.count("*").alias("cp"))
-    wp = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    bounds = pool.select(F.col("v").alias("bv"),
-                         F.sum("cp").over(wp).alias("cum"))
+    bounds = (dist_cumsum(pool, "v", {"cum": "cp"})
+              .select(F.col("v").alias("bv"), "cum"))
     n_total = d.groupBy().agg(F.count("*").alias("n_tot"))
     # i = ceil(r2·N / (2·n_g)) — positive operands, div == floor
     queries = (ranked.crossJoin(F.broadcast(n_total))
@@ -237,10 +242,9 @@ def quantile_normalize_map(df: DataFrame, group_col: str,
         F.col("cum").alias("pos"), F.lit(1).alias("is_b"),
         F.col("bv").alias("bval"))
     merged = queries.unionByName(boundaries)
-    wm = (Window.orderBy("pos", "is_b")
-          .rowsBetween(0, Window.unboundedFollowing))
-    looked = merged.select(
-        "g", "v", "is_b", F.min("bval").over(wm).alias("v_norm"))
+    looked = dist_suffix_min(merged, "pos", "bval", "v_norm",
+                             tie_cols=("is_b",)) \
+        .select("g", "v", "is_b", "v_norm")
     return (looked.where(F.col("is_b") == 0)
             .select("g", "v", "v_norm")
             .orderBy("g", "v"))

@@ -263,3 +263,101 @@ def consistent_hash_routing(df: DataFrame, id_col: str = "doc_id",
     return (routed.groupBy("node")
             .agg(F.count("*").alias("n_keys"))
             .orderBy("node"))
+
+
+# ---------------------------------------------------------------------------
+# Distributed running aggregates (no single-task global sorts)
+# ---------------------------------------------------------------------------
+#
+# `Window.orderBy(col)` with no partitionBy funnels the WHOLE frame
+# through one task — fine for an already-aggregated few-hundred-row
+# frame, a straggler when the frame is a distinct-VALUE grid whose
+# cardinality approaches the row count (continuous 100 TB columns).
+# These helpers are the two-phase bucketed form proven in
+# `curation.sequence_pack`: bucket the ordering key with a
+# data-adaptive range (min/max come from a relational agg broadcast
+# back — no driver collect), run the within-bucket window in parallel,
+# and combine with per-bucket offsets from a tiny (`n_buckets`-row)
+# totals table whose OWN global window is safe. Results are
+# bit-identical to the naive global window (asserted in test_scale.py).
+
+def _with_range_bucket(df: DataFrame, order_col: str,
+                       n_buckets: int) -> DataFrame:
+    """Adds ``__b``: an order-preserving integer bucket of
+    ``order_col`` with ~``n_buckets`` buckets spanning [min, max].
+    Integer-exact (width = ceil(range/n)); degenerate domains (all one
+    value) collapse to one bucket, which is no worse than the naive
+    plan."""
+    rng = df.groupBy().agg(
+        F.min(order_col).cast("long").alias("__mn"),
+        F.max(order_col).cast("long").alias("__mx"))
+    # integer `div` throughout — double division would lose exactness
+    # for keys near 2^63 and could break bucket monotonicity
+    width = F.expr(f"(__mx - __mn) div {int(n_buckets)} + 1")
+    return (df.crossJoin(F.broadcast(rng))
+            .withColumn("__w", width.cast("long"))
+            .withColumn("__b", F.expr(
+                f"(cast({order_col} as bigint) - __mn) div __w"))
+            .drop("__mn", "__mx", "__w"))
+
+
+def dist_cumsum(df: DataFrame, order_col: str, sums: dict[str, str],
+                tie_cols: tuple[str, ...] = (),
+                n_buckets: int = 256,
+                inclusive: bool = True) -> DataFrame:
+    """Running sums over a numeric ordering column WITHOUT a global
+    single-task sort: for each ``out_col -> val_col`` in ``sums``,
+    appends ``out_col`` = sum(val_col) over rows ordered by
+    (order_col, *tie_cols) up to the current row (``inclusive``) or
+    strictly before it. Two-phase: parallel within-bucket windows +
+    an ``n_buckets``-row base-offset table joined back via broadcast.
+    """
+    from pyspark.sql import Window
+    vals = list(dict.fromkeys(sums.values()))
+    d = _with_range_bucket(df, order_col, n_buckets)
+    end = 0 if inclusive else -1
+    win = (Window.partitionBy("__b").orderBy(order_col, *tie_cols)
+           .rowsBetween(Window.unboundedPreceding, end))
+    for out, val in sums.items():
+        d = d.withColumn(f"__in_{out}",
+                         F.coalesce(F.sum(val).over(win),
+                                    F.lit(0).cast("long")))
+    btot = d.groupBy("__b").agg(
+        *[F.sum(v).alias(f"__bt_{v}") for v in vals])
+    base_w = (Window.orderBy("__b")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    base = btot.select(
+        "__b",
+        *[F.coalesce(F.sum(f"__bt_{v}").over(base_w),
+                     F.lit(0).cast("long")).alias(f"__base_{v}")
+          for v in vals])
+    d = d.join(F.broadcast(base), "__b")
+    for out, val in sums.items():
+        d = d.withColumn(out, (F.col(f"__base_{val}")
+                               + F.col(f"__in_{out}")).cast("long"))
+    drop = (["__b"] + [f"__in_{o}" for o in sums]
+            + [f"__base_{v}" for v in vals])
+    return d.drop(*drop)
+
+
+def dist_suffix_min(df: DataFrame, order_col: str, val_col: str,
+                    out_col: str, tie_cols: tuple[str, ...] = (),
+                    n_buckets: int = 256) -> DataFrame:
+    """Suffix minimum (min of ``val_col`` over [current row, end) in
+    (order_col, *tie_cols) order) without a global sort — the
+    merge-stream lookup shape (`quantile_normalize`,
+    `consistent_hash_routing`). NULL ``val_col`` cells are ignored
+    (same as ``F.min``). Per-bucket suffix mins run in parallel; the
+    cross-bucket carry is a min over LATER buckets from the tiny
+    per-bucket aggregate."""
+    from pyspark.sql import Window
+    d = _with_range_bucket(df, order_col, n_buckets)
+    win = (Window.partitionBy("__b").orderBy(order_col, *tie_cols)
+           .rowsBetween(0, Window.unboundedFollowing))
+    d = d.withColumn("__in_min", F.min(val_col).over(win))
+    bmin = d.groupBy("__b").agg(F.min(val_col).alias("__bm"))
+    later_w = Window.orderBy("__b").rowsBetween(1, Window.unboundedFollowing)
+    carry = bmin.select("__b", F.min("__bm").over(later_w).alias("__carry"))
+    d = d.join(F.broadcast(carry), "__b")
+    return (d.withColumn(out_col, F.least("__in_min", "__carry"))
+            .drop("__b", "__in_min", "__carry"))

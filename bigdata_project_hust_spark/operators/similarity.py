@@ -707,10 +707,15 @@ def knn_label_vote(df: DataFrame, k: int = 5, n_planes: int = 8,
                     .cast("long").alias("correct")))
 
 
-def semantic_dedup(df: DataFrame, k: int = 8, iters: int = 2,
+SEMDEDUP_TARGET_CLUSTER_ROWS = 4096
+
+
+def semantic_dedup(df: DataFrame, k: int | None = None, iters: int = 2,
                    min_sim_e6: int = 950_000,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   target_cluster_rows: int = SEMDEDUP_TARGET_CLUSTER_ROWS,
+                   lsh_split_bits: int = 0) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
     embedding space, then drop near-identical vectors WITHIN each
     cluster — the all-pairs cosine matrix is only ever formed per
@@ -725,27 +730,63 @@ def semantic_dedup(df: DataFrame, k: int = 8, iters: int = 2,
     100 TB shape: the cluster assignment is the exact-integer
     ``kmeans_assign`` (broadcast centroids, deterministic); the pair
     join is a self-join keyed on ``cluster_id``, so the quadratic term
-    is Σ|cluster|² — bounded by choosing k proportional to corpus size
-    (SemDeDup's own scaling argument), exactly like the LSH-bucket and
-    banded-MinHash guards elsewhere in this package. Cosine is
-    verified exactly once per surviving pair and floor-quantized at
-    1e6 for cross-engine hashing; norms are computed once per vector
-    before the join.
+    is Σ|cluster|². With ``k=None`` (the default) k is derived from
+    the corpus count as ``max(8, ceil(n / target_cluster_rows))`` —
+    SemDeDup's own scaling argument — so the expected pair count is
+    Σ|cluster|² ≈ k·(n/k)² = n·target_cluster_rows: LINEAR in n, not
+    O(n²/const) as a fixed k would give (``test_scale.py`` asserts the
+    linear growth). The count is one driver-side scalar, not a data
+    collect. Skewed/oversized clusters can additionally be pre-split
+    with ``lsh_split_bits`` sign-LSH bits (deterministic integer
+    hyperplanes on the quantized grid): pairs are then required to
+    share the (cluster, code) bucket, capping any single cluster's
+    pair term at Σ|bucket|² at the cost of missing cross-bucket
+    near-dups (SemDeDup is approximate by construction; the pruned
+    set is always a SUBSET of the unsplit one). Broadcast ceiling:
+    the centroid table is k·dim longs — beyond ~10M centroids route
+    assignment through the IVF coarse-quantizer join instead of a
+    broadcast. Cosine is verified exactly once per surviving pair and
+    floor-quantized at 1e6 for cross-engine hashing; norms are
+    computed once per vector before the join.
     """
+    if k is None:
+        n = df.count()
+        k = max(8, -(-n // target_cluster_rows))
     a = kmeans_assign(df, k=k, iters=iters, id_col=id_col,
                       vec_col=vec_col).select(id_col, "cluster_id")
     v = df.select(F.col(id_col), F.col(vec_col),
                   _norm(F.col(vec_col)).alias("__nrm"))
     m = a.join(v, id_col)
-    lo = m.select(F.col("cluster_id"),
+    if lsh_split_bits > 0:
+        # Deterministic sign-LSH sub-code on the exact integer grid:
+        # bit j = sign of Σ_i h(j,i)·vq_i with Rademacher
+        # h(j,i) = 1 − 2·(((i·73856093 + j·19349663) mod 97) mod 2) —
+        # pure integer arithmetic, identical on any engine, zero
+        # shuffle (map-side transform/aggregate only).
+        vq = quantized_vectors(df, id_col, vec_col) \
+            .select(F.col(id_col), "vq")
+        code = F.lit(0).cast("long")
+        for j in range(lsh_split_bits):
+            def hij(i, _j=j):
+                return (F.lit(1) - 2 * F.pmod(
+                    F.pmod(i * 73856093 + F.lit(_j * 19349663), 97), 2))
+            dot_j = F.aggregate(
+                F.transform("vq", lambda x, i: x * hij(i)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            code = code + (dot_j >= 0).cast("long") * F.lit(1 << j)
+        m = m.join(vq.select(F.col(id_col), code.alias("__code")), id_col)
+    else:
+        m = m.withColumn("__code", F.lit(0).cast("long"))
+    pair_keys = ["cluster_id", "__code"]
+    lo = m.select("cluster_id", "__code",
                   F.col(id_col).alias("__ida"),
                   F.col(vec_col).alias("__va"), F.col("__nrm").alias("__na"))
-    hi = m.select(F.col("cluster_id"),
+    hi = m.select("cluster_id", "__code",
                   F.col(id_col).alias("__idb"),
                   F.col(vec_col).alias("__vb"), F.col("__nrm").alias("__nb"))
     sim_e6 = F.floor(_dot(F.col("__va"), F.col("__vb"))
                      / (F.col("__na") * F.col("__nb")) * 1e6).cast("long")
-    losers = (lo.join(hi, "cluster_id")
+    losers = (lo.join(hi, pair_keys)
                 .where(F.col("__ida") < F.col("__idb"))
                 # zero-norm vectors (failed/padding embeddings) define
                 # no cosine: treat as dissimilar instead of letting
