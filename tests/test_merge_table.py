@@ -1,0 +1,178 @@
+"""MergeIntoParquetTable: MERGE INTO semantics over the hash-bucketed
+copy-on-write parquet table (the cluster-real upsert path; reference
+semantics from consumer2.py Mongo bulk upserts)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from bigdata_project_hust_spark.streaming.merge_table import (
+    MergeIntoParquetTable)
+
+
+def _mk(spark, tmp_path, rows, n_buckets=8):
+    t = MergeIntoParquetTable(spark, str(tmp_path / "tbl"), "k",
+                              n_buckets=n_buckets)
+    t.merge(spark.createDataFrame(rows, "k long, v long, s string"))
+    return t
+
+
+def _rows(t):
+    df = t.read()
+    return {} if df is None else {
+        r["k"]: (r["v"], r["s"]) for r in df.collect()}
+
+
+def test_merge_insert_then_replace(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, 10, "a"), (2, 20, "b")])
+    assert _rows(t) == {1: (10, "a"), 2: (20, "b")}
+    t.merge(spark.createDataFrame([(2, 99, "B"), (3, 30, "c")],
+                                  "k long, v long, s string"))
+    assert _rows(t) == {1: (10, "a"), 2: (99, "B"), 3: (30, "c")}
+
+
+def test_merge_update_set_inc_and_max(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, 10, "a"), (2, 20, "b")])
+    t.merge(spark.createDataFrame([(1, 5, "z"), (4, 7, "d")],
+                                  "k long, v long, s string"),
+            when_matched={"v": "t_v + s_v",
+                          "s": "greatest(t_s, s_s)"})
+    assert _rows(t) == {1: (15, "z"), 2: (20, "b"), 4: (7, "d")}
+
+
+def test_merge_delete_and_ignore_unmatched(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")])
+    t.merge(spark.createDataFrame([(2, 0, "x"), (9, 0, "x")],
+                                  "k long, v long, s string"),
+            when_matched="delete", when_not_matched="ignore")
+    assert _rows(t) == {1: (10, "a"), 3: (30, "c")}
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The table-format property: a merge leaves untouched buckets'
+    files byte-identical in place (pruned, not rewritten)."""
+    rows = [(k, k, f"r{k}") for k in range(60)]
+    t = _mk(spark, tmp_path, rows, n_buckets=16)
+    st0 = t._state()
+    before = {b: t._bucket_path(b, v) for b, v in st0["buckets"].items()}
+    t.merge(spark.createDataFrame([(1, 111, "upd")],
+                                  "k long, v long, s string"))
+    st1 = t._state()
+    changed = [b for b in before
+               if st1["buckets"].get(b) != st0["buckets"][b]]
+    unchanged = [b for b in before
+                 if st1["buckets"].get(b) == st0["buckets"][b]]
+    assert len(changed) == 1          # exactly the source key's bucket
+    assert len(unchanged) == len(before) - 1
+    for b in unchanged:               # same version dir still on disk
+        assert os.path.isdir(before[b])
+    assert _rows(t)[1] == (111, "upd")
+
+
+def test_merge_exactly_once_under_epoch_retry(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, 1, "a")])
+    inc = spark.createDataFrame([(1, 10, "a")], "k long, v long, s string")
+    t.upsert_inc(inc, ["v"], [], epoch_id=7)
+    t.upsert_inc(inc, ["v"], [], epoch_id=7)   # redelivery: no-op
+    assert _rows(t)[1] == (11, "a")
+    t.upsert_inc(inc, ["v"], [], epoch_id=8)
+    assert _rows(t)[1] == (21, "a")
+
+
+def test_crash_before_manifest_swap_preserves_snapshot(spark, tmp_path):
+    t = _mk(spark, tmp_path, [(1, 10, "a")])
+    st = t._state()
+    # simulate a crash mid-merge: new bucket version written, manifest
+    # NOT swapped — the live snapshot must be unchanged, and vacuum
+    # must clean the orphan
+    src = spark.createDataFrame([(1, 99, "z")], "k long, v long, s string")
+    out = t._merge_frames(t.read(), src, "replace", "insert")
+    t._write_touched(out, [int(b) for b in st["buckets"]],
+                     st["version"] + 1)
+    assert _rows(t)[1] == (10, "a")      # old snapshot still live
+    removed = t.vacuum()
+    assert removed >= 1
+    assert _rows(t)[1] == (10, "a")
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    t = MergeIntoParquetTable(spark, str(tmp_path / "tbl"), "k",
+                              n_buckets=2)
+    for i in range(4):                   # 4 merges -> multi-file buckets
+        t.merge(spark.createDataFrame(
+            [(i * 2, i, "x"), (i * 2 + 1, i, "y")],
+            "k long, v long, s string"))
+    before = _rows(t)
+    # every merge rewrites whole buckets here (2 buckets), so files per
+    # bucket stay small; force multi-file via repartition on write is
+    # not needed — instead assert compact() is a no-op on 1-file
+    # buckets and content is stable
+    t.compact(max_files_per_bucket=1)
+    assert _rows(t) == before
+
+
+def test_compact_rewrites_multifile_bucket(spark, tmp_path):
+    t = MergeIntoParquetTable(spark, str(tmp_path / "tbl"), "k",
+                              n_buckets=1)
+    # many partitions -> many files in the single bucket (AQE would
+    # coalesce the dropDuplicates shuffle to one partition at this row
+    # count, so switch it off for the ingest)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        df = spark.range(50).select(
+            F.col("id").alias("k"), F.col("id").alias("v"),
+            F.lit("s").alias("s")).repartition(8)
+        t.merge(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    st = t._state()
+    d = t._bucket_path(0, st["buckets"]["0"])
+    n_before = len(glob.glob(os.path.join(d, "*.parquet")))
+    assert n_before > 1
+    before = _rows(t)
+    t.compact(max_files_per_bucket=1)
+    st2 = t._state()
+    d2 = t._bucket_path(0, st2["buckets"]["0"])
+    assert len(glob.glob(os.path.join(d2, "*.parquet"))) == 1
+    assert _rows(t) == before
+
+
+def test_foreachbatch_stream_sink(spark, tmp_path):
+    """Wire the merge table as a Structured Streaming foreachBatch
+    sink: per-key replace upserts, exactly-once by epoch."""
+    t = MergeIntoParquetTable(spark, str(tmp_path / "tbl"), "k",
+                              n_buckets=4)
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    spark.createDataFrame([(1, 10, "a"), (2, 20, "b")],
+                          "k long, v long, s string") \
+        .write.mode("overwrite").parquet(src)
+
+    def sink(batch, epoch_id):
+        t.upsert_replace(batch, epoch_id=epoch_id)
+
+    q = (spark.readStream.schema("k long, v long, s string")
+         .parquet(src)
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert _rows(t) == {1: (10, "a"), 2: (20, "b")}
+
+
+def test_empty_delete_drops_bucket(spark, tmp_path):
+    t = MergeIntoParquetTable(spark, str(tmp_path / "tbl"), "k",
+                              n_buckets=1)
+    t.merge(spark.createDataFrame([(1, 1, "a")], "k long, v long, s string"))
+    t.merge(spark.createDataFrame([(1, 0, "x")], "k long, v long, s string"),
+            when_matched="delete", when_not_matched="ignore")
+    assert t.read() is None
+    m = json.load(open(os.path.join(str(tmp_path / "tbl"),
+                                    "_manifest.json")))
+    assert m["buckets"] == {}
