@@ -3072,6 +3072,11 @@ from .round7 import QUERIES_ROUND7  # noqa: E402
 
 QUERIES.update(QUERIES_ROUND7)
 
+from .round8 import QUERIES_ROUND8  # noqa: E402  (needs ORACLE_COSINE
+#                                     and _minhash_graph_sql above)
+
+QUERIES.update(QUERIES_ROUND8)
+
 # ---------------------------------------------------------------------------
 # Driver-sweep rotation.
 #
