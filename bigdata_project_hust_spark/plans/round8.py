@@ -236,3 +236,66 @@ QUERIES_ROUND8.update({
         doc="recall@10 of the IVF-PQ index vs brute-force cosine "
             "(index-quality gate for the PQ serving path)"),
 })
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split: assign splits by near-dup COMPONENT, not by doc
+# ---------------------------------------------------------------------------
+
+def q_leakage_safe_split(spark, sf_dir):
+    """The FIX for what ``split_leakage_audit`` measures: hash-split
+    by near-dup connected component (singletons are their own
+    component), so every near-dup pair lands in the same split and
+    cross-split contamination is zero BY CONSTRUCTION (asserted in
+    test_round8). Output: per-split census (docs + distinct
+    components). Scale shape: LSH pair pipeline + hash-min label
+    propagation (both bucketed), then a zero-shuffle hash of the
+    component id."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(d)
+    comp = dedup.connected_components(pairs).withColumnRenamed(
+        "node", "doc_id")
+    full = (d.select("doc_id").join(comp, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", F.col("doc_id"))
+                    .alias("component")))
+    s = F.pmod(stable_hash64(F.col("component").cast("string"),
+                             seed=_SPLIT_SEED), F.lit(10))
+    split = (F.when(s < 8, F.lit("train"))
+              .when(s == 8, F.lit("val"))
+              .otherwise(F.lit("test")))
+    return (full.withColumn("split", split)
+            .groupBy("split")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.count_distinct("component").cast("long")
+                 .alias("n_components")))
+
+
+def _oracle_leakage_safe_split() -> str:
+    from .queries import _oracle_components
+    h = stable_hash64_sql("component::VARCHAR", seed=_SPLIT_SEED)
+    return f"""
+  WITH comp AS ({_oracle_components()}),
+  alldocs AS (
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+  ),
+  sp AS (
+    SELECT doc_id, component,
+           CASE WHEN ({h} % 10) < 8 THEN 'train'
+                WHEN ({h} % 10) = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM alldocs
+  )
+  SELECT split, count(*)::BIGINT AS n_docs,
+         count(DISTINCT component)::BIGINT AS n_components
+  FROM sp GROUP BY split
+"""
+
+
+QUERIES_ROUND8.update({
+    "leakage_safe_split": QuerySpec(
+        q_leakage_safe_split, _oracle_leakage_safe_split(),
+        doc="component-level hash split: near-dup clusters never "
+            "straddle splits (census per split)"),
+})

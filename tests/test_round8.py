@@ -64,3 +64,44 @@ def test_ivfpq_recall_bounds(spark):
     # the probed lists cover the query's own neighborhood, so the
     # index should find at least one true neighbor on the fixture
     assert r["n_hits"] >= 1
+
+
+def test_leakage_safe_split_has_zero_cross_split_pairs(spark):
+    """The construction guarantee: hash-splitting by component means
+    no near-dup pair straddles splits."""
+    from bigdata_project_hust_spark.operators import dedup
+    from bigdata_project_hust_spark.functions.scalar import stable_hash64
+    from bigdata_project_hust_spark.plans.round8 import _SPLIT_SEED
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = dedup.minhash_near_duplicates(d)
+    comp = dedup.connected_components(pairs).withColumnRenamed(
+        "node", "doc_id")
+    full = (d.select("doc_id").join(comp, "doc_id", "left")
+            .select("doc_id", F.coalesce("component", F.col("doc_id"))
+                    .alias("component")))
+    s = F.pmod(stable_hash64(F.col("component").cast("string"),
+                             seed=_SPLIT_SEED), F.lit(10))
+    sp = full.select("doc_id", s.alias("b"))
+    a = sp.select(F.col("doc_id").alias("doc_a"), F.col("b").alias("ba"))
+    b = sp.select(F.col("doc_id").alias("doc_b"), F.col("b").alias("bb"))
+    straddle = (pairs.join(a, "doc_a").join(b, "doc_b")
+                .where(F.col("ba") != F.col("bb")).count())
+    assert straddle == 0
+    # while the doc-level split DOES leak on this corpus (the audit
+    # query exists because it catches something)
+    from bigdata_project_hust_spark.plans.round8 import (
+        q_split_leakage_audit)
+    leaked = sum(r["n_pairs"] for r in
+                 q_split_leakage_audit(spark, SF).collect()
+                 if r["leaked"] == 1)
+    assert leaked > 0
+
+
+def test_leakage_safe_split_census_covers_corpus(spark):
+    from bigdata_project_hust_spark.plans.round8 import (
+        q_leakage_safe_split)
+    rows = q_leakage_safe_split(spark, SF).collect()
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    for r in rows:
+        assert r["n_components"] <= r["n_docs"]
