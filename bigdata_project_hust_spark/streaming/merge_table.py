@@ -53,11 +53,13 @@ _MANIFEST = "_manifest.json"
 class MergeIntoParquetTable:
     """Keyed copy-on-write parquet table with bucket-pruned MERGE."""
 
-    def __init__(self, spark, path: str, key: str, n_buckets: int = 64):
+    def __init__(self, spark, path: str, key: str, n_buckets: int = 64,
+                 retain_versions: int = 2):
         self.spark = spark
         self.path = path
         self.key = key
         self.n_buckets = n_buckets
+        self.retain_versions = max(1, retain_versions)
         os.makedirs(path, exist_ok=True)
         self._manifest = os.path.join(path, _MANIFEST)
 
@@ -75,13 +77,41 @@ class MergeIntoParquetTable:
     def _bucket_path(self, b: int, v: int) -> str:
         return os.path.join(self.path, f"b{int(b)}", f"v{int(v)}")
 
-    def read(self) -> DataFrame | None:
-        """Current snapshot (no bucket column), or None if empty."""
-        st = self._state()
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """Snapshot read (no bucket column), or None if empty.
+
+        ``version=None`` reads the current snapshot; an integer reads
+        that historical snapshot (time travel) as long as its manifest
+        and bucket files are still retained (``vacuum`` keeps
+        ``retain_versions`` history)."""
+        st = self._state() if version is None else self._version_state(
+            version)
         if not st["buckets"]:
             return None
         paths = [self._bucket_path(b, v) for b, v in st["buckets"].items()]
         return self.spark.read.parquet(*paths)
+
+    def _version_state(self, version: int) -> dict:
+        p = os.path.join(self.path, f"_manifest-v{version}.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"snapshot v{version} not retained (vacuumed or never "
+                f"written): {p}")
+        with open(p) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        """Retained snapshots, oldest first: version, bucket count,
+        epoch count — the table-format DESCRIBE HISTORY analogue."""
+        out = []
+        for entry in sorted(os.listdir(self.path)):
+            if entry.startswith("_manifest-v") and entry.endswith(".json"):
+                with open(os.path.join(self.path, entry)) as f:
+                    st = json.load(f)
+                out.append({"version": st["version"],
+                            "n_buckets": len(st["buckets"]),
+                            "n_epochs": len(st["epochs"])})
+        return sorted(out, key=lambda d: d["version"])
 
     def _read_buckets(self, st: dict, buckets: list[int]) -> DataFrame | None:
         paths = [self._bucket_path(b, st["buckets"][str(b)])
@@ -97,15 +127,50 @@ class MergeIntoParquetTable:
         # buckets whose merged content is empty are dropped entirely
         merged = {b: v for b, v in merged.items() if v >= 0}
         epochs = st["epochs"] + ([epoch_id] if epoch_id is not None else [])
+        state = {"version": st["version"] + 1, "buckets": merged,
+                 "epochs": epochs}
+        # the versioned manifest (time-travel history) lands first;
+        # the atomic pointer swap is still the single commit point
+        vpath = os.path.join(self.path,
+                             f"_manifest-v{state['version']}.json")
+        with open(vpath, "w") as f:
+            json.dump(state, f)
         tmp = self._manifest + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": st["version"] + 1, "buckets": merged,
-                       "epochs": epochs}, f)
+            json.dump(state, f)
         os.replace(tmp, self._manifest)  # the atomic commit point
-        # best-effort GC of superseded bucket versions
-        for b, v in st["buckets"].items():
-            if new_buckets.get(b, v) != v:
-                shutil.rmtree(self._bucket_path(b, v), ignore_errors=True)
+        self._gc_history()
+
+    def _retained_states(self) -> list[dict]:
+        out = []
+        for entry in os.listdir(self.path):
+            if entry.startswith("_manifest-v") and entry.endswith(".json"):
+                with open(os.path.join(self.path, entry)) as f:
+                    out.append(json.load(f))
+        return sorted(out, key=lambda s: s["version"])
+
+    def _gc_history(self) -> None:
+        """Drop manifests beyond the retention window, then remove
+        bucket version dirs no retained snapshot references
+        (best-effort — readers of a just-expired snapshot may race,
+        same caveat as any table format's VACUUM)."""
+        states = self._retained_states()
+        for st in states[:-self.retain_versions]:
+            p = os.path.join(self.path, f"_manifest-v{st['version']}.json")
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        live = {self._bucket_path(b, v)
+                for st in self._retained_states()
+                for b, v in st["buckets"].items()}
+        for entry in os.listdir(self.path):
+            full = os.path.join(self.path, entry)
+            if entry.startswith("b") and os.path.isdir(full):
+                for vdir in os.listdir(full):
+                    vfull = os.path.join(full, vdir)
+                    if vfull not in live:
+                        shutil.rmtree(vfull, ignore_errors=True)
 
     def _write_touched(self, out: DataFrame, touched: list[int],
                        new_v: int) -> dict[str, int]:
@@ -213,9 +278,10 @@ class MergeIntoParquetTable:
 
     def vacuum(self) -> int:
         """Remove orphaned (superseded / crashed-stage) directories not
-        referenced by the current manifest. Returns count removed."""
-        st = self._state()
-        live = {self._bucket_path(b, v) for b, v in st["buckets"].items()}
+        referenced by ANY retained snapshot. Returns count removed."""
+        states = self._retained_states() or [self._state()]
+        live = {self._bucket_path(b, v)
+                for st in states for b, v in st["buckets"].items()}
         removed = 0
         for entry in os.listdir(self.path):
             full = os.path.join(self.path, entry)

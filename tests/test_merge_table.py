@@ -176,3 +176,32 @@ def test_empty_delete_drops_bucket(spark, tmp_path):
     m = json.load(open(os.path.join(str(tmp_path / "tbl"),
                                     "_manifest.json")))
     assert m["buckets"] == {}
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    t = MergeIntoParquetTable(spark, str(tmp_path / "tbl"), "k",
+                              n_buckets=2, retain_versions=2)
+    t.merge(spark.createDataFrame([(1, 10, "a")], "k long, v long, s string"))
+    t.merge(spark.createDataFrame([(1, 99, "z")], "k long, v long, s string"))
+    assert _rows(t)[1] == (99, "z")
+    # time travel to the pre-update snapshot
+    old = {r["k"]: (r["v"], r["s"]) for r in t.read(version=1).collect()}
+    assert old[1] == (10, "a")
+    hist = t.history()
+    assert [h["version"] for h in hist] == [1, 2]
+
+
+def test_history_retention_expires_old_snapshots(spark, tmp_path):
+    import pytest
+    t = MergeIntoParquetTable(spark, str(tmp_path / "tbl"), "k",
+                              n_buckets=2, retain_versions=2)
+    for i in range(4):
+        t.merge(spark.createDataFrame([(1, i, "x")],
+                                      "k long, v long, s string"))
+    assert [h["version"] for h in t.history()] == [3, 4]
+    with pytest.raises(FileNotFoundError):
+        t.read(version=1)
+    # retained snapshots stay readable after vacuum
+    t.vacuum()
+    assert {r["k"]: r["v"] for r in t.read(version=3).collect()} == {1: 2}
+    assert _rows(t)[1] == (3, "x")
