@@ -854,3 +854,70 @@ def jl_project(df: DataFrame, out_dim: int = JL_OUT_DIM,
             .agg(F.sum(F.col("s") * F.col("q")).cast("long")
                  .alias("proj_q_e6"))
             .orderBy(id_col, "jdim"))
+
+
+def top_principal_component(df: DataFrame, dim: int = 64, iters: int = 6,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Top principal component of the embedding cloud (uncentered) via
+    power iteration on an integer-exact Gramian — the PCA primitive
+    behind embedding whitening / drift monitoring, expressed so two
+    engines reproduce it bit-for-bit.
+
+    Engine-exact by construction: components quantize to the e6 grid,
+    the d×d Gramian G[i,j] = Σ_v q_i·q_j is an exact BIGINT sum
+    (order-free), G rescales to ±1e6 through ONE pinned double tree
+    (floor(g·1e6/max|g|)), and every power step w = A·v is again an
+    exact 64-term BIGINT sum renormalized by floor(w·1e6/max|w|).
+    The start vector is all-ones, so the iterate (and the component's
+    sign) is fully deterministic.
+
+    Plan shape at scale: the Gramian is emitted per ROW as the d²
+    outer-product pairs via a zero-shuffle nested transform+explode,
+    then map-side partial aggregation crushes each task to ≤ d² rows
+    before the only data-sized exchange (d² keys — for d=64 that is a
+    4096-row shuffle regardless of corpus size; the same communication
+    shape as a tree-aggregated Gramian). The ``iters`` power steps run
+    on the 4096-row A with a broadcast 64-row v — driver never sees
+    the data. BIGINT headroom: |q| ≤ 1e6·max|x|, so G ≤ N·(1e6·max|x|)²
+    — at max|x| ≈ 1 this holds to N ≈ 9e6 vectors; beyond that, lower
+    the quantization grid one decade per 100× rows.
+    """
+    pairs = df.select(F.explode(F.expr(
+        f"flatten(transform({vec_col}, (xi, i) -> "
+        f"transform({vec_col}, (xj, j) -> "
+        f"struct(i + 1 as i, j + 1 as j, "
+        f"floor(cast(xi as double) * 1e6) * "
+        f"floor(cast(xj as double) * 1e6) as p))))")).alias("e")) \
+        .select("e.i", "e.j", "e.p")
+    g = pairs.groupBy("i", "j").agg(F.sum("p").cast("long").alias("g"))
+    amax = g.groupBy().agg(F.max(F.abs("g")).alias("amax"))
+    a = (g.crossJoin(F.broadcast(amax))
+          .select("i", "j",
+                  F.floor(F.col("g").cast("double") * F.lit(1000000.0)
+                          / F.col("amax").cast("double"))
+                  .cast("long").alias("a")))
+    spark = df.sparkSession
+    # the A matrix feeds every power step: compute its d² rows once
+    # and truncate lineage so step t's plan does not re-nest steps
+    # 1..t-1 (Catalyst re-optimizes the whole tree per action — a
+    # 24-deep join chain is a plan-compile blowup, not a data cost)
+    a = a.localCheckpoint(eager=True)
+    v = spark.range(1, dim + 1).select(
+        F.col("id").alias("j"), F.lit(1000000).cast("long").alias("v"))
+    for t in range(iters):
+        w = (a.join(F.broadcast(v), "j")
+              .groupBy("i")
+              .agg(F.sum(F.col("a") * F.col("v")).cast("long").alias("w")))
+        m = w.groupBy().agg(F.max(F.abs("w")).alias("m"))
+        v = (w.crossJoin(F.broadcast(m))
+              .select(F.col("i").alias("j"),
+                      F.floor(F.col("w").cast("double") * F.lit(1000000.0)
+                              / F.col("m").cast("double"))
+                      .cast("long").alias("v")))
+        if (t + 1) % 4 == 0 and t + 1 < iters:
+            # 64-row frame: an eager localCheckpoint is microseconds
+            # and keeps every subsequent plan shallow
+            v = v.localCheckpoint(eager=True)
+    return v.select(F.col("j").cast("long").alias("dim"),
+                    F.col("v").alias("weight_e6"))

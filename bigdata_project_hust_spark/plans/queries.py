@@ -3077,6 +3077,10 @@ from .round8 import QUERIES_ROUND8  # noqa: E402  (needs ORACLE_COSINE
 
 QUERIES.update(QUERIES_ROUND8)
 
+from .round9 import QUERIES_ROUND9  # noqa: E402
+
+QUERIES.update(QUERIES_ROUND9)
+
 # ---------------------------------------------------------------------------
 # Driver-sweep rotation.
 #
@@ -3185,6 +3189,9 @@ _CHECK_FIRST = [
     "churn_hazard_tenure", "degree_powerlaw_parts", "rolling_median_daily",
     "lognormal_gamma_values", "dow_hour_heatmap", "journey_edit_distance",
     "outlier_consensus",
+    # round-9 additions (never driver-checked)
+    "compaction_bin_packing", "partition_skew_advisor",
+    "ann_recall_matryoshka", "embedding_top_component", "kfold_cv_ridge",
 ]
 
 
