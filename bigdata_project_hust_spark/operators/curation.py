@@ -633,3 +633,65 @@ def token_budget_allocation(df: DataFrame, text_col: str = "text",
                f"CAST(n_tokens AS {dec})").cast("long")
          .alias("epochs_e2"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# Per-source boilerplate strip (frequency-based, remove ALL instances)
+# ---------------------------------------------------------------------------
+
+def boilerplate_strip(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", source_col: str = "source",
+                      line_tokens: int = 8, min_docs: int = 2) -> DataFrame:
+    """Per-source boilerplate census: a "line" (fixed token segment,
+    same convention as :func:`line_dedup`) that appears in at least
+    ``min_docs`` DISTINCT documents of the same source is boilerplate
+    (headers/footers/nav chrome — RefinedWeb/CCNet strip these by
+    per-domain frequency, unlike line_dedup's corpus-wide keep-first).
+    Returns the per-source removal report a strip job would act on:
+    doc count, total segment instances, distinct boilerplate segments,
+    instances and characters removed, and the removed fraction at e6.
+
+    100 TB shape: segments shuffle ONCE keyed by (source, 60-bit
+    content hash) — 8-byte-ish keys, not text; the two-level aggregate
+    (per-segment census → per-source rollup) is all map-side-combined;
+    no joins back to the corpus, no broadcast of anything
+    corpus-sized. NULL-source docs are their own group, as in the
+    mixing planner."""
+    bound = df.select(F.col(id_col), F.col(source_col).alias("src"),
+                      tokens(text_col).alias("__w"))
+    w, n = F.col("__w"), F.size(F.col("__w"))
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(line_tokens))) \
+              .otherwise(F.array().cast("array<int>"))
+    segs = F.transform(starts, lambda s: F.slice(w, s, line_tokens))
+    lines = (bound.select(F.col(id_col), "src",
+                          F.explode(segs).alias("__seg"))
+             .select(F.col(id_col), "src",
+                     F.concat_ws(" ", F.col("__seg")).alias("__t")))
+    per_seg = (lines
+               .select(F.col(id_col), "src",
+                       stable_hash64(F.col("__t")).alias("__h"),
+                       F.length("__t").cast("long").alias("__len"))
+               .groupBy("src", "__h")
+               .agg(F.countDistinct(id_col).cast("long").alias("df_docs"),
+                    F.count("*").cast("long").alias("inst"),
+                    F.sum("__len").cast("long").alias("chars")))
+    totals = per_seg.groupBy("src").agg(
+        F.sum("inst").cast("long").alias("n_segments"),
+        F.sum("chars").cast("long").alias("n_chars"))
+    boiler = (per_seg.where(F.col("df_docs") >= min_docs)
+              .groupBy("src")
+              .agg(F.count("*").cast("long").alias("boiler_segments"),
+                   F.sum("inst").cast("long").alias("removed_instances"),
+                   F.sum("chars").cast("long").alias("removed_chars")))
+    return (totals.join(boiler, "src", "left")
+            .select(F.col("src").alias(source_col), "n_segments", "n_chars",
+                    F.coalesce("boiler_segments", F.lit(0)).cast("long")
+                     .alias("boiler_segments"),
+                    F.coalesce("removed_instances", F.lit(0)).cast("long")
+                     .alias("removed_instances"),
+                    F.coalesce("removed_chars", F.lit(0)).cast("long")
+                     .alias("removed_chars"),
+                    F.floor(F.coalesce("removed_instances", F.lit(0))
+                            .cast("double") * F.lit(1000000.0)
+                            / F.col("n_segments").cast("double"))
+                    .cast("long").alias("removed_frac_e6")))

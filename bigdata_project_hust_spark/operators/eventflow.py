@@ -2738,3 +2738,67 @@ def outlier_consensus(df: DataFrame,
     return (j.select((z_vote + mad_vote + iqr_vote).alias("votes"))
             .groupBy("votes").agg(F.count("*").alias("n_rows"))
             .orderBy("votes"))
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization of the per-type daily series
+# ---------------------------------------------------------------------------
+
+def sax_daily_symbols(df: DataFrame, type_col: str = "event_type",
+                      val_col: str = "value",
+                      ts_col: str = "ts") -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation, Lin et al. 2003) of each
+    type's daily-cents-total series over a 4-letter alphabet: z-score
+    every day against the type's own exact moments, then bucket at the
+    standard-normal quartile breakpoints (±0.6745, 0) → a/b/c/d. The
+    symbol string is the shape fingerprint motif-discovery and
+    whole-series clustering run on.
+
+    Exactness: with n, Σt, Σt² exact BIGINTs, z = (n·t − Σt) /
+    sqrt(n·Σt² − (Σt)²) — an exact BIGINT numerator and ONE
+    double-sqrt denominator (sums cast to double first: n·Σt² can
+    pass 2^63 at large SF, and the cast-then-combine tree is the same
+    fixed IEEE sequence on both engines), floored to e6 before the
+    CASE. Constant series (D = 0) emit all-'b'.
+
+    Scale shape: one map-side-combined groupBy(type, day); the per-type
+    moment frame is type-cardinality (tiny) and joins back keyed by
+    type; the string assembly sorts each type's days INSIDE an
+    aggregated array (array_sort of ≤ series-length structs), never a
+    global sort."""
+    from pyspark.sql import functions as F  # noqa: F811 (local alias)
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("long")
+    day = F.floor(_ts_s(ts_col) / _DAY_S).cast("long")
+    daily = (df.select(F.col(type_col).alias("g"), day.alias("day"),
+                       cents.alias("v"))
+             .groupBy("g", "day").agg(F.sum("v").cast("long").alias("t")))
+    mom = daily.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("s1"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("s2"))
+    dd = (F.col("n").cast("double") * F.col("s2").cast("double")
+          - F.col("s1").cast("double") * F.col("s1").cast("double"))
+    z = F.when(dd > 0,
+               F.floor((F.col("n") * F.col("t") - F.col("s1"))
+                       .cast("double") * F.lit(1000000.0)
+                       / F.sqrt(dd)).cast("long")) \
+         .otherwise(F.lit(0).cast("long"))
+    sym = (F.when(F.col("z_e6") < -674500, F.lit("a"))
+            .when(F.col("z_e6") < 0, F.lit("b"))
+            .when(F.col("z_e6") < 674500, F.lit("c"))
+            .otherwise(F.lit("d")))
+    scored = (daily.join(mom, "g")
+              .select("g", "day", z.alias("z_e6"))
+              .select("g", "day", sym.alias("sym")))
+    return (scored.groupBy("g")
+            .agg(F.count("*").cast("long").alias("n_days"),
+                 F.concat_ws("", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("day", "sym"))),
+                     lambda s: s.sym)).alias("sax"),
+                 F.sum((F.col("sym") == "a").cast("long")).alias("n_a"),
+                 F.sum((F.col("sym") == "b").cast("long")).alias("n_b"),
+                 F.sum((F.col("sym") == "c").cast("long")).alias("n_c"),
+                 F.sum((F.col("sym") == "d").cast("long")).alias("n_d"))
+            .select(F.col("g").alias("event_type"), "n_days", "sax",
+                    "n_a", "n_b", "n_c", "n_d"))

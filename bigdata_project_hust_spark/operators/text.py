@@ -1586,3 +1586,65 @@ def trending_terms(df: DataFrame, epoch_expr,
         F.sum("w").cast("long").alias("score"))
     return (agg.where(F.col("score") > 0)
             .orderBy(F.col("score").desc(), "term").limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Multi-round BPE merge learning (vocabulary-factored)
+# ---------------------------------------------------------------------------
+
+def bpe_merge_rounds(df: DataFrame, rounds: int = 3,
+                     text_col: str = "text") -> DataFrame:
+    """Learn the first ``rounds`` BPE merges (Sennrich et al. 2016),
+    APPLYING each winning merge before counting the next round — the
+    iterative step `bpe_top_merges` (round 1 only) stops short of.
+    Output: one row per round — (round, pair, merged, pair_count).
+
+    Vocabulary-factored throughout: pair statistics and merge
+    application run over the DISTINCT-word frame weighted by corpus
+    counts (the standard trick — corpus size never re-enters after the
+    first word count). Each word is a single-spaced symbol string
+    (' h e l l o '); applying merge "l l" is two passes of literal
+    replace(' l l ', ' ll ') — the second pass catches the alternating
+    chains the first pass's non-overlapping scan skips, and both
+    engines' replace() share left-to-right non-overlap semantics, so
+    segmentations match bit-for-bit. (True greedy BPE retokenization
+    differs only on 3+ self-overlapping runs; the deviation is applied
+    identically on both engines and disclosed here.)
+
+    Scale shape: ONE corpus-sized shuffle (the word count); every
+    round after that is a groupBy over the vocab-sized pair frame plus
+    a 1-row broadcast of the winning pair back onto the vocab frame.
+    The winner is TakeOrdered(1), never a global sort."""
+    words = (df.select(F.explode(tokens(text_col)).alias("w"))
+             .groupBy("w").agg(F.count("*").cast("long").alias("c")))
+    wf = words.select(
+        "c", F.concat(F.lit(" "),
+                      F.regexp_replace("w", "(.)", "$1 ")).alias("seq"))
+    outs = []
+    for r in range(1, rounds + 1):
+        toks = F.split(F.trim(F.col("seq")), " ")
+        m = F.greatest(F.size(toks) - 1, F.lit(0))
+        prs = F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+        pc = (wf.select(F.col("c"), F.explode(prs).alias("pair"))
+                .groupBy("pair").agg(F.sum("c").cast("long").alias("cnt")))
+        top = (pc.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+                 .limit(1)
+                 .select(F.col("pair").alias("mp"),
+                         F.col("cnt").alias("mcnt")))
+        outs.append(top.select(
+            F.lit(r).cast("long").alias("round"),
+            F.col("mp").alias("pair"),
+            F.replace(F.col("mp"), F.lit(" "), F.lit("")).alias("merged"),
+            F.col("mcnt").alias("pair_count")))
+        pat = F.concat(F.lit(" "), F.col("mp"), F.lit(" "))
+        rep = F.concat(F.lit(" "),
+                       F.replace(F.col("mp"), F.lit(" "), F.lit("")),
+                       F.lit(" "))
+        wf = (wf.crossJoin(F.broadcast(top))
+                .select("c", F.replace(F.replace(F.col("seq"), pat, rep),
+                                       pat, rep).alias("seq")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("round")

@@ -3081,6 +3081,10 @@ from .round9 import QUERIES_ROUND9  # noqa: E402
 
 QUERIES.update(QUERIES_ROUND9)
 
+from .round10 import QUERIES_ROUND10  # noqa: E402
+
+QUERIES.update(QUERIES_ROUND10)
+
 # ---------------------------------------------------------------------------
 # Driver-sweep rotation.
 #
@@ -3192,6 +3196,9 @@ _CHECK_FIRST = [
     # round-9 additions (never driver-checked)
     "compaction_bin_packing", "partition_skew_advisor",
     "ann_recall_matryoshka", "embedding_top_component", "kfold_cv_ridge",
+    # round-10 additions (never driver-checked)
+    "als_rank1_item_factors", "bias_baseline_card",
+    "boilerplate_strip_report", "sax_daily_symbols", "bpe_merge_rounds",
 ]
 
 
