@@ -293,3 +293,44 @@ def binary_assets_with_ids(spark: SparkSession, path: str,
         F.col("path"),
         F.col("length"),
         F.col("content").alias("payload"))
+
+
+def write_bucketed_table(df: DataFrame, table: str, key: str,
+                         buckets: int = 8,
+                         mode: str = "overwrite") -> None:
+    """Persist ``df`` as a Hive-bucketed, bucket-sorted parquet TABLE:
+    rows are hash-partitioned on ``key`` into ``buckets`` files per
+    write task and sorted by ``key`` inside each bucket.
+
+    This is the pre-shuffle that pays for itself: two tables bucketed
+    the same way join with NO exchange on either side (see
+    ``bucketed_join``) — at 100 TB the canonical fact⋈fact strategy
+    when both sides outgrow broadcast and the join key is stable
+    (order_id, user_id). Requires ``saveAsTable`` (bucket metadata
+    lives in the catalog, not parquet footers).
+
+    A managed-table location can survive a dropped/never-registered
+    catalog entry (e.g. a previous session's warehouse dir); Spark
+    then refuses the name with LOCATION_ALREADY_EXISTS even under
+    overwrite, so both the entry and any orphaned location are cleared
+    first."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
+    (df.write.format("parquet").mode(mode)
+       .bucketBy(buckets, key).sortBy(key).saveAsTable(table))
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  key: str) -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket key. With
+    matching bucket counts Spark plans a SortMergeJoin whose BOTH
+    inputs read pre-bucketed files — zero Exchange, zero Sort (files
+    are bucket-sorted), the shuffle paid once at write time and
+    amortized over every subsequent join. ``test_round11`` asserts the
+    exchange-free plan and result parity with the plain parquet join."""
+    return spark.table(left_table).join(spark.table(right_table), key)

@@ -1,0 +1,83 @@
+"""Round-11: Hive-bucketed tables — the write-once-shuffle-never join
+layout for fact⋈fact at cluster scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_project_hust_spark.io import (bucketed_join, load_table,
+                                           write_bucketed_table)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_is_exchange_free_and_exact(spark):
+    orders = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity",
+        "l_extendedprice")
+    write_bucketed_table(orders, "t_orders_b", "o_orderkey", buckets=4)
+    write_bucketed_table(li, "t_lineitem_b", "o_orderkey", buckets=4)
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "t_orders_b", "t_lineitem_b", "o_orderkey")
+        agg = j.groupBy("o_orderstatus").agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100)).cast("long")
+            .alias("rev_cents"))
+        agg_rows = agg.collect()  # drive AQE to the final plan
+        plan = _plan(agg)
+        # contrast under the same conf: the raw parquet join MUST
+        # exchange both sides on the join key
+        raw_plan = _plan(orders.join(li, "o_orderkey"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+    # the join itself must not shuffle either side: bucketing
+    # satisfies the SortMergeJoin's required distribution at plan
+    # time, so NO exchange keyed by the join key exists anywhere in
+    # the plan — the only exchange left is the final groupBy's
+    # (keyed by o_orderstatus). Sorts remain (multiple files per
+    # bucket → the sortBy metadata is unusable), but those are
+    # per-bucket local work, not network.
+    assert "SortMergeJoin" in plan
+    assert "hashpartitioning(o_orderkey" not in plan
+    assert "hashpartitioning(o_orderstatus" in plan
+
+    # parity: identical result to the plain (shuffling) parquet join
+    plain = (orders.join(li, "o_orderkey")
+             .groupBy("o_orderstatus")
+             .agg(F.sum(F.floor(F.col("l_extendedprice") * 100))
+                  .cast("long").alias("rev_cents")))
+    assert sorted(map(tuple, agg_rows)) == \
+        sorted(map(tuple, plain.collect()))
+
+    assert raw_plan.count("hashpartitioning(o_orderkey") >= 2
+
+
+def test_bucket_pruning_single_key_probe(spark):
+    # a point probe on the bucket key scans only the matching bucket
+    # (Spark prunes bucket files when bucketing info is on)
+    orders = load_table(spark, SF, "orders")
+    write_bucketed_table(orders, "t_orders_prune", "o_orderkey",
+                         buckets=4)
+    key = orders.select(F.min("o_orderkey")).collect()[0][0]
+    # autoBucketedScan drops bucketing info from scans it judges
+    # join/agg-free — which also forfeits bucket PRUNING, the thing a
+    # point probe wants; a serving path should pin it off
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try:
+        probe = spark.table("t_orders_prune") \
+            .where(F.col("o_orderkey") == key)
+        plan = _plan(probe)
+        n = probe.count()
+    finally:
+        spark.conf.set(conf, old)
+    assert "SelectedBucketsCount: 1 out of 4" in plan
+    assert n == 1
