@@ -921,3 +921,78 @@ def top_principal_component(df: DataFrame, dim: int = 64, iters: int = 6,
             v = v.localCheckpoint(eager=True)
     return v.select(F.col("j").cast("long").alias("dim"),
                     F.col("v").alias("weight_e6"))
+
+
+def label_centroids_e6(df: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label") -> DataFrame:
+    """Per-label centroid on the e6 grid: component sums are exact
+    BIGINT over e6-quantized inputs, the mean is one floored double
+    division per component (floor, not cast — negative components must
+    round the same way on both engines). Output: (label, centroid:
+    array<long> in dimension order, n).
+
+    Scale shape: posexplode → ONE map-side-combined groupBy on
+    (label, dim) — #labels·d result rows regardless of corpus size —
+    then a #labels-row array reassembly."""
+    comp = df.select(F.col(label_col).alias("label"),
+                     F.posexplode(vec_col).alias("dim", "x"))
+    agg = (comp.groupBy("label", "dim")
+           .agg(F.sum(F.floor(F.col("x").cast("double") * F.lit(1e6)))
+                .cast("long").alias("s"),
+                F.count("*").cast("long").alias("n")))
+    c = agg.select("label", "dim", "n",
+                   F.floor(F.col("s").cast("double")
+                           / F.col("n").cast("double"))
+                    .cast("long").alias("c"))
+    return (c.groupBy("label")
+            .agg(F.max("n").alias("n"),
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                     lambda s: s.c).alias("centroid")))
+
+
+def label_silhouette(df: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     label_col: str = "label") -> DataFrame:
+    """Silhouette-style class-separability audit on the similarity
+    scale: per vector, cosine to its OWN label centroid vs the best
+    cosine among OTHER label centroids; per label, the integer means
+    and the mean margin (own − best-other) at e6. Negative margins
+    flag labels whose cloud leaks into a neighbor — the audit run
+    before trusting ``label`` for stratified splits or classifier
+    training.
+
+    Exactness: each (vector, centroid) cosine is the package's
+    sequential-fold dot/norm pattern floored to e6 (one fixed IEEE
+    tree), so the per-label means are integer sums over integer
+    cosines. Scale shape: centroids are a #labels-row broadcast; the
+    probe is a zero-shuffle map over the corpus (#labels cosines per
+    row) followed by one groupBy(label) — no pairwise vector work
+    anywhere."""
+    cents = label_centroids_e6(df, id_col, vec_col, label_col) \
+        .select(F.col("label").alias("clabel"), "centroid")
+    sim = _dot(F.col(vec_col), F.col("centroid")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("centroid")))
+    probe = (df.select(F.col(id_col), F.col(label_col).alias("label"),
+                       F.col(vec_col))
+             .crossJoin(F.broadcast(cents))
+             .select(F.col(id_col), "label", "clabel",
+                     F.floor(sim * F.lit(1e6)).cast("long")
+                      .alias("sim_e6")))
+    per_vec = (probe.groupBy(F.col(id_col), F.col("label"))
+               .agg(F.max(F.when(F.col("label") == F.col("clabel"),
+                                 F.col("sim_e6"))).alias("own"),
+                    F.max(F.when(F.col("label") != F.col("clabel"),
+                                 F.col("sim_e6"))).alias("other")))
+    return (per_vec.groupBy("label")
+            .agg(F.count("*").cast("long").alias("n_vecs"),
+                 F.floor(F.sum("own").cast("double")
+                         / F.count("*").cast("double"))
+                 .cast("long").alias("mean_own_e6"),
+                 F.floor(F.sum("other").cast("double")
+                         / F.count("*").cast("double"))
+                 .cast("long").alias("mean_other_e6"),
+                 F.floor(F.sum(F.col("own") - F.col("other"))
+                         .cast("double") / F.count("*").cast("double"))
+                 .cast("long").alias("mean_margin_e6")))

@@ -1615,11 +1615,36 @@ def bpe_merge_rounds(df: DataFrame, rounds: int = 3,
     round after that is a groupBy over the vocab-sized pair frame plus
     a 1-row broadcast of the winning pair back onto the vocab frame.
     The winner is TakeOrdered(1), never a global sort."""
+    outs, _ = _bpe_chain(df, rounds, text_col)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("round")
+
+
+def bpe_learned_segmentation(df: DataFrame, rounds: int = 3,
+                             text_col: str = "text") -> DataFrame:
+    """The learned tokenizer APPLIED: after ``rounds`` BPE merges, the
+    per-distinct-word segmentation — (w, c, n_pieces) where n_pieces
+    is the subword count the merge table yields for that word. This is
+    the vocab-factored artifact a fertility/packing audit consumes
+    (see round11's ``bpe_fertility_by_source``): corpus cost re-enters
+    only as a join against this vocab-sized frame."""
+    _, wf = _bpe_chain(df, rounds, text_col)
+    return wf.select(
+        "w", "c",
+        F.size(F.split(F.trim(F.col("seq")), " ")).cast("long")
+         .alias("n_pieces"))
+
+
+def _bpe_chain(df: DataFrame, rounds: int, text_col: str):
+    """Shared BPE learn loop: returns (per-round winner frames, final
+    vocab frame (w, c, seq))."""
     words = (df.select(F.explode(tokens(text_col)).alias("w"))
              .groupBy("w").agg(F.count("*").cast("long").alias("c")))
     wf = words.select(
-        "c", F.concat(F.lit(" "),
-                      F.regexp_replace("w", "(.)", "$1 ")).alias("seq"))
+        "w", "c", F.concat(F.lit(" "),
+                           F.regexp_replace("w", "(.)", "$1 ")).alias("seq"))
     outs = []
     for r in range(1, rounds + 1):
         toks = F.split(F.trim(F.col("seq")), " ")
@@ -1642,9 +1667,7 @@ def bpe_merge_rounds(df: DataFrame, rounds: int = 3,
                        F.replace(F.col("mp"), F.lit(" "), F.lit("")),
                        F.lit(" "))
         wf = (wf.crossJoin(F.broadcast(top))
-                .select("c", F.replace(F.replace(F.col("seq"), pat, rep),
-                                       pat, rep).alias("seq")))
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    return res.orderBy("round")
+                .select("w", "c",
+                        F.replace(F.replace(F.col("seq"), pat, rep),
+                                  pat, rep).alias("seq")))
+    return outs, wf

@@ -3085,6 +3085,10 @@ from .round10 import QUERIES_ROUND10  # noqa: E402
 
 QUERIES.update(QUERIES_ROUND10)
 
+from .round11 import QUERIES_ROUND11  # noqa: E402
+
+QUERIES.update(QUERIES_ROUND11)
+
 # ---------------------------------------------------------------------------
 # Driver-sweep rotation.
 #
@@ -3199,6 +3203,8 @@ _CHECK_FIRST = [
     # round-10 additions (never driver-checked)
     "als_rank1_item_factors", "bias_baseline_card",
     "boilerplate_strip_report", "sax_daily_symbols", "bpe_merge_rounds",
+    # round-11 additions (never driver-checked)
+    "bpe_fertility_by_source", "label_silhouette",
 ]
 
 

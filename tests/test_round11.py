@@ -81,3 +81,48 @@ def test_bucket_pruning_single_key_probe(spark):
         spark.conf.set(conf, old)
     assert "SelectedBucketsCount: 1 out of 4" in plan
     assert n == 1
+
+
+def test_bpe_fertility_bounds(spark):
+    from bigdata_project_hust_spark.plans.round11 import q_bpe_fertility
+    out = q_bpe_fertility(spark, SF).collect()
+    assert len(out) >= 2
+    for r in out:
+        # merging only ever shortens: 1 <= pieces/token <= max word len
+        assert r["n_pieces"] >= r["n_tokens"]
+        assert r["fertility_e6"] >= 1_000_000
+        assert r["fertility_e6"] == r["n_pieces"] * 1_000_000 // r["n_tokens"]
+
+
+def test_bpe_learned_segmentation_shrinks_pieces(spark):
+    from bigdata_project_hust_spark.operators.text import (
+        bpe_learned_segmentation)
+    df = spark.createDataFrame([("d1", "banana banana banana")],
+                               "doc_id string, text string")
+    seg0 = bpe_learned_segmentation(df, rounds=0).collect()[0]
+    seg2 = bpe_learned_segmentation(df, rounds=2).collect()[0]
+    assert seg0["w"] == "banana" and seg0["n_pieces"] == 6
+    # round 1 merges 'a n' (-> b an an a = 4), round 2 'an a' (-> 3)
+    assert seg2["n_pieces"] == 3
+    assert seg2["c"] == 3
+
+
+def test_label_silhouette_fixture(spark):
+    from bigdata_project_hust_spark.plans.round11 import q_label_silhouette
+    out = q_label_silhouette(spark, SF).collect()
+    assert len(out) == 10
+    total = sum(r["n_vecs"] for r in out)
+    import duckdb
+    n = duckdb.sql(
+        f"select count(*) from '{SF}/embeddings.parquet'").fetchone()[0]
+    assert total == n
+    for r in out:
+        assert -1_000_000 <= r["mean_other_e6"] <= 1_000_000
+        assert -1_000_000 <= r["mean_own_e6"] <= 1_000_000
+        # the fixture clouds are near-isotropic, so the max over 9
+        # competitor centroids can legitimately beat the own-centroid
+        # cosine (negative margin IS the audit's finding); what must
+        # hold is internal consistency: the margin mean equals the
+        # difference of means up to floor rounding
+        diff = r["mean_own_e6"] - r["mean_other_e6"]
+        assert abs(r["mean_margin_e6"] - diff) <= 2
