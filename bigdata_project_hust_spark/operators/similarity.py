@@ -996,3 +996,59 @@ def label_silhouette(df: DataFrame, id_col: str = "vec_id",
                  F.floor(F.sum(F.col("own") - F.col("other"))
                          .cast("double") / F.count("*").cast("double"))
                  .cast("long").alias("mean_margin_e6")))
+
+
+def triplet_violation_audit(df: DataFrame, sample_mod: int = 5,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            label_col: str = "label") -> DataFrame:
+    """Hard-negative mining audit: on a deterministic 1/``sample_mod``
+    hash-sample of anchors, compare each anchor's best SAME-label
+    cosine (positive) against its best OTHER-label cosine (hard
+    negative). A "violation" (hard negative ≥ positive) is exactly the
+    triplet a metric-learning run would train on — the per-label
+    violation rate prices how much contrastive fine-tuning the
+    embedding space needs before label-conditioned retrieval is
+    trustworthy.
+
+    Same cost bound as :func:`ann_recall`: the sampled anchor side
+    broadcasts, the corpus streams once — (n/sample_mod)·n candidate
+    pairs, never n². Per-anchor best-of is a plain max aggregate (no
+    rank window needed for k=1). Output per label: n_anchors,
+    n_violations, viol_frac_e6, mean_margin_e6 (positive − negative,
+    floored integer mean; negative mean = the label's anchors sit
+    closer to foreign clouds than their own)."""
+    q = (df.where(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
+           .select(F.col(id_col).alias("qid"),
+                   F.col(label_col).alias("qlabel"),
+                   F.col(vec_col).alias("qv"))
+           .withColumn("qn", _norm(F.col("qv"))))
+    base = df.select(F.col(id_col).alias("nid"),
+                     F.col(label_col).alias("nlabel"),
+                     F.col(vec_col).alias("nv"),
+                     _norm(F.col(vec_col)).alias("nn"))
+    sim = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+    pairs = (base.crossJoin(F.broadcast(q))
+                 .where(F.col("qid") != F.col("nid"))
+                 .select("qid", "qlabel",
+                         (F.col("qlabel") == F.col("nlabel"))
+                         .alias("same"),
+                         F.floor(sim * 1e6).cast("long").alias("sim_e6")))
+    per = (pairs.groupBy("qid", "qlabel")
+           .agg(F.max(F.when(F.col("same"), F.col("sim_e6")))
+                .alias("pos"),
+                F.max(F.when(~F.col("same"), F.col("sim_e6")))
+                .alias("neg"))
+           .where(F.col("pos").isNotNull() & F.col("neg").isNotNull()))
+    return (per.groupBy(F.col("qlabel").alias("label"))
+            .agg(F.count("*").cast("long").alias("n_anchors"),
+                 F.sum((F.col("neg") >= F.col("pos")).cast("long"))
+                 .cast("long").alias("n_violations"),
+                 F.floor(F.sum((F.col("neg") >= F.col("pos"))
+                               .cast("long")).cast("double")
+                         * F.lit(1000000.0)
+                         / F.count("*").cast("double"))
+                 .cast("long").alias("viol_frac_e6"),
+                 F.floor(F.sum(F.col("pos") - F.col("neg"))
+                         .cast("double") / F.count("*").cast("double"))
+                 .cast("long").alias("mean_margin_e6")))

@@ -3089,6 +3089,18 @@ from .round11 import QUERIES_ROUND11  # noqa: E402
 
 QUERIES.update(QUERIES_ROUND11)
 
+from .round12 import QUERIES_ROUND12  # noqa: E402
+
+QUERIES.update(QUERIES_ROUND12)
+
+from .round13 import QUERIES_ROUND13  # noqa: E402
+
+QUERIES.update(QUERIES_ROUND13)
+
+from .round14 import QUERIES_ROUND14  # noqa: E402
+
+QUERIES.update(QUERIES_ROUND14)
+
 # ---------------------------------------------------------------------------
 # Driver-sweep rotation.
 #
@@ -3205,6 +3217,13 @@ _CHECK_FIRST = [
     "boilerplate_strip_report", "sax_daily_symbols", "bpe_merge_rounds",
     # round-11 additions (never driver-checked)
     "bpe_fertility_by_source", "label_silhouette",
+    # round-12 additions (never driver-checked)
+    "dq_constraint_report", "oof_target_encoding",
+    "dow_seasonality_harmonics",
+    # round-13 additions (never driver-checked)
+    "rake_keyphrases", "stratified_ate",
+    # round-14 additions (never driver-checked)
+    "triplet_violation_audit",
 ]
 
 
