@@ -3101,6 +3101,10 @@ from .round14 import QUERIES_ROUND14  # noqa: E402
 
 QUERIES.update(QUERIES_ROUND14)
 
+from .round15 import QUERIES_ROUND15  # noqa: E402
+
+QUERIES.update(QUERIES_ROUND15)
+
 # ---------------------------------------------------------------------------
 # Driver-sweep rotation.
 #
@@ -3224,6 +3228,8 @@ _CHECK_FIRST = [
     "rake_keyphrases", "stratified_ate",
     # round-14 additions (never driver-checked)
     "triplet_violation_audit",
+    # round-15 additions (never driver-checked)
+    "collated_distinct_names",
 ]
 
 
