@@ -37,7 +37,10 @@ import json
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    DataSourceStreamReader, InputPartition)
+                                    DataSourceStreamReader,
+                                    DataSourceStreamWriter,
+                                    DataSourceWriter, InputPartition,
+                                    WriterCommitMessage)
 from pyspark.sql.types import StructType
 
 _DEFAULT_BATCH_ROWS = 1000
@@ -181,3 +184,114 @@ class FixtureReplaySource(DataSource):
 def register_fixture_replay(spark) -> None:
     """Idempotent registration (latest registration wins in Spark)."""
     spark.dataSource.register(FixtureReplaySource)
+
+
+# ---------------------------------------------------------------------------
+# Custom SINK via the Python Data Source API (writer side)
+# ---------------------------------------------------------------------------
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, filename: str, rows: int):
+        self.filename = filename
+        self.rows = rows
+
+
+class KeyedJsonWriter(DataSourceWriter):
+    """Batch writer: each task streams its rows to ONE staging
+    JSON-lines file (never materializing the partition in memory);
+    the driver-side commit() publishes the manifest atomically —
+    readers only trust manifested files, so a failed/zombie task's
+    staging file is invisible garbage, exactly the manifest contract
+    ``streaming/sinks.KeyedParquetStore`` uses (reference semantics:
+    consumer2.py's replace-upserts land atomically or not at all)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator) -> _FileCommit:
+        import json as _json
+        import os
+        import uuid
+        os.makedirs(f"{self.path}/_staging", exist_ok=True)
+        fn = f"_staging/task-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(f"{self.path}/{fn}", "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _FileCommit(fn, n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os
+        files = [{"file": m.filename, "rows": m.rows}
+                 for m in messages if m is not None]
+        tmp = f"{self.path}/_manifest.tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"files": files}, f)
+        os.replace(tmp, f"{self.path}/manifest-batch.json")
+
+    def abort(self, messages) -> None:
+        pass  # staging files are unreferenced — vacuum later
+
+
+class KeyedJsonStreamWriter(DataSourceStreamWriter):
+    """Streaming twin: one manifest per micro-batch, named by
+    ``batchId`` — a retried batch OVERWRITES its own manifest with an
+    equivalent file list instead of appending a second one, which is
+    what makes the sink exactly-once under task retry (same contract
+    the parquet store proves in test_streaming.py)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator) -> _FileCommit:
+        return KeyedJsonWriter(self.path).write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+        import os
+        files = [{"file": m.filename, "rows": m.rows}
+                 for m in messages if m is not None]
+        tmp = f"{self.path}/_manifest-{batchId}.tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"batch": batchId, "files": files}, f)
+        os.replace(tmp, f"{self.path}/manifest-{batchId}.json")
+
+    def abort(self, messages, batchId: int) -> None:
+        pass
+
+
+def read_manifested_json(spark, path: str, schema: StructType):
+    """Read back ONLY manifest-listed files (the sink's read contract)."""
+    import glob as _glob
+    import json as _json
+    files = []
+    for m in sorted(_glob.glob(f"{path}/manifest-*.json")):
+        with open(m) as f:
+            files += [f"{path}/{e['file']}"
+                      for e in _json.load(f)["files"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
+
+
+class KeyedJsonSink(DataSource):
+    """``df.write.format("keyed_json_sink").option("path", p)`` and the
+    ``writeStream`` twin — the reference's sink role (consumer→Mongo
+    document writes) as a first-class custom Python data source with
+    manifest-atomic visibility."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "keyed_json_sink"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return KeyedJsonWriter(self.options["path"])
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return KeyedJsonStreamWriter(self.options["path"])
+
+
+def register_keyed_json_sink(spark) -> None:
+    spark.dataSource.register(KeyedJsonSink)
