@@ -3105,6 +3105,14 @@ from .round15 import QUERIES_ROUND15  # noqa: E402
 
 QUERIES.update(QUERIES_ROUND15)
 
+from .round16 import QUERIES_ROUND16  # noqa: E402
+
+QUERIES.update(QUERIES_ROUND16)
+
+from .round17 import QUERIES_ROUND17  # noqa: E402
+
+QUERIES.update(QUERIES_ROUND17)
+
 # ---------------------------------------------------------------------------
 # Driver-sweep rotation.
 #
@@ -3230,6 +3238,10 @@ _CHECK_FIRST = [
     "triplet_violation_audit",
     # round-15 additions (never driver-checked)
     "collated_distinct_names",
+    # round-16 additions (never driver-checked)
+    "rtbf_deletion_manifest",
+    # round-17 additions (never driver-checked)
+    "cross_source_dup_matrix",
 ]
 
 

@@ -1,0 +1,115 @@
+"""Round-15: custom Python data source SINK (batch + streaming) with
+manifest-atomic visibility."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F, types as T
+
+from bigdata_project_hust_spark.sources.pyds import (
+    read_manifested_json, register_keyed_json_sink)
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("v", T.StringType()),
+])
+
+
+def test_batch_write_publishes_only_manifested_files(spark, tmp_path):
+    register_keyed_json_sink(spark)
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(20)],
+                               "k long, v string").repartition(4)
+    df.write.format("keyed_json_sink").option("path", out) \
+        .mode("append").save()
+    assert os.path.exists(f"{out}/manifest-batch.json")
+    man = json.load(open(f"{out}/manifest-batch.json"))
+    assert sum(e["rows"] for e in man["files"]) == 20
+
+    # an orphaned staging file (failed attempt) must stay invisible
+    with open(f"{out}/_staging/task-zombie.jsonl", "w") as f:
+        f.write(json.dumps({"k": 999, "v": "zombie"}) + "\n")
+    back = read_manifested_json(spark, out, SCHEMA)
+    got = sorted((r.k, r.v) for r in back.collect())
+    assert got == [(i, f"v{i}") for i in range(20)]
+
+
+def test_stream_write_one_manifest_per_batch(spark, tmp_path):
+    register_keyed_json_sink(spark)
+    src, out, ck = (str(tmp_path / d) for d in ("src", "sink", "ck"))
+    os.makedirs(src)
+    for b in range(2):
+        with open(f"{src}/b{b}.json", "w") as f:
+            for i in range(5):
+                f.write(json.dumps({"k": b * 5 + i, "v": f"s{b}"}) + "\n")
+    stream = (spark.readStream.schema(SCHEMA).format("json")
+              .option("maxFilesPerTrigger", 1).load(src))
+    q = (stream.writeStream.format("keyed_json_sink")
+         .option("path", out)
+         .option("checkpointLocation", ck).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    manifests = sorted(glob.glob(f"{out}/manifest-*.json"))
+    assert len(manifests) == 2  # one per micro-batch, named by batchId
+    back = read_manifested_json(spark, out, SCHEMA)
+    assert sorted(r.k for r in back.collect()) == list(range(10))
+    assert back.where(F.col("v").startswith("s")).count() == 10
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema evolution contract: a landing zone accumulates files
+    written under successive schema versions; mergeSchema reconciles
+    them into the superset schema with nulls where a version lacked
+    the column — the read path a long-lived 100 TB table needs."""
+    base = str(tmp_path / "zone")
+    v1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    v1.write.parquet(f"{base}/d=1")
+    v2 = spark.createDataFrame([(2, "b", 9.5)],
+                               "k long, v string, score double")
+    v2.write.parquet(f"{base}/d=2")
+    merged = (spark.read.option("mergeSchema", "true")
+              .option("basePath", base).parquet(base))
+    assert set(merged.columns) == {"k", "v", "score", "d"}
+    rows = {r.k: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+    # and WITHOUT mergeSchema the first-listed footer wins silently —
+    # the reason merge is the landing-zone default in io docs
+    plain = spark.read.option("basePath", base).parquet(base)
+    assert set(plain.columns) <= {"k", "v", "score", "d"}
+
+
+def test_rtbf_manifest_cascade_consistency(spark):
+    from bigdata_project_hust_spark.plans.round16 import (
+        q_rtbf_deletion_manifest)
+    out = {r["table_name"]: r for r in q_rtbf_deletion_manifest(
+        spark, "/root/testdata/sf0.001").collect()}
+    assert set(out) == {"customer", "orders", "lineitem"}
+    c, o, li = out["customer"], out["orders"], out["lineitem"]
+    # customer: one row per subject
+    assert c["n_rows"] == c["n_subjects"]
+    # cascades can only narrow the subject set, never widen it
+    assert o["n_subjects"] <= c["n_subjects"]
+    assert li["n_subjects"] <= o["n_subjects"]
+    # row counts grow down the cascade when rows exist at all
+    if o["n_subjects"] > 0:
+        assert o["n_rows"] >= o["n_subjects"]
+    if li["n_subjects"] > 0:
+        assert li["n_rows"] >= li["n_subjects"]
+
+
+def test_cross_source_dup_matrix_shares(spark):
+    from bigdata_project_hust_spark.plans.round17 import (
+        q_cross_source_dup_matrix)
+    out = q_cross_source_dup_matrix(
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(out) >= 1
+    total = sum(r["n_pairs"] for r in out)
+    for r in out:
+        assert r["source_lo"] <= r["source_hi"]
+        assert r["cross_source"] == int(r["source_lo"] != r["source_hi"])
+        assert r["share_e6"] == r["n_pairs"] * 1_000_000 // total
