@@ -100,6 +100,26 @@ class MergeIntoParquetTable:
         with open(p) as f:
             return json.load(f)
 
+    def change_feed(self, v_from: int, v_to: int | None = None):
+        """Change data feed between two retained snapshots: one row per
+        changed key with change_type I/U/D plus every current column —
+        the Delta CDF / Iceberg changelog analogue, derived rather than
+        stored (no extra write-path cost; the price is reading both
+        snapshots, which bucket pruning keeps to the touched buckets'
+        files). Composition: time-travel read(v_from) vs read(v_to)
+        through :func:`operators.joins.snapshot_diff` — key + 8-byte
+        fingerprints shuffle, never full rows; with both snapshots
+        hash-bucketed on the table key (they are — same table), a
+        cluster run co-partitions the outer join for free."""
+        from ..operators.joins import snapshot_diff
+
+        old = self.read(v_from)
+        new = self.read(v_to)
+        if old is None or new is None:
+            raise ValueError("change_feed needs two non-empty snapshots")
+        cmp_cols = [c for c in new.columns if c != self.key]
+        return snapshot_diff(old, new, self.key, cmp_cols)
+
     def history(self) -> list[dict]:
         """Retained snapshots, oldest first: version, bucket count,
         epoch count — the table-format DESCRIBE HISTORY analogue."""

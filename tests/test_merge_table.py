@@ -205,3 +205,24 @@ def test_history_retention_expires_old_snapshots(spark, tmp_path):
     t.vacuum()
     assert {r["k"]: r["v"] for r in t.read(version=3).collect()} == {1: 2}
     assert _rows(t)[1] == (3, "x")
+
+
+def test_change_feed_between_versions(spark, tmp_path):
+    t = MergeIntoParquetTable(spark, str(tmp_path / "tbl"), "k",
+                              n_buckets=2, retain_versions=4)
+    t.merge(spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+        "k long, v long, s string"))
+    # v2: update k=1, delete k=2, insert k=4, leave k=3 untouched
+    t.merge(spark.createDataFrame([(1, 11, "a"), (4, 40, "d")],
+                                  "k long, v long, s string"))
+    t.merge(spark.createDataFrame([(2, 0, "del")],
+                                  "k long, v long, s string"),
+            when_matched="delete", when_not_matched="ignore")
+    feed = {r["k"]: r["change_type"]
+            for r in t.change_feed(1, 3).collect()}
+    assert feed == {1: "U", 2: "D", 4: "I"}
+    # adjacent-version feed sees only that hop
+    feed12 = {r["k"]: r["change_type"]
+              for r in t.change_feed(1, 2).collect()}
+    assert feed12 == {1: "U", 4: "I"}

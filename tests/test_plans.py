@@ -403,3 +403,36 @@ def test_priority_sample_is_take_ordered(spark):
     df = QUERIES["weighted_doc_sample"].fn(spark, SF_SMOKE)
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_triplet_audit_broadcasts_anchor_sample(spark):
+    """The n²-bounded audits must put the SAMPLE on the broadcast side
+    and stream the corpus: a BroadcastNestedLoopJoin (the sanctioned
+    all-pairs shape), never a CartesianProduct, and the only exchanges
+    are the per-anchor/per-label aggs."""
+    df = QUERIES["triplet_violation_audit"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_als_checkpoint_truncates_fact_join(spark):
+    """als_rank1 materializes the ratings edge list once: the executed
+    plan must scan the checkpointed RDD, not re-run the orders ⋈
+    lineitem join per half-step (AQE does not reuse that exchange —
+    measured)."""
+    df = QUERIES["als_rank1_item_factors"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "Scan ExistingRDD" in plan, plan
+    # the fact tables must be absent from the iterate's lineage
+    assert "lineitem" not in plan and "orders" not in plan, plan
+
+
+def test_boilerplate_two_level_agg_on_hash_keys(spark):
+    """boilerplate_strip shuffles segment HASHES (8-byte keys), never
+    segment text: the exchange keys are (src, __h), and the rollup
+    reuses the same grouping chain (no join back to the corpus)."""
+    df = QUERIES["boilerplate_strip_report"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "hashpartitioning(src" in plan, plan
+    assert n_nodes(plan, "SortMergeJoin") <= 1, plan  # totals⋈boiler only
