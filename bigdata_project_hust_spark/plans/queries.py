@@ -3113,6 +3113,14 @@ from .round17 import QUERIES_ROUND17  # noqa: E402
 
 QUERIES.update(QUERIES_ROUND17)
 
+from .round18 import QUERIES_ROUND18  # noqa: E402
+
+QUERIES.update(QUERIES_ROUND18)
+
+from .round19 import QUERIES_ROUND19  # noqa: E402
+
+QUERIES.update(QUERIES_ROUND19)
+
 # ---------------------------------------------------------------------------
 # Driver-sweep rotation.
 #
@@ -3242,6 +3250,10 @@ _CHECK_FIRST = [
     "rtbf_deletion_manifest",
     # round-17 additions (never driver-checked)
     "cross_source_dup_matrix",
+    # round-18 additions (never driver-checked)
+    "source_scorecard",
+    # round-19 additions (never driver-checked)
+    "top_event_trigrams",
 ]
 
 

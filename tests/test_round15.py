@@ -113,3 +113,36 @@ def test_cross_source_dup_matrix_shares(spark):
         assert r["source_lo"] <= r["source_hi"]
         assert r["cross_source"] == int(r["source_lo"] != r["source_hi"])
         assert r["share_e6"] == r["n_pairs"] * 1_000_000 // total
+
+
+def test_source_scorecard_composition_consistency(spark):
+    from bigdata_project_hust_spark.plans.round18 import q_source_scorecard
+    sfd = "/root/testdata/sf0.001"
+    out = q_source_scorecard(spark, sfd).collect()
+    d = spark.read.parquet(f"{sfd}/documents.parquet")
+    assert sum(r["n_docs"] for r in out) == d.count()
+    assert sum(r["total_chars"] for r in out) == \
+        d.agg(F.sum("n_chars")).collect()[0][0]
+    for r in out:
+        assert 0 <= r["mean_quality_e2"] <= 100 * 100
+        assert 0 <= r["n_dup_docs"] <= r["n_docs"]
+        assert r["dup_frac_e6"] == r["n_dup_docs"] * 1_000_000 // r["n_docs"]
+        assert r["top_lang"] in ("en", "es", "fr", "und")
+        assert 0 < r["top_lang_share_e6"] <= 1_000_000
+
+
+def test_top_event_trigrams_counts(spark):
+    from bigdata_project_hust_spark.plans.round19 import (
+        q_top_event_trigrams)
+    sfd = "/root/testdata/sf0.001"
+    out = q_top_event_trigrams(spark, sfd).collect()
+    assert 1 <= len(out) <= 10
+    ns = [r["n"] for r in out]
+    assert ns == sorted(ns, reverse=True)
+    # total trigram instances = sum over users of max(0, n_events - 2)
+    e = spark.read.parquet(f"{sfd}/events.parquet")
+    per = e.groupBy("user_id").count().collect()
+    total = sum(max(0, r["count"] - 2) for r in per)
+    assert sum(ns) <= total
+    for r in out:
+        assert r["trigram"].count(">") == 2
