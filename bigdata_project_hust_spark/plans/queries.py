@@ -3121,6 +3121,10 @@ from .round19 import QUERIES_ROUND19  # noqa: E402
 
 QUERIES.update(QUERIES_ROUND19)
 
+from .round20 import QUERIES_ROUND20  # noqa: E402
+
+QUERIES.update(QUERIES_ROUND20)
+
 # ---------------------------------------------------------------------------
 # Driver-sweep rotation.
 #
@@ -3254,6 +3258,9 @@ _CHECK_FIRST = [
     "source_scorecard",
     # round-19 additions (never driver-checked)
     "top_event_trigrams",
+    # round-20 additions (never driver-checked)
+    "abc_classification", "new_vs_returning_daily",
+    "repeat_purchase_intervals",
 ]
 
 

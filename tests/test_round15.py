@@ -146,3 +146,46 @@ def test_top_event_trigrams_counts(spark):
     assert sum(ns) <= total
     for r in out:
         assert r["trigram"].count(">") == 2
+
+
+def test_abc_classification_partition(spark):
+    from bigdata_project_hust_spark.plans.round20 import (
+        q_abc_classification)
+    sfd = "/root/testdata/sf0.001"
+    out = {r["abc_class"]: r for r in
+           q_abc_classification(spark, sfd).collect()}
+    assert set(out) <= {"A", "B", "C"} and "A" in out
+    total = sum(r["revenue_cents"] for r in out.values())
+    li = spark.read.parquet(f"{sfd}/lineitem.parquet")
+    want = li.agg(F.sum(F.floor(F.col("l_extendedprice") * 100))) \
+        .collect()[0][0]
+    assert total == want
+    # the A class carries at most 80% of revenue by construction
+    assert out["A"]["share_e6"] <= 800_000
+    shares = sum(r["share_e6"] for r in out.values())
+    assert 999_997 <= shares <= 1_000_000  # floors can drop <=3 units
+
+
+def test_new_vs_returning_adds_up(spark):
+    from bigdata_project_hust_spark.plans.round20 import (
+        q_new_vs_returning)
+    out = q_new_vs_returning(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) >= 2
+    assert all(r["n_new"] + r["n_returning"] == r["n_active"]
+               for r in out)
+    # every user is new exactly once
+    users = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet") \
+        .select("user_id").distinct().count()
+    assert sum(r["n_new"] for r in out) == users
+    # day one is all-new
+    assert out[0]["n_returning"] == 0
+
+
+def test_repeat_purchase_quartiles_ordered(spark):
+    from bigdata_project_hust_spark.plans.round20 import (
+        q_repeat_purchase_intervals)
+    r = q_repeat_purchase_intervals(
+        spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_gaps"] > 0
+    assert 0 <= r["p25_days"] <= r["p50_days"] <= r["p75_days"]
