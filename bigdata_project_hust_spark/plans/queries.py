@@ -3125,6 +3125,10 @@ from .round20 import QUERIES_ROUND20  # noqa: E402
 
 QUERIES.update(QUERIES_ROUND20)
 
+from .round21 import QUERIES_ROUND21  # noqa: E402
+
+QUERIES.update(QUERIES_ROUND21)
+
 # ---------------------------------------------------------------------------
 # Driver-sweep rotation.
 #
@@ -3261,6 +3265,8 @@ _CHECK_FIRST = [
     # round-20 additions (never driver-checked)
     "abc_classification", "new_vs_returning_daily",
     "repeat_purchase_intervals",
+    # round-21 additions (never driver-checked)
+    "order_fulfillment_cycle", "supplier_concentration_hhi",
 ]
 
 

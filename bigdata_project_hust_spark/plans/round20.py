@@ -166,9 +166,9 @@ def _oracle_repeat_intervals() -> str:
   SELECT n AS n_gaps,
          min(CASE WHEN cum >= (n * 1 + 3) // 4 THEN gap_d END)
            AS p25_days,
-         min(CASE WHEN cum >= (n * 2 + 2) // 4 THEN gap_d END)
+         min(CASE WHEN cum >= (n * 2 + 3) // 4 THEN gap_d END)
            AS p50_days,
-         min(CASE WHEN cum >= (n * 3 + 1) // 4 THEN gap_d END)
+         min(CASE WHEN cum >= (n * 3 + 3) // 4 THEN gap_d END)
            AS p75_days
   FROM ranked GROUP BY n
 """

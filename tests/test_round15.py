@@ -189,3 +189,32 @@ def test_repeat_purchase_quartiles_ordered(spark):
         spark, "/root/testdata/sf0.001").collect()[0]
     assert r["n_gaps"] > 0
     assert 0 <= r["p25_days"] <= r["p50_days"] <= r["p75_days"]
+
+
+def test_fulfillment_cycle_quartiles(spark):
+    from bigdata_project_hust_spark.plans.round21 import (
+        q_order_fulfillment_cycle)
+    sfd = "/root/testdata/sf0.001"
+    out = q_order_fulfillment_cycle(spark, sfd).collect()
+    assert len(out) == 5  # one row per priority
+    # only orders that shipped at least one line have a cycle
+    o = spark.read.parquet(f"{sfd}/orders.parquet")
+    li = spark.read.parquet(f"{sfd}/lineitem.parquet")
+    shipped = o.join(li.select(F.col("l_orderkey").alias("o_orderkey"))
+                     .distinct(), "o_orderkey").count()
+    assert sum(r["n_orders"] for r in out) == shipped
+    for r in out:
+        assert r["p25_days"] <= r["p50_days"] <= r["p75_days"]
+
+
+def test_supplier_hhi_bounds(spark):
+    from bigdata_project_hust_spark.plans.round21 import (
+        q_supplier_concentration_hhi)
+    out = q_supplier_concentration_hhi(
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(out) >= 2
+    for r in out:
+        assert r["n_suppliers"] >= 1
+        # HHI in (1e6/n, 1e6]: monopoly = 1e6, uniform = 1e6/n
+        assert 0 < r["hhi_e6"] <= 1_000_000
+        assert r["hhi_e6"] * r["n_suppliers"] >= 900_000  # >= ~uniform
