@@ -3129,6 +3129,10 @@ from .round21 import QUERIES_ROUND21  # noqa: E402
 
 QUERIES.update(QUERIES_ROUND21)
 
+from .round22 import QUERIES_ROUND22  # noqa: E402
+
+QUERIES.update(QUERIES_ROUND22)
+
 # ---------------------------------------------------------------------------
 # Driver-sweep rotation.
 #
@@ -3267,6 +3271,8 @@ _CHECK_FIRST = [
     "repeat_purchase_intervals",
     # round-21 additions (never driver-checked)
     "order_fulfillment_cycle", "supplier_concentration_hhi",
+    # round-22 additions (never driver-checked)
+    "nation_trade_balance", "discount_band_lift",
 ]
 
 

@@ -218,3 +218,32 @@ def test_supplier_hhi_bounds(spark):
         # HHI in (1e6/n, 1e6]: monopoly = 1e6, uniform = 1e6/n
         assert 0 < r["hhi_e6"] <= 1_000_000
         assert r["hhi_e6"] * r["n_suppliers"] >= 900_000  # >= ~uniform
+
+
+def test_nation_trade_balance_sums(spark):
+    from bigdata_project_hust_spark.plans.round22 import (
+        q_nation_trade_balance)
+    sfd = "/root/testdata/sf0.001"
+    out = q_nation_trade_balance(spark, sfd).collect()
+    li = spark.read.parquet(f"{sfd}/lineitem.parquet")
+    total = li.agg(F.sum(F.floor(F.col("l_extendedprice") * 100))) \
+        .collect()[0][0]
+    # every cent earned by some supplier nation
+    assert sum(r["earned_cents"] for r in out) == total
+    # balances cancel when spend covers the same lines (some orders
+    # may lack lineitems, not vice versa): earned total >= spent total
+    assert sum(r["spent_cents"] for r in out) <= total
+    for r in out:
+        assert r["balance_cents"] == r["earned_cents"] - r["spent_cents"]
+
+
+def test_discount_band_lift_baseline_is_unity(spark):
+    from bigdata_project_hust_spark.plans.round22 import (
+        q_discount_band_lift)
+    out = q_discount_band_lift(spark, "/root/testdata/sf0.001").collect()
+    bands = [r["discount_pct"] for r in out]
+    assert bands == sorted(bands) and 0 in bands
+    base = next(r for r in out if r["discount_pct"] == 0)
+    assert base["qty_lift_e6"] == 1_000_000
+    for r in out:
+        assert r["n_lines"] > 0 and r["total_qty"] > 0
