@@ -50,33 +50,41 @@ def main() -> None:
     else:
         spark.read.parquet(f"{SF_DIR}/region.parquet").count()
     spark.catalog.clearCache()
-    # Best-of-N timing (default 2): the repeats share no cache (cleared
+    # Best-of-N timing (default 3 — VERDICT r4 #2: a 2.9x swing on an
+    # untouched query showed reps=2/min-only was too noisy to detect a
+    # real 1.5x regression).  The repeats share no cache (cleared
     # between runs), so the min is the same data-proportional work with
-    # the least scheduler/CPU-contention noise — run-to-run spread on
-    # shared hardware was polluting the per-round regression axis.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # the least scheduler/CPU-contention noise; the median is reported
+    # alongside so environment noise (min << median) is distinguishable
+    # from plan drift (min ≈ median, both moved).
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name].fn
-        best = None
+        runs: list[float] = []
         for _ in range(reps):
             # plan build + optimization is still timed (per-query cost)
             t0 = time.time()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
+            runs.append(time.time() - t0)
             # drop persisted intermediates (dedup shingles, tf-idf
             # tokens): keeps session memory bounded, queries and
             # repeats independent
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "median_total": round(sum(medians.values()), 3),
+        "reps": reps,
         "sf": sf_of(SF_DIR),
         "n_queries": len(timings),
     }))

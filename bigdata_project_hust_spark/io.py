@@ -313,14 +313,32 @@ def write_bucketed_table(df: DataFrame, table: str, key: str,
     catalog entry (e.g. a previous session's warehouse dir); Spark
     then refuses the name with LOCATION_ALREADY_EXISTS even under
     overwrite, so both the entry and any orphaned location are cleared
-    first."""
+    first.  Only simple unqualified identifiers are accepted — a
+    qualified (``db.tbl``) or path-bearing name would make the
+    orphan-cleanup rmtree target the wrong directory."""
+    import re
     import shutil
     from urllib.parse import urlparse
 
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
+        raise ValueError(
+            f"write_bucketed_table needs a simple identifier, got "
+            f"{table!r} (qualified or path-like names would misdirect "
+            "the orphaned-location cleanup)")
     spark = df.sparkSession
+    # prefer the catalog's own location over string concat when the
+    # entry still exists (it may live outside the default warehouse)
+    loc = None
+    if spark.catalog.tableExists(table):
+        for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+            if row.col_name == "Location":
+                loc = urlparse(row.data_type).path
+                break
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
+    if loc is None:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = os.path.join(wh, table.lower())
+    shutil.rmtree(loc, ignore_errors=True)
     (df.write.format("parquet").mode(mode)
        .bucketBy(buckets, key).sortBy(key).saveAsTable(table))
 

@@ -60,6 +60,8 @@ def als_rank1(ratings: DataFrame, lam: int = 10, sweeps: int = 2) -> DataFrame:
     swap for a parquet checkpoint, as dedup.checkpoint_dir does).
     Returns the item-factor frame (item_id, n_raters, v_e6).
     """
+    if sweeps < 1:
+        raise ValueError(f"sweeps must be >= 1, got {sweeps}")
     e6, e12 = 1_000_000, 10 ** 12
     ratings = ratings.localCheckpoint(eager=True)
 

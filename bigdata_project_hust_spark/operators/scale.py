@@ -56,14 +56,21 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
 def write_bucketed(df: DataFrame, table: str, key: str, buckets: int,
                    sort_by: str | None = None,
                    mode: str = "overwrite") -> None:
-    """Persist as a bucketed (optionally sorted) managed table. Joins
-    and aggregations keyed on ``key`` between same-bucket-count tables
-    then run shuffle-free (verified in tests by plan inspection)."""
-    writer = (df.write.mode(mode).format("parquet")
-                .bucketBy(buckets, key))
-    if sort_by is not None:
-        writer = writer.sortBy(sort_by)
-    writer.saveAsTable(table)
+    """Persist as a bucketed, bucket-sorted managed table. Joins and
+    aggregations keyed on ``key`` between same-bucket-count tables
+    then run shuffle-free (verified in tests by plan inspection).
+    Thin alias of :func:`bigdata_project_hust_spark.io.
+    write_bucketed_table` (name validation + orphaned-location
+    cleanup live there); ``sort_by`` is accepted for source
+    compatibility but the table is always bucket-sorted by ``key`` —
+    a differently-sorted bucket layout would silently forfeit the
+    sort-free merge join this helper exists to enable."""
+    if sort_by is not None and sort_by != key:
+        raise ValueError(
+            f"write_bucketed sorts by the bucket key; got sort_by="
+            f"{sort_by!r} != key={key!r}")
+    from ..io import write_bucketed_table
+    write_bucketed_table(df, table, key, buckets=buckets, mode=mode)
 
 
 def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
@@ -287,17 +294,34 @@ def _with_range_bucket(df: DataFrame, order_col: str,
     ``order_col`` with ~``n_buckets`` buckets spanning [min, max].
     Integer-exact (width = ceil(range/n)); degenerate domains (all one
     value) collapse to one bucket, which is no worse than the naive
-    plan."""
+    plan.
+
+    NULL ordering keys get the dedicated bucket ``-1``, which sorts
+    before every real bucket — matching ``Window.orderBy``'s default
+    NULLS FIRST, so NULL-key rows neither vanish in the ``__b`` join
+    nor leak their totals into other buckets' base offsets.
+
+    The ordering domain must span < 2^63 (``__mx - __mn`` is computed
+    in BIGINT); a wider domain — e.g. raw full-range ``stable_hash64``
+    values — raises rather than silently wrapping into wrong buckets.
+    Rescale such keys (e.g. ``>> 1``) before bucketing."""
     rng = df.groupBy().agg(
         F.min(order_col).cast("long").alias("__mn"),
         F.max(order_col).cast("long").alias("__mx"))
     # integer `div` throughout — double division would lose exactness
-    # for keys near 2^63 and could break bucket monotonicity
-    width = F.expr(f"(__mx - __mn) div {int(n_buckets)} + 1")
+    # for keys near 2^63 and could break bucket monotonicity.  The
+    # if-guard catches BIGINT wrap when ANSI mode is off (ANSI on
+    # throws ARITHMETIC_OVERFLOW on the subtraction itself).
+    width = F.expr(
+        "if(__mx is null or (__mx - __mn) >= 0, "
+        f"(__mx - __mn) div {int(n_buckets)} + 1, "
+        "raise_error('range_bucket: ordering domain spans >= 2^63; "
+        "rescale the order key'))")
     return (df.crossJoin(F.broadcast(rng))
             .withColumn("__w", width.cast("long"))
             .withColumn("__b", F.expr(
-                f"(cast({order_col} as bigint) - __mn) div __w"))
+                f"if({order_col} is null, -1L, "
+                f"(cast({order_col} as bigint) - __mn) div __w)"))
             .drop("__mn", "__mx", "__w"))
 
 

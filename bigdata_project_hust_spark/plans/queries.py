@@ -3142,137 +3142,91 @@ QUERIES.update(QUERIES_ROUND22)
 # so each round we rotate queries that have never received a driver row to the
 # front; the union of per-round sweeps then covers the full registry.  Every
 # entry — front or back — is still value-checked in-repo against its DuckDB
-# oracle by scripts/driver_sim.py (all 136, driver-identical pandas
-# canonicalization) and by tests/test_oracle_parity.py.
+# oracle by scripts/driver_sim.py (full registry, driver-identical
+# pandas canonicalization) and by tests/test_oracle_parity.py.
 #
-# Round-3 front window: the 50 highest-risk never-checked entries — the
-# TPC-H sweep, the curation chain, multimodal plumbing, and the two queries
-# ADVICE.md flagged for cross-engine edge cases (lateral_view_tokens_sql /
-# try_divide_safe sit at the end of the window).  Positions 51-75 hold the
-# remaining never-checked entries so any longer sweep reaches them next;
-# previously-green rounds-1/2 entries follow.
-#
-# Round-4 front window: `sessionize_events` first (its oracle cast fix —
-# VERDICT r3 #1 — needs a driver row), then the 25 entries that sat at
-# positions 51-75 of the r3 rotation, then the FP-combining round-6
-# families (pinned-double floors are where real drivers could still
-# diverge), then every remaining never-driver-checked entry in
-# registration order.  The list below IS the complete never-checked set
-# (223 names as of r4), so a sweep of ANY length maximally advances the
-# union coverage; round 5 rotates whatever the r4 window does not reach.
-# Union of driver rows after r1-r3: 111/333 (110 green + sessionize).
+# Round-5 front window (registry FROZEN at 367 — no new queries this round,
+# per VERDICT r4 #1): the list below IS the complete never-driver-checked
+# set — the 207 names in registry minus the union of CORRECTNESS_r01..r04
+# rows (160 green, zero failures).  Order preserves the r4 rotation's
+# risk ranking, so the first 50 include `semantic_dedup` (VERDICT r4 #4
+# wants it driver-checked), the sketch family (HLL/CMS/Bloom/KMV), the
+# PQ/IVF ANN family, and the entity-resolution/graph batch.  A sweep of
+# ANY length maximally advances union coverage; at 50/round the tail
+# clears in round 9 ((367-160)/50 ≈ 4.1 more rounds → plan: keep the
+# registry frozen until the union reaches 367).
 _CHECK_FIRST = [
-    "sessionize_events", "text_url_extract", "explode_token_topk",
-    "analytic_functions_breadth", "conditional_agg_priority",
-    "intersect_buyer_supplier_nations", "customer_order_counts_outer",
-    "in_subquery_sql", "array_math_features", "revenue_decimal_exact",
-    "row_scalar_functions", "string_features", "ship_latency_histogram",
-    "nation_name_lists", "variance_acctbal_exact",
-    "unpivot_customer_counters", "customer_analytics", "topk_via_array_agg",
-    "rolling_distinct_types", "moving_sum_orders", "json_roundtrip",
-    "point_lookup_customer", "kol_project_page", "monthly_revenue",
-    "approx_percentile_acctbal", "multimodal_image_raster",
-    "kaplan_meier_purchase", "logrank_ab_survival", "psi_value_drift",
-    "bootstrap_order_mean", "spearman_qty_price",
-    "correlation_matrix_lineitem", "rolling_corr_view_purchase",
-    "stl_hourly_values", "stl_anomaly_buckets", "conformal_intervals",
-    "js_divergence_sources", "theil_event_values", "readability_flesch",
-    "text_token_entropy", "tfidf_cosine_pairs", "triangle_count_copurchase",
-    "pagerank_trade_graph", "pyds_customer_scan", "span_dedup_stats",
-    "bm25_search_topk", "kmeans_clusters", "knn_label_vote", "kmeans_inertia",
-    "scd2_event_type_history", "value_outliers_per_user",
-    "events_value_histogram", "gopher_quality_filter", "semantic_dedup",
-    "ccnet_perplexity_buckets", "bpe_top_merges", "tukey_outlier_events",
-    "event_funnel", "retention_cohorts", "hll_distinct_orderkeys",
-    "pearson_qty_price", "cms_event_type_counts", "bloom_customer_orders",
-    "hll_union_custkeys", "equidepth_octiles", "table_fingerprint_orders",
-    "pq_codes", "pq_adc_topk", "ann_recall_lsh", "bfs_hops_trade",
-    "weighted_doc_sample", "text_bigram_logprob", "bloom_pruned_revenue",
-    "ivf_pq_topk", "subword_piece_counts", "dedup_ngram_prefix",
-    "text_hash_embedding", "retrieval_hash_topk", "hll_group_rollup",
-    "incremental_join_view", "pandas_gmean_prices", "event_pattern_matches",
-    "ivfadc_topk", "ohlc_events", "fuzzy_customer_names",
-    "entity_resolution_customers", "customer_radius_pairs",
-    "event_transition_matrix", "customer_rfm", "weighted_median_price",
-    "lang_id_confusion", "link_prediction_copurchase", "nb_lang_classifier",
-    "pmi_collocations", "cusum_drift_alerts", "ewma_recent_value",
-    "autocorr_lag1_user", "retrieval_rrf_fusion", "winsorize_event_values",
-    "mad_outlier_values", "source_temperature_mix", "vocab_coverage_curve",
-    "snapshot_diff_orders", "purchase_attribution", "term_drift_sources",
-    "ols_price_model", "recursive_cte_depths", "pipe_syntax_orders",
-    "basket_lift_pairs", "key_skew_custkey", "zipf_fit_tokens",
-    "ppr_trade_graph", "ams_join_size", "contrastive_triplets",
-    "ks_purchase_vs_view", "benford_order_totals", "mwu_purchase_vs_view",
-    "ab_conversion_ztest", "hourly_seasonality", "seasonal_deviation_topk",
-    "max_concurrent_events", "target_encoding_mktsegment",
-    "diversified_topk_docs", "wmape_seasonal_naive", "k_core_membership",
-    "degree_assortativity", "item_item_recs", "textrank_keywords",
-    "k_anonymity_customers", "lorenz_user_spend", "holt_trend_users",
-    "calibration_bins_nb", "tokenizer_fertility", "dedup_cluster_sizes",
-    "arrow_embedding_norms", "arrow_label_centroids", "fano_factor_bursts",
-    "cohort_ltv", "kwic_the", "hits_trade", "centroid_separability",
-    "except_all_custkeys", "group_by_all_revenue", "vocab_prune_manifest",
-    "clustering_coefficient", "weighted_paths_parts",
-    "funnel_transition_medians", "curriculum_order", "packing_fill_histogram",
-    "incremental_dedup", "jl_projection", "script_mix_report",
-    "interevent_gap_histogram", "lateral_top_order",
+    "value_outliers_per_user", "events_value_histogram",
+    "gopher_quality_filter", "semantic_dedup", "ccnet_perplexity_buckets",
+    "bpe_top_merges", "tukey_outlier_events", "event_funnel",
+    "retention_cohorts", "hll_distinct_orderkeys", "pearson_qty_price",
+    "cms_event_type_counts", "bloom_customer_orders", "hll_union_custkeys",
+    "equidepth_octiles", "table_fingerprint_orders", "pq_codes", "pq_adc_topk",
+    "ann_recall_lsh", "bfs_hops_trade", "weighted_doc_sample",
+    "text_bigram_logprob", "bloom_pruned_revenue", "ivf_pq_topk",
+    "subword_piece_counts", "dedup_ngram_prefix", "text_hash_embedding",
+    "retrieval_hash_topk", "hll_group_rollup", "incremental_join_view",
+    "pandas_gmean_prices", "event_pattern_matches", "ivfadc_topk",
+    "ohlc_events", "fuzzy_customer_names", "entity_resolution_customers",
+    "customer_radius_pairs", "event_transition_matrix", "customer_rfm",
+    "weighted_median_price", "lang_id_confusion", "link_prediction_copurchase",
+    "nb_lang_classifier", "pmi_collocations", "cusum_drift_alerts",
+    "ewma_recent_value", "autocorr_lag1_user", "retrieval_rrf_fusion",
+    "winsorize_event_values", "mad_outlier_values", "source_temperature_mix",
+    "vocab_coverage_curve", "snapshot_diff_orders", "purchase_attribution",
+    "term_drift_sources", "ols_price_model", "recursive_cte_depths",
+    "pipe_syntax_orders", "basket_lift_pairs", "key_skew_custkey",
+    "zipf_fit_tokens", "ppr_trade_graph", "ams_join_size",
+    "contrastive_triplets", "ks_purchase_vs_view", "benford_order_totals",
+    "mwu_purchase_vs_view", "ab_conversion_ztest", "hourly_seasonality",
+    "seasonal_deviation_topk", "max_concurrent_events",
+    "target_encoding_mktsegment", "diversified_topk_docs",
+    "wmape_seasonal_naive", "k_core_membership", "degree_assortativity",
+    "item_item_recs", "textrank_keywords", "k_anonymity_customers",
+    "lorenz_user_spend", "holt_trend_users", "calibration_bins_nb",
+    "tokenizer_fertility", "dedup_cluster_sizes", "arrow_embedding_norms",
+    "arrow_label_centroids", "fano_factor_bursts", "cohort_ltv", "kwic_the",
+    "hits_trade", "centroid_separability", "except_all_custkeys",
+    "group_by_all_revenue", "vocab_prune_manifest", "clustering_coefficient",
+    "weighted_paths_parts", "funnel_transition_medians", "curriculum_order",
+    "packing_fill_histogram", "incremental_dedup", "jl_projection",
+    "script_mix_report", "interevent_gap_histogram", "lateral_top_order",
     "range_window_weekly_revenue", "ingest_accept_list", "parameterized_sql",
     "top_trigram_journeys", "embedding_outliers", "containment_dups",
     "dau_wau_stickiness", "hapax_ratio_by_source", "retrieval_eval",
     "median_of_means", "source_vocab_jaccard", "churn_rates",
-    "trimmed_mean_prices", "daily_revenue_features",
-    "first_touch_attribution", "session_duration_histogram",
-    "nearest_order_per_event", "readability_by_lang", "sliding_hll_wau",
-    "top_orders_with_ties", "session_type_pmi", "skyline_orders",
-    "anova_value_by_type", "ecdf_value_by_type", "welch_t_values",
-    "cv_by_type", "cramers_v_type_arm", "cluster_label_impurity",
-    "brown_forsythe_values", "runs_test_daily", "kruskal_wallis_values",
-    "cohens_d_arms", "jarque_bera_values", "kendall_view_purchase",
-    "friedman_daily_types", "decision_stump_purchase", "max_drawdown_nation",
-    "kmv_distinct_custkeys", "kmv_jaccard_custkeys", "phrase_search_the_part",
-    "shard_plan_documents", "filter_clause_rollup", "acf_daily_values",
-    "theil_sen_daily", "mann_kendall_daily", "chi2_gof_types",
-    "active_day_islands", "ridge_price_model", "quantile_normalize_values",
-    "lpa_communities_parts", "pairwise_welch_types",
-    "token_budget_allocation", "dedup_prefix_filter",
+    "trimmed_mean_prices", "daily_revenue_features", "first_touch_attribution",
+    "session_duration_histogram", "nearest_order_per_event",
+    "readability_by_lang", "sliding_hll_wau", "top_orders_with_ties",
+    "session_type_pmi", "skyline_orders", "anova_value_by_type",
+    "ecdf_value_by_type", "welch_t_values", "cv_by_type", "cramers_v_type_arm",
+    "cluster_label_impurity", "brown_forsythe_values", "runs_test_daily",
+    "kruskal_wallis_values", "cohens_d_arms", "jarque_bera_values",
+    "kendall_view_purchase", "friedman_daily_types", "decision_stump_purchase",
+    "max_drawdown_nation", "kmv_distinct_custkeys", "kmv_jaccard_custkeys",
+    "phrase_search_the_part", "shard_plan_documents", "filter_clause_rollup",
+    "acf_daily_values", "theil_sen_daily", "mann_kendall_daily",
+    "chi2_gof_types", "active_day_islands", "ridge_price_model",
+    "quantile_normalize_values", "lpa_communities_parts",
+    "pairwise_welch_types", "token_budget_allocation", "dedup_prefix_filter",
     "consistent_hash_routing", "linear_attribution", "diff_in_diff_arms",
     "nelson_aalen_purchase", "changepoint_daily", "quartiles_order_totals",
     "trending_terms_batches", "ucb_arm_scores", "poisson_rate_arms",
     "churn_hazard_tenure", "degree_powerlaw_parts", "rolling_median_daily",
     "lognormal_gamma_values", "dow_hour_heatmap", "journey_edit_distance",
-    "outlier_consensus",
-    # round-9 additions (never driver-checked)
-    "compaction_bin_packing", "partition_skew_advisor",
+    "outlier_consensus", "compaction_bin_packing", "partition_skew_advisor",
     "ann_recall_matryoshka", "embedding_top_component", "kfold_cv_ridge",
-    # round-10 additions (never driver-checked)
-    "als_rank1_item_factors", "bias_baseline_card",
-    "boilerplate_strip_report", "sax_daily_symbols", "bpe_merge_rounds",
-    # round-11 additions (never driver-checked)
-    "bpe_fertility_by_source", "label_silhouette",
-    # round-12 additions (never driver-checked)
-    "dq_constraint_report", "oof_target_encoding",
-    "dow_seasonality_harmonics",
-    # round-13 additions (never driver-checked)
-    "rake_keyphrases", "stratified_ate",
-    # round-14 additions (never driver-checked)
-    "triplet_violation_audit",
-    # round-15 additions (never driver-checked)
-    "collated_distinct_names",
-    # round-16 additions (never driver-checked)
-    "rtbf_deletion_manifest",
-    # round-17 additions (never driver-checked)
-    "cross_source_dup_matrix",
-    # round-18 additions (never driver-checked)
-    "source_scorecard",
-    # round-19 additions (never driver-checked)
-    "top_event_trigrams",
-    # round-20 additions (never driver-checked)
-    "abc_classification", "new_vs_returning_daily",
-    "repeat_purchase_intervals",
-    # round-21 additions (never driver-checked)
-    "order_fulfillment_cycle", "supplier_concentration_hhi",
-    # round-22 additions (never driver-checked)
-    "nation_trade_balance", "discount_band_lift",
+    "als_rank1_item_factors", "bias_baseline_card", "boilerplate_strip_report",
+    "sax_daily_symbols", "bpe_merge_rounds", "bpe_fertility_by_source",
+    "label_silhouette", "dq_constraint_report", "oof_target_encoding",
+    "dow_seasonality_harmonics", "rake_keyphrases", "stratified_ate",
+    "triplet_violation_audit", "collated_distinct_names",
+    "rtbf_deletion_manifest", "cross_source_dup_matrix", "source_scorecard",
+    "top_event_trigrams", "abc_classification", "new_vs_returning_daily",
+    "repeat_purchase_intervals", "order_fulfillment_cycle",
+    "supplier_concentration_hhi", "nation_trade_balance", "discount_band_lift",
+    "split_leakage_audit", "dedup_method_kappa", "ann_recall_ivfpq",
+    "leakage_safe_split",
 ]
 
 

@@ -226,7 +226,17 @@ class MergeIntoParquetTable:
             return
         st = self._state()
         new_v = st["version"] + 1
+        # NULL merge keys are rejected up front: stable_hash64(NULL) is
+        # NULL, so a null key has no bucket (the distinct-bucket collect
+        # would yield None and crash the sort) and could never match in
+        # the full_outer merge — surfacing it beats silently dropping.
         src = source.dropDuplicates([self.key])
+        n_null = src.filter(F.col(self.key).isNull()).limit(1).count()
+        if n_null:
+            raise ValueError(
+                f"merge source contains NULL '{self.key}' rows; "
+                "filter them out (a NULL key has no bucket and can "
+                "never match a target row)")
         # the one driver-side action: DISTINCT touched bucket ids
         # (metadata-scale, <= n_buckets values)
         touched = sorted(

@@ -226,3 +226,17 @@ def test_change_feed_between_versions(spark, tmp_path):
     feed12 = {r["k"]: r["change_type"]
               for r in t.change_feed(1, 2).collect()}
     assert feed12 == {1: "U", 4: "I"}
+
+
+def test_merge_rejects_null_key_rows(spark, tmp_path):
+    # ADVICE r4: a NULL merge key used to crash the distinct-bucket
+    # sort with TypeError (stable_hash64(NULL) is NULL); it now fails
+    # fast with a clear contract error.
+    import pytest
+    t = _mk(spark, tmp_path, [(1, 10, "a")])
+    bad = spark.createDataFrame([(None, 99, "x"), (2, 20, "b")],
+                                "k long, v long, s string")
+    with pytest.raises(ValueError, match="NULL 'k'"):
+        t.merge(bad)
+    # the failed merge must not have committed anything
+    assert _rows(t) == {1: (10, "a")}

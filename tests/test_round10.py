@@ -120,3 +120,10 @@ def test_bpe_fixture_rounds_monotone(spark):
     for r in out:
         assert " " in r["pair"] and " " not in r["merged"]
         assert r["merged"] == r["pair"].replace(" ", "")
+
+
+def test_als_rank1_rejects_zero_sweeps(spark):
+    import pytest
+    r = spark.createDataFrame([(1, 1, 5)], "user_id long, item_id long, r long")
+    with pytest.raises(ValueError, match="sweeps"):
+        recsys.als_rank1(r, sweeps=0)

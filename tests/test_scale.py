@@ -480,3 +480,68 @@ def test_dist_suffix_min_matches_global_window(spark):
     assert sorted(map(tuple,
                       got.select("pos", "t", "bval", "succ").collect()),
                   key=key) == sorted(map(tuple, want.collect()), key=key)
+
+
+def test_dist_cumsum_null_order_keys_match_global_window(spark):
+    # ADVICE r4: NULL ordering keys used to vanish through the __b
+    # join while their totals leaked into later buckets' offsets.
+    # They now get bucket -1 and match the global window's NULLS FIRST.
+    from pyspark.sql import Window
+    from bigdata_project_hust_spark.operators.scale import dist_cumsum
+    rows = [((k * 37 % 101 - 50) if k % 5 else None, k % 7, k)
+            for k in range(300)]
+    df = spark.createDataFrame(rows, "v long, a long, tid long")
+    got = dist_cumsum(df, "v", {"cum_a": "a"}, tie_cols=("tid",),
+                      n_buckets=8)
+    w = (Window.orderBy("v", "tid")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    want = df.select("v", "tid", F.sum("a").over(w).alias("cum_a"))
+    key = lambda r: tuple((x is None, x) for x in r)
+    assert sorted(map(tuple, got.select("v", "tid", "cum_a").collect()),
+                  key=key) == sorted(map(tuple, want.collect()), key=key)
+
+
+def test_dist_suffix_min_null_order_keys_match_global_window(spark):
+    from pyspark.sql import Window
+    from bigdata_project_hust_spark.operators.scale import (
+        dist_suffix_min)
+    rows = [((k * 29 % 83) if k % 4 else None, k,
+             (k * 7 % 31) if k % 3 else None)
+            for k in range(240)]
+    df = spark.createDataFrame(rows, "pos long, tid long, bval long")
+    got = dist_suffix_min(df, "pos", "bval", "succ",
+                          tie_cols=("tid",), n_buckets=8)
+    w = (Window.orderBy("pos", "tid")
+         .rowsBetween(0, Window.unboundedFollowing))
+    want = df.select("pos", "tid", "bval",
+                     F.min("bval").over(w).alias("succ"))
+    key = lambda r: tuple((x is None, x) for x in r)
+    assert sorted(map(tuple,
+                      got.select("pos", "tid", "bval", "succ").collect()),
+                  key=key) == sorted(map(tuple, want.collect()), key=key)
+
+
+def test_range_bucket_rejects_wrapping_domain(spark):
+    # ADVICE r4: a > 2^63 ordering span silently wrapped (__mx - __mn
+    # negative under non-ANSI) into wrong buckets; it must raise.
+    import pytest
+    from bigdata_project_hust_spark.operators.scale import dist_cumsum
+    df = spark.createDataFrame(
+        [(-(2 ** 63), 1), (2 ** 63 - 1, 1)], "v long, a long")
+    with pytest.raises(Exception) as ei:
+        dist_cumsum(df, "v", {"c": "a"}, n_buckets=4).collect()
+    msg = str(ei.value)
+    assert ("range_bucket" in msg) or ("ARITHMETIC_OVERFLOW" in msg) \
+        or ("overflow" in msg.lower())
+
+
+def test_write_bucketed_rejects_qualified_and_foreign_sort(spark):
+    import pytest
+    df = spark.range(3).select(F.col("id").alias("k"))
+    from bigdata_project_hust_spark.io import write_bucketed_table
+    with pytest.raises(ValueError, match="simple identifier"):
+        write_bucketed_table(df, "db.tbl", "k")
+    with pytest.raises(ValueError, match="simple identifier"):
+        write_bucketed_table(df, "../escape", "k")
+    with pytest.raises(ValueError, match="bucket key"):
+        write_bucketed(df, "ok_name", "k", buckets=2, sort_by="other")
