@@ -384,33 +384,72 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     return votes.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
-def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
-                            id_col: str = "doc_id",
+def simhash_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
                             max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup: banded LSH on the 60-bit signature (5 bands ×
-    12 bits — any identical band → candidate), then exact Hamming
-    verify with bit_count. Bounded candidates, no all-pairs."""
-    # the band self-join references the signature subtree twice; the
-    # signature table is tiny (one row per doc) — persist it so the
-    # token-explode + wide-agg pipeline runs once, not per join side
-    sig = simhash_signatures(df, text_col, id_col).persist()
-    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    """Banded-LSH candidate generation over 60-bit SimHash signatures
+    (input: one row per doc with a ``simhash`` column). Returns
+    distinct (doc_a, doc_b, sig_a, sig_b) with doc_a < doc_b, with
+    GUARANTEED recall at the given Hamming radius.
+
+    Blocking key width is the scale lever (VERDICT r4 #3): single
+    12-bit blocks give only 2^12 = 4,096 bucket values per band, so
+    bucket population grows ~n/4096 with corpus size and the
+    within-bucket self-join ~n²/4096 — quadratic at billions of docs
+    regardless of true similarity. For ``max_hamming <= 3`` the key is
+    instead a PAIR of blocks (Manku/Jain/Sarma, WWW 2007 §3 — the
+    multi-table Hamming-distance design): flipping <= 3 of 60 bits
+    touches <= 3 of the 5 blocks, so >= 2 blocks stay clean and every
+    true pair still shares >= 1 of the C(5,2) = 10 block-pair keys —
+    recall identical to single bands — while the key space per table
+    grows 2^12 → 2^24, cutting expected candidates by ~4096× (now
+    ~10·n²/2^24) for 2× the exploded rows. ``max_hamming == 4`` falls
+    back to single blocks (the pair guarantee needs 2 clean blocks);
+    beyond 4 the 5-block layout cannot guarantee recall and raises."""
+    n_blocks = SIMHASH_BITS // SIMHASH_BAND_BITS
+    if max_hamming > n_blocks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the recall guarantee of "
+            f"{n_blocks} x {SIMHASH_BAND_BITS}-bit blocks (needs <= "
+            f"{n_blocks - 1})")
+
+    def block(b: int) -> Column:
+        return (F.shiftrightunsigned(F.col("simhash"),
+                                     b * SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1)))
+
+    if max_hamming <= n_blocks - 2:
+        keys = [block(i) * F.lit(1 << SIMHASH_BAND_BITS) + block(j)
+                for i in range(n_blocks) for j in range(i + 1, n_blocks)]
+    else:
+        keys = [block(b) for b in range(n_blocks)]
     # single-pass banding via posexplode (see minhash_bands note)
-    band_arr = F.array(*[
-        F.shiftrightunsigned(F.col("simhash"), b * SIMHASH_BAND_BITS)
-         .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
-        for b in range(n_bands)
-    ])
     bands_df = sig.select(F.col(id_col), F.col("simhash"),
-                          F.posexplode(band_arr).alias("band", "band_val"))
+                          F.posexplode(F.array(*keys))
+                           .alias("band", "band_val"))
     a = bands_df.select("band", "band_val", F.col(id_col).alias("doc_a"),
                         F.col("simhash").alias("sig_a"))
     b_ = bands_df.select("band", "band_val", F.col(id_col).alias("doc_b"),
                          F.col("simhash").alias("sig_b"))
-    cands = (a.join(b_, ["band", "band_val"])
-              .where(F.col("doc_a") < F.col("doc_b"))
-              .select("doc_a", "doc_b", "sig_a", "sig_b")
-              .distinct())
+    return (a.join(b_, ["band", "band_val"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "sig_a", "sig_b")
+             .distinct())
+
+
+def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup: banded LSH on the 60-bit signature (block-pair
+    keys — see ``simhash_candidate_pairs`` for the recall guarantee and
+    the 2^24 blocking-key space), then exact Hamming verify with
+    bit_count. Bounded candidates, no all-pairs; output is identical to
+    the single-band form (banding only affects candidate generation,
+    and both guarantee recall at the radius)."""
+    # the band self-join references the signature subtree twice; the
+    # signature table is tiny (one row per doc) — persist it so the
+    # token-explode + wide-agg pipeline runs once, not per join side
+    sig = simhash_signatures(df, text_col, id_col).persist()
+    cands = simhash_candidate_pairs(sig, id_col, max_hamming)
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (cands.withColumn("hamming", ham.cast("long"))
                  .where(F.col("hamming") <= max_hamming)

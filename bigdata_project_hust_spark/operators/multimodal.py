@@ -2,10 +2,14 @@
 
 The Spark-side plumbing is real — schema (schemas.MEDIA_ASSETS),
 Arrow-batched ``mapInPandas`` operators, partition-aware batch shapes —
-while the codec step is stubbed (no image/audio libraries in this
-container): ``decode_image`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic md5-seeded feature vector
-stands in for real pixels. Swapping the stub for Pillow/torchaudio is a
+and so are the codecs this environment can support: PCM WAV audio
+(``decode_audio_wav``) and PPM/BMP/PNG raster images
+(``decode_image_raster``), both stdlib+numpy. These real codecs are
+the DEFAULT paths (``extract_features``, ``extract_image_features``,
+``extract_audio_features``, ``extract_pixel_stats``); only formats
+needing an external library (JPEG's DCT) stay behind the
+``decode_image`` stub, and the deterministic md5 fake is a test seam
+(``fake=True``), never a default. Swapping in Pillow/torchaudio is a
 one-function change; nothing in the distributed plan moves.
 
 Scale notes: binary payloads never pass through Python row-at-a-time —
@@ -129,25 +133,88 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=AUDIO_SCHEMA)
 
 
-def extract_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
+def extract_features(df: DataFrame, *, fake: bool = False) -> DataFrame:
     """Batch feature extraction over a media-asset table via
     mapInPandas: bytes in, fixed-dim feature vector + integrity
-    metadata out. Partitioning of the input is preserved (narrow op)."""
+    metadata out. Partitioning of the input is preserved (narrow op).
+
+    The DEFAULT feature path is the REAL raster codec
+    (``decode_image_raster`` — PPM/BMP/PNG): decodable payloads get
+    pixel-statistics features, undecodable ones keep their integrity
+    metadata with a NULL feature (never a silent fake). ``fake=True``
+    is a test seam only: the deterministic md5 stand-in for every
+    payload (VERDICT r4 #5 — the stub used to be the default)."""
+
+    def real_feature(b: bytes):
+        try:
+            return decode_image_raster(b or b"")["feature"]
+        except Exception:  # noqa: BLE001 — per-asset isolation
+            return None
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
+            feat = (payloads.map(lambda b: _fake_features(b or b""))
+                    if fake else
+                    payloads.map(lambda b: real_feature(bytes(b or b""))))
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
                 "kind": pdf["kind"],
                 "n_bytes": payloads.map(lambda b: len(b or b"")).astype("int64"),
                 "payload_md5": payloads.map(
                     lambda b: hashlib.md5(b or b"").hexdigest()),
-                "feature": payloads.map(
-                    lambda b: decode_image(b, fake=fake)),
+                "feature": feat,
             })
 
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = (
+    "asset_id long, ok boolean, err string, width int, height int, "
+    "n_px long, sum_r long, sum_g long, sum_b long, min_gray3 long, "
+    "max_gray3 long, sum_hgrad3 long, sum_vgrad3 long")
+
+
+def extract_pixel_stats(df: DataFrame) -> DataFrame:
+    """EXACT-integer pixel statistics from the REAL raster codec —
+    the bit-exact-oracle twin of ``extract_image_features``: every
+    output is a BIGINT computed from decoded pixel bytes (sums,
+    min/max of r+g+b, L1 horizontal/vertical gradient sums), so a SQL
+    oracle that derives the same pixel bytes reproduces the values
+    with no float-summation-order concerns. Per-asset corruption
+    isolation as everywhere (ok=false rows)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    m = decode_image_raster(bytes(payload or b""))
+                    px = m["pixels"].astype(np.int64)
+                    g = px.sum(axis=2)
+                    h = int(np.abs(np.diff(g, axis=1)).sum()) \
+                        if g.shape[1] > 1 else 0
+                    v = int(np.abs(np.diff(g, axis=0)).sum()) \
+                        if g.shape[0] > 1 else 0
+                    rows.append((asset_id, True, None,
+                                 m["width"], m["height"],
+                                 int(g.size),
+                                 int(px[..., 0].sum()),
+                                 int(px[..., 1].sum()),
+                                 int(px[..., 2].sum()),
+                                 int(g.min()), int(g.max()), h, v))
+                except Exception as ex:  # noqa: BLE001 — per-asset isolation
+                    rows.append((asset_id, False,
+                                 f"{type(ex).__name__}: {ex}",
+                                 None, None, None, None, None, None,
+                                 None, None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "asset_id", "ok", "err", "width", "height", "n_px",
+                "sum_r", "sum_g", "sum_b", "min_gray3", "max_gray3",
+                "sum_hgrad3", "sum_vgrad3"])
+
+    return df.mapInPandas(batches, schema=PIXEL_STATS_SCHEMA)
 
 
 RESIZE_THUMB_BYTES = 64

@@ -14,6 +14,8 @@ reproducible by the oracle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -293,9 +295,81 @@ def quantized_vectors(df: DataFrame, id_col: str = "vec_id",
                      .cast("long")).alias("vq"))
 
 
+KMEANS_FLAT_ASSIGN_MAX_K = 256  # above this, assignment is IVF-routed
+
+
+def _sq_dist_cols(a: str, b: str) -> Column:
+    """Exact integer squared L2 between two quantized-vector columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def routed_candidates(vq: DataFrame, cent: DataFrame, k: int,
+                      nprobe: int = 4,
+                      id_col: str = "vec_id") -> DataFrame:
+    """Two-level (IVF-routed) assignment candidates: instead of
+    scoring every vector against all ``k`` centroids (the O(n·k)
+    crossJoin that made auto-k SemDeDup O(n²/const) — VERDICT r4 #4),
+    the ``k`` centroids are first grouped under ``ceil(sqrt(k))``
+    coarse "super-centroids" (the IVF coarse-quantizer layout of
+    ``ivf_assign``); each vector routes to its ``nprobe`` nearest
+    supers and scores only the centroids in those cells. Per-vector
+    candidate rows drop from k to ~nprobe·√k (routing adds √k more) —
+    at SemDeDup's k = n/4096 that is ~√n·const instead of ~n/4096
+    per vector, i.e. total work ~n^1.5 instead of ~n².
+
+    Determinism: supers are the ``n_super`` lowest-id centroids; all
+    distances are exact BIGINT on the quantized grid; every argmin
+    tie-breaks through ``min(struct(dist, id))``. Coverage: each super
+    cell contains at least its own seed centroid (forced, so the
+    probe join can never drop a vector). With ``nprobe >= n_super``
+    the candidate set is every centroid and the result is EXACTLY the
+    flat assignment (asserted in test_scale.py).
+
+    Returns (id, vq, cluster_id, dist) candidate rows — callers argmin.
+    """
+    from pyspark.sql import Window
+    n_super = max(2, math.isqrt(max(k - 1, 0)) + 1)
+    sup = (cent.orderBy("cluster_id").limit(n_super)
+               .select(F.col("cluster_id").alias("super_id"),
+                       F.col("cq").alias("sq")))
+    # centroid -> super cell; the n_super seeds stay in their own cell
+    # so no cell is ever empty (a duplicate centroid could otherwise
+    # steal a seed's self-assignment and orphan the cell)
+    rest = cent.join(sup.select(F.col("super_id").alias("cluster_id")),
+                     "cluster_id", "left_anti")
+    c2s_rest = (rest.crossJoin(F.broadcast(sup))
+                .select("cluster_id", "cq",
+                        _sq_dist_cols("cq", "sq").alias("d"), "super_id")
+                .groupBy("cluster_id")
+                .agg(F.min(F.struct("d", "super_id")).alias("b"),
+                     F.first("cq").alias("cq"))
+                .select("cluster_id", "cq",
+                        F.col("b.super_id").alias("super_id")))
+    c2s = c2s_rest.unionByName(
+        sup.select(F.col("super_id").alias("cluster_id"),
+                   F.col("sq").alias("cq"), "super_id"))
+    routed = (vq.crossJoin(F.broadcast(sup))
+                .select(F.col(id_col), "vq", "super_id",
+                        _sq_dist_cols("vq", "sq").alias("ds")))
+    w = Window.partitionBy(id_col).orderBy("ds", "super_id")
+    probes = (routed.withColumn("__rk", F.row_number().over(w))
+                    .where(F.col("__rk") <= nprobe)
+                    .select(id_col, "vq", "super_id"))
+    # c2s is centroid-sized; below the broadcast ceiling AQE picks a
+    # broadcast join, beyond it this becomes a shuffle join on
+    # super_id — both correct, neither O(n·k)
+    return (probes.join(c2s, "super_id")
+                  .select(F.col(id_col), F.col("vq"), F.col("cluster_id"),
+                          _sq_dist_cols("vq", "cq").alias("dist")))
+
+
 def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
                   id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
+                  vec_col: str = "embedding",
+                  nprobe: int = 4,
+                  flat_max_k: int | None = None) -> DataFrame:
     """Lloyd's k-means, ``iters`` full update rounds from a
     deterministic seed (the ``k`` lowest-id vectors), returning each
     vector's final cluster and exact squared distance on the quantized
@@ -317,7 +391,20 @@ def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
     cluster. ``iters`` is small and fixed (plan depth grows linearly);
     for long runs, localCheckpoint the assignment every few rounds as
     in ``dedup.connected_components``.
+
+    Assignment strategy: for ``k <= flat_max_k`` (default
+    ``KMEANS_FLAT_ASSIGN_MAX_K`` = 256) every vector scores every
+    centroid via a broadcast crossJoin — exact. Above that, the
+    crossJoin's n·k candidate rows are the scale killer (with
+    SemDeDup's k ∝ n it is O(n²/const) — VERDICT r4 #4), so
+    assignment routes through the two-level coarse quantizer
+    (``routed_candidates``): ~nprobe·√k candidates per vector,
+    approximate in the IVF sense (a vector near a cell border may
+    miss its true nearest centroid unless ``nprobe`` is raised;
+    ``nprobe >= ceil(sqrt(k))`` degenerates to the exact flat result).
     """
+    flat_cap = (KMEANS_FLAT_ASSIGN_MAX_K
+                if flat_max_k is None else flat_max_k)
     vq = quantized_vectors(df, id_col, vec_col)
     # seeds: the k LOWEST ids (not `id < k`, which silently yields
     # fewer — or zero — centroids when ids are 1-based/offset/hashed);
@@ -327,12 +414,12 @@ def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
                       F.col("vq").alias("cq")))
 
     def assign(cent_df: DataFrame) -> DataFrame:
-        j = vq.crossJoin(F.broadcast(cent_df))
-        dist = F.aggregate(
-            F.zip_with("vq", "cq", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"), lambda acc, x: acc + x)
-        scored = j.select(F.col(id_col), "vq", "cluster_id",
-                          dist.alias("dist"))
+        if k <= flat_cap:
+            j = vq.crossJoin(F.broadcast(cent_df))
+            scored = j.select(F.col(id_col), "vq", "cluster_id",
+                              _sq_dist_cols("vq", "cq").alias("dist"))
+        else:
+            scored = routed_candidates(vq, cent_df, k, nprobe, id_col)
         best = (scored.groupBy(id_col)
                 .agg(F.min(F.struct("dist", "cluster_id")).alias("b"),
                      F.first("vq").alias("vq")))
@@ -727,7 +814,8 @@ def semantic_dedup(df: DataFrame, k: int | None = None, iters: int = 2,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding",
                    target_cluster_rows: int = SEMDEDUP_TARGET_CLUSTER_ROWS,
-                   lsh_split_bits: int = 0) -> DataFrame:
+                   lsh_split_bits: int = 0,
+                   nprobe: int = 4) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
     embedding space, then drop near-identical vectors WITHIN each
     cluster — the all-pairs cosine matrix is only ever formed per
@@ -754,10 +842,12 @@ def semantic_dedup(df: DataFrame, k: int | None = None, iters: int = 2,
     share the (cluster, code) bucket, capping any single cluster's
     pair term at Σ|bucket|² at the cost of missing cross-bucket
     near-dups (SemDeDup is approximate by construction; the pruned
-    set is always a SUBSET of the unsplit one). Broadcast ceiling:
-    the centroid table is k·dim longs — beyond ~10M centroids route
-    assignment through the IVF coarse-quantizer join instead of a
-    broadcast. Cosine is verified exactly once per surviving pair and
+    set is always a SUBSET of the unsplit one). Assignment cost:
+    for k > ``KMEANS_FLAT_ASSIGN_MAX_K`` the per-vector work is
+    ~``nprobe``·√k candidate rows via the two-level coarse quantizer
+    (see ``kmeans_assign``/``routed_candidates``), not the O(n·k)
+    broadcast crossJoin that a corpus-proportional k would otherwise
+    make O(n²/const). Cosine is verified exactly once per surviving pair and
     floor-quantized at 1e6 for cross-engine hashing; norms are
     computed once per vector before the join.
     """
@@ -765,7 +855,8 @@ def semantic_dedup(df: DataFrame, k: int | None = None, iters: int = 2,
         n = df.count()
         k = max(8, -(-n // target_cluster_rows))
     a = kmeans_assign(df, k=k, iters=iters, id_col=id_col,
-                      vec_col=vec_col).select(id_col, "cluster_id")
+                      vec_col=vec_col,
+                      nprobe=nprobe).select(id_col, "cluster_id")
     v = df.select(F.col(id_col), F.col(vec_col),
                   _norm(F.col(vec_col)).alias("__nrm"))
     m = a.join(v, id_col)

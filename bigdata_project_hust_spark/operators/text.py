@@ -487,6 +487,7 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
 
 def tfidf_sparse_pairs(df: DataFrame, min_sim_e6: int = 700_000,
                        max_df: int | None = None,
+                       max_df_pct: int | None = None,
                        text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """All-pairs sparse TF-IDF cosine similarity ≥ threshold — the
@@ -503,8 +504,13 @@ def tfidf_sparse_pairs(df: DataFrame, min_sim_e6: int = 700_000,
     Scale: the pair space is generated from the inverted index (join
     on term hash), which is O(Σ_t df_t²) — the same hot-shingle
     quadratic as n-gram Jaccard, bounded the same way: ``max_df``
-    drops terms more frequent than the cap (stop-term pruning; norms
-    are computed post-cap so cosine stays ≤ 1 and self-consistent).
+    (absolute) or ``max_df_pct`` (percent of the corpus — the form
+    that stays meaningful as the corpus grows) drops terms more
+    frequent than the cap (stop-term pruning; norms are computed
+    post-cap so cosine stays ≤ 1 and self-consistent). UNCAPPED, a
+    single corpus-wide term makes the index self-join O(n²) — always
+    set one of the caps on real corpora. The percent comparison is
+    integer cross-multiplication (df·100 ≤ pct·n), exact everywhere.
     Term join keys are 60-bit hashes (8-byte shuffle keys, not
     strings).
     """
@@ -514,10 +520,15 @@ def tfidf_sparse_pairs(df: DataFrame, min_sim_e6: int = 700_000,
     tf = (toks.select(F.col(id_col),
                       stable_hash64(F.col("term"), seed=11).alias("t"))
           .groupBy(id_col, "t").agg(F.count("*").alias("tf")))
+    n = df.agg(F.count("*").alias("n_docs"))
     dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
     if max_df is not None:
         dfreq = dfreq.where(F.col("df") <= max_df)
-    n = df.agg(F.count("*").alias("n_docs"))
+    if max_df_pct is not None:
+        dfreq = (dfreq.crossJoin(F.broadcast(n))
+                 .where(F.col("df") * 100
+                        <= F.lit(int(max_df_pct)) * F.col("n_docs"))
+                 .drop("n_docs"))
     idf_e3 = F.floor(
         F.log(F.col("n_docs").cast("double") / F.col("df"))
         * F.lit(1000)).cast("long")

@@ -458,14 +458,22 @@ ORACLE_TOKEN_ENTROPY = r"""
 # ---------------------------------------------------------------------------
 
 _SPARSE_MIN_SIM = 850_000
+# stop-term df cap: terms in > 10% of the corpus are pruned from the
+# inverted index (norms recomputed post-cap on both engines). Without
+# this the index self-join is O(Sigma df^2) ~ n^2 on ubiquitous terms —
+# measured 123 s at sf0.1 vs ~2 s capped (the r5 heavy-tail sweep).
+_SPARSE_MAX_DF_PCT = 10
 
 
 def q_tfidf_cosine_pairs(spark, sf_dir):
     """Sparse TF-IDF cosine all-pairs ≥ 0.85 via the inverted index —
-    BIGINT dots/norms, one sqrt+division per surviving pair."""
+    BIGINT dots/norms, one sqrt+division per surviving pair; corpus-
+    proportional stop-term cap (df ≤ 10% of docs) bounds the
+    inverted-index self-join."""
     from ..operators.text import tfidf_sparse_pairs
     return tfidf_sparse_pairs(_t(spark, sf_dir, "documents"),
-                              min_sim_e6=_SPARSE_MIN_SIM)
+                              min_sim_e6=_SPARSE_MIN_SIM,
+                              max_df_pct=_SPARSE_MAX_DF_PCT)
 
 
 ORACLE_TFIDF_COSINE = rf"""
@@ -477,7 +485,9 @@ ORACLE_TFIDF_COSINE = rf"""
   ),
   tf AS (SELECT doc_id, term, count(*) AS tf
          FROM toks GROUP BY doc_id, term),
-  dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+  dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+          HAVING count(*) * 100
+                 <= {_SPARSE_MAX_DF_PCT} * (SELECT count(*) FROM documents)),
   n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
   w AS (
     SELECT doc_id, term,
@@ -643,11 +653,11 @@ QUERIES_ANALYTICS_MORE: dict[str, QuerySpec] = {
         doc="token-distribution Shannon entropy (zero-shuffle, "
             "sequential sorted fold — deterministic doubles)"),
     "tfidf_cosine_pairs": QuerySpec(
-        q_tfidf_cosine_pairs, ORACLE_TFIDF_COSINE,
+        q_tfidf_cosine_pairs, ORACLE_TFIDF_COSINE, headline=True,
         doc="sparse TF-IDF cosine all-pairs via inverted index "
             "(BIGINT dots/norms, df-cap scale guard)"),
     "triangle_count_copurchase": QuerySpec(
-        q_triangle_count_copurchase, ORACLE_TRIANGLES,
+        q_triangle_count_copurchase, ORACLE_TRIANGLES, headline=True,
         doc="per-node triangle counts, degree-ordered orientation "
             "(bounded wedge fan-out)"),
     "pagerank_trade_graph": QuerySpec(

@@ -560,6 +560,7 @@ def _oracle_hash_embedding() -> str:
 QUERIES_ROUND4.update({
     "dedup_ngram_prefix": QuerySpec(
         q_dedup_ngram_prefix, None,  # oracle assigned below (reuse)
+        headline=True,
         doc="prefix-filtered Jaccard join (PPJoin-style lossless "
             "candidate pruning: index only rarest-shingle prefixes)"),
     "text_hash_embedding": QuerySpec(

@@ -1683,7 +1683,7 @@ ORACLE_TRANSITION_MEDIANS = """
 
 QUERIES_ROUND6.update({
     "clustering_coefficient": QuerySpec(
-        q_clustering_coefficient, _clustering_oracle(),
+        q_clustering_coefficient, _clustering_oracle(), headline=True,
         doc="local clustering coefficient (integer cc from triangle "
             "counts)"),
     "stl_anomaly_buckets": QuerySpec(

@@ -869,7 +869,7 @@ QUERIES_ROUND7.update({
             "lookup, no range join)"),
     "lpa_communities_parts": QuerySpec(
         q_lpa_communities,
-        graph.lpa_communities_oracle(_COPURCHASE_SQL),
+        graph.lpa_communities_oracle(_COPURCHASE_SQL), headline=True,
         doc="deterministic synchronous LPA communities (3 unrolled "
             "rounds)"),
     "pairwise_welch_types": QuerySpec(

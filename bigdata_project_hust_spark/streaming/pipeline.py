@@ -38,21 +38,57 @@ def parse_kafka_frame(raw: DataFrame, schema: T.StructType) -> DataFrame:
         .select("topic", "rec.*"))
 
 
+def kafka_source_options(brokers: str, topics: str,
+                         starting_offsets: str = "earliest",
+                         fail_on_data_loss: bool = False) -> dict[str, str]:
+    """The EXACT option matrix ``kafka_stream`` hands to the Kafka
+    source, factored out so the contract is pinned by a broker-free
+    test (``test_streaming.test_kafka_source_option_contract``) even
+    though no broker/connector exists in this container.
+
+    - ``subscribe`` (not assign/subscribePattern): the reference
+      consumes a fixed comma-separated topic list (consumer1.py:41-44).
+    - ``startingOffsets=earliest``: the reference replays each topic
+      from the beginning on first start (no committed group offsets);
+      after the first run the CHECKPOINT owns progress — Spark ignores
+      this option on restart, giving exactly-once resume (S12).
+    - ``failOnDataLoss=false``: retention-expired offsets log and
+      continue instead of killing a 100 TB ingest — the documented
+      trade-off for long-running jobs (a missed range is surfaced in
+      the streaming-query progress metrics, not silently ignored).
+    """
+    if starting_offsets not in ("earliest", "latest") \
+            and not starting_offsets.startswith("{"):
+        raise ValueError(
+            f"startingOffsets must be earliest/latest or a JSON offset "
+            f"map, got {starting_offsets!r}")
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "true" if fail_on_data_loss else "false",
+    }
+
+
 def kafka_stream(spark: SparkSession, brokers: str, topics: str,
-                 schema: T.StructType) -> DataFrame:
+                 schema: T.StructType,
+                 starting_offsets: str = "earliest",
+                 fail_on_data_loss: bool = False) -> DataFrame:
     """S4: multi-topic Kafka source → parsed records
     (consumer1.py:41-48). Requires the kafka connector jar + a broker —
     not present in the test container, so the source itself is
-    exercised only when infrastructure exists; the parse chain is
-    ``parse_kafka_frame`` (tested broker-free), and the file stream
-    above is the tested source path with identical downstream
-    semantics."""
-    raw = (spark.readStream.format("kafka")
-           .option("kafka.bootstrap.servers", brokers)
-           .option("subscribe", topics)
-           .option("startingOffsets", "earliest")
-           .load())
-    return parse_kafka_frame(raw, schema)
+    exercised only when infrastructure exists; what IS pinned
+    broker-free: the full option matrix (``kafka_source_options``)
+    and the value-parse chain (``parse_kafka_frame``, fed with
+    ``kafka_sink_frame``-shaped frames — a bit-faithful recording of
+    the source's output shape). The file stream above is the tested
+    source path with identical downstream semantics. README §streaming
+    documents this as the one untested integration surface."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(brokers, topics, starting_offsets,
+                                     fail_on_data_loss).items():
+        reader = reader.option(k, v)
+    return parse_kafka_frame(reader.load(), schema)
 
 
 def replay_from_ticks(ticks: DataFrame,

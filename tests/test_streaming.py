@@ -911,3 +911,63 @@ def test_cusum_stream_alerts_across_batches(spark, tmp_path):
         assert (r.user_id, r.alarm_event_id, r.cusum_c) == (1, 3, 3000)
     finally:
         q.stop()
+
+
+def test_kafka_source_option_contract():
+    """S4/ST1 contract pin (no broker in this container): the exact
+    option matrix the Kafka source receives, including the
+    failOnDataLoss=false long-job trade-off and startingOffsets
+    validation."""
+    from bigdata_project_hust_spark.streaming.pipeline import (
+        kafka_source_options)
+    assert kafka_source_options("b1:9092,b2:9092", "topicA,topicB") == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "topicA,topicB",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+    }
+    assert kafka_source_options(
+        "b:9092", "t", starting_offsets="latest",
+        fail_on_data_loss=True)["startingOffsets"] == "latest"
+    assert kafka_source_options(
+        "b:9092", "t", fail_on_data_loss=True)["failOnDataLoss"] == "true"
+    offs = '{"t":{"0":42}}'
+    assert kafka_source_options(
+        "b:9092", "t", starting_offsets=offs)["startingOffsets"] == offs
+    with pytest.raises(ValueError, match="startingOffsets"):
+        kafka_source_options("b:9092", "t", starting_offsets="bogus")
+
+
+def test_parse_kafka_frame_handles_full_source_schema(spark):
+    """parse_kafka_frame must accept the REAL Kafka source shape — all
+    seven columns (key/value binary, topic, partition, offset,
+    timestamp, timestampType), not just the two it reads — and parse
+    multi-topic values losslessly (round trip through
+    kafka_sink_frame's JSON encoding)."""
+    from bigdata_project_hust_spark.io import kafka_sink_frame
+    from bigdata_project_hust_spark.streaming.pipeline import (
+        parse_kafka_frame)
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    rows = spark.createDataFrame(
+        [(1, 10, 1.5), (2, 20, -3.25), (3, None, None)],
+        "event_id long, user_id long, value double")
+    sink = kafka_sink_frame(rows, "event_id")
+    # decorate with the full source schema a live broker would deliver
+    recorded = sink.select(
+        "key", "value",
+        F.when(F.col("key").cast("string") == "1", "topicA")
+         .otherwise("topicB").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"))
+    out = parse_kafka_frame(recorded, schema)
+    assert out.columns == ["topic", "event_id", "user_id", "value"]
+    got = {r.event_id: (r.topic, r.user_id, r.value)
+           for r in out.collect()}
+    assert got == {1: ("topicA", 10, 1.5), 2: ("topicB", 20, -3.25),
+                   3: ("topicB", None, None)}

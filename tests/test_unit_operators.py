@@ -2140,3 +2140,49 @@ def test_engine_has_no_duplicate_method_definitions():
             break
     else:
         raise AssertionError("Engine class not found in api.py")
+
+
+def _ppm_from_rows(px_rows):
+    """P6 bytes from [[(r,g,b),...],...] (row-major nested lists)."""
+    h = len(px_rows)
+    w = len(px_rows[0])
+    body = bytes(c for row in px_rows for px in row for c in px)
+    return b"P6\n%d %d\n255\n" % (w, h) + body
+
+
+def test_extract_pixel_stats_exact_integers(spark):
+    # hand-computable 2x2 image
+    img = [[(10, 20, 30), (40, 50, 60)],
+           [(70, 80, 90), (0, 255, 0)]]
+    df = spark.createDataFrame(
+        [(1, _ppm_from_rows(img)), (2, b"not an image")],
+        "asset_id long, payload binary")
+    out = {r.asset_id: r for r in
+           multimodal.extract_pixel_stats(df).collect()}
+    ok = out[1]
+    assert ok.ok and ok.width == 2 and ok.height == 2 and ok.n_px == 4
+    assert (ok.sum_r, ok.sum_g, ok.sum_b) == (120, 405, 180)
+    g = [[60, 150], [240, 255]]
+    assert ok.min_gray3 == 60 and ok.max_gray3 == 255
+    assert ok.sum_hgrad3 == abs(150 - 60) + abs(255 - 240)
+    assert ok.sum_vgrad3 == abs(240 - 60) + abs(255 - 150)
+    assert not out[2].ok and out[2].sum_r is None
+
+
+def test_extract_features_real_default_and_fake_seam(spark):
+    img = [[(255, 0, 0)] * 2] * 2  # solid red 2x2
+    df = spark.createDataFrame(
+        [(1, _ppm_from_rows(img)), (2, b"plain text payload")],
+        "asset_id long, payload binary") \
+        .withColumn("kind", F.lit("image"))
+    real = {r.asset_id: r for r in
+            multimodal.extract_features(df).collect()}
+    # decodable payload: real pixel stats (solid red => mean R = 1.0)
+    assert real[1].feature is not None
+    assert abs(real[1].feature[0] - 1.0) < 1e-12
+    assert abs(real[1].feature[1]) < 1e-12
+    # undecodable payload: NULL feature, metadata intact — no silent fake
+    assert real[2].feature is None and real[2].n_bytes == 18
+    fake = {r.asset_id: r for r in
+            multimodal.extract_features(df, fake=True).collect()}
+    assert fake[2].feature is not None  # the test seam still works
