@@ -58,6 +58,23 @@ def main() -> None:
     # alongside so environment noise (min << median) is distinguishable
     # from plan drift (min ≈ median, both moved).
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # Machine-drift calibration: a fixed scan+agg (TPC-H Q1 shape,
+    # never changes round-over-round) timed with the same
+    # best-of-reps protocol. Round N vs round M regression claims on
+    # real queries should be read against the calib ratio — an
+    # untouched-code "regression" that tracks calib is machine drift
+    # (the r4 1.31x mystery), one that outruns calib is a plan change.
+    from pyspark.sql import functions as SF
+    calib_runs = []
+    for _ in range(reps):
+        t0 = time.time()
+        (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+         .groupBy("l_returnflag", "l_linestatus")
+         .agg(SF.sum("l_quantity"), SF.sum("l_extendedprice"),
+              SF.avg("l_discount"), SF.count("*"))
+         .write.format("noop").mode("overwrite").save())
+        calib_runs.append(time.time() - t0)
+    calib = round(min(calib_runs), 3)
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in names:
@@ -84,6 +101,7 @@ def main() -> None:
         "queries": timings,
         "queries_median": medians,
         "median_total": round(sum(medians.values()), 3),
+        "calib_sec": calib,
         "reps": reps,
         "sf": sf_of(SF_DIR),
         "n_queries": len(timings),

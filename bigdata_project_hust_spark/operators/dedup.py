@@ -138,15 +138,26 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
     """Exact Jaccard over shingle sets for candidate pairs; keeps pairs
     with jaccard >= threshold_num/threshold_den using integer math only
     (den*inter >= num*union) — no float comparisons, so the oracle
-    matches bit-for-bit."""
-    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("sh"))
-    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("sh"))
-    inter = (pairs.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
-                  .groupBy("doc_a", "doc_b")
-                  .agg(F.count("*").alias("inter_size")))
+    matches bit-for-bit.
+
+    PPJoin length filter first: jaccard >= t implies
+    t·max(|A|,|B|) <= min(|A|,|B|), so size-incompatible pairs are
+    dropped with two pairs-sized joins BEFORE the intersection join
+    fans each pair out to |A| shingle rows — lossless (such pairs
+    could never pass the final test), and on real skew-length corpora
+    it is the cheapest pruning lever the verify has."""
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    p = (pairs.join(na, "doc_a").join(nb, "doc_b")
+              .where(F.least("n_a", "n_b") * threshold_den
+                     >= F.greatest("n_a", "n_b") * threshold_num))
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("sh"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("sh"))
+    inter = (p.select("doc_a", "doc_b")
+              .join(sa, "doc_a").join(sb, ["doc_b", "sh"])
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count("*").alias("inter_size")))
     out = (inter.join(na, "doc_a").join(nb, "doc_b")
                 .withColumn("union_size",
                             F.col("n_a") + F.col("n_b") - F.col("inter_size")))
