@@ -648,31 +648,34 @@ def lpa_communities(edges: DataFrame, a: str = "pa", b: str = "pb",
     function of the graph.  A fixed ``rounds`` budget (3) bounds both
     the work and the oracle (which unrolls the same rounds as CTEs).
 
-    Per round: one edge⋈labels join keyed on the node id and one
-    per-node top-1 window — the same shuffle shape as a round of
-    min-label components, O(|E|) per round at any scale.  Nodes keep
-    their own label only while no neighbor message arrives (symmetric
-    edge lists deliver one per edge).  The symmetric edge list feeds
-    every round plus the seed-label distinct — localCheckpoint'd so
-    the edge build + symmetrize + distinct runs once, not
-    ``rounds + 1`` times (measured 11.5 s → 7.6 s at sf0.1)."""
-    from pyspark.sql import Window
+    Per round: one edge⋈labels join keyed on the node id, one
+    (node, lbl) count agg, and one per-node top-1 — the same shuffle
+    shape as a round of min-label components, O(|E|) per round at any
+    scale.  Nodes keep their own label only while no neighbor message
+    arrives (symmetric edge lists deliver one per edge).  The
+    symmetric edge list feeds every round plus the seed-label
+    distinct — localCheckpoint'd so the edge build + symmetrize +
+    distinct runs once, not ``rounds + 1`` times (measured
+    11.5 s → 7.6 s at sf0.1).  The top-1 is ``max(struct(c, -lbl))``
+    — (count DESC, label ASC) as one total order — instead of a
+    row_number window: a hash agg combines map-side and never sorts,
+    where the window sorted every (node, lbl) group per round."""
     e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     sym = e.unionByName(e.select(F.col("dst").alias("src"),
                                  F.col("src").alias("dst"))).distinct() \
            .localCheckpoint(eager=True)
     labels = (sym.select(F.col("src").alias("node")).distinct()
               .select("node", F.col("node").alias("lbl")))
-    w = Window.partitionBy("node").orderBy(F.col("c").desc(), "lbl")
     for _ in range(rounds):
         msgs = (sym.join(labels.withColumnRenamed("node", "dst"),
                          "dst")
                 .groupBy(F.col("src").alias("node"), "lbl")
                 .agg(F.count("*").alias("c")))
-        labels = (msgs.select("node", "lbl",
-                              F.row_number().over(w).alias("rn"))
-                  .where(F.col("rn") == 1)
-                  .select("node", "lbl"))
+        labels = (msgs.groupBy("node")
+                  .agg(F.max(F.struct(F.col("c"),
+                                      (-F.col("lbl")).alias("nl")))
+                        .alias("b"))
+                  .select("node", (-F.col("b.nl")).alias("lbl")))
     return (labels.select("node", F.col("lbl").alias("community"))
             .orderBy("node"))
 
