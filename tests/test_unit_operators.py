@@ -2186,3 +2186,31 @@ def test_extract_features_real_default_and_fake_seam(spark):
     fake = {r.asset_id: r for r in
             multimodal.extract_features(df, fake=True).collect()}
     assert fake[2].feature is not None  # the test seam still works
+
+
+def test_jaccard_verify_strategies_agree(spark):
+    """The arrays (default) and explode verify strategies must return
+    identical rows — same pairs, same exact intersection/union."""
+    import pytest
+    from bigdata_project_hust_spark.operators import dedup
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumps over a lazy dog",
+             "entirely different words here now",
+             "the quick brown fox leaps over the lazy dog",
+             "short one", "short one two"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    sh = dedup.shingles(df, "text", "doc_id", 2)
+    ids = df.select("doc_id")
+    pairs = (ids.select(F.col("doc_id").alias("doc_a"))
+             .crossJoin(ids.select(F.col("doc_id").alias("doc_b")))
+             .where(F.col("doc_a") < F.col("doc_b")))
+    a = sorted(map(tuple, dedup.jaccard_verify(
+        pairs, sh, "doc_id", 3, 10, strategy="arrays").collect()))
+    e = sorted(map(tuple, dedup.jaccard_verify(
+        pairs, sh, "doc_id", 3, 10, strategy="explode").collect()))
+    assert a == e and len(a) >= 2
+    with pytest.raises(ValueError, match="strategy"):
+        dedup.jaccard_verify(pairs, sh, "doc_id", 3, 10, strategy="nope")
+    with pytest.raises(ValueError, match="threshold_num"):
+        dedup.jaccard_verify(pairs, sh, "doc_id", 0, 10)
