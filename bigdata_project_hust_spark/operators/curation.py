@@ -198,7 +198,7 @@ def dsir_logratio(df: DataFrame, target_cond, text_col: str = "text",
     marked = df.select(F.col(id_col), F.col(text_col),
                        target_cond.cast("long").alias("__is_t"))
     toks = marked.select(F.col(id_col), F.col("__is_t"),
-                         F.explode(tokens(text_col)).alias("term")).persist()
+                         F.explode(tokens(text_col)).alias("term")).localCheckpoint(eager=True)
     vocab = (toks.groupBy("term")
                  .agg(F.count("*").alias("__tf_r"),
                       F.sum("__is_t").alias("__tf_t")))

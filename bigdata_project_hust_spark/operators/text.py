@@ -167,10 +167,11 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     At 100 TB the only wide exchange is the (doc, term) aggregation;
     term→df is orders of magnitude smaller (vocabulary-sized) and stays
     broadcast."""
-    # toks feeds BOTH aggregations — persist, or the tokenize+explode
-    # of the whole corpus runs twice (same convention as dedup.py)
+    # toks feeds BOTH aggregations — EAGER localCheckpoint, or the
+    # tokenize+explode of the whole corpus runs twice (lazy persist
+    # loses the race between concurrent branches of one job)
     toks = df.select(F.col(id_col),
-                     F.explode(tokens(text_col)).alias("term")).persist()
+                     F.explode(tokens(text_col)).alias("term")).localCheckpoint(eager=True)
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     docfreq = (toks.groupBy("term")
                    .agg(F.count_distinct(F.col(id_col)).alias("df_docs")))
@@ -272,7 +273,7 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     100 TB shape as tfidf_top_terms: the only wide exchange carries
     token rows, the model side stays broadcast."""
     toks = df.select(F.col(id_col),
-                     F.explode(tokens(text_col)).alias("term")).persist()
+                     F.explode(tokens(text_col)).alias("term")).localCheckpoint(eager=True)
     vocab = toks.groupBy("term").agg(F.count("*").alias("__tf"))
     tot = vocab.agg(F.sum("__tf").alias("__total"))
     scored = (toks.join(F.broadcast(vocab), "term")
@@ -850,13 +851,13 @@ def nb_lang_classifier(df: DataFrame, text_col: str = "text",
     inference is one map-side join + one key shuffle per doc.
     """
     # the token explode and the label pass each feed BOTH the training
-    # subtree and the scoring subtree — persist so tokenization/lang-id
-    # run once, not twice (same contract as dedup.shingles' persist;
-    # at cluster scale swap for a checkpoint)
+    # subtree and the scoring subtree — eager localCheckpoint so
+    # tokenization/lang-id run once, not twice (same contract as
+    # dedup.shingles; at cluster scale swap for a parquet checkpoint)
     labels = lang_id(df, text_col, id_col).select(
-        F.col(id_col), F.col("lang_pred")).persist()
+        F.col(id_col), F.col("lang_pred")).localCheckpoint(eager=True)
     toks = df.select(F.col(id_col),
-                     F.explode(tokens(text_col)).alias("term")).persist()
+                     F.explode(tokens(text_col)).alias("term")).localCheckpoint(eager=True)
     train_toks = (toks.join(labels.where(F.col("lang_pred") != "und"),
                             id_col)
                   .select("term", "lang_pred"))

@@ -515,10 +515,10 @@ def q_training_manifest(spark, sf_dir):
     kept = (ld.where(F.col("n_removed") < F.col("n_lines"))
               .select("doc_id", F.col("clean_text").alias("text")))
     # the cleaned train slice feeds BOTH the decon aggregate and the
-    # DSIR stage; persist so the line-dedup subtree runs once (at
-    # cluster scale: checkpoint to a shuffle-service-backed path, the
-    # same trade documented for the MinHash shingle subtree)
-    train = kept.where(F.col("doc_id") % 10 != 7).persist()
+    # DSIR stage; eager localCheckpoint so the line-dedup subtree runs
+    # once (at cluster scale: checkpoint to a shuffle-service-backed
+    # path, the same trade documented for the MinHash shingle subtree)
+    train = kept.where(F.col("doc_id") % 10 != 7).localCheckpoint(eager=True)
     bench = docs.where(F.col("doc_id") % 10 == 7)
     # 13-gram overlap — the published decontamination standard (GPT-3
     # appendix C); short shingles over-flag on a small vocabulary
