@@ -3194,94 +3194,77 @@ QUERIES.update(QUERIES_ROUND22)
 # oracle by scripts/driver_sim.py (full registry, driver-identical
 # pandas canonicalization) and by tests/test_oracle_parity.py.
 #
-# Round-5 front window (registry FROZEN at 367 — no new queries this round,
-# per VERDICT r4 #1): the list below IS the complete never-driver-checked
-# set — the 207 names in registry minus the union of CORRECTNESS_r01..r04
-# rows (160 green, zero failures).  Order preserves the r4 rotation's
-# risk ranking, so the first 50 include `semantic_dedup` (VERDICT r4 #4
-# wants it driver-checked), the sketch family (HLL/CMS/Bloom/KMV), the
-# PQ/IVF ANN family, and the entity-resolution/graph batch.  A sweep of
-# ANY length maximally advances union coverage; at 50/round the tail
-# clears in round 9 ((367-160)/50 ≈ 4.1 more rounds → plan: keep the
-# registry frozen until the union reaches 367).
+# Round-6 front window (registry still FROZEN at 367): the list below IS the
+# complete never-driver-checked set — the 159 names in the registry minus
+# the union of CORRECTNESS_r01..r05 rows (208 green, zero failures).  Per
+# VERDICT r5 #1 the r05 window has been dropped entirely and the expensive /
+# load-bearing unchecked queries are promoted to the first 50:
+# clustering_coefficient and lpa_communities_parts (the two slowest
+# headliners, never driver-checked), the ANN/split quality gates
+# (ann_recall_ivfpq, split_leakage_audit, leakage_safe_split,
+# dedup_method_kappa) and boilerplate_strip_report.  The remainder keeps the
+# r05 risk ordering.  At 50/round the tail clears in round 9
+# ((367-208)/50 ≈ 3.2 more rounds).
 _CHECK_FIRST = [
-    "value_outliers_per_user", "events_value_histogram",
-    "gopher_quality_filter", "semantic_dedup",
-    # re-check: semantics changed this round (real-decode pixel stats
-    # replaced the stub feature vector — VERDICT r4 #5; stop-term df
-    # cap added to the tf-idf pair join after the heavy-tail sweep
-    # measured it at 123 s uncapped), so the old rows no longer vouch
-    "multimodal_features", "tfidf_cosine_pairs",
-    "ccnet_perplexity_buckets",
-    "bpe_top_merges", "tukey_outlier_events", "event_funnel",
-    "retention_cohorts", "hll_distinct_orderkeys", "pearson_qty_price",
-    "cms_event_type_counts", "bloom_customer_orders", "hll_union_custkeys",
-    "equidepth_octiles", "table_fingerprint_orders", "pq_codes", "pq_adc_topk",
-    "ann_recall_lsh", "bfs_hops_trade", "weighted_doc_sample",
-    "text_bigram_logprob", "bloom_pruned_revenue", "ivf_pq_topk",
-    "subword_piece_counts", "dedup_ngram_prefix", "text_hash_embedding",
-    "retrieval_hash_topk", "hll_group_rollup", "incremental_join_view",
-    "pandas_gmean_prices", "event_pattern_matches", "ivfadc_topk",
-    "ohlc_events", "fuzzy_customer_names", "entity_resolution_customers",
-    "customer_radius_pairs", "event_transition_matrix", "customer_rfm",
-    "weighted_median_price", "lang_id_confusion", "link_prediction_copurchase",
-    "nb_lang_classifier", "pmi_collocations", "cusum_drift_alerts",
-    "ewma_recent_value", "autocorr_lag1_user", "retrieval_rrf_fusion",
-    "winsorize_event_values", "mad_outlier_values", "source_temperature_mix",
-    "vocab_coverage_curve", "snapshot_diff_orders", "purchase_attribution",
-    "term_drift_sources", "ols_price_model", "recursive_cte_depths",
-    "pipe_syntax_orders", "basket_lift_pairs", "key_skew_custkey",
-    "zipf_fit_tokens", "ppr_trade_graph", "ams_join_size",
-    "contrastive_triplets", "ks_purchase_vs_view", "benford_order_totals",
-    "mwu_purchase_vs_view", "ab_conversion_ztest", "hourly_seasonality",
-    "seasonal_deviation_topk", "max_concurrent_events",
-    "target_encoding_mktsegment", "diversified_topk_docs",
-    "wmape_seasonal_naive", "k_core_membership", "degree_assortativity",
-    "item_item_recs", "textrank_keywords", "k_anonymity_customers",
-    "lorenz_user_spend", "holt_trend_users", "calibration_bins_nb",
-    "tokenizer_fertility", "dedup_cluster_sizes", "arrow_embedding_norms",
-    "arrow_label_centroids", "fano_factor_bursts", "cohort_ltv", "kwic_the",
-    "hits_trade", "centroid_separability", "except_all_custkeys",
-    "group_by_all_revenue", "vocab_prune_manifest", "clustering_coefficient",
-    "weighted_paths_parts", "funnel_transition_medians", "curriculum_order",
-    "packing_fill_histogram", "incremental_dedup", "jl_projection",
-    "script_mix_report", "interevent_gap_histogram", "lateral_top_order",
-    "range_window_weekly_revenue", "ingest_accept_list", "parameterized_sql",
-    "top_trigram_journeys", "embedding_outliers", "containment_dups",
-    "dau_wau_stickiness", "hapax_ratio_by_source", "retrieval_eval",
-    "median_of_means", "source_vocab_jaccard", "churn_rates",
-    "trimmed_mean_prices", "daily_revenue_features", "first_touch_attribution",
+    "clustering_coefficient", "lpa_communities_parts", "ann_recall_ivfpq",
+    "split_leakage_audit", "leakage_safe_split",
+    "boilerplate_strip_report", "dedup_method_kappa",
+    "winsorize_event_values", "mad_outlier_values",
+    "source_temperature_mix", "vocab_coverage_curve",
+    "snapshot_diff_orders", "purchase_attribution", "term_drift_sources",
+    "ols_price_model", "recursive_cte_depths", "pipe_syntax_orders",
+    "basket_lift_pairs", "key_skew_custkey", "zipf_fit_tokens",
+    "ppr_trade_graph", "ams_join_size", "contrastive_triplets",
+    "ks_purchase_vs_view", "benford_order_totals", "mwu_purchase_vs_view",
+    "ab_conversion_ztest", "hourly_seasonality", "seasonal_deviation_topk",
+    "max_concurrent_events", "target_encoding_mktsegment",
+    "diversified_topk_docs", "wmape_seasonal_naive", "k_core_membership",
+    "degree_assortativity", "item_item_recs", "textrank_keywords",
+    "k_anonymity_customers", "lorenz_user_spend", "holt_trend_users",
+    "calibration_bins_nb", "tokenizer_fertility", "dedup_cluster_sizes",
+    "arrow_embedding_norms", "arrow_label_centroids", "fano_factor_bursts",
+    "cohort_ltv", "kwic_the", "hits_trade", "centroid_separability",
+    "except_all_custkeys", "group_by_all_revenue", "vocab_prune_manifest",
+    "weighted_paths_parts", "funnel_transition_medians",
+    "curriculum_order", "packing_fill_histogram", "incremental_dedup",
+    "jl_projection", "script_mix_report", "interevent_gap_histogram",
+    "lateral_top_order", "range_window_weekly_revenue",
+    "ingest_accept_list", "parameterized_sql", "top_trigram_journeys",
+    "embedding_outliers", "containment_dups", "dau_wau_stickiness",
+    "hapax_ratio_by_source", "retrieval_eval", "median_of_means",
+    "source_vocab_jaccard", "churn_rates", "trimmed_mean_prices",
+    "daily_revenue_features", "first_touch_attribution",
     "session_duration_histogram", "nearest_order_per_event",
     "readability_by_lang", "sliding_hll_wau", "top_orders_with_ties",
     "session_type_pmi", "skyline_orders", "anova_value_by_type",
-    "ecdf_value_by_type", "welch_t_values", "cv_by_type", "cramers_v_type_arm",
-    "cluster_label_impurity", "brown_forsythe_values", "runs_test_daily",
-    "kruskal_wallis_values", "cohens_d_arms", "jarque_bera_values",
-    "kendall_view_purchase", "friedman_daily_types", "decision_stump_purchase",
+    "ecdf_value_by_type", "welch_t_values", "cv_by_type",
+    "cramers_v_type_arm", "cluster_label_impurity",
+    "brown_forsythe_values", "runs_test_daily", "kruskal_wallis_values",
+    "cohens_d_arms", "jarque_bera_values", "kendall_view_purchase",
+    "friedman_daily_types", "decision_stump_purchase",
     "max_drawdown_nation", "kmv_distinct_custkeys", "kmv_jaccard_custkeys",
-    "phrase_search_the_part", "shard_plan_documents", "filter_clause_rollup",
-    "acf_daily_values", "theil_sen_daily", "mann_kendall_daily",
-    "chi2_gof_types", "active_day_islands", "ridge_price_model",
-    "quantile_normalize_values", "lpa_communities_parts",
-    "pairwise_welch_types", "token_budget_allocation", "dedup_prefix_filter",
-    "consistent_hash_routing", "linear_attribution", "diff_in_diff_arms",
-    "nelson_aalen_purchase", "changepoint_daily", "quartiles_order_totals",
-    "trending_terms_batches", "ucb_arm_scores", "poisson_rate_arms",
-    "churn_hazard_tenure", "degree_powerlaw_parts", "rolling_median_daily",
-    "lognormal_gamma_values", "dow_hour_heatmap", "journey_edit_distance",
-    "outlier_consensus", "compaction_bin_packing", "partition_skew_advisor",
-    "ann_recall_matryoshka", "embedding_top_component", "kfold_cv_ridge",
-    "als_rank1_item_factors", "bias_baseline_card", "boilerplate_strip_report",
-    "sax_daily_symbols", "bpe_merge_rounds", "bpe_fertility_by_source",
-    "label_silhouette", "dq_constraint_report", "oof_target_encoding",
-    "dow_seasonality_harmonics", "rake_keyphrases", "stratified_ate",
-    "triplet_violation_audit", "collated_distinct_names",
-    "rtbf_deletion_manifest", "cross_source_dup_matrix", "source_scorecard",
-    "top_event_trigrams", "abc_classification", "new_vs_returning_daily",
-    "repeat_purchase_intervals", "order_fulfillment_cycle",
-    "supplier_concentration_hhi", "nation_trade_balance", "discount_band_lift",
-    "split_leakage_audit", "dedup_method_kappa", "ann_recall_ivfpq",
-    "leakage_safe_split",
+    "phrase_search_the_part", "shard_plan_documents",
+    "filter_clause_rollup", "acf_daily_values", "theil_sen_daily",
+    "mann_kendall_daily", "chi2_gof_types", "active_day_islands",
+    "ridge_price_model", "quantile_normalize_values",
+    "pairwise_welch_types", "token_budget_allocation",
+    "dedup_prefix_filter", "consistent_hash_routing", "linear_attribution",
+    "diff_in_diff_arms", "nelson_aalen_purchase", "changepoint_daily",
+    "quartiles_order_totals", "trending_terms_batches", "ucb_arm_scores",
+    "poisson_rate_arms", "churn_hazard_tenure", "degree_powerlaw_parts",
+    "rolling_median_daily", "lognormal_gamma_values", "dow_hour_heatmap",
+    "journey_edit_distance", "outlier_consensus", "compaction_bin_packing",
+    "partition_skew_advisor", "ann_recall_matryoshka",
+    "embedding_top_component", "kfold_cv_ridge", "als_rank1_item_factors",
+    "bias_baseline_card", "sax_daily_symbols", "bpe_merge_rounds",
+    "bpe_fertility_by_source", "label_silhouette", "dq_constraint_report",
+    "oof_target_encoding", "dow_seasonality_harmonics", "rake_keyphrases",
+    "stratified_ate", "triplet_violation_audit", "collated_distinct_names",
+    "rtbf_deletion_manifest", "cross_source_dup_matrix",
+    "source_scorecard", "top_event_trigrams", "abc_classification",
+    "new_vs_returning_daily", "repeat_purchase_intervals",
+    "order_fulfillment_cycle", "supplier_concentration_hhi",
+    "nation_trade_balance", "discount_band_lift",
 ]
 
 
