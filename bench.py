@@ -1,5 +1,16 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
-on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line.
+on local[$SPARK_GRAFT_CPUS].
+
+Output contract (VERDICT r5 #2 — the driver tail-captures only the last
+2,000 chars of stdout, and the r05 single line carrying BOTH per-query
+dicts exceeded that, so BENCH_r05 recorded `parsed: null`):
+
+  * an EARLY stdout line + a `bench_detail.json` sidecar carry the full
+    detail (per-query min AND median, calibration runs);
+  * the LAST stdout line is a compact summary — metric/value/queries
+    (per-query min)/median_total/calib_sec/reps/sf/n_queries — measured
+    at ~1.3k chars for the frozen 37-query headline set, comfortably
+    inside the tail capture.
 
 Each query is fully materialized through the noop sink (count() would
 let Catalyst prune the expensive columns and under-report).
@@ -9,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -90,22 +102,35 @@ def main() -> None:
             # tokens): keeps session memory bounded, queries and
             # repeats independent
             spark.catalog.clearCache()
-        runs.sort()
-        timings[name] = round(runs[0], 3)
-        medians[name] = round(runs[len(runs) // 2], 3)
+        timings[name] = round(min(runs), 3)
+        # statistics.median averages the two middle elements for even
+        # reps (ADVICE r5: runs[len//2] was the upper-middle, biasing
+        # the reported median upward whenever reps was even)
+        medians[name] = round(statistics.median(runs), 3)
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    summary = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_median": medians,
         "median_total": round(sum(medians.values()), 3),
         "calib_sec": calib,
         "reps": reps,
         "sf": sf_of(SF_DIR),
         "n_queries": len(timings),
-    }))
+    }
+    detail = {**summary, "queries_median": medians,
+              "calib_runs": [round(r, 3) for r in calib_runs]}
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    # detail FIRST; the LAST line must be the compact driver-parseable one
+    print(json.dumps(detail))
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
