@@ -326,17 +326,29 @@ def write_bucketed_table(df: DataFrame, table: str, key: str,
             f"{table!r} (qualified or path-like names would misdirect "
             "the orphaned-location cleanup)")
     spark = df.sparkSession
+    wh = os.path.abspath(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
     # prefer the catalog's own location over string concat when the
     # entry still exists (it may live outside the default warehouse)
     loc = None
+    ttype = None
     if spark.catalog.tableExists(table):
         for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
             if row.col_name == "Location":
                 loc = urlparse(row.data_type).path
-                break
+            elif row.col_name == "Type":
+                ttype = row.data_type
+        # EXTERNAL tables deliberately keep their data across DROP
+        # TABLE; deleting their directory here would destroy data the
+        # user placed outside our control. Only MANAGED entries (or
+        # locations inside our own warehouse) are fair game.
+        if (loc is not None and ttype != "MANAGED"
+                and os.path.commonpath([os.path.abspath(loc), wh]) != wh):
+            raise ValueError(
+                f"table {table!r} already exists as a {ttype or 'non-'}"
+                f"MANAGED table at external location {loc!r}; refusing "
+                "to overwrite external data — drop it explicitly first")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     if loc is None:
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         loc = os.path.join(wh, table.lower())
     shutil.rmtree(loc, ignore_errors=True)
     (df.write.format("parquet").mode(mode)

@@ -40,7 +40,7 @@ def parse_kafka_frame(raw: DataFrame, schema: T.StructType) -> DataFrame:
 
 def kafka_source_options(brokers: str, topics: str,
                          starting_offsets: str = "earliest",
-                         fail_on_data_loss: bool = False) -> dict[str, str]:
+                         fail_on_data_loss: bool = True) -> dict[str, str]:
     """The EXACT option matrix ``kafka_stream`` hands to the Kafka
     source, factored out so the contract is pinned by a broker-free
     test (``test_streaming.test_kafka_source_option_contract``) even
@@ -52,10 +52,14 @@ def kafka_source_options(brokers: str, topics: str,
       from the beginning on first start (no committed group offsets);
       after the first run the CHECKPOINT owns progress — Spark ignores
       this option on restart, giving exactly-once resume (S12).
-    - ``failOnDataLoss=false``: retention-expired offsets log and
-      continue instead of killing a 100 TB ingest — the documented
-      trade-off for long-running jobs (a missed range is surfaced in
-      the streaming-query progress metrics, not silently ignored).
+    - ``failOnDataLoss`` defaults to ``true`` — Spark's own safe
+      default, preserved so retention-expired offsets are an ERROR
+      unless a job explicitly opts out (ADVICE r5: a silent ``false``
+      default undercut the exactly-once-resume guarantee for every
+      caller). Long-running 100 TB ingests that prefer
+      skip-and-continue pass ``fail_on_data_loss=False`` per job; a
+      skipped range is then surfaced in the streaming-query progress
+      metrics, not silently ignored.
     """
     if starting_offsets not in ("earliest", "latest") \
             and not starting_offsets.startswith("{"):
@@ -73,7 +77,7 @@ def kafka_source_options(brokers: str, topics: str,
 def kafka_stream(spark: SparkSession, brokers: str, topics: str,
                  schema: T.StructType,
                  starting_offsets: str = "earliest",
-                 fail_on_data_loss: bool = False) -> DataFrame:
+                 fail_on_data_loss: bool = True) -> DataFrame:
     """S4: multi-topic Kafka source → parsed records
     (consumer1.py:41-48). Requires the kafka connector jar + a broker —
     not present in the test container, so the source itself is

@@ -915,22 +915,22 @@ def test_cusum_stream_alerts_across_batches(spark, tmp_path):
 
 def test_kafka_source_option_contract():
     """S4/ST1 contract pin (no broker in this container): the exact
-    option matrix the Kafka source receives, including the
-    failOnDataLoss=false long-job trade-off and startingOffsets
-    validation."""
+    option matrix the Kafka source receives — failOnDataLoss defaults
+    to Spark's safe ``true`` with loss-tolerance an explicit per-job
+    opt-out (ADVICE r5) — plus startingOffsets validation."""
     from bigdata_project_hust_spark.streaming.pipeline import (
         kafka_source_options)
     assert kafka_source_options("b1:9092,b2:9092", "topicA,topicB") == {
         "kafka.bootstrap.servers": "b1:9092,b2:9092",
         "subscribe": "topicA,topicB",
         "startingOffsets": "earliest",
-        "failOnDataLoss": "false",
+        "failOnDataLoss": "true",
     }
     assert kafka_source_options(
         "b:9092", "t", starting_offsets="latest",
-        fail_on_data_loss=True)["startingOffsets"] == "latest"
+        fail_on_data_loss=False)["startingOffsets"] == "latest"
     assert kafka_source_options(
-        "b:9092", "t", fail_on_data_loss=True)["failOnDataLoss"] == "true"
+        "b:9092", "t", fail_on_data_loss=False)["failOnDataLoss"] == "false"
     offs = '{"t":{"0":42}}'
     assert kafka_source_options(
         "b:9092", "t", starting_offsets=offs)["startingOffsets"] == offs
