@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..checkpoint import materialize
+
 from ..functions.scalar import stable_hash64
 from .dedup import shingles
 from .text import tokens
@@ -198,7 +200,8 @@ def dsir_logratio(df: DataFrame, target_cond, text_col: str = "text",
     marked = df.select(F.col(id_col), F.col(text_col),
                        target_cond.cast("long").alias("__is_t"))
     toks = marked.select(F.col(id_col), F.col("__is_t"),
-                         F.explode(tokens(text_col)).alias("term")).localCheckpoint(eager=True)
+                         F.explode(tokens(text_col)).alias("term")).transform(
+        materialize, "dsir_tokens")
     vocab = (toks.groupBy("term")
                  .agg(F.count("*").alias("__tf_r"),
                       F.sum("__is_t").alias("__tf_t")))

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..checkpoint import materialize
 from ..functions.scalar import stable_hash64
 from .text import tokens
 
@@ -148,6 +149,14 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
     skew-length corpora it is the cheapest pruning lever the verify
     has.
 
+    Jaccard is defined over shingle SETS, so ``sh`` is treated
+    set-wise: duplicate (doc, sh) rows are collapsed by both
+    strategies (``collect_set``/``count_distinct`` on the arrays
+    path, a distinct projection on the explode path) — the two
+    strategies agree even on non-distinct inputs (ADVICE r5: the
+    earlier collect_list/count(*) pair silently diverged from the
+    explode form when callers passed duplicate shingle rows).
+
     Two intersection strategies, identical output (asserted in
     tests/test_unit_operators.py):
     - ``arrays`` (default): each side's shingle set rides along as an
@@ -168,12 +177,12 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
         # at t = 0 the two strategies diverge (explode's inner join
         # drops zero-intersection pairs; arrays would keep them)
         raise ValueError("threshold_num must be >= 1")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sizes = sh.groupBy(id_col).agg(F.count_distinct("sh").alias("n_sh"))
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     if strategy == "arrays":
-        sets = sh.groupBy(id_col).agg(F.collect_list("sh").alias("ss"),
-                                      F.count("*").alias("n_sh"))
+        sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("ss"),
+                                      F.count_distinct("sh").alias("n_sh"))
         pa = sets.select(F.col(id_col).alias("doc_a"),
                          F.col("ss").alias("__sa"),
                          F.col("n_sh").alias("n_a"))
@@ -193,8 +202,9 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
         p = (pairs.join(na, "doc_a").join(nb, "doc_b")
                   .where(F.least("n_a", "n_b") * threshold_den
                          >= F.greatest("n_a", "n_b") * threshold_num))
-        sa = sh.select(F.col(id_col).alias("doc_a"), F.col("sh"))
-        sb = sh.select(F.col(id_col).alias("doc_b"), F.col("sh"))
+        dsh = sh.select(id_col, "sh").distinct()
+        sa = dsh.select(F.col(id_col).alias("doc_a"), F.col("sh"))
+        sb = dsh.select(F.col(id_col).alias("doc_b"), F.col("sh"))
         inter = (p.select("doc_a", "doc_b")
                   .join(sa, "doc_a").join(sb, ["doc_b", "sh"])
                   .groupBy("doc_a", "doc_b")
@@ -230,13 +240,9 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
       recompute the whole tokenize subtree per retry. The path works on
       any Hadoop-FS URI (hdfs://, s3a://, file:).
     """
-    sh = shingles(df, text_col, id_col)
-    if checkpoint_dir is not None:
-        path = checkpoint_dir.rstrip("/") + "/minhash_shingles.parquet"
-        sh.write.mode("overwrite").parquet(path)
-        sh = df.sparkSession.read.parquet(path)
-    else:
-        sh = sh.localCheckpoint(eager=True)
+    sh = materialize(shingles(df, text_col, id_col), "minhash_shingles",
+                     strategy="reliable" if checkpoint_dir else None,
+                     path=checkpoint_dir)
     sig = minhash_signatures(sh, id_col)
     cands = candidate_pairs(minhash_bands(sig, id_col), id_col)
     return jaccard_verify(cands, sh, id_col, threshold_num, threshold_den)
@@ -287,7 +293,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     # since last checkpoint), independent of the upstream plan.
     edges = (e.unionByName(e.select(F.col("b").alias("a"),
                                     F.col("a").alias("b")))
-              .distinct().localCheckpoint(eager=True))
+              .distinct().transform(materialize, "cc_edges"))
     labels = (edges.select(F.col("a").alias("node")).distinct()
                    .select("node", F.col("node").alias("component"))
                    .persist())
@@ -312,7 +318,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         labels = new_labels
         if (i + 1) % checkpoint_every == 0:
             # truncate lineage from the cached data, then drop the cache
-            labels = new_labels.localCheckpoint(eager=True)
+            labels = materialize(new_labels, "cc_labels")
             new_labels.unpersist()
         if (obs.get["n_changed"] or 0) == 0:
             break
@@ -339,7 +345,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     recall than MinHash, more compute — the verify path for audits.
     The inverted-index join bounds work to pairs that actually share a
     shingle (never a cross product)."""
-    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
+    sh = materialize(shingles(df, text_col, id_col, n), "shingles")
     pairs = (sh.alias("a").join(sh.alias("b"), "sh")
                .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
                .select(F.col(f"a.{id_col}").alias("doc_a"),
@@ -364,7 +370,7 @@ def ngram_jaccard_pairs_capped(df: DataFrame, text_col: str = "text",
     threshold anyway in practice). The exact-Jaccard verify still uses
     the FULL shingle sets, so surviving pairs carry true scores.
     """
-    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
+    sh = materialize(shingles(df, text_col, id_col, n), "shingles")
     rare = (sh.groupBy("sh")
               .agg(F.count("*").alias("__df"))
               .where(F.col("__df") <= max_df)
@@ -502,7 +508,8 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     # EAGER localCheckpoint (not lazy persist — concurrent branches of
     # one job race the unfilled cache and recompute) guarantees the
     # token-explode + wide-agg pipeline runs once, not per join side
-    sig = simhash_signatures(df, text_col, id_col).localCheckpoint(eager=True)
+    sig = materialize(simhash_signatures(df, text_col, id_col),
+                      "simhash_sig")
     cands = simhash_candidate_pairs(sig, id_col, max_hamming)
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (cands.withColumn("hamming", ham.cast("long"))
@@ -626,7 +633,7 @@ def ngram_jaccard_prefix(df: DataFrame, text_col: str = "text",
     shingle, buckets ≤ min(df, prefix-membership)), then the verify
     joins — each keyed, none cartesian."""
     from pyspark.sql import Window
-    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
+    sh = materialize(shingles(df, text_col, id_col, n), "shingles")
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("__df"))
     w = Window.partitionBy(id_col).orderBy(F.col("__df").asc(),
                                            F.col("sh").asc())
@@ -721,7 +728,7 @@ def connected_components_pj(pairs: DataFrame, src: str = "doc_a",
     # budget is even tighter)
     edges = (e.unionByName(e.select(F.col("b").alias("a"),
                                     F.col("a").alias("b")))
-              .distinct().localCheckpoint(eager=True))
+              .distinct().transform(materialize, "inc_cc_edges"))
     labels = (edges.select(F.col("a").alias("node")).distinct()
                    .select("node", F.col("node").alias("component"))
                    .persist())
@@ -760,7 +767,8 @@ def connected_components_pj(pairs: DataFrame, src: str = "doc_a",
                       .drop("__chg")
                       .persist())
         if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=False)
+            new_labels = materialize(new_labels, "inc_labels",
+                                     eager=False)
         new_labels.count()
         labels.unpersist()
         labels = new_labels
@@ -874,7 +882,7 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     shingle table (range-partition it for a web-scale vocabulary).
     Verification is the shared exact-integer jaccard_verify."""
     from pyspark.sql import Window
-    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
+    sh = materialize(shingles(df, text_col, id_col, n), "shingles")
     vocab = (sh.groupBy("sh").agg(F.count("*").alias("__df")))
     rk = vocab.select(
         "sh", F.row_number().over(

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import materialize
+
 __all__ = ["ratings_from_orders", "als_rank1", "bias_baseline"]
 
 
@@ -63,7 +65,7 @@ def als_rank1(ratings: DataFrame, lam: int = 10, sweeps: int = 2) -> DataFrame:
     if sweeps < 1:
         raise ValueError(f"sweeps must be >= 1, got {sweeps}")
     e6, e12 = 1_000_000, 10 ** 12
-    ratings = ratings.localCheckpoint(eager=True)
+    ratings = materialize(ratings, "als_ratings")
 
     def solve(edges: DataFrame, key: str, fac: str) -> DataFrame:
         s = edges.groupBy(key).agg(

@@ -18,6 +18,7 @@ import math
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..checkpoint import materialize
 
 def _dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision, sequential fold (deterministic).
@@ -993,7 +994,7 @@ def top_principal_component(df: DataFrame, dim: int = 64, iters: int = 6,
     # and truncate lineage so step t's plan does not re-nest steps
     # 1..t-1 (Catalyst re-optimizes the whole tree per action — a
     # 24-deep join chain is a plan-compile blowup, not a data cost)
-    a = a.localCheckpoint(eager=True)
+    a = materialize(a, "kmeans_assign")
     v = spark.range(1, dim + 1).select(
         F.col("id").alias("j"), F.lit(1000000).cast("long").alias("v"))
     for t in range(iters):
@@ -1009,7 +1010,7 @@ def top_principal_component(df: DataFrame, dim: int = 64, iters: int = 6,
         if (t + 1) % 4 == 0 and t + 1 < iters:
             # 64-row frame: an eager localCheckpoint is microseconds
             # and keeps every subsequent plan shallow
-            v = v.localCheckpoint(eager=True)
+            v = materialize(v, "kmeans_centroids")
     return v.select(F.col("j").cast("long").alias("dim"),
                     F.col("v").alias("weight_e6"))
 

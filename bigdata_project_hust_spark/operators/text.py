@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..checkpoint import materialize
+
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 # Deterministic and mirrored verbatim in the DuckDB oracle SQL.
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -171,7 +173,8 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     # tokenize+explode of the whole corpus runs twice (lazy persist
     # loses the race between concurrent branches of one job)
     toks = df.select(F.col(id_col),
-                     F.explode(tokens(text_col)).alias("term")).localCheckpoint(eager=True)
+                     F.explode(tokens(text_col)).alias("term")).transform(
+        materialize, "text_tokens")
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     docfreq = (toks.groupBy("term")
                    .agg(F.count_distinct(F.col(id_col)).alias("df_docs")))
@@ -273,7 +276,8 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     100 TB shape as tfidf_top_terms: the only wide exchange carries
     token rows, the model side stays broadcast."""
     toks = df.select(F.col(id_col),
-                     F.explode(tokens(text_col)).alias("term")).localCheckpoint(eager=True)
+                     F.explode(tokens(text_col)).alias("term")).transform(
+        materialize, "text_tokens")
     vocab = toks.groupBy("term").agg(F.count("*").alias("__tf"))
     tot = vocab.agg(F.sum("__tf").alias("__total"))
     scored = (toks.join(F.broadcast(vocab), "term")
@@ -855,9 +859,11 @@ def nb_lang_classifier(df: DataFrame, text_col: str = "text",
     # tokenization/lang-id run once, not twice (same contract as
     # dedup.shingles; at cluster scale swap for a parquet checkpoint)
     labels = lang_id(df, text_col, id_col).select(
-        F.col(id_col), F.col("lang_pred")).localCheckpoint(eager=True)
+        F.col(id_col), F.col("lang_pred")).transform(
+        materialize, "nb_lang_pred")
     toks = df.select(F.col(id_col),
-                     F.explode(tokens(text_col)).alias("term")).localCheckpoint(eager=True)
+                     F.explode(tokens(text_col)).alias("term")).transform(
+        materialize, "text_tokens")
     train_toks = (toks.join(labels.where(F.col("lang_pred") != "und"),
                             id_col)
                   .select("term", "lang_pred"))

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..checkpoint import materialize
 from ..functions.scalar import stable_hash64_sql
 from ..operators.curation import (benchmark_overlap, chunk_tokens,
                                   corpus_shuffle, dsir_logratio,
@@ -518,7 +519,8 @@ def q_training_manifest(spark, sf_dir):
     # DSIR stage; eager localCheckpoint so the line-dedup subtree runs
     # once (at cluster scale: checkpoint to a shuffle-service-backed
     # path, the same trade documented for the MinHash shingle subtree)
-    train = kept.where(F.col("doc_id") % 10 != 7).localCheckpoint(eager=True)
+    train = materialize(kept.where(F.col("doc_id") % 10 != 7),
+                        "curation_train")
     bench = docs.where(F.col("doc_id") % 10 == 7)
     # 13-gram overlap — the published decontamination standard (GPT-3
     # appendix C); short shingles over-flag on a small vocabulary

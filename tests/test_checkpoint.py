@@ -1,0 +1,77 @@
+"""checkpoint.materialize — the one strategy switch every
+multi-consumer intermediate routes through (VERDICT r5 #5)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_project_hust_spark.checkpoint import materialize
+
+
+def test_materialize_local_truncates_lineage(spark):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    out = materialize(df, "t_local")
+    assert out.count() == 100
+    # lineage is cut: the materialized frame scans an existing RDD,
+    # not the original range
+    assert "ExistingRDD" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_materialize_reliable_parquet_roundtrip(spark, tmp_path):
+    df = spark.range(50).withColumn("v", F.col("id") % 7)
+    out = materialize(df, "t_rel", strategy="reliable", path=str(tmp_path))
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, df.collect()))
+    dirs = [d for d in os.listdir(tmp_path) if d.startswith("t_rel_")]
+    assert len(dirs) == 1 and dirs[0].endswith(".parquet")
+    # the returned frame READS the durable copy (survives executor
+    # loss — lineage roots at a FileScan, not the original plan)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan or "FileScan" in plan
+    # repeated materializations never collide (counter-uniquified)
+    materialize(df, "t_rel", strategy="reliable", path=str(tmp_path))
+    assert len([d for d in os.listdir(tmp_path)
+                if d.startswith("t_rel_")]) == 2
+
+
+def test_materialize_env_driven_strategy(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_CHECKPOINT_STRATEGY flips every call site at once —
+    a cluster deployment needs no code change."""
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_STRATEGY", "reliable")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path))
+    df = spark.range(10)
+    out = materialize(df, "t_env")
+    assert out.count() == 10
+    assert any(d.startswith("t_env_") for d in os.listdir(tmp_path))
+
+
+def test_materialize_validates_inputs(spark, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_STRATEGY", raising=False)
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="strategy"):
+        materialize(df, strategy="bogus")
+    with pytest.raises(ValueError, match="directory"):
+        materialize(df, strategy="reliable")
+
+
+def test_operator_through_reliable_path(spark, tmp_path, monkeypatch):
+    """An end-to-end operator (clustering coefficient: edge frame +
+    degree frame both materialized) produces identical results under
+    the reliable strategy."""
+    from bigdata_project_hust_spark.operators.graph import (
+        clustering_coefficient)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "pa long, pb long")
+    local = {r.node: tuple(r) for r in clustering_coefficient(edges).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_STRATEGY", "reliable")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path))
+    rel = {r.node: tuple(r) for r in clustering_coefficient(edges).collect()}
+    assert rel == local
+    assert local[1] == (1, 2, 1, 1_000_000)  # in the triangle: cc = 1
+    assert local[4] == (4, 1, 0, 0)          # pendant: degree < 2 → 0
+    assert any(d.startswith("cc_edge_frame") for d in os.listdir(tmp_path))
+    assert any(d.startswith("cc_degrees") for d in os.listdir(tmp_path))

@@ -436,3 +436,16 @@ def test_boilerplate_two_level_agg_on_hash_keys(spark):
     plan = plan_of(df)
     assert "hashpartitioning(src" in plan, plan
     assert n_nodes(plan, "SortMergeJoin") <= 1, plan  # totals⋈boiler only
+
+
+def test_clustering_coefficient_single_degree_agg(spark):
+    """VERDICT r5 #4: degrees are aggregated ONCE (node_degrees,
+    materialized, then shared by the triangle orientation and the cc
+    denominator) — the final plan must contain NO endpoint-Union
+    degree aggregate (both consumers scan the materialized frame) and
+    no trailing global sort (output is unordered by default)."""
+    df = QUERIES["clustering_coefficient"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert n_nodes(plan, "Union") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert n_nodes(plan, "TakeOrderedAndProject") == 0, plan

@@ -2210,6 +2210,15 @@ def test_jaccard_verify_strategies_agree(spark):
     e = sorted(map(tuple, dedup.jaccard_verify(
         pairs, sh, "doc_id", 3, 10, strategy="explode").collect()))
     assert a == e and len(a) >= 2
+    # ADVICE r5: duplicate (doc, sh) rows must not diverge the
+    # strategies — both treat shingles SET-wise, so doubling every
+    # shingle row changes nothing
+    sh_dup = sh.unionAll(sh)
+    a2 = sorted(map(tuple, dedup.jaccard_verify(
+        pairs, sh_dup, "doc_id", 3, 10, strategy="arrays").collect()))
+    e2 = sorted(map(tuple, dedup.jaccard_verify(
+        pairs, sh_dup, "doc_id", 3, 10, strategy="explode").collect()))
+    assert a2 == a and e2 == e
     with pytest.raises(ValueError, match="strategy"):
         dedup.jaccard_verify(pairs, sh, "doc_id", 3, 10, strategy="nope")
     with pytest.raises(ValueError, match="threshold_num"):
