@@ -3,8 +3,9 @@
 The Spark-side plumbing is real — schema (schemas.MEDIA_ASSETS),
 Arrow-batched ``mapInPandas`` operators, partition-aware batch shapes —
 and so are the codecs this environment can support: PCM WAV audio
-(``decode_audio_wav``) and PPM/BMP/PNG raster images
-(``decode_image_raster``), both stdlib+numpy. These real codecs are
+(``decode_audio_wav``), PPM/BMP/PNG raster decode
+(``decode_image_raster``) and PNG encode (``encode_png_rgb``), all
+stdlib+numpy. These real codecs are
 the DEFAULT paths (``extract_features``, ``extract_image_features``,
 ``extract_audio_features``, ``extract_pixel_stats``); only formats
 needing an external library (JPEG's DCT) stay behind the
@@ -429,6 +430,70 @@ def decode_image_raster(payload: bytes) -> dict:
             "n_channels": 3, "feature": feature, "pixels": px}
 
 
+def encode_png_rgb(px, filters: list[int] | None = None) -> bytes:
+    """REAL PNG encoder (8-bit RGB, non-interlaced) — the inverse of
+    the raster codec's PNG branch: forward-filter each scanline with
+    the given per-row filter types (cycled; PNG §9 None/Sub/Up/
+    Average/Paeth), deflate the filtered stream, and wrap it in
+    signature + IHDR/IDAT/IEND chunks with CRCs. Filtering is
+    numpy-vectorized per row (the predictors read the PREVIOUS
+    unfiltered row and the shifted current row, so no sequential
+    byte recursion appears on the encode side).
+
+    Used by ``resize_rasters(encode="png")`` for PNG thumbnail output
+    and by the ``multimodal_features`` driver query to derive real
+    PNG payloads whose decoded pixels an ANSI-SQL oracle can
+    reproduce exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, nch = px.shape
+    if nch != 3:
+        raise ValueError(f"encode_png_rgb wants RGB pixels, got {nch} ch")
+    filters = filters or [0]
+    if any(f not in (0, 1, 2, 3, 4) for f in filters):
+        raise ValueError(f"bad PNG filter types {filters}")
+    stride = w * 3
+    zeros3 = np.zeros(3, dtype=np.int16)
+    prev = np.zeros(stride, dtype=np.int16)
+    out = bytearray()
+    for y in range(h):
+        row = px[y].reshape(-1).astype(np.int16)
+        f = filters[y % len(filters)]
+        left = np.concatenate([zeros3, row[:-3]])
+        upleft = np.concatenate([zeros3, prev[:-3]])
+        if f == 0:
+            pred = np.zeros(stride, dtype=np.int16)
+        elif f == 1:
+            pred = left
+        elif f == 2:
+            pred = prev
+        elif f == 3:
+            pred = (left + prev) >> 1
+        else:  # Paeth
+            p = left + prev - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+        out.append(f)
+        out.extend(((row - pred) & 255).astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b""))
+
+
 IMAGE_SCHEMA = ("asset_id long, ok boolean, err string, width int, "
                 "height int, n_channels int, feature array<double>")
 
@@ -460,12 +525,17 @@ def extract_image_features(df: DataFrame) -> DataFrame:
 
 
 def resize_rasters(df: DataFrame, width: int = 32,
-                   height: int = 32) -> DataFrame:
-    """REAL resize for PPM/BMP payloads: decode → nearest-neighbor
-    sample to (width, height) → re-encode as PPM P6 bytes.
-    Undecodable payloads produce ok=false rows (the stub
-    ``resize_images`` remains for formats without a codec here)."""
+                   height: int = 32, encode: str = "ppm") -> DataFrame:
+    """REAL resize for PPM/BMP/PNG payloads: decode → nearest-neighbor
+    sample to (width, height) → re-encode as PPM P6 bytes
+    (``encode="ppm"``, default) or real deflate-compressed PNG
+    (``encode="png"`` via :func:`encode_png_rgb`). Undecodable
+    payloads produce ok=false rows (the stub ``resize_images`` remains
+    for formats without a codec here)."""
     import numpy as np
+
+    if encode not in ("ppm", "png"):
+        raise ValueError(f"unknown thumb encoding {encode!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -477,7 +547,8 @@ def resize_rasters(df: DataFrame, width: int = 32,
                     yi = (np.arange(height) * m["height"]) // height
                     xi = (np.arange(width) * m["width"]) // width
                     thumb = px[yi][:, xi]
-                    out = (b"P6\n%d %d\n255\n" % (width, height)
+                    out = (encode_png_rgb(thumb) if encode == "png"
+                           else b"P6\n%d %d\n255\n" % (width, height)
                            + thumb.tobytes())
                     rows.append((asset_id, True, None, width, height, out))
                 except Exception as ex:  # noqa: BLE001

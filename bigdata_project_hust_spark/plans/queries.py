@@ -2395,25 +2395,45 @@ ORACLE_MM_META = f"""
 
 
 def q_multimodal_features(spark, sf_dir):
-    """REAL-decode feature path (VERDICT r4 #5 — the stub is a test
-    seam now, not the default): each document becomes a genuine 4×4
-    binary PPM whose 48 pixel bytes are the concatenated md5 digests
-    of ``doc_id:0..2`` (16 raw bytes each via unhex); the payload is
-    DECODED by the real raster codec (``decode_image_raster`` inside
-    ``extract_pixel_stats``) and scored as exact-integer pixel
-    statistics — channel sums, min/max of r+g+b, L1 gradient sums —
-    plus e6-quantized channel means (one pinned double division each).
-    The oracle never touches binary: it derives the identical pixel
-    bytes straight from the same md5 hex, so every BIGINT matches
-    bit-for-bit and the driver hash check is exact."""
+    """REAL-decode feature path over BOTH raster codecs (VERDICT r4 #5
+    made real decode the default; VERDICT r5 #6 asked for the PNG
+    decode path in a driver-checked query): each document's 48 pixel
+    bytes are the concatenated md5 digests of ``doc_id:0..2`` (16 raw
+    bytes each via unhex). EVEN asset_ids wrap them as a genuine 4×4
+    binary PPM (pure Catalyst concat); ODD asset_ids as a REAL
+    deflate-compressed PNG (``encode_png_rgb`` in an Arrow-batched
+    pandas UDF) whose four scanlines cycle filter types Sub/Up/
+    Average/Paeth — so the driver row exercises the zlib inflate AND
+    every non-trivial §9 unfilter, not just filter None. Both decode
+    through ``decode_image_raster`` inside ``extract_pixel_stats`` to
+    exact-integer pixel statistics — channel sums, min/max of r+g+b,
+    L1 gradient sums — plus e6-quantized channel means. The oracle
+    never touches binary: it derives the identical pixel bytes
+    straight from the same md5 hex (payload format is irrelevant to
+    it), so every BIGINT matches bit-for-bit."""
+    from pyspark.sql.functions import pandas_udf
+
     docs = _t(spark, sf_dir, "documents")
     seg = [F.unhex(F.md5(F.encode(
         F.concat(F.col("doc_id").cast("string"), F.lit(f":{i}")),
         "UTF-8"))) for i in range(3)]
+
+    @pandas_udf("binary")
+    def png_of(pxs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..operators.multimodal import encode_png_rgb
+        return pxs.map(lambda b: encode_png_rgb(
+            np.frombuffer(bytes(b), dtype=np.uint8).reshape(4, 4, 3),
+            filters=[1, 2, 3, 4]))
+
+    px = F.concat(*seg)
     assets = docs.select(
         F.col("doc_id").alias("asset_id"),
         F.lit("image").alias("kind"),
-        F.concat(F.lit(b"P6\n4 4\n255\n"), *seg).alias("payload"))
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit(b"P6\n4 4\n255\n"), px))
+         .otherwise(png_of(px)).alias("payload"))
     st = multimodal.extract_pixel_stats(assets)
     mean_e6 = {c: F.floor(F.col(f"sum_{c}") / (255.0 * F.col("n_px"))
                           * 1000000).cast("long").alias(f"mean_{c}_e6")
@@ -3194,9 +3214,11 @@ QUERIES.update(QUERIES_ROUND22)
 # oracle by scripts/driver_sim.py (full registry, driver-identical
 # pandas canonicalization) and by tests/test_oracle_parity.py.
 #
-# Round-6 front window (registry still FROZEN at 367): the list below IS the
+# Round-6 front window (registry still FROZEN at 367): the list below is the
 # complete never-driver-checked set — the 159 names in the registry minus
-# the union of CORRECTNESS_r01..r05 rows (208 green, zero failures).  Per
+# the union of CORRECTNESS_r01..r05 rows (208 green, zero failures) — plus
+# ONE deliberate re-check (multimodal_features, payload semantics changed
+# this round; see its inline note).  Per
 # VERDICT r5 #1 the r05 window has been dropped entirely and the expensive /
 # load-bearing unchecked queries are promoted to the first 50:
 # clustering_coefficient and lpa_communities_parts (the two slowest
@@ -3209,6 +3231,11 @@ _CHECK_FIRST = [
     "clustering_coefficient", "lpa_communities_parts", "ann_recall_ivfpq",
     "split_leakage_audit", "leakage_safe_split",
     "boilerplate_strip_report", "dedup_method_kappa",
+    # re-check: semantics changed this round — odd asset_ids now carry
+    # REAL deflate-compressed PNG payloads (filters Sub/Up/Average/
+    # Paeth) instead of PPM, per VERDICT r5 #6; the r05 row no longer
+    # vouches for the decode path this query exercises
+    "multimodal_features",
     "winsorize_event_values", "mad_outlier_values",
     "source_temperature_mix", "vocab_coverage_curve",
     "snapshot_diff_orders", "purchase_attribution", "term_drift_sources",

@@ -1164,6 +1164,52 @@ def test_png_decode_all_filter_types():
     assert got == px
 
 
+def test_encode_png_rgb_roundtrip_and_resize_png():
+    """The engine's OWN encoder (encode_png_rgb, numpy forward-filter)
+    must roundtrip bit-exact through the decoder for every filter type
+    and cycling combinations — independent of the test-local _png_encode
+    helper above."""
+    import random
+
+    import numpy as np
+    import pytest
+    from bigdata_project_hust_spark.operators.multimodal import (
+        decode_image_raster, encode_png_rgb)
+    rng = random.Random(13)
+    px = np.array([[(rng.randrange(256), rng.randrange(256),
+                     rng.randrange(256)) for _ in range(7)]
+                   for _ in range(5)], dtype=np.uint8)
+    for filts in ([0], [1], [2], [3], [4], [1, 2, 3, 4], [4, 3, 2, 1]):
+        m = decode_image_raster(encode_png_rgb(px, filters=filts))
+        assert (m["pixels"] == px).all(), filts
+    with pytest.raises(ValueError, match="filter"):
+        encode_png_rgb(px, filters=[9])
+    with pytest.raises(ValueError, match="RGB"):
+        encode_png_rgb(np.zeros((2, 2, 4), dtype=np.uint8))
+
+
+def test_resize_rasters_png_output(spark):
+    """resize_rasters(encode='png') emits REAL decodable PNG thumbs
+    with the same pixels as the PPM encoding path."""
+    import numpy as np
+    from bigdata_project_hust_spark.operators.multimodal import (
+        decode_image_raster, resize_rasters)
+    import pytest
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    ppm = b"P6\n4 4\n255\n" + px.tobytes()
+    df = spark.createDataFrame([(1, bytearray(ppm))],
+                               "asset_id long, payload binary")
+    ppm_thumb = resize_rasters(df, 2, 2).collect()[0]
+    png_thumb = resize_rasters(df, 2, 2, encode="png").collect()[0]
+    assert ppm_thumb.ok and png_thumb.ok
+    a = decode_image_raster(bytes(ppm_thumb.thumb))
+    b = decode_image_raster(bytes(png_thumb.thumb))
+    assert (a["pixels"] == b["pixels"]).all()
+    assert bytes(png_thumb.thumb)[:8] == b"\x89PNG\r\n\x1a\n"
+    with pytest.raises(ValueError, match="encoding"):
+        resize_rasters(df, 2, 2, encode="gif")
+
+
 def test_png_decode_rgba_drops_alpha_and_corrupt_isolated(spark):
     from bigdata_project_hust_spark.operators.multimodal import (
         decode_image_raster, extract_image_features)
