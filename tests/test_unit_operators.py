@@ -529,7 +529,10 @@ def test_minhash_checkpoint_dir_matches_persist_path(spark, tmp_path):
     # every band collides; Jaccard 1); near-pairs depend on LSH luck
     assert [(a, b) for a, b, *_ in base if (a, b) == (1, 4)]
     import os
-    assert os.path.isdir(ck + "/minhash_shingles.parquet")
+    # the shingle intermediate lands under the given dir via
+    # checkpoint.materialize (counter-uniquified name)
+    assert any(d.startswith("minhash_shingles")
+               and d.endswith(".parquet") for d in os.listdir(ck))
 
 
 def test_asof_join_null_payload_not_torn(spark):
