@@ -29,6 +29,7 @@ MINHASH_K = 16          # signature length
 MINHASH_BANDS = 4       # 4 bands × 4 rows
 SIMHASH_BITS = 60       # stable_hash64 yields 60 usable bits
 SIMHASH_BAND_BITS = 12  # 5 bands of 12 bits
+CC_BROADCAST_MAX_EDGES = 4_000_000  # label-table broadcast gate (CC)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -294,13 +295,22 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     edges = (e.unionByName(e.select(F.col("b").alias("a"),
                                     F.col("a").alias("b")))
               .distinct().transform(materialize, "cc_edges"))
+    n_sym = edges.count()
     labels = (edges.select(F.col("a").alias("node")).distinct()
                    .select("node", F.col("node").alias("component"))
                    .persist())
+    # |V| ≤ symmetric edge count, so under the gate the label table is
+    # broadcast into the per-round join and the edge frame is never
+    # shuffled — the same lever as lpa_communities (measured there:
+    # 10.2 s → 5 s at sf0.1); bigger graphs keep the shuffle join.
+    bcast = n_sym <= CC_BROADCAST_MAX_EDGES
     for i in range(max_iter):
-        nbr = (edges.join(labels, edges["b"] == labels["node"])
+        lab = F.broadcast(labels) if bcast else labels
+        nbr = (edges.join(lab, edges["b"] == lab["node"])
                     .groupBy("a")
                     .agg(F.min("component").alias("nbr_comp")))
+        if bcast:
+            nbr = F.broadcast(nbr)
         new_comp = F.least(labels["component"],
                            F.coalesce(F.col("nbr_comp"),
                                       labels["component"]))

