@@ -463,15 +463,28 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 6,
     times — measured as an OOM at 6 rounds on the sf0.01 co-purchase
     graph. On a real cluster swap in a reliability-grade checkpoint
     (parquet/HDFS) so executor loss cannot drop a truncated block.
+
+    When the edge count is ≤ ``LPA_BROADCAST_MAX_EDGES`` (so the
+    surviving node set is too), the per-round keep set is BROADCAST
+    into both semi-joins — the edge frame is never shuffled, the same
+    lever as lpa_communities/connected_components; bigger graphs keep
+    the shuffle joins (the edge list only ever shrinks, so later
+    rounds cross under the gate anyway).
     """
-    e = edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    e = materialize(
+        edges.select(F.col(a).alias("x"), F.col(b).alias("y")),
+        "kcore_edges")
+    n_e = e.count()
     for _ in range(rounds):
         deg = (e.select(F.col("x").alias("n"))
                .unionAll(e.select(F.col("y").alias("n")))
                .groupBy("n").agg(F.count("*").alias("d")))
         keep = deg.where(F.col("d") >= k).select("n")
-        e = (e.join(keep.select(F.col("n").alias("x")), "x")
-             .join(keep.select(F.col("n").alias("y")), "y")
+        kx = keep.select(F.col("n").alias("x"))
+        ky = keep.select(F.col("n").alias("y"))
+        if n_e <= LPA_BROADCAST_MAX_EDGES:
+            kx, ky = F.broadcast(kx), F.broadcast(ky)
+        e = (e.join(kx, "x").join(ky, "y")
              .transform(materialize, "graph_iter"))
     final = (e.select(F.col("x").alias("node"))
              .unionAll(e.select(F.col("y").alias("node")))

@@ -710,44 +710,42 @@ def ivfadc_topk(df: DataFrame, query_id: int, k: int = 10,
                .limit(k))
 
 
-def ann_recall(df: DataFrame, k: int = 3, sample_mod: int = 5,
-               n_planes: int = 8, dim: int = 64,
-               id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
-    """Recall@k of the LSH kNN join against exact brute-force kNN, on
-    a deterministic 1/``sample_mod`` hash-sample of query vectors — the
-    standard ANN quality gate run before an index ships.
+def _sampled_cosine_pairs(df: DataFrame, sample_mod: int,
+                          id_col: str, vec_col: str,
+                          label_col: str | None = None) -> DataFrame:
+    """(qid, nid, sim_e6[, qlabel, nlabel]) for every (1/``sample_mod``
+    anchor, corpus vector) pair, qid ≠ nid — the shared exact side of
+    the embedding quality gates (:func:`ann_recall`,
+    :func:`triplet_violation_audit`).
 
-    The exact side is the expensive one; sampling the QUERY side bounds
-    it at (n/sample_mod)·n candidate pairs instead of n² — the query
-    matrix ships to executors as one broadcast variable (the same
-    size class the previous broadcast-hash crossJoin moved) and each
-    Arrow batch of the streaming corpus computes its similarity block
-    VECTORIZED, replicating Catalyst's exact FP sequence — the
-    left-to-right double fold of ``_dot``/``_norm`` as 64 vectorized
+    The anchor matrix ships to executors as one broadcast variable
+    (the same size class a broadcast-hash crossJoin would move) and
+    each Arrow batch of the streaming corpus computes its similarity
+    block VECTORIZED, replicating Catalyst's exact FP sequence — the
+    left-to-right double folds of ``_dot``/``_norm`` as d vectorized
     multiply-adds, then the identical ``dot / (qn·nn)`` and
     ``floor(sim·1e6)`` op tree — so every sim_e6 is BIT-EQUAL to the
     column-expression form (asserted over all 799,600 sf0.1 pairs when
     this replaced the interpreted fold, which spent ~7 s allocating
-    zip_with arrays per pair). Rank windows keep k rows per query. The
-    approx side reuses ``lsh_knn_join`` unchanged (same bucket
-    structure being audited).
-
-    Output: ONE row (k, n_queries, n_exact, n_hits, recall_e6) — all
-    BIGINTs, recall floor-scaled e6. Ground truth ties share sim_e6 on
-    the same integer grid both engines compute, so the exact set is
-    well-defined cross-engine (rank ties broken by id)."""
+    zip_with arrays per pair)."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql import Window
 
+    qcols = [F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")]
+    ncols = [F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")]
+    schema = "qid long, nid long, sim_e6 long"
+    if label_col is not None:
+        ltype = df.schema[label_col].dataType.simpleString()
+        qcols.append(F.col(label_col).alias("qlabel"))
+        ncols.append(F.col(label_col).alias("nlabel"))
+        schema += f", qlabel {ltype}, nlabel {ltype}"
     qp = (df.where(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
-            .select(F.col(id_col).alias("qid"),
-                    F.col(vec_col).alias("qv"))
-            .toPandas())
+            .select(*qcols).toPandas())
     qids_arr = qp["qid"].to_numpy()
     q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qp["qv"]])
-    bc = df.sparkSession.sparkContext.broadcast((qids_arr, q_mat))
+    qlabels_arr = qp["qlabel"].to_numpy() if label_col is not None else None
+    bc = df.sparkSession.sparkContext.broadcast(
+        (qids_arr, q_mat, qlabels_arr))
 
     def _seq_norm(m):
         acc = np.zeros(m.shape[0])
@@ -756,7 +754,7 @@ def ann_recall(df: DataFrame, k: int = 3, sample_mod: int = 5,
         return np.sqrt(acc)
 
     def sim_batches(it):
-        qids, qm = bc.value
+        qids, qm, qlabels = bc.value
         qn = _seq_norm(qm)
         for pdf in it:
             if not len(pdf):
@@ -771,14 +769,40 @@ def ann_recall(df: DataFrame, k: int = 3, sample_mod: int = 5,
                    .astype(np.int64)
             nid = pdf["nid"].to_numpy()
             ni, qi = np.indices(e6.shape)
-            out = pd.DataFrame({"qid": qids[qi.ravel()],
-                                "nid": nid[ni.ravel()],
-                                "sim_e6": e6.ravel()})
+            cols = {"qid": qids[qi.ravel()],
+                    "nid": nid[ni.ravel()],
+                    "sim_e6": e6.ravel()}
+            if qlabels is not None:
+                cols["qlabel"] = qlabels[qi.ravel()]
+                cols["nlabel"] = pdf["nlabel"].to_numpy()[ni.ravel()]
+            out = pd.DataFrame(cols)
             yield out[out.qid != out.nid]
 
-    pairs = (df.select(F.col(id_col).alias("nid"),
-                       F.col(vec_col).alias("nv"))
-               .mapInPandas(sim_batches, "qid long, nid long, sim_e6 long"))
+    return df.select(*ncols).mapInPandas(sim_batches, schema)
+
+
+def ann_recall(df: DataFrame, k: int = 3, sample_mod: int = 5,
+               n_planes: int = 8, dim: int = 64,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Recall@k of the LSH kNN join against exact brute-force kNN, on
+    a deterministic 1/``sample_mod`` hash-sample of query vectors — the
+    standard ANN quality gate run before an index ships.
+
+    The exact side is the expensive one; sampling the QUERY side bounds
+    it at (n/sample_mod)·n candidate pairs instead of n², computed by
+    the shared vectorized bit-exact kernel
+    (:func:`_sampled_cosine_pairs`). Rank windows keep k rows per
+    query. The approx side reuses ``lsh_knn_join`` unchanged (same
+    bucket structure being audited).
+
+    Output: ONE row (k, n_queries, n_exact, n_hits, recall_e6) — all
+    BIGINTs, recall floor-scaled e6. Ground truth ties share sim_e6 on
+    the same integer grid both engines compute, so the exact set is
+    well-defined cross-engine (rank ties broken by id)."""
+    from pyspark.sql import Window
+
+    pairs = _sampled_cosine_pairs(df, sample_mod, id_col, vec_col)
     w = Window.partitionBy("qid").orderBy(
         F.col("sim_e6").desc(), F.col("nid").asc())
     exact = (pairs.withColumn("rn", F.row_number().over(w))
@@ -1153,27 +1177,17 @@ def triplet_violation_audit(df: DataFrame, sample_mod: int = 5,
 
     Same cost bound as :func:`ann_recall`: the sampled anchor side
     broadcasts, the corpus streams once — (n/sample_mod)·n candidate
-    pairs, never n². Per-anchor best-of is a plain max aggregate (no
-    rank window needed for k=1). Output per label: n_anchors,
-    n_violations, viol_frac_e6, mean_margin_e6 (positive − negative,
-    floored integer mean; negative mean = the label's anchors sit
-    closer to foreign clouds than their own)."""
-    q = (df.where(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
-           .select(F.col(id_col).alias("qid"),
-                   F.col(label_col).alias("qlabel"),
-                   F.col(vec_col).alias("qv"))
-           .withColumn("qn", _norm(F.col("qv"))))
-    base = df.select(F.col(id_col).alias("nid"),
-                     F.col(label_col).alias("nlabel"),
-                     F.col(vec_col).alias("nv"),
-                     _norm(F.col(vec_col)).alias("nn"))
-    sim = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
-    pairs = (base.crossJoin(F.broadcast(q))
-                 .where(F.col("qid") != F.col("nid"))
-                 .select("qid", "qlabel",
-                         (F.col("qlabel") == F.col("nlabel"))
-                         .alias("same"),
-                         F.floor(sim * 1e6).cast("long").alias("sim_e6")))
+    pairs, never n², computed by the shared vectorized bit-exact
+    kernel (:func:`_sampled_cosine_pairs`). Per-anchor best-of is a
+    plain max aggregate (no rank window needed for k=1). Output per
+    label: n_anchors, n_violations, viol_frac_e6, mean_margin_e6
+    (positive − negative, floored integer mean; negative mean = the
+    label's anchors sit closer to foreign clouds than their own)."""
+    pairs = (_sampled_cosine_pairs(df, sample_mod, id_col, vec_col,
+                                   label_col=label_col)
+             .select("qid", "qlabel",
+                     (F.col("qlabel") == F.col("nlabel")).alias("same"),
+                     "sim_e6"))
     per = (pairs.groupBy("qid", "qlabel")
            .agg(F.max(F.when(F.col("same"), F.col("sim_e6")))
                 .alias("pos"),

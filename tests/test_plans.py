@@ -407,13 +407,18 @@ def test_priority_sample_is_take_ordered(spark):
 
 def test_triplet_audit_broadcasts_anchor_sample(spark):
     """The n²-bounded audits must put the SAMPLE on the broadcast side
-    and stream the corpus: a BroadcastNestedLoopJoin (the sanctioned
-    all-pairs shape), never a CartesianProduct, and the only exchanges
-    are the per-anchor/per-label aggs."""
+    and stream the corpus ONCE: the similarity block is the shared
+    vectorized kernel (one MapInPandas over the corpus scan, the
+    anchor matrix riding a broadcast variable) — never a
+    CartesianProduct, no join at all on the exact side, and the only
+    exchanges are the per-anchor/per-label aggs."""
     df = QUERIES["triplet_violation_audit"].fn(spark, SF_SMOKE)
     plan = plan_of(df)
-    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 1, plan
+    assert n_nodes(plan, "MapInPandas") == 1, plan
     assert "CartesianProduct" not in plan, plan
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+    # anchor agg + label agg + the report orderBy's range partition
+    assert n_nodes(plan, "Exchange") <= 3, plan
 
 
 def test_als_checkpoint_truncates_fact_join(spark):
