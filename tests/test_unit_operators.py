@@ -2268,6 +2268,14 @@ def test_jaccard_verify_strategies_agree(spark):
     e2 = sorted(map(tuple, dedup.jaccard_verify(
         pairs, sh_dup, "doc_id", 3, 10, strategy="explode").collect()))
     assert a2 == a and e2 == e
+    # assume_distinct=True (the internal fast path — shingles() output
+    # is provably distinct) matches the set-semantic default on
+    # distinct input, for both strategies
+    for strat in ("arrays", "explode"):
+        fast = sorted(map(tuple, dedup.jaccard_verify(
+            pairs, sh, "doc_id", 3, 10, strategy=strat,
+            assume_distinct=True).collect()))
+        assert fast == a, strat
     with pytest.raises(ValueError, match="strategy"):
         dedup.jaccard_verify(pairs, sh, "doc_id", 3, 10, strategy="nope")
     with pytest.raises(ValueError, match="threshold_num"):
