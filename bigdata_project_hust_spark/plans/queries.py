@@ -3214,84 +3214,55 @@ QUERIES.update(QUERIES_ROUND22)
 # oracle by scripts/driver_sim.py (full registry, driver-identical
 # pandas canonicalization) and by tests/test_oracle_parity.py.
 #
-# Round-6 front window (registry still FROZEN at 367): the list below is the
-# complete never-driver-checked set — the 159 names in the registry minus
-# the union of CORRECTNESS_r01..r05 rows (208 green, zero failures) — plus
-# ONE deliberate re-check (multimodal_features, payload semantics changed
-# this round; see its inline note).  Per
-# VERDICT r5 #1 the r05 window has been dropped entirely and the expensive /
-# load-bearing unchecked queries are promoted to the first 50:
-# clustering_coefficient and lpa_communities_parts (the two slowest
-# headliners, never driver-checked), the ANN/split quality gates
-# (ann_recall_ivfpq, split_leakage_audit, leakage_safe_split,
-# dedup_method_kappa) and boilerplate_strip_report.  The remainder keeps the
-# r05 risk ordering.  At 50/round the tail clears in round 9
-# ((367-208)/50 ≈ 3.2 more rounds).
+# Round-7 front window (registry still FROZEN at 367): per VERDICT r6 #1 the
+# entire r06 window has been dropped (those 50 all carry fresh driver rows;
+# cumulative union r01..r06 = 257/367 green, zero failures) and the list below
+# is EXACTLY the 110 never-driver-checked names — the registry minus the
+# union of CORRECTNESS_r01..r06.  The first slots are the verdict-named
+# priorities: als_rank1_item_factors (the only bench headliner without a
+# driver row), centroid_separability, incremental_dedup, curriculum_order,
+# packing_fill_histogram, ingest_accept_list.  At 50/round the tail clears
+# in round 9 ((367-257)/50 = 2.2 more rounds).
 _CHECK_FIRST = [
-    "clustering_coefficient", "lpa_communities_parts", "ann_recall_ivfpq",
-    "split_leakage_audit", "leakage_safe_split",
-    "boilerplate_strip_report", "dedup_method_kappa",
-    # re-check: semantics changed this round — odd asset_ids now carry
-    # REAL deflate-compressed PNG payloads (filters Sub/Up/Average/
-    # Paeth) instead of PPM, per VERDICT r5 #6; the r05 row no longer
-    # vouches for the decode path this query exercises
-    "multimodal_features",
-    "winsorize_event_values", "mad_outlier_values",
-    "source_temperature_mix", "vocab_coverage_curve",
-    "snapshot_diff_orders", "purchase_attribution", "term_drift_sources",
-    "ols_price_model", "recursive_cte_depths", "pipe_syntax_orders",
-    "basket_lift_pairs", "key_skew_custkey", "zipf_fit_tokens",
-    "ppr_trade_graph", "ams_join_size", "contrastive_triplets",
-    "ks_purchase_vs_view", "benford_order_totals", "mwu_purchase_vs_view",
-    "ab_conversion_ztest", "hourly_seasonality", "seasonal_deviation_topk",
-    "max_concurrent_events", "target_encoding_mktsegment",
-    "diversified_topk_docs", "wmape_seasonal_naive", "k_core_membership",
-    "degree_assortativity", "item_item_recs", "textrank_keywords",
-    "k_anonymity_customers", "lorenz_user_spend", "holt_trend_users",
-    "calibration_bins_nb", "tokenizer_fertility", "dedup_cluster_sizes",
-    "arrow_embedding_norms", "arrow_label_centroids", "fano_factor_bursts",
-    "cohort_ltv", "kwic_the", "hits_trade", "centroid_separability",
+    "als_rank1_item_factors", "centroid_separability", "incremental_dedup",
+    "curriculum_order", "packing_fill_histogram", "ingest_accept_list",
     "except_all_custkeys", "group_by_all_revenue", "vocab_prune_manifest",
-    "weighted_paths_parts", "funnel_transition_medians",
-    "curriculum_order", "packing_fill_histogram", "incremental_dedup",
-    "jl_projection", "script_mix_report", "interevent_gap_histogram",
-    "lateral_top_order", "range_window_weekly_revenue",
-    "ingest_accept_list", "parameterized_sql", "top_trigram_journeys",
-    "embedding_outliers", "containment_dups", "dau_wau_stickiness",
-    "hapax_ratio_by_source", "retrieval_eval", "median_of_means",
-    "source_vocab_jaccard", "churn_rates", "trimmed_mean_prices",
-    "daily_revenue_features", "first_touch_attribution",
-    "session_duration_histogram", "nearest_order_per_event",
-    "readability_by_lang", "sliding_hll_wau", "top_orders_with_ties",
-    "session_type_pmi", "skyline_orders", "anova_value_by_type",
-    "ecdf_value_by_type", "welch_t_values", "cv_by_type",
-    "cramers_v_type_arm", "cluster_label_impurity",
+    "weighted_paths_parts", "funnel_transition_medians", "jl_projection",
+    "script_mix_report", "interevent_gap_histogram", "lateral_top_order",
+    "range_window_weekly_revenue", "parameterized_sql",
+    "top_trigram_journeys", "embedding_outliers", "containment_dups",
+    "dau_wau_stickiness", "hapax_ratio_by_source", "retrieval_eval",
+    "median_of_means", "source_vocab_jaccard", "churn_rates",
+    "trimmed_mean_prices", "daily_revenue_features",
+    "first_touch_attribution", "session_duration_histogram",
+    "nearest_order_per_event", "readability_by_lang", "sliding_hll_wau",
+    "top_orders_with_ties", "session_type_pmi", "skyline_orders",
+    "anova_value_by_type", "ecdf_value_by_type", "welch_t_values",
+    "cv_by_type", "cramers_v_type_arm", "cluster_label_impurity",
     "brown_forsythe_values", "runs_test_daily", "kruskal_wallis_values",
     "cohens_d_arms", "jarque_bera_values", "kendall_view_purchase",
-    "friedman_daily_types", "decision_stump_purchase",
-    "max_drawdown_nation", "kmv_distinct_custkeys", "kmv_jaccard_custkeys",
-    "phrase_search_the_part", "shard_plan_documents",
-    "filter_clause_rollup", "acf_daily_values", "theil_sen_daily",
-    "mann_kendall_daily", "chi2_gof_types", "active_day_islands",
-    "ridge_price_model", "quantile_normalize_values",
-    "pairwise_welch_types", "token_budget_allocation",
-    "dedup_prefix_filter", "consistent_hash_routing", "linear_attribution",
-    "diff_in_diff_arms", "nelson_aalen_purchase", "changepoint_daily",
-    "quartiles_order_totals", "trending_terms_batches", "ucb_arm_scores",
-    "poisson_rate_arms", "churn_hazard_tenure", "degree_powerlaw_parts",
-    "rolling_median_daily", "lognormal_gamma_values", "dow_hour_heatmap",
-    "journey_edit_distance", "outlier_consensus", "compaction_bin_packing",
-    "partition_skew_advisor", "ann_recall_matryoshka",
-    "embedding_top_component", "kfold_cv_ridge", "als_rank1_item_factors",
+    "friedman_daily_types", "decision_stump_purchase", "max_drawdown_nation",
+    "kmv_distinct_custkeys", "kmv_jaccard_custkeys", "phrase_search_the_part",
+    "shard_plan_documents", "filter_clause_rollup", "acf_daily_values",
+    "theil_sen_daily", "mann_kendall_daily", "chi2_gof_types",
+    "active_day_islands", "ridge_price_model", "quantile_normalize_values",
+    "pairwise_welch_types", "token_budget_allocation", "dedup_prefix_filter",
+    "consistent_hash_routing", "linear_attribution", "diff_in_diff_arms",
+    "nelson_aalen_purchase", "changepoint_daily", "quartiles_order_totals",
+    "trending_terms_batches", "ucb_arm_scores", "poisson_rate_arms",
+    "churn_hazard_tenure", "degree_powerlaw_parts", "rolling_median_daily",
+    "lognormal_gamma_values", "dow_hour_heatmap", "journey_edit_distance",
+    "outlier_consensus", "compaction_bin_packing", "partition_skew_advisor",
+    "ann_recall_matryoshka", "embedding_top_component", "kfold_cv_ridge",
     "bias_baseline_card", "sax_daily_symbols", "bpe_merge_rounds",
     "bpe_fertility_by_source", "label_silhouette", "dq_constraint_report",
     "oof_target_encoding", "dow_seasonality_harmonics", "rake_keyphrases",
     "stratified_ate", "triplet_violation_audit", "collated_distinct_names",
-    "rtbf_deletion_manifest", "cross_source_dup_matrix",
-    "source_scorecard", "top_event_trigrams", "abc_classification",
-    "new_vs_returning_daily", "repeat_purchase_intervals",
-    "order_fulfillment_cycle", "supplier_concentration_hhi",
-    "nation_trade_balance", "discount_band_lift",
+    "rtbf_deletion_manifest", "cross_source_dup_matrix", "source_scorecard",
+    "top_event_trigrams", "abc_classification", "new_vs_returning_daily",
+    "repeat_purchase_intervals", "order_fulfillment_cycle",
+    "supplier_concentration_hhi", "nation_trade_balance",
+    "discount_band_lift",
 ]
 
 
