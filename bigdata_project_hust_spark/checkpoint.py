@@ -29,6 +29,14 @@ The process-wide default strategy is read from
 ``SPARK_GRAFT_CHECKPOINT_STRATEGY`` (``local``/``reliable``) so a
 cluster deployment flips every operator at once without touching call
 sites.
+
+Lifecycle: reliable checkpoints are namespaced PER RUN — each write
+lands under ``<base>/<applicationId>/`` — so repeated runs against one
+shared directory never collide and never silently overwrite each
+other's live intermediates.  They are still working files, not
+outputs: call :func:`clear_checkpoints` at the end of a job (or point
+a scheduled sweep at the base directory) to reclaim the space; nothing
+in Spark deletes them automatically.
 """
 
 from __future__ import annotations
@@ -36,9 +44,20 @@ from __future__ import annotations
 import itertools
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 _COUNTER = itertools.count()
+
+
+def _run_dir(spark: SparkSession, base: str) -> str:
+    """This run's checkpoint namespace: ``<base>/<applicationId>``.
+
+    The application id is unique per SparkSession lifetime, so
+    concurrent or repeated jobs sharing one SPARK_GRAFT_CHECKPOINT_DIR
+    cannot clobber each other, and cleanup is one recursive delete of
+    a single subtree (ADVICE r6: the previous flat layout accumulated
+    counter-suffixed directories unboundedly with no ownership)."""
+    return f"{base.rstrip('/')}/{spark.sparkContext.applicationId}"
 
 
 def materialize(df: DataFrame, label: str = "intermediate",
@@ -68,6 +87,28 @@ def materialize(df: DataFrame, label: str = "intermediate",
         raise ValueError(
             "reliable checkpoint strategy needs a directory: pass "
             "path= or set SPARK_GRAFT_CHECKPOINT_DIR")
-    dest = f"{base.rstrip('/')}/{label}_{next(_COUNTER)}.parquet"
+    run_dir = _run_dir(df.sparkSession, base)
+    dest = f"{run_dir}/{label}_{next(_COUNTER)}.parquet"
     df.write.mode("overwrite").parquet(dest)
     return df.sparkSession.read.parquet(dest)
+
+
+def clear_checkpoints(spark: SparkSession,
+                      path: str | None = None) -> bool:
+    """Delete THIS run's reliable-checkpoint namespace
+    (``<base>/<applicationId>``) and return whether anything was
+    removed.  Safe to call unconditionally at job end: only the
+    current application's subtree is touched, never another run's,
+    and a missing directory is a no-op.  Uses the Hadoop FileSystem
+    API so it works for any configured FS URI, not just local paths.
+    """
+    base = path or os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if not base:
+        return False
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(_run_dir(spark, base))
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    return bool(fs.delete(hpath, True))

@@ -206,12 +206,16 @@ def triangle_count(edges: DataFrame, a: str = "pa",
     # closure: the (u, v) leg must be an edge in EITHER orientation —
     # normalize oriented edges back to (min, max) for the probe
     if pack_ok:
+        # cast to LONG before packing: Java shift semantics mask the
+        # shift amount mod 32 for INT operands, so shiftleft(int_col, 32)
+        # is a silent no-op and uv would collapse to u|v for any
+        # IntegerType caller — the value gate alone can't catch that
         wedges = wedges.select(
-            "c", F.shiftleft(F.col("u"), 32).bitwiseOR(F.col("v"))
-            .alias("uv"))
+            "c", F.shiftleft(F.col("u").cast("long"), 32)
+            .bitwiseOR(F.col("v").cast("long")).alias("uv"))
         undirected = oriented.select(
-            F.shiftleft(F.least("lo", "hi"), 32)
-             .bitwiseOR(F.greatest("lo", "hi")).alias("uv"),
+            F.shiftleft(F.least("lo", "hi").cast("long"), 32)
+             .bitwiseOR(F.greatest("lo", "hi").cast("long")).alias("uv"),
             F.least("lo", "hi").alias("u"),
             F.greatest("lo", "hi").alias("v"))
         if n_edges <= TRIANGLE_BROADCAST_MAX_EDGES:
@@ -464,12 +468,14 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 6,
     graph. On a real cluster swap in a reliability-grade checkpoint
     (parquet/HDFS) so executor loss cannot drop a truncated block.
 
-    When the edge count is ≤ ``LPA_BROADCAST_MAX_EDGES`` (so the
-    surviving node set is too), the per-round keep set is BROADCAST
-    into both semi-joins — the edge frame is never shuffled, the same
-    lever as lpa_communities/connected_components; bigger graphs keep
-    the shuffle joins (the edge list only ever shrinks, so later
-    rounds cross under the gate anyway).
+    When the surviving edge count is ≤ ``LPA_BROADCAST_MAX_EDGES``
+    (so the surviving node set is too), the per-round keep set is
+    BROADCAST into both semi-joins — the edge frame is never shuffled,
+    the same lever as lpa_communities/connected_components. The gate
+    is re-evaluated EVERY round against the just-materialized edge
+    frame (a count over a checkpointed frame is cheap), so an
+    initially-large graph switches to the broadcast path as peeling
+    shrinks it under the gate; bigger graphs keep the shuffle joins.
     """
     e = materialize(
         edges.select(F.col(a).alias("x"), F.col(b).alias("y")),
@@ -486,6 +492,7 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 6,
             kx, ky = F.broadcast(kx), F.broadcast(ky)
         e = (e.join(kx, "x").join(ky, "y")
              .transform(materialize, "graph_iter"))
+        n_e = e.count()  # re-gate on the shrinking survivor count
     final = (e.select(F.col("x").alias("node"))
              .unionAll(e.select(F.col("y").alias("node")))
              .groupBy("node").agg(F.count("*").cast("long")

@@ -727,7 +727,14 @@ def _sampled_cosine_pairs(df: DataFrame, sample_mod: int,
     ``floor(sim·1e6)`` op tree — so every sim_e6 is BIT-EQUAL to the
     column-expression form (asserted over all 799,600 sf0.1 pairs when
     this replaced the interpreted fold, which spent ~7 s allocating
-    zip_with arrays per pair)."""
+    zip_with arrays per pair).
+
+    Degenerate inputs are well-defined: zero anchors (the pmod sample
+    is empty) returns an empty frame with the declared schema, and a
+    zero-norm vector yields sim_e6 NULL for its pairs — the try_divide
+    contract — rather than numpy's undefined NaN→int64 cast (the
+    column form under Spark 4's ANSI default would *error* on 0/0, so
+    NULL is the strictly safer published behavior)."""
     import numpy as np
     import pandas as pd
 
@@ -741,6 +748,10 @@ def _sampled_cosine_pairs(df: DataFrame, sample_mod: int,
         schema += f", qlabel {ltype}, nlabel {ltype}"
     qp = (df.where(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
             .select(*qcols).toPandas())
+    if qp.empty:
+        # np.stack raises on zero anchors; the column-expression form
+        # this kernel replaced returned an empty frame — match it
+        return df.sparkSession.createDataFrame([], schema)
     qids_arr = qp["qid"].to_numpy()
     q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qp["qv"]])
     qlabels_arr = qp["qlabel"].to_numpy() if label_col is not None else None
@@ -765,13 +776,21 @@ def _sampled_cosine_pairs(df: DataFrame, sample_mod: int,
             acc = np.zeros((len(m), len(qm)))
             for i in range(m.shape[1]):
                 acc = acc + m[:, i:i + 1] * qm[:, i][None, :]
-            e6 = np.floor(acc / (qn[None, :] * nn[:, None]) * 1e6) \
-                   .astype(np.int64)
+            # identical op tree to the column form, THEN mask: Catalyst
+            # floor(NaN)::long is NULL while np.floor(NaN).astype(int64)
+            # is undefined — zero-norm vectors must yield NULL here too
+            with np.errstate(divide="ignore", invalid="ignore"):
+                simf = acc / (qn[None, :] * nn[:, None]) * 1e6
+            finite = np.isfinite(simf)
+            e6 = np.floor(np.where(finite, simf, 0.0)).astype(np.int64)
             nid = pdf["nid"].to_numpy()
             ni, qi = np.indices(e6.shape)
+            sim_col = pd.array(e6.ravel(), dtype="Int64")
+            if not finite.all():
+                sim_col[~finite.ravel()] = pd.NA
             cols = {"qid": qids[qi.ravel()],
                     "nid": nid[ni.ravel()],
-                    "sim_e6": e6.ravel()}
+                    "sim_e6": sim_col}
             if qlabels is not None:
                 cols["qlabel"] = qlabels[qi.ravel()]
                 cols["nlabel"] = pdf["nlabel"].to_numpy()[ni.ravel()]

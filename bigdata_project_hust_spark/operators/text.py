@@ -1597,7 +1597,10 @@ def trending_terms(df: DataFrame, epoch_expr,
     mx = per.groupBy().agg(F.max("ep").alias("max_ep"))
     scored = (per.crossJoin(F.broadcast(mx))
               .select("term",
-                      F.expr(f"c div shiftleft(1, cast(least("
+                      # 1L, not 1: Java masks the shift mod the operand
+                      # width, so an INT base turns age >= 32 into a
+                      # wrong small divisor instead of ~2^age
+                      F.expr(f"c div shiftleft(1L, cast(least("
                              f"max_ep - ep, {max_age}) as int))")
                       .alias("w")))
     agg = scored.groupBy("term").agg(

@@ -1,0 +1,88 @@
+"""Graph-family scale probe (VERDICT r6 #5): run the rebuilt graph
+plans on the sf0.1 co-purchase graph and on a 10× id-shifted
+replication of it, and verify the broadcast gates degrade gracefully
+when the edge count crosses TRIANGLE/LPA_BROADCAST_MAX_EDGES.
+
+No sf1 fixture exists in /root/testdata, so the 10× graph is the
+sf0.1 edge list unioned with 9 id-shifted copies (offsets of k·10^7 —
+far above the sf0.1 max part key, and 10 copies stay under 2^31 so
+the packed-key eligibility is preserved). This preserves degree
+structure exactly (10 disjoint copies), so per-copy algorithmic cost
+is identical and the measured ratio isolates the engine's scaling
+behavior.
+
+Gate-crossover check: the 10× graph has ~12M directed-sym edges,
+above the 4M broadcast gates, so LPA/triangle fall back to shuffle
+joins — the probe asserts they complete (no OOM, no broadcast-size
+error) and reports the timing ratio.
+
+Usage: python scripts/graph_scale_probe.py
+"""
+
+from __future__ import annotations
+
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SHIFT = 10_000_000  # >> max sf0.1 part key (~20k), << 2^31 / 10
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from bigdata_project_hust_spark import io as gio
+    from bigdata_project_hust_spark.operators.graph import (
+        clustering_coefficient, copurchase_edges, lpa_communities,
+        triangle_count)
+
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .appName("graph-scale-probe").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = gio.load_table(spark, "/root/testdata/sf0.1", "lineitem")
+    e1 = copurchase_edges(li).localCheckpoint()
+    n1 = e1.count()
+    copies = [e1.select((F.col("pa") + F.lit(k * SHIFT)).alias("pa"),
+                        (F.col("pb") + F.lit(k * SHIFT)).alias("pb"))
+              for k in range(10)]
+    e10 = copies[0]
+    for c in copies[1:]:
+        e10 = e10.unionAll(c)
+    e10 = e10.localCheckpoint()
+    n10 = e10.count()
+    print(f"edges: 1x={n1:,} 10x={n10:,} "
+          f"(gate=4,000,000 -> 1x {'under' if n1 <= 4e6 else 'over'}, "
+          f"10x {'under' if n10 <= 4e6 else 'over'})", flush=True)
+
+    ops = {
+        "triangle_count": lambda e: triangle_count(e).agg(
+            F.sum("n_triangles")).collect(),
+        "clustering_coefficient": lambda e: clustering_coefficient(
+            e).agg(F.sum("n_triangles")).collect(),
+        "lpa_communities": lambda e: lpa_communities(e).groupBy(
+            "community").count().orderBy(F.desc("count")).limit(5)
+            .collect(),
+    }
+    for name, fn in ops.items():
+        t = {}
+        for tag, e in (("1x", e1), ("10x", e10)):
+            times = []
+            for _ in range(2):
+                t0 = time.time()
+                fn(e)
+                times.append(time.time() - t0)
+            t[tag] = statistics.median(times)
+            print(f"{name:24s} {tag:>3s} median {t[tag]:6.2f}s", flush=True)
+        ratio = t["10x"] / t["1x"]
+        import math
+        exponent = math.log(ratio, 10) if ratio > 0 else float("nan")
+        print(f"{name:24s} ratio {ratio:4.2f}x at 10x edges "
+              f"(scaling exponent {exponent:.2f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

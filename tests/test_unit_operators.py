@@ -530,9 +530,11 @@ def test_minhash_checkpoint_dir_matches_persist_path(spark, tmp_path):
     assert [(a, b) for a, b, *_ in base if (a, b) == (1, 4)]
     import os
     # the shingle intermediate lands under the given dir via
-    # checkpoint.materialize (counter-uniquified name)
+    # checkpoint.materialize (per-run namespace + counter-uniquified
+    # name, ADVICE r6)
+    run_dir = os.path.join(ck, spark.sparkContext.applicationId)
     assert any(d.startswith("minhash_shingles")
-               and d.endswith(".parquet") for d in os.listdir(ck))
+               and d.endswith(".parquet") for d in os.listdir(run_dir))
 
 
 def test_asof_join_null_payload_not_torn(spark):
@@ -1099,6 +1101,19 @@ def test_triangle_count_k4_and_square(spark):
     k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
     square = [(10, 11), (11, 12), (12, 13), (10, 13)]
     df = spark.createDataFrame(k4 + square, "pa long, pb long")
+    out = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_int_typed_edges(spark):
+    """IntegerType edge columns take the packed-key path correctly:
+    Java masks shift amounts mod the operand width, so shiftleft on an
+    un-cast INT column is a silent no-op and uv collapses to u|v
+    (ADVICE r6 medium). The packer must cast to LONG first."""
+    from bigdata_project_hust_spark.operators.graph import triangle_count
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    square = [(10, 11), (11, 12), (12, 13), (10, 13)]
+    df = spark.createDataFrame(k4 + square, "pa int, pb int")
     out = {r.node: r.n_triangles for r in triangle_count(df).collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
 
@@ -1828,6 +1843,31 @@ def test_ann_recall_contract(spark):
     assert out["recall_e6"] <= 1_000_000
     assert out["n_queries"] == 3             # ids 0, 10, 20
     assert out["recall_e6"] == 1_000_000     # clusters >> buckets apart
+
+
+def test_sampled_cosine_pairs_degenerate_inputs(spark):
+    """ADVICE r6: zero anchors returns an empty frame with the
+    declared schema (np.stack raised before); a zero-norm vector
+    yields sim_e6 NULL (try_divide contract) instead of numpy's
+    undefined NaN→int64 cast."""
+    from bigdata_project_hust_spark.operators.similarity import (
+        _sampled_cosine_pairs)
+    # no id divisible by 5 → empty anchor sample
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (6, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    out = _sampled_cosine_pairs(df, 5, "vec_id", "embedding")
+    assert out.count() == 0
+    assert out.columns == ["qid", "nid", "sim_e6"]
+    # zero-norm vector: every pair touching id 1 has NULL sim_e6
+    df2 = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    got = {(r.qid, r.nid): r.sim_e6
+           for r in _sampled_cosine_pairs(df2, 1, "vec_id",
+                                          "embedding").collect()}
+    assert got[(0, 1)] is None and got[(1, 2)] is None
+    assert got[(0, 2)] == 707106 and got[(2, 0)] == 707106
 
 
 def test_bloom_prune_keeps_all_true_matches(spark):
