@@ -162,8 +162,24 @@ def triangle_count(edges: DataFrame, a: str = "pa",
       scale). The checkpoint also yields a free edge count used for:
     - the closure probe is BROADCAST when |E| ≤ 4M
       (``TRIANGLE_BROADCAST_MAX_EDGES``), so the O(Σ d²) wedge stream
-      is generated, probed, and reduced map-side — never shuffled;
-      bigger graphs fall back to the shuffle join.
+      is generated, probed, and reduced map-side — never shuffled.
+    - bigger graphs switch to ADJACENCY-INTERSECTION (r7): build the
+      oriented out-neighbor list per node (array size bounded by the
+      orientation at O(√|E|)), join each oriented edge (a, b) with
+      adj(a) and adj(b), and emit ``array_intersect`` — every common
+      out-neighbor w is exactly one triangle (a is the rank-lowest
+      corner, found once at its (a, middle) edge). The wedge stream
+      is never materialized through an exchange: total shuffle volume
+      is ~3 edge-list passes with array payloads (≈2|E| values)
+      instead of the Σ d² wedge rows. Measured on a 12M-edge 10×
+      probe (410M wedges, STATUS r7): the gate choice is a MEMORY
+      tradeoff, not just speed — broadcasting the 12M-key probe is
+      fastest with a large heap (22.5 s stable at 48 g) but fails
+      outright at 4 g, the old wedge shuffle OOMs at 4 g under the
+      local checkpoint strategy, while this intersection path
+      completes at 4 g (36 s with ``reliable`` checkpoints). Raise
+      ``TRIANGLE_BROADCAST_MAX_EDGES`` only when every executor can
+      hold the |E|-key hashed relation.
     - the closure probe key is ONE packed BIGINT ``(u << 32) | v``
       whenever every node id fits 31 bits (checked from the same
       one-pass stats agg that sizes the broadcast) — hashing one long
@@ -200,6 +216,28 @@ def triangle_count(edges: DataFrame, a: str = "pa",
         n_edges = st["n"]
         pack_ok = (st["mn"] is not None and st["mn"] >= 0
                    and st["mx"] < (1 << 31))
+    if n_edges is not None and n_edges > TRIANGLE_BROADCAST_MAX_EDGES:
+        # past the broadcast gate: adjacency-intersection — see plan
+        # notes. adj is keyed on the same column the edge join probes,
+        # so the groupBy exchange is reused by the first join.
+        adj = (oriented.groupBy(F.col("lo").alias("n"))
+               .agg(F.sort_array(F.collect_list("hi")).alias("nbrs")))
+        tris = (oriented
+                .join(adj.select(F.col("n").alias("lo"),
+                                 F.col("nbrs").alias("na")), "lo")
+                .join(adj.select(F.col("n").alias("hi"),
+                                 F.col("nbrs").alias("nb")), "hi", "left")
+                .select(F.col("lo").alias("c"), F.col("hi").alias("u"),
+                        # sinks have no adjacency row: coalesce to an
+                        # empty array of na's own element type
+                        F.explode(F.array_intersect(
+                            "na", F.coalesce("nb", F.slice("na", 1, 0))))
+                        .alias("v")))
+        per_node = (tris.select(F.explode(F.array("c", "u", "v"))
+                                .alias("node"))
+                    .groupBy("node").agg(F.count("*").alias("n_triangles")))
+        return per_node.select("node",
+                               F.col("n_triangles").cast("long"))
     w1 = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("u"))
     w2 = oriented.select(F.col("lo").alias("c"), F.col("hi").alias("v"))
     wedges = (w1.join(w2, "c").where(F.col("u") < F.col("v")))

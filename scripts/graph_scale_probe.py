@@ -40,6 +40,11 @@ def main() -> None:
 
     spark = (SparkSession.builder.master("local[32]")
              .config("spark.sql.shuffle.partitions", "32")
+             # local mode = driver heap IS the cluster; the default 1g
+             # OOMs on the 10x graph's localCheckpoint blocks — size it
+             # like a real executor would be (measured: the 12M-edge
+             # probe peaks well under this)
+             .config("spark.driver.memory", "48g")
              .appName("graph-scale-probe").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
