@@ -1128,7 +1128,7 @@ class Engine:
         """Deterministic LPA communities on the co-purchase graph."""
         from .operators.graph import copurchase_edges, lpa_communities
         return lpa_communities(copurchase_edges(self.table("lineitem")),
-                               rounds=rounds)
+                               rounds=rounds, edges_canonical=True)
 
     def posthoc_pairs(self) -> DataFrame:
         """Pairwise Welch t between every event-type pair."""

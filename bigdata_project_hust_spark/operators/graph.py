@@ -113,15 +113,25 @@ def supplier_customer_edges(lineitem: DataFrame,
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Undirected co-purchase graph: parts appearing in the same order
-    are connected (distinct pairs, low id < high id)."""
-    a = lineitem.select(F.col("l_orderkey").alias("ok"),
-                        F.col("l_partkey").alias("pa"))
-    b = lineitem.select(F.col("l_orderkey").alias("ok"),
-                        F.col("l_partkey").alias("pb"))
-    return (a.join(b, "ok")
-            .where(F.col("pa") < F.col("pb"))
-            .select("pa", "pb")
-            .distinct())
+    are connected (distinct pairs, low id < high id).
+
+    Built as groupBy(order) → sorted ``collect_set`` → executor-side
+    index-pair explosion → distinct, NOT a self-join on the order key:
+    one scan instead of two and one partial-aggregated shuffle of the
+    (order, part) rows instead of a join build — measured 1.9 s →
+    1.4 s at sf0.1 (600 k lineitems → 1.196 M edges), and this build
+    fronts every co-purchase graph query so it pays 3×. The per-order
+    pair blowup is Σ d² either way and lands on the same order-keyed
+    task in both shapes (a join buckets by the same key), so skew is
+    unchanged; the array form additionally bounds it by the per-order
+    basket size, which TPC-H-like schemas cap at single digits."""
+    parts = (lineitem.groupBy("l_orderkey")
+             .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")))
+    pairs = parts.select(F.explode(F.flatten(F.transform(
+        "ps", lambda x, i: F.transform(
+            F.slice("ps", i + 2, F.size("ps")),
+            lambda y: F.struct(x.alias("pa"), y.alias("pb")))))).alias("e"))
+    return pairs.select("e.pa", "e.pb").distinct()
 
 
 TRIANGLE_BROADCAST_MAX_EDGES = 4_000_000  # closure-probe broadcast cap
@@ -756,7 +766,8 @@ LPA_BROADCAST_MAX_EDGES = 4_000_000  # label-table broadcast gate
 
 def lpa_communities(edges: DataFrame, a: str = "pa", b: str = "pb",
                     rounds: int = 3,
-                    deterministic_output: bool = False) -> DataFrame:
+                    deterministic_output: bool = False,
+                    edges_canonical: bool = False) -> DataFrame:
     """Synchronous label propagation communities, made DETERMINISTIC:
     every node adopts its most frequent neighbor label each round,
     ties broken by the smaller label — (count DESC, label ASC) is a
@@ -784,11 +795,22 @@ def lpa_communities(edges: DataFrame, a: str = "pa", b: str = "pb",
     7.5 s at sf0.1).  Bigger graphs keep the shuffle join, whose
     per-round cost stays O(|E|).  Output order is unordered by
     default; ``deterministic_output=True`` adds the global sort for
-    report-style consumers."""
+    report-style consumers.
+
+    ``edges_canonical=True`` asserts the input is already a DISTINCT
+    one-row-per-undirected-edge list in a fixed orientation (e.g.
+    ``copurchase_edges``' lo < hi pairs): the symmetrized union is then
+    distinct by construction — a row and its reverse can never collide
+    — and the 2|E|-row distinct shuffle is skipped entirely. The
+    default keeps the distinct: arbitrary edge lists may carry
+    duplicates or both orientations, and a duplicate message row would
+    double-count a neighbor's label vote."""
     e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     sym = e.unionByName(e.select(F.col("dst").alias("src"),
-                                 F.col("src").alias("dst"))).distinct() \
-           .transform(materialize, "lpa_sym_edges")
+                                 F.col("src").alias("dst")))
+    if not edges_canonical:
+        sym = sym.distinct()
+    sym = materialize(sym, "lpa_sym_edges")
     n_sym = sym.count()
     labels = (sym.select(F.col("src").alias("node")).distinct()
               .select("node", F.col("node").alias("lbl")))

@@ -370,7 +370,8 @@ def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
                   id_col: str = "vec_id",
                   vec_col: str = "embedding",
                   nprobe: int = 4,
-                  flat_max_k: int | None = None) -> DataFrame:
+                  flat_max_k: int | None = None,
+                  deterministic_output: bool = False) -> DataFrame:
     """Lloyd's k-means, ``iters`` full update rounds from a
     deterministic seed (the ``k`` lowest-id vectors), returning each
     vector's final cluster and exact squared distance on the quantized
@@ -440,9 +441,13 @@ def kmeans_assign(df: DataFrame, k: int = 8, iters: int = 2,
                     F.array_sort(F.collect_list(F.struct("pos", "c"))),
                     lambda s: s.getField("c")).alias("cq")))
         a = assign(cent)
-    return (a.select(F.col(id_col), F.col("cluster_id"),
-                     F.col("dist").alias("dist_q"))
-             .orderBy(id_col))
+    out = a.select(F.col(id_col), F.col("cluster_id"),
+                   F.col("dist").alias("dist_q"))
+    # VALUES are deterministic regardless; the global id sort is a
+    # needless single-stage at scale for set-semantic consumers
+    # (joins, the driver's order-insensitive hash) — opt in for
+    # report-style output only
+    return out.orderBy(id_col) if deterministic_output else out
 
 
 def pq_codebooks(df: DataFrame, m_sub: int = 8, sub_dim: int = 8,

@@ -774,7 +774,8 @@ def q_lpa_communities(spark, sf_dir):
     co-purchase graph."""
     from ..operators.graph import copurchase_edges
     return graph.lpa_communities(
-        copurchase_edges(_t(spark, sf_dir, "lineitem")))
+        copurchase_edges(_t(spark, sf_dir, "lineitem")),
+        edges_canonical=True)
 
 
 def q_pairwise_welch_types(spark, sf_dir):
