@@ -87,6 +87,23 @@ def main() -> None:
          .write.format("noop").mode("overwrite").save())
         calib_runs.append(time.time() - t0)
     calib = round(min(calib_runs), 3)
+    # Wide-burst calibration: the Q1-shape calib reads a 3-file scan —
+    # it measures scan+agg but occupies only a few cores, so host
+    # co-tenancy that steals WIDE parallel throughput (every core busy
+    # at once, the shape of the shuffle-heavy headliners) slips past
+    # it (r07: calib flat at 0.285 while identical-code graph queries
+    # ran 1.3x slower). This probe is fixed integer work across one
+    # task per core — pure CPU, no I/O, no shuffle — so its ratio
+    # round-over-round isolates parallel-CPU drift specifically.
+    calib_par_runs = []
+    n_par = spark.sparkContext.defaultParallelism
+    for _ in range(reps):
+        t0 = time.time()
+        (spark.range(0, 40_000_000 * n_par, 1, n_par)
+         .select((SF.col("id") * 2654435761 % 1000003).alias("h"))
+         .agg(SF.sum("h")).write.format("noop").mode("overwrite").save())
+        calib_par_runs.append(time.time() - t0)
+    calib_par = round(min(calib_par_runs), 3)
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in names:
@@ -115,12 +132,14 @@ def main() -> None:
         "queries": timings,
         "median_total": round(sum(medians.values()), 3),
         "calib_sec": calib,
+        "calib_par_sec": calib_par,
         "reps": reps,
         "sf": sf_of(SF_DIR),
         "n_queries": len(timings),
     }
     detail = {**summary, "queries_median": medians,
-              "calib_runs": [round(r, 3) for r in calib_runs]}
+              "calib_runs": [round(r, 3) for r in calib_runs],
+              "calib_par_runs": [round(r, 3) for r in calib_par_runs]}
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_detail.json")
     try:

@@ -13,11 +13,23 @@ scale" caveat).
 
 Strategies:
 
-- ``"local"`` (default): ``df.localCheckpoint(eager=True)`` — blocks
-  are pinned to executor-local disk/memory.  Right for single-node and
-  fits-in-memory runs (this container), but lineage is TRUNCATED with
-  no recompute path, so on a real cluster a lost executor kills the
-  job.
+- ``"cache"`` (default): eager ``persist(MEMORY_AND_DISK)`` + a
+  ``count()`` fill — the cache is FULLY BUILT before the frame is
+  returned, so concurrent consumers can never race an unfilled cache
+  (the round-5 failure mode belonged to LAZY persist specifically).
+  ~3× cheaper per call than a local checkpoint (measured 1.4 s → 0.5 s
+  warm on the same frame — the RDD-conversion path localCheckpoint
+  takes bypasses whole-stage codegen and AQE), and recompute-on-loss
+  is SAFE: every engine plan is deterministic by design (exact-integer
+  kernels, seeded hashes), so an evicted partition rebuilt from
+  lineage is bit-identical.  Lineage is NOT truncated — Catalyst
+  substitutes the cached subtree with an InMemoryRelation at analysis
+  time, which bounds physical planning, while bounded-round loops
+  (≤ 6 everywhere) keep the logical tree small.
+- ``"local"``: ``df.localCheckpoint(eager=True)`` — blocks pinned to
+  executor-local disk/memory and lineage TRUNCATED with no recompute
+  path: on a real cluster a lost executor kills the job.  Opt in when
+  a plan must be frozen (e.g. genuinely nondeterministic sources).
 - ``"reliable"``: parquet round-trip under a durable directory (any
   Hadoop-FS URI — hdfs://, s3a://, file:) and re-read.  Survives
   executor loss, costs one write+read; the right default at 100 TB
@@ -63,7 +75,8 @@ def _run_dir(spark: SparkSession, base: str) -> str:
 def materialize(df: DataFrame, label: str = "intermediate",
                 strategy: str | None = None,
                 path: str | None = None,
-                eager: bool = True) -> DataFrame:
+                eager: bool = True,
+                prefer: str = "cache") -> DataFrame:
     """Cut ``df``'s lineage and return a frame whose consumers all read
     the materialized result instead of re-running the subtree.
 
@@ -73,15 +86,29 @@ def materialize(df: DataFrame, label: str = "intermediate",
     checkpoint to first use (iterative loops that fold the result into
     the next round's plan anyway); the reliable path is inherently
     eager.
+
+    Resolution order: explicit ``strategy`` >
+    ``SPARK_GRAFT_CHECKPOINT_STRATEGY`` > ``prefer``.  ``prefer`` is
+    the call site's measured-best LOCAL-MODE strategy (e.g. the
+    exploded string-shingle frames cache ~2.5× slower than they
+    localCheckpoint — columnar string compression — so those sites
+    prefer ``local``); a cluster deployment setting the env var to
+    ``reliable`` still flips every site at once.
     """
     strategy = strategy or os.environ.get(
-        "SPARK_GRAFT_CHECKPOINT_STRATEGY", "local")
+        "SPARK_GRAFT_CHECKPOINT_STRATEGY") or prefer
+    if strategy == "cache":
+        from pyspark import StorageLevel
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if eager:
+            out.count()  # fill the cache BEFORE any consumer sees it
+        return out
     if strategy == "local":
         return df.localCheckpoint(eager=eager)
     if strategy != "reliable":
         raise ValueError(
             f"unknown checkpoint strategy {strategy!r} "
-            "(expected 'local' or 'reliable')")
+            "(expected 'cache', 'local' or 'reliable')")
     base = path or os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
     if not base:
         raise ValueError(

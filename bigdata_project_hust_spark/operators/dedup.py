@@ -272,7 +272,7 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     """
     sh = materialize(shingles(df, text_col, id_col), "minhash_shingles",
                      strategy="reliable" if checkpoint_dir else None,
-                     path=checkpoint_dir)
+                     path=checkpoint_dir, prefer="local")
     sig = minhash_signatures(sh, id_col)
     cands = candidate_pairs(minhash_bands(sig, id_col), id_col)
     return jaccard_verify(cands, sh, id_col, threshold_num,
@@ -358,7 +358,8 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         labels = new_labels
         if (i + 1) % checkpoint_every == 0:
             # truncate lineage from the cached data, then drop the cache
-            labels = materialize(new_labels, "cc_labels")
+            labels = materialize(new_labels, "cc_labels",
+                                  prefer="local")
             new_labels.unpersist()
         if (obs.get["n_changed"] or 0) == 0:
             break
@@ -385,7 +386,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     recall than MinHash, more compute — the verify path for audits.
     The inverted-index join bounds work to pairs that actually share a
     shingle (never a cross product)."""
-    sh = materialize(shingles(df, text_col, id_col, n), "shingles")
+    sh = materialize(shingles(df, text_col, id_col, n), "shingles",
+                     prefer="local")
     pairs = (sh.alias("a").join(sh.alias("b"), "sh")
                .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
                .select(F.col(f"a.{id_col}").alias("doc_a"),
@@ -411,7 +413,8 @@ def ngram_jaccard_pairs_capped(df: DataFrame, text_col: str = "text",
     threshold anyway in practice). The exact-Jaccard verify still uses
     the FULL shingle sets, so surviving pairs carry true scores.
     """
-    sh = materialize(shingles(df, text_col, id_col, n), "shingles")
+    sh = materialize(shingles(df, text_col, id_col, n), "shingles",
+                     prefer="local")
     rare = (sh.groupBy("sh")
               .agg(F.count("*").alias("__df"))
               .where(F.col("__df") <= max_df)
@@ -675,7 +678,8 @@ def ngram_jaccard_prefix(df: DataFrame, text_col: str = "text",
     shingle, buckets ≤ min(df, prefix-membership)), then the verify
     joins — each keyed, none cartesian."""
     from pyspark.sql import Window
-    sh = materialize(shingles(df, text_col, id_col, n), "shingles")
+    sh = materialize(shingles(df, text_col, id_col, n), "shingles",
+                     prefer="local")
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("__df"))
     w = Window.partitionBy(id_col).orderBy(F.col("__df").asc(),
                                            F.col("sh").asc())
@@ -811,7 +815,7 @@ def connected_components_pj(pairs: DataFrame, src: str = "doc_a",
                       .persist())
         if (i + 1) % checkpoint_every == 0:
             new_labels = materialize(new_labels, "inc_labels",
-                                     eager=False)
+                                     eager=False, prefer="local")
         new_labels.count()
         labels.unpersist()
         labels = new_labels
@@ -925,7 +929,8 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     shingle table (range-partition it for a web-scale vocabulary).
     Verification is the shared exact-integer jaccard_verify."""
     from pyspark.sql import Window
-    sh = materialize(shingles(df, text_col, id_col, n), "shingles")
+    sh = materialize(shingles(df, text_col, id_col, n), "shingles",
+                     prefer="local")
     vocab = (sh.groupBy("sh").agg(F.count("*").alias("__df")))
     rk = vocab.select(
         "sh", F.row_number().over(

@@ -57,13 +57,13 @@ def pagerank(edges: DataFrame, iters: int = 3,
     # O(|E|) per round.
     e = materialize(edges.select(F.col(src).alias("src"),
                                  F.col(dst).alias("dst")),
-                    "pagerank_edges")
+                    "pagerank_edges", prefer="local")
     n_e = e.count()
     nodes = materialize(e.select(F.col("src").alias("node"))
                         .union(e.select(F.col("dst").alias("node")))
-                        .distinct(), "pagerank_nodes")
+                        .distinct(), "pagerank_nodes", prefer="local")
     outdeg = materialize(e.groupBy("src").agg(F.count("*").alias("deg")),
-                         "pagerank_outdeg")
+                         "pagerank_outdeg", prefer="local")
     base = F.lit((3 * PR_SCALE) // _D_DEN).cast("long")
     ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
     for _ in range(iters):
@@ -525,9 +525,16 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 6,
     initially-large graph switches to the broadcast path as peeling
     shrinks it under the gate; bigger graphs keep the shuffle joins.
     """
+    # prefer="local", NOT the default cache: the survivor frame feeds
+    # THREE subplans of the next round, so the LOGICAL plan grows
+    # 3^rounds unless each round resets it — persist() substitutes an
+    # InMemoryRelation only on the physical side and the persist CALL
+    # itself OOMs canonicalizing the 3^6-node logical tree at round 6
+    # (caught by test_oracle_parity when `cache` became the default);
+    # localCheckpoint replaces the plan with a LogicalRDD leaf
     e = materialize(
         edges.select(F.col(a).alias("x"), F.col(b).alias("y")),
-        "kcore_edges")
+        "kcore_edges", prefer="local")
     n_e = e.count()
     for _ in range(rounds):
         deg = (e.select(F.col("x").alias("n"))
@@ -539,7 +546,7 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 6,
         if n_e <= LPA_BROADCAST_MAX_EDGES:
             kx, ky = F.broadcast(kx), F.broadcast(ky)
         e = (e.join(kx, "x").join(ky, "y")
-             .transform(materialize, "graph_iter"))
+             .transform(materialize, "graph_iter", prefer="local"))
         n_e = e.count()  # re-gate on the shrinking survivor count
     final = (e.select(F.col("x").alias("node"))
              .unionAll(e.select(F.col("y").alias("node")))
@@ -814,7 +821,14 @@ def lpa_communities(edges: DataFrame, a: str = "pa", b: str = "pb",
     n_sym = sym.count()
     labels = (sym.select(F.col("src").alias("node")).distinct()
               .select("node", F.col("node").alias("lbl")))
-    for _ in range(rounds):
+    for rnd in range(rounds):
+        # each round's broadcast BUILD executes the label lineage —
+        # left lazy, round r re-runs rounds 1..r-1 inside its build
+        # (O(rounds²) total work); materializing the |V|-row label
+        # table per round keeps every round O(|E|) (measured 5.5 s →
+        # 5.0 s warm / 14 s → 5.7 s cold at sf0.1, 3 rounds)
+        if rnd > 0:
+            labels = materialize(labels, "lpa_labels")
         lab = labels.withColumnRenamed("node", "dst")
         if n_sym <= LPA_BROADCAST_MAX_EDGES:
             lab = F.broadcast(lab)

@@ -65,7 +65,7 @@ def als_rank1(ratings: DataFrame, lam: int = 10, sweeps: int = 2) -> DataFrame:
     if sweeps < 1:
         raise ValueError(f"sweeps must be >= 1, got {sweeps}")
     e6, e12 = 1_000_000, 10 ** 12
-    ratings = materialize(ratings, "als_ratings")
+    ratings = materialize(ratings, "als_ratings", prefer="local")
 
     def solve(edges: DataFrame, key: str, fac: str) -> DataFrame:
         s = edges.groupBy(key).agg(

@@ -18,9 +18,27 @@ def _run_dir(spark, base):
     return os.path.join(str(base), spark.sparkContext.applicationId)
 
 
+def test_materialize_default_cache_prefilled(spark):
+    """Default strategy = eager cache: the InMemoryRelation is FULLY
+    built before materialize returns (no lazy-fill race), and
+    consumers read the cache, not the original subtree."""
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    out = materialize(df, "t_cache")
+    try:
+        # fill happened inside materialize — every cached batch is
+        # already in the block manager before any consumer runs
+        status = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        assert any(s.numCachedPartitions() > 0 for s in status)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        assert out.count() == 100
+    finally:
+        out.unpersist()
+
+
 def test_materialize_local_truncates_lineage(spark):
     df = spark.range(100).withColumn("v", F.col("id") * 2)
-    out = materialize(df, "t_local")
+    out = materialize(df, "t_local", strategy="local")
     assert out.count() == 100
     # lineage is cut: the materialized frame scans an existing RDD,
     # not the original range
