@@ -324,7 +324,8 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     # since last checkpoint), independent of the upstream plan.
     edges = (e.unionByName(e.select(F.col("b").alias("a"),
                                     F.col("a").alias("b")))
-              .distinct().transform(materialize, "cc_edges"))
+              .distinct().transform(materialize, "cc_edges",
+                                    prefer="local"))
     n_sym = edges.count()
     labels = (edges.select(F.col("a").alias("node")).distinct()
                    .select("node", F.col("node").alias("component"))

@@ -399,16 +399,22 @@ def basket_lift_pairs(lineitem: DataFrame, min_support: int = 3,
     any SF), so the join is linear in orders. One wide shuffle on the
     pair key, everything after is broadcast-sized.
     """
-    op = (lineitem.select(F.col("l_orderkey").alias("ok"),
-                          F.col("l_partkey").alias("p"))
-          .distinct())
-    n_orders = op.select("ok").distinct() \
-                 .agg(F.count("*").cast("long").alias("n_orders"))
-    s1 = op.groupBy("p").agg(F.count("*").cast("long").alias("s"))
-    a = op.select("ok", F.col("p").alias("pa"))
-    b = op.select("ok", F.col("p").alias("pb"))
-    s12 = (a.join(b, "ok").where(F.col("pa") < F.col("pb"))
-           .groupBy("pa", "pb")
+    # per-order item SETS once (collect_set dedups map-side), then
+    # singles/pairs/order-count all derive from the set arrays — one
+    # scan + one order-keyed shuffle instead of a distinct + self-join
+    # (same rewrite as copurchase_edges, r7)
+    sets = (lineitem.groupBy(F.col("l_orderkey").alias("ok"))
+            .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")))
+    sets = materialize(sets, "basket_sets")
+    n_orders = sets.agg(F.count("*").cast("long").alias("n_orders"))
+    s1 = (sets.select(F.explode("ps").alias("p"))
+          .groupBy("p").agg(F.count("*").cast("long").alias("s")))
+    s12 = (sets.select(F.explode(F.flatten(F.transform(
+               "ps", lambda x, i: F.transform(
+                   F.slice("ps", i + 2, F.size("ps")),
+                   lambda y: F.struct(x.alias("pa"), y.alias("pb")))))
+               ).alias("e"))
+           .groupBy(F.col("e.pa").alias("pa"), F.col("e.pb").alias("pb"))
            .agg(F.count("*").cast("long").alias("support"))
            .where(F.col("support") >= min_support))
     sa = s1.select(F.col("p").alias("pa"), F.col("s").alias("s1a"))
@@ -619,14 +625,21 @@ def item_item_cosine(lineitem: DataFrame, top_n: int = 5,
     global sort.
     """
     from pyspark.sql import Window
-    op = (lineitem.select(F.col("l_orderkey").alias("ok"),
-                          F.col("l_partkey").alias("p"))
-          .distinct())
-    n_p = op.groupBy("p").agg(F.count("*").alias("n_orders"))
-    a = op.select("ok", F.col("p").alias("pa"))
-    b = op.select("ok", F.col("p").alias("pb"))
-    co = (a.join(b, "ok").where(F.col("pa") < F.col("pb"))
-          .groupBy("pa", "pb").agg(F.count("*").alias("co"))
+    # per-order item sets once; co-counts and per-item order counts
+    # both derive from the arrays (one scan + one order-keyed shuffle;
+    # the copurchase_edges r7 rewrite)
+    sets = (lineitem.groupBy(F.col("l_orderkey").alias("ok"))
+            .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")))
+    sets = materialize(sets, "itemset_arrays")
+    n_p = (sets.select(F.explode("ps").alias("p"))
+           .groupBy("p").agg(F.count("*").alias("n_orders")))
+    co = (sets.select(F.explode(F.flatten(F.transform(
+              "ps", lambda x, i: F.transform(
+                  F.slice("ps", i + 2, F.size("ps")),
+                  lambda y: F.struct(x.alias("pa"), y.alias("pb")))))
+              ).alias("e"))
+          .groupBy(F.col("e.pa").alias("pa"), F.col("e.pb").alias("pb"))
+          .agg(F.count("*").alias("co"))
           .where(F.col("co") >= min_co))
     both = co.unionAll(co.select(F.col("pb").alias("pa"),
                                  F.col("pa").alias("pb"), "co"))

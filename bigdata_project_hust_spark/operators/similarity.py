@@ -967,6 +967,11 @@ def semantic_dedup(df: DataFrame, k: int | None = None, iters: int = 2,
         m = m.join(vq.select(F.col(id_col), code.alias("__code")), id_col)
     else:
         m = m.withColumn("__code", F.lit(0).cast("long"))
+    # m feeds THREE consumers (both pair-join sides + the final keeper
+    # join) — left lazy, the whole assignment pipeline (k-means iters
+    # included) re-executes once per consumer in the final job:
+    # measured 5.5 s → 2.9 s at sf0.1 with the materialization
+    m = materialize(m, "semdedup_members")
     pair_keys = ["cluster_id", "__code"]
     lo = m.select("cluster_id", "__code",
                   F.col(id_col).alias("__ida"),

@@ -520,7 +520,7 @@ def q_training_manifest(spark, sf_dir):
     # once (at cluster scale: checkpoint to a shuffle-service-backed
     # path, the same trade documented for the MinHash shingle subtree)
     train = materialize(kept.where(F.col("doc_id") % 10 != 7),
-                        "curation_train")
+                        "curation_train", prefer="local")
     bench = docs.where(F.col("doc_id") % 10 == 7)
     # 13-gram overlap — the published decontamination standard (GPT-3
     # appendix C); short shingles over-flag on a small vocabulary

@@ -1589,12 +1589,20 @@ def q_weighted_paths_parts(spark, sf_dir):
     stronger ties are cheaper): exact integer distances, unrolled
     oracle."""
     li = _t(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"),
-                  F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"),
-                  F.col("l_partkey").alias("pb"))
-    co = (a.join(b, "ok").where(F.col("pa") < F.col("pb"))
-          .groupBy("pa", "pb").agg(F.count("*").alias("co")))
+    # pair counts carry MULTIPLICITY (a part listed twice in an order
+    # pairs twice), so this is collect_list + a strict pa<pb filter —
+    # NOT copurchase_edges' collect_set/distinct (measured equal to
+    # the order-key self-join, 2.1 s → 1.4 s at sf0.1: one scan, one
+    # partial-aggregated shuffle)
+    parts = (li.groupBy("l_orderkey")
+             .agg(F.array_sort(F.collect_list("l_partkey")).alias("ps")))
+    pairs = parts.select(F.explode(F.flatten(F.transform(
+        "ps", lambda x, i: F.transform(
+            F.slice("ps", i + 2, F.size("ps")),
+            lambda y: F.struct(x.alias("pa"), y.alias("pb")))))).alias("e"))
+    co = (pairs.where(F.col("e.pa") < F.col("e.pb"))
+          .groupBy(F.col("e.pa").alias("pa"), F.col("e.pb").alias("pb"))
+          .agg(F.count("*").alias("co")))
     e = (co.select(F.col("pa").alias("src"), F.col("pb").alias("dst"),
                    F.expr("1000000 div co").alias("w"))
          .unionAll(co.select(F.col("pb").alias("src"),
