@@ -800,9 +800,9 @@ def lpa_communities(edges: DataFrame, a: str = "pa", b: str = "pb",
     shape as a round of min-label components, O(|E|) per round at any
     scale.  Nodes keep their own label only while no neighbor message
     arrives (symmetric edge lists deliver one per edge).  The
-    symmetric edge list feeds every round plus the seed-label
-    distinct — localCheckpoint'd so the edge build + symmetrize +
-    distinct runs once, not ``rounds + 1`` times (measured
+    symmetric edge list feeds every round — materialized so the edge
+    build + symmetrize + distinct runs once, not ``rounds`` times
+    (measured
     11.5 s → 7.6 s at sf0.1).  The top-1 is ``max(struct(c, -lbl))``
     — (count DESC, label ASC) as one total order — instead of a
     row_number window: a hash agg combines map-side and never sorts,
@@ -832,16 +832,23 @@ def lpa_communities(edges: DataFrame, a: str = "pa", b: str = "pb",
         sym = sym.distinct()
     sym = materialize(sym, "lpa_sym_edges")
     n_sym = sym.count()
-    labels = (sym.select(F.col("src").alias("node")).distinct()
-              .select("node", F.col("node").alias("lbl")))
-    for rnd in range(rounds):
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    # ROUND 1 in closed form: seed labels are the node ids and sym is
+    # DISTINCT, so every (node, neighbor-label) vote count is exactly
+    # 1 and the (count DESC, label ASC) top-1 degenerates to the
+    # minimum neighbor id — one agg over the edge list, no seed
+    # distinct, no join, no two-level count (identical to the generic
+    # round by construction; the oracle's unrolled CTE r1 agrees)
+    labels = (sym.groupBy(F.col("src").alias("node"))
+              .agg(F.min("dst").alias("lbl")))
+    for rnd in range(1, rounds):
         # each round's broadcast BUILD executes the label lineage —
         # left lazy, round r re-runs rounds 1..r-1 inside its build
         # (O(rounds²) total work); materializing the |V|-row label
         # table per round keeps every round O(|E|) (measured 5.5 s →
         # 5.0 s warm / 14 s → 5.7 s cold at sf0.1, 3 rounds)
-        if rnd > 0:
-            labels = materialize(labels, "lpa_labels")
+        labels = materialize(labels, "lpa_labels")
         lab = labels.withColumnRenamed("node", "dst")
         if n_sym <= LPA_BROADCAST_MAX_EDGES:
             lab = F.broadcast(lab)

@@ -477,12 +477,20 @@ def test_lpa_broadcasts_labels_no_edge_shuffle(spark, monkeypatch):
     plan = plan_of(df)
     assert n_nodes(plan, "BroadcastHashJoin") == 1, plan
     assert n_nodes(plan, "SortMergeJoin") == 0, plan
-    one_round = graph.lpa_communities(
-        graph.copurchase_edges(gio.load_table(spark, SF_SMOKE, "lineitem")),
-        rounds=1, edges_canonical=True)
-    p1 = plan_of(one_round)
-    assert n_nodes(p1, "BroadcastHashJoin") == 1, p1
+    edges = graph.copurchase_edges(
+        gio.load_table(spark, SF_SMOKE, "lineitem"))
+    # round 1 runs in closed form (min-neighbor agg — all vote counts
+    # are 1 on a distinct symmetric edge list): NO join at all
+    p1 = plan_of(graph.lpa_communities(edges, rounds=1,
+                                       edges_canonical=True))
+    assert n_nodes(p1, "BroadcastHashJoin") == 0, p1
     assert n_nodes(p1, "SortMergeJoin") == 0, p1
+    # the generic round (2+) is one broadcast label join, no shuffle
+    # of the edge frame
+    p2 = plan_of(graph.lpa_communities(edges, rounds=2,
+                                       edges_canonical=True))
+    assert n_nodes(p2, "BroadcastHashJoin") == 1, p2
+    assert n_nodes(p2, "SortMergeJoin") == 0, p2
 
 
 def test_triangle_closure_probe_packed_broadcast(spark, monkeypatch):

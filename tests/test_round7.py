@@ -576,6 +576,44 @@ def test_lpa_triangle_converges_pair_oscillates(spark):
     assert (r[10], r[11]) == (11, 10)
 
 
+def test_lpa_round1_closed_form_matches_generic(spark):
+    """Round 1 runs in closed form (min neighbor id — every vote count
+    is 1 when seeds are node ids and the symmetric edge list is
+    distinct). Pin it against a brute-force python reference on a
+    random-ish graph, and check a 3-round run against the same
+    reference iterated generically."""
+    import random
+    rng = random.Random(7)
+    edges = sorted({(min(a, b), max(a, b))
+                    for a, b in ((rng.randrange(30), rng.randrange(30))
+                                 for _ in range(120)) if a != b})
+    df = spark.createDataFrame(edges, "pa long, pb long")
+
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+
+    def ref_round(lbl: dict[int, int]) -> dict[int, int]:
+        out = {}
+        for n, ns in nbrs.items():
+            votes: dict[int, int] = {}
+            for m in ns:
+                votes[lbl[m]] = votes.get(lbl[m], 0) + 1
+            out[n] = min(votes, key=lambda l: (-votes[l], l))
+        return out
+
+    lbl = {n: n for n in nbrs}
+    lbl1 = ref_round(lbl)
+    got1 = {x["node"]: x["community"]
+            for x in lpa_communities(df, rounds=1).collect()}
+    assert got1 == lbl1
+    lbl3 = ref_round(ref_round(lbl1))
+    got3 = {x["node"]: x["community"]
+            for x in lpa_communities(df, rounds=3).collect()}
+    assert got3 == lbl3
+
+
 def test_pairwise_welch_signs_and_gate(spark, tmp_path):
     """view≈1, purchase≈10 → t(purchase,view) strongly positive (mean
     a - mean b with a='purchase' < 'view' lexicographically);
