@@ -685,14 +685,19 @@ def ngram_jaccard_prefix(df: DataFrame, text_col: str = "text",
     w = Window.partitionBy(id_col).orderBy(F.col("__df").asc(),
                                            F.col("sh").asc())
     ranked = (sh.join(dfreq, "sh")
-                .withColumn("__rk", F.row_number().over(w)))
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__m"))
+                .withColumn("__rk", F.row_number().over(w))
+                # per-doc shingle count as a whole-partition window
+                # count: the rank window already hash-partitioned on
+                # the doc id, so this rides the SAME exchange — one
+                # fewer agg and one fewer join than a sizes-table
+                # aggregate (equal output, verified)
+                .withColumn("__m", F.count("*").over(
+                    Window.partitionBy(id_col))))
     # prefix length m − ⌈t·m⌉ + 1, integer ceil: (m·num + den − 1) div den
     plen = (F.col("__m")
             - F.expr(f"(__m * {threshold_num} + {threshold_den - 1}) "
                      f"div {threshold_den}") + 1)
-    pref = (ranked.join(sizes, id_col)
-                  .where(F.col("__rk") <= plen)
+    pref = (ranked.where(F.col("__rk") <= plen)
                   .select(F.col(id_col), "sh"))
     pairs = (pref.alias("a").join(pref.alias("b"), "sh")
                  .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
