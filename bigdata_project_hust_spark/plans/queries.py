@@ -3224,45 +3224,116 @@ QUERIES.update(QUERIES_ROUND22)
 # packing_fill_histogram, ingest_accept_list.  At 50/round the tail clears
 # in round 9 ((367-257)/50 = 2.2 more rounds).
 _CHECK_FIRST = [
-    "als_rank1_item_factors", "centroid_separability", "incremental_dedup",
-    "curriculum_order", "packing_fill_histogram", "ingest_accept_list",
-    "except_all_custkeys", "group_by_all_revenue", "vocab_prune_manifest",
-    "weighted_paths_parts", "funnel_transition_medians", "jl_projection",
-    "script_mix_report", "interevent_gap_histogram", "lateral_top_order",
-    "range_window_weekly_revenue", "parameterized_sql",
-    "top_trigram_journeys", "embedding_outliers", "containment_dups",
-    "dau_wau_stickiness", "hapax_ratio_by_source", "retrieval_eval",
-    "median_of_means", "source_vocab_jaccard", "churn_rates",
-    "trimmed_mean_prices", "daily_revenue_features",
-    "first_touch_attribution", "session_duration_histogram",
-    "nearest_order_per_event", "readability_by_lang", "sliding_hll_wau",
-    "top_orders_with_ties", "session_type_pmi", "skyline_orders",
-    "anova_value_by_type", "ecdf_value_by_type", "welch_t_values",
-    "cv_by_type", "cramers_v_type_arm", "cluster_label_impurity",
-    "brown_forsythe_values", "runs_test_daily", "kruskal_wallis_values",
-    "cohens_d_arms", "jarque_bera_values", "kendall_view_purchase",
-    "friedman_daily_types", "decision_stump_purchase", "max_drawdown_nation",
-    "kmv_distinct_custkeys", "kmv_jaccard_custkeys", "phrase_search_the_part",
-    "shard_plan_documents", "filter_clause_rollup", "acf_daily_values",
-    "theil_sen_daily", "mann_kendall_daily", "chi2_gof_types",
-    "active_day_islands", "ridge_price_model", "quantile_normalize_values",
-    "pairwise_welch_types", "token_budget_allocation", "dedup_prefix_filter",
-    "consistent_hash_routing", "linear_attribution", "diff_in_diff_arms",
-    "nelson_aalen_purchase", "changepoint_daily", "quartiles_order_totals",
-    "trending_terms_batches", "ucb_arm_scores", "poisson_rate_arms",
-    "churn_hazard_tenure", "degree_powerlaw_parts", "rolling_median_daily",
-    "lognormal_gamma_values", "dow_hour_heatmap", "journey_edit_distance",
-    "outlier_consensus", "compaction_bin_packing", "partition_skew_advisor",
-    "ann_recall_matryoshka", "embedding_top_component", "kfold_cv_ridge",
-    "bias_baseline_card", "sax_daily_symbols", "bpe_merge_rounds",
-    "bpe_fertility_by_source", "label_silhouette", "dq_constraint_report",
-    "oof_target_encoding", "dow_seasonality_harmonics", "rake_keyphrases",
-    "stratified_ate", "triplet_violation_audit", "collated_distinct_names",
-    "rtbf_deletion_manifest", "cross_source_dup_matrix", "source_scorecard",
-    "top_event_trigrams", "abc_classification", "new_vs_returning_daily",
-    "repeat_purchase_intervals", "order_fulfillment_cycle",
-    "supplier_concentration_hhi", "nation_trade_balance",
+    "max_drawdown_nation",
+    "kmv_distinct_custkeys",
+    "kmv_jaccard_custkeys",
+    "phrase_search_the_part",
+    "shard_plan_documents",
+    "filter_clause_rollup",
+    "acf_daily_values",
+    "theil_sen_daily",
+    "mann_kendall_daily",
+    "chi2_gof_types",
+    "active_day_islands",
+    "ridge_price_model",
+    "quantile_normalize_values",
+    "pairwise_welch_types",
+    "token_budget_allocation",
+    "dedup_prefix_filter",
+    "consistent_hash_routing",
+    "linear_attribution",
+    "diff_in_diff_arms",
+    "nelson_aalen_purchase",
+    "changepoint_daily",
+    "quartiles_order_totals",
+    "trending_terms_batches",
+    "ucb_arm_scores",
+    "poisson_rate_arms",
+    "churn_hazard_tenure",
+    "degree_powerlaw_parts",
+    "rolling_median_daily",
+    "lognormal_gamma_values",
+    "dow_hour_heatmap",
+    "journey_edit_distance",
+    "outlier_consensus",
+    "compaction_bin_packing",
+    "partition_skew_advisor",
+    "ann_recall_matryoshka",
+    "embedding_top_component",
+    "kfold_cv_ridge",
+    "bias_baseline_card",
+    "sax_daily_symbols",
+    "bpe_merge_rounds",
+    "bpe_fertility_by_source",
+    "label_silhouette",
+    "dq_constraint_report",
+    "oof_target_encoding",
+    "dow_seasonality_harmonics",
+    "rake_keyphrases",
+    "stratified_ate",
+    "triplet_violation_audit",
+    "collated_distinct_names",
+    "rtbf_deletion_manifest",
+    "cross_source_dup_matrix",
+    "source_scorecard",
+    "top_event_trigrams",
+    "abc_classification",
+    "new_vs_returning_daily",
+    "repeat_purchase_intervals",
+    "order_fulfillment_cycle",
+    "supplier_concentration_hhi",
+    "nation_trade_balance",
     "discount_band_lift",
+    "als_rank1_item_factors",
+    "centroid_separability",
+    "incremental_dedup",
+    "curriculum_order",
+    "packing_fill_histogram",
+    "ingest_accept_list",
+    "except_all_custkeys",
+    "group_by_all_revenue",
+    "vocab_prune_manifest",
+    "weighted_paths_parts",
+    "funnel_transition_medians",
+    "jl_projection",
+    "script_mix_report",
+    "interevent_gap_histogram",
+    "lateral_top_order",
+    "range_window_weekly_revenue",
+    "parameterized_sql",
+    "top_trigram_journeys",
+    "embedding_outliers",
+    "containment_dups",
+    "dau_wau_stickiness",
+    "hapax_ratio_by_source",
+    "retrieval_eval",
+    "median_of_means",
+    "source_vocab_jaccard",
+    "churn_rates",
+    "trimmed_mean_prices",
+    "daily_revenue_features",
+    "first_touch_attribution",
+    "session_duration_histogram",
+    "nearest_order_per_event",
+    "readability_by_lang",
+    "sliding_hll_wau",
+    "top_orders_with_ties",
+    "session_type_pmi",
+    "skyline_orders",
+    "anova_value_by_type",
+    "ecdf_value_by_type",
+    "welch_t_values",
+    "cv_by_type",
+    "cramers_v_type_arm",
+    "cluster_label_impurity",
+    "brown_forsythe_values",
+    "runs_test_daily",
+    "kruskal_wallis_values",
+    "cohens_d_arms",
+    "jarque_bera_values",
+    "kendall_view_purchase",
+    "friedman_daily_types",
+    "decision_stump_purchase",
 ]
 
 
