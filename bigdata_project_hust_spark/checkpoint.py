@@ -93,15 +93,29 @@ def materialize(df: DataFrame, label: str = "intermediate",
     exploded string-shingle frames cache ~2.5× slower than they
     localCheckpoint — columnar string compression — so those sites
     prefer ``local``); a cluster deployment setting the env var to
-    ``reliable`` still flips every site at once.
+    ``reliable`` still flips every site at once.  The env var accepts
+    only ``local``/``reliable``: several ``prefer="local"`` sites are
+    correctness-motivated (multiplicative-lineage loops where
+    ``persist`` does not cut the LOGICAL plan and planning itself
+    OOMs), so a global flip back onto ``cache`` would silently break
+    them — it is rejected loudly instead (ADVICE r7).
     """
-    strategy = strategy or os.environ.get(
-        "SPARK_GRAFT_CHECKPOINT_STRATEGY") or prefer
+    if strategy is None:
+        env = os.environ.get("SPARK_GRAFT_CHECKPOINT_STRATEGY")
+        if env == "cache":
+            raise ValueError(
+                "SPARK_GRAFT_CHECKPOINT_STRATEGY accepts only 'local' "
+                "or 'reliable': 'cache' cannot cut lineage, which the "
+                "prefer='local' loop sites require for correctness")
+        strategy = env or prefer
     if strategy == "cache":
         from pyspark import StorageLevel
+        # always eager: a lazily-persisted frame loses the cache-fill
+        # race between concurrent consumers — the exact failure this
+        # strategy exists to prevent (ADVICE r7), so `eager` is
+        # meaningful only for the local strategy
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
-        if eager:
-            out.count()  # fill the cache BEFORE any consumer sees it
+        out.count()  # fill the cache BEFORE any consumer sees it
         return out
     if strategy == "local":
         return df.localCheckpoint(eager=eager)

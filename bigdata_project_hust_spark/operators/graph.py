@@ -842,6 +842,7 @@ def lpa_communities(edges: DataFrame, a: str = "pa", b: str = "pb",
     # round by construction; the oracle's unrolled CTE r1 agrees)
     labels = (sym.groupBy(F.col("src").alias("node"))
               .agg(F.min("dst").alias("lbl")))
+    superseded = None
     for rnd in range(1, rounds):
         # each round's broadcast BUILD executes the label lineage —
         # left lazy, round r re-runs rounds 1..r-1 inside its build
@@ -849,6 +850,14 @@ def lpa_communities(edges: DataFrame, a: str = "pa", b: str = "pb",
         # table per round keeps every round O(|E|) (measured 5.5 s →
         # 5.0 s warm / 14 s → 5.7 s cold at sf0.1, 3 rounds)
         labels = materialize(labels, "lpa_labels")
+        if superseded is not None:
+            # under the cache strategy the CacheManager holds every
+            # persisted round until explicit unpersist — release the
+            # previous round's table once this round's fill (the eager
+            # count inside materialize) no longer needs it; a no-op
+            # for localCheckpoint frames (ADVICE r7)
+            superseded.unpersist()
+        superseded = labels
         lab = labels.withColumnRenamed("node", "dst")
         if n_sym <= LPA_BROADCAST_MAX_EDGES:
             lab = F.broadcast(lab)

@@ -18,6 +18,9 @@ import __spark_entry__ as E  # noqa: E402
 from tests.oracle_harness import (  # noqa: E402
     compare, driver_canon, duck_connection)
 
+if len(sys.argv) < 3 or (sys.argv[2] == "--grep" and len(sys.argv) < 4):
+    print(__doc__.strip(), file=sys.stderr)
+    sys.exit(2)
 SF = sys.argv[1]
 if sys.argv[2] == "--grep":
     pat = sys.argv[3]

@@ -152,3 +152,31 @@ def test_graph_and_dedup_headliners_reliable_parity(spark, tmp_path,
     # both operators actually took the durable path
     rd = _run_dir(spark, tmp_path)
     assert any(d.startswith("tri_oriented") for d in os.listdir(rd))
+
+
+def test_env_cache_rejected(spark, monkeypatch):
+    """SPARK_GRAFT_CHECKPOINT_STRATEGY accepts only local/reliable:
+    a global flip to 'cache' would silently re-route the
+    correctness-motivated prefer='local' loop sites (k_core, CC) onto
+    the path that OOMs canonicalizing their 3^rounds logical trees
+    (ADVICE r7)."""
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_STRATEGY", "cache")
+    df = spark.range(5)
+    with pytest.raises(ValueError, match="local.*reliable|reliable"):
+        materialize(df, "t_env_cache")
+    # explicit strategy='local' at a call site is still honored
+    out = materialize(df, "t_env_cache_local", strategy="local")
+    assert out.count() == 5
+
+
+def test_cache_is_always_eager(spark):
+    """eager=False must NOT produce a lazily-persisted cache frame —
+    that is exactly the concurrent-consumer fill race the cache
+    strategy exists to prevent (ADVICE r7)."""
+    df = spark.range(64).withColumn("v", F.col("id") + 1)
+    out = materialize(df, "t_lazy_cache", strategy="cache", eager=False)
+    try:
+        status = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        assert any(s.numCachedPartitions() > 0 for s in status)
+    finally:
+        out.unpersist()
