@@ -10,9 +10,20 @@ halfway values is not trustworthy).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..checkpoint import materialize
+
+
+def _tokens_prefer() -> str:
+    """Measured-best strategy for the EXPLODED token frames (one
+    string column, corpus-sized): the columnar string cache build is
+    what made dedup_ngram_prefix 2.5× slower under the r7 cache
+    default, and the same shape rides here (VERDICT r7 #2).  Read at
+    call time so a paired same-session A/B can flip it per run."""
+    return os.environ.get("SPARK_GRAFT_TOKENS_PREFER", "local")
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 # Deterministic and mirrored verbatim in the DuckDB oracle SQL.
@@ -174,7 +185,7 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     # loses the race between concurrent branches of one job)
     toks = df.select(F.col(id_col),
                      F.explode(tokens(text_col)).alias("term")).transform(
-        materialize, "text_tokens")
+        materialize, "text_tokens", prefer=_tokens_prefer())
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     docfreq = (toks.groupBy("term")
                    .agg(F.count_distinct(F.col(id_col)).alias("df_docs")))
@@ -277,7 +288,7 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     token rows, the model side stays broadcast."""
     toks = df.select(F.col(id_col),
                      F.explode(tokens(text_col)).alias("term")).transform(
-        materialize, "text_tokens")
+        materialize, "text_tokens", prefer=_tokens_prefer())
     vocab = toks.groupBy("term").agg(F.count("*").alias("__tf"))
     tot = vocab.agg(F.sum("__tf").alias("__total"))
     scored = (toks.join(F.broadcast(vocab), "term")
@@ -863,7 +874,7 @@ def nb_lang_classifier(df: DataFrame, text_col: str = "text",
         materialize, "nb_lang_pred")
     toks = df.select(F.col(id_col),
                      F.explode(tokens(text_col)).alias("term")).transform(
-        materialize, "text_tokens")
+        materialize, "text_tokens", prefer=_tokens_prefer())
     train_toks = (toks.join(labels.where(F.col("lang_pred") != "und"),
                             id_col)
                   .select("term", "lang_pred"))
