@@ -2518,6 +2518,101 @@ ORACLE_MM_FRAMES = """
 """
 
 
+def q_multimodal_jpeg_features(spark, sf_dir):
+    """REAL baseline-JFIF JPEG decode under the DuckDB oracle — the
+    r7-verdict follow-up that puts ``operators/jpegcodec`` behind a
+    value-hash-checked driver row (STAGED while the registry is
+    frozen; register at the r9 unfreeze — until then pinned by
+    tests/test_jpeg_query.py at sf0.001).
+
+    JPEG is lossy in general, so the fixture is chosen where baseline
+    JPEG is EXACT: each asset is a 16×16 RGB image of four 8×8
+    blockwise-flat gray patches (r=g=b=v_k, v_k even). A flat block's
+    forward DCT is DC-only (8·(v−128), AC ≡ 0 up to float noise that
+    quantizes to 0); at quality=50 the Annex-K luma table is unscaled
+    so the DC step is 16 and round(8·(v−128)/16) is exact for even v;
+    r=g=b makes Cb=Cr=128 flat, whose DC is 0. The decoder therefore
+    reproduces the input bit-for-bit THROUGH the full codec path —
+    Huffman decode, dequant, IDCT, YCbCr→RGB — verified exhaustively
+    for 200 fixture assets. The oracle never parses JPEG: it derives
+    the four block values from the same md5 bytes and emits the pixel
+    statistics in closed form (flat blocks make every stat a 4-value
+    expression).
+
+    Block value k (0..3) of a doc = byte k of md5(doc_id||':jpg'),
+    forced even (v − v%2). Stats mirror ``extract_pixel_stats``:
+    gray = r+g+b = 3v, so gradients are nonzero only across the two
+    block seams — 8 rows (or columns) each contributing 3·|Δv|."""
+    from pyspark.sql.functions import pandas_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    seed = F.unhex(F.md5(F.encode(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":jpg")),
+        "UTF-8")))
+
+    @pandas_udf("binary")
+    def jpeg_of(seeds: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..operators.jpegcodec import encode_jpeg_rgb
+
+        def enc(b: bytes) -> bytes:
+            vs = [x & 0xFE for x in bytes(b)[:4]]
+            px = np.zeros((16, 16, 3), np.uint8)
+            for k, v in enumerate(vs):
+                px[(k // 2) * 8:(k // 2) * 8 + 8,
+                   (k % 2) * 8:(k % 2) * 8 + 8, :] = v
+            return encode_jpeg_rgb(px, quality=50)
+        return seeds.map(enc)
+
+    assets = docs.select(F.col("doc_id").alias("asset_id"),
+                         F.lit("image").alias("kind"),
+                         jpeg_of(seed).alias("payload"))
+    st = multimodal.extract_pixel_stats(assets)
+    mean_e6 = {c: F.floor(F.col(f"sum_{c}") / (255.0 * F.col("n_px"))
+                          * 1000000).cast("long").alias(f"mean_{c}_e6")
+               for c in ("r", "g", "b")}
+    return (st.where(F.col("ok"))
+              .select("asset_id",
+                      F.col("width").cast("long").alias("width"),
+                      F.col("height").cast("long").alias("height"),
+                      "n_px", "sum_r", "sum_g", "sum_b",
+                      "min_gray3", "max_gray3",
+                      "sum_hgrad3", "sum_vgrad3",
+                      mean_e6["r"], mean_e6["g"], mean_e6["b"]))
+
+
+# block value k of a doc = byte k of md5(doc_id || ':jpg'), forced even
+_MM_JPEG_V = ("(('0x' || substr(md5(doc_id::VARCHAR || ':jpg'), "
+              "{k} * 2 + 1, 2))::BIGINT // 2) * 2")
+
+ORACLE_MM_JPEG = f"""
+  WITH v AS (
+    SELECT doc_id,
+           {_MM_JPEG_V.format(k=0)} AS v0,
+           {_MM_JPEG_V.format(k=1)} AS v1,
+           {_MM_JPEG_V.format(k=2)} AS v2,
+           {_MM_JPEG_V.format(k=3)} AS v3
+    FROM documents
+  ),
+  s AS (
+    SELECT doc_id, (64 * (v0 + v1 + v2 + v3))::BIGINT AS sum_c,
+           (3 * least(v0, v1, v2, v3))::BIGINT AS min_gray3,
+           (3 * greatest(v0, v1, v2, v3))::BIGINT AS max_gray3,
+           (24 * (abs(v0 - v1) + abs(v2 - v3)))::BIGINT AS sum_hgrad3,
+           (24 * (abs(v0 - v2) + abs(v1 - v3)))::BIGINT AS sum_vgrad3
+    FROM v
+  )
+  SELECT doc_id AS asset_id, 16::BIGINT AS width, 16::BIGINT AS height,
+         256::BIGINT AS n_px, sum_c AS sum_r, sum_c AS sum_g,
+         sum_c AS sum_b, min_gray3, max_gray3, sum_hgrad3, sum_vgrad3,
+         floor(sum_c / (255.0 * 256) * 1000000)::BIGINT AS mean_r_e6,
+         floor(sum_c / (255.0 * 256) * 1000000)::BIGINT AS mean_g_e6,
+         floor(sum_c / (255.0 * 256) * 1000000)::BIGINT AS mean_b_e6
+  FROM s
+"""
+
+
 def q_point_lookup_customer(spark, sf_dir):
     """P3/S11: equality point lookup (reference show.py:55,68,82,96 —
     find_one by key). At scale this is the case for bucketed/sorted
