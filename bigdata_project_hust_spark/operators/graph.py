@@ -228,10 +228,18 @@ def triangle_count(edges: DataFrame, a: str = "pa",
                    and st["mx"] < (1 << 31))
     if n_edges is not None and n_edges > TRIANGLE_BROADCAST_MAX_EDGES:
         # past the broadcast gate: adjacency-intersection — see plan
-        # notes. adj is keyed on the same column the edge join probes,
-        # so the groupBy exchange is reused by the first join.
-        adj = (oriented.groupBy(F.col("lo").alias("n"))
-               .agg(F.sort_array(F.collect_list("hi")).alias("nbrs")))
+        # notes. adj feeds BOTH array joins and AQE does not reuse an
+        # exchange across consumers, so left lazy its groupBy +
+        # collect_list subtree runs twice; materialized, the 10×
+        # 12M-edge probe halves (48.4 s → 25.4 s, phase-attributed in
+        # scripts/triangle_profile.py — the intersect phase alone fell
+        # 40.8 s → 15.4 s). prefer="local": one-shot big-array frame,
+        # ContextCleaner reclaims the blocks, and the measured win is
+        # under localCheckpoint.
+        adj = materialize(
+            (oriented.groupBy(F.col("lo").alias("n"))
+             .agg(F.sort_array(F.collect_list("hi")).alias("nbrs"))),
+            "tri_adj", prefer="local")
         tris = (oriented
                 .join(adj.select(F.col("n").alias("lo"),
                                  F.col("nbrs").alias("na")), "lo")

@@ -2613,6 +2613,70 @@ ORACLE_MM_JPEG = f"""
 """
 
 
+def q_multimodal_wav_stats(spark, sf_dir):
+    """REAL stdlib-``wave`` PCM decode under the DuckDB oracle —
+    upgrades the audio path from its rows-only check
+    (``multimodal_audio`` r04) to a value-hash-checked row (STAGED
+    while the registry is frozen; register at the r9 unfreeze —
+    pinned meanwhile by tests/test_wav_query.py).
+
+    Each asset is a genuine 68-byte 8-bit mono PCM WAV: a constant
+    44-byte RIFF/fmt/data header (every field is a fixed literal —
+    32 samples, 8 kHz, mono — so the ENCODE is pure Catalyst concat,
+    no UDF) followed by 32 raw samples = the md5 digests of
+    ``doc_id:wav0`` and ``doc_id:wav1``. ``extract_audio_stats``
+    decodes through the real ``wave`` module and emits exact-integer
+    sample statistics; the oracle derives the identical samples from
+    the same md5 hex and reproduces every BIGINT in closed form —
+    unsigned 8-bit samples, center 128 for the crossing count."""
+    docs = _t(spark, sf_dir, "documents")
+    seg = [F.unhex(F.md5(F.encode(
+        F.concat(F.col("doc_id").cast("string"), F.lit(f":wav{i}")),
+        "UTF-8"))) for i in range(2)]
+    # RIFF(68) WAVE fmt(16: PCM, mono, 8000 Hz, 8000 B/s, align 1,
+    # 8 bit) data(32) — byte-identical to
+    # struct.pack('<4sI4s4sIHHIIHH4sI', b'RIFF', 68, b'WAVE',
+    # b'fmt ', 16, 1, 1, 8000, 8000, 1, 8, b'data', 32)
+    header = bytes.fromhex(
+        "524946464400000057415645666d7420100000000100010040" +
+        "1f0000401f00000100080064617461" + "20000000")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("audio").alias("kind"),
+        F.concat(F.lit(header), *seg).alias("payload"))
+    st = multimodal.extract_audio_stats(assets)
+    return st.where(F.col("ok")).select(
+        "asset_id", "sample_rate", "n_channels", "n_frames",
+        "sum_samples", "min_sample", "max_sample", "sum_absdiff",
+        "n_signflips")
+
+
+# sample j (0..31) of a doc's WAV = byte j%16 of md5(doc_id||':wav0')
+# for j<16, of md5(doc_id||':wav1') for j>=16 — same derivation the
+# Spark side concatenates behind the constant RIFF header
+_MM_WAV_S = ("list_transform(generate_series(0, 31), j -> ('0x' || "
+             "substr(md5(doc_id::VARCHAR || ':wav' || (j // 16)), "
+             "(j % 16) * 2 + 1, 2))::BIGINT)")
+
+ORACLE_MM_WAV = f"""
+  WITH s AS (
+    SELECT doc_id, {_MM_WAV_S} AS x
+    FROM documents
+  )
+  SELECT doc_id AS asset_id, 8000::BIGINT AS sample_rate,
+         1::BIGINT AS n_channels, 32::BIGINT AS n_frames,
+         list_sum(x)::BIGINT AS sum_samples,
+         list_min(x)::BIGINT AS min_sample,
+         list_max(x)::BIGINT AS max_sample,
+         list_sum(list_transform(generate_series(0, 30), j ->
+           abs(x[j + 2] - x[j + 1])))::BIGINT AS sum_absdiff,
+         list_sum(list_transform(generate_series(0, 30), j ->
+           CASE WHEN (x[j + 1] < 128) <> (x[j + 2] < 128)
+                THEN 1 ELSE 0 END))::BIGINT AS n_signflips
+  FROM s
+"""
+
+
 def q_point_lookup_customer(spark, sf_dir):
     """P3/S11: equality point lookup (reference show.py:55,68,82,96 —
     find_one by key). At scale this is the case for bucketed/sorted

@@ -1105,6 +1105,25 @@ def test_triangle_count_k4_and_square(spark):
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
 
 
+def test_triangle_count_intersect_fallback_equals_broadcast(spark,
+                                                            monkeypatch):
+    """Past TRIANGLE_BROADCAST_MAX_EDGES the operator switches to the
+    adjacency-intersection path (now with a materialized adj frame) —
+    force the gate to 0 and assert the fallback reproduces the
+    broadcast path's exact per-node counts, including sink nodes with
+    no adjacency row (the left join + empty-array coalesce)."""
+    from bigdata_project_hust_spark.operators import graph
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    square = [(10, 11), (11, 12), (12, 13), (10, 13)]
+    df = spark.createDataFrame(k4 + square, "pa long, pb long")
+    expected = {r.node: r.n_triangles
+                for r in graph.triangle_count(df).collect()}
+    monkeypatch.setattr(graph, "TRIANGLE_BROADCAST_MAX_EDGES", 0)
+    out = {r.node: r.n_triangles
+           for r in graph.triangle_count(df).collect()}
+    assert out == expected == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
 def test_triangle_count_int_typed_edges(spark):
     """IntegerType edge columns take the packed-key path correctly:
     Java masks shift amounts mod the operand width, so shiftleft on an
