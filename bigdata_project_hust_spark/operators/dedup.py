@@ -19,6 +19,8 @@ and immediately partially aggregated.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..checkpoint import materialize
@@ -30,6 +32,10 @@ MINHASH_BANDS = 4       # 4 bands × 4 rows
 SIMHASH_BITS = 60       # stable_hash64 yields 60 usable bits
 SIMHASH_BAND_BITS = 12  # 5 bands of 12 bits
 CC_BROADCAST_MAX_EDGES = 4_000_000  # label-table broadcast gate (CC)
+# materialize the PPJoin prefix index only past this shingle count —
+# below it the eager barrier costs more than the duplicated subtree
+# it saves (crossover measured in ngram_jaccard_prefix)
+PPJOIN_PREF_MAT_MIN_SHINGLES = 1_000_000
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -697,8 +703,24 @@ def ngram_jaccard_prefix(df: DataFrame, text_col: str = "text",
     plen = (F.col("__m")
             - F.expr(f"(__m * {threshold_num} + {threshold_den - 1}) "
                      f"div {threshold_den}") + 1)
-    pref = (ranked.where(F.col("__rk") <= plen)
-                  .select(F.col(id_col), "sh"))
+    # pref feeds BOTH sides of the candidate self-join; left lazy the
+    # df-agg + join + two-window subtree above runs once per side
+    # (exchange reuse does not fire across the aliased branches).
+    # Scale crossover, both directions measured: at sf0.1 (260k
+    # shingles) the materialize barrier LOSES 8% (paired A/B 5.44 s →
+    # 5.86 s — the duplicated subtree is cheap); at the 10× probe
+    # (2.6M shingles) the lazy form pays the duplication, 50.5 s vs
+    # 15.5 s staged. Gate on the shingle count — free, ``sh`` is
+    # already materialized — like the graph broadcast gates. Env knob
+    # for paired same-session A/Bs (off/local/reliable/auto), same
+    # pattern as SPARK_GRAFT_TOKENS_PREFER.
+    pref = ranked.where(F.col("__rk") <= plen).select(F.col(id_col), "sh")
+    _pm = os.environ.get("SPARK_GRAFT_PPJOIN_PREF", "auto")
+    if _pm == "auto":
+        _pm = "local" if sh.count() >= PPJOIN_PREF_MAT_MIN_SHINGLES \
+            else "off"
+    if _pm != "off":
+        pref = materialize(pref, "ppjoin_prefix", prefer=_pm)
     pairs = (pref.alias("a").join(pref.alias("b"), "sh")
                  .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
                  .select(F.col(f"a.{id_col}").alias("doc_a"),

@@ -1976,6 +1976,23 @@ def test_prefix_join_equals_naive_join(spark):
     assert pref == naive and len(naive) > 0
 
 
+def test_prefix_join_materialize_gate_branches_agree(spark, monkeypatch):
+    """The prefix index is materialized only past the shingle-count
+    gate (scale crossover measured both directions at round 8) —
+    force each branch via the env knob and assert identical output."""
+    from bigdata_project_hust_spark.operators.dedup import (
+        ngram_jaccard_prefix)
+    rows = [(100, "alpha beta gamma delta epsilon zeta eta"),
+            (101, "alpha beta gamma delta epsilon zeta theta"),
+            (102, "one two three four five six seven eight")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for mode in ("off", "local"):
+        monkeypatch.setenv("SPARK_GRAFT_PPJOIN_PREF", mode)
+        out[mode] = {tuple(r) for r in ngram_jaccard_prefix(df).collect()}
+    assert out["off"] == out["local"] and len(out["off"]) > 0
+
+
 def test_hash_embedding_mass_and_determinism(spark):
     """Every token contributes exactly one ±1: Σ|components| ≤
     n_tokens with equality iff no bucket cancellation; a 1-token doc
