@@ -279,7 +279,22 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     sh = materialize(shingles(df, text_col, id_col), "minhash_shingles",
                      strategy="reliable" if checkpoint_dir else None,
                      path=checkpoint_dir, prefer="local")
+    # the banded candidate self-join references the SIGNATURE agg
+    # subtree twice (exchange reuse does not fire across the aliased
+    # branches — the same measured effect as PPJoin's prefix index).
+    # Scale crossover like PPJoin's: at sf0.1 the barrier loses
+    # (paired A/B 1.72 s → 1.98 s, the duplicated agg over 260k
+    # shingles is cheap); past the shingle gate — counted free on the
+    # materialized sh — the duplicated corpus-sized agg dominates.
+    # simhash_near_duplicates materializes unconditionally because its
+    # signature build (wide packed-lane agg) is expensive at ANY size.
     sig = minhash_signatures(sh, id_col)
+    _mm = os.environ.get("SPARK_GRAFT_MINHASH_SIG", "auto")
+    if _mm == "auto":
+        _mm = "local" if sh.count() >= PPJOIN_PREF_MAT_MIN_SHINGLES \
+            else "off"
+    if _mm != "off":
+        sig = materialize(sig, "minhash_sig", prefer=_mm)
     cands = candidate_pairs(minhash_bands(sig, id_col), id_col)
     return jaccard_verify(cands, sh, id_col, threshold_num,
                           threshold_den, assume_distinct=True)
@@ -623,7 +638,15 @@ def span_duplicates(df: DataFrame, text_col: str = "text",
     ``covered = Σ min(L, pos_i − pos_{i−1})`` over duplicated spans in
     position order, window-partitioned by doc.
     """
+    # sp feeds BOTH the corpus-frequency agg and the probe side of the
+    # join; left lazy the span generation (the 20-token concat_ws gram
+    # build — the CPU-heavy part) runs twice. Materialized rows are
+    # narrow (5 cols, hash not string). Env knob for paired A/Bs,
+    # same pattern as SPARK_GRAFT_PPJOIN_PREF.
     sp = positional_spans(df, text_col, id_col, n)
+    _sm = os.environ.get("SPARK_GRAFT_SPAN_MAT", "local")
+    if _sm != "off":
+        sp = materialize(sp, "span_positional", prefer=_sm)
     freq = sp.groupBy("span_h").agg(F.count("*").alias("span_freq"))
     j = sp.join(freq, "span_h")
     dup = F.col("span_freq") >= 2

@@ -50,12 +50,23 @@ def main() -> None:
         .select("doc_id", "text", "source").localCheckpoint()
     copies = []
     for k in range(n_copies):
+        # rotation alone wraps at 26 (a 30x run made copies 26-29
+        # exact duplicates of 0-3 and blew output up super-linearly
+        # by construction); the second lap additionally REVERSES the
+        # text — reversal bijectively maps n-token shingle windows to
+        # reversed windows, so intra-copy Jaccard structure is still
+        # preserved exactly, and rot+reverse pairs are unique for
+        # k < 52
+        if n_copies > 52:
+            raise SystemExit("N > 52 needs a third lap transform")
         rot = ALPHA[k % 26:] + ALPHA[:k % 26]
+        txt = F.translate(F.col("text"), ALPHA + ALPHA.upper(),
+                          rot + rot.upper())
+        if k >= 26:
+            txt = F.reverse(txt)
         copies.append(d1.select(
             (F.col("doc_id") + F.lit(k * SHIFT)).alias("doc_id"),
-            F.translate(F.col("text"), ALPHA + ALPHA.upper(),
-                        rot + rot.upper()).alias("text"),
-            F.col("source")))
+            txt.alias("text"), F.col("source")))
     dn = copies[0]
     for c in copies[1:]:
         dn = dn.unionAll(c)

@@ -1993,6 +1993,27 @@ def test_prefix_join_materialize_gate_branches_agree(spark, monkeypatch):
     assert out["off"] == out["local"] and len(out["off"]) > 0
 
 
+def test_minhash_and_span_mat_knobs_agree(spark, monkeypatch):
+    """The round-8 scale-crossover materializes in minhash (signature
+    table) and span_duplicates (positional spans) are plan-only: both
+    env-knob branches must produce identical rows."""
+    from bigdata_project_hust_spark.operators.dedup import (
+        minhash_near_duplicates, span_duplicates)
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    rows = [(1, text), (2, text + "iota"), (3, "unrelated words only here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for knob, fn in (("SPARK_GRAFT_MINHASH_SIG",
+                      lambda d: minhash_near_duplicates(d)),
+                     ("SPARK_GRAFT_SPAN_MAT",
+                      lambda d: span_duplicates(d, n=5))):
+        out = {}
+        for mode in ("off", "local"):
+            monkeypatch.setenv(knob, mode)
+            out[mode] = {tuple(r) for r in fn(df).collect()}
+        monkeypatch.delenv(knob)
+        assert out["off"] == out["local"] and len(out["off"]) > 0, knob
+
+
 def test_hash_embedding_mass_and_determinism(spark):
     """Every token contributes exactly one ±1: Σ|components| ≤
     n_tokens with equality iff no bucket cancellation; a 1-token doc
