@@ -31,6 +31,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import materialize
+
 EMB_DIM = 64
 
 
@@ -119,11 +121,17 @@ def centroid_cosine(df: DataFrame, dim: int = EMB_DIM) -> DataFrame:
     sums over dims (order-free), and the final cosine is one pinned
     division per label pair floored at e6. |labels|²·dim work —
     trivial at any corpus scale."""
+    # m feeds both dot-product sides AND the norms agg; left lazy the
+    # full-corpus centroid agg inside label_centroids ran once per
+    # consumer — materialized it is |labels|×dim rows (tiny barrier,
+    # corpus-sized saving)
     c = label_centroids(df, dim)
-    m = c.select("label", "dim",
+    m = materialize(
+        c.select("label", "dim",
                  F.floor(F.col("sum_q_e6").cast("double")
                          / F.col("n_vecs").cast("double"))
-                  .cast("long").alias("mq"))
+                  .cast("long").alias("mq")),
+        "label_centroid_means", prefer="local")
     a = m.select(F.col("label").alias("label_a"), "dim",
                  F.col("mq").alias("ma"))
     b = m.select(F.col("label").alias("label_b"), "dim",

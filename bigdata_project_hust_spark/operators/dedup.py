@@ -442,6 +442,10 @@ def ngram_jaccard_pairs_capped(df: DataFrame, text_col: str = "text",
               .where(F.col("__df") <= max_df)
               .select("sh"))
     sh_rare = sh.join(rare, "sh")
+    # sh_rare feeds both candidate sides — same crossover gate as
+    # ngram_jaccard_prefix (free count on the materialized sh)
+    if sh.count() >= PPJOIN_PREF_MAT_MIN_SHINGLES:
+        sh_rare = materialize(sh_rare, "capped_index", prefer="local")
     pairs = (sh_rare.alias("a").join(sh_rare.alias("b"), "sh")
                     .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
                     .select(F.col(f"a.{id_col}").alias("doc_a"),
@@ -777,8 +781,15 @@ def fuzzy_join_ed1(df: DataFrame, text_col: str,
             F.sequence(F.lit(1), n),
             lambda i: F.concat(F.substring(s, F.lit(1), (i - 1).cast("int")),
                                s.substr(i + 1, n)))))
-    v = (df.select(F.col(id_col), s.alias("__s"),
-                   F.explode(variants).alias("__v")))
+    # v feeds both self-join sides — left lazy the variant explosion
+    # (string-heavy: |s|+1 substring concats per row) runs once per
+    # side; same multi-consumer fix as the shingle pipelines (env
+    # knob for paired A/Bs, as everywhere)
+    v = df.select(F.col(id_col), s.alias("__s"),
+                  F.explode(variants).alias("__v"))
+    _vm = os.environ.get("SPARK_GRAFT_ED1_MAT", "local")
+    if _vm != "off":
+        v = materialize(v, "ed1_variants", prefer=_vm)
     a = v.select(F.col(id_col).alias("id_a"), F.col("__s").alias("sa"),
                  F.col("__v"))
     b = v.select(F.col(id_col).alias("id_b"), F.col("__s").alias("sb"),
@@ -897,12 +908,19 @@ def incremental_near_duplicates(df: DataFrame, new_cond,
     Output: (new_doc, dup_of, inter_size, union_size) — equal, by
     construction, to the full pair graph restricted to cross-side
     pairs (which is exactly how the oracle derives it)."""
-    sh = shingles(df, text_col, id_col)
+    # sh feeds the signature pipeline AND the exact-Jaccard verify —
+    # materialized like every other shingle consumer (left lazy the
+    # tokenize+explode subtree ran once per consumer; same fix as
+    # minhash_near_duplicates)
+    sh = materialize(shingles(df, text_col, id_col),
+                     "incr_shingles", prefer="local")
     sig = minhash_signatures(sh, id_col)
     bands = minhash_bands(sig, id_col)
     flags = df.select(F.col(id_col),
                       new_cond.cast("long").alias("__new"))
-    tagged = bands.join(flags, id_col)
+    # tagged feeds both cross-side branches; |docs|×bands rows, narrow
+    tagged = materialize(bands.join(flags, id_col),
+                         "incr_tagged", prefer="local")
     a = (tagged.where(F.col("__new") == 1)
          .select("band", "band_hash", F.col(id_col).alias("new_doc")))
     b = (tagged.where(F.col("__new") == 0)
@@ -975,28 +993,37 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     shingles that dominate Σ df² never seed candidates; they only get
     touched in the exact verify of surviving pairs).
 
-    ceil is the positive-operand (a+b-1) div b form; the global
-    rarity rank is one row_number over the |vocab|-row distinct-
-    shingle table (range-partition it for a web-scale vocabulary).
-    Verification is the shared exact-integer jaccard_verify."""
+    ceil is the positive-operand (a+b-1) div b form. The global order
+    needs NO materialized global rank: within a document, ordering by
+    a global row_number over (df asc, sh asc) is identical to
+    ordering by (df asc, sh asc) directly — the rank is strictly
+    monotone in that key — so the per-doc prefix window sorts on the
+    key itself, eliminating what was a single-task |vocab|-row global
+    sort (a genuine scale killer on a web-scale vocabulary) plus one
+    join. The per-doc size rides the same exchange as a window count
+    (the ngram_jaccard_prefix pattern). Verification is the shared
+    exact-integer jaccard_verify."""
     from pyspark.sql import Window
     sh = materialize(shingles(df, text_col, id_col, n), "shingles",
                      prefer="local")
     vocab = (sh.groupBy("sh").agg(F.count("*").alias("__df")))
-    rk = vocab.select(
-        "sh", F.row_number().over(
-            Window.orderBy("__df", "sh")).alias("__rk"))
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__n"))
-    entries = (sh.join(rk, "sh").join(sizes, id_col))
-    wd = Window.partitionBy(id_col).orderBy("__rk")
-    prefix = (entries
-              .select(id_col, "sh", "__n",
-                      F.row_number().over(wd).alias("__pos"))
+    wd = Window.partitionBy(id_col).orderBy(F.col("__df").asc(),
+                                            F.col("sh").asc())
+    prefix = (sh.join(vocab, "sh")
+              .select(id_col, "sh",
+                      F.row_number().over(wd).alias("__pos"),
+                      F.count("*").over(
+                          Window.partitionBy(id_col)).alias("__n"))
               .where(F.col("__pos")
                      <= F.col("__n")
                      - F.expr(f"({threshold_num} * __n "
                               f"+ {threshold_den} - 1) "
                               f"div {threshold_den}") + 1))
+    # prefix feeds both candidate sides — same crossover gate as
+    # ngram_jaccard_prefix (free count on the materialized sh)
+    if sh.count() >= PPJOIN_PREF_MAT_MIN_SHINGLES:
+        prefix = materialize(prefix.select(id_col, "sh"),
+                             "prefix_filter_idx", prefer="local")
     a = prefix.select(F.col(id_col).alias("doc_a"), "sh")
     b = prefix.select(F.col(id_col).alias("doc_b"), "sh")
     pairs = (a.join(b, "sh")

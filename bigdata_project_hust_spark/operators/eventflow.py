@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..checkpoint import materialize
+
 FUNNEL_STAGES: tuple[str, ...] = ("view", "click", "purchase")
 FUNNEL_WINDOW_S = 86400  # each stage must convert within a day
 _DAY_S = 24 * 3600
@@ -1497,7 +1499,12 @@ def session_type_pmi(df: DataFrame, gap_s: int = 1800,
            .rowsBetween(Window.unboundedPreceding, 0))
     sess = flagged.select(
         "u", "et", F.sum("ns").over(cum).alias("sid"))
-    st = sess.select("u", "sid", "et").distinct()
+    # st feeds FOUR consumers (both pair-join sides, the session
+    # count, the singles agg) — left lazy the sessionize window
+    # subtree ran once per consumer (the round-8 multi-consumer
+    # sweep; narrow 3-col rows)
+    st = materialize(sess.select("u", "sid", "et").distinct(),
+                     "pmi_session_types", prefer="local")
     n_sess = st.select("u", "sid").distinct().groupBy().agg(
         F.count("*").cast("long").alias("n"))
     singles = st.groupBy("et").agg(F.count("*").alias("c"))
@@ -2668,6 +2675,10 @@ def journey_edit_distance(df: DataFrame, user_col: str = "user_id",
                   F.array_sort(F.collect_list(
                       F.struct("rn", "ch"))),
                   lambda s: s["ch"])).alias("j")))
+    # js (the per-user journey-string collect) feeds both sides of
+    # the successive-user join — materialized so the window + collect
+    # subtree runs once (round-8 multi-consumer sweep)
+    js = materialize(js, "journey_strings", prefer="local")
     a = js.select(F.col("u").alias("user_a"), F.col("j").alias("ja"))
     b = js.select((F.col("u") - 1).alias("user_a"),
                   F.col("u").alias("user_b"),
