@@ -1223,6 +1223,15 @@ def q_customer_rfm(spark, sf_dir):
                       F.datediff("mx", "last_dt").cast("long")
                        .alias("recency_days"),
                       "frequency", "monetary_c"))
+    # SCALE NOTE (round-8 unpartitioned-window audit): these three
+    # ntile windows are single-task sorts over the PER-CUSTOMER frame
+    # — the one corpus-sized unpartitioned window left in the repo.
+    # ntile's exact tie-free semantics (rank-position buckets over a
+    # (metric, key) total order) require a global order; at billions
+    # of customers swap in a range-partitioned rank (orderBy is a
+    # parallel range sort; derive the tile from rank and n in closed
+    # form) or percentile-boundary binning if approximate quintiles
+    # are acceptable. Report-style query; |customers| << |orders|.
     r = Window.orderBy(F.col("recency_days").asc(),
                        F.col("o_custkey").asc())
     f = Window.orderBy(F.col("frequency").desc(),
