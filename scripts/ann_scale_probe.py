@@ -23,6 +23,7 @@ Usage: python scripts/ann_scale_probe.py [N] [reps]   (default 10 2)
 from __future__ import annotations
 
 import math
+import os
 import statistics
 import sys
 import time
@@ -44,7 +45,8 @@ def main() -> None:
     n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     spark = (SparkSession.builder.master("local[32]")
-             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.shuffle.partitions",
+                     os.environ.get("SPARK_GRAFT_PROBE_PARTS", "32"))
              .config("spark.driver.memory", "48g")
              .appName("ann-scale-probe").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")

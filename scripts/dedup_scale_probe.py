@@ -22,6 +22,7 @@ Usage: python scripts/dedup_scale_probe.py [N] [reps]   (default 10 2)
 
 from __future__ import annotations
 
+import os
 import statistics
 import sys
 import time
@@ -41,7 +42,8 @@ def main() -> None:
     n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     spark = (SparkSession.builder.master("local[32]")
-             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.shuffle.partitions",
+                     os.environ.get("SPARK_GRAFT_PROBE_PARTS", "32"))
              .config("spark.driver.memory", "48g")
              .appName("dedup-scale-probe").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
