@@ -35,8 +35,8 @@ def main() -> None:
 
     from bigdata_project_hust_spark import io as gio
     from bigdata_project_hust_spark.operators.graph import (
-        clustering_coefficient, copurchase_edges, lpa_communities,
-        triangle_count)
+        clustering_coefficient, copurchase_edges, k_core,
+        lpa_communities, triangle_count)
 
     spark = (SparkSession.builder.master("local[32]")
              .config("spark.sql.shuffle.partitions", "32")
@@ -71,6 +71,11 @@ def main() -> None:
         "lpa_communities": lambda e: lpa_communities(e).groupBy(
             "community").count().orderBy(F.desc("count")).limit(5)
             .collect(),
+        # the 3^rounds-lineage loop — the per-round localCheckpoint +
+        # re-evaluated broadcast gate are exactly what this probe
+        # exists to exercise at 10x
+        "k_core": lambda e: k_core(e, k=3, rounds=6).agg(
+            F.count("*"), F.sum("core_degree")).collect(),
     }
     for name, fn in ops.items():
         t = {}
