@@ -3236,6 +3236,16 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_resize": QuerySpec(
         q_multimodal_resize, ORACLE_MM_RESIZE,
         doc="image resize plumbing (bounded thumbnail derivative)"),
+    # registered at the r9 unfreeze (staged + pytest-pinned since r8:
+    # tests/test_jpeg_query.py / test_wav_query.py)
+    "multimodal_jpeg_features": QuerySpec(
+        q_multimodal_jpeg_features, ORACLE_MM_JPEG,
+        doc="REAL baseline-JPEG decode (Huffman+dequant+IDCT+YCbCr) "
+            "under a closed-form exact oracle"),
+    "multimodal_wav_stats": QuerySpec(
+        q_multimodal_wav_stats, ORACLE_MM_WAV,
+        doc="REAL stdlib-wave PCM decode — exact-integer sample stats "
+            "under a closed-form oracle"),
     "approx_percentile_acctbal": QuerySpec(
         q_approx_percentile_acctbal, None,
         doc="approx-percentile sketch (rows-only; exact twin above)"),
@@ -3373,66 +3383,24 @@ QUERIES.update(QUERIES_ROUND22)
 # oracle by scripts/driver_sim.py (full registry, driver-identical
 # pandas canonicalization) and by tests/test_oracle_parity.py.
 #
-# Round-7 front window (registry still FROZEN at 367): per VERDICT r6 #1 the
-# entire r06 window has been dropped (those 50 all carry fresh driver rows;
-# cumulative union r01..r06 = 257/367 green, zero failures) and the list below
-# is EXACTLY the 110 never-driver-checked names — the registry minus the
-# union of CORRECTNESS_r01..r06.  The first slots are the verdict-named
-# priorities: als_rank1_item_factors (the only bench headliner without a
-# driver row), centroid_separability, incremental_dedup, curriculum_order,
-# packing_fill_histogram, ingest_accept_list.  At 50/round the tail clears
-# in round 9 ((367-257)/50 = 2.2 more rounds).
+# Round-9 ordering (registry UNFROZEN this round: 367 + the two staged
+# multimodal queries = 369).  The list below is the ENTIRE registry in
+# sweep-priority order — never-driver-checked names first, then every
+# green name stale-first (ascending by the round of its most recent
+# CORRECTNESS row, within-round order preserved).  Front of this list:
+#   [0..9]   the 10 names that had never received a driver row
+#            (r08 window positions 50-59) — checking them CLOSES the
+#            union at 369/369;
+#   [10..11] the two queries registered at this unfreeze
+#            (multimodal_jpeg_features / multimodal_wav_stats, staged +
+#            pytest-pinned since r8);
+#   [12..]   stale-first re-validation — r01/r02 rows are 7+ rounds old
+#            against an engine whose materialize strategy changed twice
+#            since (VERDICT r8 #4).
+# Rotation duty each round: after the sweep lands, move the freshly
+# checked names to the back (they become the newest greens) so the next
+# window keeps draining the stalest rows.
 _CHECK_FIRST = [
-    "max_drawdown_nation",
-    "kmv_distinct_custkeys",
-    "kmv_jaccard_custkeys",
-    "phrase_search_the_part",
-    "shard_plan_documents",
-    "filter_clause_rollup",
-    "acf_daily_values",
-    "theil_sen_daily",
-    "mann_kendall_daily",
-    "chi2_gof_types",
-    "active_day_islands",
-    "ridge_price_model",
-    "quantile_normalize_values",
-    "pairwise_welch_types",
-    "token_budget_allocation",
-    "dedup_prefix_filter",
-    "consistent_hash_routing",
-    "linear_attribution",
-    "diff_in_diff_arms",
-    "nelson_aalen_purchase",
-    "changepoint_daily",
-    "quartiles_order_totals",
-    "trending_terms_batches",
-    "ucb_arm_scores",
-    "poisson_rate_arms",
-    "churn_hazard_tenure",
-    "degree_powerlaw_parts",
-    "rolling_median_daily",
-    "lognormal_gamma_values",
-    "dow_hour_heatmap",
-    "journey_edit_distance",
-    "outlier_consensus",
-    "compaction_bin_packing",
-    "partition_skew_advisor",
-    "ann_recall_matryoshka",
-    "embedding_top_component",
-    "kfold_cv_ridge",
-    "bias_baseline_card",
-    "sax_daily_symbols",
-    "bpe_merge_rounds",
-    "bpe_fertility_by_source",
-    "label_silhouette",
-    "dq_constraint_report",
-    "oof_target_encoding",
-    "dow_seasonality_harmonics",
-    "rake_keyphrases",
-    "stratified_ate",
-    "triplet_violation_audit",
-    "collated_distinct_names",
-    "rtbf_deletion_manifest",
     "cross_source_dup_matrix",
     "source_scorecard",
     "top_event_trigrams",
@@ -3443,6 +3411,265 @@ _CHECK_FIRST = [
     "supplier_concentration_hhi",
     "nation_trade_balance",
     "discount_band_lift",
+    "multimodal_jpeg_features",
+    "multimodal_wav_stats",
+    "text_fingerprint",
+    "doc_features_fused",
+    "engagement_active_windows",
+    "pandas_udf_cosine_topk",
+    "training_corpus_curation",
+    "window_running_totals",
+    "rollup_orders",
+    "cube_lineitem",
+    "pivot_priority_status",
+    "percentile_acctbal",
+    "approx_distinct",
+    "multi_agg_pricing",
+    "influence_scores",
+    "kol_threshold",
+    "flagship_top_kols_per_region",
+    "revenue_per_nation",
+    "keep_last_per_user",
+    "keep_last_agg_per_user",
+    "mktsegment_histogram",
+    "event_type_histogram",
+    "orders_global_scalars",
+    "distinct_priorities",
+    "top5_orders",
+    "props_json_extract",
+    "string_rewrite",
+    "filename_ts_parse",
+    "threshold_first_crossing",
+    "event_types_per_user",
+    "token_positions",
+    "engagement_windows",
+    "customers_with_orders",
+    "customers_without_orders",
+    "union_names",
+    "merge_aggregate_incremental",
+    "engagement_change_log",
+    "engagement_log_roundtrip",
+    "freq_items_priority",
+    "dedup_exact",
+    "dedup_exact_keepers",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "dedup_cluster_keepers",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_capped",
+    "dedup_simhash",
+    "similarity_cosine_topk",
+    "similarity_lsh_topk",
+    "similarity_knn_join",
+    "embedding_near_dup",
+    "text_lang_id",
+    "text_quality",
+    "text_token_counts",
+    "udtf_sentences",
+    "pandas_group_ols_slope",
+    "data_quality_audit",
+    "time_series_gapfill",
+    "sample_documents_10pct",
+    "train_val_test_split",
+    "cap_docs_per_lang",
+    "text_unigram_logprob",
+    "text_pii_scrub",
+    "tpch_q2_shape",
+    "tpch_q3_shape",
+    "tpch_q4_shape",
+    "tpch_q5_shape",
+    "tpch_q6_shape",
+    "tpch_q7_shape",
+    "tpch_q8_shape",
+    "tpch_q9_shape",
+    "tpch_q10_shape",
+    "tpch_q11_shape",
+    "tpch_q12_shape",
+    "tpch_q13_shape",
+    "tpch_q14_shape",
+    "tpch_q15_shape",
+    "tpch_q16_shape",
+    "tpch_q17_shape",
+    "tpch_q18_shape",
+    "tpch_q19_shape",
+    "tpch_q20_shape",
+    "tpch_q21_shape",
+    "tpch_q22_shape",
+    "training_manifest",
+    "line_dedup_clean",
+    "benchmark_decontamination",
+    "sequence_packing",
+    "chunk_documents",
+    "dsir_importance",
+    "dsir_resampled_corpus",
+    "corpus_shuffle_positions",
+    "embedding_quantize_int8",
+    "text_repetition_signals",
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "similarity_ivf_topk",
+    "asof_latest_order_per_event",
+    "session_window_events",
+    "range_join_price_bands",
+    "skew_salted_revenue",
+    "text_tfidf_top_terms",
+    "text_winnow_fingerprints",
+    "above_nation_avg",
+    "grouping_sets_orders",
+    "zorder_codes",
+    "recursive_nation_tree",
+    "variant_props_rollup",
+    "lateral_view_tokens_sql",
+    "try_divide_safe",
+    "sessionize_events",
+    "text_url_extract",
+    "explode_token_topk",
+    "analytic_functions_breadth",
+    "conditional_agg_priority",
+    "intersect_buyer_supplier_nations",
+    "customer_order_counts_outer",
+    "in_subquery_sql",
+    "array_math_features",
+    "revenue_decimal_exact",
+    "row_scalar_functions",
+    "string_features",
+    "ship_latency_histogram",
+    "nation_name_lists",
+    "variance_acctbal_exact",
+    "unpivot_customer_counters",
+    "customer_analytics",
+    "topk_via_array_agg",
+    "rolling_distinct_types",
+    "moving_sum_orders",
+    "json_roundtrip",
+    "point_lookup_customer",
+    "kol_project_page",
+    "monthly_revenue",
+    "approx_percentile_acctbal",
+    "multimodal_image_raster",
+    "kaplan_meier_purchase",
+    "logrank_ab_survival",
+    "psi_value_drift",
+    "bootstrap_order_mean",
+    "spearman_qty_price",
+    "correlation_matrix_lineitem",
+    "rolling_corr_view_purchase",
+    "stl_hourly_values",
+    "stl_anomaly_buckets",
+    "conformal_intervals",
+    "js_divergence_sources",
+    "theil_event_values",
+    "readability_flesch",
+    "text_token_entropy",
+    "triangle_count_copurchase",
+    "pagerank_trade_graph",
+    "pyds_customer_scan",
+    "span_dedup_stats",
+    "bm25_search_topk",
+    "kmeans_clusters",
+    "knn_label_vote",
+    "kmeans_inertia",
+    "scd2_event_type_history",
+    "value_outliers_per_user",
+    "events_value_histogram",
+    "gopher_quality_filter",
+    "semantic_dedup",
+    "tfidf_cosine_pairs",
+    "ccnet_perplexity_buckets",
+    "bpe_top_merges",
+    "tukey_outlier_events",
+    "event_funnel",
+    "retention_cohorts",
+    "hll_distinct_orderkeys",
+    "pearson_qty_price",
+    "cms_event_type_counts",
+    "bloom_customer_orders",
+    "hll_union_custkeys",
+    "equidepth_octiles",
+    "table_fingerprint_orders",
+    "pq_codes",
+    "pq_adc_topk",
+    "ann_recall_lsh",
+    "bfs_hops_trade",
+    "weighted_doc_sample",
+    "text_bigram_logprob",
+    "bloom_pruned_revenue",
+    "ivf_pq_topk",
+    "subword_piece_counts",
+    "dedup_ngram_prefix",
+    "text_hash_embedding",
+    "retrieval_hash_topk",
+    "hll_group_rollup",
+    "incremental_join_view",
+    "pandas_gmean_prices",
+    "event_pattern_matches",
+    "ivfadc_topk",
+    "ohlc_events",
+    "fuzzy_customer_names",
+    "entity_resolution_customers",
+    "customer_radius_pairs",
+    "event_transition_matrix",
+    "customer_rfm",
+    "weighted_median_price",
+    "lang_id_confusion",
+    "link_prediction_copurchase",
+    "nb_lang_classifier",
+    "pmi_collocations",
+    "cusum_drift_alerts",
+    "ewma_recent_value",
+    "autocorr_lag1_user",
+    "retrieval_rrf_fusion",
+    "clustering_coefficient",
+    "lpa_communities_parts",
+    "ann_recall_ivfpq",
+    "split_leakage_audit",
+    "leakage_safe_split",
+    "boilerplate_strip_report",
+    "dedup_method_kappa",
+    "multimodal_features",
+    "winsorize_event_values",
+    "mad_outlier_values",
+    "source_temperature_mix",
+    "vocab_coverage_curve",
+    "snapshot_diff_orders",
+    "purchase_attribution",
+    "term_drift_sources",
+    "ols_price_model",
+    "recursive_cte_depths",
+    "pipe_syntax_orders",
+    "basket_lift_pairs",
+    "key_skew_custkey",
+    "zipf_fit_tokens",
+    "ppr_trade_graph",
+    "ams_join_size",
+    "contrastive_triplets",
+    "ks_purchase_vs_view",
+    "benford_order_totals",
+    "mwu_purchase_vs_view",
+    "ab_conversion_ztest",
+    "hourly_seasonality",
+    "seasonal_deviation_topk",
+    "max_concurrent_events",
+    "target_encoding_mktsegment",
+    "diversified_topk_docs",
+    "wmape_seasonal_naive",
+    "k_core_membership",
+    "degree_assortativity",
+    "item_item_recs",
+    "textrank_keywords",
+    "k_anonymity_customers",
+    "lorenz_user_spend",
+    "holt_trend_users",
+    "calibration_bins_nb",
+    "tokenizer_fertility",
+    "dedup_cluster_sizes",
+    "arrow_embedding_norms",
+    "arrow_label_centroids",
+    "fano_factor_bursts",
+    "cohort_ltv",
+    "kwic_the",
+    "hits_trade",
     "als_rank1_item_factors",
     "centroid_separability",
     "incremental_dedup",
@@ -3493,6 +3720,56 @@ _CHECK_FIRST = [
     "kendall_view_purchase",
     "friedman_daily_types",
     "decision_stump_purchase",
+    "max_drawdown_nation",
+    "kmv_distinct_custkeys",
+    "kmv_jaccard_custkeys",
+    "phrase_search_the_part",
+    "shard_plan_documents",
+    "filter_clause_rollup",
+    "acf_daily_values",
+    "theil_sen_daily",
+    "mann_kendall_daily",
+    "chi2_gof_types",
+    "active_day_islands",
+    "ridge_price_model",
+    "quantile_normalize_values",
+    "pairwise_welch_types",
+    "token_budget_allocation",
+    "dedup_prefix_filter",
+    "consistent_hash_routing",
+    "linear_attribution",
+    "diff_in_diff_arms",
+    "nelson_aalen_purchase",
+    "changepoint_daily",
+    "quartiles_order_totals",
+    "trending_terms_batches",
+    "ucb_arm_scores",
+    "poisson_rate_arms",
+    "churn_hazard_tenure",
+    "degree_powerlaw_parts",
+    "rolling_median_daily",
+    "lognormal_gamma_values",
+    "dow_hour_heatmap",
+    "journey_edit_distance",
+    "outlier_consensus",
+    "compaction_bin_packing",
+    "partition_skew_advisor",
+    "ann_recall_matryoshka",
+    "embedding_top_component",
+    "kfold_cv_ridge",
+    "bias_baseline_card",
+    "sax_daily_symbols",
+    "bpe_merge_rounds",
+    "bpe_fertility_by_source",
+    "label_silhouette",
+    "dq_constraint_report",
+    "oof_target_encoding",
+    "dow_seasonality_harmonics",
+    "rake_keyphrases",
+    "stratified_ate",
+    "triplet_violation_audit",
+    "collated_distinct_names",
+    "rtbf_deletion_manifest",
 ]
 
 
