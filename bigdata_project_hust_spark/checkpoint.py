@@ -55,10 +55,79 @@ from __future__ import annotations
 
 import itertools
 import os
+import threading
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
 _COUNTER = itertools.count()
+
+# Every frame materialize() pins (cache AND local strategies) is
+# recorded here so a long-lived session can free the blocks between
+# queries.  `spark.catalog.clearCache()` releases persisted frames but
+# NOT localCheckpoint RDD blocks — those otherwise wait for Python GC
+# + py4j finalizers + ContextCleaner, so a multi-query driver session
+# accumulates block-manager garbage for the lifetime of each frame
+# (VERDICT r8 #1: the r8 bench regression's mechanism).  Entries hold
+# a WEAK reference to the frame plus the localCheckpoint RDD id (an
+# int, needed for explicit block removal): tracking must not extend
+# any frame's lifetime, or a session that never calls release_all()
+# (the external driver's correctness run) would pin every intermediate
+# it ever built — strictly worse than the GC path it replaces.
+_TRACKED: list[tuple[str, "weakref.ref[DataFrame]", int | None]] = []
+_TRACKED_LOCK = threading.Lock()
+
+
+def _track(strategy: str, df: DataFrame) -> DataFrame:
+    rdd_id = None
+    if strategy == "local":
+        try:
+            # the analyzed plan of a localCheckpoint'd frame is a
+            # LogicalRDD; its RDD id names the pinned blocks
+            rdd_id = df._jdf.queryExecution().analyzed().rdd().id()
+        except Exception:
+            pass  # connect-mode / API drift: fall back to GC cleanup
+    with _TRACKED_LOCK:
+        _TRACKED.append((strategy, weakref.ref(df), rdd_id))
+    return df
+
+
+def release_all(spark: SparkSession | None = None) -> int:
+    """Free every block materialize() has pinned since the last call
+    and return how many frames were released.
+
+    Call ONLY at a query boundary: the local strategy truncates
+    lineage, so a released frame (and any plan built on it) cannot be
+    computed again — the next query must rebuild its intermediates
+    from source, which is exactly what a fresh-per-query driver does.
+    Cache-strategy frames still reachable from Python are unpersisted
+    (dead ones are the CacheManager's to drop — pair this call with
+    ``spark.catalog.clearCache()`` as bench.py does); localCheckpoint
+    frames get their RDD blocks removed from the block manager
+    explicitly — by the recorded RDD id, alive or not — instead of
+    waiting for Python GC + ContextCleaner.
+    """
+    with _TRACKED_LOCK:
+        entries, _TRACKED[:] = list(_TRACKED), []
+    released = 0
+    for strategy, ref, rdd_id in entries:
+        df = ref()
+        try:
+            if strategy == "cache":
+                if df is None:
+                    continue
+                df.unpersist(blocking=True)
+            elif rdd_id is not None:
+                sess = spark or (df.sparkSession if df is not None
+                                 else SparkSession.getActiveSession())
+                if sess is None:
+                    continue
+                (sess.sparkContext._jsc.sc().env().blockManager()
+                 .master().removeRdd(rdd_id, True))
+            released += 1
+        except Exception:
+            pass  # stopped session / already-freed blocks: nothing to do
+    return released
 
 
 def _run_dir(spark: SparkSession, base: str) -> str:
@@ -116,9 +185,9 @@ def materialize(df: DataFrame, label: str = "intermediate",
         # meaningful only for the local strategy
         out = df.persist(StorageLevel.MEMORY_AND_DISK)
         out.count()  # fill the cache BEFORE any consumer sees it
-        return out
+        return _track("cache", out)
     if strategy == "local":
-        return df.localCheckpoint(eager=eager)
+        return _track("local", df.localCheckpoint(eager=eager))
     if strategy != "reliable":
         raise ValueError(
             f"unknown checkpoint strategy {strategy!r} "

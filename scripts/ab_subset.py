@@ -19,6 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bigdata_project_hust_spark.checkpoint import release_all  # noqa: E402
 from bigdata_project_hust_spark.plans.queries import QUERIES  # noqa: E402
 from bigdata_project_hust_spark.session import get_spark  # noqa: E402
 
@@ -47,6 +48,7 @@ for name in names:  # JIT warm-up per state (codegen differs per plan)
         QUERIES[name].fn(spark, WARM).write.format("noop") \
             .mode("overwrite").save()
 spark.catalog.clearCache()
+release_all(spark)
 
 times: dict[str, dict[str, list[float]]] = {
     n: {s: [] for s in states} for n in names}
@@ -55,6 +57,7 @@ for rep in range(reps):
         for st in states:
             os.environ[key] = st
             spark.catalog.clearCache()
+            release_all(spark)
             t0 = time.time()
             QUERIES[name].fn(spark, SF_DIR).write.format("noop") \
                 .mode("overwrite").save()

@@ -172,11 +172,44 @@ def test_env_cache_rejected(spark, monkeypatch):
 def test_cache_is_always_eager(spark):
     """eager=False must NOT produce a lazily-persisted cache frame —
     that is exactly the concurrent-consumer fill race the cache
-    strategy exists to prevent (ADVICE r7)."""
+    strategy exists to prevent (ADVICE r7).  Asserts on THIS frame's
+    RDD id, not any cached RDD in the shared session (ADVICE r8: a
+    leftover cache from another test made the old any() vacuous)."""
     df = spark.range(64).withColumn("v", F.col("id") + 1)
+    sc = spark.sparkContext._jsc.sc()
+    before = {s.id() for s in sc.getRDDStorageInfo()}
     out = materialize(df, "t_lazy_cache", strategy="cache", eager=False)
     try:
-        status = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        assert any(s.numCachedPartitions() > 0 for s in status)
+        new = [s for s in sc.getRDDStorageInfo()
+               if s.id() not in before]
+        assert new and any(s.numCachedPartitions() > 0 for s in new)
     finally:
         out.unpersist()
+
+
+def test_release_all_frees_cache_and_local_blocks(spark):
+    """release_all() (VERDICT r8 #1) must unpersist cache-strategy
+    frames AND remove localCheckpoint RDD blocks from the block
+    manager — clearCache() alone leaves the latter pinned for the
+    frame's lifetime, which is the r8 multi-query bench regression."""
+    from bigdata_project_hust_spark.checkpoint import release_all
+
+    release_all(spark)  # drain pins left by earlier tests
+    cached = materialize(spark.range(128), "t_rel_cache",
+                         strategy="cache")
+    local = materialize(
+        spark.range(128).withColumn("v", F.col("id") * 2),
+        "t_rel_local", strategy="local")
+    local_rid = local._jdf.queryExecution().analyzed().rdd().id()
+    sc = spark.sparkContext._jsc.sc()
+    assert any(s.id() == local_rid and s.numCachedPartitions() > 0
+               for s in sc.getRDDStorageInfo())
+    assert release_all(spark) >= 2
+    # cache frame: storage level dropped back to NONE
+    assert cached.storageLevel.useMemory is False
+    # local frame: blocks gone — lineage is truncated, so computing it
+    # again must fail (the release is real, not a storage-info no-op)
+    with pytest.raises(Exception, match="CHECKPOINT_RDD_BLOCK_ID"):
+        local.count()
+    # idempotent and empty after drain
+    assert release_all(spark) == 0
