@@ -2518,6 +2518,38 @@ ORACLE_MM_FRAMES = """
 """
 
 
+def _mm_jpeg_assets(docs):
+    """Deterministic JPEG asset table: each doc becomes a genuine
+    baseline-JFIF image of four 8×8 blockwise-flat gray patches whose
+    values are bytes 0..3 of md5(doc_id||':jpg') forced even — the
+    regime where baseline JPEG at quality=50 round-trips bit-for-bit
+    (see q_multimodal_jpeg_features)."""
+    from pyspark.sql.functions import pandas_udf
+
+    seed = F.unhex(F.md5(F.encode(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":jpg")),
+        "UTF-8")))
+
+    @pandas_udf("binary")
+    def jpeg_of(seeds: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..operators.jpegcodec import encode_jpeg_rgb
+
+        def enc(b: bytes) -> bytes:
+            vs = [x & 0xFE for x in bytes(b)[:4]]
+            px = np.zeros((16, 16, 3), np.uint8)
+            for k, v in enumerate(vs):
+                px[(k // 2) * 8:(k // 2) * 8 + 8,
+                   (k % 2) * 8:(k % 2) * 8 + 8, :] = v
+            return encode_jpeg_rgb(px, quality=50)
+        return seeds.map(enc)
+
+    return docs.select(F.col("doc_id").alias("asset_id"),
+                       F.lit("image").alias("kind"),
+                       jpeg_of(seed).alias("payload"))
+
+
 def q_multimodal_jpeg_features(spark, sf_dir):
     """REAL baseline-JFIF JPEG decode under the DuckDB oracle — the
     r7-verdict follow-up that puts ``operators/jpegcodec`` behind a
@@ -2543,32 +2575,8 @@ def q_multimodal_jpeg_features(spark, sf_dir):
     forced even (v − v%2). Stats mirror ``extract_pixel_stats``:
     gray = r+g+b = 3v, so gradients are nonzero only across the two
     block seams — 8 rows (or columns) each contributing 3·|Δv|."""
-    from pyspark.sql.functions import pandas_udf
-
-    docs = _t(spark, sf_dir, "documents")
-    seed = F.unhex(F.md5(F.encode(
-        F.concat(F.col("doc_id").cast("string"), F.lit(":jpg")),
-        "UTF-8")))
-
-    @pandas_udf("binary")
-    def jpeg_of(seeds: pd.Series) -> pd.Series:
-        import numpy as np
-
-        from ..operators.jpegcodec import encode_jpeg_rgb
-
-        def enc(b: bytes) -> bytes:
-            vs = [x & 0xFE for x in bytes(b)[:4]]
-            px = np.zeros((16, 16, 3), np.uint8)
-            for k, v in enumerate(vs):
-                px[(k // 2) * 8:(k // 2) * 8 + 8,
-                   (k % 2) * 8:(k % 2) * 8 + 8, :] = v
-            return encode_jpeg_rgb(px, quality=50)
-        return seeds.map(enc)
-
-    assets = docs.select(F.col("doc_id").alias("asset_id"),
-                         F.lit("image").alias("kind"),
-                         jpeg_of(seed).alias("payload"))
-    st = multimodal.extract_pixel_stats(assets)
+    st = multimodal.extract_pixel_stats(
+        _mm_jpeg_assets(_t(spark, sf_dir, "documents")))
     mean_e6 = {c: F.floor(F.col(f"sum_{c}") / (255.0 * F.col("n_px"))
                           * 1000000).cast("long").alias(f"mean_{c}_e6")
                for c in ("r", "g", "b")}
@@ -2613,6 +2621,27 @@ ORACLE_MM_JPEG = f"""
 """
 
 
+def _mm_wav_assets(docs):
+    """Deterministic WAV asset table: a constant 44-byte RIFF header
+    (32 samples, 8 kHz, mono, 8-bit) + the md5 digests of doc_id:wav0
+    and doc_id:wav1 as the raw PCM stream — pure Catalyst concat, no
+    UDF (see q_multimodal_wav_stats)."""
+    seg = [F.unhex(F.md5(F.encode(
+        F.concat(F.col("doc_id").cast("string"), F.lit(f":wav{i}")),
+        "UTF-8"))) for i in range(2)]
+    # RIFF(68) WAVE fmt(16: PCM, mono, 8000 Hz, 8000 B/s, align 1,
+    # 8 bit) data(32) — byte-identical to
+    # struct.pack('<4sI4s4sIHHIIHH4sI', b'RIFF', 68, b'WAVE',
+    # b'fmt ', 16, 1, 1, 8000, 8000, 1, 8, b'data', 32)
+    header = bytes.fromhex(
+        "524946464400000057415645666d7420100000000100010040" +
+        "1f0000401f00000100080064617461" + "20000000")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("audio").alias("kind"),
+        F.concat(F.lit(header), *seg).alias("payload"))
+
+
 def q_multimodal_wav_stats(spark, sf_dir):
     """REAL stdlib-``wave`` PCM decode under the DuckDB oracle —
     upgrades the audio path from its rows-only check
@@ -2629,22 +2658,8 @@ def q_multimodal_wav_stats(spark, sf_dir):
     sample statistics; the oracle derives the identical samples from
     the same md5 hex and reproduces every BIGINT in closed form —
     unsigned 8-bit samples, center 128 for the crossing count."""
-    docs = _t(spark, sf_dir, "documents")
-    seg = [F.unhex(F.md5(F.encode(
-        F.concat(F.col("doc_id").cast("string"), F.lit(f":wav{i}")),
-        "UTF-8"))) for i in range(2)]
-    # RIFF(68) WAVE fmt(16: PCM, mono, 8000 Hz, 8000 B/s, align 1,
-    # 8 bit) data(32) — byte-identical to
-    # struct.pack('<4sI4s4sIHHIIHH4sI', b'RIFF', 68, b'WAVE',
-    # b'fmt ', 16, 1, 1, 8000, 8000, 1, 8, b'data', 32)
-    header = bytes.fromhex(
-        "524946464400000057415645666d7420100000000100010040" +
-        "1f0000401f00000100080064617461" + "20000000")
-    assets = docs.select(
-        F.col("doc_id").alias("asset_id"),
-        F.lit("audio").alias("kind"),
-        F.concat(F.lit(header), *seg).alias("payload"))
-    st = multimodal.extract_audio_stats(assets)
+    st = multimodal.extract_audio_stats(
+        _mm_wav_assets(_t(spark, sf_dir, "documents")))
     return st.where(F.col("ok")).select(
         "asset_id", "sample_rate", "n_channels", "n_frames",
         "sum_samples", "min_sample", "max_sample", "sum_absdiff",
@@ -2674,6 +2689,108 @@ ORACLE_MM_WAV = f"""
            CASE WHEN (x[j + 1] < 128) <> (x[j + 2] < 128)
                 THEN 1 ELSE 0 END))::BIGINT AS n_signflips
   FROM s
+"""
+
+
+def q_multimodal_curation(spark, sf_dir):
+    """Pipeline-shaped multimodal curation headliner (VERDICT r8 #5):
+    decode BOTH modalities through the real codecs → per-modality
+    quality gates → perceptual-fingerprint dedup → keeper election.
+    The point-decoder queries above verify each codec; this one chains
+    them the way a training-data pipeline would:
+
+    1. decode: every document's image (baseline JPEG, real
+       Huffman/IDCT path) and audio (stdlib ``wave`` PCM) asset is
+       decoded to exact-integer statistics;
+    2. quality gates: images need contrast (gray spread ≥ 30 ⇒
+       contrast3 ≥ 90) and in-range brightness; audio needs dynamic
+       range ≥ 64 and ≥ 8 center crossings (drops near-DC streams);
+    3. perceptual fingerprint: quantize the DECODED pixel statistics
+       (mean/min/max gray to 16 levels, gradient energy capped) into
+       one 16-bit key — a blockhash-style perceptual hash computed
+       from codec output, not from the source bytes;
+    4. dedup + keeper: assets passing BOTH gates group by fingerprint
+       (the banded-dedup shape: one shuffle on a small key, never
+       all-pairs), electing min(asset_id) as the keeper.
+
+    At 100 TB the plan is two arrow-batched decode maps over the same
+    scan, a 1:1 join on the source key, and one 16-bit-key
+    aggregation — no stage grows faster than the corpus. The oracle
+    reproduces every integer in closed form from the same md5 bytes
+    (flat-block JPEG and raw-PCM WAV make both codecs exact)."""
+    docs = _t(spark, sf_dir, "documents")
+    img = (multimodal.extract_pixel_stats(_mm_jpeg_assets(docs))
+           .where(F.col("ok")))
+    aud = (multimodal.extract_audio_stats(_mm_wav_assets(docs))
+           .where(F.col("ok")))
+    imgf = (img.where((F.col("max_gray3") - F.col("min_gray3") >= 90)
+                      & F.col("sum_r").between(F.col("n_px") * 24,
+                                               F.col("n_px") * 232))
+               .select(
+                "asset_id",
+                (F.col("max_gray3") - F.col("min_gray3"))
+                .alias("contrast3"),
+                (F.floor(F.col("sum_r") / (F.col("n_px") * 16)) * 4096
+                 + F.floor(F.col("min_gray3") / 48) * 256
+                 + F.floor(F.col("max_gray3") / 48) * 16
+                 + F.least(F.floor((F.col("sum_hgrad3")
+                                    + F.col("sum_vgrad3")) / 768),
+                           F.lit(15))).alias("fingerprint")))
+    audf = (aud.where(((F.col("max_sample") - F.col("min_sample"))
+                       >= 64) & (F.col("n_signflips") >= 8))
+               .select("asset_id", "n_signflips"))
+    return (imgf.join(audf, "asset_id")
+                .groupBy("fingerprint")
+                .agg(F.count("*").alias("n_assets"),
+                     F.min("asset_id").alias("keeper_id"),
+                     F.max("contrast3").alias("max_contrast3"),
+                     F.sum("n_signflips").alias("sum_signflips")))
+
+
+ORACLE_MM_CURATION = f"""
+  WITH v AS (
+    SELECT doc_id,
+           {_MM_JPEG_V.format(k=0)} AS v0,
+           {_MM_JPEG_V.format(k=1)} AS v1,
+           {_MM_JPEG_V.format(k=2)} AS v2,
+           {_MM_JPEG_V.format(k=3)} AS v3
+    FROM documents
+  ),
+  img AS (
+    SELECT doc_id, (64 * (v0 + v1 + v2 + v3))::BIGINT AS sum_c,
+           (3 * least(v0, v1, v2, v3))::BIGINT AS min3,
+           (3 * greatest(v0, v1, v2, v3))::BIGINT AS max3,
+           (24 * (abs(v0 - v1) + abs(v2 - v3))
+            + 24 * (abs(v0 - v2) + abs(v1 - v3)))::BIGINT AS grad
+    FROM v
+  ),
+  imgf AS (
+    SELECT doc_id, (max3 - min3) AS contrast3,
+           ((sum_c // 4096) * 4096 + (min3 // 48) * 256
+            + (max3 // 48) * 16
+            + least(grad // 768, 15))::BIGINT AS fingerprint
+    FROM img
+    WHERE max3 - min3 >= 90 AND sum_c BETWEEN 256 * 24 AND 256 * 232
+  ),
+  aud AS (
+    SELECT doc_id, {_MM_WAV_S} AS x
+    FROM documents
+  ),
+  audf AS (
+    SELECT doc_id,
+           list_sum(list_transform(generate_series(0, 30), j ->
+             CASE WHEN (x[j + 1] < 128) <> (x[j + 2] < 128)
+                  THEN 1 ELSE 0 END))::BIGINT AS n_signflips
+    FROM aud
+    WHERE list_max(x) - list_min(x) >= 64
+  ),
+  audg AS (SELECT doc_id, n_signflips FROM audf WHERE n_signflips >= 8)
+  SELECT fingerprint, count(*)::BIGINT AS n_assets,
+         min(i.doc_id)::BIGINT AS keeper_id,
+         max(contrast3)::BIGINT AS max_contrast3,
+         sum(a.n_signflips)::BIGINT AS sum_signflips
+  FROM imgf i JOIN audg a USING (doc_id)
+  GROUP BY fingerprint
 """
 
 
@@ -3246,6 +3363,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_multimodal_wav_stats, ORACLE_MM_WAV,
         doc="REAL stdlib-wave PCM decode — exact-integer sample stats "
             "under a closed-form oracle"),
+    "multimodal_curation": QuerySpec(
+        q_multimodal_curation, ORACLE_MM_CURATION, headline=True,
+        doc="pipeline-shaped multimodal headliner: decode both "
+            "modalities (real codecs) -> quality gates -> perceptual-"
+            "fingerprint dedup -> keeper election"),
     "approx_percentile_acctbal": QuerySpec(
         q_approx_percentile_acctbal, None,
         doc="approx-percentile sketch (rows-only; exact twin above)"),
@@ -3384,17 +3506,19 @@ QUERIES.update(QUERIES_ROUND22)
 # pandas canonicalization) and by tests/test_oracle_parity.py.
 #
 # Round-9 ordering (registry UNFROZEN this round: 367 + the two staged
-# multimodal queries = 369).  The list below is the ENTIRE registry in
-# sweep-priority order — never-driver-checked names first, then every
-# green name stale-first (ascending by the round of its most recent
-# CORRECTNESS row, within-round order preserved).  Front of this list:
+# multimodal decode queries + the composite curation pipeline = 370).
+# The list below is the ENTIRE registry in sweep-priority order —
+# never-driver-checked names first, then every green name stale-first
+# (ascending by the round of its most recent CORRECTNESS row,
+# within-round order preserved).  Front of this list:
 #   [0..9]   the 10 names that had never received a driver row
 #            (r08 window positions 50-59) — checking them CLOSES the
-#            union at 369/369;
-#   [10..11] the two queries registered at this unfreeze
+#            union at 370/370;
+#   [10..12] the three queries registered at this unfreeze
 #            (multimodal_jpeg_features / multimodal_wav_stats, staged +
-#            pytest-pinned since r8);
-#   [12..]   stale-first re-validation — r01/r02 rows are 7+ rounds old
+#            pytest-pinned since r8, and multimodal_curation — the
+#            VERDICT r8 #5 pipeline headliner);
+#   [13..]   stale-first re-validation — r01/r02 rows are 7+ rounds old
 #            against an engine whose materialize strategy changed twice
 #            since (VERDICT r8 #4).
 # Rotation duty each round: after the sweep lands, move the freshly
@@ -3413,6 +3537,7 @@ _CHECK_FIRST = [
     "discount_band_lift",
     "multimodal_jpeg_features",
     "multimodal_wav_stats",
+    "multimodal_curation",
     "text_fingerprint",
     "doc_features_fused",
     "engagement_active_windows",
