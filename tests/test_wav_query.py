@@ -43,3 +43,22 @@ def test_wav_stats_vs_duckdb_oracle(spark):
                   duck_connection(SF), ORACLE_MM_WAV)
     assert res["n_spark"] == res["n_duck"] > 0
     assert res["hash"], res
+
+
+def test_wav_zero_frame_stream_yields_null_stats(spark):
+    """A 0-frame PCM stream has NO samples: the sample statistics are
+    NULL, not 0 — zero-fill would be indistinguishable from a genuine
+    all-zero-sample stream (ADVICE r8)."""
+    import struct
+
+    from bigdata_project_hust_spark.operators import multimodal
+
+    empty = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36, b"WAVE",
+                        b"fmt ", 16, 1, 1, 8000, 8000, 1, 8,
+                        b"data", 0)
+    df = spark.createDataFrame([(1, "audio", bytearray(empty))],
+                               "asset_id long, kind string, payload binary")
+    row = multimodal.extract_audio_stats(df).collect()[0]
+    assert row.ok and row.n_frames == 0
+    assert (row.sum_samples, row.min_sample, row.max_sample,
+            row.sum_absdiff, row.n_signflips) == (None,) * 5
