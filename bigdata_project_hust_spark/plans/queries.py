@@ -2523,8 +2523,21 @@ def _mm_jpeg_assets(docs):
     baseline-JFIF image of four 8×8 blockwise-flat gray patches whose
     values are bytes 0..3 of md5(doc_id||':jpg') forced even — the
     regime where baseline JPEG at quality=50 round-trips bit-for-bit
-    (see q_multimodal_jpeg_features)."""
+    (see q_multimodal_jpeg_features).
+
+    The doc frame is round-robin repartitioned to the session's
+    parallelism first: the fixture corpus is one small parquet file =
+    ONE scan task, which would serialize the CPU-heavy encode UDF and
+    every decode stage behind it onto a single core (measured: the
+    sf0.1 JPEG path spent 10.6 s single-task vs ~0.3 s of actual codec
+    CPU spread over 32 threads). The exchange moves only doc_id —
+    cheap at any scale — and at real scale a many-file asset table
+    already arrives split, so this is a no-op there by construction
+    (splitting cannot hurt: the stage is embarrassingly parallel)."""
     from pyspark.sql.functions import pandas_udf
+
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism)
 
     seed = F.unhex(F.md5(F.encode(
         F.concat(F.col("doc_id").cast("string"), F.lit(":jpg")),
@@ -2625,7 +2638,11 @@ def _mm_wav_assets(docs):
     """Deterministic WAV asset table: a constant 44-byte RIFF header
     (32 samples, 8 kHz, mono, 8-bit) + the md5 digests of doc_id:wav0
     and doc_id:wav1 as the raw PCM stream — pure Catalyst concat, no
-    UDF (see q_multimodal_wav_stats)."""
+    UDF (see q_multimodal_wav_stats).  Repartitioned like
+    ``_mm_jpeg_assets`` so the downstream arrow-batched decode does
+    not serialize on the fixture's single-file scan task."""
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism)
     seg = [F.unhex(F.md5(F.encode(
         F.concat(F.col("doc_id").cast("string"), F.lit(f":wav{i}")),
         "UTF-8"))) for i in range(2)]
