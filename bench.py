@@ -101,18 +101,23 @@ def main() -> None:
     # ran 1.3x slower). This probe is fixed integer work across one
     # task per core — pure CPU, no I/O, no shuffle — so its ratio
     # round-over-round isolates parallel-CPU drift specifically.
-    calib_par_runs = []
     n_par = spark.sparkContext.defaultParallelism
-    for _ in range(reps):
+
+    def _calib_par_probe() -> float:
         t0 = time.time()
         (spark.range(0, 40_000_000 * n_par, 1, n_par)
          .select((SF.col("id") * 2654435761 % 1000003).alias("h"))
          .agg(SF.sum("h")).write.format("noop").mode("overwrite").save())
-        calib_par_runs.append(time.time() - t0)
+        return time.time() - t0
+
+    calib_par_runs = [_calib_par_probe() for _ in range(reps)]
     calib_par = round(min(calib_par_runs), 3)
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
-    for name in names:
+    offsets: dict[str, float] = {}  # session-relative start time per
+    session_t0 = time.time()        # query: correlates per-query
+    for name in names:              # inflation with transient windows
+        offsets[name] = round(time.time() - session_t0, 1)
         fn = QUERIES[name].fn
         runs: list[float] = []
         for _ in range(reps):
@@ -137,6 +142,13 @@ def main() -> None:
         # reps (ADVICE r5: runs[len//2] was the upper-middle, biasing
         # the reported median upward whenever reps was even)
         medians[name] = round(statistics.median(runs), 3)
+    # End-of-session re-probe: the start-of-session calibration misses
+    # host co-tenancy that ARRIVES mid-run (observed twice: the r8
+    # driver record, and an r9 closing run where median_total hit 93 s
+    # with a flat 0.257 start calib, then 63.6 s on immediate re-run).
+    # end >> start in a round's record pins broad per-query inflation
+    # on the environment, not the plans.
+    calib_par_end = round(min(_calib_par_probe() for _ in range(reps)), 3)
     total = round(sum(timings.values()), 3)
     summary = {
         "metric": "headline_queries_total_runtime",
@@ -146,12 +158,14 @@ def main() -> None:
         "median_total": round(sum(medians.values()), 3),
         "calib_sec": calib,
         "calib_par_sec": calib_par,
+        "calib_par_end_sec": calib_par_end,
         "reps": reps,
         "sf": sf_of(SF_DIR),
         "n_queries": len(timings),
         "release_blocks": RELEASE_BLOCKS,
     }
     detail = {**summary, "queries_median": medians,
+              "queries_t_offset": offsets,
               "calib_runs": [round(r, 3) for r in calib_runs],
               "calib_par_runs": [round(r, 3) for r in calib_par_runs]}
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
