@@ -1223,26 +1223,44 @@ def q_customer_rfm(spark, sf_dir):
                       F.datediff("mx", "last_dt").cast("long")
                        .alias("recency_days"),
                       "frequency", "monetary_c"))
-    # SCALE NOTE (round-8 unpartitioned-window audit): these three
-    # ntile windows are single-task sorts over the PER-CUSTOMER frame
-    # — the one corpus-sized unpartitioned window left in the repo.
-    # ntile's exact tie-free semantics (rank-position buckets over a
-    # (metric, key) total order) require a global order; at billions
-    # of customers swap in a range-partitioned rank (orderBy is a
-    # parallel range sort; derive the tile from rank and n in closed
-    # form) or percentile-boundary binning if approximate quintiles
-    # are acceptable. Report-style query; |customers| << |orders|.
-    r = Window.orderBy(F.col("recency_days").asc(),
-                       F.col("o_custkey").asc())
-    f = Window.orderBy(F.col("frequency").desc(),
-                       F.col("o_custkey").asc())
-    m = Window.orderBy(F.col("monetary_c").desc(),
-                       F.col("o_custkey").asc())
-    return per.select(
+    # Round-9 (closes the round-8 audit's last corpus-sized
+    # unpartitioned window): ntile's exact semantics over a
+    # (metric, key) TOTAL order are a pure function of (rank, n) —
+    # the first n%5 tiles hold ceil(n/5) rows, the rest floor(n/5) —
+    # so each quintile is a distributed two-phase rank (dist_cumsum
+    # of ones: parallel within-bucket windows + a 256-row offset
+    # table; deterministic arithmetic range bucketing, no sampling)
+    # plus closed-form bucket arithmetic. DESC metrics rank via
+    # negation; ties broken by o_custkey exactly as before. The
+    # DuckDB oracle still says ntile(5), which pins the closed form
+    # bit-for-bit.
+    from ..operators.scale import dist_cumsum
+    ranked = per.withColumn("__one", F.lit(1).cast("long")) \
+                .withColumn("__negf", -F.col("frequency")) \
+                .withColumn("__negm", -F.col("monetary_c"))
+    ranked = dist_cumsum(ranked, "recency_days", {"__r_rk": "__one"},
+                         tie_cols=("o_custkey",))
+    ranked = dist_cumsum(ranked, "__negf", {"__f_rk": "__one"},
+                         tie_cols=("o_custkey",))
+    ranked = dist_cumsum(ranked, "__negm", {"__m_rk": "__one"},
+                         tie_cols=("o_custkey",))
+    n_tot = per.agg(F.count("*").alias("__n"))
+    out = ranked.crossJoin(F.broadcast(n_tot))
+
+    def tile(rank_col: str):
+        q = F.floor(F.col("__n") / 5)
+        rem = F.col("__n") % 5
+        cut = rem * (q + 1)
+        r = F.col(rank_col)
+        return (F.when(r <= cut, F.floor((r - 1) / (q + 1)) + 1)
+                 .otherwise(rem + F.floor((r - cut - 1) / q) + 1)
+                ).cast("long")
+
+    return out.select(
         "o_custkey", "recency_days", "frequency", "monetary_c",
-        F.ntile(5).over(r).cast("long").alias("r_quintile"),
-        F.ntile(5).over(f).cast("long").alias("f_quintile"),
-        F.ntile(5).over(m).cast("long").alias("m_quintile"))
+        tile("__r_rk").alias("r_quintile"),
+        tile("__f_rk").alias("f_quintile"),
+        tile("__m_rk").alias("m_quintile"))
 
 
 ORACLE_RFM = """
