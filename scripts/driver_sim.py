@@ -12,6 +12,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession  # noqa: E402
 
 import __spark_entry__ as E  # noqa: E402
+from bigdata_project_hust_spark.checkpoint import release_all  # noqa: E402
 from tests.oracle_harness import (  # noqa: E402
     compare, driver_canon, duck_connection)
 
@@ -47,6 +48,11 @@ for name, fn in qs.items():
             ok, detail = True, f" rows-only n={len(rows)}"
     except Exception as ex:  # noqa: BLE001
         ok, detail = False, f" EXC {type(ex).__name__}: {ex}"
+    # free the query's pinned blocks (persisted frames AND
+    # localCheckpoint RDDs): 370 sequential queries in one session
+    # otherwise accumulate block-manager garbage for the whole run
+    spark.catalog.clearCache()
+    release_all(spark)
     status = "OK " if ok else "FAIL"
     print(f"{status} {name:32s} {time.time()-t0:5.1f}s{detail}", flush=True)
     if not ok:
