@@ -36,6 +36,7 @@ ALPHA = "abcdefghijklmnopqrstuvwxyz"
 def main() -> None:
     from pyspark.sql import SparkSession, functions as F
 
+    from bigdata_project_hust_spark.checkpoint import release_all
     from bigdata_project_hust_spark import io as gio
     from bigdata_project_hust_spark.operators import dedup
 
@@ -93,6 +94,8 @@ def main() -> None:
                 t0 = time.time()
                 counts[tag] = fn(d)
                 times.append(time.time() - t0)
+                spark.catalog.clearCache()
+                release_all(spark)
             t[tag] = statistics.median(times)
             print(f"{name:14s} {tag:>4s} median {t[tag]:6.2f}s "
                   f"(pairs/groups={counts[tag]:,})", flush=True)

@@ -16,7 +16,7 @@ above the 4M broadcast gates, so LPA/triangle fall back to shuffle
 joins — the probe asserts they complete (no OOM, no broadcast-size
 error) and reports the timing ratio.
 
-Usage: python scripts/graph_scale_probe.py
+Usage: python scripts/graph_scale_probe.py [N]   (default 10)
 """
 
 from __future__ import annotations
@@ -33,6 +33,7 @@ SHIFT = 10_000_000  # >> max sf0.1 part key (~20k), << 2^31 / 10
 def main() -> None:
     from pyspark.sql import SparkSession, functions as F
 
+    from bigdata_project_hust_spark.checkpoint import release_all
     from bigdata_project_hust_spark import io as gio
     from bigdata_project_hust_spark.operators.graph import (
         clustering_coefficient, copurchase_edges, k_core,
@@ -48,13 +49,14 @@ def main() -> None:
              .appName("graph-scale-probe").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
+    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     li = gio.load_table(spark, "/root/testdata/sf0.1", "lineitem")
     e1 = copurchase_edges(li).localCheckpoint()
     n1 = e1.count()
     copies = [e1.select((F.col("pa") + F.lit(k * SHIFT)).alias("pa"),
                         (F.col("pb") + F.lit(k * SHIFT)).alias("pb"))
-              for k in range(10)]
-    e10 = copies[0]
+              for k in range(n_copies)]
+    e10 = copies[0]  # "10x" tags kept for log continuity
     for c in copies[1:]:
         e10 = e10.unionAll(c)
     e10 = e10.localCheckpoint()
@@ -85,12 +87,14 @@ def main() -> None:
                 t0 = time.time()
                 fn(e)
                 times.append(time.time() - t0)
+                spark.catalog.clearCache()
+                release_all(spark)
             t[tag] = statistics.median(times)
             print(f"{name:24s} {tag:>3s} median {t[tag]:6.2f}s", flush=True)
         ratio = t["10x"] / t["1x"]
         import math
-        exponent = math.log(ratio, 10) if ratio > 0 else float("nan")
-        print(f"{name:24s} ratio {ratio:4.2f}x at 10x edges "
+        exponent = math.log(ratio, n_copies) if ratio > 0 else float("nan")
+        print(f"{name:24s} ratio {ratio:4.2f}x at {n_copies}x edges "
               f"(scaling exponent {exponent:.2f})", flush=True)
 
 

@@ -32,6 +32,7 @@ SHIFT = 10_000_000
 def main() -> None:
     from pyspark.sql import SparkSession, functions as F
 
+    from bigdata_project_hust_spark.checkpoint import release_all
     from bigdata_project_hust_spark import io as gio
     from bigdata_project_hust_spark.operators import multimodal
     from bigdata_project_hust_spark.plans import queries as Q
@@ -86,6 +87,8 @@ def main() -> None:
                 t0 = time.time()
                 fn(d)
                 times.append(time.time() - t0)
+                spark.catalog.clearCache()
+                release_all(spark)
             t[tag] = statistics.median(times)
             print(f"{name:20s} {tag:>4s} median {t[tag]:6.2f}s",
                   flush=True)
