@@ -52,7 +52,9 @@ ALPHA = "abcdefghijklmnopqrstuvwxyz"
 REPS = 2
 
 
-def _exponent(fn, one, big) -> float:
+def _exponent(spark, fn, one, big) -> float:
+    from bigdata_project_hust_spark.checkpoint import release_all
+
     t = {}
     for tag, d in (("1x", one), ("10x", big)):
         times = []
@@ -60,6 +62,12 @@ def _exponent(fn, one, big) -> float:
             t0 = time.time()
             fn(d)
             times.append(time.time() - t0)
+            # same hygiene as bench.py and the probe scripts: a rep
+            # must not run on the previous rep's cache-manager-pinned
+            # frames (measured: dirty reps turned triangle_count's
+            # 20x exponent from 0.99 into 1.21)
+            spark.catalog.clearCache()
+            release_all(spark)
         t[tag] = statistics.median(times)
     return math.log(t["10x"] / t["1x"]) / math.log(N)
 
@@ -115,9 +123,10 @@ def edges_1x_10x(spark):
     ("span_dedup",
      lambda d: dedup.span_duplicates(d, n=20).count(), 1.2),
 ])
-def test_dedup_family_stays_sublinear(docs_1x_10x, name, fn, ceiling):
+def test_dedup_family_stays_sublinear(spark, docs_1x_10x, name, fn,
+                                      ceiling):
     d1, dn = docs_1x_10x
-    exp = _exponent(fn, d1, dn)
+    exp = _exponent(spark, fn, d1, dn)
     assert exp < ceiling, (
         f"{name}: 10x exponent {exp:.2f} >= {ceiling} — a banded dedup "
         "stage regressed toward quadratic (check for a multi-consumer "
@@ -138,9 +147,10 @@ def test_dedup_family_stays_sublinear(docs_1x_10x, name, fn, ceiling):
      lambda e: k_core(e, k=3, rounds=6)
      .agg(F.count("*"), F.sum("core_degree")).collect(), 1.3),
 ])
-def test_graph_family_stays_near_linear(edges_1x_10x, name, fn, ceiling):
+def test_graph_family_stays_near_linear(spark, edges_1x_10x, name, fn,
+                                        ceiling):
     e1, en = edges_1x_10x
-    exp = _exponent(fn, e1, en)
+    exp = _exponent(spark, fn, e1, en)
     assert exp < ceiling, (
         f"{name}: 10x exponent {exp:.2f} >= {ceiling} — the graph loop "
         "regressed (check the broadcast gate fallback and the per-round "
