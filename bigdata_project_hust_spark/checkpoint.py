@@ -124,6 +124,9 @@ def release_all(spark: SparkSession | None = None) -> int:
                     continue
                 (sess.sparkContext._jsc.sc().env().blockManager()
                  .master().removeRdd(rdd_id, True))
+            else:
+                continue  # local entry whose RDD id extraction failed:
+                # nothing was freed, so it must not count as released
             released += 1
         except Exception:
             pass  # stopped session / already-freed blocks: nothing to do

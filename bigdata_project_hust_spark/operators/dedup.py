@@ -140,7 +140,8 @@ def candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
              .distinct())
 
 
-def dense_ids(values: DataFrame, col: str) -> DataFrame:
+def dense_ids(values: DataFrame, col: str,
+              materialize_ranked: bool = True) -> DataFrame:
     """Assign dense 1..n integer ids to a DISTINCT value column
     without ever sorting the whole column in one task (the classic
     distributed dense rank): range-partition, rank WITHIN each
@@ -153,12 +154,22 @@ def dense_ids(values: DataFrame, col: str) -> DataFrame:
     evaluations may assign different (equally valid) bijections —
     materialize the result (or its consumer) when more than one
     branch must agree on the mapping, as jaccard_verify does.
-    Returns ``(col, __sid)``."""
+    Returns ``(col, __sid)``.  ``materialize_ranked=False`` skips the
+    internal barrier (test seam: lets plan asserts see the rank
+    window; safe only under a single evaluation)."""
     nparts = values.sparkSession.sparkContext.defaultParallelism
+    # ranked feeds BOTH the offsets aggregate and the id join below;
+    # left lazy, each consumer re-executes the range exchange, whose
+    # boundaries are sampled per physical exchange — if reuse does not
+    # fire, offs' per-__pid counts can describe different partition
+    # contents than the probe side sees and the bijection breaks.
+    # The barrier makes the (pid, rn) assignment a fact, not a plan.
     ranked = (values.repartitionByRange(nparts, col)
               .withColumn("__pid", F.spark_partition_id())
               .withColumn("__rn", F.row_number().over(
                   Window.partitionBy("__pid").orderBy(col))))
+    if materialize_ranked:
+        ranked = materialize(ranked, "dense_ids_ranked", prefer="local")
     offs = (ranked.groupBy("__pid").agg(F.count("*").alias("__c"))
             .withColumn("__off", F.coalesce(
                 F.sum("__c").over(

@@ -3538,9 +3538,11 @@ QUERIES.update(QUERIES_ROUND22)
 #   [13..]   stale-first re-validation — r01/r02 rows are 7+ rounds old
 #            against an engine whose materialize strategy changed twice
 #            since (VERDICT r8 #4).
-# Rotation duty each round: after the sweep lands, move the freshly
-# checked names to the back (they become the newest greens) so the next
-# window keeps draining the stalest rows.
+# Rotation duty each round: run scripts/rotate_check_first.py (it
+# regenerates this list from the CORRECTNESS record), re-verify with
+# driver_sim, commit.  The positional claims above are the ROUND-9
+# snapshot — they go stale the moment a new sweep lands; the script
+# output, not this prose, is the source of truth for ordering.
 _CHECK_FIRST = [
     "cross_source_dup_matrix",
     "source_scorecard",

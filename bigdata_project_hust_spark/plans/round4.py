@@ -1234,7 +1234,12 @@ def q_customer_rfm(spark, sf_dir):
     # negation; ties broken by o_custkey exactly as before. The
     # DuckDB oracle still says ntile(5), which pins the closed form
     # bit-for-bit.
+    from ..checkpoint import materialize
     from ..operators.scale import dist_cumsum
+    # per feeds the three rank chains (each consuming it thrice via
+    # dist_cumsum's bucket/agg/main paths) plus the n_tot aggregate —
+    # materialize so the orders scan + per-customer agg run once
+    per = materialize(per, "rfm_per_customer")
     ranked = per.withColumn("__one", F.lit(1).cast("long")) \
                 .withColumn("__negf", -F.col("frequency")) \
                 .withColumn("__negm", -F.col("monetary_c"))

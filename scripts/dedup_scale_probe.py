@@ -101,7 +101,8 @@ def main() -> None:
                   f"(pairs/groups={counts[tag]:,})", flush=True)
         big = f"{n_copies}x"
         ratio = t[big] / t["1x"] if t["1x"] else float("nan")
-        exp = math.log(ratio) / math.log(n_copies)
+        exp = (math.log(ratio) / math.log(n_copies)
+              if n_copies > 1 else float("nan"))
         lin = counts[big] / max(counts["1x"], 1)
         print(f"{name:14s} ratio {ratio:.2f}x at {n_copies}x docs "
               f"(exponent {exp:.2f}); output grew {lin:.2f}x "

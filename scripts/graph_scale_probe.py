@@ -93,7 +93,8 @@ def main() -> None:
             print(f"{name:24s} {tag:>3s} median {t[tag]:6.2f}s", flush=True)
         ratio = t["10x"] / t["1x"]
         import math
-        exponent = math.log(ratio, n_copies) if ratio > 0 else float("nan")
+        exponent = (math.log(ratio, n_copies)
+                    if ratio > 0 and n_copies > 1 else float("nan"))
         print(f"{name:24s} ratio {ratio:4.2f}x at {n_copies}x edges "
               f"(scaling exponent {exponent:.2f})", flush=True)
 

@@ -94,7 +94,8 @@ def main() -> None:
                   flush=True)
         big = f"{n_copies}x"
         ratio = t[big] / t["1x"] if t["1x"] else float("nan")
-        exp = math.log(ratio) / math.log(n_copies)
+        exp = (math.log(ratio) / math.log(n_copies)
+               if n_copies > 1 else float("nan"))
         print(f"{name:20s} ratio {ratio:.2f}x at {n_copies}x docs "
               f"(exponent {exp:.2f}; map-only decode expects ≈ 1.00)",
               flush=True)

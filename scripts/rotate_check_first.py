@@ -66,7 +66,10 @@ def main() -> None:
         return
     src = open(QPATH).read()
     start = src.index("_CHECK_FIRST = [")
-    end = src.index("]", start) + 1
+    # anchor on the closing bracket at line start: a ']' inside an
+    # inline comment or string must not truncate the splice
+    m = re.search(r"^\]", src[start:], re.M)
+    end = start + m.end()
     body = "".join(f'    "{n}",\n' for n in order)
     src = src[:start] + "_CHECK_FIRST = [\n" + body + "]" + src[end:]
     open(QPATH, "w").write(src)

@@ -33,5 +33,9 @@ def test_curation_gates_actually_drop_rows(spark):
                   F.count("*").alias("groups")).collect()[0]
     n_docs = docs.count()
     assert 0 < agg.kept < n_docs          # gates dropped someone
-    assert agg.groups <= agg.kept         # grouping is real
+    # strictly fewer groups than members: at least one fingerprint
+    # actually collides (groups == kept would mean the perceptual
+    # hash degenerated to per-asset uniqueness — 363 groups / 494
+    # kept measured at this SF)
+    assert agg.groups < agg.kept
     assert QUERIES["multimodal_curation"].headline

@@ -2407,8 +2407,11 @@ def test_jaccard_verify_rekey_is_lossless_and_distributed(spark):
                                   rekey=True)
         assert sorted(map(tuple, rk.collect())) == base, strat
     # the id assignment itself: a dense 1..n bijection whose rank
-    # window is PARTITIONED (no task sorts the whole vocabulary)
-    ids = dedup.dense_ids(sh.select("sh").distinct(), "sh")
+    # window is PARTITIONED (no task sorts the whole vocabulary).
+    # materialize_ranked=False so the plan assert can SEE the rank
+    # window (the production default hides it behind the barrier)
+    ids = dedup.dense_ids(sh.select("sh").distinct(), "sh",
+                          materialize_ranked=False)
     rows = ids.collect()
     n = sh.select("sh").distinct().count()
     assert sorted(r["__sid"] for r in rows) == list(range(1, n + 1))
