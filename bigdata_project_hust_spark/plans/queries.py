@@ -3544,56 +3544,6 @@ QUERIES.update(QUERIES_ROUND22)
 # snapshot — they go stale the moment a new sweep lands; the script
 # output, not this prose, is the source of truth for ordering.
 _CHECK_FIRST = [
-    "cross_source_dup_matrix",
-    "source_scorecard",
-    "top_event_trigrams",
-    "abc_classification",
-    "new_vs_returning_daily",
-    "repeat_purchase_intervals",
-    "order_fulfillment_cycle",
-    "supplier_concentration_hhi",
-    "nation_trade_balance",
-    "discount_band_lift",
-    "multimodal_jpeg_features",
-    "multimodal_wav_stats",
-    "multimodal_curation",
-    "text_fingerprint",
-    "doc_features_fused",
-    "engagement_active_windows",
-    "pandas_udf_cosine_topk",
-    "training_corpus_curation",
-    "window_running_totals",
-    "rollup_orders",
-    "cube_lineitem",
-    "pivot_priority_status",
-    "percentile_acctbal",
-    "approx_distinct",
-    "multi_agg_pricing",
-    "influence_scores",
-    "kol_threshold",
-    "flagship_top_kols_per_region",
-    "revenue_per_nation",
-    "keep_last_per_user",
-    "keep_last_agg_per_user",
-    "mktsegment_histogram",
-    "event_type_histogram",
-    "orders_global_scalars",
-    "distinct_priorities",
-    "top5_orders",
-    "props_json_extract",
-    "string_rewrite",
-    "filename_ts_parse",
-    "threshold_first_crossing",
-    "event_types_per_user",
-    "token_positions",
-    "engagement_windows",
-    "customers_with_orders",
-    "customers_without_orders",
-    "union_names",
-    "merge_aggregate_incremental",
-    "engagement_change_log",
-    "engagement_log_roundtrip",
-    "freq_items_priority",
     "dedup_exact",
     "dedup_exact_keepers",
     "dedup_minhash_lsh",
@@ -3690,8 +3640,6 @@ _CHECK_FIRST = [
     "point_lookup_customer",
     "kol_project_page",
     "monthly_revenue",
-    "approx_percentile_acctbal",
-    "multimodal_image_raster",
     "kaplan_meier_purchase",
     "logrank_ab_survival",
     "psi_value_drift",
@@ -3914,6 +3862,58 @@ _CHECK_FIRST = [
     "triplet_violation_audit",
     "collated_distinct_names",
     "rtbf_deletion_manifest",
+    "cross_source_dup_matrix",
+    "source_scorecard",
+    "top_event_trigrams",
+    "abc_classification",
+    "new_vs_returning_daily",
+    "repeat_purchase_intervals",
+    "order_fulfillment_cycle",
+    "supplier_concentration_hhi",
+    "nation_trade_balance",
+    "discount_band_lift",
+    "multimodal_jpeg_features",
+    "multimodal_wav_stats",
+    "multimodal_curation",
+    "text_fingerprint",
+    "doc_features_fused",
+    "engagement_active_windows",
+    "pandas_udf_cosine_topk",
+    "training_corpus_curation",
+    "window_running_totals",
+    "rollup_orders",
+    "cube_lineitem",
+    "pivot_priority_status",
+    "percentile_acctbal",
+    "multi_agg_pricing",
+    "influence_scores",
+    "kol_threshold",
+    "flagship_top_kols_per_region",
+    "revenue_per_nation",
+    "keep_last_per_user",
+    "keep_last_agg_per_user",
+    "mktsegment_histogram",
+    "event_type_histogram",
+    "orders_global_scalars",
+    "distinct_priorities",
+    "top5_orders",
+    "props_json_extract",
+    "string_rewrite",
+    "filename_ts_parse",
+    "threshold_first_crossing",
+    "event_types_per_user",
+    "token_positions",
+    "engagement_windows",
+    "customers_with_orders",
+    "customers_without_orders",
+    "union_names",
+    "merge_aggregate_incremental",
+    "engagement_change_log",
+    "engagement_log_roundtrip",
+    "approx_percentile_acctbal",
+    "multimodal_image_raster",
+    "approx_distinct",
+    "freq_items_priority",
 ]
 
 

@@ -4,8 +4,11 @@ record (the rotation duty VERDICT r5–r8 flagged whenever done by hand).
 Ordering produced:
   1. names with NO driver row in any CORRECTNESS_r*.json (never
      checked — union coverage first), in registry order;
-  2. every other name stale-first: ascending by the round of its most
-     recent driver row, within-round order preserved.
+  2. every other ORACLED name stale-first: ascending by the round of
+     its most recent driver row, within-round order preserved;
+  3. permanently rows-only names (spec.oracle is None) sunk to the
+     back — their driver check can never say more than "ran, n rows",
+     so they must not consume front-50 slots (VERDICT r9 nit #4).
 
 The driver checks the first 50 names each round, so after its sweep
 lands, re-running this script moves the freshly-checked names to the
@@ -43,12 +46,18 @@ def planned_order() -> list[str]:
         names = list(json.load(open(path)))
         per_round[rnum] = names
         for n in names:
-            last[n] = rnum
+            # max(): order-independent even if a round file is ever
+            # unpadded (r9 vs r10) or rounds reach 3 digits (ADVICE r9)
+            last[n] = max(last.get(n, -1), rnum)
     order = [n for n in QUERIES if n not in last]  # never checked
     for rnum in sorted(per_round):
         for n in per_round[rnum]:
             if last.get(n) == rnum and n not in order and n in QUERIES:
                 order.append(n)
+    # sink permanently rows-only names: stable partition, staleness
+    # order preserved within each class
+    order = ([n for n in order if QUERIES[n].oracle is not None]
+             + [n for n in order if QUERIES[n].oracle is None])
     # names green in some round but since renamed/removed drop out via
     # the `n in QUERIES` guard; anything still missing is a bug
     missing = set(QUERIES) - set(order)
