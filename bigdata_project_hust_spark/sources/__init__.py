@@ -1,5 +1,10 @@
 """Custom Python Data Source API connectors (Spark 4)."""
 
+from .kafka_log import (KAFKA_FRAME_SCHEMA, KafkaShapedSource,
+                        append_records, create_topic, expire_before,
+                        register_kafka_shaped)
 from .pyds import FixtureReplaySource, register_fixture_replay
 
-__all__ = ["FixtureReplaySource", "register_fixture_replay"]
+__all__ = ["FixtureReplaySource", "register_fixture_replay",
+           "KafkaShapedSource", "register_kafka_shaped", "create_topic",
+           "append_records", "expire_before", "KAFKA_FRAME_SCHEMA"]

@@ -95,6 +95,39 @@ def kafka_stream(spark: SparkSession, brokers: str, topics: str,
     return parse_kafka_frame(reader.load(), schema)
 
 
+def kafka_shaped_stream(spark: SparkSession, path: str, topics: str,
+                        schema: T.StructType,
+                        starting_offsets: str = "earliest",
+                        fail_on_data_loss: bool = True,
+                        max_records_per_trigger: int | None = None
+                        ) -> DataFrame:
+    """S4/ST1 through a REAL streaming source: identical call shape and
+    downstream plan to ``kafka_stream``, but reading the broker-free
+    ``kafka_shaped`` log source (sources/kafka_log.py) — same 7-column
+    frame, same subscribe/startingOffsets/failOnDataLoss semantics,
+    actual per-partition offsets and checkpointed exactly-once resume.
+    ``parse_kafka_frame`` downstream is shared verbatim with
+    ``kafka_stream``, so when a broker + connector jar exist the two
+    paths differ only in ``.format(...)`` + transport options."""
+    from ..sources import register_kafka_shaped
+    register_kafka_shaped(spark)
+    reader = (spark.readStream.format("kafka_shaped")
+              .option("path", path)
+              .option("subscribe", topics)
+              .option("startingOffsets", starting_offsets)
+              .option("failOnDataLoss",
+                      "true" if fail_on_data_loss else "false"))
+    if max_records_per_trigger is not None:
+        reader = reader.option("maxRecordsPerTrigger",
+                               max_records_per_trigger)
+    if starting_offsets not in ("earliest", "latest") \
+            and not starting_offsets.startswith("{"):
+        raise ValueError(
+            f"startingOffsets must be earliest/latest or a JSON offset "
+            f"map, got {starting_offsets!r}")
+    return parse_kafka_frame(reader.load(), schema)
+
+
 def replay_from_ticks(ticks: DataFrame,
                       tables: dict[str, tuple[DataFrame, str]]) -> DataFrame:
     """Core of the S3 round-robin replay (producer.py:84-99): tick t
