@@ -78,6 +78,12 @@ _TRACKED: list[tuple[str, "weakref.ref[DataFrame]", int | None]] = []
 _TRACKED_LOCK = threading.Lock()
 
 
+# compaction threshold for _TRACKED: a session that never calls
+# release_all() (the external driver's correctness run) would otherwise
+# grow the list by one tuple per materialize() forever (ADVICE r9 #2).
+_TRACKED_COMPACT_AT = 512
+
+
 def _track(strategy: str, df: DataFrame) -> DataFrame:
     rdd_id = None
     if strategy == "local":
@@ -88,6 +94,15 @@ def _track(strategy: str, df: DataFrame) -> DataFrame:
         except Exception:
             pass  # connect-mode / API drift: fall back to GC cleanup
     with _TRACKED_LOCK:
+        if len(_TRACKED) >= _TRACKED_COMPACT_AT:
+            # drop entries release_all() could do nothing with anyway:
+            # dead cache frames (unpersist needs the live df) and dead
+            # local frames whose RDD id extraction failed.  Dead local
+            # entries WITH an id are kept — their blocks are still
+            # removable by id.
+            _TRACKED[:] = [(s, r, rid) for s, r, rid in _TRACKED
+                           if r() is not None or (s == "local"
+                                                  and rid is not None)]
         _TRACKED.append((strategy, weakref.ref(df), rdd_id))
     return df
 

@@ -213,3 +213,42 @@ def test_release_all_frees_cache_and_local_blocks(spark):
         local.count()
     # idempotent and empty after drain
     assert release_all(spark) == 0
+
+
+def test_tracked_list_compacts_without_release(spark):
+    """ADVICE r9 #2: a session that never calls release_all() must not
+    grow _TRACKED unboundedly — once the list crosses the compaction
+    threshold, dead unreleasable entries (GC'd cache frames) are
+    dropped opportunistically, while live frames and dead-but-
+    removable local entries (RDD id recorded) survive compaction."""
+    import gc
+
+    from bigdata_project_hust_spark import checkpoint as cp
+
+    cp.release_all(spark)  # start from an empty list
+    keep = materialize(spark.range(8), "t_compact_live", strategy="cache")
+    try:
+        with cp._TRACKED_LOCK:
+            base = len(cp._TRACKED)
+        assert base == 1
+        # flood with short-lived cache frames past the threshold; each
+        # is dropped by Python immediately, so compaction can reap them
+        for i in range(cp._TRACKED_COMPACT_AT + 32):
+            df = spark.range(2).persist()
+            df.count()
+            with cp._TRACKED_LOCK:
+                cp._TRACKED.append(("cache", __import__("weakref").ref(df),
+                                    None))
+            df.unpersist(blocking=True)
+            del df
+        gc.collect()
+        materialize(spark.range(8), "t_compact_trigger",
+                    strategy="cache").unpersist()
+        with cp._TRACKED_LOCK:
+            n = len(cp._TRACKED)
+            live = [e for e in cp._TRACKED if e[1]() is not None]
+        assert n < cp._TRACKED_COMPACT_AT, \
+            f"compaction did not reap dead entries (len={n})"
+        assert any(e[1]() is keep for e in live)
+    finally:
+        cp.release_all(spark)
