@@ -440,6 +440,102 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     return labels
 
 
+def connected_components_twophase(pairs: DataFrame, src: str = "doc_a",
+                                  dst: str = "doc_b",
+                                  max_iter: int = 16,
+                                  stats: dict | None = None) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the bounded-rounds alternative to min-label
+    propagation for HIGH-DIAMETER graphs.
+
+    :func:`connected_components` converges in O(diameter) rounds — the
+    right choice for clique-ish near-dup graphs (diameter 2-3), but at
+    100 TB the dup-pair graph can chain documents into long paths
+    (A≈B≈C≈… under a loose threshold), and a diameter-d path costs d
+    shuffle rounds there. Star contraction converges in O(log² n)
+    rounds worst-case (O(log n) observed) REGARDLESS of diameter:
+
+    - **large-star** (per node u): point every neighbor v > u at
+      m = min(Γ(u) ∪ {u});
+    - **small-star** (per node u, over edges directed larger→smaller):
+      point u and its smaller neighbors at their collective min.
+
+    Each star is one symmetric-edge groupBy + one re-join — two
+    shuffles keyed on node per half-round, edge count never grows
+    beyond the symmetric input, and every value strictly decreases
+    toward the component min, so the fixpoint is the star graph
+    (member → component-min). Output matches
+    :func:`connected_components` exactly: (node, component).
+
+    Convergence detection: the (distinct) edge set is compared across
+    rounds by (count, bit_xor of xxhash64(u,v)) — one tiny agg per
+    round riding the materialize, no extra join, no overflow under
+    ANSI mode. Parent values are monotonically non-increasing under
+    both stars, so a stable (count, xor) pair at the fixpoint is the
+    designed terminal state; a collision masking a real change would
+    need two distinct edge sets with equal count AND equal 64-bit
+    xor-folds mid-descent (~2^-64 per round).
+
+    Lineage: every round's edge frame is materialized with
+    ``prefer="local"`` — the alternating joins are a multiplicative-
+    lineage loop (the class of plan that OOMs the driver without
+    truncation, see :func:`connected_components`'s checkpoint note).
+
+    ``stats``: pass a dict to receive ``{"rounds": r}`` — the bounded-
+    rounds property is an assertable contract, not a comment
+    (tests pin rounds ≪ diameter on a long path).
+    """
+    e = (pairs.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+              .where(F.col("u") != F.col("v"))
+              .distinct())
+    edges = materialize(e, "cc2_edges", prefer="local")
+    prev_sig = None
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        # ---- large-star: key on BOTH endpoints (symmetric view) ----
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u")
+                   .agg(F.min("v").alias("nbr_min"))
+                   .select("u", F.least("u", "nbr_min").alias("m")))
+        large = (sym.join(mins, "u")
+                    .where(F.col("v") > F.col("u"))
+                    .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                    .where(F.col("u") != F.col("v"))
+                    .distinct())
+        # ---- small-star: direct edges larger→smaller, key on larger --
+        d = large.select(F.greatest("u", "v").alias("u"),
+                         F.least("u", "v").alias("v"))
+        smins = d.groupBy("u").agg(F.min("v").alias("m"))
+        small = (d.join(smins, "u")
+                  .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                  .unionByName(smins.select("u", F.col("m").alias("v")))
+                  .where(F.col("u") != F.col("v"))
+                  .distinct())
+        new_edges = materialize(small, "cc2_round", prefer="local")
+        edges.unpersist()
+        edges = new_edges
+        sig = edges.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h")).first()
+        if (sig["n"], sig["h"]) == prev_sig:
+            break
+        prev_sig = (sig["n"], sig["h"])
+    if stats is not None:
+        stats["rounds"] = rounds
+    # fixpoint edges are (member → component-min) stars; roots appear
+    # only on the v side, so union them back with self-labels
+    members = edges.select(F.col("u").alias("node"),
+                           F.col("v").alias("component"))
+    roots = edges.select(F.col("v").alias("node"),
+                         F.col("v").alias("component")).distinct()
+    return (members.unionByName(roots)
+                   .groupBy("node").agg(F.min("component")
+                                        .alias("component")))
+
+
 def duplicate_cluster_keepers(pairs: DataFrame, src: str = "doc_a",
                               dst: str = "doc_b") -> DataFrame:
     """One keeper per duplicate cluster (the min id) + cluster size —

@@ -2736,14 +2736,23 @@ def q_multimodal_curation(spark, sf_dir):
     reproduces every integer in closed form from the same md5 bytes
     (flat-block JPEG and raw-PCM WAV make both codecs exact)."""
     docs = _t(spark, sf_dir, "documents")
-    img = (multimodal.extract_pixel_stats(_mm_jpeg_assets(docs))
-           .where(F.col("ok")))
-    aud = (multimodal.extract_audio_stats(_mm_wav_assets(docs))
-           .where(F.col("ok")))
-    imgf = (img.where((F.col("max_gray3") - F.col("min_gray3") >= 90)
-                      & F.col("sum_r").between(F.col("n_px") * 24,
-                                               F.col("n_px") * 232))
-               .select(
+    imgf = _mm_image_gate(
+        multimodal.extract_pixel_stats(_mm_jpeg_assets(docs)))
+    audf = _mm_audio_gate(
+        multimodal.extract_audio_stats(_mm_wav_assets(docs)))
+    return _mm_curation_keepers(imgf, audf)
+
+
+def _mm_image_gate(img_stats):
+    """Stage 2+3 (image side) of the curation pipeline: quality gate +
+    perceptual fingerprint over DECODED pixel stats. Shared verbatim
+    by the batch headliner and its streaming twin (round23) so the two
+    can never drift."""
+    return (img_stats.where(F.col("ok"))
+            .where((F.col("max_gray3") - F.col("min_gray3") >= 90)
+                   & F.col("sum_r").between(F.col("n_px") * 24,
+                                            F.col("n_px") * 232))
+            .select(
                 "asset_id",
                 (F.col("max_gray3") - F.col("min_gray3"))
                 .alias("contrast3"),
@@ -2753,9 +2762,18 @@ def q_multimodal_curation(spark, sf_dir):
                  + F.least(F.floor((F.col("sum_hgrad3")
                                     + F.col("sum_vgrad3")) / 768),
                            F.lit(15))).alias("fingerprint")))
-    audf = (aud.where(((F.col("max_sample") - F.col("min_sample"))
-                       >= 64) & (F.col("n_signflips") >= 8))
-               .select("asset_id", "n_signflips"))
+
+
+def _mm_audio_gate(aud_stats):
+    """Stage 2 (audio side): dynamic-range + center-crossing gate."""
+    return (aud_stats.where(F.col("ok"))
+            .where(((F.col("max_sample") - F.col("min_sample"))
+                    >= 64) & (F.col("n_signflips") >= 8))
+            .select("asset_id", "n_signflips"))
+
+
+def _mm_curation_keepers(imgf, audf):
+    """Stage 4: both-gates join + fingerprint dedup + keeper election."""
     return (imgf.join(audf, "asset_id")
                 .groupBy("fingerprint")
                 .agg(F.count("*").alias("n_assets"),
@@ -3510,6 +3528,11 @@ from .round22 import QUERIES_ROUND22  # noqa: E402
 
 QUERIES.update(QUERIES_ROUND22)
 
+from .round23 import QUERIES_ROUND23  # noqa: E402  (needs the _mm_*
+#                                       helpers + _oracle_components)
+
+QUERIES.update(QUERIES_ROUND23)
+
 # ---------------------------------------------------------------------------
 # Driver-sweep rotation.
 #
@@ -3544,6 +3567,8 @@ QUERIES.update(QUERIES_ROUND22)
 # snapshot — they go stale the moment a new sweep lands; the script
 # output, not this prose, is the source of truth for ordering.
 _CHECK_FIRST = [
+    "dedup_components_twophase",
+    "multimodal_curation_stream",
     "dedup_exact",
     "dedup_exact_keepers",
     "dedup_minhash_lsh",

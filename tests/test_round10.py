@@ -1,129 +1,85 @@
-"""Round-10: rank-1 ALS, bias baseline, boilerplate strip, SAX
-symbolization, multi-round BPE merges."""
+"""Round-10 operators: alternating large-star/small-star connected
+components (Kiveris et al.) and the streaming multimodal-curation twin."""
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import functions as F
 
-from bigdata_project_hust_spark.operators import curation, recsys, text
-from bigdata_project_hust_spark.plans.round10 import (
-    _BPE_ROUNDS, q_als_rank1, q_bias_baseline, q_boilerplate_strip,
-    q_bpe_merge_rounds, q_sax_daily)
-
-SF = "/root/testdata/sf0.001"
+from bigdata_project_hust_spark.operators.dedup import (
+    connected_components, connected_components_twophase)
 
 
-def test_als_rank1_separates_popular_item(spark):
-    # item 'hot' is rated high by everyone, 'cold' low by few: the
-    # learned rank-1 item factor must rank hot above cold
-    rows = [(u, "hot", 40) for u in range(8)] + \
-           [(u, "cold", 2) for u in range(2)]
-    r = spark.createDataFrame(rows, "user_id string, item_id string, r long")
-    out = {x["item_id"]: x for x in recsys.als_rank1(r, lam=1).collect()}
-    assert out["hot"]["v_e6"] > out["cold"]["v_e6"] > 0
-    assert out["hot"]["n_raters"] == 8 and out["cold"]["n_raters"] == 2
+def _cc_of(df):
+    return {(r["node"], r["component"]) for r in df.collect()}
 
 
-def test_als_rank1_fixture_shape_and_determinism(spark):
-    a = q_als_rank1(spark, SF).collect()
-    b = q_als_rank1(spark, SF).collect()
-    assert a == b
-    assert len(a) == 20
-    vs = [r["v_e6"] for r in a]
-    assert vs == sorted(vs, reverse=True)
+def test_twophase_matches_min_propagation_random(spark):
+    """Both algorithms must produce identical (node, component-min)
+    labelings on a random graph with several components."""
+    rng = random.Random(10)
+    edges = set()
+    # three blocks of 40 nodes with random intra-block edges
+    for block in range(3):
+        base = block * 100
+        for _ in range(80):
+            a, b = rng.sample(range(base, base + 40), 2)
+            edges.add((a, b))
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long")
+    ref = _cc_of(connected_components(pairs))
+    got = _cc_of(connected_components_twophase(pairs))
+    assert got == ref
 
 
-def test_bias_baseline_beats_global_mean_on_biased_data(spark):
-    # strong item effects, no noise: bias model must crush the
-    # constant-mu predictor
-    rows = [(u, i, 10 * (i + 1)) for u in range(6) for i in range(4)]
-    r = spark.createDataFrame(rows, "user_id long, item_id long, r long")
-    card = recsys.bias_baseline(r, damp=1).collect()[0]
-    assert card["n_ratings"] == 24
-    assert card["mae_bias_e6"] < card["mae_global_e6"]
+def test_twophase_bounded_rounds_on_long_path(spark):
+    """The reason this operator exists: a diameter-d path costs the
+    min-propagation loop O(d) shuffle rounds, star contraction O(log d).
+    On a 200-node path (diameter 199) the twophase variant must label
+    every node with the minimum AND converge in ≤ 12 rounds."""
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    stats: dict = {}
+    out = connected_components_twophase(pairs, stats=stats)
+    rows = out.collect()
+    assert len(rows) == n
+    assert all(r["component"] == 0 for r in rows)
+    assert stats["rounds"] <= 12, \
+        f"star contraction took {stats['rounds']} rounds on a path"
 
 
-def test_bias_baseline_fixture_card(spark):
-    card = q_bias_baseline(spark, SF).collect()[0]
-    assert card["n_ratings"] > 0
-    assert card["mu_e6"] > 0
-    assert card["mae_global_e6"] > 0
-    assert card["mae_bias_e6"] > 0
+def test_twophase_cliques_and_isolated_pair(spark):
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]  # clique 0-4
+        + [(10, 11)],                                        # lone pair
+        "doc_a long, doc_b long")
+    stats: dict = {}
+    got = _cc_of(connected_components_twophase(pairs, stats=stats))
+    assert got == {(i, 0) for i in range(5)} | {(10, 10), (11, 10)}
+    assert stats["rounds"] <= 3  # clique-ish graphs converge immediately
 
 
-def test_boilerplate_strip_flags_shared_segment(spark):
-    # 8-token header shared by two docs of source A; doc in source B
-    # shares the text but is alone in its source -> not boilerplate
-    header = "alpha beta gamma delta epsilon zeta eta theta"
-    rows = [("d1", header + " unique one", "A"),
-            ("d2", header + " unique two", "A"),
-            ("d3", header + " unique three", "B")]
-    df = spark.createDataFrame(rows, "doc_id string, text string, "
-                                     "source string")
-    out = {r["source"]: r for r in curation.boilerplate_strip(df).collect()}
-    assert out["A"]["boiler_segments"] == 1
-    assert out["A"]["removed_instances"] == 2
-    assert out["A"]["removed_chars"] == 2 * len(header)
-    assert out["B"]["boiler_segments"] == 0
-    assert out["B"]["removed_instances"] == 0
+def test_twophase_self_loops_and_duplicate_pairs(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1), (2, 3), (2, 3)],
+        "doc_a long, doc_b long")
+    got = _cc_of(connected_components_twophase(pairs))
+    assert got == {(1, 1), (2, 1), (3, 1)}
 
 
-def test_boilerplate_fixture_invariants(spark):
-    out = q_boilerplate_strip(spark, SF).collect()
-    assert len(out) >= 2
-    for r in out:
-        assert 0 <= r["removed_instances"] <= r["n_segments"]
-        assert 0 <= r["removed_chars"] <= r["n_chars"]
-        assert r["removed_frac_e6"] == (
-            r["removed_instances"] * 1_000_000 // r["n_segments"])
+def test_curation_stream_twin_matches_batch(spark):
+    """The streaming twin (foreachBatch decode+gates over a file
+    source) must reproduce the batch headliner row-for-row — shared
+    gate functions + exactly-once sink handling."""
+    from bigdata_project_hust_spark.plans.queries import QUERIES
 
-
-def test_sax_symbols_well_formed(spark):
-    out = q_sax_daily(spark, SF).collect()
-    assert len(out) >= 2
-    for r in out:
-        assert len(r["sax"]) == r["n_days"]
-        assert set(r["sax"]) <= set("abcd")
-        assert r["n_a"] + r["n_b"] + r["n_c"] + r["n_d"] == r["n_days"]
-        # z-scored series: both sides of the mean are populated for
-        # any non-constant series of >= 2 days
-        if r["n_days"] >= 2 and len(set(r["sax"])) > 1:
-            assert r["n_a"] + r["n_b"] >= 1 and r["n_c"] + r["n_d"] >= 1
-
-
-def test_bpe_merges_apply_before_next_round(spark):
-    # corpus of one repeated word: round 1 must merge a character
-    # pair of 'banana'; later rounds must pick pairs over the MERGED
-    # symbol alphabet, and winning counts never increase
-    df = spark.createDataFrame([("d1", "banana banana banana")],
-                               "doc_id string, text string")
-    out = text.bpe_merge_rounds(df, rounds=2).collect()
-    assert [r["round"] for r in out] == [1, 2]
-    # 'a n' and 'n a' both appear 6 times corpus-wide; tie-break is
-    # lexicographic -> 'a n' wins round 1 and becomes symbol 'an'
-    assert out[0]["pair"] == "a n"
-    assert out[0]["merged"] == "an"
-    assert out[0]["pair_count"] == 6
-    # after ' b a n a n a ' -> ' b an an a ': the three candidate
-    # pairs ('an a', 'an an', 'b an') all count 3; lexicographic
-    # tie-break takes 'an a' ('an a' is a prefix of 'an an')
-    assert out[1]["pair"] == "an a"
-    assert out[1]["merged"] == "ana"
-    assert out[1]["pair_count"] == 3
-
-
-def test_bpe_fixture_rounds_monotone(spark):
-    out = q_bpe_merge_rounds(spark, SF).collect()
-    assert [r["round"] for r in out] == list(range(1, _BPE_ROUNDS + 1))
-    cnts = [r["pair_count"] for r in out]
-    assert cnts == sorted(cnts, reverse=True)
-    for r in out:
-        assert " " in r["pair"] and " " not in r["merged"]
-        assert r["merged"] == r["pair"].replace(" ", "")
-
-
-def test_als_rank1_rejects_zero_sweeps(spark):
-    import pytest
-    r = spark.createDataFrame([(1, 1, 5)], "user_id long, item_id long, r long")
-    with pytest.raises(ValueError, match="sweeps"):
-        recsys.als_rank1(r, sweeps=0)
+    sf = "/root/testdata/sf0.001"
+    batch = QUERIES["multimodal_curation"].fn(spark, sf)
+    stream = QUERIES["multimodal_curation_stream"].fn(spark, sf)
+    cols = ["fingerprint", "n_assets", "keeper_id", "max_contrast3",
+            "sum_signflips"]
+    a = sorted(tuple(r) for r in batch.select(*cols).collect())
+    b = sorted(tuple(r) for r in stream.select(*cols).collect())
+    assert a == b and len(a) > 0
