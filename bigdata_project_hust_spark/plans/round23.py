@@ -98,6 +98,7 @@ def q_multimodal_curation_stream(spark, sf_dir):
 QUERIES_ROUND23.update({
     "dedup_components_twophase": QuerySpec(
         q_dedup_components_twophase, _oracle_components(),
+        headline=True,
         doc="duplicate clusters via alternating large-star/small-star "
             "contraction (O(log n) rounds, diameter-independent); same "
             "recursive-CTE oracle as dedup_components"),

@@ -16,7 +16,10 @@ above the 4M broadcast gates, so LPA/triangle fall back to shuffle
 joins — the probe asserts they complete (no OOM, no broadcast-size
 error) and reports the timing ratio.
 
-Usage: python scripts/graph_scale_probe.py [N]   (default 10)
+Usage: python scripts/graph_scale_probe.py [N] [op ...]
+       (default N=10, all ops; name ops to probe a subset, e.g.
+        `graph_scale_probe.py 20 lpa_communities k_core` for the
+        VERDICT r9 #2 quiet-host 20× re-pin)
 """
 
 from __future__ import annotations
@@ -50,6 +53,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2:])
     li = gio.load_table(spark, "/root/testdata/sf0.1", "lineitem")
     e1 = copurchase_edges(li).localCheckpoint()
     n1 = e1.count()
@@ -79,6 +83,12 @@ def main() -> None:
         "k_core": lambda e: k_core(e, k=3, rounds=6).agg(
             F.count("*"), F.sum("core_degree")).collect(),
     }
+    if only:
+        unknown = only - set(ops)
+        if unknown:
+            raise SystemExit(f"unknown ops: {sorted(unknown)} "
+                             f"(have {sorted(ops)})")
+        ops = {k: v for k, v in ops.items() if k in only}
     for name, fn in ops.items():
         t = {}
         for tag, e in (("1x", e1), ("10x", e10)):

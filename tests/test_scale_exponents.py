@@ -52,7 +52,7 @@ ALPHA = "abcdefghijklmnopqrstuvwxyz"
 REPS = 2
 
 
-def _exponent(spark, fn, one, big) -> float:
+def _exponent(spark, fn, one, big, scale: int = N) -> float:
     from bigdata_project_hust_spark.checkpoint import release_all
 
     t = {}
@@ -69,7 +69,7 @@ def _exponent(spark, fn, one, big) -> float:
             spark.catalog.clearCache()
             release_all(spark)
         t[tag] = statistics.median(times)
-    return math.log(t["10x"] / t["1x"]) / math.log(N)
+    return math.log(t["10x"] / t["1x"]) / math.log(scale)
 
 
 @pytest.fixture(scope="module")
@@ -131,6 +131,46 @@ def test_dedup_family_stays_sublinear(spark, docs_1x_10x, name, fn,
         f"{name}: 10x exponent {exp:.2f} >= {ceiling} — a banded dedup "
         "stage regressed toward quadratic (check for a multi-consumer "
         "lazy subtree: is the shared candidate frame materialized?)")
+
+
+@pytest.fixture(scope="module")
+def edges_1x_20x(spark):
+    """20× tier (VERDICT r9 #2): the two iterative-loop graph queries
+    (lpa, k_core) are where a regression would hurt most at 100×, and
+    their 20× exponents historically swung with host noise while the
+    10× guards' 1.3 ceilings are too loose to catch a 20×-only
+    pathology. Same id-shift construction, 20 copies (~24M directed
+    edges — well past every broadcast gate)."""
+    li = gio.load_table(spark, SF_DIR, "lineitem")
+    e1 = copurchase_edges(li).localCheckpoint()
+    copies = [e1.select((F.col("pa") + F.lit(k * SHIFT)).alias("pa"),
+                        (F.col("pb") + F.lit(k * SHIFT)).alias("pb"))
+              for k in range(20)]
+    en = copies[0]
+    for c in copies[1:]:
+        en = en.unionAll(c)
+    yield e1, en.localCheckpoint()
+
+
+@pytest.mark.parametrize("name,fn,ceiling", [
+    ("lpa_communities_20x",
+     lambda e: lpa_communities(e).groupBy("community").count()
+     .orderBy(F.desc("count")).limit(5).collect(), 1.3),
+    ("k_core_20x",
+     lambda e: k_core(e, k=3, rounds=6)
+     .agg(F.count("*"), F.sum("core_degree")).collect(), 1.3),
+])
+def test_iterative_graph_20x_tier(spark, edges_1x_20x, name, fn,
+                                  ceiling):
+    """Quiet-host 20× pins (see STATUS round 10): lpa 0.8x–0.9x,
+    k_core ~0.3 — the 1.3 ceiling catches an order-of-growth
+    regression while staying far above measured + host noise."""
+    e1, en = edges_1x_20x
+    exp = _exponent(spark, fn, e1, en, scale=20)
+    assert exp < ceiling, (
+        f"{name}: 20x exponent {exp:.2f} >= {ceiling} — the iterative "
+        "loop regressed (check per-round materialize/unpersist and the "
+        "broadcast-gate fallback)")
 
 
 @pytest.mark.parametrize("name,fn,ceiling", [
