@@ -461,12 +461,17 @@ def connected_components_twophase(pairs: DataFrame, src: str = "doc_a",
     - **small-star** (per node u, over edges directed larger→smaller):
       point u and its smaller neighbors at their collective min.
 
-    Each star is one symmetric-edge groupBy + one re-join — two
-    shuffles keyed on node per half-round, edge count never grows
-    beyond the symmetric input, and every value strictly decreases
-    toward the component min, so the fixpoint is the star graph
-    (member → component-min). Output matches
-    :func:`connected_components` exactly: (node, component).
+    Each star is one symmetric-edge groupBy + one re-join + one edge
+    distinct — three shuffles keyed on node/edge per half-round; edge
+    count never grows beyond the symmetric input (the distinct is what
+    bounds it — multiple donors emit the same (v, min) edge), and
+    every value strictly decreases toward the component min, so the
+    fixpoint is the star graph (member → component-min). Output
+    matches :func:`connected_components` exactly: (node, component).
+    Per-round cost is higher than one min-propagation round; the win
+    is ROUND COUNT — pick this variant when the pair graph can be
+    long-chained (loose thresholds, transitive near-dup text), the
+    propagation loop when it is clique-ish (diameter 2-3).
 
     Convergence detection: the (distinct) edge set is compared across
     rounds by (count, bit_xor of xxhash64(u,v)) — one tiny agg per
@@ -478,9 +483,14 @@ def connected_components_twophase(pairs: DataFrame, src: str = "doc_a",
     xor-folds mid-descent (~2^-64 per round).
 
     Lineage: every round's edge frame is materialized with
-    ``prefer="local"`` — the alternating joins are a multiplicative-
-    lineage loop (the class of plan that OOMs the driver without
-    truncation, see :func:`connected_components`'s checkpoint note).
+    ``prefer="local"`` — the previous round's frame feeds the new plan
+    ~4× (sym's two branches, small-star's two), so the logical tree is
+    4^rounds without truncation (the class of plan that OOMs the
+    driver, see :func:`connected_components`'s checkpoint note). The
+    per-round ``unpersist`` drops superseded CACHE entries only;
+    localCheckpoint blocks of superseded rounds are freed at the query
+    boundary by ``checkpoint.release_all`` (bench.py / driver_sim do
+    this per query) — bounded here by the ≤ max_iter round count.
 
     ``stats``: pass a dict to receive ``{"rounds": r}`` — the bounded-
     rounds property is an assertable contract, not a comment

@@ -206,14 +206,32 @@ class _TopicRangePartition(InputPartition):
         self.end = end
 
 
+_ARROW_CHUNK_ROWS = 8192
+
+
 def _read_log_range(partition: _TopicRangePartition) -> Iterator:
-    """Executor-side range read → ONE Arrow record batch in the exact
-    KAFKA_FRAME_SCHEMA shape. Lines [start, end) of an append-only
+    """Executor-side range read → Arrow record batches in the exact
+    KAFKA_FRAME_SCHEMA shape, chunked at ``_ARROW_CHUNK_ROWS`` so a
+    large batch-mode partition streams instead of materializing the
+    whole range in one buffer. Lines [start, end) of an append-only
     JSONL log; a real connector would seek a byte index, the line scan
     is equivalent at fixture scale and still O(partition), not O(log)."""
     import itertools
 
     import pyarrow as pa
+
+    def flush(keys, values, offs, tss):
+        n = len(offs)
+        return pa.RecordBatch.from_arrays(
+            [pa.array(keys, pa.binary()),
+             pa.array(values, pa.binary()),
+             pa.array([partition.topic] * n, pa.string()),
+             pa.array([partition.part] * n, pa.int32()),
+             pa.array(offs, pa.int64()),
+             pa.array(tss, pa.timestamp("us", tz="UTC")),
+             pa.array([0] * n, pa.int32())],  # 0 = CreateTime enum
+            names=[f.name for f in KAFKA_FRAME_SCHEMA.fields])
+
     lo, hi = partition.start, partition.end
     if hi <= lo:
         return
@@ -226,17 +244,11 @@ def _read_log_range(partition: _TopicRangePartition) -> Iterator:
             values.append(rec["value"].encode())
             offs.append(off)
             tss.append(rec.get("ts", 0) * 1000)  # ms → µs
-    n = len(offs)
-    batch = pa.RecordBatch.from_arrays(
-        [pa.array(keys, pa.binary()),
-         pa.array(values, pa.binary()),
-         pa.array([partition.topic] * n, pa.string()),
-         pa.array([partition.part] * n, pa.int32()),
-         pa.array(offs, pa.int64()),
-         pa.array(tss, pa.timestamp("us", tz="UTC")),
-         pa.array([0] * n, pa.int32())],   # 0 = CreateTime, Kafka's enum
-        names=[f.name for f in KAFKA_FRAME_SCHEMA.fields])
-    yield batch
+            if len(offs) >= _ARROW_CHUNK_ROWS:
+                yield flush(keys, values, offs, tss)
+                keys, values, offs, tss = [], [], [], []
+    if offs:
+        yield flush(keys, values, offs, tss)
 
 
 # ---------------------------------------------------------------------------

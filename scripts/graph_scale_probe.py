@@ -24,6 +24,7 @@ Usage: python scripts/graph_scale_probe.py [N] [op ...]
 
 from __future__ import annotations
 
+import os
 import statistics
 import sys
 import time
@@ -89,24 +90,34 @@ def main() -> None:
             raise SystemExit(f"unknown ops: {sorted(unknown)} "
                              f"(have {sorted(ops)})")
         ops = {k: v for k, v in ops.items() if k in only}
+    reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "2"))
     for name, fn in ops.items():
-        t = {}
+        t, tmin = {}, {}
         for tag, e in (("1x", e1), ("10x", e10)):
             times = []
-            for _ in range(2):
+            for _ in range(reps):
                 t0 = time.time()
                 fn(e)
                 times.append(time.time() - t0)
                 spark.catalog.clearCache()
                 release_all(spark)
             t[tag] = statistics.median(times)
-            print(f"{name:24s} {tag:>3s} median {t[tag]:6.2f}s", flush=True)
-        ratio = t["10x"] / t["1x"]
+            tmin[tag] = min(times)
+            print(f"{name:24s} {tag:>3s} median {t[tag]:6.2f}s "
+                  f"min {tmin[tag]:6.2f}s "
+                  f"(reps {['%.2f' % x for x in times]})", flush=True)
         import math
-        exponent = (math.log(ratio, n_copies)
-                    if ratio > 0 and n_copies > 1 else float("nan"))
-        print(f"{name:24s} ratio {ratio:4.2f}x at {n_copies}x edges "
-              f"(scaling exponent {exponent:.2f})", flush=True)
+
+        def expo(d):
+            r = d["10x"] / d["1x"]
+            return math.log(r, n_copies) if r > 0 and n_copies > 1 \
+                else float("nan")
+        # min-based exponent is the structural number on a co-tenant
+        # host: interference only ever ADDS time, so min-of-reps at
+        # each size is the cleanest estimate of the engine's own cost
+        print(f"{name:24s} ratio {t['10x'] / t['1x']:4.2f}x at "
+              f"{n_copies}x edges (exponent median {expo(t):.2f} / "
+              f"min {expo(tmin):.2f})", flush=True)
 
 
 if __name__ == "__main__":
