@@ -32,9 +32,14 @@ MINHASH_BANDS = 4       # 4 bands × 4 rows
 SIMHASH_BITS = 60       # stable_hash64 yields 60 usable bits
 SIMHASH_BAND_BITS = 12  # 5 bands of 12 bits
 CC_BROADCAST_MAX_EDGES = 4_000_000  # label-table broadcast gate (CC)
-# materialize the PPJoin prefix index only past this shingle count —
-# below it the eager barrier costs more than the duplicated subtree
-# it saves (crossover measured in ngram_jaccard_prefix)
+# Shingle-count gate for staging SHARED MULTI-CONSUMER frames. Since
+# round 10 the PPJoin prefix indexes themselves materialize
+# unconditionally (the 32-core re-bisect found no size where lazy
+# wins — Pareto at the ngram_jaccard_prefix call site); the constant
+# still gates the minhash-signature staging, whose own crossover
+# (barrier loses at sf0.1, wins past ~1M shingles) is a separate
+# measurement on a different frame shape (packed signature agg, not a
+# prefix window) and stands until re-bisected at 32 cores.
 PPJOIN_PREF_MAT_MIN_SHINGLES = 1_000_000
 
 
@@ -599,10 +604,12 @@ def ngram_jaccard_pairs_capped(df: DataFrame, text_col: str = "text",
               .where(F.col("__df") <= max_df)
               .select("sh"))
     sh_rare = sh.join(rare, "sh")
-    # sh_rare feeds both candidate sides — same crossover gate as
-    # ngram_jaccard_prefix (free count on the materialized sh)
-    if sh.count() >= PPJOIN_PREF_MAT_MIN_SHINGLES:
-        sh_rare = materialize(sh_rare, "capped_index", prefer="local")
+    # sh_rare feeds both candidate sides — unconditional since r10:
+    # the gate was explicitly tied to ngram_jaccard_prefix's crossover,
+    # and the 32-core re-bisect (ppjoin_gate_bisect.py) found no size
+    # where the lazy form wins (see the Pareto table at the
+    # ngram_jaccard_prefix call site)
+    sh_rare = materialize(sh_rare, "capped_index", prefer="local")
     pairs = (sh_rare.alias("a").join(sh_rare.alias("b"), "sh")
                     .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
                     .select(F.col(f"a.{id_col}").alias("doc_a"),
@@ -895,19 +902,23 @@ def ngram_jaccard_prefix(df: DataFrame, text_col: str = "text",
     # pref feeds BOTH sides of the candidate self-join; left lazy the
     # df-agg + join + two-window subtree above runs once per side
     # (exchange reuse does not fire across the aliased branches).
-    # Scale crossover, both directions measured: at sf0.1 (260k
-    # shingles) the materialize barrier LOSES 8% (paired A/B 5.44 s →
-    # 5.86 s — the duplicated subtree is cheap); at the 10× probe
-    # (2.6M shingles) the lazy form pays the duplication, 50.5 s vs
-    # 15.5 s staged. Gate on the shingle count — free, ``sh`` is
-    # already materialized — like the graph broadcast gates. Env knob
-    # for paired same-session A/Bs (off/local/reliable/auto), same
-    # pattern as SPARK_GRAFT_TOKENS_PREFER.
+    # UNCONDITIONAL materialize since round 10: the 1M-shingle gate
+    # was tuned under builder conditions (8 cores) where the barrier
+    # lost 8% at sf0.1; re-bisected at the DRIVER's 32-core
+    # parallelism (VERDICT r9 #3, scripts/ppjoin_gate_bisect.py,
+    # reps=3 medians) the barrier wins at EVERY size:
+    #   260k shingles: local 6.43 s vs off  8.36 s (1.30×)
+    #   1.04M        : local 9.63 s vs off 10.30 s (1.07×)
+    #   2.60M        : local 21.9 s vs off  50.2 s (2.30×)
+    # — at high parallelism the duplicated subtree costs two full
+    # exchanges of the shingle frame while the barrier fill is wide;
+    # there is no measured regime left where lazy wins. Env knob kept
+    # for paired A/Bs (off/local/reliable), same pattern as
+    # SPARK_GRAFT_TOKENS_PREFER.
     pref = ranked.where(F.col("__rk") <= plen).select(F.col(id_col), "sh")
     _pm = os.environ.get("SPARK_GRAFT_PPJOIN_PREF", "auto")
     if _pm == "auto":
-        _pm = "local" if sh.count() >= PPJOIN_PREF_MAT_MIN_SHINGLES \
-            else "off"
+        _pm = "local"
     if _pm != "off":
         pref = materialize(pref, "ppjoin_prefix", prefer=_pm)
     pairs = (pref.alias("a").join(pref.alias("b"), "sh")
@@ -1184,11 +1195,12 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
                      - F.expr(f"({threshold_num} * __n "
                               f"+ {threshold_den} - 1) "
                               f"div {threshold_den}") + 1))
-    # prefix feeds both candidate sides — same crossover gate as
-    # ngram_jaccard_prefix (free count on the materialized sh)
-    if sh.count() >= PPJOIN_PREF_MAT_MIN_SHINGLES:
-        prefix = materialize(prefix.select(id_col, "sh"),
-                             "prefix_filter_idx", prefer="local")
+    # prefix feeds both candidate sides — unconditional since r10,
+    # same evidence as ngram_jaccard_prefix (the gate was explicitly
+    # tied to its crossover; the 32-core re-bisect found no size where
+    # the lazy form wins — Pareto table at that call site)
+    prefix = materialize(prefix.select(id_col, "sh"),
+                         "prefix_filter_idx", prefer="local")
     a = prefix.select(F.col(id_col).alias("doc_a"), "sh")
     b = prefix.select(F.col(id_col).alias("doc_b"), "sh")
     pairs = (a.join(b, "sh")

@@ -3569,6 +3569,7 @@ QUERIES.update(QUERIES_ROUND23)
 _CHECK_FIRST = [
     "dedup_components_twophase",
     "multimodal_curation_stream",
+    "kafka_consumer1_roundtrip",
     "dedup_exact",
     "dedup_exact_keepers",
     "dedup_minhash_lsh",

@@ -31,7 +31,10 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from ..functions.scalar import influence_score, rewrite_values
 from ..operators import dedup, multimodal
+from ..sources import produce_topic_from_df
+from ..streaming.pipeline import kafka_shaped_stream
 from .queries import (ORACLE_MM_CURATION, _mm_audio_gate,
                       _mm_curation_keepers, _mm_image_gate,
                       _mm_jpeg_assets, _mm_wav_assets, _oracle_components)
@@ -95,6 +98,66 @@ def q_multimodal_curation_stream(spark, sf_dir):
                                 spark.read.parquet(sink_aud))
 
 
+def q_kafka_consumer1_roundtrip(spark, sf_dir):
+    """S4/ST1 as a DRIVER-ORACLED query: the customer table is landed
+    as a 4-partition Kafka-shaped topic log by the distributed producer
+    (crc32-keyed placement, value = JSON of the row — producer.py's
+    shape), consumed through the kafka_shaped STREAMING source
+    (subscribe, earliest, checkpointed), and pushed through the
+    consumer1 transform chain: value JSON parse → F2 twitter→x value
+    rewrite → F1 influence score → P2 KOL threshold (consumer1.py:
+    41-48,55-59,136) → parquet sink. The oracle is the same scored
+    SELECT the batch twins use, so the whole source→parse→sink loop is
+    value-hash-checked — a JSON-precision loss, an offset gap, or a
+    dropped/duplicated micro-batch all fail the hash."""
+    from pyspark.sql import types as T
+
+    work = tempfile.mkdtemp(prefix="kafka_c1_")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    produce_topic_from_df(cust, work, "twitter_users_topic",
+                          key_col="c_custkey", partitions=4)
+    schema = T.StructType([
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_nationkey", T.LongType()),
+    ])
+    parsed = kafka_shaped_stream(spark, work, "twitter_users_topic",
+                                 schema)
+    scored = (parsed
+              .withColumn("c_name", rewrite_values("c_name"))
+              .withColumn("influence_score",
+                          influence_score(F.col("c_acctbal"),
+                                          F.col("c_custkey") % 100,
+                                          F.col("c_nationkey")))
+              .where(F.col("influence_score") >= 50)
+              .select("c_custkey", "c_name", "influence_score"))
+    out_dir = os.path.join(work, "out")
+    q = (scored.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", os.path.join(work, "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)
+
+
+ORACLE_KAFKA_C1 = """
+  SELECT c_custkey, c_name,
+         (coalesce(c_acctbal, 0) * 0.5::DOUBLE
+          + coalesce(c_custkey % 100, 0)::DOUBLE * 0.3::DOUBLE
+          - coalesce(c_nationkey, 0)::DOUBLE * 0.2::DOUBLE)
+           AS influence_score
+  FROM customer
+  WHERE (coalesce(c_acctbal, 0) * 0.5::DOUBLE
+         + coalesce(c_custkey % 100, 0)::DOUBLE * 0.3::DOUBLE
+         - coalesce(c_nationkey, 0)::DOUBLE * 0.2::DOUBLE) >= 50
+"""
+
+
 QUERIES_ROUND23.update({
     "dedup_components_twophase": QuerySpec(
         q_dedup_components_twophase, _oracle_components(),
@@ -107,4 +170,10 @@ QUERIES_ROUND23.update({
         doc="streaming twin of the multimodal curation headliner: "
             "foreachBatch decode+gates over an incremental file source, "
             "batch keeper election over the exactly-once sink"),
+    "kafka_consumer1_roundtrip": QuerySpec(
+        q_kafka_consumer1_roundtrip, ORACLE_KAFKA_C1,
+        doc="S4/ST1 driver-oracled: distributed producer -> "
+            "kafka_shaped streaming source -> consumer1 chain (parse, "
+            "F2 rewrite, F1 score, P2 threshold) -> parquet sink; "
+            "value-hash vs the scored customer SELECT"),
 })

@@ -96,6 +96,43 @@ def append_records(root: str, topic: str,
             h.close()
 
 
+def produce_topic_from_df(df, root: str, topic: str, key_col: str,
+                          partitions: int = 1,
+                          ts_ms: int = 1_700_000_000_000) -> None:
+    """Distributed producer: land a DataFrame as a topic log with NO
+    driver-side row materialization — records are placed on
+    crc32(key) % n exactly like :func:`append_records` (Spark's
+    ``crc32`` and ``zlib.crc32`` are the same CRC-32), each partition
+    file written by one Spark text job; the driver only renames the
+    staged part file. The record value is the JSON of the whole row,
+    the producer's shape (producer.py:60-66)."""
+    import glob as _glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    create_topic(root, topic, partitions)
+    key = F.col(key_col).cast("string")
+    line = F.to_json(F.struct(
+        key.alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+         .alias("value"),
+        F.lit(ts_ms).alias("ts")))
+    tagged = df.select(
+        F.pmod(F.crc32(F.encode(key, "UTF-8")), F.lit(partitions))
+         .alias("__p"),
+        line.alias("line"))
+    for p in range(partitions):
+        stage = os.path.join(root, topic, f"_stage_{p}")
+        (tagged.where(F.col("__p") == p).select("line")
+               .coalesce(1).write.mode("overwrite").text(stage))
+        parts = _glob.glob(os.path.join(stage, "part-*"))
+        dest = os.path.join(root, topic, f"p{p:05d}.jsonl")
+        if parts:
+            os.replace(parts[0], dest)
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def expire_before(root: str, topic: str, floors: dict[int, int]) -> None:
     """Simulate Kafka retention expiry: mark offsets below ``floors[p]``
     as no longer readable (the broker would have deleted the segment)."""
