@@ -215,6 +215,7 @@ def test_release_all_frees_cache_and_local_blocks(spark):
     assert release_all(spark) == 0
 
 
+@pytest.mark.slow_tier
 def test_tracked_list_compacts_without_release(spark):
     """ADVICE r9 #2: a session that never calls release_all() must not
     grow _TRACKED unboundedly — once the list crosses the compaction

@@ -6,6 +6,8 @@ a sort-merge join (or un-pushes a filter) fails CI, not production."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bigdata_project_hust_spark.plans.queries import QUERIES
@@ -89,6 +91,7 @@ def test_approx_distinct_within_tolerance(spark):
     assert abs(row.approx_users - row.exact_users) <= 0.05 * row.exact_users
 
 
+@pytest.mark.slow_tier
 def test_no_query_plans_cartesian_or_rowwise_python(spark):
     """Registry-wide plan lint — the two 100 TB anti-patterns no
     registered query may ever plan: a CartesianProduct (an unbroadcast

@@ -3,6 +3,8 @@ independent reference walker, and merge-aggregate ≡ recompute."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import Row, functions as F, types as T
 
@@ -117,6 +119,7 @@ def test_keep_last_window_equals_maxby_agg(spark, rows):
 @given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
                 min_size=1, max_size=25))
 @settings(max_examples=15, deadline=None)
+@pytest.mark.slow_tier
 def test_connected_components_matches_union_find(spark, edges):
     """Min-label propagation ≡ an independent union-find model on any
     random graph (self-loops and parallel edges included): every node

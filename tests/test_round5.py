@@ -3,6 +3,8 @@ link prediction, Naive Bayes, PMI, CUSUM/EWMA/autocorr, RRF fusion."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import os
 from datetime import datetime
@@ -687,6 +689,7 @@ def test_benford_shares_sum_and_digits(spark):
         f"{SF_SMOKE}/orders.parquet").count()
 
 
+@pytest.mark.slow_tier
 def test_round5_queries_no_cartesian_products(spark):
     """Sweeping hygiene gate: no round-5 plan may contain a
     CartesianProduct (1-row broadcast crossJoins lower to

@@ -4,6 +4,8 @@ encoding, and diversified top-k."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import os
 from datetime import datetime
@@ -280,12 +282,14 @@ def test_concurrency_plan_windows_partitioned(spark):
         assert "event_type" in m.group(0) or "event_type" in m.group(1)
 
 
+@pytest.mark.slow_tier
 def test_round6_queries_no_cartesian(spark):
     for name, spec in QUERIES_ROUND6.items():
         plan = plan_of(spec.fn(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
 
 
+@pytest.mark.slow_tier
 def test_round6_no_complex_output_columns(spark):
     """Driver-canonicalizer guard: no array/map/struct output column
     in any round-6 query."""

@@ -4,6 +4,8 @@ max drawdown."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 from datetime import datetime, timedelta
 
@@ -257,6 +259,7 @@ def test_stump_plan_takeordered_argmin(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+@pytest.mark.slow_tier
 def test_round7_queries_no_cartesian(spark):
     for name, spec in QUERIES_ROUND7.items():
         plan = plan_of(spec.fn(spark, SF_SMOKE))

@@ -2334,6 +2334,7 @@ def test_extract_features_real_default_and_fake_seam(spark):
     assert fake[2].feature is not None  # the test seam still works
 
 
+@pytest.mark.slow_tier
 def test_jaccard_verify_strategies_agree(spark):
     """The arrays (default) and explode verify strategies must return
     identical rows — same pairs, same exact intersection/union."""
@@ -2406,10 +2407,13 @@ def test_jaccard_verify_rekey_is_lossless_and_distributed(spark):
                                   strategy=strat, assume_distinct=True,
                                   rekey=True)
         assert sorted(map(tuple, rk.collect())) == base, strat
-    # the id assignment itself: a dense 1..n bijection whose rank
-    # window is PARTITIONED (no task sorts the whole vocabulary).
+    # the id assignment itself: a dense 1..n bijection built from ONE
+    # range exchange — the per-partition rank is bit-ops over
+    # monotonically_increasing_id on the sorted partition, so there
+    # must be NO window over the vocabulary at all and no second
+    # (hash) exchange of it (ADVICE r9 #3).
     # materialize_ranked=False so the plan assert can SEE the rank
-    # window (the production default hides it behind the barrier)
+    # stage (the production default hides it behind the barrier)
     ids = dedup.dense_ids(sh.select("sh").distinct(), "sh",
                           materialize_ranked=False)
     rows = ids.collect()
@@ -2417,6 +2421,12 @@ def test_jaccard_verify_rekey_is_lossless_and_distributed(spark):
     assert sorted(r["__sid"] for r in rows) == list(range(1, n + 1))
     assert len({r["sh"] for r in rows}) == n
     plan = ids._jdf.queryExecution().executedPlan().toString()
-    assert "windowspecdefinition(__pid" in plan
-    assert "windowspecdefinition(sh" not in plan
-    assert "rangepartitioning" in plan
+    assert "windowspecdefinition(sh" not in plan          # no global sort
+    assert "monotonically_increasing_id" in plan          # the rank mechanism
+    assert "rangepartitioning" in plan                    # the one exchange
+    # the old double-shuffle shape ranked via a window PARTITIONED by
+    # pid and ORDERED by the value — its spec mentions both columns.
+    # The only __pid window left is the nparts-row offsets cumsum
+    # (ordered by __pid alone, no value column).
+    import re
+    assert not re.search(r"windowspecdefinition\(__pid#\d+, sh#", plan)
