@@ -161,7 +161,11 @@ def dense_ids(values: DataFrame, col: str,
     partition already encodes (partition index << 33) + a sequential
     in-partition counter, so pid and rank are two bit-ops on one
     codegen'd column — range exchange, in-partition sort, projection,
-    all one stage.
+    all one stage.  Measured (scripts/dense_ids_ab.py, driver protocol
+    local[32], synthetic distinct ~48-char strings, reps=3): 5M vocab
+    2.89 s -> 1.57 s median; 20M vocab 41.8 s -> 12.4 s median /
+    7.6 s -> 6.7 s min (co-tenant spread at 20M; new wins at every
+    size by every statistic).
 
     Deterministic per evaluation (ranks are value-ordered), but range
     boundaries are sampled per physical exchange, so two independent

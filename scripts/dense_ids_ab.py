@@ -58,17 +58,13 @@ def old_dense_ids(values, col):
                     .alias("__sid")))
 
 
-def vocab(mult: int):
-    docs = spark.read.parquet(f"{SF}/documents.parquet")
-    if mult > 1:
-        docs = (docs.crossJoin(spark.range(mult).select(
-                    F.col("id").alias("__m")))
-                .withColumn("text", F.concat_ws(" ", "text",
-                                                F.col("__m").cast("string")))
-                .withColumn("doc_id",
-                            F.col("doc_id") * mult + F.col("__m"))
-                .drop("__m"))
-    return dedup.shingles(docs, "text", "doc_id", 3).select("sh").distinct()
+def vocab(n: int):
+    """n synthetic distinct ~48-char strings — the shape of a shingle
+    vocabulary (string keys, no skew) without the shingling cost
+    burying the rank under test."""
+    return (spark.range(n)
+            .select(F.concat_ws("-", F.md5(F.col("id").cast("string")),
+                                F.col("id").cast("string")).alias("sh")))
 
 
 def run(fn, v):
@@ -80,18 +76,18 @@ def run(fn, v):
     return dt, n[0]
 
 
-for mult in [int(a) for a in sys.argv[1:]] or [1, 10]:
+for nv in [int(a) for a in sys.argv[1:]] or [5_000_000, 20_000_000]:
     for label, fn in [("old-window", old_dense_ids),
                       ("new-monoid", dedup.dense_ids)]:
         times = []
         for _ in range(REPS):
             spark.catalog.clearCache()
             release_all(spark)
-            dt, n = run(fn, vocab(mult))
+            dt, n = run(fn, vocab(nv))
             times.append(dt)
         times.sort()
         med = times[len(times) // 2]
-        print(f"mult={mult:3d} vocab={n:>9,} {label}: "
+        print(f"vocab={n:>11,} {label}: "
               f"median {med:6.2f}s  reps {['%.2f' % t for t in times]}",
               flush=True)
 
