@@ -51,6 +51,11 @@ def main() -> None:
 
     d1 = gio.load_table(spark, "/root/testdata/sf0.1", "documents") \
         .select("doc_id", "text", "source").localCheckpoint()
+    if n_copies > 52:
+        # digit-suffix laps are only collision-free if the corpus has
+        # no digits of its own
+        dirty = d1.where(F.col("text").rlike("[0-9]")).count()
+        assert dirty == 0, f"{dirty} docs contain digits — lap 3 unsafe"
     copies = []
     for k in range(n_copies):
         # rotation alone wraps at 26 (a 30x run made copies 26-29
@@ -60,13 +65,23 @@ def main() -> None:
         # reversed windows, so intra-copy Jaccard structure is still
         # preserved exactly, and rot+reverse pairs are unique for
         # k < 52
-        if n_copies > 52:
-            raise SystemExit("N > 52 needs a third lap transform")
+        # laps 3-4 (k 52..103) additionally append a digit to EVERY
+        # token — the corpus is pure lowercase a-z (asserted below),
+        # so digit-suffixed tokens are disjoint from every rot/reverse
+        # lap, and the suffix is a token bijection: n-gram windows,
+        # token counts, and intra-copy Jaccard structure map exactly,
+        # same invariant as the first two laps.
+        if n_copies > 104:
+            raise SystemExit("N > 104 needs a fifth lap transform")
         rot = ALPHA[k % 26:] + ALPHA[:k % 26]
         txt = F.translate(F.col("text"), ALPHA + ALPHA.upper(),
                           rot + rot.upper())
-        if k >= 26:
+        if k % 52 >= 26:
             txt = F.reverse(txt)
+        if k >= 52:
+            txt = F.array_join(F.transform(
+                F.split(txt, " "), lambda x: F.concat(x, F.lit("0"))),
+                " ")
         copies.append(d1.select(
             (F.col("doc_id") + F.lit(k * SHIFT)).alias("doc_id"),
             txt.alias("text"), F.col("source")))
