@@ -145,7 +145,7 @@ def candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
              .distinct())
 
 
-def dense_ids(values: DataFrame, col: str,
+def dense_ids(values: DataFrame, col: str | list[str],
               materialize_ranked: bool = True) -> DataFrame:
     """Assign dense 1..n integer ids to a DISTINCT value column
     without ever sorting the whole column in one task (the classic
@@ -172,9 +172,15 @@ def dense_ids(values: DataFrame, col: str,
     evaluations may assign different (equally valid) bijections —
     materialize the result (or its consumer) when more than one
     branch must agree on the mapping, as jaccard_verify does.
-    Returns ``(col, __sid)``.  ``materialize_ranked=False`` skips the
-    internal barrier (test seam: lets plan asserts see the rank
+    ``col`` may be a LIST of columns — the id then ranks the tuple
+    lexicographically (range partitioning and the in-partition sort
+    both take the column list), which is how the suffix-rank prefix
+    doubling ranks (rank, next_rank) pairs without packing them into
+    one overflow-prone long.
+    Returns ``(*cols, __sid)``.  ``materialize_ranked=False`` skips
+    the internal barrier (test seam: lets plan asserts see the rank
     stage; safe only under a single evaluation)."""
+    cols = [col] if isinstance(col, str) else list(col)
     nparts = values.sparkSession.sparkContext.defaultParallelism
     # ranked feeds BOTH the offsets aggregate and the id join below;
     # left lazy, each consumer re-executes the range exchange, whose
@@ -182,8 +188,8 @@ def dense_ids(values: DataFrame, col: str,
     # fire, offs' per-__pid counts can describe different partition
     # contents than the probe side sees and the bijection breaks.
     # The barrier makes the (pid, rn) assignment a fact, not a plan.
-    ranked = (values.repartitionByRange(nparts, col)
-              .sortWithinPartitions(col)
+    ranked = (values.repartitionByRange(nparts, *cols)
+              .sortWithinPartitions(*cols)
               .withColumn("__mid", F.monotonically_increasing_id())
               .withColumn("__pid", F.shiftrightunsigned(F.col("__mid"), 33))
               .withColumn("__rn", F.col("__mid")
@@ -199,7 +205,7 @@ def dense_ids(values: DataFrame, col: str,
                 F.lit(0)))
             .select("__pid", "__off"))
     return (ranked.join(F.broadcast(offs), "__pid")
-            .select(col, (F.col("__off") + F.col("__rn"))
+            .select(*cols, (F.col("__off") + F.col("__rn"))
                     .alias("__sid")))
 
 

@@ -3533,6 +3533,10 @@ from .round23 import QUERIES_ROUND23  # noqa: E402  (needs the _mm_*
 
 QUERIES.update(QUERIES_ROUND23)
 
+from .round24 import QUERIES_ROUND24  # noqa: E402
+
+QUERIES.update(QUERIES_ROUND24)
+
 # ---------------------------------------------------------------------------
 # Driver-sweep rotation.
 #
@@ -3567,6 +3571,8 @@ QUERIES.update(QUERIES_ROUND23)
 # snapshot — they go stale the moment a new sweep lands; the script
 # output, not this prose, is the source of truth for ordering.
 _CHECK_FIRST = [
+    "suffix_rank_stats",
+    "longest_repeat_top10",
     "dedup_components_twophase",
     "multimodal_curation_stream",
     "kafka_consumer1_roundtrip",
