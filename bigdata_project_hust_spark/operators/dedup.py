@@ -593,16 +593,28 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     LSH): pairs sharing >= 1 shingle, exact Jaccard filter. More
     recall than MinHash, more compute — the verify path for audits.
     The inverted-index join bounds work to pairs that actually share a
-    shingle (never a cross product)."""
+    shingle (never a cross product).
+
+    Rekey-first (r10 optimization pass, the ngram_jaccard_prefix
+    restructure): the verify's dense-integer rekey moves ahead of the
+    inverted-index self-join, so the join — the dominant shuffle —
+    ships 8-byte longs instead of n-gram strings. Candidate pairs
+    (share ≥ 1 shingle) and Jaccard are both invariant under the
+    bijection; output unchanged."""
     sh = materialize(shingles(df, text_col, id_col, n), "shingles",
                      prefer="local")
-    pairs = (sh.alias("a").join(sh.alias("b"), "sh")
-               .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-               .select(F.col(f"a.{id_col}").alias("doc_a"),
-                       F.col(f"b.{id_col}").alias("doc_b"))
-               .distinct())
-    return jaccard_verify(pairs, sh, id_col, threshold_num,
-                          threshold_den, assume_distinct=True, rekey=True)
+    ids = dense_ids(sh.select("sh").distinct(), "sh")
+    shi = materialize(
+        sh.join(ids, "sh").select(F.col(id_col),
+                                  F.col("__sid").alias("sh")),
+        "rekeyed_sh", prefer="local")
+    pairs = (shi.alias("a").join(shi.alias("b"), "sh")
+                .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                .select(F.col(f"a.{id_col}").alias("doc_a"),
+                        F.col(f"b.{id_col}").alias("doc_b"))
+                .distinct())
+    return jaccard_verify(pairs, shi, id_col, threshold_num,
+                          threshold_den, assume_distinct=True)
 
 
 def ngram_jaccard_pairs_capped(df: DataFrame, text_col: str = "text",
@@ -623,24 +635,30 @@ def ngram_jaccard_pairs_capped(df: DataFrame, text_col: str = "text",
     """
     sh = materialize(shingles(df, text_col, id_col, n), "shingles",
                      prefer="local")
-    rare = (sh.groupBy("sh")
-              .agg(F.count("*").alias("__df"))
-              .where(F.col("__df") <= max_df)
-              .select("sh"))
-    sh_rare = sh.join(rare, "sh")
-    # sh_rare feeds both candidate sides — unconditional since r10:
-    # the gate was explicitly tied to ngram_jaccard_prefix's crossover,
-    # and the 32-core re-bisect (ppjoin_gate_bisect.py) found no size
-    # where the lazy form wins (see the Pareto table at the
-    # ngram_jaccard_prefix call site)
-    sh_rare = materialize(sh_rare, "capped_index", prefer="local")
+    # Rekey-first (r10 optimization pass): the df agg doubles as the
+    # dense-id vocabulary (__df rides through dense_ids as a carried
+    # rank column — sh is unique, so ranking by (sh, __df) equals
+    # ranking by sh), the df join doubles as the rekey, and the rare
+    # filter becomes a cheap filter over the materialized rekeyed
+    # frame — one corpus-wide agg and one corpus-wide join FEWER than
+    # the rekey-last form, and the candidate self-join ships longs.
+    # The old separate capped_index barrier is gone: both self-join
+    # sides re-run only a filter over checkpointed blocks.
+    vocab = sh.groupBy("sh").agg(F.count("*").alias("__df"))
+    ids = dense_ids(vocab, ["sh", "__df"])
+    shi = materialize(
+        sh.join(ids, "sh").select(F.col(id_col),
+                                  F.col("__sid").alias("sh"), "__df"),
+        "rekeyed_capped", prefer="local")
+    sh_rare = shi.where(F.col("__df") <= max_df).select(id_col, "sh")
     pairs = (sh_rare.alias("a").join(sh_rare.alias("b"), "sh")
                     .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
                     .select(F.col(f"a.{id_col}").alias("doc_a"),
                             F.col(f"b.{id_col}").alias("doc_b"))
                     .distinct())
-    return jaccard_verify(pairs, sh, id_col, threshold_num,
-                          threshold_den, assume_distinct=True, rekey=True)
+    return jaccard_verify(pairs, shi.select(id_col, "sh"), id_col,
+                          threshold_num, threshold_den,
+                          assume_distinct=True)
 
 
 SIMHASH_LANE_BITS = 20   # packed-counter lane width (3 lanes per long)
@@ -903,22 +921,45 @@ def ngram_jaccard_prefix(df: DataFrame, text_col: str = "text",
     Cost shape: one df agg (shuffle on shingle), one per-doc rank
     window (shuffle on doc), the prefix self-join (shuffle on
     shingle, buckets ≤ min(df, prefix-membership)), then the verify
-    joins — each keyed, none cartesian."""
+    joins — each keyed, none cartesian.
+
+    REKEY-FIRST (r10 optimization pass): the dense-integer rekey the
+    verify used to apply at the end now happens up front, and the ids
+    are ranked by ``(__df, sh)`` — so ascending id IS the PPJoin
+    total order (rarest first, then value). Every downstream stage
+    (the per-doc rank window, the prefix self-join, the verify's set
+    aggregation and array_intersect) then runs on 8-byte longs
+    instead of ~60-char n-gram strings, and two whole corpus-wide
+    stages disappear: the verify's separate ``sh.distinct()`` vocab
+    agg (the df agg doubles as the vocabulary) and its separate
+    rekey join of the shingle frame (the df join doubles as the
+    rekey). Output is IDENTICAL: Jaccard is invariant under any
+    shingle bijection, and the candidate set is invariant because
+    (__sid asc) == (__df asc, sh asc) — the same order the string
+    form used (asserted old==new at sf0.001 AND sf0.01 when this
+    landed). Measured (paired A/B, local[32], reps=5, co-tenant
+    load): sf0.1 median 7.59 s → 6.26 s, min 7.30 → 5.80 (0.79-0.82×,
+    new won all 5 paired reps); plan diff in
+    plans/r10/dedup_ngram_prefix_{before,after}.txt."""
     from pyspark.sql import Window
     sh = materialize(shingles(df, text_col, id_col, n), "shingles",
                      prefer="local")
-    dfreq = sh.groupBy("sh").agg(F.count("*").alias("__df"))
-    w = Window.partitionBy(id_col).orderBy(F.col("__df").asc(),
-                                           F.col("sh").asc())
-    ranked = (sh.join(dfreq, "sh")
-                .withColumn("__rk", F.row_number().over(w))
-                # per-doc shingle count as a whole-partition window
-                # count: the rank window already hash-partitioned on
-                # the doc id, so this rides the SAME exchange — one
-                # fewer agg and one fewer join than a sizes-table
-                # aggregate (equal output, verified)
-                .withColumn("__m", F.count("*").over(
-                    Window.partitionBy(id_col))))
+    vocab = sh.groupBy("sh").agg(F.count("*").alias("__df"))
+    ids = dense_ids(vocab, ["__df", "sh"])
+    shi = materialize(
+        sh.join(ids.select("sh", "__sid"), "sh")
+          .select(F.col(id_col), F.col("__sid").alias("sh")),
+        "rekeyed_sh", prefer="local")
+    w = Window.partitionBy(id_col).orderBy(F.col("sh").asc())
+    ranked = (shi
+              .withColumn("__rk", F.row_number().over(w))
+              # per-doc shingle count as a whole-partition window
+              # count: the rank window already hash-partitioned on
+              # the doc id, so this rides the SAME exchange — one
+              # fewer agg and one fewer join than a sizes-table
+              # aggregate (equal output, verified)
+              .withColumn("__m", F.count("*").over(
+                  Window.partitionBy(id_col))))
     # prefix length m − ⌈t·m⌉ + 1, integer ceil: (m·num + den − 1) div den
     plen = (F.col("__m")
             - F.expr(f"(__m * {threshold_num} + {threshold_den - 1}) "
@@ -950,8 +991,9 @@ def ngram_jaccard_prefix(df: DataFrame, text_col: str = "text",
                  .select(F.col(f"a.{id_col}").alias("doc_a"),
                          F.col(f"b.{id_col}").alias("doc_b"))
                  .distinct())
-    return jaccard_verify(pairs, sh, id_col, threshold_num,
-                          threshold_den, assume_distinct=True, rekey=True)
+    # shi already carries the dense ids — no second rekey
+    return jaccard_verify(pairs, shi, id_col, threshold_num,
+                          threshold_den, assume_distinct=True)
 
 
 def fuzzy_join_ed1(df: DataFrame, text_col: str,
@@ -1201,15 +1243,21 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     key itself, eliminating what was a single-task |vocab|-row global
     sort (a genuine scale killer on a web-scale vocabulary) plus one
     join. The per-doc size rides the same exchange as a window count
-    (the ngram_jaccard_prefix pattern). Verification is the shared
-    exact-integer jaccard_verify."""
+    (the ngram_jaccard_prefix pattern, including its r10 rekey-first
+    restructure: ids ranked by (__df, sh) make ascending id the
+    prefix order, so every stage past the rekey runs on longs).
+    Verification is the shared exact-integer jaccard_verify."""
     from pyspark.sql import Window
     sh = materialize(shingles(df, text_col, id_col, n), "shingles",
                      prefer="local")
     vocab = (sh.groupBy("sh").agg(F.count("*").alias("__df")))
-    wd = Window.partitionBy(id_col).orderBy(F.col("__df").asc(),
-                                            F.col("sh").asc())
-    prefix = (sh.join(vocab, "sh")
+    ids = dense_ids(vocab, ["__df", "sh"])
+    shi = materialize(
+        sh.join(ids.select("sh", "__sid"), "sh")
+          .select(F.col(id_col), F.col("__sid").alias("sh")),
+        "rekeyed_sh", prefer="local")
+    wd = Window.partitionBy(id_col).orderBy(F.col("sh").asc())
+    prefix = (shi
               .select(id_col, "sh",
                       F.row_number().over(wd).alias("__pos"),
                       F.count("*").over(
@@ -1219,9 +1267,10 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
                      - F.expr(f"({threshold_num} * __n "
                               f"+ {threshold_den} - 1) "
                               f"div {threshold_den}") + 1))
-    # prefix feeds both candidate sides — unconditional since r10,
-    # same evidence as ngram_jaccard_prefix (the gate was explicitly
-    # tied to its crossover; the 32-core re-bisect found no size where
+    # prefix feeds both candidate sides; it derives from the
+    # materialized rekeyed frame by a window + filter, which is still
+    # expensive enough to stage — unconditional, same evidence as
+    # ngram_jaccard_prefix (the 32-core re-bisect found no size where
     # the lazy form wins — Pareto table at that call site)
     prefix = materialize(prefix.select(id_col, "sh"),
                          "prefix_filter_idx", prefer="local")
@@ -1230,5 +1279,5 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     pairs = (a.join(b, "sh")
              .where(F.col("doc_a") < F.col("doc_b"))
              .select("doc_a", "doc_b").distinct())
-    return jaccard_verify(pairs, sh, id_col, threshold_num,
-                          threshold_den, assume_distinct=True, rekey=True)
+    return jaccard_verify(pairs, shi, id_col, threshold_num,
+                          threshold_den, assume_distinct=True)

@@ -66,21 +66,35 @@ def pagerank(edges: DataFrame, iters: int = 3,
                          "pagerank_outdeg", prefer="local")
     base = F.lit((3 * PR_SCALE) // _D_DEN).cast("long")
     ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
+    # Under the same edge gate, the |V|-bounded side of EVERY per-round
+    # join rides a broadcast, not just the contrib table (r10
+    # optimization pass): the before-plan ran ranks⋈outdeg and
+    # nodes⋈inflow as SortMergeJoins — four |V|-row exchanges + sorts
+    # per iteration (plans/r10/pagerank_trade_graph_before.txt). With
+    # outdeg/inflow broadcast the only per-round exchange left is the
+    # dst-keyed contribution agg, which is the one shuffle the
+    # algorithm fundamentally needs. Past the gate all joins stay
+    # shuffle joins (outdeg/inflow are |V|-sized — never broadcast at
+    # 100 TB).
+    bcast = n_e <= PR_BROADCAST_MAX_EDGES
     for _ in range(iters):
         # every frame here descends from `e`, so joins are self-joins
         # by lineage — explicit aliases keep the analyzer unambiguous
         contrib = (ranks.alias("rk")
-                   .join(outdeg.alias("og"),
+                   .join(F.broadcast(outdeg.alias("og")) if bcast
+                         else outdeg.alias("og"),
                          F.col("rk.node") == F.col("og.src"))
                    .select(F.col("og.src").alias("u"),
                            F.expr("r div deg").alias("c")))
-        if n_e <= PR_BROADCAST_MAX_EDGES:
+        if bcast:
             contrib = F.broadcast(contrib)
         inflow = (e.alias("ed")
                   .join(contrib.alias("cb"),
                         F.col("ed.src") == F.col("cb.u"))
                   .groupBy(F.col("ed.dst").alias("dst"))
                   .agg(F.sum("c").alias("s")))
+        if bcast:
+            inflow = F.broadcast(inflow)
         ranks = (nodes.alias("nd")
                  .join(inflow.alias("infl"),
                        F.col("nd.node") == F.col("infl.dst"), "left")

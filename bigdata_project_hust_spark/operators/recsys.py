@@ -22,6 +22,15 @@ from ..checkpoint import materialize
 
 __all__ = ["ratings_from_orders", "als_rank1", "bias_baseline"]
 
+# Factor-frame broadcast gate: when the materialized ratings edge list
+# has ≤ this many rows, the per-half-step factor table (bounded by the
+# distinct user/item count, itself ≤ the edge count) is broadcast into
+# the edge join, so the edge list is NEVER shuffled for a join — only
+# the solve's groupBy (map-side partial agg) moves data. Past the gate
+# the textbook shuffle join stays (factor tables are user/item-
+# cardinality sized and must not be broadcast at 100 TB).
+ALS_BROADCAST_MAX_RATINGS = 4_000_000
+
 
 def ratings_from_orders(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Implicit-feedback ratings: total integer quantity a customer
@@ -66,6 +75,14 @@ def als_rank1(ratings: DataFrame, lam: int = 10, sweeps: int = 2) -> DataFrame:
         raise ValueError(f"sweeps must be >= 1, got {sweeps}")
     e6, e12 = 1_000_000, 10 ** 12
     ratings = materialize(ratings, "als_ratings", prefer="local")
+    # one cheap count over the checkpointed edge list gates the factor
+    # broadcasts below (r10 optimization pass): under the gate each
+    # half-step's plan is BHJ + partial-agg shuffle of (key, num, den)
+    # instead of a full SortMergeJoin exchange of the edge list — the
+    # edge frame was measured exchanging 4× per 2-sweep run at sf0.1
+    # (plans/r10/als_rank1_item_factors_before.txt: 4 SMJs, each with
+    # an Exchange of the ratings frame)
+    bcast = ratings.count() <= ALS_BROADCAST_MAX_RATINGS
 
     def solve(edges: DataFrame, key: str, fac: str) -> DataFrame:
         s = edges.groupBy(key).agg(
@@ -82,12 +99,14 @@ def als_rank1(ratings: DataFrame, lam: int = 10, sweeps: int = 2) -> DataFrame:
                .withColumn("v", F.lit(e6).cast("long"))
     u = None
     for _ in range(sweeps):
-        eu = ratings.join(v, "item_id").select("user_id", "r",
-                                               F.col("v").alias("fac"))
+        vj = F.broadcast(v) if bcast else v
+        eu = ratings.join(vj, "item_id").select("user_id", "r",
+                                                F.col("v").alias("fac"))
         u = solve(eu, "user_id", "fac") \
             .select("user_id", F.col("f").alias("u"))
-        ev = ratings.join(u, "user_id").select("item_id", "r",
-                                               F.col("u").alias("fac"))
+        uj = F.broadcast(u) if bcast else u
+        ev = ratings.join(uj, "user_id").select("item_id", "r",
+                                                F.col("u").alias("fac"))
         vs = solve(ev, "item_id", "fac")
         v = vs.select("item_id", F.col("f").alias("v"))
     return vs.select("item_id", F.col("n").alias("n_raters"),

@@ -49,6 +49,14 @@ def get_spark(app_name: str = "bigdata_project_hust_spark",
         # normalize to microsecond timestamps in io.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # Python-source worker spawn robustness: the kafka_shaped
+        # streaming source starts a dedicated Python worker per query;
+        # under heavy host co-tenancy the default 15 s connect-back
+        # window intermittently expires ("Python worker failed to
+        # connect back" — observed twice in the r10 suite under
+        # external load, both tests green in isolation). 60 s makes
+        # the spawn load-proof without masking real failures.
+        .config("spark.python.authenticate.socketTimeout", "60s")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     spark = builder.getOrCreate()
