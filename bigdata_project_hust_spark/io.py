@@ -36,6 +36,34 @@ _RUNTIME_CONF = {
 }
 
 
+def spread_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan to session parallelism — ONLY
+    when it arrives with fewer partitions (r10 optimization pass).
+
+    The fixture tables are each ONE small single-row-group parquet
+    file, so every scan is ONE task and all map-side work BEFORE the
+    first exchange (regex tokenize, per-token md5, shingle explode,
+    codec byte-building) serializes onto a single core. At the
+    fixtures' sf0.1 text sizes (~300-char documents) the per-row CPU
+    is small enough that this measured NEUTRAL (profile before/after
+    within host noise: e.g. simhash 3.08 s → 3.08 s min, lpa 8.21 →
+    6.60, edges 2.39 → 2.53) — the win is proportional to per-row
+    cost, which is why the r9 round's identical fix on the multimodal
+    codec path (where decode is ~10 s of CPU) was a 3× query win. It
+    is kept engine-wide because (a) real corpora are KB-MB documents
+    where tokenize/md5 per row is the multimodal regime, and (b) the
+    partition-count gate makes it a strict NO-OP at cluster scale,
+    where a many-file table already arrives with more splits than
+    ``defaultParallelism`` — no exchange is ever added there.
+    """
+    try:
+        cur = df.rdd.getNumPartitions()
+        n = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        return df
+    return df.repartition(n) if cur < n else df
+
+
 def ensure_runtime_conf(spark: SparkSession) -> None:
     for k, v in _RUNTIME_CONF.items():
         try:

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..checkpoint import materialize
 from ..functions.scalar import stable_hash64
+from ..io import spread_input
 from .text import tokens
 
 MINHASH_K = 16          # signature length
@@ -72,7 +73,14 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Dedup is per-document, so it happens MAP-SIDE via array_distinct
     before the explode — a row-level .distinct() here would shuffle the
     largest intermediate in the whole dedup pipeline (docs × shingles)
-    for nothing."""
+    for nothing.
+
+    The input is spread to session parallelism first (io.spread_input,
+    gated no-op on already-split inputs): the fixture corpus is one
+    single-row-group parquet file = ONE scan task, which serialized
+    the tokenize + gram-concat + explode onto a single core for every
+    shingle consumer (r10 optimization pass)."""
+    df = spread_input(df)
     bound = df.select(F.col(id_col), tokens(text_col).alias("__w"))
     w = F.col("__w")
     k = F.size(w)
@@ -690,34 +698,44 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     cap, so the slice is a no-op there).
     """
     lane_cap = (1 << SIMHASH_LANE_BITS) - 1
+    # spread the single-file scan so the tokenize+hash map work below
+    # runs wide (io.spread_input note: neutral at the fixtures' tiny
+    # doc sizes, proportional win on real KB-MB documents, gated
+    # no-op on already-split inputs)
+    df = spread_input(df)
     tok = (df.select(F.col(id_col),
                      F.explode(F.slice(F.array_distinct(tokens(text_col)),
                                        1, lane_cap)).alias("tok"))
              .select(F.col(id_col),
                      stable_hash64(F.col("tok"), seed=99).alias("th")))
+    # The wide vote/signature trees are built as SQL STRINGS and
+    # parsed in ONE py4j call each (r10 optimization pass): the
+    # Column-by-Column form issued ~600 synchronous py4j round trips
+    # per query build — measured 1.4-1.7 s of pure Python-side
+    # DataFrame construction at local[32], more than this operator's
+    # whole execution (0.8 s). The parsed Catalyst tree is the same
+    # integer expression (shifts, masks, sums — all BIGINT literals,
+    # total < 2^60, no overflow), so signatures are bit-identical.
     n_groups = SIMHASH_BITS // SIMHASH_LANES
     aggs = []
     for g in range(n_groups):
-        packed = None
-        for lane in range(SIMHASH_LANES):
-            i = g * SIMHASH_LANES + lane
-            e = (F.shiftrightunsigned(F.col("th"), i).bitwiseAND(F.lit(1))
-                 * F.lit(1 << (SIMHASH_LANE_BITS * lane)))
-            packed = e if packed is None else packed + e
-        aggs.append(F.sum(packed).alias(f"p{g}"))
+        packed = " + ".join(
+            f"(shiftrightunsigned(th, {g * SIMHASH_LANES + lane}) & 1L)"
+            f" * {1 << (SIMHASH_LANE_BITS * lane)}L"
+            for lane in range(SIMHASH_LANES))
+        aggs.append(F.expr(f"sum({packed})").alias(f"p{g}"))
     votes = tok.groupBy(id_col).agg(F.count("*").alias("n"), *aggs)
     # bit i set iff vote sum > 0  ⇔  2*ones > n  (ones - (n-ones) > 0)
     lane_mask = (1 << SIMHASH_LANE_BITS) - 1
-    sig = None
+    sig_terms = []
     for i in range(SIMHASH_BITS):
         g, lane = i // SIMHASH_LANES, i % SIMHASH_LANES
-        ones = (F.shiftrightunsigned(F.col(f"p{g}"),
-                                     SIMHASH_LANE_BITS * lane)
-                 .bitwiseAND(F.lit(lane_mask)))
-        contrib = F.when(ones * 2 > F.col("n"),
-                         F.lit(1 << i)).otherwise(F.lit(0))
-        sig = contrib if sig is None else sig + contrib
-    return votes.select(F.col(id_col), sig.cast("long").alias("simhash"))
+        ones = (f"(shiftrightunsigned(p{g}, {SIMHASH_LANE_BITS * lane})"
+                f" & {lane_mask}L)")
+        sig_terms.append(
+            f"(CASE WHEN {ones} * 2 > n THEN {1 << i}L ELSE 0L END)")
+    sig = F.expr("CAST((" + " + ".join(sig_terms) + ") AS BIGINT)")
+    return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
@@ -808,8 +826,12 @@ def positional_spans(df: DataFrame, text_col: str = "text",
     ``n`` tokens contribute their whole text as the single span at
     position 1 (span_len < n), mirroring shingles' short-doc rule.
     Emits ``k`` (doc token count) and ``span_len`` alongside so
-    downstream never re-tokenizes.
+    downstream never re-tokenizes.  Input spread to session
+    parallelism first (io.spread_input): the 20-token gram concat is
+    the CPU-heaviest tokenizer in the engine and the fixture scan is
+    one task.
     """
+    df = spread_input(df)
     bound = df.select(F.col(id_col), tokens(text_col).alias("__w"))
     w = F.col("__w")
     k = F.size(w)
@@ -1027,8 +1049,8 @@ def fuzzy_join_ed1(df: DataFrame, text_col: str,
     # paired A/Bs, local/off: sf0.01 0.91x (fuzzy_customer_names) /
     # 0.86x (entity_resolution_customers), sf0.1 0.80x (ADVICE r8
     # asked for the measurement). Env knob for paired A/Bs.
-    v = df.select(F.col(id_col), s.alias("__s"),
-                  F.explode(variants).alias("__v"))
+    v = spread_input(df).select(F.col(id_col), s.alias("__s"),
+                                F.explode(variants).alias("__v"))
     _vm = os.environ.get("SPARK_GRAFT_ED1_MAT", "local")
     if _vm != "off":
         v = materialize(v, "ed1_variants", prefer=_vm)

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..checkpoint import materialize
+from ..io import spread_input
 
 PR_SCALE = 1_000_000_000  # 1e9 fixed-point rank grid
 _D_NUM, _D_DEN = 17, 20   # damping 0.85 as an exact rational
@@ -139,7 +140,12 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     task in both shapes (a join buckets by the same key), so skew is
     unchanged; the array form additionally bounds it by the per-order
     basket size, which TPC-H-like schemas cap at single digits."""
-    parts = (lineitem.groupBy("l_orderkey")
+    # spread the single-file scan so the map-side partial
+    # collect_set agg runs wide (io.spread_input — gated no-op on
+    # already-split inputs); this build fronts every co-purchase
+    # graph headliner
+    parts = (spread_input(lineitem.select("l_orderkey", "l_partkey"))
+             .groupBy("l_orderkey")
              .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")))
     pairs = parts.select(F.explode(F.flatten(F.transform(
         "ps", lambda x, i: F.transform(
@@ -425,7 +431,8 @@ def basket_lift_pairs(lineitem: DataFrame, min_support: int = 3,
     # singles/pairs/order-count all derive from the set arrays — one
     # scan + one order-keyed shuffle instead of a distinct + self-join
     # (same rewrite as copurchase_edges, r7)
-    sets = (lineitem.groupBy(F.col("l_orderkey").alias("ok"))
+    sets = (spread_input(lineitem.select("l_orderkey", "l_partkey"))
+            .groupBy(F.col("l_orderkey").alias("ok"))
             .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")))
     sets = materialize(sets, "basket_sets")
     n_orders = sets.agg(F.count("*").cast("long").alias("n_orders"))
@@ -650,7 +657,8 @@ def item_item_cosine(lineitem: DataFrame, top_n: int = 5,
     # per-order item sets once; co-counts and per-item order counts
     # both derive from the arrays (one scan + one order-keyed shuffle;
     # the copurchase_edges r7 rewrite)
-    sets = (lineitem.groupBy(F.col("l_orderkey").alias("ok"))
+    sets = (spread_input(lineitem.select("l_orderkey", "l_partkey"))
+            .groupBy(F.col("l_orderkey").alias("ok"))
             .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")))
     sets = materialize(sets, "itemset_arrays")
     n_p = (sets.select(F.explode("ps").alias("p"))

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..checkpoint import materialize
+from ..io import spread_input
 from .dedup import dense_ids
 
 REPEAT_WINDOW = 64
@@ -58,8 +59,9 @@ def suffix_ranks(df: DataFrame, text_col: str = "text",
     fully ordered; once ALL ranks are distinct (max rank == row
     count — dense makes this one aggregate) the order equals the
     full suffix order and the loop stops."""
-    pos = (df.select(F.col(id_col).alias("doc"),
-                     F.col(text_col).alias("__t"))
+    pos = (spread_input(df)
+           .select(F.col(id_col).alias("doc"),
+                   F.col(text_col).alias("__t"))
            # empty docs have no suffixes — and sequence(1, 0) would
            # otherwise emit a DESCENDING [1, 0] (Spark's sequence
            # direction follows its arguments), i.e. two phantom rows

@@ -15,6 +15,7 @@ import os
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..checkpoint import materialize
+from ..io import spread_input
 
 
 def _tokens_prefer() -> str:
@@ -61,7 +62,8 @@ def lang_id(df: DataFrame, text_col: str = "text",
     — higher-order filter() is interpreted, so inlined expressions
     would re-tokenize once per reference (see operators/dedup.shingles).
     """
-    bound = df.select(F.col(id_col), tokens(text_col).alias("__w"))
+    bound = spread_input(df).select(F.col(id_col),
+                                    tokens(text_col).alias("__w"))
     t = F.col("__w")
     hits = bound.select(
         F.col(id_col),
@@ -82,8 +84,8 @@ def quality_score(df: DataFrame, text_col: str = "text",
     length (floor-scaled ×10000 → exact long), stopword hits, and a
     0-100 integer score. All-integer outputs → bit-exact vs any oracle.
     """
-    bound = df.select(F.col(id_col), F.col(text_col),
-                      tokens(text_col).alias("__w"))
+    bound = spread_input(df).select(F.col(id_col), F.col(text_col),
+                                    tokens(text_col).alias("__w"))
     df, t = bound, F.col("__w")
     n_chars = F.length(text_col)
     n_tokens = F.size(t)
@@ -117,8 +119,8 @@ def doc_features(df: DataFrame, text_col: str = "text",
     plans/queries.q_training_corpus_curation). Same formulas as
     quality_score + lang_id; output carries all quality columns plus
     lang_pred (per-language hit counts stay on lang_id)."""
-    bound = df.select(F.col(id_col), F.col(text_col),
-                      tokens(text_col).alias("__w"))
+    bound = spread_input(df).select(F.col(id_col), F.col(text_col),
+                                    tokens(text_col).alias("__w"))
     t = F.col("__w")
     n_chars = F.length(text_col)
     n_tokens = F.size(t)
@@ -183,8 +185,9 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     # toks feeds BOTH aggregations — EAGER localCheckpoint, or the
     # tokenize+explode of the whole corpus runs twice (lazy persist
     # loses the race between concurrent branches of one job)
-    toks = df.select(F.col(id_col),
-                     F.explode(tokens(text_col)).alias("term")).transform(
+    toks = spread_input(df).select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("term")).transform(
         materialize, "text_tokens", prefer=_tokens_prefer())
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     docfreq = (toks.groupBy("term")
@@ -225,7 +228,7 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
         raise ValueError("rolling hash is unrolled for k=3")
     B, M = F.lit(WINNOW_B), F.lit(WINNOW_M)
     from ..functions.scalar import stable_hash64
-    bound = df.select(
+    bound = spread_input(df).select(
         F.col(id_col),
         F.transform(tokens(text_col),
                     lambda t: stable_hash64(t) % M).alias("__th"))
@@ -286,8 +289,9 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     a broadcast of the vocabulary-sized (term, tf) table — the same
     100 TB shape as tfidf_top_terms: the only wide exchange carries
     token rows, the model side stays broadcast."""
-    toks = df.select(F.col(id_col),
-                     F.explode(tokens(text_col)).alias("term")).transform(
+    toks = spread_input(df).select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("term")).transform(
         materialize, "text_tokens", prefer=_tokens_prefer())
     vocab = toks.groupBy("term").agg(F.count("*").alias("__tf"))
     tot = vocab.agg(F.sum("__tf").alias("__total"))
@@ -365,7 +369,7 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     md5. Token-order-insensitive, so shuffled near-copies collide —
     the cheap first pass before MinHash (operators/dedup.py)."""
     norm = F.concat_ws(" ", F.array_sort(tokens(text_col)))
-    return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+    return spread_input(df).select(F.col(id_col), F.md5(norm).alias("fp"))
 
 
 def _max_run(sorted_arr: Column) -> Column:
@@ -406,8 +410,8 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     family emit NULL (mirrored in the oracle).
     """
     t = tokens(text_col)
-    bound = df.select(F.col(id_col), t.alias("__w"),
-                      F.size(t).alias("__n"))
+    bound = spread_input(df).select(F.col(id_col), t.alias("__w"),
+                                    F.size(t).alias("__n"))
     n = F.col("__n")
     w = F.col("__w")
     bg = F.when(n >= 2, F.zip_with(
@@ -463,7 +467,7 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
     TakeOrderedAndProject (no global sort materialization).
     """
     toks = tokens(text_col)
-    bound = df.select(F.col(id_col), toks.alias("__w"))
+    bound = spread_input(df).select(F.col(id_col), toks.alias("__w"))
     dl = F.size("__w")
     def _tf(term: str) -> Column:
         # NB: F.filter treats a 2-arg lambda as (element, index) — a
@@ -531,11 +535,23 @@ def tfidf_sparse_pairs(df: DataFrame, min_sim_e6: int = 700_000,
     strings).
     """
     from ..functions.scalar import stable_hash64
-    toks = df.select(F.col(id_col),
-                     F.explode(tokens(text_col)).alias("term"))
+    toks = spread_input(df).select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("term"))
+    # tf feeds the df agg AND the weighted join; weighted feeds norms
+    # and BOTH inverted-index sides — left lazy the tokenize + hash +
+    # (doc, term) agg subtree re-ran up to 6× (16 parquet scans of the
+    # corpus in plans/r10/tfidf_cosine_pairs_before.txt). Staged, the
+    # corpus is scanned once (r10 optimization pass; paired A/B at
+    # sf0.1 local[32], reps=5: median 2.70 s → 2.15 s, min 2.02 →
+    # 1.96 — and at 100 TB five redundant corpus passes is the
+    # difference that actually matters). Narrow all-long rows: the
+    # default cache strategy applies (the string-frame local-prefer
+    # rule is about columnar string compression, not these).
     tf = (toks.select(F.col(id_col),
                       stable_hash64(F.col("term"), seed=11).alias("t"))
           .groupBy(id_col, "t").agg(F.count("*").alias("tf")))
+    tf = materialize(tf, "tfidf_tf")
     n = df.agg(F.count("*").alias("n_docs"))
     dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
     if max_df is not None:
@@ -551,6 +567,7 @@ def tfidf_sparse_pairs(df: DataFrame, min_sim_e6: int = 700_000,
     weighted = (tf.join(dfreq, "t").crossJoin(F.broadcast(n))
                 .select(F.col(id_col), "t",
                         (F.col("tf") * idf_e3).alias("w")))
+    weighted = materialize(weighted, "tfidf_weighted")
     norms = weighted.groupBy(id_col).agg(
         F.sum(F.col("w") * F.col("w")).alias("sq"))
     a = weighted.select(F.col(id_col).alias("doc_a"), "t",
@@ -587,8 +604,9 @@ def token_entropy(df: DataFrame, text_col: str = "text",
     Σ p·log p would be partial-merge-order dependent and
     nondeterministic under repartitioning).
     """
-    bound = df.select(F.col(id_col), F.array_sort(tokens(text_col))
-                      .alias("__s"))
+    bound = spread_input(df).select(F.col(id_col),
+                                    F.array_sort(tokens(text_col))
+                                    .alias("__s"))
     s, n = F.col("__s"), F.size("__s")
     # counts per distinct token: distance between successive first-
     # occurrence positions in the sorted array
@@ -651,7 +669,8 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     whole-stage codegen (tokens bound once to a real column — the
     interpreted-HOF re-tokenization trap documented in doc_features).
     """
-    bound = df.select(F.col(id_col), tokens(text_col).alias("__w"))
+    bound = spread_input(df).select(F.col(id_col),
+                                    tokens(text_col).alias("__w"))
     t = F.col("__w")
     n_words = F.size(t)
     tot_chars = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
@@ -699,7 +718,8 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     ordinary shuffle join (NOT broadcast — the one model table that
     can outgrow memory); the unigram table and total stay broadcast,
     as in tfidf/unigram. Docs with < 2 tokens score (0, 0)."""
-    t = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    t = spread_input(df).select(F.col(id_col),
+                                tokens(text_col).alias("__t"))
     n = F.size("__t")
     m = F.greatest(n - 1, F.lit(0))
     prs = F.zip_with(F.slice("__t", 1, m), F.slice("__t", 2, m),
@@ -789,7 +809,8 @@ def subword_piece_counts(df: DataFrame, text_col: str = "text",
             F.lit(_SW_SHIFT).cast("long"), step)
         return F.pmod(folded, F.lit(_SW_SHIFT))
 
-    t = df.select(F.col(id_col), tokens(text_col).alias("__w"))
+    t = spread_input(df).select(F.col(id_col),
+                                tokens(text_col).alias("__w"))
     return t.select(
         F.col(id_col),
         F.size("__w").cast("long").alias("n_words"),
@@ -872,8 +893,9 @@ def nb_lang_classifier(df: DataFrame, text_col: str = "text",
     labels = lang_id(df, text_col, id_col).select(
         F.col(id_col), F.col("lang_pred")).transform(
         materialize, "nb_lang_pred")
-    toks = df.select(F.col(id_col),
-                     F.explode(tokens(text_col)).alias("term")).transform(
+    toks = spread_input(df).select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("term")).transform(
         materialize, "text_tokens", prefer=_tokens_prefer())
     train_toks = (toks.join(labels.where(F.col("lang_pred") != "und"),
                             id_col)
@@ -946,7 +968,8 @@ def pmi_bigrams(df: DataFrame, text_col: str = "text",
     prunes the hapax tail BEFORE the joins — at web scale that is the
     difference between a vocab²-ish candidate set and a short list.
     """
-    bound = df.select(F.col(id_col), tokens(text_col).alias("__w"))
+    bound = spread_input(df).select(F.col(id_col),
+                                    tokens(text_col).alias("__w"))
     w = F.col("__w")
     # adjacent pairs w[i], w[i+1] — guarded: sequence(1, 0) would
     # DESCEND in Spark ([1, 0]), not return empty
@@ -998,7 +1021,8 @@ def vocab_coverage(df: DataFrame, text_col: str = "text",
     and that vocab's exact covered-token count.
     """
     from pyspark.sql import Window
-    terms = (df.select(F.explode(tokens(text_col)).alias("t"))
+    terms = (spread_input(df)
+             .select(F.explode(tokens(text_col)).alias("t"))
              .groupBy("t").agg(F.count("*").cast("long").alias("c")))
     w = Window.orderBy(F.col("c").desc(), "t") \
               .rowsBetween(Window.unboundedPreceding, 0)
@@ -1042,8 +1066,9 @@ def term_drift_chi2(df: DataFrame, part_cond,
     scoring. One token explode + a conditional count agg + a 1-row
     broadcast of the totals; top-k is TakeOrderedAndProject.
     """
-    toks = df.select(part_cond.cast("int").alias("in_a"),
-                     F.explode(tokens(text_col)).alias("t"))
+    toks = spread_input(df).select(
+        part_cond.cast("int").alias("in_a"),
+        F.explode(tokens(text_col)).alias("t"))
     per_term = toks.groupBy("t").agg(
         F.sum("in_a").cast("long").alias("a"),
         F.sum(F.lit(1) - F.col("in_a")).cast("long").alias("b"))
@@ -1082,7 +1107,8 @@ def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
     1-row moment rollup.
     """
     from pyspark.sql import Window
-    terms = (df.select(F.explode(tokens(text_col)).alias("t"))
+    terms = (spread_input(df)
+             .select(F.explode(tokens(text_col)).alias("t"))
              .groupBy("t").agg(F.count("*").cast("long").alias("c")))
     ranked = terms.select(
         "c", F.row_number().over(
@@ -1133,8 +1159,8 @@ def readability(df: DataFrame, text_col: str = "text",
     regexp HOFs (still JVM-side, Catalyst-interpreted lambdas); the
     token array binds once."""
     toks = tokens(F.col(text_col))
-    d = df.select(id_col, F.col(text_col).alias("_txt"),
-                  toks.alias("_w"))
+    d = spread_input(df).select(id_col, F.col(text_col).alias("_txt"),
+                                toks.alias("_w"))
     n_words = F.size("_w").cast("long")
     n_sent = F.greatest(
         F.lit(1),
@@ -1175,7 +1201,7 @@ def textrank_keywords(df: DataFrame, iters: int = 2,
     rank loop, and each PageRank round shuffles |surviving vocab|-
     sized frames only."""
     from .graph import pagerank
-    t = df.select(tokens(F.col(text_col)).alias("w"))
+    t = spread_input(df).select(tokens(F.col(text_col)).alias("w"))
     pair = F.expr(
         "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
         " (t, i) -> struct(t AS w1, element_at(w, i + 2) AS w2))")
@@ -1215,7 +1241,8 @@ def js_divergence_sources(df: DataFrame, src_a: str = "src0",
     Plan: one token agg (|vocab| rows), a 1-row totals agg broadcast
     back (never a window over the vocab), one more 1-row agg for the
     total, TakeOrdered for the top-k."""
-    toks = (df.where(F.col(source_col).isin(src_a, src_b))
+    toks = (spread_input(df.where(F.col(source_col)
+                                  .isin(src_a, src_b)))
             .select(F.col(source_col).alias("s"),
                     F.explode(tokens(F.col(text_col))).alias("tok")))
     counts = toks.groupBy("tok").agg(
@@ -1349,7 +1376,8 @@ def kwic(df: DataFrame, term: str = "the", width: int = 2,
     array_position / slice / concat_ws all run in whole-stage
     codegen; both engines share identical 1-based index arithmetic
     (Spark array_position = DuckDB list_position)."""
-    t = df.select(id_col, tokens(F.col(text_col)).alias("_w"))
+    t = spread_input(df).select(id_col,
+                                tokens(F.col(text_col)).alias("_w"))
     pos = F.array_position("_w", term)
     start = F.greatest(F.lit(1), pos - width)
     fin = F.least(F.size("_w").cast("long"), pos + width)
@@ -1380,7 +1408,7 @@ def vocab_prune(df: DataFrame, min_df: int = 2,
     per-(doc, token) distinct pass (map-side array_distinct before
     the explode keeps the shuffle at unique-tokens-per-doc), one
     |vocab| agg, a 1-row broadcast of n_docs."""
-    per_doc = df.select(
+    per_doc = spread_input(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(F.col(text_col))))
          .alias("tok"))
@@ -1441,8 +1469,9 @@ def hapax_ratio_by_source(df: DataFrame, text_col: str = "text",
     the token (shuffle keyed by token — at 100 TB pre-aggregate
     per-source counts first so the join carries |source × vocab|
     rows, which is what this does)."""
-    toks = df.select(F.col(source_col).alias("source"),
-                     F.explode(tokens(F.col(text_col))).alias("tok"))
+    toks = spread_input(df).select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(F.col(text_col))).alias("tok"))
     per_src = toks.groupBy("source", "tok").agg(
         F.count("*").alias("c_src"))
     glob = per_src.groupBy("tok").agg(F.sum("c_src").alias("c_all"))
@@ -1544,9 +1573,10 @@ def phrase_hits(df: DataFrame, phrase: str, text_col: str = "text",
     words = phrase.lower().split()
     if len(words) < 2:
         raise ValueError("phrase_hits wants a multi-word phrase")
-    idx = (df.select(F.col(id_col),
-                     F.posexplode(tokens(text_col))
-                      .alias("pos", "tok")))
+    idx = (spread_input(df)
+           .select(F.col(id_col),
+                   F.posexplode(tokens(text_col))
+                    .alias("pos", "tok")))
     streams = [
         idx.where(F.col("tok") == w)
            .select(F.col(id_col), (F.col("pos") - i).alias("start"))
@@ -1601,7 +1631,7 @@ def trending_terms(df: DataFrame, epoch_expr,
     (a day number, an ingest-batch id…).  One (term, epoch) agg over
     the corpus, one 1-row max-epoch broadcast, a reagg to terms,
     TakeOrdered k with a (score desc, term) total order."""
-    toks = df.select(
+    toks = spread_input(df).select(
         epoch_expr.cast("long").alias("ep"),
         F.explode(tokens(text_col)).alias("term"))
     per = toks.groupBy("term", "ep").agg(F.count("*").alias("c"))
@@ -1672,7 +1702,8 @@ def bpe_learned_segmentation(df: DataFrame, rounds: int = 3,
 def _bpe_chain(df: DataFrame, rounds: int, text_col: str):
     """Shared BPE learn loop: returns (per-round winner frames, final
     vocab frame (w, c, seq))."""
-    words = (df.select(F.explode(tokens(text_col)).alias("w"))
+    words = (spread_input(df)
+             .select(F.explode(tokens(text_col)).alias("w"))
              .groupBy("w").agg(F.count("*").cast("long").alias("c")))
     wf = words.select(
         "w", "c", F.concat(F.lit(" "),
