@@ -38,23 +38,28 @@ _RUNTIME_CONF = {
 
 def spread_input(df: DataFrame) -> DataFrame:
     """Round-robin repartition a scan to session parallelism — ONLY
-    when it arrives with fewer partitions (r10 optimization pass).
+    when it arrives with fewer partitions.
 
     The fixture tables are each ONE small single-row-group parquet
-    file, so every scan is ONE task and all map-side work BEFORE the
-    first exchange (regex tokenize, per-token md5, shingle explode,
-    codec byte-building) serializes onto a single core. At the
-    fixtures' sf0.1 text sizes (~300-char documents) the per-row CPU
-    is small enough that this measured NEUTRAL (profile before/after
-    within host noise: e.g. simhash 3.08 s → 3.08 s min, lpa 8.21 →
-    6.60, edges 2.39 → 2.53) — the win is proportional to per-row
-    cost, which is why the r9 round's identical fix on the multimodal
-    codec path (where decode is ~10 s of CPU) was a 3× query win. It
-    is kept engine-wide because (a) real corpora are KB-MB documents
-    where tokenize/md5 per row is the multimodal regime, and (b) the
-    partition-count gate makes it a strict NO-OP at cluster scale,
-    where a many-file table already arrives with more splits than
-    ``defaultParallelism`` — no exchange is ever added there.
+    file, so every scan is ONE task and all map-side work before the
+    first exchange serializes onto a single core. The exchange is
+    only worth paying where the per-row CPU is measured heavy: the r10
+    engine-wide rollout to ~50 text/dedup/curation sites measured
+    NEUTRAL at fixture text sizes and was rolled back in r11 (the
+    driver bench showed the added full-corpus exchange as a net loss
+    at 32 cores on all but one site). The sites that keep it are the
+    measured-heavy ones: the multimodal codec asset builders
+    (plans/queries._mm_*_assets — decode is seconds of CPU per core,
+    a 3x query win) and ``subword_piece_counts`` (the engine's
+    heaviest per-row Catalyst fold — 1.37x at 32 cores and the
+    suite's best core-scaling in the r10 driver bench).
+
+    Call it on RAW SCAN projections only, never on post-shuffle
+    frames: the partition probe (``df.rdd.getNumPartitions()``) would
+    eagerly execute query stages under AQE if the frame contained an
+    exchange. The partition-count gate makes it a strict NO-OP at
+    cluster scale, where a many-file table already arrives with more
+    splits than ``defaultParallelism``.
     """
     try:
         cur = df.rdd.getNumPartitions()

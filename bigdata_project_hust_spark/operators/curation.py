@@ -30,7 +30,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..checkpoint import materialize
-from ..io import spread_input
 
 from ..functions.scalar import stable_hash64
 from .dedup import shingles
@@ -155,7 +154,7 @@ def _token_windows(df: DataFrame, text_col: str, id_col: str,
     out (unnest semantics).  The split expression lives HERE only —
     chunk_tokens and line_dedup both consume it, so a change to the
     segmentation (e.g. real newline-based lines) happens once."""
-    bound = spread_input(df).select(F.col(id_col),
+    bound = df.select(F.col(id_col),
                                     tokens(text_col).alias("__w"))
     w, n = F.col("__w"), F.size(F.col("__w"))
     starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride))) \
@@ -201,7 +200,7 @@ def dsir_logratio(df: DataFrame, target_cond, text_col: str = "text",
     """
     marked = df.select(F.col(id_col), F.col(text_col),
                        target_cond.cast("long").alias("__is_t"))
-    toks = spread_input(marked).select(
+    toks = marked.select(
         F.col(id_col), F.col("__is_t"),
         F.explode(tokens(text_col)).alias("term")).transform(
         materialize, "dsir_tokens", prefer=_tokens_prefer())
@@ -613,7 +612,7 @@ def token_budget_allocation(df: DataFrame, text_col: str = "text",
     FRACTION of the corpus so the operator is scale-free.  One
     agg over the corpus, then a |sources|-row plan."""
     alpha = F.lit(alpha_num) / F.lit(alpha_den)
-    toks = spread_input(df).select(
+    toks = df.select(
         F.col(source_col).alias("source"),
         F.size(tokens(text_col)).cast("long").alias("nt"))
     per = toks.groupBy("source").agg(F.sum("nt").alias("n_tokens"))
@@ -664,7 +663,7 @@ def boilerplate_strip(df: DataFrame, text_col: str = "text",
     no joins back to the corpus, no broadcast of anything
     corpus-sized. NULL-source docs are their own group, as in the
     mixing planner."""
-    bound = spread_input(df).select(F.col(id_col),
+    bound = df.select(F.col(id_col),
                                     F.col(source_col).alias("src"),
                                     tokens(text_col).alias("__w"))
     w, n = F.col("__w"), F.size(F.col("__w"))

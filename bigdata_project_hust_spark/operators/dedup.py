@@ -23,9 +23,8 @@ import os
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ..checkpoint import materialize
+from ..checkpoint import materialize, materialize_counted
 from ..functions.scalar import stable_hash64
-from ..io import spread_input
 from .text import tokens
 
 MINHASH_K = 16          # signature length
@@ -73,14 +72,7 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Dedup is per-document, so it happens MAP-SIDE via array_distinct
     before the explode — a row-level .distinct() here would shuffle the
     largest intermediate in the whole dedup pipeline (docs × shingles)
-    for nothing.
-
-    The input is spread to session parallelism first (io.spread_input,
-    gated no-op on already-split inputs): the fixture corpus is one
-    single-row-group parquet file = ONE scan task, which serialized
-    the tokenize + gram-concat + explode onto a single core for every
-    shingle consumer (r10 optimization pass)."""
-    df = spread_input(df)
+    for nothing."""
     bound = df.select(F.col(id_col), tokens(text_col).alias("__w"))
     w = F.col("__w")
     k = F.size(w)
@@ -364,9 +356,10 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
       recompute the whole tokenize subtree per retry. The path works on
       any Hadoop-FS URI (hdfs://, s3a://, file:).
     """
-    sh = materialize(shingles(df, text_col, id_col), "minhash_shingles",
-                     strategy="reliable" if checkpoint_dir else None,
-                     path=checkpoint_dir, prefer="local")
+    sh, n_sh = materialize_counted(
+        shingles(df, text_col, id_col), "minhash_shingles",
+        strategy="reliable" if checkpoint_dir else None,
+        path=checkpoint_dir, prefer="local")
     # the banded candidate self-join references the SIGNATURE agg
     # subtree twice (exchange reuse does not fire across the aliased
     # branches — the same measured effect as PPJoin's prefix index).
@@ -379,7 +372,7 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     sig = minhash_signatures(sh, id_col)
     _mm = os.environ.get("SPARK_GRAFT_MINHASH_SIG", "auto")
     if _mm == "auto":
-        _mm = "local" if sh.count() >= PPJOIN_PREF_MAT_MIN_SHINGLES \
+        _mm = "local" if n_sh >= PPJOIN_PREF_MAT_MIN_SHINGLES \
             else "off"
     if _mm != "off":
         sig = materialize(sig, "minhash_sig", prefer=_mm)
@@ -431,11 +424,10 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     # plan stringification alone then overflows a default-sized (1g)
     # driver heap.  Truncating here makes each round's plan O(rounds
     # since last checkpoint), independent of the upstream plan.
-    edges = (e.unionByName(e.select(F.col("b").alias("a"),
-                                    F.col("a").alias("b")))
-              .distinct().transform(materialize, "cc_edges",
-                                    prefer="local"))
-    n_sym = edges.count()
+    edges, n_sym = materialize_counted(
+        e.unionByName(e.select(F.col("b").alias("a"),
+                               F.col("a").alias("b"))).distinct(),
+        "cc_edges", prefer="local")
     labels = (edges.select(F.col("a").alias("node")).distinct()
                    .select("node", F.col("node").alias("component"))
                    .persist())
@@ -698,11 +690,6 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     cap, so the slice is a no-op there).
     """
     lane_cap = (1 << SIMHASH_LANE_BITS) - 1
-    # spread the single-file scan so the tokenize+hash map work below
-    # runs wide (io.spread_input note: neutral at the fixtures' tiny
-    # doc sizes, proportional win on real KB-MB documents, gated
-    # no-op on already-split inputs)
-    df = spread_input(df)
     tok = (df.select(F.col(id_col),
                      F.explode(F.slice(F.array_distinct(tokens(text_col)),
                                        1, lane_cap)).alias("tok"))
@@ -826,12 +813,8 @@ def positional_spans(df: DataFrame, text_col: str = "text",
     ``n`` tokens contribute their whole text as the single span at
     position 1 (span_len < n), mirroring shingles' short-doc rule.
     Emits ``k`` (doc token count) and ``span_len`` alongside so
-    downstream never re-tokenizes.  Input spread to session
-    parallelism first (io.spread_input): the 20-token gram concat is
-    the CPU-heaviest tokenizer in the engine and the fixture scan is
-    one task.
+    downstream never re-tokenizes.
     """
-    df = spread_input(df)
     bound = df.select(F.col(id_col), tokens(text_col).alias("__w"))
     w = F.col("__w")
     k = F.size(w)
@@ -1049,7 +1032,7 @@ def fuzzy_join_ed1(df: DataFrame, text_col: str,
     # paired A/Bs, local/off: sf0.01 0.91x (fuzzy_customer_names) /
     # 0.86x (entity_resolution_customers), sf0.1 0.80x (ADVICE r8
     # asked for the measurement). Env knob for paired A/Bs.
-    v = spread_input(df).select(F.col(id_col), s.alias("__s"),
+    v = df.select(F.col(id_col), s.alias("__s"),
                                 F.explode(variants).alias("__v"))
     _vm = os.environ.get("SPARK_GRAFT_ED1_MAT", "local")
     if _vm != "off":

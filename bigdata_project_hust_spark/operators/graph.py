@@ -26,8 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..checkpoint import materialize
-from ..io import spread_input
+from ..checkpoint import materialize, materialize_counted
 
 PR_SCALE = 1_000_000_000  # 1e9 fixed-point rank grid
 _D_NUM, _D_DEN = 17, 20   # damping 0.85 as an exact rational
@@ -56,10 +55,9 @@ def pagerank(edges: DataFrame, iters: int = 3,
     # edge frame is never shuffled — only the small rank/contrib
     # tables move each round. Bigger graphs keep the shuffle join,
     # O(|E|) per round.
-    e = materialize(edges.select(F.col(src).alias("src"),
-                                 F.col(dst).alias("dst")),
-                    "pagerank_edges", prefer="local")
-    n_e = e.count()
+    e, n_e = materialize_counted(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+        "pagerank_edges", prefer="local")
     nodes = materialize(e.select(F.col("src").alias("node"))
                         .union(e.select(F.col("dst").alias("node")))
                         .distinct(), "pagerank_nodes", prefer="local")
@@ -140,11 +138,7 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     task in both shapes (a join buckets by the same key), so skew is
     unchanged; the array form additionally bounds it by the per-order
     basket size, which TPC-H-like schemas cap at single digits."""
-    # spread the single-file scan so the map-side partial
-    # collect_set agg runs wide (io.spread_input — gated no-op on
-    # already-split inputs); this build fronts every co-purchase
-    # graph headliner
-    parts = (spread_input(lineitem.select("l_orderkey", "l_partkey"))
+    parts = (lineitem.select("l_orderkey", "l_partkey")
              .groupBy("l_orderkey")
              .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")))
     pairs = parts.select(F.explode(F.flatten(F.transform(
@@ -237,7 +231,10 @@ def triangle_count(edges: DataFrame, a: str = "pa",
         F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("hi"))
     n_edges = pack_ok = None
     if materialize_oriented:
-        oriented = materialize(oriented, "tri_oriented")
+        # fill=False: the stats agg right below is the cache-filling
+        # action (one pass doubles as fill + edge count + id range —
+        # one job instead of materialize-count + agg)
+        oriented = materialize(oriented, "tri_oriented", fill=False)
         # one pass over the materialized frame: edge count (sizes the
         # broadcast) + id range (gates the packed-key encoding)
         st = oriented.agg(F.count("*").alias("n"),
@@ -431,7 +428,7 @@ def basket_lift_pairs(lineitem: DataFrame, min_support: int = 3,
     # singles/pairs/order-count all derive from the set arrays — one
     # scan + one order-keyed shuffle instead of a distinct + self-join
     # (same rewrite as copurchase_edges, r7)
-    sets = (spread_input(lineitem.select("l_orderkey", "l_partkey"))
+    sets = (lineitem.select("l_orderkey", "l_partkey")
             .groupBy(F.col("l_orderkey").alias("ok"))
             .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")))
     sets = materialize(sets, "basket_sets")
@@ -567,10 +564,9 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 6,
     # itself OOMs canonicalizing the 3^6-node logical tree at round 6
     # (caught by test_oracle_parity when `cache` became the default);
     # localCheckpoint replaces the plan with a LogicalRDD leaf
-    e = materialize(
+    e, n_e = materialize_counted(
         edges.select(F.col(a).alias("x"), F.col(b).alias("y")),
         "kcore_edges", prefer="local")
-    n_e = e.count()
     for _ in range(rounds):
         deg = (e.select(F.col("x").alias("n"))
                .unionAll(e.select(F.col("y").alias("n")))
@@ -580,9 +576,10 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 6,
         ky = keep.select(F.col("n").alias("y"))
         if n_e <= LPA_BROADCAST_MAX_EDGES:
             kx, ky = F.broadcast(kx), F.broadcast(ky)
-        e = (e.join(kx, "x").join(ky, "y")
-             .transform(materialize, "graph_iter", prefer="local"))
-        n_e = e.count()  # re-gate on the shrinking survivor count
+        # re-gate on the shrinking survivor count; the count IS
+        # the per-round materializing action (one job, not two)
+        e, n_e = materialize_counted(e.join(kx, "x").join(ky, "y"),
+                                     "graph_iter", prefer="local")
     final = (e.select(F.col("x").alias("node"))
              .unionAll(e.select(F.col("y").alias("node")))
              .groupBy("node").agg(F.count("*").cast("long")
@@ -657,7 +654,7 @@ def item_item_cosine(lineitem: DataFrame, top_n: int = 5,
     # per-order item sets once; co-counts and per-item order counts
     # both derive from the arrays (one scan + one order-keyed shuffle;
     # the copurchase_edges r7 rewrite)
-    sets = (spread_input(lineitem.select("l_orderkey", "l_partkey"))
+    sets = (lineitem.select("l_orderkey", "l_partkey")
             .groupBy(F.col("l_orderkey").alias("ok"))
             .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")))
     sets = materialize(sets, "itemset_arrays")
@@ -860,8 +857,7 @@ def lpa_communities(edges: DataFrame, a: str = "pa", b: str = "pb",
                                  F.col("src").alias("dst")))
     if not edges_canonical:
         sym = sym.distinct()
-    sym = materialize(sym, "lpa_sym_edges")
-    n_sym = sym.count()
+    sym, n_sym = materialize_counted(sym, "lpa_sym_edges")
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     # ROUND 1 in closed form: seed labels are the node ids and sym is

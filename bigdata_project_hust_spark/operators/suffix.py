@@ -28,7 +28,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..checkpoint import materialize
-from ..io import spread_input
 from .dedup import dense_ids
 
 REPEAT_WINDOW = 64
@@ -59,7 +58,7 @@ def suffix_ranks(df: DataFrame, text_col: str = "text",
     fully ordered; once ALL ranks are distinct (max rank == row
     count — dense makes this one aggregate) the order equals the
     full suffix order and the loop stops."""
-    pos = (spread_input(df)
+    pos = (df
            .select(F.col(id_col).alias("doc"),
                    F.col(text_col).alias("__t"))
            # empty docs have no suffixes — and sequence(1, 0) would

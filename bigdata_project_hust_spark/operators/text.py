@@ -62,7 +62,7 @@ def lang_id(df: DataFrame, text_col: str = "text",
     — higher-order filter() is interpreted, so inlined expressions
     would re-tokenize once per reference (see operators/dedup.shingles).
     """
-    bound = spread_input(df).select(F.col(id_col),
+    bound = df.select(F.col(id_col),
                                     tokens(text_col).alias("__w"))
     t = F.col("__w")
     hits = bound.select(
@@ -84,7 +84,7 @@ def quality_score(df: DataFrame, text_col: str = "text",
     length (floor-scaled ×10000 → exact long), stopword hits, and a
     0-100 integer score. All-integer outputs → bit-exact vs any oracle.
     """
-    bound = spread_input(df).select(F.col(id_col), F.col(text_col),
+    bound = df.select(F.col(id_col), F.col(text_col),
                                     tokens(text_col).alias("__w"))
     df, t = bound, F.col("__w")
     n_chars = F.length(text_col)
@@ -119,7 +119,7 @@ def doc_features(df: DataFrame, text_col: str = "text",
     plans/queries.q_training_corpus_curation). Same formulas as
     quality_score + lang_id; output carries all quality columns plus
     lang_pred (per-language hit counts stay on lang_id)."""
-    bound = spread_input(df).select(F.col(id_col), F.col(text_col),
+    bound = df.select(F.col(id_col), F.col(text_col),
                                     tokens(text_col).alias("__w"))
     t = F.col("__w")
     n_chars = F.length(text_col)
@@ -185,7 +185,7 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     # toks feeds BOTH aggregations — EAGER localCheckpoint, or the
     # tokenize+explode of the whole corpus runs twice (lazy persist
     # loses the race between concurrent branches of one job)
-    toks = spread_input(df).select(
+    toks = df.select(
         F.col(id_col),
         F.explode(tokens(text_col)).alias("term")).transform(
         materialize, "text_tokens", prefer=_tokens_prefer())
@@ -228,7 +228,7 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
         raise ValueError("rolling hash is unrolled for k=3")
     B, M = F.lit(WINNOW_B), F.lit(WINNOW_M)
     from ..functions.scalar import stable_hash64
-    bound = spread_input(df).select(
+    bound = df.select(
         F.col(id_col),
         F.transform(tokens(text_col),
                     lambda t: stable_hash64(t) % M).alias("__th"))
@@ -289,7 +289,7 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     a broadcast of the vocabulary-sized (term, tf) table — the same
     100 TB shape as tfidf_top_terms: the only wide exchange carries
     token rows, the model side stays broadcast."""
-    toks = spread_input(df).select(
+    toks = df.select(
         F.col(id_col),
         F.explode(tokens(text_col)).alias("term")).transform(
         materialize, "text_tokens", prefer=_tokens_prefer())
@@ -369,7 +369,7 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     md5. Token-order-insensitive, so shuffled near-copies collide —
     the cheap first pass before MinHash (operators/dedup.py)."""
     norm = F.concat_ws(" ", F.array_sort(tokens(text_col)))
-    return spread_input(df).select(F.col(id_col), F.md5(norm).alias("fp"))
+    return df.select(F.col(id_col), F.md5(norm).alias("fp"))
 
 
 def _max_run(sorted_arr: Column) -> Column:
@@ -410,7 +410,7 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     family emit NULL (mirrored in the oracle).
     """
     t = tokens(text_col)
-    bound = spread_input(df).select(F.col(id_col), t.alias("__w"),
+    bound = df.select(F.col(id_col), t.alias("__w"),
                                     F.size(t).alias("__n"))
     n = F.col("__n")
     w = F.col("__w")
@@ -467,7 +467,7 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
     TakeOrderedAndProject (no global sort materialization).
     """
     toks = tokens(text_col)
-    bound = spread_input(df).select(F.col(id_col), toks.alias("__w"))
+    bound = df.select(F.col(id_col), toks.alias("__w"))
     dl = F.size("__w")
     def _tf(term: str) -> Column:
         # NB: F.filter treats a 2-arg lambda as (element, index) — a
@@ -535,7 +535,7 @@ def tfidf_sparse_pairs(df: DataFrame, min_sim_e6: int = 700_000,
     strings).
     """
     from ..functions.scalar import stable_hash64
-    toks = spread_input(df).select(
+    toks = df.select(
         F.col(id_col),
         F.explode(tokens(text_col)).alias("term"))
     # tf feeds the df agg AND the weighted join; weighted feeds norms
@@ -604,7 +604,7 @@ def token_entropy(df: DataFrame, text_col: str = "text",
     Σ p·log p would be partial-merge-order dependent and
     nondeterministic under repartitioning).
     """
-    bound = spread_input(df).select(F.col(id_col),
+    bound = df.select(F.col(id_col),
                                     F.array_sort(tokens(text_col))
                                     .alias("__s"))
     s, n = F.col("__s"), F.size("__s")
@@ -669,7 +669,7 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     whole-stage codegen (tokens bound once to a real column — the
     interpreted-HOF re-tokenization trap documented in doc_features).
     """
-    bound = spread_input(df).select(F.col(id_col),
+    bound = df.select(F.col(id_col),
                                     tokens(text_col).alias("__w"))
     t = F.col("__w")
     n_words = F.size(t)
@@ -718,7 +718,7 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     ordinary shuffle join (NOT broadcast — the one model table that
     can outgrow memory); the unigram table and total stay broadcast,
     as in tfidf/unigram. Docs with < 2 tokens score (0, 0)."""
-    t = spread_input(df).select(F.col(id_col),
+    t = df.select(F.col(id_col),
                                 tokens(text_col).alias("__t"))
     n = F.size("__t")
     m = F.greatest(n - 1, F.lit(0))
@@ -893,7 +893,7 @@ def nb_lang_classifier(df: DataFrame, text_col: str = "text",
     labels = lang_id(df, text_col, id_col).select(
         F.col(id_col), F.col("lang_pred")).transform(
         materialize, "nb_lang_pred")
-    toks = spread_input(df).select(
+    toks = df.select(
         F.col(id_col),
         F.explode(tokens(text_col)).alias("term")).transform(
         materialize, "text_tokens", prefer=_tokens_prefer())
@@ -968,7 +968,7 @@ def pmi_bigrams(df: DataFrame, text_col: str = "text",
     prunes the hapax tail BEFORE the joins — at web scale that is the
     difference between a vocab²-ish candidate set and a short list.
     """
-    bound = spread_input(df).select(F.col(id_col),
+    bound = df.select(F.col(id_col),
                                     tokens(text_col).alias("__w"))
     w = F.col("__w")
     # adjacent pairs w[i], w[i+1] — guarded: sequence(1, 0) would
@@ -1021,7 +1021,7 @@ def vocab_coverage(df: DataFrame, text_col: str = "text",
     and that vocab's exact covered-token count.
     """
     from pyspark.sql import Window
-    terms = (spread_input(df)
+    terms = (df
              .select(F.explode(tokens(text_col)).alias("t"))
              .groupBy("t").agg(F.count("*").cast("long").alias("c")))
     w = Window.orderBy(F.col("c").desc(), "t") \
@@ -1066,7 +1066,7 @@ def term_drift_chi2(df: DataFrame, part_cond,
     scoring. One token explode + a conditional count agg + a 1-row
     broadcast of the totals; top-k is TakeOrderedAndProject.
     """
-    toks = spread_input(df).select(
+    toks = df.select(
         part_cond.cast("int").alias("in_a"),
         F.explode(tokens(text_col)).alias("t"))
     per_term = toks.groupBy("t").agg(
@@ -1107,7 +1107,7 @@ def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
     1-row moment rollup.
     """
     from pyspark.sql import Window
-    terms = (spread_input(df)
+    terms = (df
              .select(F.explode(tokens(text_col)).alias("t"))
              .groupBy("t").agg(F.count("*").cast("long").alias("c")))
     ranked = terms.select(
@@ -1159,7 +1159,7 @@ def readability(df: DataFrame, text_col: str = "text",
     regexp HOFs (still JVM-side, Catalyst-interpreted lambdas); the
     token array binds once."""
     toks = tokens(F.col(text_col))
-    d = spread_input(df).select(id_col, F.col(text_col).alias("_txt"),
+    d = df.select(id_col, F.col(text_col).alias("_txt"),
                                 toks.alias("_w"))
     n_words = F.size("_w").cast("long")
     n_sent = F.greatest(
@@ -1201,7 +1201,7 @@ def textrank_keywords(df: DataFrame, iters: int = 2,
     rank loop, and each PageRank round shuffles |surviving vocab|-
     sized frames only."""
     from .graph import pagerank
-    t = spread_input(df).select(tokens(F.col(text_col)).alias("w"))
+    t = df.select(tokens(F.col(text_col)).alias("w"))
     pair = F.expr(
         "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
         " (t, i) -> struct(t AS w1, element_at(w, i + 2) AS w2))")
@@ -1241,8 +1241,7 @@ def js_divergence_sources(df: DataFrame, src_a: str = "src0",
     Plan: one token agg (|vocab| rows), a 1-row totals agg broadcast
     back (never a window over the vocab), one more 1-row agg for the
     total, TakeOrdered for the top-k."""
-    toks = (spread_input(df.where(F.col(source_col)
-                                  .isin(src_a, src_b)))
+    toks = (df.where(F.col(source_col).isin(src_a, src_b))
             .select(F.col(source_col).alias("s"),
                     F.explode(tokens(F.col(text_col))).alias("tok")))
     counts = toks.groupBy("tok").agg(
@@ -1376,7 +1375,7 @@ def kwic(df: DataFrame, term: str = "the", width: int = 2,
     array_position / slice / concat_ws all run in whole-stage
     codegen; both engines share identical 1-based index arithmetic
     (Spark array_position = DuckDB list_position)."""
-    t = spread_input(df).select(id_col,
+    t = df.select(id_col,
                                 tokens(F.col(text_col)).alias("_w"))
     pos = F.array_position("_w", term)
     start = F.greatest(F.lit(1), pos - width)
@@ -1408,7 +1407,7 @@ def vocab_prune(df: DataFrame, min_df: int = 2,
     per-(doc, token) distinct pass (map-side array_distinct before
     the explode keeps the shuffle at unique-tokens-per-doc), one
     |vocab| agg, a 1-row broadcast of n_docs."""
-    per_doc = spread_input(df).select(
+    per_doc = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(F.col(text_col))))
          .alias("tok"))
@@ -1469,7 +1468,7 @@ def hapax_ratio_by_source(df: DataFrame, text_col: str = "text",
     the token (shuffle keyed by token — at 100 TB pre-aggregate
     per-source counts first so the join carries |source × vocab|
     rows, which is what this does)."""
-    toks = spread_input(df).select(
+    toks = df.select(
         F.col(source_col).alias("source"),
         F.explode(tokens(F.col(text_col))).alias("tok"))
     per_src = toks.groupBy("source", "tok").agg(
@@ -1573,7 +1572,7 @@ def phrase_hits(df: DataFrame, phrase: str, text_col: str = "text",
     words = phrase.lower().split()
     if len(words) < 2:
         raise ValueError("phrase_hits wants a multi-word phrase")
-    idx = (spread_input(df)
+    idx = (df
            .select(F.col(id_col),
                    F.posexplode(tokens(text_col))
                     .alias("pos", "tok")))
@@ -1631,7 +1630,7 @@ def trending_terms(df: DataFrame, epoch_expr,
     (a day number, an ingest-batch id…).  One (term, epoch) agg over
     the corpus, one 1-row max-epoch broadcast, a reagg to terms,
     TakeOrdered k with a (score desc, term) total order."""
-    toks = spread_input(df).select(
+    toks = df.select(
         epoch_expr.cast("long").alias("ep"),
         F.explode(tokens(text_col)).alias("term"))
     per = toks.groupBy("term", "ep").agg(F.count("*").alias("c"))
@@ -1702,7 +1701,7 @@ def bpe_learned_segmentation(df: DataFrame, rounds: int = 3,
 def _bpe_chain(df: DataFrame, rounds: int, text_col: str):
     """Shared BPE learn loop: returns (per-round winner frames, final
     vocab frame (w, c, seq))."""
-    words = (spread_input(df)
+    words = (df
              .select(F.explode(tokens(text_col)).alias("w"))
              .groupBy("w").agg(F.count("*").cast("long").alias("c")))
     wf = words.select(

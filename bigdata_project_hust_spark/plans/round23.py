@@ -134,14 +134,37 @@ def q_kafka_consumer1_roundtrip(spark, sf_dir):
               .where(F.col("influence_score") >= 50)
               .select("c_custkey", "c_name", "influence_score"))
     out_dir = os.path.join(work, "out")
-    q = (scored.writeStream.format("parquet")
-         .option("path", out_dir)
-         .option("checkpointLocation", os.path.join(work, "ckpt"))
-         .start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # The Python streaming source spawns a dedicated worker process,
+    # and Spark 4.1's connect-back wait is a HARD-CODED 10 s
+    # (Selector.select(10000L) in PythonWorkerFactory — the
+    # spark.python.authenticate.socketTimeout conf does not govern it,
+    # which is why the r10 session-conf mitigation never worked, in
+    # any session).  Under heavy external host load the spawn can
+    # miss that window and the query dies at INITIALIZING with
+    # STREAM_FAILED "Python worker failed to connect back"
+    # (CORRECTNESS_r10's one red row, in the driver's own session).
+    # The failure is pre-offset-commit and the parquet sink is
+    # manifest-logged, so restarting from the checkpoint is
+    # exactly-once safe — retry the start, which is the only
+    # session-independent fix available.
+    last_ex: Exception | None = None
+    for _ in range(3):
+        q = (scored.writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .start())
+        try:
+            q.processAllAvailable()
+            last_ex = None
+            break
+        except Exception as ex:  # noqa: BLE001 — retry the one known
+            last_ex = ex         # transient spawn failure, re-raise rest
+            if "connect back" not in str(ex):
+                raise
+        finally:
+            q.stop()
+    if last_ex is not None:
+        raise last_ex
     return spark.read.parquet(out_dir)
 
 

@@ -49,14 +49,14 @@ def get_spark(app_name: str = "bigdata_project_hust_spark",
         # normalize to microsecond timestamps in io.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        # Python-source worker spawn robustness: the kafka_shaped
-        # streaming source starts a dedicated Python worker per query;
-        # under heavy host co-tenancy the default 15 s connect-back
-        # window intermittently expires ("Python worker failed to
-        # connect back" — observed twice in the r10 suite under
-        # external load, both tests green in isolation). 60 s makes
-        # the spawn load-proof without masking real failures.
-        .config("spark.python.authenticate.socketTimeout", "60s")
+        # NOTE (r11): the r10 mitigation for the kafka_shaped
+        # streaming-source "Python worker failed to connect back"
+        # failure — spark.python.authenticate.socketTimeout=60s here —
+        # was removed: Spark 4.1's connect-back wait is a hard-coded
+        # 10 s Selector.select in PythonWorkerFactory, so the conf
+        # never governed it in ANY session. The real fix is the
+        # exactly-once stream-start retry in plans/round23.py, which
+        # also protects the driver's own vanilla session.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     spark = builder.getOrCreate()

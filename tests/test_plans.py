@@ -359,13 +359,17 @@ def test_hll_register_agg_combines_map_side(spark):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_subword_piece_counts_zero_shuffle(spark):
-    """The greedy subword fold is a pure nested-HOF projection — an
-    Exchange or Generate means the per-word loop became an
-    explode/agg."""
+def test_subword_piece_counts_plan(spark):
+    """The greedy subword fold is a pure nested-HOF projection — a
+    Generate means the per-word loop became an explode/agg. One
+    round-robin Exchange (io.spread_input) is the only shuffle
+    allowed: the fold is the engine's CPU-heaviest per-row projection
+    and the fixture scan is one task, so spreading it is the one
+    spread_input site the r10/r11 driver benches confirmed as a real
+    win (1.37x at 32 cores, the suite's best 8->32 core scaling)."""
     df = QUERIES["subword_piece_counts"].fn(spark, SF_SMOKE)
     plan = plan_of(df)
-    assert n_nodes(plan, "Exchange") == 0, plan
+    assert n_nodes(plan, "Exchange") <= 1, plan
     assert n_nodes(plan, "Generate") == 0, plan
 
 
